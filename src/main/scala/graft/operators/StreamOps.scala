@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The streamkit storage read surface re-expressed as Spark relational
+  * operators over the canonical entry view (see
+  * reference `pkg/storage/interface.go:27-48`).
+  *
+  * All operators are pure DataFrame transforms: filters/limits are
+  * declarative so Catalyst pushes sequence/timestamp range predicates to
+  * the parquet scan, and aggregate-style ops (peek/status) are one-pass
+  * hash aggregations with map-side partial combine — no global sorts.
+  */
+object StreamOps {
+
+  private val entryCols: Seq[Column] =
+    Seq(col("space"), col("segment"), col("sequence"), col("ts_us"),
+      col("value"), col("payload"))
+
+  /** ConsumeSegment (`pkg/api/messages.go:161-176`): strict
+    * sequence-ordered scan of one segment with optional seq/ts bounds and
+    * a limit. Sequence is unique per segment so ORDER BY sequence LIMIT n
+    * is deterministic. */
+  def consumeSegment(entries: DataFrame, space: String, segment: String,
+      minSeq: Option[Long] = None, maxSeq: Option[Long] = None,
+      minTsUs: Option[Long] = None, maxTsUs: Option[Long] = None,
+      limit: Option[Int] = None): DataFrame = {
+    var df = entries
+      .filter(col("space") === space && col("segment") === segment)
+    minSeq.foreach(v => df = df.filter(col("sequence") >= v))
+    maxSeq.foreach(v => df = df.filter(col("sequence") <= v))
+    minTsUs.foreach(v => df = df.filter(col("ts_us") >= v))
+    maxTsUs.foreach(v => df = df.filter(col("ts_us") <= v))
+    df = df.select(entryCols: _*).orderBy("sequence")
+    limit.map(df.limit).getOrElse(df)
+  }
+
+  /** ConsumeSpace (`pkg/api/messages.go:146-159`): timestamp-merged scan
+    * across all segments of a space. Total order (ts_us, segment,
+    * sequence) is the Spark dual of the reference's lexicographic space
+    * key `lexkey.Encode(DATA, SPACES, space, ts, segment, seq)`
+    * (`messages.go:113-116`). */
+  def consumeSpace(entries: DataFrame, space: String,
+      minTsUs: Option[Long] = None, maxTsUs: Option[Long] = None,
+      limit: Option[Int] = None): DataFrame = {
+    var df = entries.filter(col("space") === space)
+    minTsUs.foreach(v => df = df.filter(col("ts_us") >= v))
+    maxTsUs.foreach(v => df = df.filter(col("ts_us") <= v))
+    df = df.select(entryCols: _*).orderBy("ts_us", "segment", "sequence")
+    limit.map(df.limit).getOrElse(df)
+  }
+
+  /** Space-offset cursor resume: strictly-after comparison on the
+    * (ts_us, segment, sequence) tuple — `Entry.GetSpaceOffset`
+    * (`messages.go:113`). The anchor entry is located by (segment,
+    * sequence) and broadcast; the cursor itself is a struct comparison
+    * Catalyst can evaluate without a join explosion. */
+  def consumeSpaceFromOffset(entries: DataFrame, space: String,
+      anchorSegment: String, anchorSequence: Long,
+      limit: Option[Int] = None): DataFrame = {
+    val inSpace = entries.filter(col("space") === space)
+    val anchor = inSpace
+      .filter(col("segment") === anchorSegment &&
+        col("sequence") === anchorSequence)
+      .select(col("ts_us").as("a_ts_us"), col("segment").as("a_segment"),
+        col("sequence").as("a_sequence"))
+    val df = inSpace.crossJoin(broadcast(anchor))
+      .filter(struct(col("ts_us"), col("segment"), col("sequence")) >
+        struct(col("a_ts_us"), col("a_segment"), col("a_sequence")))
+      .select(entryCols: _*)
+      .orderBy("ts_us", "segment", "sequence")
+    limit.map(df.limit).getOrElse(df)
+  }
+
+  /** Consume (`pkg/api/messages.go:130-144`): multi-space merge with a
+    * per-space offset map and global timestamp bounds. Only spaces present
+    * in the offsets map are consumed (mirrors the server's space-offsets
+    * routing). Offsets are broadcast — they are O(#spaces). */
+  def consumeMulti(entries: DataFrame,
+      offsets: Map[String, (String, Long)],
+      minTsUs: Option[Long] = None, maxTsUs: Option[Long] = None,
+      limit: Option[Int] = None): DataFrame = {
+    val spark = entries.sparkSession
+    import spark.implicits._
+    val offsetKeys = offsets.toSeq.map { case (sp, (seg, seq)) =>
+      (sp, seg, seq)
+    }.toDF("o_space", "o_segment", "o_sequence")
+    // Resolve each offset (segment, sequence) to its full space-offset
+    // tuple (ts_us, segment, sequence), then filter strictly-after.
+    val anchors = entries
+      .join(broadcast(offsetKeys),
+        col("space") === col("o_space") &&
+          col("segment") === col("o_segment") &&
+          col("sequence") === col("o_sequence"))
+      .select(col("space").as("a_space"), col("ts_us").as("a_ts_us"),
+        col("segment").as("a_segment"), col("sequence").as("a_sequence"))
+    var df = entries
+      .join(broadcast(anchors), col("space") === col("a_space"))
+      .filter(struct(col("ts_us"), col("segment"), col("sequence")) >
+        struct(col("a_ts_us"), col("a_segment"), col("a_sequence")))
+    minTsUs.foreach(v => df = df.filter(col("ts_us") >= v))
+    maxTsUs.foreach(v => df = df.filter(col("ts_us") <= v))
+    val out = df.select(entryCols: _*)
+      .orderBy("ts_us", "space", "segment", "sequence")
+    limit.map(out.limit).getOrElse(out)
+  }
+
+  /** Peek (`pkg/api/messages.go:72-81`): latest entry per segment of a
+    * space. One-pass `max_by` aggregation (partial-combinable) instead of
+    * a window sort — at 100 TB this is a map-side-combined hash agg, not
+    * a per-segment sort. */
+  def peek(entries: DataFrame, space: String): DataFrame =
+    entries.filter(col("space") === space)
+      .groupBy(col("space"), col("segment"))
+      .agg(
+        max(col("sequence")).as("sequence"),
+        max_by(col("ts_us"), col("sequence")).as("ts_us"),
+        max_by(col("value"), col("sequence")).as("value"),
+        max_by(col("payload"), col("sequence")).as("payload"))
+      .select(entryCols: _*)
+
+  /** GetSpaces (`pkg/api/messages.go:177`): distinct space names. Reads
+    * only the space column — pruned scan + partial-distinct. */
+  def getSpaces(named: DataFrame): DataFrame =
+    named.select(col("space")).distinct().orderBy("space")
+
+  /** GetSegments (`pkg/api/messages.go:185`). */
+  def getSegments(named: DataFrame, space: String): DataFrame =
+    named.filter(col("space") === space)
+      .select(col("space"), col("segment")).distinct()
+      .orderBy("segment")
+
+  /** SegmentStatus (`pkg/api/messages.go:36-49`): first/last sequence and
+    * timestamp per segment. Because sequence is dense from 1 in
+    * (ts, event_id) order, first_sequence = 1 and last_sequence = count —
+    * computed from the RAW table as a one-pass agg with no window shuffle
+    * (the production layout materializes sequence; the identity holds
+    * either way for a contiguous log). */
+  def segmentStatus(named: DataFrame): DataFrame =
+    named.groupBy(col("space"), col("segment"))
+      .agg(
+        lit(1L).as("first_sequence"),
+        count(lit(1)).as("last_sequence"),
+        min(col("ts_us")).as("first_ts_us"),
+        max(col("ts_us")).as("last_ts_us"))
+
+  /** GetStatus (`pkg/api/messages.go:195`): store-level rollup per space. */
+  def storeStatus(named: DataFrame): DataFrame =
+    named.groupBy(col("space"))
+      .agg(
+        countDistinct(col("segment")).as("n_segments"),
+        count(lit(1)).as("n_entries"),
+        min(col("ts_us")).as("min_ts_us"),
+        max(col("ts_us")).as("max_ts_us"))
+
+  /** Produce-contract audit (`pkg/eskit/store.go:79-104`): per segment,
+    * verify the sequence stream is exactly 1..N with no gaps or
+    * duplicates — the batch dual of ErrSequenceMismatch detection. */
+  def produceValidate(entries: DataFrame): DataFrame =
+    entries.groupBy(col("space"), col("segment"))
+      .agg(
+        count(lit(1)).as("n_entries"),
+        min(col("sequence")).as("min_sequence"),
+        max(col("sequence")).as("max_sequence"),
+        countDistinct(col("sequence")).as("n_distinct"))
+      .withColumn("contiguous",
+        col("min_sequence") === 1L &&
+          col("max_sequence") === col("n_entries"))
+      .withColumn("no_duplicates", col("n_distinct") === col("n_entries"))
+
+  /** TRX rollup (`pkg/api/messages.go:249`, `internal/txn`): entries are
+    * produced in batches; each batch carries transaction metadata used
+    * for recovery. Model: trx = consecutive chunks of `batchSize`
+    * sequences per segment; audit each transaction's completeness. */
+  def trxRollup(entries: DataFrame, batchSize: Int): DataFrame =
+    entries
+      .withColumn("trx_number",
+        expr(s"(sequence - 1) div $batchSize").cast("long"))
+      .groupBy(col("space"), col("segment"), col("trx_number"))
+      .agg(
+        count(lit(1)).as("n_entries"),
+        min(col("sequence")).as("min_sequence"),
+        max(col("sequence")).as("max_sequence"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .withColumn("complete",
+        col("max_sequence") - col("min_sequence") + 1 === col("n_entries"))
+
+  /** Space-watermark audit (`pkg/server/space_watermarks.go`): in arrival
+    * order (event_id), an entry is late if its event time is behind the
+    * space's high watermark by more than `toleranceUs`. Batch dual of the
+    * reference's in-flight low-watermark tracking / Structured
+    * Streaming's watermark semantics. */
+  def watermarkAudit(named: DataFrame, toleranceUs: Long): DataFrame = {
+    val w = Window.partitionBy("space").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    named
+      .withColumn("hwm_us", max(col("ts_us")).over(w))
+      .withColumn("late",
+        col("hwm_us").isNotNull &&
+          col("ts_us") < col("hwm_us") - toleranceUs)
+      .withColumn("lateness_us",
+        when(col("late"), col("hwm_us") - col("ts_us")).otherwise(0L))
+      .groupBy(col("space"))
+      .agg(
+        count(lit(1)).as("n_entries"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+        max(col("lateness_us")).as("max_lateness_us"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch duals of the streaming window operators (Structured Streaming
+  * versions live in `graft.streaming`). Window starts are computed with
+  * exact integer division on epoch micros (`div`), never float math —
+  * float division of epoch-scale numbers mis-floors near boundaries.
+  *
+  * Scale: tumbling/hopping are pure hash aggs (partial combine); the
+  * hopping window uses a slide-index explode (each row → windowLen/slide
+  * rows) instead of a range self-join, so cost is linear in input.
+  * Sessionization needs per-key order — one shuffle on (space, segment),
+  * then partition-local window functions. */
+object Windows {
+
+  /** Tumbling window agg per space. */
+  def tumbling(named: DataFrame, widthUs: Long): DataFrame =
+    named
+      .withColumn("window_start_us",
+        expr(s"ts_us div $widthUs") * widthUs)
+      .groupBy(col("space"), col("window_start_us"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+
+  /** Hopping window (width = k * slide) via slide-index explode. */
+  def hopping(named: DataFrame, slideUs: Long, slides: Int): DataFrame =
+    named
+      .withColumn("k", explode(array((0 until slides).map(lit): _*)))
+      .withColumn("window_start_us",
+        (expr(s"ts_us div $slideUs") - col("k")) * slideUs)
+      .groupBy(col("space"), col("window_start_us"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+
+  /** Gap-based sessionization per (space, segment): a new session starts
+    * when the gap to the previous entry exceeds `gapUs`. */
+  def sessionize(entries: DataFrame, gapUs: Long): DataFrame = {
+    val w = Window.partitionBy("space", "segment").orderBy("ts_us", "event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    entries
+      .withColumn("prev_ts_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts_us").isNull ||
+          col("ts_us") - col("prev_ts_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(cum))
+      .groupBy(col("space"), col("segment"), col("session_id"))
+      .agg(
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  /** Running cumulative sum per segment of one space, in sequence order.
+    * Left-to-right accumulation order is identical in any engine, so the
+    * running double is bit-stable. */
+  def running(entries: DataFrame, space: String): DataFrame = {
+    val w = Window.partitionBy("space", "segment").orderBy("sequence")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    entries
+      .filter(col("space") === space)
+      .select(col("space"), col("segment"), col("sequence"), col("value"))
+      .withColumn("running_value", round(sum(col("value")).over(w), 2))
+  }
+}

@@ -1,0 +1,328 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.EventLog
+import graft.operators.{StreamOps, EventSourcing, Windows}
+import graft.analytics.Relational
+
+/** Driver bindings for SURVEY §2 families A–D: each query name maps to a
+  * concrete parameterization of an operator plus its DuckDB oracle SQL.
+  * Column names/aliases and double rounding are kept identical on both
+  * sides — the driver sorts columns by name and hashes values. */
+object CoreQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val HOUR_US = 3600000000L
+  private val SIX_H_US = 21600000000L
+  private val GAP_30M_US = 1800000000L
+  private val TOL_5M_US = 300000000L
+  // epoch micros for fixed demo bounds (UTC)
+  private val T_2024_01_05 = 1704412800000000L
+  private val T_2024_01_15 = 1705276800000000L
+  private val T_2024_01_20 = 1705708800000000L
+  private val T_2024_01_25 = 1706140800000000L
+
+  val queries: Map[String, Q] = Map(
+    // ── A. stream core ────────────────────────────────────────────────
+    "sk_consume_segment" -> ((s, d) =>
+      StreamOps.consumeSegment(EventLog.entries(s, d), "purchase", "42",
+        minSeq = Some(2L), maxSeq = Some(60L), limit = Some(25))),
+    "sk_consume_space" -> ((s, d) =>
+      StreamOps.consumeSpace(EventLog.entries(s, d), "click",
+        minTsUs = Some(T_2024_01_05), maxTsUs = Some(T_2024_01_25),
+        limit = Some(500))),
+    "sk_consume_space_offset" -> ((s, d) =>
+      StreamOps.consumeSpaceFromOffset(EventLog.entries(s, d), "view",
+        anchorSegment = "7", anchorSequence = 5L, limit = Some(300))),
+    "sk_consume_multi" -> ((s, d) =>
+      StreamOps.consumeMulti(EventLog.entries(s, d),
+        offsets = Map("click" -> ("7", 5L), "view" -> ("12", 3L)),
+        maxTsUs = Some(T_2024_01_20), limit = Some(400))),
+    "sk_peek" -> ((s, d) => StreamOps.peek(EventLog.entries(s, d), "signup")),
+    "sk_get_spaces" -> ((s, d) => StreamOps.getSpaces(EventLog.named(s, d))),
+    "sk_get_segments" -> ((s, d) =>
+      StreamOps.getSegments(EventLog.named(s, d), "error")),
+    "sk_segment_status" -> ((s, d) =>
+      StreamOps.segmentStatus(EventLog.named(s, d))),
+    "sk_store_status" -> ((s, d) =>
+      StreamOps.storeStatus(EventLog.named(s, d))),
+    "sk_produce_validate" -> ((s, d) =>
+      StreamOps.produceValidate(EventLog.entries(s, d))),
+    "sk_trx_rollup" -> ((s, d) =>
+      StreamOps.trxRollup(EventLog.entries(s, d), batchSize = 10)),
+    "sk_watermark_audit" -> ((s, d) =>
+      StreamOps.watermarkAudit(EventLog.named(s, d), TOL_5M_US)),
+    // ── B. event sourcing ─────────────────────────────────────────────
+    "es_replay_state" -> ((s, d) =>
+      EventSourcing.replayState(EventLog.entries(s, d), "purchase")),
+    "es_replay_from" -> ((s, d) =>
+      EventSourcing.replayState(EventLog.entries(s, d), "purchase",
+        afterSequence = 20L)),
+    "es_as_of_time" -> ((s, d) =>
+      EventSourcing.stateAsOf(EventLog.entries(s, d), "purchase",
+        T_2024_01_15)),
+    "es_projection_daily" -> ((s, d) =>
+      EventSourcing.projectionDaily(EventLog.named(s, d))),
+    // ── C. windows ────────────────────────────────────────────────────
+    "win_tumbling" -> ((s, d) =>
+      Windows.tumbling(EventLog.named(s, d), HOUR_US)),
+    "win_hopping" -> ((s, d) =>
+      Windows.hopping(EventLog.named(s, d), SIX_H_US, slides = 2)),
+    "win_session" -> ((s, d) =>
+      Windows.sessionize(EventLog.entries(s, d), GAP_30M_US)),
+    "win_running" -> ((s, d) =>
+      Windows.running(EventLog.entries(s, d), "click")),
+    // ── D. relational ─────────────────────────────────────────────────
+    "q1_pricing" -> ((s, d) => Relational.q1Pricing(s, d)),
+    "q3_topk" -> ((s, d) => Relational.q3TopK(s, d)),
+    "q5_region" -> ((s, d) => Relational.q5Region(s, d)),
+    "top_customers_per_nation" -> ((s, d) =>
+      Relational.topCustomersPerNation(s, d)),
+  )
+
+  private val E = EventLog.CTE
+
+  val oracle: Map[String, String] = Map(
+    "sk_consume_segment" -> s"""$E
+      SELECT space, segment, sequence, ts_us, value, payload FROM entries
+      WHERE space = 'purchase' AND segment = '42'
+        AND sequence >= 2 AND sequence <= 60
+      ORDER BY sequence LIMIT 25""",
+
+    "sk_consume_space" -> s"""$E
+      SELECT space, segment, sequence, ts_us, value, payload FROM entries
+      WHERE space = 'click'
+        AND ts_us >= $T_2024_01_05 AND ts_us <= $T_2024_01_25
+      ORDER BY ts_us, segment, sequence LIMIT 500""",
+
+    "sk_consume_space_offset" -> s"""$E,
+      anchor AS (
+        SELECT ts_us AS a_ts_us, segment AS a_segment,
+               sequence AS a_sequence
+        FROM entries
+        WHERE space = 'view' AND segment = '7' AND sequence = 5)
+      SELECT e.space, e.segment, e.sequence, e.ts_us, e.value, e.payload
+      FROM entries e CROSS JOIN anchor a
+      WHERE e.space = 'view'
+        AND (e.ts_us, e.segment, e.sequence) >
+            (a.a_ts_us, a.a_segment, a.a_sequence)
+      ORDER BY e.ts_us, e.segment, e.sequence LIMIT 300""",
+
+    "sk_consume_multi" -> s"""$E,
+      offs(space, segment, seq) AS (
+        VALUES ('click', '7', 5), ('view', '12', 3)),
+      anchors AS (
+        SELECT e.space AS a_space, e.ts_us AS a_ts_us,
+               e.segment AS a_segment, e.sequence AS a_sequence
+        FROM entries e JOIN offs o
+          ON e.space = o.space AND e.segment = o.segment
+         AND e.sequence = o.seq)
+      SELECT e.space, e.segment, e.sequence, e.ts_us, e.value, e.payload
+      FROM entries e JOIN anchors a ON e.space = a.a_space
+      WHERE (e.ts_us, e.segment, e.sequence) >
+            (a.a_ts_us, a.a_segment, a.a_sequence)
+        AND e.ts_us <= $T_2024_01_20
+      ORDER BY e.ts_us, e.space, e.segment, e.sequence LIMIT 400""",
+
+    "sk_peek" -> s"""$E
+      SELECT space, segment, max(sequence) AS sequence,
+             max_by(ts_us, sequence) AS ts_us,
+             max_by(value, sequence) AS value,
+             max_by(payload, sequence) AS payload
+      FROM entries WHERE space = 'signup' GROUP BY space, segment""",
+
+    "sk_get_spaces" ->
+      "SELECT DISTINCT event_type AS space FROM events ORDER BY space",
+
+    "sk_get_segments" -> """
+      SELECT DISTINCT event_type AS space,
+             CAST(user_id AS VARCHAR) AS segment
+      FROM events WHERE event_type = 'error' ORDER BY segment""",
+
+    "sk_segment_status" -> """
+      SELECT event_type AS space, CAST(user_id AS VARCHAR) AS segment,
+             CAST(1 AS BIGINT) AS first_sequence,
+             count(*) AS last_sequence,
+             min(epoch_us(ts)) AS first_ts_us,
+             max(epoch_us(ts)) AS last_ts_us
+      FROM events GROUP BY 1, 2""",
+
+    "sk_store_status" -> """
+      SELECT event_type AS space,
+             count(DISTINCT user_id) AS n_segments,
+             count(*) AS n_entries,
+             min(epoch_us(ts)) AS min_ts_us,
+             max(epoch_us(ts)) AS max_ts_us
+      FROM events GROUP BY 1""",
+
+    "sk_produce_validate" -> s"""$E
+      SELECT space, segment, count(*) AS n_entries,
+             min(sequence) AS min_sequence,
+             max(sequence) AS max_sequence,
+             count(DISTINCT sequence) AS n_distinct,
+             (min(sequence) = 1 AND max(sequence) = count(*)) AS contiguous,
+             (count(DISTINCT sequence) = count(*)) AS no_duplicates
+      FROM entries GROUP BY 1, 2""",
+
+    "sk_trx_rollup" -> s"""$E
+      SELECT space, segment, (sequence - 1) // 10 AS trx_number,
+             count(*) AS n_entries,
+             min(sequence) AS min_sequence,
+             max(sequence) AS max_sequence,
+             round(sum(value), 2) AS sum_value,
+             (max(sequence) - min(sequence) + 1 = count(*)) AS complete
+      FROM entries GROUP BY 1, 2, 3""",
+
+    "sk_watermark_audit" -> s"""
+      WITH ev AS (
+        SELECT event_type AS space, epoch_us(ts) AS ts_us, event_id
+        FROM events),
+      lat AS (
+        SELECT space, ts_us,
+               max(ts_us) OVER (PARTITION BY space ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm_us
+        FROM ev)
+      SELECT space, count(*) AS n_entries,
+             CAST(sum(CASE WHEN hwm_us IS NOT NULL
+                  AND ts_us < hwm_us - $TOL_5M_US THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_late,
+             max(CASE WHEN hwm_us IS NOT NULL
+                  AND ts_us < hwm_us - $TOL_5M_US THEN hwm_us - ts_us
+                  ELSE 0 END) AS max_lateness_us
+      FROM lat GROUP BY space""",
+
+    "es_replay_state" -> s"""$E
+      SELECT space, segment, count(*) AS n_events,
+             round(sum(value), 2) AS balance,
+             max(sequence) AS last_sequence,
+             max_by(ts_us, sequence) AS last_ts_us,
+             max_by(payload, sequence) AS last_payload
+      FROM entries WHERE space = 'purchase' GROUP BY 1, 2""",
+
+    "es_replay_from" -> s"""$E
+      SELECT space, segment, count(*) AS n_events,
+             round(sum(value), 2) AS balance,
+             max(sequence) AS last_sequence,
+             max_by(ts_us, sequence) AS last_ts_us,
+             max_by(payload, sequence) AS last_payload
+      FROM entries WHERE space = 'purchase' AND sequence > 20
+      GROUP BY 1, 2""",
+
+    "es_as_of_time" -> s"""$E
+      SELECT space, segment, count(*) AS n_events,
+             round(sum(value), 2) AS balance,
+             max(sequence) AS last_sequence,
+             max_by(ts_us, sequence) AS last_ts_us,
+             max_by(payload, sequence) AS last_payload
+      FROM entries WHERE space = 'purchase' AND ts_us <= $T_2024_01_15
+      GROUP BY 1, 2""",
+
+    "es_projection_daily" -> """
+      SELECT event_type AS space, strftime(ts, '%Y-%m-%d') AS day,
+             count(*) AS n_events,
+             round(sum(value), 2) AS total_value,
+             count(DISTINCT user_id) AS n_active_segments
+      FROM events GROUP BY 1, 2""",
+
+    "win_tumbling" -> s"""
+      SELECT event_type AS space,
+             (epoch_us(ts) // $HOUR_US) * $HOUR_US AS window_start_us,
+             count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2""",
+
+    "win_hopping" -> s"""
+      WITH h AS (SELECT 0 AS k UNION ALL SELECT 1)
+      SELECT event_type AS space,
+             ((epoch_us(ts) // $SIX_H_US) - k) * $SIX_H_US
+               AS window_start_us,
+             count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM events CROSS JOIN h GROUP BY 1, 2""",
+
+    "win_session" -> s"""$E,
+      flagged AS (
+        SELECT space, segment, ts_us, event_id, value,
+               CASE WHEN lag(ts_us) OVER w IS NULL
+                    OR ts_us - lag(ts_us) OVER w > $GAP_30M_US
+                    THEN 1 ELSE 0 END AS new_session
+        FROM entries
+        WINDOW w AS (PARTITION BY space, segment ORDER BY ts_us, event_id)),
+      sessions AS (
+        SELECT space, segment, ts_us, value,
+               CAST(sum(new_session) OVER (PARTITION BY space, segment
+                 ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_id
+        FROM flagged)
+      SELECT space, segment, session_id,
+             min(ts_us) AS start_us, max(ts_us) AS end_us,
+             count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM sessions GROUP BY 1, 2, 3""",
+
+    "win_running" -> s"""$E
+      SELECT space, segment, sequence, value,
+             round(sum(value) OVER (PARTITION BY space, segment
+               ORDER BY sequence
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_value
+      FROM entries WHERE space = 'click'""",
+
+    "q1_pricing" -> """
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2)
+               AS sum_disc_price,
+             round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS sum_charge,
+             round(avg(l_quantity), 6) AS avg_qty,
+             round(avg(l_extendedprice), 6) AS avg_price,
+             round(avg(l_discount), 6) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus""",
+
+    "q3_topk" -> """
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "q5_region" -> """
+      SELECT n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM region
+      JOIN nation ON n_regionkey = r_regionkey
+      JOIN customer ON c_nationkey = n_nationkey
+      JOIN orders ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+      WHERE r_name = 'AMERICA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY n_name""",
+
+    "top_customers_per_nation" -> """
+      WITH spend AS (
+        SELECT n_name, c_custkey, c_name,
+               round(sum(o_totalprice), 2) AS total_spend,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2, 3)
+      SELECT * FROM (
+        SELECT n_name, c_custkey, c_name, total_spend, n_orders,
+               CAST(row_number() OVER (PARTITION BY n_name
+                 ORDER BY total_spend DESC, c_custkey) AS BIGINT) AS rnk
+        FROM spend)
+      WHERE rnk <= 3""",
+  )
+}
