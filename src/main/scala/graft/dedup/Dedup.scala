@@ -1,0 +1,144 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite over `documents` (SURVEY §2-E).
+  *
+  * Scale design: the only all-pairs operator is [[jaccardPairs]], kept as
+  * the small-scope exact baseline the DuckDB oracle can check. The 100 TB
+  * paths are hash-group ([[exact]]), LSH band-bucket joins
+  * ([[minHashPairs]], [[simHashPairs]]) whose candidate sets grow ~linearly
+  * with corpus size, and the banded embedding dedup in graft.similarity.
+  */
+object Dedup {
+
+  private val toksExpr =
+    "filter(split(lower(text), ' '), x -> x != '')"
+
+  /** Exact dedup: group by content digest, keep lowest doc_id. One
+    * map-side-combined shuffle on the digest — the canonical exact-dedup
+    * plan at any scale. */
+  def exact(d: DataFrame): DataFrame =
+    d.groupBy(md5(lower(trim(col("text")))).as("digest"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** Exact word-set Jaccard pairs within one language partition via an
+    * inverted-index join (shared-token candidates only, never a cross
+    * join). Oracle-checkable baseline for the LSH variants. */
+  def jaccardPairs(d: DataFrame, lang: String, tau: Double): DataFrame = {
+    val scoped = d.filter(col("lang") === lang)
+      .select(col("doc_id"), array_distinct(expr(toksExpr)).as("wset"))
+    val sizes = scoped.select(col("doc_id"), size(col("wset")).as("n"))
+    val inv = scoped.select(col("doc_id"), explode(col("wset")).as("word"))
+    val pairs = inv.as("a").join(inv.as("b"),
+        col("a.word") === col("b.word") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc1")
+        .withColumnRenamed("n", "n1"), "doc1")
+      .join(sizes.withColumnRenamed("doc_id", "doc2")
+        .withColumnRenamed("n", "n2"), "doc2")
+      .withColumn("jaccard",
+        round(col("n_common") / (col("n1") + col("n2") - col("n_common")), 4))
+      .filter(col("jaccard") >= tau)
+      .select("doc1", "doc2", "n_common", "n1", "n2", "jaccard")
+  }
+
+  /** Word k-gram shingles of the lowercased text. */
+  private def shingleExpr(k: Int): String = {
+    val parts = (0 until k).map(j => s"t[i + $j]").mkString(", ")
+    s"transform(sequence(0, size(t) - $k), i -> concat_ws(' ', $parts))"
+  }
+
+  /** MinHash signatures + banded LSH candidate pairs, verified against the
+    * exact shingle Jaccard. `numHashes` permutations are simulated with
+    * seeded xxhash64 (`mh_i = min over shingles of xxhash64(i, shingle)`),
+    * banded into `bands` buckets; only same-bucket pairs are candidates —
+    * the linear-cost near-dup path for 100 TB (reference has no dedup;
+    * this is the standard MinHash/LSH construction from Broder '97). */
+  def minHashPairs(d: DataFrame, shingleK: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, tau: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val sh = d
+      .withColumn("t", expr(toksExpr))
+      .filter(size(col("t")) >= shingleK)
+      .select(col("doc_id"),
+        array_distinct(expr(shingleExpr(shingleK))).as("shingles"))
+    val sig = sh.withColumn("mh",
+      expr(s"""transform(sequence(0, ${numHashes - 1}),
+                 i -> aggregate(shingles, 9223372036854775807L,
+                        (acc, s) -> least(acc, xxhash64(i, s))))"""))
+    val banded = sig.select(col("doc_id"), col("shingles"),
+        explode(expr(
+          s"transform(sequence(0, ${bands - 1}), " +
+            s"b -> struct(b AS band, xxhash64(slice(mh, b * $rows + 1, $rows)) AS sig))"))
+          .as("bk"))
+      .select(col("doc_id"), col("shingles"),
+        col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        col("a.shingles").as("s1"), col("b.shingles").as("s2"))
+      .dropDuplicates("doc1", "doc2")
+    cand
+      .withColumn("n_common", size(array_intersect(col("s1"), col("s2"))))
+      .withColumn("jaccard", round(col("n_common") /
+        (size(col("s1")) + size(col("s2")) - col("n_common")), 4))
+      .filter(col("jaccard") >= tau)
+      .select("doc1", "doc2", "n_common", "jaccard")
+  }
+
+  /** 64-bit SimHash per document from word hashes, built entirely from
+    * codegen'd higher-order functions; near-dup pairs via 4×16-bit band
+    * buckets then hamming ≤ maxHamming (bit_count(xor)). */
+  def simHash(d: DataFrame): DataFrame =
+    d.withColumn("hs",
+        expr(s"transform(array_distinct($toksExpr), w -> xxhash64(w))"))
+      .filter(size(col("hs")) > 0)
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), 0L, (acc, b) ->
+          |  acc + if(aggregate(hs, 0L,
+          |            (s, h) -> s + if(shiftright(h, b) & 1 = 1, 1L, -1L)) >= 0L,
+          |          shiftleft(1L, b), 0L))""".stripMargin))
+      .select(col("doc_id"), col("simhash"))
+
+  def simHashPairs(d: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simHash(d)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(expr(
+        "transform(sequence(0, 3), " +
+          "b -> struct(b AS band, shiftright(simhash, b * 16) & 65535 AS key))"))
+        .as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .dropDuplicates("doc1", "doc2")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup pairs: cosine over the (cast-to-double) embedding
+    * vectors, threshold on the ROUNDED score so engine summation order
+    * can't flip inclusion. Pair generation is a broadcast-nested-loop at
+    * test scale; the scale path buckets by LSH first (graft.similarity). */
+  def embeddingPairs(emb: DataFrame, tau: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    val dot = "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (s, x) -> s + x)"
+    val n1 = "aggregate(a.v, 0D, (s, x) -> s + x * x)"
+    val n2 = "aggregate(b.v, 0D, (s, x) -> s + x * x)"
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_sim",
+        round(expr(s"$dot / (sqrt($n1) * sqrt($n2))"), 4))
+      .filter(col("cos_sim") >= tau)
+      .select(col("a.vec_id").as("vec_id1"), col("b.vec_id").as("vec_id2"),
+        col("cos_sim"))
+  }
+}

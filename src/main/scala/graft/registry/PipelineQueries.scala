@@ -1,0 +1,155 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import graft.text.TextOps
+import graft.dedup.Dedup
+import graft.similarity.Knn
+import graft.multimodal.Multimodal
+
+/** Driver bindings for SURVEY §2 families E–H (training-data pipeline
+  * operators). Queries without an oracle entry are rows-only checks:
+  * their semantics (LSH banding, seeded hashing, stub decode) are not
+  * ANSI-SQL-expressible; each has a ScalaTest spec instead. */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String) = TextOps.docs(s, d)
+
+  val queries: Map[String, Q] = Map(
+    // ── E. dedup ──────────────────────────────────────────────────────
+    "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
+    "dedup_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(docs(s, d), lang = "de", tau = 0.85)),
+    "dedup_minhash" -> ((s, d) => Dedup.minHashPairs(docs(s, d))),
+    "dedup_simhash" -> ((s, d) => Dedup.simHashPairs(docs(s, d))),
+    "dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingPairs(Knn.emb(s, d), tau = 0.4)),
+    // ── F. similarity ─────────────────────────────────────────────────
+    "knn_brute" -> ((s, d) =>
+      Knn.brute(Knn.emb(s, d), col("vec_id") < 5, k = 10)),
+    "knn_lsh" -> ((s, d) =>
+      Knn.lsh(Knn.emb(s, d), col("vec_id") < 20, k = 5)),
+    "knn_ivf" -> ((s, d) =>
+      Knn.ivf(Knn.emb(s, d), col("vec_id") < 5, k = 10)),
+    // ── G. text ───────────────────────────────────────────────────────
+    "text_stats" -> ((s, d) => TextOps.stats(docs(s, d))),
+    "text_quality" -> ((s, d) => TextOps.quality(docs(s, d))),
+    "token_count" -> ((s, d) => TextOps.tokenCountBySource(docs(s, d))),
+    "lang_id" -> ((s, d) => TextOps.langId(docs(s, d))),
+    "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
+    // ── H. multimodal ─────────────────────────────────────────────────
+    "mm_ingest" -> ((s, d) => Multimodal.byteStats(
+      Multimodal.ingest(docs(s, d)))),
+    "mm_features" -> ((s, d) => Multimodal.featureStats(
+      Multimodal.ingest(docs(s, d)))),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" -> """
+      SELECT md5(lower(trim(text))) AS digest,
+             min(doc_id) AS keeper, count(*) AS n_copies
+      FROM documents GROUP BY 1""",
+
+    "dedup_jaccard" -> """
+      WITH de AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split(lower(text), ' '),
+                 x -> x <> '')) AS w
+        FROM documents WHERE lang = 'de'),
+      sz AS (SELECT doc_id, len(w) AS n FROM de),
+      inv AS (SELECT doc_id, unnest(w) AS word FROM de),
+      pairs AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM inv a JOIN inv b
+          ON a.word = b.word AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc1, doc2, n_common, s1.n AS n1, s2.n AS n2,
+             round(n_common / (s1.n + s2.n - n_common), 4) AS jaccard
+      FROM pairs
+      JOIN sz s1 ON doc1 = s1.doc_id
+      JOIN sz s2 ON doc2 = s2.doc_id
+      WHERE round(n_common / (s1.n + s2.n - n_common), 4) >= 0.85""",
+
+    "dedup_embedding" -> """
+      SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+               b.embedding::DOUBLE[]), 4) AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+              b.embedding::DOUBLE[]), 4) >= 0.4""",
+
+    "knn_brute" -> """
+      SELECT query_id, neighbor_id, score, rnk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.embedding::DOUBLE[],
+                 c.embedding::DOUBLE[]), 4) AS score,
+               CAST(row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+                   c.embedding::DOUBLE[]), 4) DESC, c.vec_id) AS BIGINT)
+                 AS rnk
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 5)
+      WHERE rnk <= 10""",
+
+    "text_stats" -> """
+      WITH t AS (
+        SELECT doc_id, text,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents)
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_uniq_tokens,
+             round(len(list_distinct(toks)) / len(toks), 4) AS uniq_ratio,
+             round(length(replace(text, ' ', '')) / len(toks), 4)
+               AS avg_token_len
+      FROM t""",
+
+    "text_quality" -> """
+      WITH t AS (
+        SELECT doc_id, text,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               round(len(list_filter(toks,
+                 x -> x IN ('a', 'value', 'data', 'key', 'the')))
+                 / len(toks), 4) AS stop_ratio,
+               round(len(list_distinct(toks)) / len(toks), 4) AS uniq_ratio,
+               round(length(replace(text, ' ', '')) / len(toks), 4)
+                 AS avg_token_len
+        FROM t)
+      SELECT doc_id, n_tokens, stop_ratio, uniq_ratio, avg_token_len,
+             round(
+               (CASE WHEN n_tokens BETWEEN 30 AND 500 THEN 0.25 ELSE 0 END) +
+               (CASE WHEN stop_ratio BETWEEN 0.02 AND 0.5 THEN 0.25 ELSE 0 END) +
+               (CASE WHEN uniq_ratio >= 0.2 THEN 0.25 ELSE 0 END) +
+               (CASE WHEN avg_token_len BETWEEN 2.0 AND 10.0 THEN 0.25
+                     ELSE 0 END), 2) AS quality_score
+      FROM m""",
+
+    "token_count" -> """
+      WITH t AS (
+        SELECT source,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
+                 AS bpe_tokens
+        FROM documents)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+             CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+             round(avg(ws_tokens), 4) AS avg_ws_tokens
+      FROM t GROUP BY source""",
+
+    "mm_ingest" -> """
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+             CAST(max(strlen(text)) AS BIGINT) AS max_bytes
+      FROM documents GROUP BY source""",
+  )
+}

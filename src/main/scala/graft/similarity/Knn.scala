@@ -1,0 +1,109 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (SURVEY §2-F).
+  *
+  * [[brute]] is the exact baseline: broadcast the (small) query set
+  * against the corpus, rank per query — a TakeOrdered per query, no
+  * all-pairs shuffle. [[lsh]] (random hyperplanes) and [[ivf]] (inverted
+  * file over seeded centroids) are the 100 TB paths: both turn search
+  * into a bucket-equijoin so cost scales with bucket size, not corpus². */
+object Knn {
+
+  def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+
+  private val dot =
+    "aggregate(zip_with(q.v, c.v, (x, y) -> x * y), 0D, (s, x) -> s + x)"
+  private val nq = "aggregate(q.v, 0D, (s, x) -> s + x * x)"
+  private val nc = "aggregate(c.v, 0D, (s, x) -> s + x * x)"
+
+  private def ranked(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "score", "rnk")
+  }
+
+  /** Exact top-k cosine neighbors for each query vector. */
+  def brute(e: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
+    val q = e.filter(queryPred).select(col("vec_id").as("query_id"),
+      col("v"))
+    val scored = q.as("q").join(e.as("c"),
+        col("query_id") =!= col("c.vec_id"))
+      .withColumn("score", round(expr(s"$dot / (sqrt($nq) * sqrt($nc))"), 4))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        col("score"))
+    ranked(scored, k)
+  }
+
+  /** Random-hyperplane LSH: `planes` signed projections form a bucket id;
+    * queries search only their bucket. Hyperplane weights are derived from
+    * xxhash64(plane, dim) so they're deterministic with no driver-side
+    * randomness and re-derivable on any executor. */
+  def lsh(e: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int, planes: Int = 8): DataFrame = {
+    val bucketed = e.withColumn("bucket", expr(
+      s"""aggregate(sequence(0, ${planes - 1}), 0L, (acc, p) ->
+            acc + if(aggregate(zip_with(v, transform(sequence(0, 63),
+                       d -> (cast(xxhash64(p, d) % 2001 AS DOUBLE)) / 1000D),
+                       (x, w) -> x * w), 0D, (s, x) -> s + x) >= 0D,
+                     shiftleft(1L, p), 0L))"""))
+    val q = bucketed.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v"), col("bucket"))
+    val scored = q.as("q").join(bucketed.as("c"),
+        col("q.bucket") === col("c.bucket") &&
+          col("query_id") =!= col("c.vec_id"))
+      .withColumn("score", round(expr(s"$dot / (sqrt($nq) * sqrt($nc))"), 4))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        col("score"))
+    ranked(scored, k)
+  }
+
+  /** IVF: centroid per `label` (the dataset's cluster id stands in for a
+    * k-means pass, which at scale runs once offline); every vector joins
+    * its nearest centroid's inverted list; queries probe the `nprobe`
+    * nearest lists. */
+  def ivf(e: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int, nprobe: Int = 2): DataFrame = {
+    val centroids = e
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg(col("x")).as("cx"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("ps"))
+      .select(col("label").as("c_id"),
+        expr("transform(ps, p -> p.cx)").as("cv"))
+    // assign every vector to its nearest centroid (broadcast centroids)
+    val cdist =
+      "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, (s, x) -> s + x)"
+    val assignW = Window.partitionBy("vec_id").orderBy(col("d"), col("c_id"))
+    val assigned = e.crossJoin(broadcast(centroids))
+      .withColumn("d", expr(cdist))
+      .withColumn("rn", row_number().over(assignW))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("c_id"))
+    val probeW = Window.partitionBy("query_id").orderBy(col("d"), col("c_id"))
+    val probes = e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d", expr(cdist))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("v"), col("c_id"))
+    val scored = probes.as("q").join(assigned.as("c"),
+        col("q.c_id") === col("c.c_id") &&
+          col("query_id") =!= col("c.vec_id"))
+      .withColumn("score", round(expr(s"$dot / (sqrt($nq) * sqrt($nc))"), 4))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        col("score"))
+    ranked(scored, k)
+  }
+}

@@ -1,0 +1,124 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.PolyHash64
+
+/** Text-analysis operators over the `documents` table (SURVEY §2-G) —
+  * the per-document scoring/counting passes a training-data pipeline runs
+  * before filtering a 100 TB corpus.
+  *
+  * Everything is built from codegen'd built-ins (split/filter/transform/
+  * aggregate); the only custom expression is the fingerprint hash, which
+  * has `doGenCode`. All ops are embarrassingly parallel per-row maps +
+  * one partial-combinable aggregation — no shuffles besides the final
+  * group-by, so they scale linearly with input splits. */
+object TextOps {
+
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Whitespace tokens, empty-safe. Kept as an expression so downstream
+    * ops stay inside whole-stage codegen. */
+  private val toksExpr = "filter(split(text, ' '), x -> x != '')"
+
+  private def withToks(d: DataFrame): DataFrame =
+    d.withColumn("toks", expr(toksExpr))
+
+  /** Per-document surface statistics. */
+  def stats(d: DataFrame): DataFrame =
+    withToks(d).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      size(array_distinct(col("toks"))).cast("long").as("n_uniq_tokens"),
+      round(size(array_distinct(col("toks"))) / size(col("toks")), 4)
+        .as("uniq_ratio"),
+      round(length(regexp_replace(col("text"), " ", "")) / size(col("toks")), 4)
+        .as("avg_token_len"))
+
+  private val StopWords = Seq("a", "value", "data", "key", "the")
+
+  /** Composite quality score in [0,1]: length band + stopword ratio band +
+    * uniqueness + mean token length band (0.25 each). */
+  def quality(d: DataFrame): DataFrame = {
+    val stopList = StopWords.map(w => s"'$w'").mkString(", ")
+    withToks(d)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("stop_ratio",
+        round(expr(s"size(filter(toks, x -> x IN ($stopList)))") /
+          col("n_tokens"), 4))
+      .withColumn("uniq_ratio",
+        round(size(array_distinct(col("toks"))) / col("n_tokens"), 4))
+      .withColumn("avg_token_len",
+        round(length(regexp_replace(col("text"), " ", "")) /
+          col("n_tokens"), 4))
+      .withColumn("quality_score", round(
+        when(col("n_tokens").between(30, 500), 0.25).otherwise(0.0) +
+        when(col("stop_ratio").between(0.02, 0.5), 0.25).otherwise(0.0) +
+        when(col("uniq_ratio") >= 0.2, 0.25).otherwise(0.0) +
+        when(col("avg_token_len").between(2.0, 10.0), 0.25).otherwise(0.0),
+        2))
+      .select("doc_id", "n_tokens", "stop_ratio", "uniq_ratio",
+        "avg_token_len", "quality_score")
+  }
+
+  /** BPE-ish token regex: letter runs, single digits, single punctuation. */
+  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+  /** Token-count rollup per source: whitespace tokens vs regex tokens. */
+  def tokenCountBySource(d: DataFrame): DataFrame =
+    withToks(d)
+      .withColumn("ws_tokens", size(col("toks")).cast("long"))
+      .withColumn("bpe_tokens",
+        size(expr(s"regexp_extract_all(text, '$BpePattern', 0)"))
+          .cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("total_ws_tokens"),
+        sum(col("bpe_tokens")).as("total_bpe_tokens"),
+        round(avg(col("ws_tokens")), 4).as("avg_ws_tokens"))
+
+  /** Character-bigram-profile language classifier: learns the top-K
+    * bigrams per language from the corpus itself (one agg + topK), then
+    * scores each document by profile overlap. Train side is tiny
+    * (#langs × K) and broadcast; score side is one explode + hash join —
+    * linear, no all-pairs anything. */
+  def langId(d: DataFrame, profileSize: Int = 30): DataFrame = {
+    val bigrams = d
+      .withColumn("bg", explode(array_distinct(
+        expr("transform(sequence(1, length(text) - 1), " +
+          "i -> substring(text, i, 2))"))))
+    val rankW = Window.partitionBy("lang")
+      .orderBy(col("cnt").desc, col("bg"))
+    val profiles = bigrams
+      .groupBy(col("lang").as("cand_lang"), col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("cand_lang").orderBy(col("cnt").desc, col("bg"))))
+      .filter(col("rnk") <= profileSize)
+      .select("cand_lang", "bg")
+    val scores = bigrams.select(col("doc_id"), col("lang"), col("bg"))
+      .join(broadcast(profiles), "bg")
+      .groupBy(col("doc_id"), col("lang"), col("cand_lang"))
+      .agg(count(lit(1)).as("overlap"))
+    val pick = Window.partitionBy("doc_id")
+      .orderBy(col("overlap").desc, col("cand_lang"))
+    scores
+      .withColumn("rnk", row_number().over(pick))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("lang"),
+        col("cand_lang").as("pred_lang"), col("overlap"))
+  }
+
+  /** Polynomial rolling-hash fingerprint per document (custom codegen'd
+    * Catalyst expression graft.functions.PolyHash64). */
+  def fingerprint(d: DataFrame): DataFrame =
+    d.select(
+      col("doc_id"),
+      PolyHash64(lower(trim(col("text")))).as("fingerprint"),
+      PolyHash64(expr("array_join(sort_array(" + toksExpr + "), ' ')"))
+        .as("bag_fingerprint"))
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.functions.PolyHash64
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Tiny planted corpus: d1≈d2 near-dups, d3 disjoint, d4=d1 exact. */
+  private def plantedDocs = Seq(
+    (1L, "en", "the quick brown fox jumps over the lazy dog and runs far away home tonight"),
+    (2L, "en", "the quick brown fox jumps over the lazy dog and runs far away home today"),
+    (3L, "en", "completely different words about spark catalyst tungsten shuffles and partitions everywhere"),
+    (4L, "en", "the quick brown fox jumps over the lazy dog and runs far away home tonight"),
+  ).toDF("doc_id", "lang", "text")
+
+  test("exact dedup groups identical docs under one keeper") {
+    val groups = Dedup.exact(plantedDocs).collect()
+    assert(groups.length == 3)
+    val dupGroup = groups.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dupGroup.getAs[Long]("keeper") == 1L)
+  }
+
+  test("minhash LSH finds the planted near-dup pair and not the disjoint doc") {
+    val pairs = Dedup.minHashPairs(plantedDocs, tau = 0.5)
+      .select("doc1", "doc2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 4L))) // exact dup must always band together
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash estimated jaccard equals exact shingle jaccard (verified pairs)") {
+    // verification step recomputes exact jaccard from full shingle sets,
+    // so any reported pair must match a direct computation
+    val reported = Dedup.minHashPairs(plantedDocs, tau = 0.5)
+      .filter(col("doc1") === 1L && col("doc2") === 4L)
+      .select("jaccard").collect()
+    assert(reported.nonEmpty && reported.head.getDouble(0) == 1.0)
+  }
+
+  test("simhash: identical docs hamming 0; near-dups close; disjoint not paired") {
+    val pairs = Dedup.simHashPairs(plantedDocs, maxHamming = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs(( 1L, 4L)) == 0L)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("jaccard pairs on real data are symmetric-free and above threshold") {
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+    val p = Dedup.jaccardPairs(docs, "de", 0.5)
+    val rows = p.collect()
+    assert(rows.forall(r => r.getAs[Long]("doc1") < r.getAs[Long]("doc2")))
+    assert(rows.forall(_.getAs[Double]("jaccard") >= 0.5))
+  }
+
+  test("embedding pairs respect the rounded threshold") {
+    val emb = graft.similarity.Knn.emb(spark, SF)
+    val rows = Dedup.embeddingPairs(emb, 0.3).collect()
+    assert(rows.forall(_.getAs[Double]("cos_sim") >= 0.3))
+  }
+
+  test("poly_hash64 is deterministic, empty-seeded, and spread") {
+    val vals = plantedDocs.select(PolyHash64(col("text")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(vals(0) == vals(3)) // identical text
+    assert(vals.distinct.length == 3)
+    val empty = Seq("").toDF("t").select(PolyHash64(col("t"))).head.getLong(0)
+    assert(empty == 7L)
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.Knn
+
+class KnnSpec extends SparkSpec {
+
+  lazy val e = Knn.emb(spark, SF).cache()
+
+  test("brute top-k is correctly ranked and sized") {
+    val rows = Knn.brute(e, col("vec_id") < 3, k = 5).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 3)
+    byQuery.values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq == (1L to g.length))
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.toSeq == scores.sortBy(-_).toSeq)
+      assert(g.length == 5)
+    }
+  }
+
+  test("brute excludes the query itself") {
+    val rows = Knn.brute(e, col("vec_id") < 3, k = 5).collect()
+    assert(rows.forall(r =>
+      r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+  }
+
+  test("lsh candidates score identically to brute for the same pairs") {
+    val brute = Knn.brute(e, col("vec_id") < 10, k = 50).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("score")).toMap
+    val lsh = Knn.lsh(e, col("vec_id") < 10, k = 5).collect()
+    assert(lsh.forall { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      !brute.contains(key) || brute(key) == r.getAs[Double]("score")
+    })
+  }
+
+  test("ivf probes recover a reasonable share of brute top-10") {
+    val brute = Knn.brute(e, col("vec_id") < 5, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Knn.ivf(e, col("vec_id") < 5, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall > 0.1, s"ivf recall too low: $recall")
+  }
+}

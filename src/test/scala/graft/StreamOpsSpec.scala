@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.EventLog
+import graft.operators.StreamOps
+
+class StreamOpsSpec extends SparkSpec {
+
+  lazy val entries = EventLog.entries(spark, SF).cache()
+
+  test("consumeSegment returns strictly increasing contiguous sequences") {
+    val rows = StreamOps.consumeSegment(entries, "click", "1")
+      .select("sequence").collect().map(_.getLong(0))
+    assert(rows.nonEmpty)
+    assert(rows.toSeq == (1L to rows.length).toSeq)
+  }
+
+  test("consumeSegment honors bounds and limit") {
+    val rows = StreamOps.consumeSegment(entries, "click", "1",
+      minSeq = Some(2), maxSeq = Some(10), limit = Some(3))
+      .select("sequence").collect().map(_.getLong(0))
+    assert(rows.toSeq == Seq(2L, 3L, 4L))
+  }
+
+  test("consumeSpace is ordered by (ts_us, segment, sequence)") {
+    val rows = StreamOps.consumeSpace(entries, "view", limit = Some(200))
+      .select("ts_us", "segment", "sequence").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.toSeq == rows.toSeq.sorted)
+  }
+
+  test("offset cursor resumes strictly after the anchor, no overlap") {
+    val full = StreamOps.consumeSpace(entries, "view")
+      .select("ts_us", "segment", "sequence").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val anchor = full(4)
+    val resumed = StreamOps.consumeSpaceFromOffset(entries, "view",
+      anchorSegment = anchor._2, anchorSequence = anchor._3)
+      .select("ts_us", "segment", "sequence").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(resumed == full.drop(5))
+  }
+
+  test("peek returns the max-sequence entry per segment") {
+    val peeked = StreamOps.peek(entries, "error")
+      .select("segment", "sequence").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = entries.filter(col("space") === "error")
+      .groupBy("segment").agg(max("sequence").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(peeked == expected)
+  }
+
+  test("produceValidate reports every segment contiguous and dup-free") {
+    val bad = StreamOps.produceValidate(entries)
+      .filter(!col("contiguous") || !col("no_duplicates")).count()
+    assert(bad == 0)
+  }
+
+  test("segmentStatus first/last timestamps bracket the segment") {
+    val st = StreamOps.segmentStatus(EventLog.named(spark, SF))
+      .filter(col("space") === "signup" && col("segment") === "3")
+      .collect().head
+    assert(st.getAs[Long]("first_ts_us") <= st.getAs[Long]("last_ts_us"))
+    assert(st.getAs[Long]("first_sequence") == 1L)
+  }
+
+  test("trxRollup batches are complete and sized <= batch") {
+    val bad = StreamOps.trxRollup(entries, 10)
+      .filter(!col("complete") || col("n_entries") > 10).count()
+    assert(bad == 0)
+  }
+}

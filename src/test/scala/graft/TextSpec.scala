@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+import graft.multimodal.Multimodal
+
+class TextSpec extends SparkSpec {
+
+  lazy val docs = TextOps.docs(spark, SF).cache()
+
+  test("stats: token counts are consistent with chars") {
+    val rows = TextOps.stats(docs).collect()
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_uniq_tokens") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Double]("uniq_ratio") <= 1.0)
+      assert(r.getAs[Long]("n_chars") > 0)
+    }
+  }
+
+  test("quality score is within [0, 1] for every doc") {
+    val rows = TextOps.quality(docs).select("quality_score").collect()
+    assert(rows.forall { r =>
+      val q = r.getDouble(0); q >= 0.0 && q <= 1.0
+    })
+  }
+
+  test("token_count: every source rolled up, bpe >= ws token totals") {
+    val rows = TextOps.tokenCountBySource(docs).collect()
+    assert(rows.length == docs.select("source").distinct().count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total_bpe_tokens") >= r.getAs[Long]("total_ws_tokens"))
+    }
+  }
+
+  test("lang_id predicts a language for every doc, deterministically") {
+    val a = TextOps.langId(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    val b = TextOps.langId(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(a.size == docs.count())
+    assert(a == b)
+  }
+
+  test("fingerprint: bag_fingerprint ignores word order") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"),
+      (3L, "alpha beta delta")).toDF("doc_id", "text")
+    val fps = TextOps.fingerprint(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("fingerprint"), r.getAs[Long]("bag_fingerprint"))).toMap
+    assert(fps(1L)._2 == fps(2L)._2)
+    assert(fps(1L)._1 != fps(2L)._1)
+    assert(fps(1L)._2 != fps(3L)._2)
+  }
+
+  test("multimodal: byte stats equal text lengths; features deterministic") {
+    val ingested = Multimodal.ingest(docs)
+    val total = Multimodal.byteStats(ingested)
+      .agg(sum("total_bytes")).head.getLong(0)
+    val expected = docs.agg(sum(octet_length(col("text")))).head.getLong(0)
+    assert(total == expected)
+    val f1 = Multimodal.featureStats(ingested).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("avg_f0")).toMap
+    val f2 = Multimodal.featureStats(ingested).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("avg_f0")).toMap
+    assert(f1 == f2)
+  }
+}

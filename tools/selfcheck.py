@@ -65,5 +65,19 @@ for name, sql in sorted(oracle.items()):
         fails += 1; continue
     print(f"OK   {name} ({len(got)} rows)")
 
+# rows-only queries: output dir exists and has rows
+all_names = json.load(open(f"{OUT}/queries.json")) if \
+    os.path.exists(f"{OUT}/queries.json") else []
+for name in sorted(set(all_names) - set(oracle)):
+    path = f"{OUT}/{name}"
+    if not os.path.isdir(path):
+        print(f"FAIL {name} (rows-only): no spark output"); fails += 1
+        continue
+    try:
+        n = len(pd.read_parquet(path))
+        print(f"ROWS {name} ({n} rows)" if n else f"WARN {name}: 0 rows")
+    except Exception as e:
+        print(f"FAIL {name} (rows-only): {e}"); fails += 1
+
 print(f"\n{len(oracle) - fails}/{len(oracle)} oracle queries match")
 sys.exit(1 if fails else 0)
