@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.{DotProduct, MinHashSig, SimHash64}
 
 /** Deduplication suite over `documents` (SURVEY §2-E).
   *
@@ -54,35 +55,35 @@ object Dedup {
   }
 
   /** MinHash signatures + banded LSH candidate pairs, verified against the
-    * exact shingle Jaccard. `numHashes` permutations are simulated with
-    * seeded xxhash64 (`mh_i = min over shingles of xxhash64(i, shingle)`),
-    * banded into `bands` buckets; only same-bucket pairs are candidates —
-    * the linear-cost near-dup path for 100 TB (reference has no dedup;
-    * this is the standard MinHash/LSH construction from Broder '97). */
+    * exact shingle Jaccard. Shingles are hashed once (xxhash64); the
+    * `numHashes` virtual permutations are the native MinHashSig kernel
+    * (splitmix64-seeded minima), banded into `bands` buckets; only
+    * same-bucket pairs are candidates — the linear-cost near-dup path for
+    * 100 TB (the standard Broder '97 / LSH construction). Candidate
+    * verification intersects the distinct shingle-hash sets, which equals
+    * shingle Jaccard up to 64-bit collisions. */
   def minHashPairs(d: DataFrame, shingleK: Int = 3, numHashes: Int = 64,
       bands: Int = 16, tau: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
     val sh = d
       .withColumn("t", expr(toksExpr))
       .filter(size(col("t")) >= shingleK)
-      .select(col("doc_id"),
-        array_distinct(expr(shingleExpr(shingleK))).as("shingles"))
-    val sig = sh.withColumn("mh",
-      expr(s"""transform(sequence(0, ${numHashes - 1}),
-                 i -> aggregate(shingles, 9223372036854775807L,
-                        (acc, s) -> least(acc, xxhash64(i, s))))"""))
-    val banded = sig.select(col("doc_id"), col("shingles"),
+      .select(col("doc_id"), array_distinct(
+        expr(s"transform(${shingleExpr(shingleK)}, s -> xxhash64(s))"))
+        .as("sh"))
+    val sig = sh.withColumn("mh", MinHashSig(col("sh"), numHashes))
+    val banded = sig.select(col("doc_id"), col("sh"),
         explode(expr(
           s"transform(sequence(0, ${bands - 1}), " +
             s"b -> struct(b AS band, xxhash64(slice(mh, b * $rows + 1, $rows)) AS sig))"))
           .as("bk"))
-      .select(col("doc_id"), col("shingles"),
+      .select(col("doc_id"), col("sh"),
         col("bk.band").as("band"), col("bk.sig").as("sig"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
-        col("a.shingles").as("s1"), col("b.shingles").as("s2"))
+        col("a.sh").as("s1"), col("b.sh").as("s2"))
       .dropDuplicates("doc1", "doc2")
     cand
       .withColumn("n_common", size(array_intersect(col("s1"), col("s2"))))
@@ -92,18 +93,14 @@ object Dedup {
       .select("doc1", "doc2", "n_common", "jaccard")
   }
 
-  /** 64-bit SimHash per document from word hashes, built entirely from
-    * codegen'd higher-order functions; near-dup pairs via 4×16-bit band
+  /** 64-bit SimHash per document from word hashes (custom codegen'd
+    * kernel graft.functions.SimHash64); near-dup pairs via 4×16-bit band
     * buckets then hamming ≤ maxHamming (bit_count(xor)). */
   def simHash(d: DataFrame): DataFrame =
     d.withColumn("hs",
         expr(s"transform(array_distinct($toksExpr), w -> xxhash64(w))"))
       .filter(size(col("hs")) > 0)
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L, (acc, b) ->
-          |  acc + if(aggregate(hs, 0L,
-          |            (s, h) -> s + if(shiftright(h, b) & 1 = 1, 1L, -1L)) >= 0L,
-          |          shiftleft(1L, b), 0L))""".stripMargin))
+      .withColumn("simhash", SimHash64(col("hs")))
       .select(col("doc_id"), col("simhash"))
 
   def simHashPairs(d: DataFrame, maxHamming: Int = 3): DataFrame = {
@@ -130,13 +127,14 @@ object Dedup {
     * can't flip inclusion. Pair generation is a broadcast-nested-loop at
     * test scale; the scale path buckets by LSH first (graft.similarity). */
   def embeddingPairs(emb: DataFrame, tau: Double): DataFrame = {
+    // norms computed once per vector (not per pair); the pair loop is the
+    // native DotProduct kernel — no per-pair array allocation
     val e = emb.select(col("vec_id"), col("v").cast("array<double>").as("v"))
-    val dot = "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (s, x) -> s + x)"
-    val n1 = "aggregate(a.v, 0D, (s, x) -> s + x * x)"
-    val n2 = "aggregate(b.v, 0D, (s, x) -> s + x * x)"
+      .withColumn("nrm", sqrt(DotProduct(col("v"), col("v"))))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos_sim",
-        round(expr(s"$dot / (sqrt($n1) * sqrt($n2))"), 4))
+        round(DotProduct(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm")), 4))
       .filter(col("cos_sim") >= tau)
       .select(col("a.vec_id").as("vec_id1"), col("b.vec_id").as("vec_id2"),
         col("cos_sim"))

@@ -1,0 +1,185 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.graft.Bridge
+
+/** Native vector kernels for the similarity/dedup hot paths.
+  *
+  * The composable `zip_with`/`aggregate` formulation is correct but
+  * allocates an intermediate array per pair — at 25M candidate pairs the
+  * allocation dominates. These expressions evaluate directly over
+  * `ArrayData` in a tight loop, stay inside whole-stage codegen via a
+  * static-method call, and turned the sf0.1 embedding-dedup pass from
+  * ~64 s to seconds. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotProduct.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.DotProduct.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** Called from generated code. Arrays must be array<double>. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  def apply(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+}
+
+/** 64-bit SimHash over an array of 64-bit token hashes: majority vote per
+  * bit position (Charikar '02). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.simhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.simhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Character bigrams of a string as packed int codes
+  * `(char[i] << 16) | char[i+1]` — one linear pass. The SQL formulations
+  * (`substring(text, i, 2)` per position = O(n²) UTF8 scans; `split` on
+  * the empty pattern = regex per char) are both quadratic-or-worse on
+  * long documents. */
+case class CharBigrams(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "char_bigrams"
+
+  override def nullSafeEval(input: Any): Any =
+    CharBigrams.bigrams(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharBigrams.bigrams($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharBigrams =
+    copy(child = newChild)
+}
+
+object CharBigrams {
+  /** Called from generated code. */
+  def bigrams(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val str = s.toString
+    val n = math.max(str.length - 1, 0)
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (str.charAt(i) << 16) | str.charAt(i + 1)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def apply(c: Column): Column =
+    Bridge.column(CharBigrams(Bridge.expression(c)))
+}
+
+/** MinHash signature over an array of 64-bit shingle hashes: for each of
+  * `numHashes` virtual permutations i, the minimum of splitmix64(h, i)
+  * over all shingles (Broder '97 minwise hashing with seeded mixing
+  * instead of true permutations). One pass over the shingles, no
+  * re-hashing of the shingle strings per permutation. */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.signature(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashSig.signature($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  private final val Golden = 0x9E3779B97F4A7C15L
+
+  /** splitmix64 finalizer over (h + (i+1)*golden). */
+  private def mix(h: Long, i: Int): Long = {
+    var x = h + (i + 1).toLong * Golden
+    x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
+    x ^= (x >>> 27); x *= 0x94D049BB133111EBL
+    x ^= (x >>> 31)
+    x
+  }
+
+  /** Called from generated code. Input must be array<long>. */
+  def signature(hashes: ArrayData, k: Int): ArrayData = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = hashes.numElements()
+    var j = 0
+    while (j < n) {
+      val h = hashes.getLong(j)
+      var i = 0
+      while (i < k) {
+        val m = mix(h, i)
+        if (m < sig(i)) sig(i) = m
+        i += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  def apply(c: Column, numHashes: Int): Column =
+    Bridge.column(MinHashSig(Bridge.expression(c), numHashes))
+}
+
+object SimHash64 {
+  /** Called from generated code. Input must be array<long>. */
+  def simhash(hashes: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  def apply(c: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(c)))
+}

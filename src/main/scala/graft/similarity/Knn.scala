@@ -1,8 +1,9 @@
 package graft.similarity
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.DotProduct
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (SURVEY §2-F).
@@ -18,11 +19,12 @@ object Knn {
     spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(DotProduct(col("v"), col("v"))))
 
-  private val dot =
-    "aggregate(zip_with(q.v, c.v, (x, y) -> x * y), 0D, (s, x) -> s + x)"
-  private val nq = "aggregate(q.v, 0D, (s, x) -> s + x * x)"
-  private val nc = "aggregate(c.v, 0D, (s, x) -> s + x * x)"
+  /** Cosine via the native kernel; norms are precomputed per vector. */
+  private def cosine: Column =
+    round(DotProduct(col("q.v"), col("c.v")) /
+      (col("q.nrm") * col("c.nrm")), 4)
 
   private def ranked(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
@@ -33,13 +35,12 @@ object Knn {
   }
 
   /** Exact top-k cosine neighbors for each query vector. */
-  def brute(e: DataFrame, queryPred: org.apache.spark.sql.Column,
-      k: Int): DataFrame = {
+  def brute(e: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val q = e.filter(queryPred).select(col("vec_id").as("query_id"),
-      col("v"))
+      col("v"), col("nrm"))
     val scored = q.as("q").join(e.as("c"),
         col("query_id") =!= col("c.vec_id"))
-      .withColumn("score", round(expr(s"$dot / (sqrt($nq) * sqrt($nc))"), 4))
+      .withColumn("score", cosine)
       .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
         col("score"))
     ranked(scored, k)
@@ -49,8 +50,8 @@ object Knn {
     * queries search only their bucket. Hyperplane weights are derived from
     * xxhash64(plane, dim) so they're deterministic with no driver-side
     * randomness and re-derivable on any executor. */
-  def lsh(e: DataFrame, queryPred: org.apache.spark.sql.Column,
-      k: Int, planes: Int = 8): DataFrame = {
+  def lsh(e: DataFrame, queryPred: Column, k: Int,
+      planes: Int = 8): DataFrame = {
     val bucketed = e.withColumn("bucket", expr(
       s"""aggregate(sequence(0, ${planes - 1}), 0L, (acc, p) ->
             acc + if(aggregate(zip_with(v, transform(sequence(0, 63),
@@ -58,11 +59,12 @@ object Knn {
                        (x, w) -> x * w), 0D, (s, x) -> s + x) >= 0D,
                      shiftleft(1L, p), 0L))"""))
     val q = bucketed.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("v"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("v"), col("nrm"),
+        col("bucket"))
     val scored = q.as("q").join(bucketed.as("c"),
         col("q.bucket") === col("c.bucket") &&
           col("query_id") =!= col("c.vec_id"))
-      .withColumn("score", round(expr(s"$dot / (sqrt($nq) * sqrt($nc))"), 4))
+      .withColumn("score", cosine)
       .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
         col("score"))
     ranked(scored, k)
@@ -72,8 +74,8 @@ object Knn {
     * k-means pass, which at scale runs once offline); every vector joins
     * its nearest centroid's inverted list; queries probe the `nprobe`
     * nearest lists. */
-  def ivf(e: DataFrame, queryPred: org.apache.spark.sql.Column,
-      k: Int, nprobe: Int = 2): DataFrame = {
+  def ivf(e: DataFrame, queryPred: Column, k: Int,
+      nprobe: Int = 2): DataFrame = {
     val centroids = e
       .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy("label", "pos").agg(avg(col("x")).as("cx"))
@@ -89,19 +91,19 @@ object Knn {
       .withColumn("d", expr(cdist))
       .withColumn("rn", row_number().over(assignW))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("c_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"))
     val probeW = Window.partitionBy("query_id").orderBy(col("d"), col("c_id"))
     val probes = e.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("v"))
+      .select(col("vec_id").as("query_id"), col("v"), col("nrm"))
       .crossJoin(broadcast(centroids))
       .withColumn("d", expr(cdist))
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("v"), col("c_id"))
+      .select(col("query_id"), col("v"), col("nrm"), col("c_id"))
     val scored = probes.as("q").join(assigned.as("c"),
         col("q.c_id") === col("c.c_id") &&
           col("query_id") =!= col("c.vec_id"))
-      .withColumn("score", round(expr(s"$dot / (sqrt($nq) * sqrt($nc))"), 4))
+      .withColumn("score", cosine)
       .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
         col("score"))
     ranked(scored, k)

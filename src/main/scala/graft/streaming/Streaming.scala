@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming duals of the reference's live surface
+  * (SURVEY §2-I):
+  *
+  *  - subscriptions pushing SegmentStatus (`pkg/api/messages.go:23-49`,
+  *    snapshot-then-live) → an `update`-mode stateful aggregation whose
+  *    state IS the latest SegmentStatus per segment;
+  *  - space watermarks (`pkg/server/space_watermarks.go`) → event-time
+  *    watermark + windowed aggregation;
+  *  - eskit incremental replay → `flatMapGroupsWithState` folding
+  *    per-aggregate state across micro-batches.
+  *
+  * At scale these run against a partitioned log with checkpointing; state
+  * is keyed by (space, segment) so it shards across executors with the
+  * state store. */
+object Streaming {
+
+  /** Schema of the events parquet when TIMESTAMP(NANOS) is read as long
+    * (see EventLog.raw). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream of the canonical entry columns (no sequence —
+    * sequence assignment in a live pipeline happens at produce time). */
+  def readEntryStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+      .select(
+        col("event_type").as("space"),
+        col("user_id").cast("string").as("segment"),
+        expr("ts div 1000").as("ts_us"),
+        col("event_id"),
+        col("value"),
+        col("props").as("payload"))
+  }
+
+  /** Live SegmentStatus feed: per-(space, segment) aggregate whose update
+    * stream mirrors subscription notifications. Use outputMode("update")
+    * so each micro-batch emits exactly the segments whose status changed —
+    * the dual of SegmentNotification fan-out. */
+  def segmentStatusStream(entryStream: DataFrame): DataFrame =
+    entryStream
+      .groupBy(col("space"), col("segment"))
+      .agg(
+        count(lit(1)).as("n_entries"),
+        min(col("ts_us")).as("first_ts_us"),
+        max(col("ts_us")).as("last_ts_us"))
+
+  /** Watermarked tumbling window per space (event time = ts_us). */
+  def windowedCounts(entryStream: DataFrame, window: String = "1 hour",
+      watermark: String = "30 minutes"): DataFrame =
+    entryStream
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermark)
+      .groupBy(col("space"),
+        org.apache.spark.sql.functions.window(col("event_time"), window))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("space"), unix_micros(col("window.start")).as("window_start_us"),
+        col("n"), col("sum_value"))
+
+  case class EntryEvent(space: String, segment: String, ts_us: Long,
+      event_id: Long, value: Double)
+  case class AggState(n_events: Long, balance: Double, last_ts_us: Long)
+  case class AggSnapshot(space: String, segment: String, n_events: Long,
+      balance: Double, last_ts_us: Long)
+
+  /** Incremental eskit replay: fold per-aggregate state across
+    * micro-batches, emitting the updated snapshot each time — the
+    * streaming dual of EventSourcing.replayState. */
+  def esFold(spark: SparkSession, entryStream: DataFrame)
+      : Dataset[AggSnapshot] = {
+    import spark.implicits._
+    entryStream
+      .select(col("space"), col("segment"), col("ts_us"), col("event_id"),
+        col("value"))
+      .as[EntryEvent]
+      .groupByKey(e => (e.space, e.segment))
+      .flatMapGroupsWithState[AggState, AggSnapshot](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case ((space, segment), events, state: GroupState[AggState]) =>
+          val prev = state.getOption.getOrElse(AggState(0L, 0.0, Long.MinValue))
+          var n = prev.n_events
+          var bal = prev.balance
+          var last = prev.last_ts_us
+          events.foreach { e =>
+            n += 1
+            bal += e.value
+            if (e.ts_us > last) last = e.ts_us
+          }
+          val next = AggState(n, bal, last)
+          state.update(next)
+          Iterator.single(AggSnapshot(space, segment, n,
+            math.rint(bal * 100) / 100, last))
+      }
+  }
+}

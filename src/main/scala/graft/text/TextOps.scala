@@ -87,30 +87,35 @@ object TextOps {
     * (#langs × K) and broadcast; score side is one explode + hash join —
     * linear, no all-pairs anything. */
   def langId(d: DataFrame, profileSize: Int = 30): DataFrame = {
-    val bigrams = d
-      .withColumn("bg", explode(array_distinct(
-        expr("transform(sequence(1, length(text) - 1), " +
-          "i -> substring(text, i, 2))"))))
-    val rankW = Window.partitionBy("lang")
-      .orderBy(col("cnt").desc, col("bg"))
-    val profiles = bigrams
+    // int-coded bigrams from the native kernel (one linear pass per doc);
+    // kept non-distinct — array_intersect dedups on its own
+    val withBg = d.withColumn("bgs",
+      graft.functions.CharBigrams(col("text")))
+    // train: frequency of each bigram per language → top-K profile
+    // arrays (one tiny row per language, broadcastable)
+    val profiles = withBg
+      .select(col("lang"), explode(col("bgs")).as("bg"))
       .groupBy(col("lang").as("cand_lang"), col("bg"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("cand_lang").orderBy(col("cnt").desc, col("bg"))))
       .filter(col("rnk") <= profileSize)
-      .select("cand_lang", "bg")
-    val scores = bigrams.select(col("doc_id"), col("lang"), col("bg"))
-      .join(broadcast(profiles), "bg")
-      .groupBy(col("doc_id"), col("lang"), col("cand_lang"))
-      .agg(count(lit(1)).as("overlap"))
-    val pick = Window.partitionBy("doc_id")
-      .orderBy(col("overlap").desc, col("cand_lang"))
-    scores
-      .withColumn("rnk", row_number().over(pick))
-      .filter(col("rnk") === 1)
-      .select(col("doc_id"), col("lang"),
-        col("cand_lang").as("pred_lang"), col("overlap"))
+      .groupBy("cand_lang")
+      .agg(sort_array(collect_list(col("bg"))).as("profile"))
+    // score: one array_intersect per (doc, lang) — #docs × #langs rows,
+    // never an exploded bigram join; argmax via min_by, ties → smallest
+    // language code
+    withBg.select("doc_id", "lang", "bgs")
+      .crossJoin(broadcast(profiles))
+      .withColumn("overlap",
+        size(array_intersect(col("bgs"), col("profile"))).cast("long"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(
+        min_by(col("cand_lang"),
+          struct((-col("overlap")).as("neg"), col("cand_lang")))
+          .as("pred_lang"),
+        max(col("overlap")).as("overlap"))
+      .select("doc_id", "lang", "pred_lang", "overlap")
   }
 
   /** Polynomial rolling-hash fingerprint per document (custom codegen'd

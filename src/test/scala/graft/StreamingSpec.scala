@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.EventLog
+import graft.operators.{EventSourcing, StreamOps, Windows}
+import graft.streaming.Streaming
+
+/** §2-I: each streaming dual must converge to its batch counterpart when
+  * the whole log has been processed. The log is re-written as several
+  * small files + maxFilesPerTrigger=2 so the queries genuinely run over
+  * multiple micro-batches (incremental state, not a single-batch pass). */
+class StreamingSpec extends SparkSpec {
+
+  /** events.parquet split into 8 files for micro-batching. */
+  lazy val streamDir: String = {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    EventLog.raw(spark, SF).repartition(8)
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def runToCompletion(df: org.apache.spark.sql.DataFrame,
+      name: String, mode: String): Unit = {
+    val q = df.writeStream.outputMode(mode)
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("segment status stream converges to batch segmentStatus") {
+    val stream = Streaming.readEntryStream(spark, streamDir,
+      maxFilesPerTrigger = 2)
+    runToCompletion(Streaming.segmentStatusStream(stream),
+      "seg_status", "complete")
+    val got = spark.table("seg_status")
+      .select("space", "segment", "n_entries", "first_ts_us", "last_ts_us")
+      .collect().map(_.toSeq).toSet
+    val want = StreamOps.segmentStatus(EventLog.named(spark, SF))
+      .select(col("space"), col("segment"),
+        col("last_sequence").as("n_entries"),
+        col("first_ts_us"), col("last_ts_us"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
+  test("watermarked windowed counts match batch tumbling") {
+    val stream = Streaming.readEntryStream(spark, streamDir,
+      maxFilesPerTrigger = 2)
+    // files arrive in arbitrary order, so the watermark must exceed the
+    // log's full time span for the convergence check to be exact
+    runToCompletion(Streaming.windowedCounts(stream, watermark = "40 days"),
+      "win_counts", "complete")
+    val got = spark.table("win_counts")
+      .select("space", "window_start_us", "n", "sum_value")
+      .collect().map(_.toSeq).toSet
+    val want = Windows.tumbling(EventLog.named(spark, SF), 3600000000L)
+      .select(col("space"), col("window_start_us"), col("n"),
+        col("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
+  test("incremental es fold converges to batch replay state") {
+    import spark.implicits._
+    val stream = Streaming.readEntryStream(spark, streamDir,
+      maxFilesPerTrigger = 2)
+    runToCompletion(Streaming.esFold(spark, stream).toDF(), "es_fold",
+      "update")
+    // update mode emits one snapshot per key per touched micro-batch:
+    // keep the last (max n_events) per key
+    val got = spark.table("es_fold")
+      .groupBy("space", "segment")
+      .agg(max(struct(col("n_events"), col("balance"))).as("s"))
+      .select(col("space"), col("segment"), col("s.n_events"),
+        col("s.balance"))
+      .filter(col("space") === "purchase")
+      .collect().map(_.toSeq).toSet
+    val want = EventSourcing.replayState(EventLog.entries(spark, SF),
+        "purchase")
+      .select(col("space"), col("segment"), col("n_events"),
+        col("balance"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+}
