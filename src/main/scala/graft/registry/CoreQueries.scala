@@ -26,20 +26,24 @@ object CoreQueries {
   val queries: Map[String, Q] = Map(
     // ── A. stream core ────────────────────────────────────────────────
     "sk_consume_segment" -> ((s, d) =>
-      StreamOps.consumeSegment(EventLog.entries(s, d), "purchase", "42",
+      StreamOps.consumeSegment(
+        EventLog.entries(s, d, Some("purchase"), Some("42")),
+        "purchase", "42",
         minSeq = Some(2L), maxSeq = Some(60L), limit = Some(25))),
     "sk_consume_space" -> ((s, d) =>
-      StreamOps.consumeSpace(EventLog.entries(s, d), "click",
+      StreamOps.consumeSpace(EventLog.entries(s, d, Some("click")), "click",
         minTsUs = Some(T_2024_01_05), maxTsUs = Some(T_2024_01_25),
         limit = Some(500))),
     "sk_consume_space_offset" -> ((s, d) =>
-      StreamOps.consumeSpaceFromOffset(EventLog.entries(s, d), "view",
+      StreamOps.consumeSpaceFromOffset(
+        EventLog.entries(s, d, Some("view")), "view",
         anchorSegment = "7", anchorSequence = 5L, limit = Some(300))),
     "sk_consume_multi" -> ((s, d) =>
       StreamOps.consumeMulti(EventLog.entries(s, d),
         offsets = Map("click" -> ("7", 5L), "view" -> ("12", 3L)),
         maxTsUs = Some(T_2024_01_20), limit = Some(400))),
-    "sk_peek" -> ((s, d) => StreamOps.peek(EventLog.entries(s, d), "signup")),
+    "sk_peek" -> ((s, d) =>
+      StreamOps.peek(EventLog.entries(s, d, Some("signup")), "signup")),
     "sk_get_spaces" -> ((s, d) => StreamOps.getSpaces(EventLog.named(s, d))),
     "sk_get_segments" -> ((s, d) =>
       StreamOps.getSegments(EventLog.named(s, d), "error")),
@@ -55,13 +59,14 @@ object CoreQueries {
       StreamOps.watermarkAudit(EventLog.named(s, d), TOL_5M_US)),
     // ── B. event sourcing ─────────────────────────────────────────────
     "es_replay_state" -> ((s, d) =>
-      EventSourcing.replayState(EventLog.entries(s, d), "purchase")),
+      EventSourcing.replayState(
+        EventLog.entries(s, d, Some("purchase")), "purchase")),
     "es_replay_from" -> ((s, d) =>
-      EventSourcing.replayState(EventLog.entries(s, d), "purchase",
-        afterSequence = 20L)),
+      EventSourcing.replayState(EventLog.entries(s, d, Some("purchase")),
+        "purchase", afterSequence = 20L)),
     "es_as_of_time" -> ((s, d) =>
-      EventSourcing.stateAsOf(EventLog.entries(s, d), "purchase",
-        T_2024_01_15)),
+      EventSourcing.stateAsOf(EventLog.entries(s, d, Some("purchase")),
+        "purchase", T_2024_01_15)),
     "es_projection_daily" -> ((s, d) =>
       EventSourcing.projectionDaily(EventLog.named(s, d))),
     // ── C. windows ────────────────────────────────────────────────────
@@ -72,7 +77,7 @@ object CoreQueries {
     "win_session" -> ((s, d) =>
       Windows.sessionize(EventLog.entries(s, d), GAP_30M_US)),
     "win_running" -> ((s, d) =>
-      Windows.running(EventLog.entries(s, d), "click")),
+      Windows.running(EventLog.entries(s, d, Some("click")), "click")),
     // ── D. relational ─────────────────────────────────────────────────
     "q1_pricing" -> ((s, d) => Relational.q1Pricing(s, d)),
     "q3_topk" -> ((s, d) => Relational.q3TopK(s, d)),

@@ -46,12 +46,36 @@ object EventLog {
       col("value"),
       col("props").as("payload"))
 
-  /** Canonical entry view: named + per-segment `sequence` (1-based). */
-  def entries(spark: SparkSession, dir: String): DataFrame = {
+  /** Canonical entry view: named + per-segment `sequence` (1-based).
+    *
+    * `space`/`segment` prefilters are applied on the RAW columns before
+    * the rename, because a predicate on `cast(user_id as string)` cannot
+    * reach the parquet scan — on the raw columns both prune row groups
+    * AND shrink the sequence-derivation window to just the touched
+    * segments. The string→long translation is adapter knowledge (the
+    * canonical mapping defines segment = string form of user_id). */
+  def entries(spark: SparkSession, dir: String,
+      space: Option[String] = None,
+      segment: Option[String] = None): DataFrame = {
+    var r = raw(spark, dir)
+    space.foreach(sp => r = r.filter(col("event_type") === sp))
+    segment.foreach { sg =>
+      r = segmentAsLong(sg).map(id => r.filter(col("user_id") === id))
+        .getOrElse(r.filter(col("user_id").cast("string") === sg))
+    }
     val w = Window.partitionBy("space", "segment").orderBy("ts_us", "event_id")
-    named(spark, dir)
+    r.select(
+        col("event_type").as("space"),
+        col("user_id").cast("string").as("segment"),
+        expr("ts div 1000").as("ts_us"),
+        col("event_id"),
+        col("value"),
+        col("props").as("payload"))
       .withColumn("sequence", row_number().over(w).cast("long"))
   }
+
+  private def segmentAsLong(sg: String): Option[Long] =
+    try Some(sg.toLong) catch { case _: NumberFormatException => None }
 
   /** DuckDB oracle dual of [[entries]]; prepend to oracle SQL. */
   val CTE: String =

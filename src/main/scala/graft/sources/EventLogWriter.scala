@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Produce-side dual (`pkg/storage/interface.go:44`, Produce) and the
+  * production storage layout from SURVEY §3/§5.
+  *
+  * Writes the canonical entry view partitioned by `space`, with files
+  * sorted by (segment, sequence). Reading this layout back
+  * ([[readProduced]]) needs NO window function to recover sequences —
+  * ConsumeSegment over it is a partition-pruned scan (the space filter
+  * prunes directories; segment/sequence predicates reach parquet
+  * row-group stats because the sort clusters them). This is what makes
+  * the log viable at 100 TB: sequence assignment happens once at produce
+  * time, per segment, not per query.
+  *
+  * The sequence-contiguity contract (`pkg/eskit/store.go:79-104`,
+  * ErrSequenceMismatch) is enforced by [[validateAppend]] before a batch
+  * is committed. */
+object EventLogWriter {
+
+  /** Assign per-segment sequences to raw records (arrival order =
+    * (ts_us, event_id), the same total order the serving reference
+    * assigns at append time), offset by each segment's existing tail. */
+  def assignSequences(records: DataFrame,
+      tail: Option[DataFrame] = None): DataFrame = {
+    val w = Window.partitionBy("space", "segment").orderBy("ts_us", "event_id")
+    val seqd = records.withColumn("batch_seq", row_number().over(w).cast("long"))
+    tail match {
+      case None => seqd.withColumn("sequence", col("batch_seq"))
+        .drop("batch_seq")
+      case Some(t) =>
+        seqd.join(broadcast(t
+            .select(col("space"), col("segment"),
+              col("last_sequence").as("tail_seq"))),
+          Seq("space", "segment"), "left")
+          .withColumn("sequence",
+            col("batch_seq") + coalesce(col("tail_seq"), lit(0L)))
+          .drop("batch_seq", "tail_seq")
+    }
+  }
+
+  /** Produce contract check: every (space, segment) in the batch must
+    * extend its existing tail contiguously from tail+1 with no gaps or
+    * duplicates. Returns the violations (empty = batch admissible) —
+    * the batch dual of ErrSequenceMismatch. */
+  def validateAppend(batch: DataFrame, tail: DataFrame): DataFrame =
+    batch.groupBy(col("space"), col("segment"))
+      .agg(
+        min(col("sequence")).as("first_new"),
+        max(col("sequence")).as("last_new"),
+        count(lit(1)).as("n_new"),
+        countDistinct(col("sequence")).as("n_distinct"))
+      .join(broadcast(tail.select(col("space"), col("segment"),
+        col("last_sequence").as("tail_seq"))), Seq("space", "segment"), "left")
+      .withColumn("expected_first", coalesce(col("tail_seq"), lit(0L)) + 1L)
+      .filter(
+        col("first_new") =!= col("expected_first") ||
+          col("last_new") - col("first_new") + 1L =!= col("n_new") ||
+          col("n_distinct") =!= col("n_new"))
+      .select("space", "segment", "expected_first", "first_new", "last_new",
+        "n_new", "n_distinct")
+
+  /** Write entries in the production layout. */
+  def write(entries: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    entries
+      .repartition(col("space"), col("segment"))
+      .sortWithinPartitions("segment", "sequence")
+      .write
+      .partitionBy("space")
+      .mode(mode)
+      .parquet(path)
+
+  /** Read the produced layout back as the canonical entry view —
+    * sequences are materialized, no window derivation. */
+  def readProduced(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .select("space", "segment", "sequence", "ts_us", "event_id", "value",
+        "payload")
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.api.GraftStore
+import graft.sources.{EventLog, EventLogWriter}
+
+class ApiSpec extends SparkSpec {
+
+  lazy val store = GraftStore(spark, SF)
+
+  test("facade: spaces/segments/status compose with operators") {
+    assert(store.spaces.count() == 5)
+    val seg = store.space("click").segments.count()
+    assert(seg > 0)
+    val peeked = store.space("click").peekAll
+    assert(peeked.count() == seg)
+    val one = store.space("click").segment("1").consume(limit = Some(5))
+    assert(one.count() == 5)
+  }
+
+  test("facade peek equals consume tail") {
+    val s = store.space("purchase").segment("7")
+    val last = s.consume().orderBy(col("sequence").desc).limit(1)
+      .select("sequence").head.getLong(0)
+    assert(s.peek.select("sequence").head.getLong(0) == last)
+  }
+
+  test("produced layout round-trips and needs no window derivation") {
+    val dir = Files.createTempDirectory("graft_produced").toString
+    EventLogWriter.write(EventLog.entries(spark, SF), dir)
+    val back = EventLogWriter.readProduced(spark, dir)
+    val a = back.orderBy("space", "segment", "sequence").collect()
+    val b = EventLog.entries(spark, SF)
+      .select("space", "segment", "sequence", "ts_us", "event_id", "value",
+        "payload")
+      .orderBy("space", "segment", "sequence").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("produce validation accepts a contiguous append and rejects a gap") {
+    val dir = Files.createTempDirectory("graft_tail").toString
+    EventLogWriter.write(EventLog.entries(spark, SF), dir)
+    val tail = graft.operators.StreamOps.segmentStatus(
+      EventLog.named(spark, SF))
+    // contiguous: shift every segment's entries up by its own tail
+    val batch = EventLogWriter.assignSequences(
+      EventLog.named(spark, SF), Some(tail))
+    assert(EventLogWriter.validateAppend(batch, tail).count() == 0)
+    // gap: skip one sequence number
+    val gappy = batch.withColumn("sequence", col("sequence") + 1L)
+    val violations = EventLogWriter.validateAppend(gappy, tail)
+    assert(violations.count() > 0)
+  }
+
+  test("extensions expose native kernels to SQL") {
+    spark // force base session first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = try SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+    val r = s2.sql(
+      """SELECT poly_hash64('abc') AS h,
+        |       dot_product(array(1D, 2D), array(3D, 4D)) AS d,
+        |       simhash64(array(0L)) AS sh,
+        |       minhash_sig(array(42L), 4) AS mh,
+        |       char_bigrams('abc') AS bg""".stripMargin).head()
+    assert(r.getAs[Double]("d") == 11.0)
+    assert(r.getAs[scala.collection.Seq[Long]]("mh").length == 4)
+    assert(r.getAs[scala.collection.Seq[Int]]("bg").length == 2)
+    assert(r.getAs[Long]("sh") == 0L)
+  }
+}
