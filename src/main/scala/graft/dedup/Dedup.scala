@@ -126,6 +126,32 @@ object Dedup {
     * vectors, threshold on the ROUNDED score so engine summation order
     * can't flip inclusion. Pair generation is a broadcast-nested-loop at
     * test scale; the scale path buckets by LSH first (graft.similarity). */
+  /** Scale path for embedding near-dup: random-hyperplane LSH buckets
+    * first (same construction as graft.similarity.Knn.lsh), cosine only
+    * within buckets — candidate count grows with bucket occupancy, not
+    * corpus². Fewer planes than ANN search (near-dups survive coarser
+    * buckets: higher cosine → lower flip probability per plane). */
+  def embeddingPairsLsh(emb: DataFrame, tau: Double,
+      planes: Int = 6): DataFrame = {
+    val e = emb.select(col("vec_id"), col("v").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(DotProduct(col("v"), col("v"))))
+      .withColumn("bucket", expr(
+        s"""aggregate(sequence(0, ${planes - 1}), 0L, (acc, p) ->
+              acc + if(aggregate(zip_with(v, transform(sequence(0, 63),
+                         d -> (cast(xxhash64(p, d) % 2001 AS DOUBLE)) / 1000D),
+                         (x, w) -> x * w), 0D, (s, x) -> s + x) >= 0D,
+                       shiftleft(1L, p), 0L))"""))
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_sim",
+        round(DotProduct(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm")), 4))
+      .filter(col("cos_sim") >= tau)
+      .select(col("a.vec_id").as("vec_id1"), col("b.vec_id").as("vec_id2"),
+        col("cos_sim"))
+  }
+
   def embeddingPairs(emb: DataFrame, tau: Double): DataFrame = {
     // norms computed once per vector (not per pair); the pair loop is the
     // native DotProduct kernel — no per-pair array allocation

@@ -26,6 +26,8 @@ object PipelineQueries {
     "dedup_simhash" -> ((s, d) => Dedup.simHashPairs(docs(s, d))),
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingPairs(Knn.emb(s, d), tau = 0.4)),
+    "dedup_embedding_lsh" -> ((s, d) =>
+      Dedup.embeddingPairsLsh(Knn.emb(s, d), tau = 0.3)),
     // ── F. similarity ─────────────────────────────────────────────────
     "knn_brute" -> ((s, d) =>
       Knn.brute(Knn.emb(s, d), col("vec_id") < 5, k = 10)),
@@ -38,6 +40,9 @@ object PipelineQueries {
     "text_quality" -> ((s, d) => TextOps.quality(docs(s, d))),
     "token_count" -> ((s, d) => TextOps.tokenCountBySource(docs(s, d))),
     "lang_id" -> ((s, d) => TextOps.langId(docs(s, d))),
+    "vocab_topk" -> ((s, d) => TextOps.vocabTopK(docs(s, d), k = 50)),
+    "doc_length_hist" -> ((s, d) =>
+      TextOps.lengthHistogram(docs(s, d), width = 100)),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
     // ── H. multimodal ─────────────────────────────────────────────────
     "mm_ingest" -> ((s, d) => Multimodal.byteStats(
@@ -145,6 +150,19 @@ object PipelineQueries {
              CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
              round(avg(ws_tokens), 4) AS avg_ws_tokens
       FROM t GROUP BY source""",
+
+    "vocab_topk" -> """
+      WITH w AS (
+        SELECT unnest(list_filter(string_split(lower(text), ' '),
+          x -> x <> '')) AS word
+        FROM documents)
+      SELECT word, count(*) AS cnt FROM w GROUP BY word
+      ORDER BY cnt DESC, word LIMIT 50""",
+
+    "doc_length_hist" -> """
+      SELECT (length(text) // 100) * 100 AS bucket,
+             count(*) AS n_docs
+      FROM documents GROUP BY 1""",
 
     "mm_ingest" -> """
       SELECT source, count(*) AS n_docs,

@@ -73,6 +73,15 @@ object Streaming {
       .select(col("space"), unix_micros(col("window.start")).as("window_start_us"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: keep the first arrival of each content
+    * digest across micro-batches (state = seen digests, sharded by
+    * digest hash). The streaming dual of Dedup.exact for a live
+    * ingestion pipeline. */
+  def streamingDedup(docStream: DataFrame): DataFrame =
+    docStream
+      .withColumn("digest", md5(lower(trim(col("text")))))
+      .dropDuplicates("digest")
+
   case class EntryEvent(space: String, segment: String, ts_us: Long,
       event_id: Long, value: Double)
   case class AggState(n_events: Long, balance: Double, last_ts_us: Long)

@@ -118,6 +118,24 @@ object TextOps {
       .select("doc_id", "lang", "pred_lang", "overlap")
   }
 
+  /** Corpus vocabulary: top-k tokens by frequency (deterministic order:
+    * count desc, token asc). One explode + partial-combined count — the
+    * canonical vocabulary-builder pass of a training pipeline. */
+  def vocabTopK(d: DataFrame, k: Int): DataFrame =
+    withToks(d.withColumn("text", lower(col("text"))))
+      .select(explode(col("toks")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(k)
+
+  /** Document-length histogram (bucket = chars div width * width). */
+  def lengthHistogram(d: DataFrame, width: Int): DataFrame =
+    d.withColumn("bucket",
+        (expr(s"length(text) div $width") * width).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Polynomial rolling-hash fingerprint per document (custom codegen'd
     * Catalyst expression graft.functions.PolyHash64). */
   def fingerprint(d: DataFrame): DataFrame =

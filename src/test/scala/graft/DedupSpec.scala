@@ -61,6 +61,18 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("cos_sim") >= 0.3))
   }
 
+  test("lsh embedding pairs are a sound subset of brute-force pairs") {
+    val emb = graft.similarity.Knn.emb(spark, SF)
+    val brute = Dedup.embeddingPairs(emb, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.embeddingPairsLsh(emb, 0.3).collect()
+    assert(lsh.nonEmpty)
+    // no false positives: every LSH pair is a brute pair with equal score
+    assert(lsh.forall { r =>
+      brute.get((r.getLong(0), r.getLong(1))).contains(r.getDouble(2))
+    })
+  }
+
   test("poly_hash64 is deterministic, empty-seeded, and spread") {
     val vals = plantedDocs.select(PolyHash64(col("text")).as("h"))
       .collect().map(_.getLong(0))

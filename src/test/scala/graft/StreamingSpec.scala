@@ -61,6 +61,22 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming dedup keeps one doc per digest across micro-batches") {
+    val docsDir = Files.createTempDirectory("graft_docs_stream").toString
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+    // plant exact duplicates in a separate file so they span batches
+    docs.limit(50).write.mode("overwrite").parquet(docsDir)
+    docs.limit(20).write.mode("append").parquet(docsDir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(docsDir)
+    val q = Streaming.streamingDedup(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup_stream").count()
+    assert(got == 50) // the 20 replayed docs are all dropped as dups
+  }
+
   test("incremental es fold converges to batch replay state") {
     import spark.implicits._
     val stream = Streaming.readEntryStream(spark, streamDir,
