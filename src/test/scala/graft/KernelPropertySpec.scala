@@ -1,0 +1,91 @@
+package graft
+
+import scala.util.Random
+import graft.functions.{MinHashSig, PolyHash64, SimHash64}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property-style tests for the native kernels (pure JVM, no Spark
+  * session), over seeded random inputs for determinism. */
+class KernelPropertySpec extends SparkSpec {
+
+  private val rnd = new Random(42)
+  private def asciiStr(maxLen: Int = 200): String = {
+    val n = rnd.nextInt(maxLen)
+    (0 until n).map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+  }
+
+  test("poly_hash64 stays within the 2^61-1 field and is deterministic") {
+    (1 to 200).foreach { _ =>
+      val s = asciiStr()
+      val h1 = PolyHash64.hash(s.getBytes("UTF-8"))
+      val h2 = PolyHash64.hash(s.getBytes("UTF-8"))
+      assert(h1 == h2)
+      assert(h1 >= 0 && h1 < PolyHash64.Mod)
+    }
+  }
+
+  test("poly_hash64 matches a BigInt reference implementation") {
+    (1 to 100).foreach { _ =>
+      val s = asciiStr()
+      val expected = s.getBytes("UTF-8")
+        .foldLeft(BigInt(7)) { (h, b) =>
+          (h * 31 + (b & 0xff)) mod (BigInt(2).pow(61) - 1)
+        }
+      assert(BigInt(PolyHash64.hash(s.getBytes("UTF-8"))) == expected,
+        s"mismatch for '$s'")
+    }
+  }
+
+  test("minhash signature of a superset is elementwise <=") {
+    (1 to 100).foreach { _ =>
+      val small = Array.fill(1 + rnd.nextInt(50))(rnd.nextLong())
+      val big = small ++ Array.fill(rnd.nextInt(50))(rnd.nextLong())
+      val sa = MinHashSig.signature(new GenericArrayData(small), 16)
+      val sb = MinHashSig.signature(new GenericArrayData(big), 16)
+      (0 until 16).foreach(i => assert(sb.getLong(i) <= sa.getLong(i)))
+    }
+  }
+
+  test("minhash agreement estimates jaccard for related sets") {
+    // two sets with true jaccard ~0.5 → signature agreement ~0.5 ± noise
+    val shared = Array.fill(500)(rnd.nextLong())
+    val a = shared ++ Array.fill(250)(rnd.nextLong())
+    val b = shared ++ Array.fill(250)(rnd.nextLong())
+    val k = 256
+    val sa = MinHashSig.signature(new GenericArrayData(a), k)
+    val sb = MinHashSig.signature(new GenericArrayData(b), k)
+    val agree = (0 until k).count(i => sa.getLong(i) == sb.getLong(i))
+    val est = agree.toDouble / k
+    val trueJ = 500.0 / 1000.0
+    assert(math.abs(est - trueJ) < 0.15, s"est=$est true=$trueJ")
+  }
+
+  test("simhash is deterministic and sensitive to input changes") {
+    (1 to 100).foreach { _ =>
+      val hs = Array.fill(1 + rnd.nextInt(100))(rnd.nextLong())
+      val a = SimHash64.simhash(new GenericArrayData(hs))
+      assert(a == SimHash64.simhash(new GenericArrayData(hs)))
+    }
+    // near-identical multisets → small hamming distance
+    val base = Array.fill(200)(rnd.nextLong())
+    val tweaked = base.clone(); tweaked(0) = rnd.nextLong()
+    val h = java.lang.Long.bitCount(
+      SimHash64.simhash(new GenericArrayData(base)) ^
+        SimHash64.simhash(new GenericArrayData(tweaked)))
+    assert(h <= 16, s"hamming $h too large for a 1/200 change")
+  }
+
+  test("char_bigrams length and packing") {
+    (1 to 200).foreach { _ =>
+      val s = asciiStr()
+      val arr = graft.functions.CharBigrams.bigrams(UTF8String.fromString(s))
+      assert(arr.numElements() == math.max(s.length - 1, 0))
+      if (s.length >= 2) {
+        val c0 = arr.getInt(0)
+        assert((c0 >> 16) == s.charAt(0).toInt &&
+          (c0 & 0xffff) == s.charAt(1).toInt)
+      }
+    }
+  }
+}

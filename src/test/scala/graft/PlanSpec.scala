@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.{EventLog, EventLogWriter}
+import graft.operators.StreamOps
+
+/** Asserted plan invariants: the scale-critical properties §5 claims —
+  * pushdown, broadcast joins, partial aggregation, window-free produced
+  * reads — verified against the actual physical plans so a regression
+  * fails the suite rather than silently degrading the 100 TB story. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("consume_segment pushes space AND segment predicates to parquet") {
+    val p = plan(StreamOps.consumeSegment(
+      EventLog.entries(spark, SF, Some("purchase"), Some("42")),
+      "purchase", "42", minSeq = Some(2L)))
+    assert(p.contains("EqualTo(event_type,purchase)"), p)
+    assert(p.contains("EqualTo(user_id,42)"), p)
+  }
+
+  test("q5_region joins every dimension via broadcast, never sort-merge") {
+    val p = plan(graft.analytics.Relational.q5Region(spark, SF))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("segment status is a pure partial-combinable aggregation (no window, no sort)") {
+    val p = plan(StreamOps.segmentStatus(EventLog.named(spark, SF)))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial"), p) // map-side partial aggregate present
+  }
+
+  test("peek aggregates without any global sort") {
+    val p = plan(StreamOps.peek(
+      EventLog.entries(spark, SF, Some("signup")), "signup"))
+    assert(p.contains("max_by") || p.contains("partial"), p)
+  }
+
+  test("produced layout read needs no window to recover sequences") {
+    val dir = Files.createTempDirectory("graft_plan_produced").toString
+    EventLogWriter.write(EventLog.entries(spark, SF), dir)
+    val back = EventLogWriter.readProduced(spark, dir)
+      .filter(col("space") === "click")
+    assert(!plan(back).contains("Window"))
+    assert(back.count() > 0)
+  }
+
+  test("vocab_topk is TakeOrdered (per-partition heap), not a global sort") {
+    val p = plan(graft.text.TextOps.vocabTopK(
+      graft.text.TextOps.docs(spark, SF), 50))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}
