@@ -52,6 +52,18 @@ object Windows {
         round(sum(col("value")), 2).as("sum_value"))
   }
 
+  /** Exact value quantiles per space. Exact `percentile` is the oracle
+    * baseline; at 100 TB swap in `approx_percentile` (t-digest-style
+    * mergeable sketch, map-side combinable) — same call shape, bounded
+    * error instead of a global sort of each group. */
+  def valueQuantiles(named: DataFrame): DataFrame =
+    named.groupBy(col("space"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"),
+        round(avg(col("value")), 4).as("mean"))
+
   /** Running cumulative sum per segment of one space, in sequence order.
     * Left-to-right accumulation order is identical in any engine, so the
     * running double is bit-stable. */

@@ -78,6 +78,8 @@ object CoreQueries {
       Windows.sessionize(EventLog.entries(s, d), GAP_30M_US)),
     "win_running" -> ((s, d) =>
       Windows.running(EventLog.entries(s, d, Some("click")), "click")),
+    "value_quantiles" -> ((s, d) =>
+      Windows.valueQuantiles(EventLog.named(s, d))),
     // ── D. relational ─────────────────────────────────────────────────
     "q1_pricing" -> ((s, d) => Relational.q1Pricing(s, d)),
     "q3_topk" -> ((s, d) => Relational.q3TopK(s, d)),
@@ -271,6 +273,14 @@ object CoreQueries {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
                AS running_value
       FROM entries WHERE space = 'click'""",
+
+    "value_quantiles" -> """
+      SELECT event_type AS space,
+             round(quantile_cont(value, 0.5), 4) AS p50,
+             round(quantile_cont(value, 0.9), 4) AS p90,
+             round(quantile_cont(value, 0.99), 4) AS p99,
+             round(avg(value), 4) AS mean
+      FROM events GROUP BY 1""",
 
     "q1_pricing" -> """
       SELECT l_returnflag, l_linestatus,
