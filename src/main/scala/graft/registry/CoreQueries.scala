@@ -80,6 +80,20 @@ object CoreQueries {
       Windows.running(EventLog.entries(s, d, Some("click")), "click")),
     "value_quantiles" -> ((s, d) =>
       Windows.valueQuantiles(EventLog.named(s, d))),
+    // codec roundtrip: entries → binary → entries must be lossless, so
+    // the oracle is simply the plain entry projection
+    "sk_codec_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, struct}
+      import graft.functions.EntryCodec
+      EventLog.entries(s, d, Some("error"))
+        .withColumn("bin", EntryCodec.pack(struct(
+          col("sequence"), col("ts_us"), col("value"),
+          col("space"), col("segment"), col("payload"))))
+        .withColumn("e", EntryCodec.unpack(col("bin")))
+        .select(col("e.space").as("space"), col("e.segment").as("segment"),
+          col("e.sequence").as("sequence"), col("e.ts_us").as("ts_us"),
+          col("e.value").as("value"), col("e.payload").as("payload"))
+    }),
     // ── D. relational ─────────────────────────────────────────────────
     "q1_pricing" -> ((s, d) => Relational.q1Pricing(s, d)),
     "q3_topk" -> ((s, d) => Relational.q3TopK(s, d)),
@@ -273,6 +287,10 @@ object CoreQueries {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
                AS running_value
       FROM entries WHERE space = 'click'""",
+
+    "sk_codec_roundtrip" -> s"""$E
+      SELECT space, segment, sequence, ts_us, value, payload FROM entries
+      WHERE space = 'error'""",
 
     "value_quantiles" -> """
       SELECT event_type AS space,
