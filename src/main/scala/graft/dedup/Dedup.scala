@@ -2,7 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{DotProduct, MinHashSig, SimHash64}
+import graft.functions.{CharNGramHashes, DotProduct, MinHashSig, SimHash64}
 
 /** Deduplication suite over `documents` (SURVEY §2-E).
   *
@@ -126,6 +126,40 @@ object Dedup {
     * vectors, threshold on the ROUNDED score so engine summation order
     * can't flip inclusion. Pair generation is a broadcast-nested-loop at
     * test scale; the scale path buckets by LSH first (graft.similarity). */
+  /** Character n-gram Jaccard near-dup pairs — tokenizer-free, works for
+    * languages without whitespace segmentation. Candidates come from a
+    * SAMPLED inverted index (only n-grams with hash ≡ 0 mod sampleMod are
+    * indexed — a near-dup pair shares many n-grams, so it shares sampled
+    * ones with high probability), then exact Jaccard on the full distinct
+    * n-gram hash sets. Sampling bounds the index to ~1/sampleMod of
+    * corpus n-grams — the knob that keeps the candidate join linear at
+    * 100 TB. */
+  def charNGramPairs(d: DataFrame, n: Int = 5, tau: Double = 0.7,
+      sampleMod: Int = 8, maxDf: Int = 50): DataFrame = {
+    val sh = d.select(col("doc_id"),
+      array_distinct(CharNGramHashes(lower(col("text")), n)).as("sh"))
+    val inv = sh.select(col("doc_id"),
+        explode(expr(s"filter(sh, h -> h % $sampleMod = 0)")).as("g"))
+    // stop-gram cap: grams appearing in more than maxDf docs don't
+    // discriminate and would quadratically blow up the candidate join
+    // (any near-dup pair still shares plenty of rare grams)
+    val rare = inv.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("g")
+    val pruned = inv.join(broadcast(rare), "g")
+    val cand = pruned.as("a").join(pruned.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .dropDuplicates("doc1", "doc2")
+    cand
+      .join(sh.select(col("doc_id").as("doc1"), col("sh").as("s1")), "doc1")
+      .join(sh.select(col("doc_id").as("doc2"), col("sh").as("s2")), "doc2")
+      .withColumn("n_common", size(array_intersect(col("s1"), col("s2"))))
+      .withColumn("jaccard", round(col("n_common") /
+        (size(col("s1")) + size(col("s2")) - col("n_common")), 4))
+      .filter(col("jaccard") >= tau)
+      .select("doc1", "doc2", "n_common", "jaccard")
+  }
+
   /** Scale path for embedding near-dup: random-hyperplane LSH buckets
     * first (same construction as graft.similarity.Knn.lsh), cosine only
     * within buckets — candidate count grows with bucket occupancy, not

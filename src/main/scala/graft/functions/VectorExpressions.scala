@@ -100,6 +100,54 @@ object CharBigrams {
     Bridge.column(CharBigrams(Bridge.expression(c)))
 }
 
+/** 64-bit hashes of all character n-grams of a string, one linear pass
+  * with a rolling window (splitmix64-finalized). The char-level analogue
+  * of word shingling for near-dup detection on languages without
+  * whitespace tokenization. */
+case class CharNGramHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_ngram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    CharNGramHashes.hashes(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CharNGramHashes.hashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNGramHashes =
+    copy(child = newChild)
+}
+
+object CharNGramHashes {
+  /** Called from generated code. */
+  def hashes(s: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    val count = math.max(str.length - n + 1, 0)
+    val out = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      var h = 0L
+      var j = 0
+      while (j < n) { h = h * 131 + str.charAt(i + j); j += 1 }
+      // splitmix64 finalizer for avalanche
+      h += 0x9E3779B97F4A7C15L
+      h ^= (h >>> 30); h *= 0xBF58476D1CE4E5B9L
+      h ^= (h >>> 27); h *= 0x94D049BB133111EBL
+      h ^= (h >>> 31)
+      out(i) = h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def apply(c: Column, n: Int): Column =
+    Bridge.column(CharNGramHashes(Bridge.expression(c), n))
+}
+
 /** MinHash signature over an array of 64-bit shingle hashes: for each of
   * `numHashes` virtual permutations i, the minimum of splitmix64(h, i)
   * over all shingles (Broder '97 minwise hashing with seeded mixing

@@ -23,6 +23,7 @@ object PipelineQueries {
     "dedup_jaccard" -> ((s, d) =>
       Dedup.jaccardPairs(docs(s, d), lang = "de", tau = 0.85)),
     "dedup_minhash" -> ((s, d) => Dedup.minHashPairs(docs(s, d))),
+    "dedup_char_ngram" -> ((s, d) => Dedup.charNGramPairs(docs(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simHashPairs(docs(s, d))),
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingPairs(Knn.emb(s, d), tau = 0.4)),

@@ -70,22 +70,43 @@ object Knn {
     ranked(scored, k)
   }
 
-  /** IVF: centroid per `label` (the dataset's cluster id stands in for a
-    * k-means pass, which at scale runs once offline); every vector joins
-    * its nearest centroid's inverted list; queries probe the `nprobe`
-    * nearest lists. */
+  private val cdist =
+    "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, (s, x) -> s + x)"
+
+  /** Deterministic mini k-means (Lloyd) entirely in DataFrame ops: seeds
+    * are the k vectors with smallest xxhash64(vec_id) (no driver-side
+    * randomness), then `iters` assign/recompute rounds. Each round is one
+    * broadcast cross-score + one posexplode mean — at scale this is the
+    * offline training pass an IVF index runs once. */
+  def kmeansCentroids(e: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+    var centroids = e
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h").limit(k)
+      .withColumn("c_id",
+        (row_number().over(Window.orderBy("h")) - 1).cast("long"))
+      .select(col("c_id"), col("v").as("cv"))
+    (1 to iters).foreach { _ =>
+      val assignW = Window.partitionBy("vec_id").orderBy(col("d"), col("c_id"))
+      centroids = e.crossJoin(broadcast(centroids))
+        .withColumn("d", expr(cdist))
+        .withColumn("rn", row_number().over(assignW))
+        .filter(col("rn") === 1)
+        .select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("c_id", "pos").agg(avg(col("x")).as("cx"))
+        .groupBy("c_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("ps"))
+        .select(col("c_id"), expr("transform(ps, p -> p.cx)").as("cv"))
+    }
+    centroids
+  }
+
+  /** IVF: k-means centroids ([[kmeansCentroids]]; at scale trained once
+    * offline), every vector joins its nearest centroid's inverted list;
+    * queries probe the `nprobe` nearest lists. */
   def ivf(e: DataFrame, queryPred: Column, k: Int,
-      nprobe: Int = 2): DataFrame = {
-    val centroids = e
-      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("label", "pos").agg(avg(col("x")).as("cx"))
-      .groupBy("label")
-      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("ps"))
-      .select(col("label").as("c_id"),
-        expr("transform(ps, p -> p.cx)").as("cv"))
+      nprobe: Int = 2, nlist: Int = 10): DataFrame = {
+    val centroids = kmeansCentroids(e, nlist)
     // assign every vector to its nearest centroid (broadcast centroids)
-    val cdist =
-      "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, (s, x) -> s + x)"
     val assignW = Window.partitionBy("vec_id").orderBy(col("d"), col("c_id"))
     val assigned = e.crossJoin(broadcast(centroids))
       .withColumn("d", expr(cdist))

@@ -73,6 +73,22 @@ object Streaming {
       .select(col("space"), unix_micros(col("window.start")).as("window_start_us"),
         col("n"), col("sum_value"))
 
+  /** Gap-based session windows per (space, segment) — the streaming dual
+    * of Windows.sessionize via the built-in merging session_window
+    * operator. */
+  def sessionCounts(entryStream: DataFrame, gap: String = "30 minutes",
+      watermark: String = "40 days"): DataFrame =
+    entryStream
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermark)
+      .groupBy(col("space"), col("segment"),
+        session_window(col("event_time"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("space"), col("segment"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        col("n_events"), col("sum_value"))
+
   /** Streaming exact dedup: keep the first arrival of each content
     * digest across micro-batches (state = seen digests, sharded by
     * digest hash). The streaming dual of Dedup.exact for a live

@@ -47,6 +47,15 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("char n-gram pairs find the planted near-dup, skip the disjoint doc") {
+    val pairs = Dedup.charNGramPairs(plantedDocs, n = 5, tau = 0.5,
+      sampleMod = 2).collect()
+      .map(r => (r.getAs[Long]("doc1"), r.getAs[Long]("doc2"))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("jaccard pairs on real data are symmetric-free and above threshold") {
     val docs = spark.read.parquet(s"$SF/documents.parquet")
     val p = Dedup.jaccardPairs(docs, "de", 0.5)

@@ -61,6 +61,21 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming session windows match batch sessionize") {
+    val stream = Streaming.readEntryStream(spark, streamDir,
+      maxFilesPerTrigger = 2)
+    runToCompletion(Streaming.sessionCounts(stream), "sess_counts",
+      "complete")
+    val got = spark.table("sess_counts")
+      .select("space", "segment", "start_us", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+    val want = Windows.sessionize(EventLog.entries(spark, SF), 1800000000L)
+      .select(col("space"), col("segment"), col("start_us"),
+        col("n_events"), col("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
   test("streaming dedup keeps one doc per digest across micro-batches") {
     val docsDir = Files.createTempDirectory("graft_docs_stream").toString
     val docs = spark.read.parquet(s"$SF/documents.parquet")
