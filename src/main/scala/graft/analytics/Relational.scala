@@ -84,6 +84,34 @@ object Relational {
         .as("revenue"))
   }
 
+  /** Semi/anti join: BUILDING customers who placed at least one order
+    * (left_semi = EXISTS) but never a 1-URGENT one (left_anti = NOT
+    * EXISTS). Both run as broadcast existence joins — no row
+    * multiplication, which is the point of semi/anti at scale. */
+  def semiAntiCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_name")
+    val orders = t(spark, dir, "orders").select("o_custkey", "o_orderpriority")
+    cust
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(orders.filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+  }
+
+  /** Conditional-aggregation pivot: events per day × space matrix. */
+  def eventPivot(named: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{date_format, timestamp_micros}
+    val spaces = Seq("click", "error", "purchase", "signup", "view")
+    named
+      .groupBy(date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd")
+        .as("day"))
+      .agg(
+        count(lit(1)).as("total"),
+        spaces.map(sp =>
+          sum(when(col("space") === sp, 1L).otherwise(0L)).as(s"n_$sp")): _*)
+  }
+
   /** Top-3 customers by total order value within each nation. */
   def topCustomersPerNation(spark: SparkSession, dir: String): DataFrame = {
     val cust = t(spark, dir, "customer")

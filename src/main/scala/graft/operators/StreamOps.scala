@@ -121,6 +121,20 @@ object StreamOps {
         max_by(col("payload"), col("sequence")).as("payload"))
       .select(entryCols: _*)
 
+  /** Tail read: last `k` entries per segment of a space, via the bounded
+    * one-pass LastKEntries aggregate (map-side combine ships ≤ k entries
+    * per segment; no per-segment sort of the whole log). */
+  def consumeTail(entries: DataFrame, space: String, k: Int): DataFrame =
+    entries.filter(col("space") === space)
+      .groupBy(col("space"), col("segment"))
+      .agg(graft.functions.LastKEntries(
+        struct(col("sequence"), col("ts_us"), col("value"), col("payload")),
+        k).as("tail"))
+      .select(col("space"), col("segment"), explode(col("tail")).as("e"))
+      .select(col("space"), col("segment"),
+        col("e.sequence").as("sequence"), col("e.ts_us").as("ts_us"),
+        col("e.value").as("value"), col("e.payload").as("payload"))
+
   /** GetSpaces (`pkg/api/messages.go:177`): distinct space names. Reads
     * only the space column — pruned scan + partial-distinct. */
   def getSpaces(named: DataFrame): DataFrame =

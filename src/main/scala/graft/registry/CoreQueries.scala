@@ -44,6 +44,9 @@ object CoreQueries {
         maxTsUs = Some(T_2024_01_20), limit = Some(400))),
     "sk_peek" -> ((s, d) =>
       StreamOps.peek(EventLog.entries(s, d, Some("signup")), "signup")),
+    "sk_consume_tail" -> ((s, d) =>
+      StreamOps.consumeTail(EventLog.entries(s, d, Some("signup")),
+        "signup", k = 3)),
     "sk_get_spaces" -> ((s, d) => StreamOps.getSpaces(EventLog.named(s, d))),
     "sk_get_segments" -> ((s, d) =>
       StreamOps.getSegments(EventLog.named(s, d), "error")),
@@ -100,6 +103,18 @@ object CoreQueries {
     "q5_region" -> ((s, d) => Relational.q5Region(s, d)),
     "top_customers_per_nation" -> ((s, d) =>
       Relational.topCustomersPerNation(s, d)),
+    "q_semi_anti" -> ((s, d) => Relational.semiAntiCustomers(s, d)),
+    "event_pivot" -> ((s, d) =>
+      Relational.eventPivot(EventLog.named(s, d))),
+    // approx_count_distinct (HLL++): the mergeable-sketch path for
+    // distinct counting at scale; rows-only (sketch estimates aren't
+    // reproducible in the oracle), spec asserts <5% error vs exact
+    "approx_distinct_segments" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      EventLog.named(s, d).groupBy(col("space"))
+        .agg(approx_count_distinct(col("segment")).as("approx_segments"),
+          count(lit(1)).as("n_entries"))
+    }),
   )
 
   private val E = EventLog.CTE
@@ -152,6 +167,13 @@ object CoreQueries {
              max_by(value, sequence) AS value,
              max_by(payload, sequence) AS payload
       FROM entries WHERE space = 'signup' GROUP BY space, segment""",
+
+    "sk_consume_tail" -> s"""$E
+      SELECT space, segment, sequence, ts_us, value, payload FROM (
+        SELECT *, row_number() OVER (PARTITION BY space, segment
+          ORDER BY sequence DESC) AS rn
+        FROM entries WHERE space = 'signup')
+      WHERE rn <= 3""",
 
     "sk_get_spaces" ->
       "SELECT DISTINCT event_type AS space FROM events ORDER BY space",
@@ -341,6 +363,29 @@ object CoreQueries {
         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
       GROUP BY n_name""",
+
+    "q_semi_anti" -> """
+      SELECT c_custkey, c_name FROM customer c
+      WHERE c_mktsegment = 'BUILDING'
+        AND EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')""",
+
+    "event_pivot" -> """
+      SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS total,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_click,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_error,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_purchase,
+             CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_signup,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_view
+      FROM events GROUP BY 1""",
 
     "top_customers_per_nation" -> """
       WITH spend AS (
