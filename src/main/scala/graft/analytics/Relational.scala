@@ -112,6 +112,21 @@ object Relational {
           sum(when(col("space") === sp, 1L).otherwise(0L)).as(s"n_$sp")): _*)
   }
 
+  /** Event-log enrichment: entries joined to a broadcast dimension
+    * (user → customer) and rolled up by a dimension attribute — the
+    * batch shape of a stream-static enrichment join. */
+  def enrichEvents(named: DataFrame, spark: SparkSession,
+      dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    named
+      .join(broadcast(cust),
+        col("segment").cast("long") === col("c_custkey"))
+      .groupBy(col("space"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+
   /** Top-3 customers by total order value within each nation. */
   def topCustomersPerNation(spark: SparkSession, dir: String): DataFrame = {
     val cust = t(spark, dir, "customer")

@@ -104,6 +104,8 @@ object CoreQueries {
     "top_customers_per_nation" -> ((s, d) =>
       Relational.topCustomersPerNation(s, d)),
     "q_semi_anti" -> ((s, d) => Relational.semiAntiCustomers(s, d)),
+    "enrich_events" -> ((s, d) =>
+      Relational.enrichEvents(EventLog.named(s, d), s, d)),
     "event_pivot" -> ((s, d) =>
       Relational.eventPivot(EventLog.named(s, d))),
     // approx_count_distinct (HLL++): the mergeable-sketch path for
@@ -372,6 +374,12 @@ object CoreQueries {
         AND NOT EXISTS (SELECT 1 FROM orders o
                         WHERE o.o_custkey = c.c_custkey
                           AND o.o_orderpriority = '1-URGENT')""",
+
+    "enrich_events" -> """
+      SELECT event_type AS space, c_mktsegment,
+             count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY 1, 2""",
 
     "event_pivot" -> """
       SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS total,

@@ -42,6 +42,8 @@ object PipelineQueries {
     "token_count" -> ((s, d) => TextOps.tokenCountBySource(docs(s, d))),
     "lang_id" -> ((s, d) => TextOps.langId(docs(s, d))),
     "vocab_topk" -> ((s, d) => TextOps.vocabTopK(docs(s, d), k = 50)),
+    "pipeline_curate" -> ((s, d) =>
+      TextOps.curate(docs(s, d), minQuality = 0.5)),
     "doc_length_hist" -> ((s, d) =>
       TextOps.lengthHistogram(docs(s, d), width = 100)),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
@@ -151,6 +153,41 @@ object PipelineQueries {
              CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
              round(avg(ws_tokens), 4) AS avg_ws_tokens
       FROM t GROUP BY source""",
+
+    "pipeline_curate" -> """
+      WITH t AS (
+        SELECT doc_id, text, lang,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               round(len(list_filter(toks,
+                 x -> x IN ('a', 'value', 'data', 'key', 'the')))
+                 / len(toks), 4) AS stop_ratio,
+               round(len(list_distinct(toks)) / len(toks), 4) AS uniq_ratio,
+               round(length(replace(text, ' ', '')) / len(toks), 4)
+                 AS avg_token_len
+        FROM t),
+      q AS (
+        SELECT doc_id, round(
+          (CASE WHEN n_tokens BETWEEN 30 AND 500 THEN 0.25 ELSE 0 END) +
+          (CASE WHEN stop_ratio BETWEEN 0.02 AND 0.5 THEN 0.25 ELSE 0 END) +
+          (CASE WHEN uniq_ratio >= 0.2 THEN 0.25 ELSE 0 END) +
+          (CASE WHEN avg_token_len BETWEEN 2.0 AND 10.0 THEN 0.25 ELSE 0 END),
+          2) AS quality_score
+        FROM m),
+      kept AS (
+        SELECT d.doc_id, d.text, d.lang, q.quality_score
+        FROM documents d JOIN q USING (doc_id)
+        WHERE quality_score >= 0.5),
+      surv AS (
+        SELECT min(doc_id) AS doc_id FROM kept
+        GROUP BY md5(lower(trim(text))))
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(length(text)) AS BIGINT) AS total_chars,
+             round(avg(quality_score), 4) AS avg_quality
+      FROM kept JOIN surv USING (doc_id) GROUP BY lang""",
 
     "vocab_topk" -> """
       WITH w AS (

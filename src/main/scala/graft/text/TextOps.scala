@@ -136,6 +136,26 @@ object TextOps {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Composed curation pipeline — the end-to-end pass a training-data
+    * pipeline runs: quality gate → exact dedup (keep lowest doc_id) →
+    * per-language survivor stats. Stays one lazy plan: Catalyst fuses the
+    * quality scoring into the scan and the dedup is a single digest
+    * shuffle. */
+  def curate(d: DataFrame, minQuality: Double): DataFrame = {
+    val scored = quality(d).select("doc_id", "quality_score")
+    val kept = d.join(scored, "doc_id")
+      .filter(col("quality_score") >= minQuality)
+    val survivors = kept
+      .groupBy(md5(lower(trim(col("text")))).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    kept.join(survivors, "doc_id")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        round(avg(col("quality_score")), 4).as("avg_quality"))
+  }
+
   /** Polynomial rolling-hash fingerprint per document (custom codegen'd
     * Catalyst expression graft.functions.PolyHash64). */
   def fingerprint(d: DataFrame): DataFrame =

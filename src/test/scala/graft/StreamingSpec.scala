@@ -92,6 +92,24 @@ class StreamingSpec extends SparkSpec {
     assert(got == 50) // the 20 replayed docs are all dropped as dups
   }
 
+  test("stream-static enrichment join matches batch enrichment") {
+    val stream = Streaming.readEntryStream(spark, streamDir,
+      maxFilesPerTrigger = 2)
+    val cust = spark.read.parquet(s"$SF/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = stream
+      .join(cust, col("segment").cast("long") === col("c_custkey"))
+      .groupBy(col("space"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+    runToCompletion(joined, "enriched", "complete")
+    val got = spark.table("enriched").collect().map(_.toSeq).toSet
+    val want = graft.analytics.Relational.enrichEvents(
+        EventLog.named(spark, SF), spark, SF)
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
   test("incremental es fold converges to batch replay state") {
     import spark.implicits._
     val stream = Streaming.readEntryStream(spark, streamDir,
