@@ -201,6 +201,19 @@ object StreamOps {
       .withColumn("complete",
         col("max_sequence") - col("min_sequence") + 1 === col("n_entries"))
 
+  /** Consume-side idempotency (`docs/limitations.md` at-least-once
+    * contract: "handlers must be idempotent or dedupe using
+    * Entry.Sequence"): collapse redelivered entries to one row per
+    * (space, segment, sequence), keeping the first-read payload via
+    * min_by on arrival order. */
+  def consumeDedup(entries: DataFrame): DataFrame =
+    entries
+      .groupBy(col("space"), col("segment"), col("sequence"))
+      .agg(
+        min_by(col("ts_us"), col("event_id")).as("ts_us"),
+        min_by(col("value"), col("event_id")).as("value"),
+        min_by(col("payload"), col("event_id")).as("payload"))
+
   /** Space-watermark audit (`pkg/server/space_watermarks.go`): in arrival
     * order (event_id), an entry is late if its event time is behind the
     * space's high watermark by more than `toleranceUs`. Batch dual of the

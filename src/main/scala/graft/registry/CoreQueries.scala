@@ -56,6 +56,8 @@ object CoreQueries {
       StreamOps.storeStatus(EventLog.named(s, d))),
     "sk_produce_validate" -> ((s, d) =>
       StreamOps.produceValidate(EventLog.entries(s, d))),
+    "sk_consume_dedup" -> ((s, d) =>
+      StreamOps.consumeDedup(EventLog.entries(s, d, Some("purchase")))),
     "sk_trx_rollup" -> ((s, d) =>
       StreamOps.trxRollup(EventLog.entries(s, d), batchSize = 10)),
     "sk_watermark_audit" -> ((s, d) =>
@@ -209,6 +211,14 @@ object CoreQueries {
              (min(sequence) = 1 AND max(sequence) = count(*)) AS contiguous,
              (count(DISTINCT sequence) = count(*)) AS no_duplicates
       FROM entries GROUP BY 1, 2""",
+
+    "sk_consume_dedup" -> s"""$E
+      SELECT space, segment, sequence,
+             min_by(ts_us, event_id) AS ts_us,
+             min_by(value, event_id) AS value,
+             min_by(payload, event_id) AS payload
+      FROM entries WHERE space = 'purchase'
+      GROUP BY space, segment, sequence""",
 
     "sk_trx_rollup" -> s"""$E
       SELECT space, segment, (sequence - 1) // 10 AS trx_number,

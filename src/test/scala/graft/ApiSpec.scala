@@ -54,6 +54,22 @@ class ApiSpec extends SparkSpec {
     assert(violations.count() > 0)
   }
 
+  test("catalog views make the whole surface SQL-reachable") {
+    graft.api.GraftCatalog.registerViews(spark, SF)
+    val n = spark.sql(
+      "SELECT count(*) FROM entries WHERE space = 'click'").head.getLong(0)
+    assert(n > 0)
+    assert(spark.sql("SELECT count(*) FROM lineitem").head.getLong(0) > 0)
+  }
+
+  test("consume dedup collapses redelivered entries by sequence") {
+    import org.apache.spark.sql.functions.col
+    val entries = EventLog.entries(spark, SF, Some("view"))
+    val redelivered = entries.union(entries.limit(37))
+    val deduped = graft.operators.StreamOps.consumeDedup(redelivered)
+    assert(deduped.count() == entries.count())
+  }
+
   test("extensions expose native kernels to SQL") {
     spark // force base session first
     SparkSession.clearActiveSession()
