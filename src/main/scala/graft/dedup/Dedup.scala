@@ -126,6 +126,43 @@ object Dedup {
     * vectors, threshold on the ROUNDED score so engine summation order
     * can't flip inclusion. Pair generation is a broadcast-nested-loop at
     * test scale; the scale path buckets by LSH first (graft.similarity). */
+  /** Near-dup CLUSTERS from a pair list: connected components via
+    * iterative min-label propagation (each doc adopts the smallest
+    * doc_id reachable through pair edges; iterate to fixpoint). Near-dup
+    * graphs are overwhelmingly small star/clique components, so this
+    * converges in a handful of rounds; each round is two shuffles on the
+    * edge list — the standard large-graph CC-by-join pattern. Output:
+    * (doc_id, cluster) where cluster = min doc_id of the component. */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
+      .union(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("a").as("doc_id"))
+      .distinct()
+      .withColumn("cluster", col("doc_id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "b")
+          .withColumnRenamed("cluster", "b_cluster"), "b")
+        .groupBy(col("a").as("doc_id"))
+        .agg(min(col("b_cluster")).as("nbr_cluster"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .withColumn("new_cluster",
+          least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster"))))
+        .select(col("doc_id"), col("new_cluster").as("cluster"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"),
+        "doc_id").filter(col("cluster") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** Character n-gram Jaccard near-dup pairs — tokenizer-free, works for
     * languages without whitespace segmentation. Candidates come from a
     * SAMPLED inverted index (only n-grams with hash ≡ 0 mod sampleMod are

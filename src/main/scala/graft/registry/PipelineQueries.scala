@@ -24,6 +24,8 @@ object PipelineQueries {
       Dedup.jaccardPairs(docs(s, d), lang = "de", tau = 0.85)),
     "dedup_minhash" -> ((s, d) => Dedup.minHashPairs(docs(s, d))),
     "dedup_char_ngram" -> ((s, d) => Dedup.charNGramPairs(docs(s, d))),
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.dedupClusters(Dedup.jaccardPairs(docs(s, d), "de", 0.85))),
     "dedup_simhash" -> ((s, d) => Dedup.simHashPairs(docs(s, d))),
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingPairs(Knn.emb(s, d), tau = 0.4)),
@@ -46,6 +48,10 @@ object PipelineQueries {
       TextOps.curate(docs(s, d), minQuality = 0.5)),
     "doc_length_hist" -> ((s, d) =>
       TextOps.lengthHistogram(docs(s, d), width = 100)),
+    "split_assign" -> ((s, d) =>
+      TextOps.splitAssign(docs(s, d), trainSixteenths = 13)),
+    "doc_sample" -> ((s, d) =>
+      TextOps.stratifiedSample(docs(s, d), fraction = 0.2)),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
     // ── H. multimodal ─────────────────────────────────────────────────
     "mm_ingest" -> ((s, d) => Multimodal.byteStats(
@@ -201,6 +207,12 @@ object PipelineQueries {
       SELECT (length(text) // 100) * 100 AS bucket,
              count(*) AS n_docs
       FROM documents GROUP BY 1""",
+
+    "split_assign" -> """
+      SELECT doc_id, lang, source,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents""",
 
     "mm_ingest" -> """
       SELECT source, count(*) AS n_docs,

@@ -136,6 +136,27 @@ object TextOps {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Deterministic hash-based train/test assignment: the split is a pure
+    * function of doc_id (first md5 hex nibble), so it's stable across
+    * runs, engines, partitionings, and re-ingests — the property a
+    * training pipeline needs to avoid split leakage. trainFrac is in
+    * sixteenths (e.g. 13 → ~81% train). */
+  def splitAssign(d: DataFrame, trainSixteenths: Int): DataFrame = {
+    val boundary = trainSixteenths.toHexString
+    d.select(col("doc_id"), col("lang"), col("source"),
+      when(substring(md5(col("doc_id").cast("string")), 1, 1) < boundary,
+        "train").otherwise("test").as("split"))
+  }
+
+  /** Seeded stratified sample: `fraction` per language stratum. Sampling
+    * is Bernoulli per row (sampleBy), deterministic under the seed. */
+  def stratifiedSample(d: DataFrame, fraction: Double,
+      seed: Long = 42L): DataFrame = {
+    val langs = d.select("lang").distinct().collect()
+      .map(_.getString(0))
+    d.stat.sampleBy("lang", langs.map(_ -> fraction).toMap, seed)
+  }
+
   /** Composed curation pipeline — the end-to-end pass a training-data
     * pipeline runs: quality gate → exact dedup (keep lowest doc_id) →
     * per-language survivor stats. Stays one lazy plan: Catalyst fuses the

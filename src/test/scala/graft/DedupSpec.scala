@@ -82,6 +82,37 @@ class DedupSpec extends SparkSpec {
     })
   }
 
+  test("dedup clusters: transitive pairs collapse to one component") {
+    import spark.implicits._
+    // edges: 1-2, 2-5, 7-8 → components {1,2,5}, {7,8}
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 8L)).toDF("doc1", "doc2")
+    val clusters = Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(5L) == 1L)
+    assert(clusters(7L) == 7L && clusters(8L) == 7L)
+  }
+
+  test("split assignment is a pure function of doc_id with sane proportions") {
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+    val a = graft.text.TextOps.splitAssign(docs, 13).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val b = graft.text.TextOps.splitAssign(docs, 13).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(a == b)
+    val trainFrac = a.values.count(_ == "train").toDouble / a.size
+    assert(trainFrac > 0.6 && trainFrac < 0.95, s"trainFrac $trainFrac")
+  }
+
+  test("stratified sample is deterministic under its seed") {
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+    val s1 = graft.text.TextOps.stratifiedSample(docs, 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = graft.text.TextOps.stratifiedSample(docs, 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    assert(s1.nonEmpty && s1.size < docs.count())
+  }
+
   test("poly_hash64 is deterministic, empty-seeded, and spread") {
     val vals = plantedDocs.select(PolyHash64(col("text")).as("h"))
       .collect().map(_.getLong(0))
