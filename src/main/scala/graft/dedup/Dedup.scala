@@ -133,34 +133,56 @@ object Dedup {
     * converges in a handful of rounds; each round is two shuffles on the
     * edge list — the standard large-graph CC-by-join pattern. Output:
     * (doc_id, cluster) where cluster = min doc_id of the component. */
-  def dedupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def dedupClusters(pairs: DataFrame, rounds: Int = 4): DataFrame = {
+    // eager localCheckpoint: materializes AND truncates lineage, so each
+    // round plans against a flat LogicalRDD instead of a nested tree
+    // (lazy caches here made planning itself the bottleneck)
     val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
       .union(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
       .distinct()
-      .cache()
+      .localCheckpoint(true)
     var labels = edges.select(col("a").as("doc_id"))
       .distinct()
       .withColumn("cluster", col("doc_id"))
-    var iter = 0
-    var converged = false
-    while (iter < maxIters && !converged) {
+    // Fixed round count, no per-round convergence action: with pointer
+    // jumping each round squares the reachable radius, so `rounds` = 4
+    // covers component diameter 2^4 (near-dup components are
+    // cliques/stars of diameter ≤ 2 in practice). One validation job at
+    // the end asserts the fixpoint instead of one count per round.
+    (1 to rounds).foreach { _ =>
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "b")
           .withColumnRenamed("cluster", "b_cluster"), "b")
         .groupBy(col("a").as("doc_id"))
         .agg(min(col("b_cluster")).as("nbr_cluster"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
-        .withColumn("new_cluster",
-          least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster"))))
-        .select(col("doc_id"), col("new_cluster").as("cluster"))
-        .cache()
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"),
-        "doc_id").filter(col("cluster") =!= col("old")).count()
-      labels = next
-      converged = changed == 0
-      iter += 1
+      val propagated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster")))
+            .as("cluster"))
+      // pointer jumping (path halving): adopt the label of the current
+      // label, collapsing chains in O(log diameter) rounds. The round
+      // result is cached: the self-join references `propagated` twice
+      // and the next round references this twice more — without a cache
+      // the lineage (and recomputation) doubles every round.
+      labels = propagated.as("l")
+        .join(propagated.select(col("doc_id").as("cluster"),
+          col("cluster").as("cluster2")).as("m"), Seq("cluster"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("cluster2"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint(true)
     }
-    labels
+    val lbl = labels
+    val violations = edges
+      .join(lbl.withColumnRenamed("doc_id", "a")
+        .withColumnRenamed("cluster", "ca"), "a")
+      .join(lbl.withColumnRenamed("doc_id", "b")
+        .withColumnRenamed("cluster", "cb"), "b")
+      .filter(col("ca") =!= col("cb")).count()
+    require(violations == 0,
+      s"dedupClusters did not converge in $rounds rounds " +
+        s"($violations cross-cluster edges); raise `rounds`")
+    lbl
   }
 
   /** Character n-gram Jaccard near-dup pairs — tokenizer-free, works for
