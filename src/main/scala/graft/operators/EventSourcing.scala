@@ -42,6 +42,31 @@ object EventSourcing {
         max_by(col("ts_us"), col("sequence")).as("last_ts_us"),
         max_by(col("payload"), col("sequence")).as("last_payload"))
 
+  /** Envelope decode (`pkg/eskit/store.go:42-46`: payloads are JSON
+    * envelopes unmarshalled on replay): parse the JSON payload and fold
+    * a typed field per aggregate — the "domain event" projection path. */
+  def payloadDecode(entries: DataFrame, space: String): DataFrame =
+    entries
+      .filter(col("space") === space)
+      .withColumn("k",
+        get_json_object(col("payload"), "$.k").cast("long"))
+      .groupBy(col("space"), col("segment"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"),
+        max_by(col("k"), col("sequence")).as("last_k"))
+
+  /** Multi-level rollup read model: (space, day) with ROLLUP totals —
+    * one pass produces per-day, per-space, and grand-total rows. */
+  def eventsRollup(named: DataFrame): DataFrame =
+    named
+      .withColumn("day",
+        date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd"))
+      .rollup(col("space"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+
   /** Cross-aggregate read-model projection: per-space daily rollup. */
   def projectionDaily(named: DataFrame): DataFrame =
     named

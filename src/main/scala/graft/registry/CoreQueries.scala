@@ -74,6 +74,11 @@ object CoreQueries {
         "purchase", T_2024_01_15)),
     "es_projection_daily" -> ((s, d) =>
       EventSourcing.projectionDaily(EventLog.named(s, d))),
+    "es_payload_decode" -> ((s, d) =>
+      EventSourcing.payloadDecode(EventLog.entries(s, d, Some("signup")),
+        "signup")),
+    "events_rollup" -> ((s, d) =>
+      EventSourcing.eventsRollup(EventLog.named(s, d))),
     // ── C. windows ────────────────────────────────────────────────────
     "win_tumbling" -> ((s, d) =>
       Windows.tumbling(EventLog.named(s, d), HOUR_US)),
@@ -272,6 +277,20 @@ object CoreQueries {
              max_by(payload, sequence) AS last_payload
       FROM entries WHERE space = 'purchase' AND ts_us <= $T_2024_01_15
       GROUP BY 1, 2""",
+
+    "es_payload_decode" -> s"""$E
+      SELECT space, segment, count(*) AS n_events,
+             CAST(sum(CAST(json_extract(payload, '$$.k') AS BIGINT))
+               AS BIGINT) AS sum_k,
+             max(CAST(json_extract(payload, '$$.k') AS BIGINT)) AS max_k,
+             max_by(CAST(json_extract(payload, '$$.k') AS BIGINT), sequence)
+               AS last_k
+      FROM entries WHERE space = 'signup' GROUP BY 1, 2""",
+
+    "events_rollup" -> """
+      SELECT event_type AS space, strftime(ts, '%Y-%m-%d') AS day,
+             count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))""",
 
     "es_projection_daily" -> """
       SELECT event_type AS space, strftime(ts, '%Y-%m-%d') AS day,
