@@ -33,8 +33,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig",
         "minhash_sig(hashes, k) - k-permutation minhash signature"),
-      (args: Seq[Expression]) => MinHashSig(args(0),
-        args(1).eval().asInstanceOf[Int])))
+      (args: Seq[Expression]) => {
+        val k = args(1) match {
+          case e if e.foldable => e.eval() match {
+            case n: Number => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"minhash_sig: k must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "minhash_sig: k must be a literal, not a column")
+        }
+        MinHashSig(args(0), k)
+      }))
     ext.injectFunction((FunctionIdentifier("char_bigrams"),
       info("char_bigrams", "char_bigrams(str) - int-coded char bigrams"),
       (args: Seq[Expression]) => CharBigrams(args.head)))

@@ -72,20 +72,25 @@ object Dedup {
         expr(s"transform(${shingleExpr(shingleK)}, s -> xxhash64(s))"))
         .as("sh"))
     val sig = sh.withColumn("mh", MinHashSig(col("sh"), numHashes))
-    val banded = sig.select(col("doc_id"), col("sh"),
+    // band keys only — shipping the full shingle arrays through the
+    // bands× explode and the candidate self-join would multiply the
+    // shuffle volume by the band count; the arrays are joined back just
+    // for the (few) candidates
+    val banded = sig.select(col("doc_id"),
         explode(expr(
           s"transform(sequence(0, ${bands - 1}), " +
             s"b -> struct(b AS band, xxhash64(slice(mh, b * $rows + 1, $rows)) AS sig))"))
           .as("bk"))
-      .select(col("doc_id"), col("sh"),
+      .select(col("doc_id"),
         col("bk.band").as("band"), col("bk.sig").as("sig"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
-        col("a.sh").as("s1"), col("b.sh").as("s2"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .dropDuplicates("doc1", "doc2")
     cand
+      .join(sh.select(col("doc_id").as("doc1"), col("sh").as("s1")), "doc1")
+      .join(sh.select(col("doc_id").as("doc2"), col("sh").as("s2")), "doc2")
       .withColumn("n_common", size(array_intersect(col("s1"), col("s2"))))
       .withColumn("jaccard", round(col("n_common") /
         (size(col("s1")) + size(col("s2")) - col("n_common")), 4))
@@ -230,7 +235,7 @@ object Dedup {
       .withColumn("nrm", sqrt(DotProduct(col("v"), col("v"))))
       .withColumn("bucket", expr(
         s"""aggregate(sequence(0, ${planes - 1}), 0L, (acc, p) ->
-              acc + if(aggregate(zip_with(v, transform(sequence(0, 63),
+              acc + if(aggregate(zip_with(v, transform(sequence(0, size(v) - 1),
                          d -> (cast(xxhash64(p, d) % 2001 AS DOUBLE)) / 1000D),
                          (x, w) -> x * w), 0D, (s, x) -> s + x) >= 0D,
                        shiftleft(1L, p), 0L))"""))

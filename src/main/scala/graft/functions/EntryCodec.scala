@@ -29,22 +29,27 @@ object EntryCodec {
     StructField("segment", StringType),
     StructField("payload", StringType)))
 
-  /** Called from generated code: pack one entry struct. */
+  /** Called from generated code: pack one entry struct. Null string
+    * fields encode as length -1 (a producer may legitimately send a
+    * null payload; crashing the executor is not an option). */
   def encode(row: InternalRow): Array[Byte] = {
-    val space = row.getUTF8String(3).getBytes
-    val segment = row.getUTF8String(4).getBytes
-    val payload = row.getUTF8String(5).getBytes
+    def strBytes(i: Int): Array[Byte] =
+      if (row.isNullAt(i)) null else row.getUTF8String(i).getBytes
+    val space = strBytes(3)
+    val segment = strBytes(4)
+    val payload = strBytes(5)
+    def len(b: Array[Byte]): Int = if (b == null) 0 else b.length
     val buf = ByteBuffer
-      .allocate(1 + 8 + 8 + 8 + 12 + space.length + segment.length +
-        payload.length)
+      .allocate(1 + 8 + 8 + 8 + 12 + len(space) + len(segment) +
+        len(payload))
       .order(ByteOrder.LITTLE_ENDIAN)
     buf.put(Version)
     buf.putLong(row.getLong(0))
     buf.putLong(row.getLong(1))
     buf.putDouble(row.getDouble(2))
-    buf.putInt(space.length); buf.put(space)
-    buf.putInt(segment.length); buf.put(segment)
-    buf.putInt(payload.length); buf.put(payload)
+    def put(b: Array[Byte]): Unit =
+      if (b == null) buf.putInt(-1) else { buf.putInt(b.length); buf.put(b) }
+    put(space); put(segment); put(payload)
     buf.array()
   }
 
@@ -58,9 +63,12 @@ object EntryCodec {
     val value = buf.getDouble()
     def readStr(): UTF8String = {
       val n = buf.getInt()
-      val arr = new Array[Byte](n)
-      buf.get(arr)
-      UTF8String.fromBytes(arr)
+      if (n < 0) null
+      else {
+        val arr = new Array[Byte](n)
+        buf.get(arr)
+        UTF8String.fromBytes(arr)
+      }
     }
     new GenericInternalRow(Array[Any](sequence, tsUs, value,
       readStr(), readStr(), readStr()))

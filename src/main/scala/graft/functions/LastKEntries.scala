@@ -55,8 +55,9 @@ case class LastKEntries(child: Expression, k: Int,
       : ArrayBuffer[Item] = {
     val row = child.eval(input).asInstanceOf[InternalRow]
     if (row != null) {
+      val payload = if (row.isNullAt(3)) null else row.getUTF8String(3).toString
       insert(buf, Item(row.getLong(0), row.getLong(1), row.getDouble(2),
-        row.getUTF8String(3).toString))
+        payload))
     }
     buf
   }
@@ -71,19 +72,21 @@ case class LastKEntries(child: Expression, k: Int,
     val sorted = buf.sortBy(-_.sequence)
     new GenericArrayData(sorted.map { it =>
       new GenericInternalRow(Array[Any](it.sequence, it.ts_us, it.value,
-        UTF8String.fromString(it.payload)))
+        if (it.payload == null) null else UTF8String.fromString(it.payload)))
     }.toArray[Any])
   }
 
   override def serialize(buf: ArrayBuffer[Item]): Array[Byte] = {
-    val payloads = buf.map(_.payload.getBytes("UTF-8"))
-    val size = 4 + buf.map(p => 8 + 8 + 8 + 4).sum +
-      payloads.map(_.length).sum
+    // null payloads encode as length -1
+    val payloads = buf.map(it =>
+      if (it.payload == null) null else it.payload.getBytes("UTF-8"))
+    val size = 4 + buf.length * (8 + 8 + 8 + 4) +
+      payloads.map(p => if (p == null) 0 else p.length).sum
     val bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
     bb.putInt(buf.length)
     buf.zip(payloads).foreach { case (it, p) =>
       bb.putLong(it.sequence); bb.putLong(it.ts_us); bb.putDouble(it.value)
-      bb.putInt(p.length); bb.put(p)
+      if (p == null) bb.putInt(-1) else { bb.putInt(p.length); bb.put(p) }
     }
     bb.array()
   }
@@ -94,8 +97,11 @@ case class LastKEntries(child: Expression, k: Int,
     val buf = new ArrayBuffer[Item](n + 1)
     (1 to n).foreach { _ =>
       val seq = bb.getLong(); val ts = bb.getLong(); val v = bb.getDouble()
-      val len = bb.getInt(); val p = new Array[Byte](len); bb.get(p)
-      buf += Item(seq, ts, v, new String(p, "UTF-8"))
+      val len = bb.getInt()
+      val payload = if (len < 0) null else {
+        val p = new Array[Byte](len); bb.get(p); new String(p, "UTF-8")
+      }
+      buf += Item(seq, ts, v, payload)
     }
     buf
   }

@@ -33,9 +33,15 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object DotProduct {
-  /** Called from generated code. Arrays must be array<double>. */
+  /** Called from generated code. Arrays must be array<double> of equal
+    * length — a silent min-length truncation would let corrupted vectors
+    * produce plausible-but-wrong scores. */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) {
+      throw new IllegalArgumentException(
+        s"dot_product dimensionality mismatch: $n vs ${b.numElements()}")
+    }
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }

@@ -19,6 +19,10 @@ object Skew {
 
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
       salt: Int, joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit spurious rows for the salt-replicated
+    // right side (each unmatched replica survives independently)
+    require(Set("inner", "left", "left_outer", "left_semi")(joinType),
+      s"saltedJoin supports inner/left/left_semi joins, not $joinType")
     val saltedLeft = skewed.withColumn("__salt",
       (rand(seed = 7) * salt).cast("int"))
     val replicatedRight = other.withColumn("__salt",

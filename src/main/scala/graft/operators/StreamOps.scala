@@ -77,7 +77,9 @@ object StreamOps {
   /** Consume (`pkg/api/messages.go:130-144`): multi-space merge with a
     * per-space offset map and global timestamp bounds. Only spaces present
     * in the offsets map are consumed (mirrors the server's space-offsets
-    * routing). Offsets are broadcast — they are O(#spaces). */
+    * routing); a space whose anchor entry does not resolve (e.g. sequence
+    * 0 = from the beginning) is consumed in full. Offsets are broadcast —
+    * they are O(#spaces). */
   def consumeMulti(entries: DataFrame,
       offsets: Map[String, (String, Long)],
       minTsUs: Option[Long] = None, maxTsUs: Option[Long] = None,
@@ -88,18 +90,26 @@ object StreamOps {
       (sp, seg, seq)
     }.toDF("o_space", "o_segment", "o_sequence")
     // Resolve each offset (segment, sequence) to its full space-offset
-    // tuple (ts_us, segment, sequence), then filter strictly-after.
-    val anchors = entries
+    // tuple (ts_us, segment, sequence) by scanning entries against the
+    // broadcast key set (one pruned scan, no log shuffle); then a
+    // tiny-to-tiny left join keeps unresolvable anchors with null tuple
+    // fields, meaning "no cursor — read the space from the start".
+    val found = entries
       .join(broadcast(offsetKeys),
         col("space") === col("o_space") &&
           col("segment") === col("o_segment") &&
           col("sequence") === col("o_sequence"))
-      .select(col("space").as("a_space"), col("ts_us").as("a_ts_us"),
+      .select(col("space").as("f_space"), col("ts_us").as("a_ts_us"),
         col("segment").as("a_segment"), col("sequence").as("a_sequence"))
+    val anchors = broadcast(offsetKeys
+      .join(found, col("o_space") === col("f_space"), "left")
+      .select(col("o_space").as("a_space"), col("a_ts_us"),
+        col("a_segment"), col("a_sequence")))
     var df = entries
-      .join(broadcast(anchors), col("space") === col("a_space"))
-      .filter(struct(col("ts_us"), col("segment"), col("sequence")) >
-        struct(col("a_ts_us"), col("a_segment"), col("a_sequence")))
+      .join(anchors, col("space") === col("a_space"))
+      .filter(col("a_ts_us").isNull ||
+        struct(col("ts_us"), col("segment"), col("sequence")) >
+          struct(col("a_ts_us"), col("a_segment"), col("a_sequence")))
     minTsUs.foreach(v => df = df.filter(col("ts_us") >= v))
     maxTsUs.foreach(v => df = df.filter(col("ts_us") <= v))
     val out = df.select(entryCols: _*)

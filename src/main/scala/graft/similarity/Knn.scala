@@ -54,7 +54,7 @@ object Knn {
       planes: Int = 8): DataFrame = {
     val bucketed = e.withColumn("bucket", expr(
       s"""aggregate(sequence(0, ${planes - 1}), 0L, (acc, p) ->
-            acc + if(aggregate(zip_with(v, transform(sequence(0, 63),
+            acc + if(aggregate(zip_with(v, transform(sequence(0, size(v) - 1),
                        d -> (cast(xxhash64(p, d) % 2001 AS DOUBLE)) / 1000D),
                        (x, w) -> x * w), 0D, (s, x) -> s + x) >= 0D,
                      shiftleft(1L, p), 0L))"""))

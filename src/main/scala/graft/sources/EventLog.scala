@@ -29,8 +29,10 @@ object EventLog {
     *
     * The driver's `ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses
     * to map to its µs TimestampType; we read it as a long (nanos) and work
-    * in epoch micros. The test data is µs-aligned (ns % 1000 == 0 at every
-    * SF), so `ts div 1000` is lossless and ordering matches the oracle. */
+    * in epoch micros. `ts div 1000` truncates real sub-µs digits — that is
+    * intentional: DuckDB also reads TIMESTAMP_NS parquet µs-truncated, so
+    * both engines see identical ts_us values, and ordering ties at µs
+    * granularity are broken by the unique event_id on both sides. */
   def raw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")

@@ -142,6 +142,10 @@ object TextOps {
     * training pipeline needs to avoid split leakage. trainFrac is in
     * sixteenths (e.g. 13 → ~81% train). */
   def splitAssign(d: DataFrame, trainSixteenths: Int): DataFrame = {
+    // single hex nibble compare — 16 would need a two-char boundary that
+    // breaks the lexicographic comparison
+    require(trainSixteenths >= 1 && trainSixteenths <= 15,
+      s"trainSixteenths must be in [1, 15], got $trainSixteenths")
     val boundary = trainSixteenths.toHexString
     d.select(col("doc_id"), col("lang"), col("source"),
       when(substring(md5(col("doc_id").cast("string")), 1, 1) < boundary,

@@ -42,6 +42,17 @@ class StreamOpsSpec extends SparkSpec {
     assert(resumed == full.drop(5))
   }
 
+  test("consumeMulti with an unresolvable anchor reads that space from the start") {
+    val full = StreamOps.consumeMulti(entries,
+      offsets = Map("click" -> ("1", 0L)))
+    val expected = entries.filter(col("space") === "click").count()
+    assert(full.count() == expected)
+    // resolvable anchor still cuts the stream
+    val partial = StreamOps.consumeMulti(entries,
+      offsets = Map("click" -> ("1", 5L)))
+    assert(partial.count() < expected && partial.count() > 0)
+  }
+
   test("peek returns the max-sequence entry per segment") {
     val peeked = StreamOps.peek(entries, "error")
       .select("segment", "sequence").collect()
