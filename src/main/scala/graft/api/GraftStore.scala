@@ -43,6 +43,25 @@ class GraftStore(spark: SparkSession, dir: String) {
 object GraftStore {
   def apply(spark: SparkSession, dir: String): GraftStore =
     new GraftStore(spark, dir)
+
+  /** Store over a produced layout (EventLogWriter.write output):
+    * sequences are materialized, so no window derivation runs and
+    * space/segment predicates prune partitions directly. */
+  def fromProduced(spark: SparkSession, path: String): GraftStore =
+    new GraftStore(spark, path) {
+      override def entries: org.apache.spark.sql.DataFrame =
+        graft.sources.EventLogWriter.readProduced(spark, path)
+      override private[api] def entriesFor(space: Option[String],
+          segment: Option[String]): org.apache.spark.sql.DataFrame = {
+        import org.apache.spark.sql.functions.col
+        var df = entries
+        space.foreach(sp => df = df.filter(col("space") === sp))
+        segment.foreach(sg => df = df.filter(col("segment") === sg))
+        df
+      }
+      override private[api] def named: org.apache.spark.sql.DataFrame =
+        entries
+    }
 }
 
 /** Space handle: ConsumeSpace / GetSegments / subscriptions' batch dual. */

@@ -39,6 +39,19 @@ class ApiSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("produced-layout store serves the same answers as the derived store") {
+    val dir = Files.createTempDirectory("graft_prod_store").toString
+    EventLogWriter.write(EventLog.entries(spark, SF), dir)
+    val prod = GraftStore.fromProduced(spark, dir)
+    val derived = GraftStore(spark, SF)
+    val a = prod.space("click").segment("1").consume().collect()
+      .map(_.toSeq).toSeq
+    val b = derived.space("click").segment("1").consume().collect()
+      .map(_.toSeq).toSeq
+    assert(a == b)
+    assert(prod.spaces.count() == derived.spaces.count())
+  }
+
   test("produce validation accepts a contiguous append and rejects a gap") {
     val dir = Files.createTempDirectory("graft_tail").toString
     EventLogWriter.write(EventLog.entries(spark, SF), dir)

@@ -92,6 +92,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == 50) // the 20 replayed docs are all dropped as dups
   }
 
+  test("append-mode watermark drops data later than the threshold") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_late").toString
+    def write(rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(1100) // distinct mtimes → deterministic file order
+    }
+    val h = 3600L * 1000000000L // 1h in ns
+    // the initial listing takes everything as one batch, so the files are
+    // written between processAllAvailable calls — one micro-batch each
+    write(Seq((1L, 10 * h, 1L, "click", 1.0, "{}")))   // event time 10h
+    val stream = Streaming.readEntryStream(spark, dir, maxFilesPerTrigger = 1)
+    val q = Streaming.windowedCounts(stream, watermark = "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_drop").start()
+    q.processAllAvailable()
+    write(Seq((2L, 20 * h, 1L, "click", 1.0, "{}")))   // advances watermark
+    q.processAllAvailable()
+    write(Seq((3L, 10 * h + 1000L, 1L, "click", 1.0, "{}"))) // late vs 19h30
+    q.processAllAvailable()
+    q.stop()
+    // in append mode only windows sealed by the watermark emit; the late
+    // 10h event must not create or grow a window after sealing
+    val emitted = spark.table("late_drop")
+      .select("window_start_us", "n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val win10h = 10L * 3600L * 1000000L
+    assert(emitted.getOrElse(win10h, 0L) == 1L,
+      s"late event was wrongly counted: $emitted")
+  }
+
   test("stream-static enrichment join matches batch enrichment") {
     val stream = Streaming.readEntryStream(spark, streamDir,
       maxFilesPerTrigger = 2)
