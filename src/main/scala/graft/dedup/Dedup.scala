@@ -131,6 +131,36 @@ object Dedup {
     * vectors, threshold on the ROUNDED score so engine summation order
     * can't flip inclusion. Pair generation is a broadcast-nested-loop at
     * test scale; the scale path buckets by LSH first (graft.similarity). */
+  /** Decontamination: detect benchmark/test leakage into a training
+    * split — cross-split near-duplicate pairs by word-set Jaccard via the
+    * same inverted-index candidate join as [[jaccardPairs]], but only
+    * across the split boundary. At 100 TB the test side is tiny, so the
+    * inverted index of the TEST split is built and the train side streams
+    * against it. */
+  def contamination(d: DataFrame, split: DataFrame, tau: Double): DataFrame = {
+    val withSplit = d.join(split.select("doc_id", "split"), "doc_id")
+      .select(col("doc_id"), col("split"),
+        array_distinct(expr(toksExpr)).as("wset"))
+    val sizes = withSplit.select(col("doc_id"), size(col("wset")).as("n"))
+    val train = withSplit.filter(col("split") === "train")
+      .select(col("doc_id"), explode(col("wset")).as("word"))
+    val test = withSplit.filter(col("split") === "test")
+      .select(col("doc_id"), explode(col("wset")).as("word"))
+    val pairs = train.as("a").join(test.as("b"), col("a.word") === col("b.word"))
+      .groupBy(col("a.doc_id").as("train_doc"),
+        col("b.doc_id").as("test_doc"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "train_doc")
+        .withColumnRenamed("n", "n1"), "train_doc")
+      .join(sizes.withColumnRenamed("doc_id", "test_doc")
+        .withColumnRenamed("n", "n2"), "test_doc")
+      .withColumn("jaccard",
+        round(col("n_common") / (col("n1") + col("n2") - col("n_common")), 4))
+      .filter(col("jaccard") >= tau)
+      .select("train_doc", "test_doc", "n_common", "n1", "n2", "jaccard")
+  }
+
   /** Near-dup CLUSTERS from a pair list: connected components via
     * iterative min-label propagation (each doc adopts the smallest
     * doc_id reachable through pair edges; iterate to fixpoint). Near-dup

@@ -26,6 +26,15 @@ object PipelineQueries {
     "dedup_char_ngram" -> ((s, d) => Dedup.charNGramPairs(docs(s, d))),
     "dedup_clusters" -> ((s, d) =>
       Dedup.dedupClusters(Dedup.jaccardPairs(docs(s, d), "de", 0.85))),
+    // scoped to one language partition: the word-salad corpus shares a
+    // tiny vocabulary, so an unscoped inverted-index join degenerates —
+    // at real scale the test split is small and the index is built on it
+    "contamination_check" -> ((s, d) => {
+      val dd = docs(s, d).filter(org.apache.spark.sql.functions
+        .col("lang") === "fr")
+      Dedup.contamination(dd, TextOps.splitAssign(dd, 13), tau = 0.9)
+    }),
+    "text_redact" -> ((s, d) => TextOps.redact(docs(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simHashPairs(docs(s, d))),
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingPairs(Knn.emb(s, d), tau = 0.4)),
@@ -207,6 +216,40 @@ object PipelineQueries {
       SELECT (length(text) // 100) * 100 AS bucket,
              count(*) AS n_docs
       FROM documents GROUP BY 1""",
+
+    "contamination_check" -> """
+      WITH sp AS (
+        SELECT doc_id, text,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'
+                    THEN 'train' ELSE 'test' END AS split,
+               list_distinct(list_filter(string_split(lower(text), ' '),
+                 x -> x <> '')) AS w
+        FROM documents WHERE lang = 'fr'),
+      sz AS (SELECT doc_id, len(w) AS n FROM sp),
+      tr AS (SELECT doc_id, unnest(w) AS word FROM sp WHERE split = 'train'),
+      te AS (SELECT doc_id, unnest(w) AS word FROM sp WHERE split = 'test'),
+      pairs AS (
+        SELECT a.doc_id AS train_doc, b.doc_id AS test_doc,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM tr a JOIN te b ON a.word = b.word
+        GROUP BY 1, 2)
+      SELECT train_doc, test_doc, n_common, s1.n AS n1, s2.n AS n2,
+             round(n_common / (s1.n + s2.n - n_common), 4) AS jaccard
+      FROM pairs
+      JOIN sz s1 ON train_doc = s1.doc_id
+      JOIN sz s2 ON test_doc = s2.doc_id
+      WHERE round(n_common / (s1.n + s2.n - n_common), 4) >= 0.9""",
+
+    "text_redact" -> """
+      SELECT doc_id,
+             regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+               'g'), '[0-9]{6,}', '<NUM>', 'g') AS redacted,
+             CAST(length(text) - length(
+               regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g'),
+                 '[0-9]{6,}', '', 'g')) AS BIGINT) AS chars_redacted
+      FROM documents""",
 
     "split_assign" -> """
       SELECT doc_id, lang, source,

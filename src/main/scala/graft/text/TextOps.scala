@@ -136,6 +136,21 @@ object TextOps {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Redaction pass: mask PII-shaped spans (emails, long digit runs,
+    * phone-ish sequences) before training. Pure regexp_replace chain —
+    * codegen'd, linear, identical semantics in the oracle dialect. */
+  def redact(d: DataFrame): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val digits = "[0-9]{6,}"
+    d.select(
+      col("doc_id"),
+      regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+        digits, "<NUM>").as("redacted"),
+      (length(col("text")) -
+        length(regexp_replace(regexp_replace(col("text"), email, ""),
+          digits, ""))).cast("long").as("chars_redacted"))
+  }
+
   /** Deterministic hash-based train/test assignment: the split is a pure
     * function of doc_id (first md5 hex nibble), so it's stable across
     * runs, engines, partitionings, and re-ingests — the property a

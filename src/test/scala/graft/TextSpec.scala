@@ -54,6 +54,34 @@ class TextSpec extends SparkSpec {
     assert(fps(1L)._2 != fps(3L)._2)
   }
 
+  test("redact masks emails and digit runs") {
+    import spark.implicits._
+    val d = Seq((1L, "mail me at a.b@example.com or call 1234567 now"))
+      .toDF("doc_id", "text")
+    val r = TextOps.redact(d).head()
+    assert(r.getAs[String]("redacted") ==
+      "mail me at <EMAIL> or call <NUM> now")
+    assert(r.getAs[Long]("chars_redacted") ==
+      "a.b@example.com".length + "1234567".length)
+  }
+
+  test("contamination finds planted cross-split near-dup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "totally different words here nothing shared at all")
+    ).toDF("doc_id", "text")
+    val split = Seq((1L, "train"), (2L, "test"), (3L, "test"))
+      .toDF("doc_id", "split")
+    val hits = graft.dedup.Dedup.contamination(d, split, tau = 0.5)
+      .collect()
+    assert(hits.length == 1)
+    assert(hits.head.getAs[Long]("train_doc") == 1L &&
+      hits.head.getAs[Long]("test_doc") == 2L)
+  }
+
   test("multimodal: byte stats equal text lengths; features deterministic") {
     val ingested = Multimodal.ingest(docs)
     val total = Multimodal.byteStats(ingested)
