@@ -51,9 +51,14 @@ object Relational {
     val li = t(spark, dir, "lineitem")
       .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+    // orders is a fact table: no broadcast hint (at 100 TB it would OOM);
+    // the join shuffles on orderkey and AQE may still pick broadcast at
+    // test scale. Dimensions (customer) stay broadcast.
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
         .as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))

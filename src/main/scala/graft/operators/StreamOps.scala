@@ -228,12 +228,45 @@ object StreamOps {
     * order (event_id), an entry is late if its event time is behind the
     * space's high watermark by more than `toleranceUs`. Batch dual of the
     * reference's in-flight low-watermark tracking / Structured
-    * Streaming's watermark semantics. */
-  def watermarkAudit(named: DataFrame, toleranceUs: Long): DataFrame = {
-    val w = Window.partitionBy("space").orderBy("event_id")
+    * Streaming's watermark semantics.
+    *
+    * Scale: the running prefix-max is two-phase so no single task ever
+    * sorts a whole space (with few spaces a plain
+    * `Window.partitionBy(space)` funnels each space's entire log through
+    * ONE task). Phase 1 buckets arrival order into chunks of `chunkSize`
+    * event_ids and computes per-chunk max in a map-side-combinable hash
+    * agg; the prefix max OVER CHUNKS then runs on the tiny
+    * (space × #chunks) table; phase 2 finishes the per-row prefix max
+    * locally inside each chunk — a window partitioned by (space, chunk),
+    * which parallelizes across chunks. Same answer as the one-window
+    * formulation (the oracle still uses it), no single-task scan. */
+  def watermarkAudit(named: DataFrame, toleranceUs: Long,
+      chunkSize: Long = 4096L): DataFrame = {
+    val chunked = named
+      .select(col("space"), col("ts_us"), col("event_id"))
+      .withColumn("chunk", expr(s"event_id div $chunkSize"))
+    val chunkMax = chunked
+      .groupBy(col("space"), col("chunk"))
+      .agg(max(col("ts_us")).as("chunk_max"))
+    // prefix max over earlier chunks: runs on #chunks rows, not #entries
+    // (size the chunk so this table stays ~1e5–1e6 rows at 100 TB)
+    val wChunks = Window.partitionBy("space").orderBy("chunk")
       .rowsBetween(Window.unboundedPreceding, -1)
-    named
-      .withColumn("hwm_us", max(col("ts_us")).over(w))
+    val prevMax = chunkMax
+      .withColumn("prev_max", max(col("chunk_max")).over(wChunks))
+      .select(col("space").as("p_space"), col("chunk").as("p_chunk"),
+        col("prev_max"))
+    // local prefix max inside each chunk — parallel across chunks
+    val wLocal = Window.partitionBy("space", "chunk").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    chunked
+      .join(prevMax, col("space") === col("p_space") &&
+        col("chunk") === col("p_chunk"))
+      .withColumn("local_max", max(col("ts_us")).over(wLocal))
+      // greatest() skips nulls: first chunk has null prev_max, first row
+      // of a chunk has null local_max; both null (global first row) → no
+      // watermark yet
+      .withColumn("hwm_us", greatest(col("prev_max"), col("local_max")))
       .withColumn("late",
         col("hwm_us").isNotNull &&
           col("ts_us") < col("hwm_us") - toleranceUs)

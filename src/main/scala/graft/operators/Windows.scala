@@ -64,6 +64,20 @@ object Windows {
         round(expr("percentile(value, 0.99)"), 4).as("p99"),
         round(avg(col("value")), 4).as("mean"))
 
+  /** Mergeable-sketch dual of [[valueQuantiles]]: `approx_percentile`
+    * (Greenwald-Khanna style summary) combines map-side, so per-group
+    * cost is the sketch size, not a sort of the group — the 100 TB path.
+    * Rows-only (sketch estimates aren't oracle-reproducible); the spec
+    * bounds the error against the exact version. */
+  def valueQuantilesApprox(named: DataFrame,
+      accuracy: Int = 10000): DataFrame =
+    named.groupBy(col("space"))
+      .agg(
+        round(expr(s"approx_percentile(value, 0.5, $accuracy)"), 4).as("p50"),
+        round(expr(s"approx_percentile(value, 0.9, $accuracy)"), 4).as("p90"),
+        round(expr(s"approx_percentile(value, 0.99, $accuracy)"), 4).as("p99"),
+        round(avg(col("value")), 4).as("mean"))
+
   /** Running cumulative sum per segment of one space, in sequence order.
     * Left-to-right accumulation order is identical in any engine, so the
     * running double is bit-stable. */

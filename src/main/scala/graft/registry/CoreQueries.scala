@@ -90,6 +90,10 @@ object CoreQueries {
       Windows.running(EventLog.entries(s, d, Some("click")), "click")),
     "value_quantiles" -> ((s, d) =>
       Windows.valueQuantiles(EventLog.named(s, d))),
+    // mergeable-sketch dual of value_quantiles — rows-only (sketch
+    // estimates aren't oracle-reproducible); spec bounds error vs exact
+    "value_quantiles_approx" -> ((s, d) =>
+      Windows.valueQuantilesApprox(EventLog.named(s, d))),
     // codec roundtrip: entries → binary → entries must be lossless, so
     // the oracle is simply the plain entry projection
     "sk_codec_roundtrip" -> ((s, d) => {
@@ -158,15 +162,18 @@ object CoreQueries {
       offs(space, segment, seq) AS (
         VALUES ('click', '7', 5), ('view', '12', 3)),
       anchors AS (
-        SELECT e.space AS a_space, e.ts_us AS a_ts_us,
+        -- LEFT join so an unresolvable anchor yields NULL tuple fields =
+        -- "no cursor, read the space from the start" — same fallback the
+        -- Spark operator encodes (StreamOps.consumeMulti)
+        SELECT o.space AS a_space, e.ts_us AS a_ts_us,
                e.segment AS a_segment, e.sequence AS a_sequence
-        FROM entries e JOIN offs o
+        FROM offs o LEFT JOIN entries e
           ON e.space = o.space AND e.segment = o.segment
          AND e.sequence = o.seq)
       SELECT e.space, e.segment, e.sequence, e.ts_us, e.value, e.payload
       FROM entries e JOIN anchors a ON e.space = a.a_space
-      WHERE (e.ts_us, e.segment, e.sequence) >
-            (a.a_ts_us, a.a_segment, a.a_sequence)
+      WHERE (a.a_ts_us IS NULL OR (e.ts_us, e.segment, e.sequence) >
+            (a.a_ts_us, a.a_segment, a.a_sequence))
         AND e.ts_us <= $T_2024_01_20
       ORDER BY e.ts_us, e.space, e.segment, e.sequence LIMIT 400""",
 
@@ -370,7 +377,8 @@ object CoreQueries {
       GROUP BY l_returnflag, l_linestatus""",
 
     "q3_topk" -> """
-      SELECT l_orderkey, o_orderdate, o_orderpriority,
+      SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+             o_orderpriority,
              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
       FROM customer
       JOIN orders ON c_custkey = o_custkey
@@ -378,7 +386,7 @@ object CoreQueries {
       WHERE c_mktsegment = 'BUILDING'
         AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
-      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
       ORDER BY revenue DESC, l_orderkey LIMIT 10""",
 
     "q5_region" -> """

@@ -262,5 +262,13 @@ object PipelineQueries {
              CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
              CAST(max(strlen(text)) AS BIGINT) AS max_bytes
       FROM documents GROUP BY source""",
+
+    // doc_sample is a pure function of md5(doc_id:lang:seed), so the
+    // oracle reproduces the exact sampled row set (fraction 0.2 →
+    // threshold hex 3333 = round(0.2 * 16^4))
+    "doc_sample" -> """
+      SELECT doc_id, lang, source FROM documents
+      WHERE substring(md5(concat_ws(':', CAST(doc_id AS VARCHAR), lang,
+        '42')), 1, 4) < '3333'""",
   )
 }

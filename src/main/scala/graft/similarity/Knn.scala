@@ -73,24 +73,35 @@ object Knn {
   private val cdist =
     "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, (s, x) -> s + x)"
 
+  /** Nearest-centroid assignment as a map-side-combinable `min_by`
+    * aggregation on (distance, c_id) — NOT a `row_number` window, which
+    * would shuffle+sort #vectors × nlist rows on vec_id. The agg combines
+    * partially per partition, so only one (vec_id, best) row per vector
+    * crosses the wire. Carried columns are functionally dependent on
+    * vec_id, folded into the same min_by. */
+  private def assignNearest(scored: DataFrame, carry: Seq[String]): DataFrame = {
+    val key = struct(col("d"), col("c_id"))
+    scored.groupBy(col("vec_id"))
+      .agg(min_by(col("c_id"), key).as("c_id"),
+        carry.map(c => min_by(col(c), key).as(c)): _*)
+  }
+
   /** Deterministic mini k-means (Lloyd) entirely in DataFrame ops: seeds
     * are the k vectors with smallest xxhash64(vec_id) (no driver-side
-    * randomness), then `iters` assign/recompute rounds. Each round is one
-    * broadcast cross-score + one posexplode mean — at scale this is the
+    * randomness), then `iters` assign/recompute rounds. Centroid ids are
+    * the seed hashes themselves — distinct and orderable, assigned with
+    * no unpartitioned window. Each round is one broadcast cross-score +
+    * one min_by assignment + one posexplode mean — at scale this is the
     * offline training pass an IVF index runs once. */
   def kmeansCentroids(e: DataFrame, k: Int, iters: Int = 2): DataFrame = {
     var centroids = e
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h").limit(k)
-      .withColumn("c_id",
-        (row_number().over(Window.orderBy("h")) - 1).cast("long"))
-      .select(col("c_id"), col("v").as("cv"))
+      .select(col("h").as("c_id"), col("v").as("cv"))
     (1 to iters).foreach { _ =>
-      val assignW = Window.partitionBy("vec_id").orderBy(col("d"), col("c_id"))
-      centroids = e.crossJoin(broadcast(centroids))
+      val scored = e.crossJoin(broadcast(centroids))
         .withColumn("d", expr(cdist))
-        .withColumn("rn", row_number().over(assignW))
-        .filter(col("rn") === 1)
+      centroids = assignNearest(scored, Seq("v"))
         .select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("c_id", "pos").agg(avg(col("x")).as("cx"))
         .groupBy("c_id")
@@ -106,12 +117,11 @@ object Knn {
   def ivf(e: DataFrame, queryPred: Column, k: Int,
       nprobe: Int = 2, nlist: Int = 10): DataFrame = {
     val centroids = kmeansCentroids(e, nlist)
-    // assign every vector to its nearest centroid (broadcast centroids)
-    val assignW = Window.partitionBy("vec_id").orderBy(col("d"), col("c_id"))
-    val assigned = e.crossJoin(broadcast(centroids))
-      .withColumn("d", expr(cdist))
-      .withColumn("rn", row_number().over(assignW))
-      .filter(col("rn") === 1)
+    // assign every vector to its nearest centroid: broadcast centroids,
+    // min_by agg (partial combine) — no vec_id shuffle+sort
+    val assigned = assignNearest(
+      e.crossJoin(broadcast(centroids)).withColumn("d", expr(cdist)),
+      Seq("v", "nrm"))
       .select(col("vec_id"), col("v"), col("nrm"), col("c_id"))
     val probeW = Window.partitionBy("query_id").orderBy(col("d"), col("c_id"))
     val probes = e.filter(queryPred)

@@ -32,9 +32,13 @@ object EventLogWriter {
       case None => seqd.withColumn("sequence", col("batch_seq"))
         .drop("batch_seq")
       case Some(t) =>
-        seqd.join(broadcast(t
+        // tail is per-segment state — fact-sized at 100 TB, so NO
+        // broadcast hint: the join shuffles on (space, segment), the same
+        // key the batch window already partitioned by; AQE may still pick
+        // broadcast when the tail is small.
+        seqd.join(t
             .select(col("space"), col("segment"),
-              col("last_sequence").as("tail_seq"))),
+              col("last_sequence").as("tail_seq")),
           Seq("space", "segment"), "left")
           .withColumn("sequence",
             col("batch_seq") + coalesce(col("tail_seq"), lit(0L)))
@@ -53,8 +57,8 @@ object EventLogWriter {
         max(col("sequence")).as("last_new"),
         count(lit(1)).as("n_new"),
         countDistinct(col("sequence")).as("n_distinct"))
-      .join(broadcast(tail.select(col("space"), col("segment"),
-        col("last_sequence").as("tail_seq"))), Seq("space", "segment"), "left")
+      .join(tail.select(col("space"), col("segment"),
+        col("last_sequence").as("tail_seq")), Seq("space", "segment"), "left")
       .withColumn("expected_first", coalesce(col("tail_seq"), lit(0L)) + 1L)
       .filter(
         col("first_new") =!= col("expected_first") ||

@@ -129,8 +129,12 @@ object Streaming {
           }
           val next = AggState(n, bal, last)
           state.update(next)
-          Iterator.single(AggSnapshot(space, segment, n,
-            math.rint(bal * 100) / 100, last))
+          // HALF_UP at scale 2 — identical to Spark's round() used by the
+          // batch dual (math.rint is half-to-even and differs on exact
+          // half-cents)
+          val rounded = BigDecimal(bal)
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Iterator.single(AggSnapshot(space, segment, n, rounded, last))
       }
   }
 }

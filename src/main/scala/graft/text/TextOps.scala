@@ -167,13 +167,21 @@ object TextOps {
         "train").otherwise("test").as("split"))
   }
 
-  /** Seeded stratified sample: `fraction` per language stratum. Sampling
-    * is Bernoulli per row (sampleBy), deterministic under the seed. */
+  /** Seeded stratified sample: `fraction` per language stratum, as a pure
+    * per-row Bernoulli on md5(doc_id:lang:seed) — fully distributed (no
+    * driver-side strata collect), engine-independent (same rows in any
+    * engine that has md5), and trivially mergeable across corpus shards.
+    * The keep decision compares the first 4 hex digits against
+    * round(fraction · 16^4), so the realized rate is within 1/65536 of
+    * `fraction` in expectation per stratum. */
   def stratifiedSample(d: DataFrame, fraction: Double,
       seed: Long = 42L): DataFrame = {
-    val langs = d.select("lang").distinct().collect()
-      .map(_.getString(0))
-    d.stat.sampleBy("lang", langs.map(_ -> fraction).toMap, seed)
+    require(fraction >= 0.0 && fraction <= 1.0, s"bad fraction $fraction")
+    val threshold = f"${math.round(fraction * 65536)}%04x"
+    d.filter(
+      substring(md5(concat_ws(":", col("doc_id").cast("string"), col("lang"),
+        lit(seed.toString))), 1, 4) < threshold)
+      .select(col("doc_id"), col("lang"), col("source"))
   }
 
   /** Composed curation pipeline — the end-to-end pass a training-data

@@ -49,6 +49,32 @@ class PlanSpec extends SparkSpec {
     assert(back.count() > 0)
   }
 
+  test("watermark audit never runs an unbounded window over a space-only partition of the raw log") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = StreamOps.watermarkAudit(EventLog.named(spark, SF), 300000000L)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      // a window keyed more finely than `space` parallelizes across
+      // chunks; a space-only window is acceptable ONLY over aggregated
+      // (chunk-level) input, never the raw per-entry log
+      val overAggregated =
+        w.child.collectFirst { case a: Aggregate => a }.nonEmpty
+      assert(w.partitionSpec.size >= 2 || overAggregated,
+        s"single-task whole-space window over the raw log:\n$w")
+    }
+  }
+
+  test("ivf centroid assignment is a min_by aggregation, not a row_number window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val assigned = graft.similarity.Knn.kmeansCentroids(
+      graft.similarity.Knn.emb(spark, SF), k = 4, iters = 1)
+    val wins = assigned.queryExecution.optimizedPlan
+      .collect { case w: LWindow => w }
+    assert(wins.isEmpty,
+      s"k-means round should be window-free, found: ${wins.mkString}")
+  }
+
   test("vocab_topk is TakeOrdered (per-partition heap), not a global sort") {
     val p = plan(graft.text.TextOps.vocabTopK(
       graft.text.TextOps.docs(spark, SF), 50))

@@ -82,4 +82,36 @@ class StreamOpsSpec extends SparkSpec {
       .filter(!col("complete") || col("n_entries") > 10).count()
     assert(bad == 0)
   }
+
+  test("chunked watermark audit equals the one-window formulation at any chunk size") {
+    val named = EventLog.named(spark, SF)
+    val tol = 300000000L
+    def audit(chunk: Long) =
+      StreamOps.watermarkAudit(named, tol, chunkSize = chunk)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // chunkSize larger than any event_id degenerates to the single-window
+    // semantics (one chunk per space); small chunks exercise the
+    // cross-chunk prefix handoff
+    val coarse = audit(Long.MaxValue)
+    assert(audit(4096L) == coarse)
+    assert(audit(7L) == coarse)
+  }
+
+  test("approx quantiles track exact quantiles within 2%") {
+    val named = EventLog.named(spark, SF)
+    val exact = graft.operators.Windows.valueQuantiles(named).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = graft.operators.Windows.valueQuantilesApprox(named)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (space, (p50, p90)) =>
+      val (a50, a90) = approx(space)
+      assert(math.abs(a50 - p50) <= 0.02 * math.max(1.0, math.abs(p50)),
+        s"$space p50 approx=$a50 exact=$p50")
+      assert(math.abs(a90 - p90) <= 0.02 * math.max(1.0, math.abs(p90)),
+        s"$space p90 approx=$a90 exact=$p90")
+    }
+  }
 }

@@ -82,6 +82,24 @@ class TextSpec extends SparkSpec {
       hits.head.getAs[Long]("test_doc") == 2L)
   }
 
+  test("stratified sample is collect-free, seeded, and near the target fraction") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
+    val sampled = TextOps.stratifiedSample(docs, 0.2)
+    // plan is a pure filter over the scan — no sampleBy strata collect
+    // (which would surface as a LocalRelation of collected langs)
+    assert(sampled.queryExecution.optimizedPlan
+      .collect { case l: LocalRelation => l }.isEmpty)
+    val n = sampled.count().toDouble
+    val total = docs.count().toDouble
+    assert(math.abs(n / total - 0.2) < 0.08, s"rate ${n / total}")
+    // deterministic under the seed; doc membership is a pure row function
+    assert(sampled.collect().map(_.getLong(0)).toSet ==
+      TextOps.stratifiedSample(docs, 0.2).collect().map(_.getLong(0)).toSet)
+    // per-stratum: every language keeps a nonzero share
+    val langs = sampled.select("lang").distinct().count()
+    assert(langs == docs.select("lang").distinct().count())
+  }
+
   test("multimodal: byte stats equal text lengths; features deterministic") {
     val ingested = Multimodal.ingest(docs)
     val total = Multimodal.byteStats(ingested)
