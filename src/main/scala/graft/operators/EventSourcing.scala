@@ -42,6 +42,55 @@ object EventSourcing {
         max_by(col("ts_us"), col("sequence")).as("last_ts_us"),
         max_by(col("payload"), col("sequence")).as("last_payload"))
 
+  /** Snapshot materialization (`pkg/eskit/store.go:33-46`: load
+    * snapshot, then `LoadEvents(minSequence = snapshot.sequence + 1)`):
+    * per-aggregate state as of a global sequence point. Carries the RAW
+    * running sum (unrounded) so incremental replay continues the fold
+    * exactly; round only at presentation. */
+  def snapshot(entries: DataFrame, space: String,
+      atSequence: Long): DataFrame =
+    entries
+      .filter(col("space") === space && col("sequence") <= atSequence)
+      .groupBy(col("segment"))
+      .agg(
+        count(lit(1)).as("s_n"),
+        sum(col("value")).as("s_sum"),
+        max(col("sequence")).as("s_seq"),
+        max_by(col("ts_us"), col("sequence")).as("s_ts"),
+        max_by(col("payload"), col("sequence")).as("s_payload"))
+
+  /** Replay-from-snapshot: fold only the entries AFTER each aggregate's
+    * snapshot sequence (per-segment boundary join, the LoadEvents
+    * minSequence cursor) and merge with the snapshot state; aggregates
+    * with no new events pass through unchanged. Result ≡ full replay —
+    * the oracle asserts exactly that — at the cost of reading only the
+    * post-snapshot suffix. */
+  def replayFromSnapshot(snap: DataFrame, entries: DataFrame,
+      space: String): DataFrame = {
+    val scoped = entries.filter(col("space") === space)
+    val incr = scoped
+      .join(snap.select(col("segment"), col("s_seq")), Seq("segment"), "left")
+      .filter(col("s_seq").isNull || col("sequence") > col("s_seq"))
+      .groupBy(col("segment"))
+      .agg(
+        count(lit(1)).as("i_n"),
+        sum(col("value")).as("i_sum"),
+        max(col("sequence")).as("i_seq"),
+        max_by(col("ts_us"), col("sequence")).as("i_ts"),
+        max_by(col("payload"), col("sequence")).as("i_payload"))
+    snap.join(incr, Seq("segment"), "full_outer")
+      .select(
+        lit(space).as("space"),
+        col("segment"),
+        (coalesce(col("s_n"), lit(0L)) + coalesce(col("i_n"), lit(0L)))
+          .as("n_events"),
+        round(coalesce(col("s_sum"), lit(0.0)) +
+          coalesce(col("i_sum"), lit(0.0)), 2).as("balance"),
+        greatest(col("i_seq"), col("s_seq")).as("last_sequence"),
+        coalesce(col("i_ts"), col("s_ts")).as("last_ts_us"),
+        coalesce(col("i_payload"), col("s_payload")).as("last_payload"))
+  }
+
   /** Envelope decode (`pkg/eskit/store.go:42-46`: payloads are JSON
     * envelopes unmarshalled on replay): parse the JSON payload and fold
     * a typed field per aggregate — the "domain event" projection path. */

@@ -60,6 +60,14 @@ object CoreQueries {
       StreamOps.consumeDedup(EventLog.entries(s, d, Some("purchase")))),
     "sk_trx_rollup" -> ((s, d) =>
       StreamOps.trxRollup(EventLog.entries(s, d), batchSize = 10)),
+    // recovery audit over REAL per-batch transaction ids (stamped by the
+    // produce path, persisted by EventLogWriter.write; ApiSpec proves the
+    // write→read roundtrip) — the id is md5(space:segment:batch) so the
+    // oracle derives the identical ids
+    "sk_trx_recovery" -> ((s, d) =>
+      graft.sources.EventLogWriter.trxAudit(
+        graft.sources.EventLogWriter.assignTrx(
+          EventLog.entries(s, d), batchSize = 10), batchSize = 10)),
     "sk_watermark_audit" -> ((s, d) =>
       StreamOps.watermarkAudit(EventLog.named(s, d), TOL_5M_US)),
     // ── B. event sourcing ─────────────────────────────────────────────
@@ -69,6 +77,14 @@ object CoreQueries {
     "es_replay_from" -> ((s, d) =>
       EventSourcing.replayState(EventLog.entries(s, d, Some("purchase")),
         "purchase", afterSequence = 20L)),
+    // load-snapshot + incremental-replay ≡ full replay: the oracle IS the
+    // full replay, so the hash match proves the snapshot path equivalent
+    "es_replay_from_snapshot" -> ((s, d) => {
+      val e = EventLog.entries(s, d, Some("purchase"))
+      EventSourcing.replayFromSnapshot(
+        EventSourcing.snapshot(e, "purchase", atSequence = 20L),
+        e, "purchase")
+    }),
     "es_as_of_time" -> ((s, d) =>
       EventSourcing.stateAsOf(EventLog.entries(s, d, Some("purchase")),
         "purchase", T_2024_01_15)),
@@ -241,6 +257,21 @@ object CoreQueries {
              (max(sequence) - min(sequence) + 1 = count(*)) AS complete
       FROM entries GROUP BY 1, 2, 3""",
 
+    "sk_trx_recovery" -> s"""$E,
+      trx AS (
+        SELECT space, segment, sequence, value,
+               md5(concat_ws(':', space, segment,
+                 CAST((sequence - 1) // 10 AS VARCHAR))) AS trx_id
+        FROM entries)
+      SELECT space, segment, trx_id,
+             count(*) AS n_entries,
+             min(sequence) AS first_sequence,
+             max(sequence) AS last_sequence,
+             round(sum(value), 2) AS sum_value,
+             (max(sequence) - min(sequence) + 1 = count(*)) AS contiguous,
+             (count(*) = 10) AS sealed
+      FROM trx GROUP BY 1, 2, 3""",
+
     "sk_watermark_audit" -> s"""
       WITH ev AS (
         SELECT event_type AS space, epoch_us(ts) AS ts_us, event_id
@@ -275,6 +306,14 @@ object CoreQueries {
              max_by(payload, sequence) AS last_payload
       FROM entries WHERE space = 'purchase' AND sequence > 20
       GROUP BY 1, 2""",
+
+    "es_replay_from_snapshot" -> s"""$E
+      SELECT space, segment, count(*) AS n_events,
+             round(sum(value), 2) AS balance,
+             max(sequence) AS last_sequence,
+             max_by(ts_us, sequence) AS last_ts_us,
+             max_by(payload, sequence) AS last_payload
+      FROM entries WHERE space = 'purchase' GROUP BY 1, 2""",
 
     "es_as_of_time" -> s"""$E
       SELECT space, segment, count(*) AS n_events,

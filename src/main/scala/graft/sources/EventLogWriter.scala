@@ -67,6 +67,38 @@ object EventLogWriter {
       .select("space", "segment", "expected_first", "first_new", "last_new",
         "n_new", "n_distinct")
 
+  /** Transaction stamping (`pkg/api/messages.go:249` TRX,
+    * `internal/txn`): the producer writes each batch of `batchSize`
+    * consecutive sequences per segment under ONE transaction id, carried
+    * on every entry. The id is a pure function of
+    * (space, segment, batch ordinal) — md5-based so it is deterministic,
+    * re-derivable on any executor, and reproducible by the SQL oracle.
+    * [[write]] persists it like any other column, so recovery audits run
+    * on REAL stored ids, not re-derived chunks. */
+  def assignTrx(entries: DataFrame, batchSize: Int): DataFrame =
+    entries
+      .withColumn("trx_number",
+        expr(s"(sequence - 1) div $batchSize").cast("long"))
+      .withColumn("trx_id",
+        md5(concat_ws(":", col("space"), col("segment"), col("trx_number"))))
+
+  /** TRX recovery audit over persisted transaction ids — the batch dual
+    * of `internal/txn` recovery: a transaction is broken if its entries
+    * are non-contiguous (a gap inside its sequence span means a partial
+    * write survived), and unsealed if it holds fewer than `batchSize`
+    * entries (the open tail batch, or a torn one). One
+    * map-side-combinable hash agg per (space, segment, trx_id). */
+  def trxAudit(withTrx: DataFrame, batchSize: Int): DataFrame =
+    withTrx.groupBy(col("space"), col("segment"), col("trx_id"))
+      .agg(
+        count(lit(1)).as("n_entries"),
+        min(col("sequence")).as("first_sequence"),
+        max(col("sequence")).as("last_sequence"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .withColumn("contiguous",
+        col("last_sequence") - col("first_sequence") + 1 === col("n_entries"))
+      .withColumn("sealed", col("n_entries") === batchSize)
+
   /** Write entries in the production layout. */
   def write(entries: DataFrame, path: String,
       mode: SaveMode = SaveMode.Overwrite): Unit =

@@ -67,6 +67,47 @@ class ApiSpec extends SparkSpec {
     assert(violations.count() > 0)
   }
 
+  test("trx ids persist through the produced layout and recovery audit flags a torn batch") {
+    val dir = Files.createTempDirectory("graft_trx").toString
+    val stamped = EventLogWriter.assignTrx(
+      EventLog.entries(spark, SF, Some("error")), batchSize = 10)
+    EventLogWriter.write(stamped, dir)
+    val back = spark.read.parquet(dir)
+    // persisted ids round-trip exactly
+    val a = stamped.select("space", "segment", "sequence", "trx_id")
+      .orderBy("space", "segment", "sequence").collect().map(_.toSeq).toSeq
+    val b = back.select("space", "segment", "sequence", "trx_id")
+      .orderBy("space", "segment", "sequence").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // on the intact log every transaction is contiguous
+    val audit = EventLogWriter.trxAudit(back, 10)
+    assert(audit.filter(!col("contiguous")).count() == 0)
+    // tear one sealed batch (drop an interior entry) → exactly that trx
+    // flags non-contiguous on recovery
+    val victim = audit.filter(col("sealed")).select("trx_id")
+      .orderBy("trx_id").head.getString(0)
+    val torn = back.filter(!(col("trx_id") === victim &&
+      col("sequence") === back.filter(col("trx_id") === victim)
+        .agg(min(col("sequence")) + 1L).head.getLong(0)))
+    val recovered = EventLogWriter.trxAudit(torn, 10)
+    val bad = recovered.filter(!col("contiguous"))
+      .select("trx_id").collect().map(_.getString(0)).toSeq
+    assert(bad == Seq(victim))
+  }
+
+  test("snapshot + incremental replay equals full replay for every aggregate") {
+    import graft.operators.EventSourcing
+    val e = EventLog.entries(spark, SF, Some("purchase"))
+    val full = EventSourcing.replayState(e, "purchase")
+      .orderBy("segment").collect().map(_.toSeq).toSeq
+    Seq(0L, 7L, 20L, 1000000L).foreach { at =>
+      val viaSnap = EventSourcing.replayFromSnapshot(
+        EventSourcing.snapshot(e, "purchase", at), e, "purchase")
+        .orderBy("segment").collect().map(_.toSeq).toSeq
+      assert(viaSnap == full, s"snapshot at seq $at diverged")
+    }
+  }
+
   test("catalog views make the whole surface SQL-reachable") {
     graft.api.GraftCatalog.registerViews(spark, SF)
     val n = spark.sql(
