@@ -161,6 +161,54 @@ object Dedup {
       .select("train_doc", "test_doc", "n_common", "n1", "n2", "jaccard")
   }
 
+  /** The 100 TB shape of [[contamination]]: UNscoped (no language/shard
+    * prefilter), with the inverted index built on the TEST split only —
+    * the small side at scale — and a stop-word document-frequency cap on
+    * the index so common words can't degenerate the candidate join to
+    * all-pairs. Candidates are verified EXACTLY against the full word
+    * sets (the cap only prunes candidate discovery, never the Jaccard),
+    * so at high tau the result equals the uncapped formulation as long
+    * as every contaminated pair shares ≥1 sub-cap word — guaranteed in
+    * practice because near-identical docs share their rare words. Spec
+    * proves parity with the oracle-checked scoped version on its scope. */
+  def contaminationAtScale(d: DataFrame, split: DataFrame, tau: Double,
+      maxDf: Int = 100): DataFrame = {
+    val withSplit = d.join(split.select("doc_id", "split"), "doc_id")
+      .select(col("doc_id"), col("split"),
+        array_distinct(expr(toksExpr)).as("wset"))
+    val test = withSplit.filter(col("split") === "test")
+      .select(col("doc_id").as("test_doc"), col("wset"))
+    val train = withSplit.filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc"), col("wset"))
+    // test-side inverted index, DF-capped: index size is bounded by the
+    // test corpus (tiny at scale) minus its stop words
+    val testInv = test.select(col("test_doc"), explode(col("wset")).as("word"))
+    val rare = testInv.groupBy("word").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("word")
+    val idx = testInv.join(rare, "word")
+    // the train corpus streams against the index: one equijoin on word,
+    // cost ∝ matching postings, never |train| × |test|
+    val cand = train
+      .select(col("train_doc"), explode(col("wset")).as("word"))
+      .join(idx, "word")
+      .select("train_doc", "test_doc")
+      .dropDuplicates("train_doc", "test_doc")
+    // exact verification on the full word sets for candidates only
+    cand
+      .join(train, "train_doc")
+      .withColumnRenamed("wset", "w1")
+      .join(test, "test_doc")
+      .withColumnRenamed("wset", "w2")
+      .withColumn("n_common",
+        size(array_intersect(col("w1"), col("w2"))).cast("long"))
+      .withColumn("n1", size(col("w1")))
+      .withColumn("n2", size(col("w2")))
+      .withColumn("jaccard",
+        round(col("n_common") / (col("n1") + col("n2") - col("n_common")), 4))
+      .filter(col("jaccard") >= tau)
+      .select("train_doc", "test_doc", "n_common", "n1", "n2", "jaccard")
+  }
+
   /** Near-dup CLUSTERS from a pair list: connected components via
     * iterative min-label propagation (each doc adopts the smallest
     * doc_id reachable through pair edges; iterate to fixpoint). Near-dup

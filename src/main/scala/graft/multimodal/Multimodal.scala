@@ -1,19 +1,20 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (SURVEY §2-H): treat media as opaque
   * `binary` columns with a typed metadata struct, and run batched
   * per-partition feature extraction.
   *
-  * The decode step is a clearly-marked deterministic STUB (no image/audio
-  * codecs in this environment); everything around it — schema, binary
-  * column handling, partition-batched extraction via mapPartitions, the
-  * downstream aggregation — is the real plumbing a decode UDF would plug
-  * into. At scale the extraction is embarrassingly parallel and
-  * partition-local; batch size is the rows-per-partition, controlled by
-  * `spark.sql.files.maxPartitionBytes` at read time. */
+  * The decode step ([[MediaCodec]]) parses REAL public container formats
+  * (PNG IHDR, BMP BITMAPINFOHEADER, RIFF/WAVE chunks) in pure JVM code —
+  * no external codec libraries, which also means the compressed pixel
+  * payload itself stays opaque; dimensions/channels/sample-rate/duration
+  * are what a curation pipeline filters on. Extraction runs as
+  * partition-batched `mapPartitions` — embarrassingly parallel, batch
+  * size controlled by `spark.sql.files.maxPartitionBytes` at read time,
+  * so the same code shape scales to 100 TB of media shards. */
 object Multimodal {
 
   /** Ingest documents as (binary payload, typed metadata). The `text`
@@ -36,44 +37,63 @@ object Multimodal {
         sum(col("meta.n_bytes")).as("total_bytes"),
         max(col("meta.n_bytes")).as("max_bytes"))
 
-  final case class MediaFeature(doc_id: Long, source: String,
-      f0: Double, f1: Double, f2: Double, f3: Double)
-
-  /** STUB decode: a real implementation would decode the blob (image
-    * resize, audio resample, frame sample) here; this deterministic fake
-    * derives 4 "features" from the first 16 payload bytes so the
-    * plumbing, batching and determinism are testable end-to-end. */
-  private def stubDecode(blob: Array[Byte]): Array[Double] = {
-    val f = new Array[Double](4)
-    var i = 0
-    while (i < 16 && i < blob.length) {
-      f(i % 4) += (blob(i) & 0xff) / 255.0
-      i += 1
-    }
-    f
+  /** Deterministic demo media: REAL container bytes (MediaCodec
+    * encoders) synthesized from doc fields — doc_id picks the modality
+    * and the planted dimensions, so the decode path is exercised against
+    * true PNG/BMP/WAV headers with no external fixtures. */
+  def synthesize(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src) =>
+          val blob = (id % 3) match {
+            case 0 => MediaCodec.encodeBmp(
+              16 + (id % 32).toInt, 8 + (id % 16).toInt)
+            case 1 => MediaCodec.encodePng(
+              32 + (id % 64).toInt, 16 + (id % 32).toInt)
+            case _ => MediaCodec.encodeWav(
+              1 + (id % 2).toInt,
+              if (id % 4 == 3) 16000 else 8000,
+              400 + (id % 100).toInt * 40)
+          }
+          (id, src, blob)
+        }
+      }.toDF("doc_id", "source", "blob")
   }
 
-  /** Batched per-partition feature extraction over the binary column. */
-  def extractFeatures(ingested: DataFrame): Dataset[MediaFeature] = {
-    val spark = ingested.sparkSession
+  final case class MediaFeature(doc_id: Long, source: String,
+      format: String, width: Int, height: Int, channels: Int,
+      sample_rate: Int, duration_ms: Double, n_bytes: Long)
+
+  /** Batched per-partition feature extraction: sniff + header-parse each
+    * blob (MediaCodec.decode); undecodable blobs surface as format
+    * `unknown` rather than failing the job — at corpus scale corrupt
+    * members are data, not errors. */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeature] = {
+    val spark = media.sparkSession
     import spark.implicits._
-    ingested.select("doc_id", "source", "blob").as[(Long, String, Array[Byte])]
+    media.select("doc_id", "source", "blob")
+      .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, src, blob) =>
-          val f = stubDecode(blob)
-          MediaFeature(id, src, f(0), f(1), f(2), f(3))
+          val m = MediaCodec.decode(blob)
+          MediaFeature(id, src, m.format, m.width, m.height, m.channels,
+            m.sampleRate, m.durationMs,
+            if (blob == null) 0L else blob.length.toLong)
         }
       }
   }
 
-  /** Per-source mean of extracted features. */
-  def featureStats(ingested: DataFrame): DataFrame =
-    extractFeatures(ingested).toDF()
-      .groupBy(col("source"))
+  /** Per-format rollup of decoded media features. */
+  def featureStats(media: DataFrame): DataFrame =
+    extractFeatures(media).toDF()
+      .groupBy(col("format"))
       .agg(
         count(lit(1)).as("n_docs"),
-        round(avg(col("f0")), 4).as("avg_f0"),
-        round(avg(col("f1")), 4).as("avg_f1"),
-        round(avg(col("f2")), 4).as("avg_f2"),
-        round(avg(col("f3")), 4).as("avg_f3"))
+        round(avg(col("width")), 2).as("avg_width"),
+        round(avg(col("height")), 2).as("avg_height"),
+        max(col("channels")).cast("long").as("max_channels"),
+        round(avg(col("duration_ms")), 2).as("avg_duration_ms"),
+        sum(col("n_bytes")).as("total_bytes"))
 }

@@ -34,6 +34,14 @@ object PipelineQueries {
         .col("lang") === "fr")
       Dedup.contamination(dd, TextOps.splitAssign(dd, 13), tau = 0.9)
     }),
+    // the 100 TB shape: whole corpus, no language scoping — test-side
+    // inverted index + DF cap; rows-only (DedupSpec proves parity with
+    // the oracle-checked scoped version on its scope)
+    "contamination_unscoped" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.contaminationAtScale(dd, TextOps.splitAssign(dd, 13),
+        tau = 0.9)
+    }),
     "text_redact" -> ((s, d) => TextOps.redact(docs(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simHashPairs(docs(s, d))),
     "dedup_embedding" -> ((s, d) =>
@@ -65,8 +73,11 @@ object PipelineQueries {
     // ── H. multimodal ─────────────────────────────────────────────────
     "mm_ingest" -> ((s, d) => Multimodal.byteStats(
       Multimodal.ingest(docs(s, d)))),
+    // real container decode (PNG/BMP/WAV header parse) over
+    // deterministically synthesized media bytes; rows-only (byte
+    // synthesis isn't SQL-expressible), MediaCodecSpec checks the parse
     "mm_features" -> ((s, d) => Multimodal.featureStats(
-      Multimodal.ingest(docs(s, d)))),
+      Multimodal.synthesize(docs(s, d)))),
   )
 
   val oracle: Map[String, String] = Map(

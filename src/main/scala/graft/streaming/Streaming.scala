@@ -49,6 +49,46 @@ object Streaming {
         col("props").as("payload"))
   }
 
+  /** Schema of the produced layout (EventLogWriter.write): sequence is
+    * materialized at produce time; `space` is the partition directory
+    * column, which the file stream source discovers when it appears in
+    * the schema. */
+  val producedSchema: StructType = StructType(Seq(
+    StructField("segment", StringType),
+    StructField("ts_us", LongType),
+    StructField("event_id", LongType),
+    StructField("value", DoubleType),
+    StructField("payload", StringType),
+    StructField("sequence", LongType),
+    StructField("space", StringType)))
+
+  /** File-source stream over the produced layout — the live form of
+    * EventLogWriter.readProduced, sequences included. */
+  def readProducedStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(producedSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+      .select(col("space"), col("segment"), col("sequence"), col("ts_us"),
+        col("event_id"), col("value"), col("payload"))
+
+  /** Streaming ConsumeSpace-from-offset (`pkg/api/messages.go:146-159`):
+    * resume a live space subscription strictly after its
+    * `(ts_us, segment, sequence)` cursor — `Entry.GetSpaceOffset`
+    * (`messages.go:113-116`). The cursor is a pure row predicate applied
+    * per micro-batch before any stateful op, so resumption is stateless:
+    * no replayed state store, no reprocessing of pre-cursor history
+    * beyond the scan (and on the produced layout the ts/sequence bounds
+    * prune parquet row groups). */
+  def consumeSpaceFromOffsetStream(entryStream: DataFrame, space: String,
+      cursorTsUs: Long, cursorSegment: String,
+      cursorSequence: Long): DataFrame =
+    entryStream
+      .filter(col("space") === space)
+      .filter(struct(col("ts_us"), col("segment"), col("sequence")) >
+        struct(lit(cursorTsUs), lit(cursorSegment), lit(cursorSequence)))
+
   /** Live SegmentStatus feed: per-(space, segment) aggregate whose update
     * stream mirrors subscription notifications. Use outputMode("update")
     * so each micro-batch emits exactly the segments whose status changed —

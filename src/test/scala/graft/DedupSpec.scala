@@ -82,6 +82,21 @@ class DedupSpec extends SparkSpec {
     })
   }
 
+  test("unscoped at-scale contamination matches the scoped formulation on its scope") {
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+    val fr = docs.filter(col("lang") === "fr")
+    val split = graft.text.TextOps.splitAssign(fr, 13)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("train_doc"), r.getAs[Long]("test_doc")) ->
+        (r.getAs[Long]("n_common"), r.getAs[Double]("jaccard"))
+    val scoped = Dedup.contamination(fr, split, tau = 0.9)
+      .collect().map(key).toMap
+    val atScale = Dedup.contaminationAtScale(fr, split, tau = 0.9)
+      .collect().map(key).toMap
+    assert(scoped.nonEmpty)
+    assert(atScale == scoped)
+  }
+
   test("dedup clusters: transitive pairs collapse to one component") {
     import spark.implicits._
     // edges: 1-2, 2-5, 7-8 → components {1,2,5}, {7,8}

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.MediaCodec
+
+/** Header-level codec checks — pure JVM, no Spark session needed. */
+class MediaCodecSpec extends AnyFunSuite {
+
+  test("png: encode→decode round-trips dimensions and channels") {
+    val m = MediaCodec.decode(MediaCodec.encodePng(640, 480, colorType = 6))
+    assert(m.ok && m.format == "png")
+    assert(m.width == 640 && m.height == 480 && m.channels == 4)
+    val gray = MediaCodec.decode(MediaCodec.encodePng(7, 3, colorType = 0))
+    assert(gray.channels == 1 && gray.width == 7 && gray.height == 3)
+  }
+
+  test("bmp: encode→decode round-trips dimensions; rows are 4-byte aligned") {
+    val bytes = MediaCodec.encodeBmp(13, 5) // 13*3=39 → row stride 40
+    val m = MediaCodec.decode(bytes)
+    assert(m.ok && m.format == "bmp")
+    assert(m.width == 13 && m.height == 5 && m.channels == 3)
+    assert(bytes.length == 54 + 40 * 5)
+  }
+
+  test("wav: duration derives from data size over byte rate") {
+    // 8000 Hz mono PCM16 → byte rate 16000; 4000 samples = 8000 bytes = 500ms
+    val m = MediaCodec.decode(MediaCodec.encodeWav(1, 8000, 4000))
+    assert(m.ok && m.format == "wav")
+    assert(m.channels == 1 && m.sampleRate == 8000)
+    assert(math.abs(m.durationMs - 500.0) < 1e-9)
+    val st = MediaCodec.decode(MediaCodec.encodeWav(2, 16000, 16000))
+    assert(st.channels == 2 && st.sampleRate == 16000 &&
+      math.abs(st.durationMs - 1000.0) < 1e-9)
+  }
+
+  test("garbage, truncated, and empty blobs decode to unknown, never throw") {
+    assert(!MediaCodec.decode(Array[Byte]()).ok)
+    assert(!MediaCodec.decode(null).ok)
+    assert(!MediaCodec.decode("plain text, not a container".getBytes).ok)
+    // valid signature but truncated header
+    assert(!MediaCodec.decode(MediaCodec.encodePng(4, 4).take(20)).ok)
+    assert(!MediaCodec.decode(MediaCodec.encodeWav(1, 8000, 10).take(14)).ok)
+  }
+
+  test("bmp top-down negative height is normalized") {
+    val bytes = MediaCodec.encodeBmp(4, 4)
+    // patch height (offset 22, s32le) to -4: top-down row order
+    bytes(22) = (-4 & 0xff).toByte; bytes(23) = 0xff.toByte
+    bytes(24) = 0xff.toByte; bytes(25) = 0xff.toByte
+    val m = MediaCodec.decode(bytes)
+    assert(m.ok && m.height == 4)
+  }
+}

@@ -124,6 +124,33 @@ class StreamingSpec extends SparkSpec {
       s"late event was wrongly counted: $emitted")
   }
 
+  test("offset-resume stream equals batch consumeSpaceFromOffset") {
+    // the produced layout carries materialized sequences — the form a
+    // live consumer would actually subscribe to
+    val dir = Files.createTempDirectory("graft_offset_stream").toString
+    val entries = EventLog.entries(spark, SF)
+    graft.sources.EventLogWriter.write(entries, dir)
+    // cursor = the (ts_us, segment, sequence) offset of a mid-log entry
+    val anchor = entries
+      .filter(col("space") === "view" && col("segment") === "7" &&
+        col("sequence") === 5L)
+      .select("ts_us").head.getLong(0)
+    val stream = Streaming.readProducedStream(spark, dir,
+      maxFilesPerTrigger = 2)
+    runToCompletion(Streaming.consumeSpaceFromOffsetStream(
+      stream, "view", anchor, "7", 5L), "offset_resume", "append")
+    val got = spark.table("offset_resume")
+      .select("space", "segment", "sequence", "ts_us", "value", "payload")
+      .collect().map(_.toSeq).toSet
+    val want = StreamOps.consumeSpaceFromOffset(entries, "view",
+        anchorSegment = "7", anchorSequence = 5L)
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // strictly-after: the anchor itself is excluded
+    assert(!got.exists(r => r(1) == "7" && r(2) == 5L))
+  }
+
   test("stream-static enrichment join matches batch enrichment") {
     val stream = Streaming.readEntryStream(spark, streamDir,
       maxFilesPerTrigger = 2)

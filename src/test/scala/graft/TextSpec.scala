@@ -100,16 +100,33 @@ class TextSpec extends SparkSpec {
     assert(langs == docs.select("lang").distinct().count())
   }
 
-  test("multimodal: byte stats equal text lengths; features deterministic") {
+  test("multimodal: byte stats equal text lengths; real decode recovers planted dims") {
     val ingested = Multimodal.ingest(docs)
     val total = Multimodal.byteStats(ingested)
       .agg(sum("total_bytes")).head.getLong(0)
     val expected = docs.agg(sum(octet_length(col("text")))).head.getLong(0)
     assert(total == expected)
-    val f1 = Multimodal.featureStats(ingested).collect()
-      .map(r => r.getString(0) -> r.getAs[Double]("avg_f0")).toMap
-    val f2 = Multimodal.featureStats(ingested).collect()
-      .map(r => r.getString(0) -> r.getAs[Double]("avg_f0")).toMap
-    assert(f1 == f2)
+    // synthesized REAL container bytes: every blob decodes to its
+    // planted modality and dimensions
+    val feats = Multimodal.extractFeatures(Multimodal.synthesize(docs))
+      .collect()
+    assert(feats.length == docs.count())
+    feats.foreach { f =>
+      (f.doc_id % 3) match {
+        case 0 =>
+          assert(f.format == "bmp" &&
+            f.width == 16 + (f.doc_id % 32).toInt &&
+            f.height == 8 + (f.doc_id % 16).toInt, f.toString)
+        case 1 =>
+          assert(f.format == "png" &&
+            f.width == 32 + (f.doc_id % 64).toInt, f.toString)
+        case _ =>
+          assert(f.format == "wav" && f.sample_rate > 0 &&
+            f.duration_ms > 0.0, f.toString)
+      }
+    }
+    // text blobs are not a known container → unknown, not a crash
+    val unk = Multimodal.featureStats(ingested).collect()
+    assert(unk.length == 1 && unk.head.getString(0) == "unknown")
   }
 }
