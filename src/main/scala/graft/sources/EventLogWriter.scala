@@ -116,4 +116,24 @@ object EventLogWriter {
     spark.read.parquet(path)
       .select("space", "segment", "sequence", "ts_us", "event_id", "value",
         "payload")
+
+  /** Bucketed production layout (SURVEY §5): bucketed by `segment`,
+    * sorted by (segment, sequence) inside each bucket. Bucketing makes
+    * the file→key mapping part of the table metadata, so any
+    * segment-keyed join or aggregation between co-bucketed tables (the
+    * log ⨝ per-segment state: tails, eskit snapshots, status) runs with
+    * NO Exchange on either side — at 100 TB that is the difference
+    * between a metadata lookup and re-shuffling the whole log every
+    * query. PlanSpec asserts the shuffle-free join. `path` makes the
+    * table external so the catalog entry carries no data of its own. */
+  def writeBucketed(entries: DataFrame, table: String, path: String,
+      buckets: Int = 16, mode: SaveMode = SaveMode.Overwrite): Unit =
+    entries
+      .repartition(col("segment"))
+      .write
+      .option("path", path)
+      .bucketBy(buckets, "segment")
+      .sortBy("segment", "sequence")
+      .mode(mode)
+      .saveAsTable(table)
 }

@@ -75,6 +75,35 @@ class PlanSpec extends SparkSpec {
       s"k-means round should be window-free, found: ${wins.mkString}")
   }
 
+  test("co-bucketed segment join runs with no Exchange on either side") {
+    val dirA = Files.createTempDirectory("graft_bkt_log").toString
+    val dirB = Files.createTempDirectory("graft_bkt_state").toString
+    spark.sql("DROP TABLE IF EXISTS bkt_entries")
+    spark.sql("DROP TABLE IF EXISTS bkt_state")
+    EventLogWriter.writeBucketed(
+      EventLog.entries(spark, SF, Some("click")), "bkt_entries", dirA,
+      buckets = 8)
+    // per-segment state (tail/snapshot shape), co-bucketed on the same key
+    val state = StreamOps.segmentStatus(EventLog.named(spark, SF))
+      .filter(col("space") === "click")
+      .select(col("segment"), col("last_sequence"))
+    state.repartition(col("segment")).write
+      .option("path", dirB).bucketBy(8, "segment")
+      .mode("overwrite").saveAsTable("bkt_state")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the test proves the BUCKETED path is
+      // shuffle-free, not that the small side got broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_entries")
+        .join(spark.table("bkt_state"), "segment")
+      val p = plan(joined)
+      assert(!p.contains("Exchange"), p)
+      assert(joined.count() > 0)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("vocab_topk is TakeOrdered (per-partition heap), not a global sort") {
     val p = plan(graft.text.TextOps.vocabTopK(
       graft.text.TextOps.docs(spark, SF), 50))
