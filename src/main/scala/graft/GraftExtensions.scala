@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CharBigrams, DotProduct, MinHashSig, PolyHash64, SimHash64}
+import graft.functions.{CharBigrams, DotProduct, HyperplaneBucket, MinHashSig, PolyHash64, SimHash64}
 
 /** SparkSessionExtensions registering graft's native expressions as SQL
   * functions, so `spark.sql("SELECT poly_hash64(text) ...")` works and the
@@ -48,5 +48,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("char_bigrams"),
       info("char_bigrams", "char_bigrams(str) - int-coded char bigrams"),
       (args: Seq[Expression]) => CharBigrams(args.head)))
+    ext.injectFunction((FunctionIdentifier("hyperplane_bucket"),
+      info("hyperplane_bucket",
+        "hyperplane_bucket(vec, planes) - random-hyperplane LSH bucket id"),
+      (args: Seq[Expression]) => {
+        val p = args(1) match {
+          case e if e.foldable => e.eval() match {
+            case n: Number => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"hyperplane_bucket: planes must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "hyperplane_bucket: planes must be a literal, not a column")
+        }
+        HyperplaneBucket(args(0), p)
+      }))
   }
 }

@@ -311,12 +311,8 @@ object Dedup {
       planes: Int = 6): DataFrame = {
     val e = emb.select(col("vec_id"), col("v").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(DotProduct(col("v"), col("v"))))
-      .withColumn("bucket", expr(
-        s"""aggregate(sequence(0, ${planes - 1}), 0L, (acc, p) ->
-              acc + if(aggregate(zip_with(v, transform(sequence(0, size(v) - 1),
-                         d -> (cast(xxhash64(p, d) % 2001 AS DOUBLE)) / 1000D),
-                         (x, w) -> x * w), 0D, (s, x) -> s + x) >= 0D,
-                       shiftleft(1L, p), 0L))"""))
+      .withColumn("bucket",
+        graft.functions.HyperplaneBucket(col("v"), planes))
     e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))

@@ -210,6 +210,62 @@ object MinHashSig {
     Bridge.column(MinHashSig(Bridge.expression(c), numHashes))
 }
 
+/** Random-hyperplane LSH bucket of a double vector: bit p of the result
+  * is the sign of the projection onto pseudo-random hyperplane p, whose
+  * weights are splitmix64-derived from (p, dim) — deterministic,
+  * executor-side, no driver randomness, no per-vector weight
+  * materialization. Replaces the `aggregate(zip_with(transform(...)))`
+  * formulation, which allocated two arrays per (vector, plane). */
+case class HyperplaneBucket(child: Expression, planes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_bucket"
+
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneBucket.bucket(input.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HyperplaneBucket.bucket($c, $planes)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}
+
+object HyperplaneBucket {
+  private final val Golden = 0x9E3779B97F4A7C15L
+
+  private def mix(p: Int, d: Int): Long = {
+    var x = (p.toLong << 32 | (d.toLong & 0xffffffffL)) + Golden
+    x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
+    x ^= (x >>> 27); x *= 0x94D049BB133111EBL
+    x ^= (x >>> 31)
+    x
+  }
+
+  /** Called from generated code. Input must be array<double>. */
+  def bucket(v: ArrayData, planes: Int): Long = {
+    val n = v.numElements()
+    var out = 0L
+    var p = 0
+    while (p < planes) {
+      var s = 0.0
+      var d = 0
+      while (d < n) {
+        // weight in [-1, 1] with ~1e-3 resolution
+        s += v.getDouble(d) * ((mix(p, d) % 2001L) / 1000.0)
+        d += 1
+      }
+      if (s >= 0.0) out |= (1L << p)
+      p += 1
+    }
+    out
+  }
+
+  def apply(c: Column, planes: Int): Column =
+    Bridge.column(HyperplaneBucket(Bridge.expression(c), planes))
+}
+
 object SimHash64 {
   /** Called from generated code. Input must be array<long>. */
   def simhash(hashes: ArrayData): Long = {

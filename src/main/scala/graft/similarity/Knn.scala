@@ -47,17 +47,14 @@ object Knn {
   }
 
   /** Random-hyperplane LSH: `planes` signed projections form a bucket id;
-    * queries search only their bucket. Hyperplane weights are derived from
-    * xxhash64(plane, dim) so they're deterministic with no driver-side
-    * randomness and re-derivable on any executor. */
+    * queries search only their bucket. The bucket is the native
+    * HyperplaneBucket kernel — weights derived executor-side from
+    * splitmix64(plane, dim), one codegen'd pass per vector with no
+    * per-plane array allocation. */
   def lsh(e: DataFrame, queryPred: Column, k: Int,
       planes: Int = 8): DataFrame = {
-    val bucketed = e.withColumn("bucket", expr(
-      s"""aggregate(sequence(0, ${planes - 1}), 0L, (acc, p) ->
-            acc + if(aggregate(zip_with(v, transform(sequence(0, size(v) - 1),
-                       d -> (cast(xxhash64(p, d) % 2001 AS DOUBLE)) / 1000D),
-                       (x, w) -> x * w), 0D, (s, x) -> s + x) >= 0D,
-                     shiftleft(1L, p), 0L))"""))
+    val bucketed = e.withColumn("bucket",
+      graft.functions.HyperplaneBucket(col("v"), planes))
     val q = bucketed.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("v"), col("nrm"),
         col("bucket"))
@@ -70,8 +67,18 @@ object Knn {
     ranked(scored, k)
   }
 
-  private val cdist =
-    "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, (s, x) -> s + x)"
+  /** Squared L2 distance to a centroid via the dot-product identity
+    * ‖v−c‖² = ‖v‖² + ‖c‖² − 2·v·c — the per-pair work is ONE codegen'd
+    * DotProduct kernel call instead of a zip_with lambda that allocates
+    * an intermediate array per (vector, centroid) pair. Requires `nrm`
+    * (vector norm, precomputed once in [[emb]]) and `cnrm2` (centroid
+    * squared norm, computed once per round on the tiny centroid table). */
+  private def sqDist: Column =
+    col("nrm") * col("nrm") + col("cnrm2") -
+      lit(2.0) * DotProduct(col("v"), col("cv"))
+
+  private def withCnrm2(centroids: DataFrame): DataFrame =
+    centroids.withColumn("cnrm2", DotProduct(col("cv"), col("cv")))
 
   /** Nearest-centroid assignment as a map-side-combinable `min_by`
     * aggregation on (distance, c_id) — NOT a `row_number` window, which
@@ -99,8 +106,8 @@ object Knn {
       .orderBy("h").limit(k)
       .select(col("h").as("c_id"), col("v").as("cv"))
     (1 to iters).foreach { _ =>
-      val scored = e.crossJoin(broadcast(centroids))
-        .withColumn("d", expr(cdist))
+      val scored = e.crossJoin(broadcast(withCnrm2(centroids)))
+        .withColumn("d", sqDist)
       centroids = assignNearest(scored, Seq("v"))
         .select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("c_id", "pos").agg(avg(col("x")).as("cx"))
@@ -120,14 +127,14 @@ object Knn {
     // assign every vector to its nearest centroid: broadcast centroids,
     // min_by agg (partial combine) — no vec_id shuffle+sort
     val assigned = assignNearest(
-      e.crossJoin(broadcast(centroids)).withColumn("d", expr(cdist)),
+      e.crossJoin(broadcast(withCnrm2(centroids))).withColumn("d", sqDist),
       Seq("v", "nrm"))
       .select(col("vec_id"), col("v"), col("nrm"), col("c_id"))
     val probeW = Window.partitionBy("query_id").orderBy(col("d"), col("c_id"))
     val probes = e.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("v"), col("nrm"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("d", expr(cdist))
+      .crossJoin(broadcast(withCnrm2(centroids)))
+      .withColumn("d", sqDist)
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("v"), col("nrm"), col("c_id"))

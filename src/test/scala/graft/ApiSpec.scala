@@ -143,7 +143,9 @@ class ApiSpec extends SparkSpec {
         |       dot_product(array(1D, 2D), array(3D, 4D)) AS d,
         |       simhash64(array(0L)) AS sh,
         |       minhash_sig(array(42L), 4) AS mh,
-        |       char_bigrams('abc') AS bg""".stripMargin).head()
+        |       char_bigrams('abc') AS bg,
+        |       hyperplane_bucket(array(1D, 0D, -1D), 8) AS hb""".stripMargin)
+      .head()
     assert(r.getAs[Double]("d") == 11.0)
     assert(r.getAs[scala.collection.Seq[Long]]("mh").length == 4)
     assert(r.getAs[scala.collection.Seq[Int]]("bg").length == 2)

@@ -76,6 +76,31 @@ class KernelPropertySpec extends SparkSpec {
     assert(h <= 16, s"hamming $h too large for a 1/200 change")
   }
 
+  test("hyperplane_bucket is deterministic, in range, and locality-sensitive") {
+    import graft.functions.HyperplaneBucket
+    val planes = 8
+    def bucket(v: Array[Double]) =
+      HyperplaneBucket.bucket(new GenericArrayData(v), planes)
+    (1 to 100).foreach { _ =>
+      val v = Array.fill(16)(rnd.nextGaussian())
+      val b = bucket(v)
+      assert(b == bucket(v))
+      assert(b >= 0 && b < (1L << planes))
+      // scaling a vector never changes its signs → same bucket
+      assert(bucket(v.map(_ * 3.7)) == b)
+      // the antipode flips every projection → complement bucket
+      assert(bucket(v.map(-_)) == (~b & ((1L << planes) - 1)))
+    }
+    // locality: a small perturbation keeps most plane signs
+    val flips = (1 to 200).map { _ =>
+      val v = Array.fill(16)(rnd.nextGaussian())
+      val w = v.map(_ + rnd.nextGaussian() * 0.01)
+      java.lang.Long.bitCount(bucket(v) ^ bucket(w))
+    }
+    assert(flips.sum.toDouble / flips.size < 1.0,
+      s"avg flips ${flips.sum.toDouble / flips.size}")
+  }
+
   test("char_bigrams length and packing") {
     (1 to 200).foreach { _ =>
       val s = asciiStr()
