@@ -86,6 +86,39 @@ object PipelineQueries {
              min(doc_id) AS keeper, count(*) AS n_copies
       FROM documents GROUP BY 1""",
 
+    // connected components are SQL-expressible as a recursive transitive
+    // closure (components are tiny, so the closure is cheap in the
+    // oracle); cluster = min reachable doc_id, exactly the fixpoint the
+    // Spark-side min-label propagation converges to
+    "dedup_clusters" -> """
+      WITH RECURSIVE de AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split(lower(text), ' '),
+                 x -> x <> '')) AS w
+        FROM documents WHERE lang = 'de'),
+      sz AS (SELECT doc_id, len(w) AS n FROM de),
+      inv AS (SELECT doc_id, unnest(w) AS word FROM de),
+      cand AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM inv a JOIN inv b
+          ON a.word = b.word AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT doc1, doc2
+        FROM cand
+        JOIN sz s1 ON doc1 = s1.doc_id
+        JOIN sz s2 ON doc2 = s2.doc_id
+        WHERE round(n_common / (s1.n + s2.n - n_common), 4) >= 0.85),
+      edges AS (
+        SELECT doc1 AS a, doc2 AS b FROM pairs
+        UNION SELECT doc2, doc1 FROM pairs),
+      reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+      SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a""",
+
     "dedup_jaccard" -> """
       WITH de AS (
         SELECT doc_id,
@@ -214,6 +247,40 @@ object PipelineQueries {
              CAST(sum(length(text)) AS BIGINT) AS total_chars,
              round(avg(quality_score), 4) AS avg_quality
       FROM kept JOIN surv USING (doc_id) GROUP BY lang""",
+
+    // the char-bigram classifier is fully relational: bigram int codes
+    // ((c0 << 16) | c1, matching the CharBigrams kernel — corpus is
+    // ASCII), per-lang top-30 profiles, overlap argmax with
+    // (overlap desc, lang asc) tie-break
+    "lang_id" -> """
+      WITH bg AS (
+        SELECT doc_id, lang,
+               list_transform(range(1, length(text)), i ->
+                 ord(substring(text, i, 1)) * 65536 +
+                 ord(substring(text, i + 1, 1))) AS bgs
+        FROM documents),
+      expl AS (SELECT lang AS cand_lang, unnest(bgs) AS b FROM bg),
+      counts AS (SELECT cand_lang, b, count(*) AS cnt
+                 FROM expl GROUP BY 1, 2),
+      prof AS (
+        SELECT cand_lang, b FROM (
+          SELECT cand_lang, b,
+                 row_number() OVER (PARTITION BY cand_lang
+                   ORDER BY cnt DESC, b) AS rnk
+          FROM counts) WHERE rnk <= 30),
+      profiles AS (SELECT cand_lang, list(b) AS profile
+                   FROM prof GROUP BY 1),
+      scored AS (
+        SELECT doc_id, lang, cand_lang,
+               CAST(len(list_distinct(list_filter(bgs,
+                 x -> list_contains(profile, x)))) AS BIGINT) AS ov
+        FROM bg CROSS JOIN profiles)
+      SELECT doc_id, lang, cand_lang AS pred_lang, mx AS overlap FROM (
+        SELECT doc_id, lang, cand_lang,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY ov DESC, cand_lang) AS rn,
+               max(ov) OVER (PARTITION BY doc_id) AS mx
+        FROM scored) WHERE rn = 1""",
 
     "vocab_topk" -> """
       WITH w AS (
