@@ -37,6 +37,20 @@ class GraftStore(spark: SparkSession, dir: String) {
       limit: Option[Int] = None): DataFrame =
     StreamOps.consumeMulti(entries, offsets, minTsUs, maxTsUs, limit)
 
+  /** Produce-contract audit across the store (ErrSequenceMismatch dual). */
+  def validate: DataFrame = StreamOps.produceValidate(entries)
+
+  /** TRX recovery audit over per-batch transaction ids
+    * (`internal/txn` dual). */
+  def trxAudit(batchSize: Int = 10): DataFrame =
+    graft.sources.EventLogWriter.trxAudit(
+      graft.sources.EventLogWriter.assignTrx(entries, batchSize), batchSize)
+
+  /** Space-watermark late-arrival audit
+    * (`server/space_watermarks.go` dual). */
+  def watermarkAudit(toleranceUs: Long): DataFrame =
+    StreamOps.watermarkAudit(named, toleranceUs)
+
   def space(name: String): GraftSpace = new GraftSpace(this, name)
 }
 
@@ -88,6 +102,19 @@ class GraftSpace(store: GraftStore, val name: String) {
 
   def stateAsOf(tsUs: Long): DataFrame =
     EventSourcing.stateAsOf(store.entriesFor(Some(name)), name, tsUs)
+
+  /** eskit snapshot at a sequence point (materialize with .write). */
+  def snapshot(atSequence: Long): DataFrame =
+    EventSourcing.snapshot(store.entriesFor(Some(name)), name, atSequence)
+
+  /** Load-snapshot-then-incremental-replay (`eskit/store.go:33-46`). */
+  def replayFrom(snapshot: DataFrame): DataFrame =
+    EventSourcing.replayFromSnapshot(snapshot,
+      store.entriesFor(Some(name)), name)
+
+  /** Last k entries of every segment. */
+  def tail(k: Int): DataFrame =
+    StreamOps.consumeTail(store.entriesFor(Some(name)), name, k)
 
   def segment(id: String): GraftSegment = new GraftSegment(store, name, id)
 }

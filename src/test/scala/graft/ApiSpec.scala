@@ -20,6 +20,19 @@ class ApiSpec extends SparkSpec {
     assert(one.count() == 5)
   }
 
+  test("facade snapshot/replayFrom, tail, validate and audits compose") {
+    val sp = store.space("purchase")
+    val viaSnap = sp.replayFrom(sp.snapshot(20L))
+      .orderBy("segment").collect().map(_.toSeq).toSeq
+    val full = sp.replayState().orderBy("segment").collect()
+      .map(_.toSeq).toSeq
+    assert(viaSnap == full)
+    assert(sp.tail(2).count() == sp.segments.count() * 2)
+    assert(store.validate.filter(!col("contiguous")).count() == 0)
+    assert(store.trxAudit().filter(!col("contiguous")).count() == 0)
+    assert(store.watermarkAudit(300000000L).count() == 5)
+  }
+
   test("facade peek equals consume tail") {
     val s = store.space("purchase").segment("7")
     val last = s.consume().orderBy(col("sequence").desc).limit(1)
