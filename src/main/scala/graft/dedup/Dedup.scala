@@ -216,7 +216,7 @@ object Dedup {
     * converges in a handful of rounds; each round is two shuffles on the
     * edge list — the standard large-graph CC-by-join pattern. Output:
     * (doc_id, cluster) where cluster = min doc_id of the component. */
-  def dedupClusters(pairs: DataFrame, rounds: Int = 4): DataFrame = {
+  def dedupClusters(pairs: DataFrame, maxRounds: Int = 8): DataFrame = {
     // eager localCheckpoint: materializes AND truncates lineage, so each
     // round plans against a flat LogicalRDD instead of a nested tree
     // (lazy caches here made planning itself the bottleneck)
@@ -227,45 +227,52 @@ object Dedup {
     var labels = edges.select(col("a").as("doc_id"))
       .distinct()
       .withColumn("cluster", col("doc_id"))
-    // Fixed round count, no per-round convergence action: with pointer
-    // jumping each round squares the reachable radius, so `rounds` = 4
-    // covers component diameter 2^4 (near-dup components are
-    // cliques/stars of diameter ≤ 2 in practice). One validation job at
-    // the end asserts the fixpoint instead of one count per round.
-    (1 to rounds).foreach { _ =>
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "b")
-          .withColumnRenamed("cluster", "b_cluster"), "b")
-        .groupBy(col("a").as("doc_id"))
-        .agg(min(col("b_cluster")).as("nbr_cluster"))
-      val propagated = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster")))
-            .as("cluster"))
-      // pointer jumping (path halving): adopt the label of the current
-      // label, collapsing chains in O(log diameter) rounds. The round
-      // result is cached: the self-join references `propagated` twice
-      // and the next round references this twice more — without a cache
-      // the lineage (and recomputation) doubles every round.
-      labels = propagated.as("l")
-        .join(propagated.select(col("doc_id").as("cluster"),
-          col("cluster").as("cluster2")).as("m"), Seq("cluster"), "left")
-        .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("cluster2"), col("cluster")))
-            .as("cluster"))
-        .localCheckpoint(true)
-    }
-    val lbl = labels
-    val violations = edges
+    def violations(lbl: DataFrame): Long = edges
       .join(lbl.withColumnRenamed("doc_id", "a")
         .withColumnRenamed("cluster", "ca"), "a")
       .join(lbl.withColumnRenamed("doc_id", "b")
         .withColumnRenamed("cluster", "cb"), "b")
       .filter(col("ca") =!= col("cb")).count()
-    require(violations == 0,
-      s"dedupClusters did not converge in $rounds rounds " +
-        s"($violations cross-cluster edges); raise `rounds`")
-    lbl
+    // Adaptive rounds: with pointer jumping each round squares the
+    // reachable radius, and near-dup components are cliques/stars of
+    // diameter ≤ 2 in practice — so run TWO rounds, then check the
+    // fixpoint (labels constant across every edge ⟹ every component at
+    // its min) and only continue for pathological chain components. The
+    // check is one count job; unconditional extra rounds cost two joins
+    // + a materialization each.
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      (1 to 2).foreach { _ =>
+        val neighborMin = edges
+          .join(labels.withColumnRenamed("doc_id", "b")
+            .withColumnRenamed("cluster", "b_cluster"), "b")
+          .groupBy(col("a").as("doc_id"))
+          .agg(min(col("b_cluster")).as("nbr_cluster"))
+        val propagated = labels.join(neighborMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster")))
+              .as("cluster"))
+        // pointer jumping (path halving): adopt the label of the current
+        // label, collapsing chains in O(log diameter) rounds. The round
+        // result is checkpointed: the self-join references `propagated`
+        // twice and the next round twice more — without materialization
+        // the lineage (and recomputation) doubles every round.
+        labels = propagated.as("l")
+          .join(propagated.select(col("doc_id").as("cluster"),
+            col("cluster").as("cluster2")).as("m"), Seq("cluster"), "left")
+          .select(col("doc_id"),
+            least(col("cluster"), coalesce(col("cluster2"), col("cluster")))
+              .as("cluster"))
+          .localCheckpoint(true)
+      }
+      round += 2
+      converged = violations(labels) == 0
+    }
+    require(converged,
+      s"dedupClusters did not converge in $maxRounds rounds; " +
+        "component diameter exceeds 2^rounds — raise `maxRounds`")
+    labels
   }
 
   /** Character n-gram Jaccard near-dup pairs — tokenizer-free, works for
