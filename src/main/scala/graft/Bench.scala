@@ -40,7 +40,10 @@ object Bench {
       s"\"" + k + "\":" + (if (ok) v else -1.0)
     }.mkString("{", ",", "}")
     val warm = WarmSet.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
-      .map { case (n, fn) => s"\"" + n + "\":" + time(n, fn)._1 }
+      .map { case (n, fn) =>
+        val (sec, ok) = time(n, fn)
+        s"\"" + n + "\":" + (if (ok) sec else -1.0)
+      }
       .mkString("{", ",", "}")
     val total = results.filter(_._3).map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -217,6 +217,8 @@ object Dedup {
     * edge list — the standard large-graph CC-by-join pattern. Output:
     * (doc_id, cluster) where cluster = min doc_id of the component. */
   def dedupClusters(pairs: DataFrame, maxRounds: Int = 8): DataFrame = {
+    require(maxRounds >= 2 && maxRounds % 2 == 0,
+      s"maxRounds must be a positive multiple of 2, got $maxRounds")
     // eager localCheckpoint: materializes AND truncates lineage, so each
     // round plans against a flat LogicalRDD instead of a nested tree
     // (lazy caches here made planning itself the bottleneck)

@@ -252,7 +252,9 @@ object HyperplaneBucket {
       var s = 0.0
       var d = 0
       while (d < n) {
-        // weight in [-1, 1] with ~1e-3 resolution
+        // Java % keeps the dividend's sign → weight in (-2.0, 2.0),
+        // symmetric around 0 with ~1e-3 resolution; only the sign of the
+        // projection matters for the bucket bit
         s += v.getDouble(d) * ((mix(p, d) % 2001L) / 1000.0)
         d += 1
       }

@@ -87,20 +87,26 @@ object MediaCodec {
     * +2, sample rate u32le at +4, byte rate u32le at +8) and `data`
     * (payload size → duration = size / byteRate). */
   def decodeWav(b: Array[Byte]): MediaMeta = {
-    var pos = 12
+    // Long cursor: a hostile 32-bit chunk size can neither overflow to a
+    // negative Int (which would stall or rewind the cursor — infinite
+    // loop) nor index past the array; size is unsigned so pos strictly
+    // advances by ≥ 8 per chunk and the loop always terminates, with any
+    // truncated/corrupt container falling out as Unknown.
+    var pos = 12L
     var channels = 0; var sampleRate = 0; var byteRate = 0
     var dataSize = -1L
     while (pos + 8 <= b.length && (channels == 0 || dataSize < 0)) {
-      val id = new String(b, pos, 4, StandardCharsets.US_ASCII)
-      val size = le32(b, pos + 4).toLong & 0xffffffffL
+      val p = pos.toInt
+      val id = new String(b, p, 4, StandardCharsets.US_ASCII)
+      val size = le32(b, p + 4).toLong & 0xffffffffL
       if (id == "fmt " && pos + 8 + 16 <= b.length) {
-        channels = le16(b, pos + 10)
-        sampleRate = le32(b, pos + 12)
-        byteRate = le32(b, pos + 16)
+        channels = le16(b, p + 10)
+        sampleRate = le32(b, p + 12)
+        byteRate = le32(b, p + 16)
       } else if (id == "data") {
         dataSize = size
       }
-      pos += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      pos += 8L + size + (size & 1L) // chunks are word-aligned
     }
     if (channels <= 0 || sampleRate <= 0 || byteRate <= 0 || dataSize < 0)
       Unknown

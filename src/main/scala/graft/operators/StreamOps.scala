@@ -194,14 +194,20 @@ object StreamOps {
           col("max_sequence") === col("n_entries"))
       .withColumn("no_duplicates", col("n_distinct") === col("n_entries"))
 
+  /** Batch ordinal of a sequence: the single definition of which entries
+    * belong to one produce batch/transaction — shared by [[trxRollup]]
+    * and the persisted-id path (EventLogWriter.assignTrx) so the two trx
+    * views can never disagree about batch boundaries. */
+  def trxNumber(batchSize: Int): Column =
+    expr(s"(sequence - 1) div $batchSize").cast("long")
+
   /** TRX rollup (`pkg/api/messages.go:249`, `internal/txn`): entries are
     * produced in batches; each batch carries transaction metadata used
     * for recovery. Model: trx = consecutive chunks of `batchSize`
     * sequences per segment; audit each transaction's completeness. */
   def trxRollup(entries: DataFrame, batchSize: Int): DataFrame =
     entries
-      .withColumn("trx_number",
-        expr(s"(sequence - 1) div $batchSize").cast("long"))
+      .withColumn("trx_number", trxNumber(batchSize))
       .groupBy(col("space"), col("segment"), col("trx_number"))
       .agg(
         count(lit(1)).as("n_entries"),

@@ -78,7 +78,7 @@ object EventLogWriter {
   def assignTrx(entries: DataFrame, batchSize: Int): DataFrame =
     entries
       .withColumn("trx_number",
-        expr(s"(sequence - 1) div $batchSize").cast("long"))
+        graft.operators.StreamOps.trxNumber(batchSize))
       .withColumn("trx_id",
         md5(concat_ws(":", col("space"), col("segment"), col("trx_number"))))
 

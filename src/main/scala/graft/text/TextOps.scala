@@ -177,11 +177,15 @@ object TextOps {
   def stratifiedSample(d: DataFrame, fraction: Double,
       seed: Long = 42L): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"bad fraction $fraction")
-    val threshold = f"${math.round(fraction * 65536)}%04x"
-    d.filter(
+    val cut = math.round(fraction * 65536)
+    val base = d.select(col("doc_id"), col("lang"), col("source"))
+    // cut = 65536 would format as the 5-char "10000", which compares
+    // lexicographically BELOW most 4-char prefixes — keep-all must skip
+    // the filter entirely
+    if (cut >= 65536L) base
+    else base.filter(
       substring(md5(concat_ws(":", col("doc_id").cast("string"), col("lang"),
-        lit(seed.toString))), 1, 4) < threshold)
-      .select(col("doc_id"), col("lang"), col("source"))
+        lit(seed.toString))), 1, 4) < f"$cut%04x")
   }
 
   /** Composed curation pipeline — the end-to-end pass a training-data

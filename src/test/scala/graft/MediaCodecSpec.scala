@@ -42,6 +42,20 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(!MediaCodec.decode(MediaCodec.encodeWav(1, 8000, 10).take(14)).ok)
   }
 
+  test("hostile wav chunk sizes terminate and decode to unknown") {
+    // chunk size 0xFFFFFFF8 would stall the cursor (pos += 8 + (-8))
+    // under Int arithmetic — must terminate and reject, not hang
+    val hostile = MediaCodec.encodeWav(1, 8000, 4)
+    hostile(16) = 0xf8.toByte; hostile(17) = 0xff.toByte
+    hostile(18) = 0xff.toByte; hostile(19) = 0xff.toByte
+    assert(!MediaCodec.decode(hostile).ok)
+    // size 0x7FFFFFF9 overflows Int addition → must not throw
+    val big = MediaCodec.encodeWav(1, 8000, 4)
+    big(16) = 0xf9.toByte; big(17) = 0xff.toByte
+    big(18) = 0xff.toByte; big(19) = 0x7f.toByte
+    assert(!MediaCodec.decode(big).ok)
+  }
+
   test("bmp top-down negative height is normalized") {
     val bytes = MediaCodec.encodeBmp(4, 4)
     // patch height (offset 22, s32le) to -4: top-down row order

@@ -98,6 +98,10 @@ class TextSpec extends SparkSpec {
     // per-stratum: every language keeps a nonzero share
     val langs = sampled.select("lang").distinct().count()
     assert(langs == docs.select("lang").distinct().count())
+    // boundary fractions: 1.0 keeps everything (the 5-char hex threshold
+    // "10000" would otherwise break the 4-char comparison), 0.0 nothing
+    assert(TextOps.stratifiedSample(docs, 1.0).count() == total)
+    assert(TextOps.stratifiedSample(docs, 0.0).count() == 0)
   }
 
   test("multimodal: byte stats equal text lengths; real decode recovers planted dims") {
