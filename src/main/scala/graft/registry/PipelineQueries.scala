@@ -55,6 +55,10 @@ object PipelineQueries {
       Knn.lsh(Knn.emb(s, d), col("vec_id") < 20, k = 5)),
     "knn_ivf" -> ((s, d) =>
       Knn.ivf(Knn.emb(s, d), col("vec_id") < 5, k = 10)),
+    // corpus clustering over embeddings (seeded k-means + min_by
+    // assignment); rows-only (centroid ids are hash-derived), KnnSpec
+    // asserts coverage and determinism
+    "emb_clusters" -> ((s, d) => Knn.clusterStats(Knn.emb(s, d))),
     // ── G. text ───────────────────────────────────────────────────────
     "text_stats" -> ((s, d) => TextOps.stats(docs(s, d))),
     "text_quality" -> ((s, d) => TextOps.quality(docs(s, d))),
@@ -70,6 +74,7 @@ object PipelineQueries {
     "doc_sample" -> ((s, d) =>
       TextOps.stratifiedSample(docs(s, d), fraction = 0.2)),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
+    "lm_score" -> ((s, d) => TextOps.lmScore(docs(s, d))),
     // ── H. multimodal ─────────────────────────────────────────────────
     "mm_ingest" -> ((s, d) => Multimodal.byteStats(
       Multimodal.ingest(docs(s, d)))),
@@ -281,6 +286,22 @@ object PipelineQueries {
                  ORDER BY ov DESC, cand_lang) AS rn,
                max(ov) OVER (PARTITION BY doc_id) AS mx
         FROM scored) WHERE rn = 1""",
+
+    // unigram LM trained on the scored corpus itself → every token
+    // in-vocabulary, so the oracle is exact (DuckDB ln = Spark log)
+    "lm_score" -> """
+      WITH t AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                 x -> x <> '')) AS token
+        FROM documents),
+      c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1),
+      n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c)
+      SELECT doc_id, count(*) AS n_tokens,
+             round(avg(ln(cnt) - ln(n_total)), 4) AS avg_logp,
+             round(exp(-avg(ln(cnt) - ln(n_total))), 2) AS perplexity
+      FROM t JOIN c USING (token) CROSS JOIN n
+      GROUP BY doc_id""",
 
     "vocab_topk" -> """
       WITH w AS (

@@ -118,6 +118,22 @@ object Knn {
     centroids
   }
 
+  /** Corpus clustering: assign every vector to its nearest trained
+    * centroid and roll up per-cluster stats — the curation pass that
+    * groups a corpus by embedding region (topic discovery, domain
+    * balancing). Same broadcast-score + min_by plan as the IVF build, so
+    * it scales identically. */
+  def clusterStats(e: DataFrame, k: Int = 8): DataFrame = {
+    val centroids = kmeansCentroids(e, k)
+    assignNearest(
+      e.crossJoin(broadcast(withCnrm2(centroids))).withColumn("d", sqDist),
+      Seq("nrm"))
+      .groupBy(col("c_id"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        round(avg(col("nrm")), 4).as("avg_norm"))
+  }
+
   /** IVF: k-means centroids ([[kmeansCentroids]]; at scale trained once
     * offline), every vector joins its nearest centroid's inverted list;
     * queries probe the `nprobe` nearest lists. */

@@ -208,6 +208,32 @@ object TextOps {
         round(avg(col("quality_score")), 4).as("avg_quality"))
   }
 
+  /** Unigram language-model scoring — the perplexity-style quality
+    * filter of a training pipeline: train token log-probabilities on the
+    * corpus itself (one count agg; at 100 TB this is the classic
+    * KenLM-lite pass trained once and broadcast), then score each
+    * document by its mean token log-prob and perplexity. Trained on the
+    * scored corpus, so every token is in-vocabulary (no smoothing term
+    * to keep the oracle exact). Join on token shuffles only (token,
+    * count) pairs — vocabulary-sized, not corpus-sized. */
+  def lmScore(d: DataFrame): DataFrame = {
+    val toks = withToks(d.withColumn("text", lower(col("text"))))
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+    val counts = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    toks
+      .join(counts, "token")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (log(col("cnt")) - log(col("n_total"))).as("logp"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(col("logp")), 4).as("avg_logp"),
+        round(exp(-avg(col("logp"))), 2).as("perplexity"))
+  }
+
   /** Polynomial rolling-hash fingerprint per document (custom codegen'd
     * Catalyst expression graft.functions.PolyHash64). */
   def fingerprint(d: DataFrame): DataFrame =

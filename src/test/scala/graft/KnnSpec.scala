@@ -37,6 +37,16 @@ class KnnSpec extends SparkSpec {
     })
   }
 
+  test("cluster stats cover every vector deterministically") {
+    val a = Knn.clusterStats(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Knn.clusterStats(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(a.values.sum == e.count())
+    assert(a.size >= 2 && a.size <= 8)
+  }
+
   test("ivf probes recover a reasonable share of brute top-10") {
     val brute = Knn.brute(e, col("vec_id") < 5, k = 10).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet

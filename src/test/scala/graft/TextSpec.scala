@@ -82,6 +82,20 @@ class TextSpec extends SparkSpec {
       hits.head.getAs[Long]("test_doc") == 2L)
   }
 
+  test("lm score ranks common-token docs as lower perplexity") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the the the the the the the the"),
+      (2L, "the the the the rare1 rare2 rare3 rare4")
+    ).toDF("doc_id", "text")
+    val s = TextOps.lmScore(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("avg_logp"), r.getAs[Double]("perplexity"))).toMap
+    assert(s(1L)._1 > s(2L)._1)          // common tokens → higher logp
+    assert(s(1L)._2 < s(2L)._2)          // → lower perplexity
+    assert(s.values.forall(_._2 >= 1.0)) // perplexity is ≥ 1
+  }
+
   test("stratified sample is collect-free, seeded, and near the target fraction") {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
     val sampled = TextOps.stratifiedSample(docs, 0.2)
