@@ -129,6 +129,27 @@ object Streaming {
         unix_micros(col("session_window.start")).as("start_us"),
         col("n_events"), col("sum_value"))
 
+  /** Live TRX recovery monitor (`internal/txn` recovery loop as a
+    * stream): per-transaction completeness over a produce feed, state
+    * keyed by (space, segment, trx_id) so it shards with the state
+    * store. An incomplete transaction visible after its segment has
+    * moved on is exactly what the reference's recovery scan looks for. */
+  def trxAuditStream(producedStream: DataFrame,
+      batchSize: Int): DataFrame =
+    producedStream
+      .withColumn("trx_number",
+        graft.operators.StreamOps.trxNumber(batchSize))
+      .withColumn("trx_id", md5(concat_ws(":",
+        col("space"), col("segment"), col("trx_number"))))
+      .groupBy(col("space"), col("segment"), col("trx_id"))
+      .agg(
+        count(lit(1)).as("n_entries"),
+        min(col("sequence")).as("first_sequence"),
+        max(col("sequence")).as("last_sequence"))
+      .withColumn("contiguous",
+        col("last_sequence") - col("first_sequence") + 1 === col("n_entries"))
+      .withColumn("sealed", col("n_entries") === batchSize)
+
   /** Streaming exact dedup: keep the first arrival of each content
     * digest across micro-batches (state = seen digests, sharded by
     * digest hash). The streaming dual of Dedup.exact for a live

@@ -151,6 +151,26 @@ class StreamingSpec extends SparkSpec {
     assert(!got.exists(r => r(1) == "7" && r(2) == 5L))
   }
 
+  test("streaming trx audit converges to the batch recovery audit") {
+    val dir = Files.createTempDirectory("graft_trx_stream").toString
+    val entries = EventLog.entries(spark, SF)
+    graft.sources.EventLogWriter.write(entries, dir)
+    val stream = Streaming.readProducedStream(spark, dir,
+      maxFilesPerTrigger = 2)
+    runToCompletion(Streaming.trxAuditStream(stream, 10), "trx_stream",
+      "complete")
+    val got = spark.table("trx_stream")
+      .select("space", "segment", "trx_id", "n_entries", "first_sequence",
+        "last_sequence", "contiguous", "sealed")
+      .collect().map(_.toSeq).toSet
+    val want = graft.sources.EventLogWriter.trxAudit(
+        graft.sources.EventLogWriter.assignTrx(entries, 10), 10)
+      .select("space", "segment", "trx_id", "n_entries", "first_sequence",
+        "last_sequence", "contiguous", "sealed")
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
   test("stream-static enrichment join matches batch enrichment") {
     val stream = Streaming.readEntryStream(spark, streamDir,
       maxFilesPerTrigger = 2)
