@@ -2,7 +2,7 @@ package graft.registry
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.sources.EventLog
-import graft.operators.{StreamOps, EventSourcing, Windows}
+import graft.operators.{StreamOps, EventSourcing, Temporal, Windows}
 import graft.analytics.Relational
 
 /** Driver bindings for SURVEY §2 families A–D: each query name maps to a
@@ -106,6 +106,13 @@ object CoreQueries {
       Windows.running(EventLog.entries(s, d, Some("click")), "click")),
     "value_quantiles" -> ((s, d) =>
       Windows.valueQuantiles(EventLog.named(s, d))),
+    // temporal joins (operators Spark lacks natively; see
+    // graft.operators.Temporal for the scale-safe formulations)
+    "asof_join" -> ((s, d) =>
+      Temporal.asofJoin(EventLog.entries(s, d), "purchase", "click")),
+    "range_join" -> ((s, d) =>
+      Temporal.rangeJoinCount(EventLog.entries(s, d), "purchase", "click",
+        HOUR_US)),
     // mergeable-sketch dual of value_quantiles — rows-only (sketch
     // estimates aren't oracle-reproducible); spec bounds error vs exact
     "value_quantiles_approx" -> ((s, d) =>
@@ -398,6 +405,32 @@ object CoreQueries {
              round(quantile_cont(value, 0.99), 4) AS p99,
              round(avg(value), 4) AS mean
       FROM events GROUP BY 1""",
+
+    // tie-break note: (segment, ts_us) is unique per space in this data,
+    // so max_by(value, ts_us) is deterministic; the Spark operator
+    // additionally tie-breaks by event_id for datasets where it is not
+    "asof_join" -> s"""$E,
+      p AS (SELECT segment, sequence, ts_us FROM entries
+            WHERE space = 'purchase'),
+      c AS (SELECT segment, ts_us, value FROM entries
+            WHERE space = 'click')
+      SELECT p.segment, p.sequence, p.ts_us,
+             max(c.ts_us) AS ref_ts_us,
+             max_by(c.value, c.ts_us) AS ref_value
+      FROM p LEFT JOIN c
+        ON p.segment = c.segment AND c.ts_us <= p.ts_us
+      GROUP BY 1, 2, 3""",
+
+    "range_join" -> s"""$E,
+      p AS (SELECT segment, sequence, ts_us FROM entries
+            WHERE space = 'purchase'),
+      c AS (SELECT segment, ts_us FROM entries WHERE space = 'click')
+      SELECT p.segment, p.sequence, p.ts_us,
+             CAST(count(c.ts_us) AS BIGINT) AS n_recent
+      FROM p LEFT JOIN c
+        ON p.segment = c.segment
+       AND c.ts_us > p.ts_us - $HOUR_US AND c.ts_us <= p.ts_us
+      GROUP BY 1, 2, 3""",
 
     "q1_pricing" -> """
       SELECT l_returnflag, l_linestatus,

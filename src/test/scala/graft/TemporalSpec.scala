@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Temporal
+import graft.sources.EventLog
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame(rows: Seq[(String, String, Long, Long, Long, Double)]) =
+    rows.toDF("space", "segment", "sequence", "ts_us", "event_id", "value")
+
+  test("asof join picks the latest at-or-before reference, event_id breaks ts ties") {
+    val entries = frame(Seq(
+      ("click", "a", 1L, 10L, 1L, 1.0),
+      ("click", "a", 2L, 10L, 2L, 2.0), // same ts, higher event_id wins
+      ("click", "a", 3L, 30L, 3L, 3.0),
+      ("purchase", "a", 1L, 10L, 4L, 0.0), // at-or-before: ties included
+      ("purchase", "a", 2L, 20L, 5L, 0.0),
+      ("purchase", "a", 3L, 40L, 6L, 0.0),
+      ("purchase", "b", 1L, 99L, 7L, 0.0))) // no refs in segment b
+    val got = Temporal.asofJoin(entries, "purchase", "click").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(got(("a", 1L)) == (Some(10L), Some(2.0)))
+    assert(got(("a", 2L)) == (Some(10L), Some(2.0)))
+    assert(got(("a", 3L)) == (Some(30L), Some(3.0)))
+    assert(got(("b", 1L)) == (None, None))
+  }
+
+  test("banded range count equals the brute inequality join on real data") {
+    val entries = EventLog.entries(spark, SF).cache()
+    val w = 3600000000L
+    val banded = Temporal.rangeJoinCount(entries, "purchase", "click", w)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3))
+      .toMap
+    val q = entries.filter(col("space") === "purchase")
+      .select(col("segment"), col("sequence"), col("ts_us"))
+    val r = entries.filter(col("space") === "click")
+      .select(col("segment").as("rs"), col("ts_us").as("rt"))
+    val brute = q.join(r, col("segment") === col("rs") &&
+        col("rt") > col("ts_us") - w && col("rt") <= col("ts_us"), "left")
+      .groupBy("segment", "sequence")
+      .agg(sum(when(col("rt").isNotNull, 1L).otherwise(0L)).as("n"))
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> x.getLong(2))
+      .toMap
+    assert(banded == brute)
+    assert(banded.values.exists(_ > 0L))
+  }
+
+  test("asof join result covers every query row exactly once") {
+    val entries = EventLog.entries(spark, SF)
+    val n = entries.filter(col("space") === "purchase").count()
+    val out = Temporal.asofJoin(entries, "purchase", "click")
+    assert(out.count() == n)
+    assert(out.select("segment", "sequence").distinct().count() == n)
+  }
+}
