@@ -406,20 +406,26 @@ object CoreQueries {
              round(avg(value), 4) AS mean
       FROM events GROUP BY 1""",
 
-    // tie-break note: (segment, ts_us) is unique per space in this data,
-    // so max_by(value, ts_us) is deterministic; the Spark operator
-    // additionally tie-breaks by event_id for datasets where it is not
+    // two-stage so ts ties are broken by event_id exactly like the Spark
+    // operator (DuckDB max_by takes no composite key): first the ref
+    // timestamp, then max_by(value, event_id) among refs AT that
+    // timestamp — deterministic even if two refs share a microsecond
     "asof_join" -> s"""$E,
       p AS (SELECT segment, sequence, ts_us FROM entries
             WHERE space = 'purchase'),
-      c AS (SELECT segment, ts_us, value FROM entries
-            WHERE space = 'click')
-      SELECT p.segment, p.sequence, p.ts_us,
-             max(c.ts_us) AS ref_ts_us,
-             max_by(c.value, c.ts_us) AS ref_value
-      FROM p LEFT JOIN c
-        ON p.segment = c.segment AND c.ts_us <= p.ts_us
-      GROUP BY 1, 2, 3""",
+      c AS (SELECT segment, ts_us, event_id, value FROM entries
+            WHERE space = 'click'),
+      a AS (
+        SELECT p.segment, p.sequence, p.ts_us,
+               max(c.ts_us) AS ref_ts_us
+        FROM p LEFT JOIN c
+          ON p.segment = c.segment AND c.ts_us <= p.ts_us
+        GROUP BY 1, 2, 3)
+      SELECT a.segment, a.sequence, a.ts_us, a.ref_ts_us,
+             max_by(c.value, c.event_id) AS ref_value
+      FROM a LEFT JOIN c
+        ON a.segment = c.segment AND c.ts_us = a.ref_ts_us
+      GROUP BY 1, 2, 3, 4""",
 
     "range_join" -> s"""$E,
       p AS (SELECT segment, sequence, ts_us FROM entries

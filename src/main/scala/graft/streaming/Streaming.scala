@@ -135,20 +135,15 @@ object Streaming {
     * store. An incomplete transaction visible after its segment has
     * moved on is exactly what the reference's recovery scan looks for. */
   def trxAuditStream(producedStream: DataFrame,
-      batchSize: Int): DataFrame =
-    producedStream
-      .withColumn("trx_number",
-        graft.operators.StreamOps.trxNumber(batchSize))
-      .withColumn("trx_id", md5(concat_ws(":",
-        col("space"), col("segment"), col("trx_number"))))
-      .groupBy(col("space"), col("segment"), col("trx_id"))
-      .agg(
-        count(lit(1)).as("n_entries"),
-        min(col("sequence")).as("first_sequence"),
-        max(col("sequence")).as("last_sequence"))
-      .withColumn("contiguous",
-        col("last_sequence") - col("first_sequence") + 1 === col("n_entries"))
-      .withColumn("sealed", col("n_entries") === batchSize)
+      batchSize: Int): DataFrame = {
+    // the batch stamping + audit are pure DataFrame transforms, so the
+    // stream reuses them verbatim — one definition of trx identity and
+    // completeness, which is what makes the stream==batch convergence
+    // spec meaningful
+    import graft.sources.EventLogWriter
+    EventLogWriter.trxAudit(
+      EventLogWriter.assignTrx(producedStream, batchSize), batchSize)
+  }
 
   /** Streaming exact dedup: keep the first arrival of each content
     * digest across micro-batches (state = seen digests, sharded by

@@ -223,7 +223,7 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("n_total"))
     toks
-      .join(counts, "token")
+      .join(broadcast(counts), "token")
       .crossJoin(broadcast(total))
       .select(col("doc_id"),
         (log(col("cnt")) - log(col("n_total"))).as("logp"))
