@@ -36,18 +36,24 @@ object Bench {
       (name, sec, ok)
     }
     val failed = results.filter(!_._3).map(_._1)
+    def fmt(v: Double): String = f"$v%.3f" // 3 decimals keep the line short
     val qs = results.map { case (k, v, ok) =>
-      s"\"" + k + "\":" + (if (ok) v else -1.0)
+      s"\"" + k + "\":" + (if (ok) fmt(v) else "-1")
     }.mkString("{", ",", "}")
     val warm = WarmSet.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
       .map { case (n, fn) =>
         val (sec, ok) = time(n, fn)
-        s"\"" + n + "\":" + (if (ok) sec else -1.0)
+        s"\"" + n + "\":" + (if (ok) fmt(sec) else "-1")
       }
       .mkString("{", ",", "}")
     val total = results.filter(_._3).map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$warm,"failed":$failedJson,"sf":"$sfDir"}""")
+    // headline fields LAST: the driver stores a byte-bounded TAIL of the
+    // output, so a long queries map must never push metric/value/total off
+    // the end — anything truncated is the front of the line
+    val line = s"""{"queries":$qs,"warm":$warm,"failed":$failedJson,"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total)}}"""
+    spark.sparkContext.setLogLevel("ERROR") // nothing may print after the metric line
+    println(line)
     spark.stop()
   }
 }

@@ -7,8 +7,12 @@ import org.apache.spark.sql.functions._
 /** Relational analytics over the star schema. These are the headline
   * shuffle-heavy queries the 100 TB design cares about:
   *
-  *  - dimensions (region/nation/supplier/customer at TPC-H ratios) are
-  *    `broadcast()` so fact scans never shuffle for them;
+  *  - TRUE dimensions (region/nation/supplier — bounded, tiny at any
+  *    scale) are `broadcast()` so fact scans never shuffle for them.
+  *    `customer` is NOT hinted: at TPC-H ratios it is lineitem/40, which
+  *    at the 100 TB design point is terabytes — the customer joins
+  *    shuffle on their key and AQE still picks broadcast on its own at
+  *    scales where customer actually fits;
   *  - aggregates run partial (map-side combine) before the single
   *    shuffle on the group key;
   *  - top-k is `orderBy().limit(k)` which Spark executes as
@@ -51,11 +55,11 @@ object Relational {
     val li = t(spark, dir, "lineitem")
       .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    // orders is a fact table: no broadcast hint (at 100 TB it would OOM);
-    // the join shuffles on orderkey and AQE may still pick broadcast at
-    // test scale. Dimensions (customer) stay broadcast.
+    // orders and customer are fact-sized: no broadcast hints (at 100 TB
+    // either would OOM); both joins shuffle on their keys and AQE may
+    // still pick broadcast at test scale.
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_orderpriority"))
@@ -80,7 +84,7 @@ object Relational {
     li
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+      .join(cust, col("o_custkey") === col("c_custkey") &&
         col("s_nationkey") === col("c_nationkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -117,15 +121,17 @@ object Relational {
           sum(when(col("space") === sp, 1L).otherwise(0L)).as(s"n_$sp")): _*)
   }
 
-  /** Event-log enrichment: entries joined to a broadcast dimension
-    * (user → customer) and rolled up by a dimension attribute — the
-    * batch shape of a stream-static enrichment join. */
+  /** Event-log enrichment: entries joined to the customer table (user →
+    * customer) and rolled up by a customer attribute — the batch shape of
+    * a stream-static enrichment join. No broadcast hint: customer is
+    * fact-sized at the 100 TB design point; the join shuffles on the key
+    * and AQE broadcasts when it actually fits. */
   def enrichEvents(named: DataFrame, spark: SparkSession,
       dir: String): DataFrame = {
     val cust = t(spark, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
     named
-      .join(broadcast(cust),
+      .join(cust,
         col("segment").cast("long") === col("c_custkey"))
       .groupBy(col("space"), col("c_mktsegment"))
       .agg(count(lit(1)).as("n_events"),
@@ -139,7 +145,7 @@ object Relational {
     val nation = t(spark, dir, "nation").select("n_nationkey", "n_name")
     val ord = t(spark, dir, "orders").select("o_custkey", "o_totalprice")
     val spend = ord
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), col("c_custkey"), col("c_name"))
       .agg(round(sum(col("o_totalprice")), 2).as("total_spend"),

@@ -311,26 +311,46 @@ object Dedup {
       .select("doc1", "doc2", "n_common", "jaccard")
   }
 
-  /** Scale path for embedding near-dup: random-hyperplane LSH buckets
-    * first (same construction as graft.similarity.Knn.lsh), cosine only
-    * within buckets — candidate count grows with bucket occupancy, not
-    * corpus². Fewer planes than ANN search (near-dups survive coarser
-    * buckets: higher cosine → lower flip probability per plane). */
+  /** Scale path for embedding near-dup: occupancy-safe random-hyperplane
+    * LSH (graft.similarity.LshBuckets — adaptive plane count from corpus
+    * size, `tables` independent hash tables OR-combined for recall, and a
+    * bucket-occupancy cap with one sub-split level so a dense region can
+    * never degenerate the self-join to all-pairs). Candidates are the
+    * union of within-bucket pairs across tables, deduped BEFORE the
+    * cosine so each surviving pair is scored once; the cosine verify is
+    * exact, so every emitted pair carries its true (rounded) score.
+    * Candidate volume is bounded by tables · Σ|bucket|²/2 with |bucket| ≤
+    * maxOccupancy by construction — linear in corpus size at fixed
+    * target occupancy. Drop accounting: LshBuckets.audit (registered as
+    * `lsh_bucket_audit`). */
   def embeddingPairsLsh(emb: DataFrame, tau: Double,
-      planes: Int = 6): DataFrame = {
+      planes: Int = 0, tables: Int = 4, targetOccupancy: Long = 128L,
+      maxOccupancy: Long = 4096L): DataFrame = {
+    import graft.similarity.LshBuckets
     val e = emb.select(col("vec_id"), col("v").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(DotProduct(col("v"), col("v"))))
-      .withColumn("bucket",
-        graft.functions.HyperplaneBucket(col("v"), planes))
-    e.as("a").join(e.as("b"),
-        col("a.bucket") === col("b.bucket") &&
+    // planes = 0 → derive from corpus size (one metadata-cheap count) so
+    // expected occupancy tracks targetOccupancy at ANY scale
+    val p = if (planes > 0) planes
+      else LshBuckets.adaptivePlanes(e.count(), targetOccupancy)
+    val m = LshBuckets.members(e, p, tables, maxOccupancy)
+    val cand = m.as("a").join(m.as("b"),
+        col("a.tbl") === col("b.tbl") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.sub") === col("b.sub") &&
           col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id1"), col("b.vec_id").as("vec_id2"))
+      .dropDuplicates("vec_id1", "vec_id2")
+    cand
+      .join(e.select(col("vec_id").as("vec_id1"), col("v").as("v1"),
+        col("nrm").as("nrm1")), "vec_id1")
+      .join(e.select(col("vec_id").as("vec_id2"), col("v").as("v2"),
+        col("nrm").as("nrm2")), "vec_id2")
       .withColumn("cos_sim",
-        round(DotProduct(col("a.v"), col("b.v")) /
-          (col("a.nrm") * col("b.nrm")), 4))
+        round(DotProduct(col("v1"), col("v2")) /
+          (col("nrm1") * col("nrm2")), 4))
       .filter(col("cos_sim") >= tau)
-      .select(col("a.vec_id").as("vec_id1"), col("b.vec_id").as("vec_id2"),
-        col("cos_sim"))
+      .select("vec_id1", "vec_id2", "cos_sim")
   }
 
   def embeddingPairs(emb: DataFrame, tau: Double): DataFrame = {

@@ -211,22 +211,25 @@ object MinHashSig {
 }
 
 /** Random-hyperplane LSH bucket of a double vector: bit p of the result
-  * is the sign of the projection onto pseudo-random hyperplane p, whose
-  * weights are splitmix64-derived from (p, dim) — deterministic,
-  * executor-side, no driver randomness, no per-vector weight
-  * materialization. Replaces the `aggregate(zip_with(transform(...)))`
-  * formulation, which allocated two arrays per (vector, plane). */
-case class HyperplaneBucket(child: Expression, planes: Int)
-    extends UnaryExpression {
+  * is the sign of the projection onto pseudo-random hyperplane
+  * `planeOffset + p`, whose weights are splitmix64-derived from
+  * (plane, dim) — deterministic, executor-side, no driver randomness, no
+  * per-vector weight materialization. Replaces the
+  * `aggregate(zip_with(transform(...)))` formulation, which allocated two
+  * arrays per (vector, plane). `planeOffset` selects a disjoint plane
+  * range so multiple independent hash tables (OR-construction) share one
+  * kernel. */
+case class HyperplaneBucket(child: Expression, planes: Int,
+    planeOffset: Int = 0) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_bucket"
 
   override def nullSafeEval(input: Any): Any =
-    HyperplaneBucket.bucket(input.asInstanceOf[ArrayData], planes)
+    HyperplaneBucket.bucket(input.asInstanceOf[ArrayData], planes, planeOffset)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.HyperplaneBucket.bucket($c, $planes)")
+      s"graft.functions.HyperplaneBucket.bucket($c, $planes, $planeOffset)")
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
     copy(child = newChild)
@@ -244,7 +247,7 @@ object HyperplaneBucket {
   }
 
   /** Called from generated code. Input must be array<double>. */
-  def bucket(v: ArrayData, planes: Int): Long = {
+  def bucket(v: ArrayData, planes: Int, planeOffset: Int): Long = {
     val n = v.numElements()
     var out = 0L
     var p = 0
@@ -255,7 +258,7 @@ object HyperplaneBucket {
         // Java % keeps the dividend's sign → weight in (-2.0, 2.0),
         // symmetric around 0 with ~1e-3 resolution; only the sign of the
         // projection matters for the bucket bit
-        s += v.getDouble(d) * ((mix(p, d) % 2001L) / 1000.0)
+        s += v.getDouble(d) * ((mix(planeOffset + p, d) % 2001L) / 1000.0)
         d += 1
       }
       if (s >= 0.0) out |= (1L << p)
@@ -264,8 +267,10 @@ object HyperplaneBucket {
     out
   }
 
-  def apply(c: Column, planes: Int): Column =
-    Bridge.column(HyperplaneBucket(Bridge.expression(c), planes))
+  def apply(c: Column, planes: Int): Column = apply(c, planes, 0)
+
+  def apply(c: Column, planes: Int, planeOffset: Int): Column =
+    Bridge.column(HyperplaneBucket(Bridge.expression(c), planes, planeOffset))
 }
 
 object SimHash64 {

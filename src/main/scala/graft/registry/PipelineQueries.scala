@@ -59,6 +59,16 @@ object PipelineQueries {
     // assignment); rows-only (centroid ids are hash-derived), KnnSpec
     // asserts coverage and determinism
     "emb_clusters" -> ((s, d) => Knn.clusterStats(Knn.emb(s, d))),
+    // occupancy/drop accounting for the hyperplane-LSH paths: per hash
+    // table, memberships in/kept/dropped and the realized max final
+    // bucket occupancy — the auditable guarantee that the LSH candidate
+    // join stays linear (LshSpec asserts the bound on a skewed corpus)
+    "lsh_bucket_audit" -> ((s, d) => {
+      val e = Knn.emb(s, d)
+      graft.similarity.LshBuckets.audit(e,
+        planes = graft.similarity.LshBuckets.adaptivePlanes(e.count()),
+        tables = 4, maxOccupancy = 4096L)
+    }),
     // ── G. text ───────────────────────────────────────────────────────
     "text_stats" -> ((s, d) => TextOps.stats(docs(s, d))),
     "text_quality" -> ((s, d) => TextOps.quality(docs(s, d))),

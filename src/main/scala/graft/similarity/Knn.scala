@@ -46,24 +46,41 @@ object Knn {
     ranked(scored, k)
   }
 
-  /** Random-hyperplane LSH: `planes` signed projections form a bucket id;
-    * queries search only their bucket. The bucket is the native
-    * HyperplaneBucket kernel — weights derived executor-side from
-    * splitmix64(plane, dim), one codegen'd pass per vector with no
-    * per-plane array allocation. */
+  /** Occupancy-safe random-hyperplane LSH search ([[LshBuckets]]):
+    * adaptive plane count (planes = 0 → log₂(n/targetOccupancy), so
+    * bucket occupancy — and with it per-query candidate cost AND the
+    * shuffle's parallelism — stays constant as the corpus grows),
+    * `tables` OR-combined hash tables to recover the recall the extra
+    * planes cost, and a bucket-occupancy cap so a dense region can't
+    * blow up one task. Queries meet the corpus in a (tbl, bucket, sub)
+    * equijoin; candidates are deduped across tables before the one exact
+    * cosine per pair. The per-plane work is the native HyperplaneBucket
+    * kernel — weights derived executor-side from splitmix64(plane, dim),
+    * one codegen'd pass per vector with no per-plane array allocation. */
   def lsh(e: DataFrame, queryPred: Column, k: Int,
-      planes: Int = 8): DataFrame = {
-    val bucketed = e.withColumn("bucket",
-      graft.functions.HyperplaneBucket(col("v"), planes))
-    val q = bucketed.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("v"), col("nrm"),
-        col("bucket"))
-    val scored = q.as("q").join(bucketed.as("c"),
-        col("q.bucket") === col("c.bucket") &&
+      planes: Int = 0, tables: Int = 4, targetOccupancy: Long = 128L,
+      maxOccupancy: Long = 4096L): DataFrame = {
+    val p = if (planes > 0) planes
+      else LshBuckets.adaptivePlanes(e.count(), targetOccupancy)
+    val m = LshBuckets.members(e, p, tables, maxOccupancy)
+    val qm = m.join(e.filter(queryPred).select(col("vec_id")), "vec_id")
+      .withColumnRenamed("vec_id", "query_id")
+    val cand = qm.as("q").join(m.as("c"),
+        col("q.tbl") === col("c.tbl") &&
+          col("q.bucket") === col("c.bucket") &&
+          col("q.sub") === col("c.sub") &&
           col("query_id") =!= col("c.vec_id"))
-      .withColumn("score", cosine)
-      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
-        col("score"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm")), "query_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
+        col("nrm").as("nnrm")), "neighbor_id")
+      .withColumn("score",
+        round(DotProduct(col("qv"), col("nv")) /
+          (col("qnrm") * col("nnrm")), 4))
+      .select(col("query_id"), col("neighbor_id"), col("score"))
     ranked(scored, k)
   }
 
@@ -101,10 +118,16 @@ object Knn {
     * one min_by assignment + one posexplode mean — at scale this is the
     * offline training pass an IVF index runs once. */
   def kmeansCentroids(e: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+    // eager localCheckpoint per round (the dedupClusters pattern): the
+    // centroid table is k tiny rows but its LINEAGE doubles through every
+    // assign/recompute round and is then re-planned by each downstream
+    // consumer (vector assignment, query probes) — checkpointing keeps
+    // cold planning/codegen time flat instead of growing with iters
     var centroids = e
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h").limit(k)
       .select(col("h").as("c_id"), col("v").as("cv"))
+      .localCheckpoint(true)
     (1 to iters).foreach { _ =>
       val scored = e.crossJoin(broadcast(withCnrm2(centroids)))
         .withColumn("d", sqDist)
@@ -114,6 +137,7 @@ object Knn {
         .groupBy("c_id")
         .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("ps"))
         .select(col("c_id"), expr("transform(ps, p -> p.cx)").as("cv"))
+        .localCheckpoint(true)
     }
     centroids
   }

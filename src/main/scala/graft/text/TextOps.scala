@@ -214,8 +214,11 @@ object TextOps {
     * KenLM-lite pass trained once and broadcast), then score each
     * document by its mean token log-prob and perplexity. Trained on the
     * scored corpus, so every token is in-vocabulary (no smoothing term
-    * to keep the oracle exact). Join on token shuffles only (token,
-    * count) pairs — vocabulary-sized, not corpus-sized. */
+    * to keep the oracle exact). The vocabulary join is a plain shuffle
+    * join on `token`: a 100 TB web corpus has 10⁸–10⁹ distinct tokens —
+    * far over any broadcast budget — and AQE still picks broadcast on its
+    * own whenever the vocab actually fits. Only the 1-row total is
+    * broadcast. */
   def lmScore(d: DataFrame): DataFrame = {
     val toks = withToks(d.withColumn("text", lower(col("text"))))
       .select(col("doc_id"), explode(col("toks")).as("token"))
@@ -223,7 +226,7 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("n_total"))
     toks
-      .join(broadcast(counts), "token")
+      .join(counts, "token")
       .crossJoin(broadcast(total))
       .select(col("doc_id"),
         (log(col("cnt")) - log(col("n_total"))).as("logp"))

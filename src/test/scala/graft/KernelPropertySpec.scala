@@ -80,7 +80,13 @@ class KernelPropertySpec extends SparkSpec {
     import graft.functions.HyperplaneBucket
     val planes = 8
     def bucket(v: Array[Double]) =
-      HyperplaneBucket.bucket(new GenericArrayData(v), planes)
+      HyperplaneBucket.bucket(new GenericArrayData(v), planes, 0)
+    // disjoint plane ranges (hash tables) bucket independently
+    val probe = Array.fill(16)(rnd.nextGaussian())
+    assert(HyperplaneBucket.bucket(new GenericArrayData(probe), planes, 0) !=
+      HyperplaneBucket.bucket(new GenericArrayData(probe), planes, 64) ||
+      HyperplaneBucket.bucket(new GenericArrayData(probe), planes, 128) !=
+        HyperplaneBucket.bucket(new GenericArrayData(probe), planes, 0))
     (1 to 100).foreach { _ =>
       val v = Array.fill(16)(rnd.nextGaussian())
       val b = bucket(v)

@@ -22,10 +22,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("EqualTo(user_id,42)"), p)
   }
 
-  test("q5_region joins every dimension via broadcast, never sort-merge") {
-    val p = plan(graft.analytics.Relational.q5Region(spark, SF))
-    assert(p.contains("BroadcastHashJoin"))
-    assert(!p.contains("SortMergeJoin"), p)
+  test("q5_region broadcasts exactly the true dimensions; customer/orders shuffle") {
+    // disable size-based broadcast so the plan shows only what the HINTS
+    // pin: region/nation/supplier must broadcast (bounded dims at any
+    // scale), while customer and orders — fact-sized at 100 TB — must NOT
+    // be force-broadcast (they take the shuffle path here; with AQE on,
+    // they may still broadcast at test scale where they actually fit)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan(graft.analytics.Relational.q5Region(spark, SF))
+      val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
+      assert(nBroadcast == 3, s"expected 3 hinted dim broadcasts, plan:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"customer/orders joins should shuffle without hints:\n$p")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("segment status is a pure partial-combinable aggregation (no window, no sort)") {
@@ -102,6 +114,22 @@ class PlanSpec extends SparkSpec {
       assert(joined.count() > 0)
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("LSH variants contain no cartesian/nested-loop join (all-pairs stays fenced to the baselines)") {
+    // dedup_embedding and knn_brute are the ONLY sanctioned all-pairs
+    // operators (oracle baselines). Their LSH duals must remain bucket
+    // equijoins — any future "optimization" that reintroduces a cross
+    // product here is a 100 TB scale regression and must fail this test.
+    val emb = graft.similarity.Knn.emb(spark, SF)
+    val lshPlans = Seq(
+      graft.dedup.Dedup.embeddingPairsLsh(emb, 0.3),
+      graft.similarity.Knn.lsh(emb, col("vec_id") < 5, k = 5))
+    lshPlans.foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    }
   }
 
   test("vocab_topk is TakeOrdered (per-partition heap), not a global sort") {
