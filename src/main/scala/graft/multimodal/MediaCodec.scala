@@ -2,14 +2,16 @@ package graft.multimodal
 
 import java.nio.charset.StandardCharsets
 
-/** Pure-JVM encoders/decoders for three public container formats (PNG,
-  * BMP, WAV), parsed from their published header layouts — no external
-  * codec libraries. The *pixel/sample* payload is not decompressed (PNG
-  * IDAT stays opaque); what a curation pipeline needs from 100 TB of
-  * media is the typed metadata — dimensions, channels, sample rate,
-  * duration — and that lives in the fixed-layout headers parsed here.
+/** Pure-JVM encoders/decoders for four public container formats (JPEG,
+  * PNG, BMP, WAV), parsed from their published header layouts — no
+  * external codec libraries. The *pixel/sample* payload is not
+  * decompressed (PNG IDAT and JPEG entropy-coded data stay opaque); what
+  * a curation pipeline needs from 100 TB of media is the typed metadata —
+  * dimensions, channels, sample rate, duration — and that lives in the
+  * fixed-layout headers parsed here.
   *
-  * Layouts: PNG signature + IHDR (RFC 2083 §3 / W3C PNG spec),
+  * Layouts: JPEG marker segments + SOF0/SOF2 frame header (ITU T.81
+  * §B.2.2), PNG signature + IHDR (RFC 2083 §3 / W3C PNG spec),
   * BITMAPINFOHEADER (Windows BMP), RIFF/WAVE `fmt ` + `data` chunks
   * (Multimedia Programming Interface and Data Specifications 1.0). */
 object MediaCodec {
@@ -47,11 +49,54 @@ object MediaCodec {
   def decode(blob: Array[Byte]): MediaMeta = {
     if (blob == null || blob.length < 12) Unknown
     else if (blob.take(8).sameElements(PngSig)) decodePng(blob)
+    else if ((blob(0) & 0xff) == 0xff && (blob(1) & 0xff) == 0xd8 &&
+      (blob(2) & 0xff) == 0xff) decodeJpeg(blob)
     else if (blob(0) == 'B' && blob(1) == 'M') decodeBmp(blob)
     else if (blob(0) == 'R' && blob(1) == 'I' && blob(2) == 'F' &&
       blob(3) == 'F' && blob(8) == 'W' && blob(9) == 'A' &&
       blob(10) == 'V' && blob(11) == 'E') decodeWav(blob)
     else Unknown
+  }
+
+  /** JPEG (ITU T.81): walk the marker-segment stream from SOI to the
+    * first frame header (SOF0 baseline / SOF2 progressive / the other
+    * SOFn variants, EXCLUDING the non-frame C4=DHT, C8=JPG, CC=DAC) and
+    * read precision/height/width/components from its fixed layout
+    * (§B.2.2). Segment lengths are u16be and INCLUDE their own two
+    * bytes, so a hostile length < 2 would rewind the cursor — that (and
+    * any truncation) aborts to Unknown instead of looping. Standalone
+    * markers (TEM, RSTn, SOI, EOI) carry no length; fill 0xFF bytes
+    * before a marker are skipped per spec. Scan stops at SOS — after it
+    * comes entropy-coded data, and a frame header must precede it. */
+  def decodeJpeg(b: Array[Byte]): MediaMeta = {
+    var pos = 2L // past SOI
+    while (pos + 4 <= b.length) {
+      val p = pos.toInt
+      if ((b(p) & 0xff) != 0xff) return Unknown // marker must start FF
+      var mp = p
+      while (mp < b.length - 1 && (b(mp + 1) & 0xff) == 0xff) mp += 1 // fill bytes
+      val marker = b(mp + 1) & 0xff
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) {
+        pos = mp + 2L // standalone marker, no length field
+      } else {
+        if (mp + 4 > b.length) return Unknown
+        val len = (((b(mp + 2) & 0xff) << 8) | (b(mp + 3) & 0xff)).toLong
+        if (len < 2L) return Unknown // would rewind/stall the cursor
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (mp + 2 + 2 + 6 > b.length || len < 8L) return Unknown
+          val height = ((b(mp + 5) & 0xff) << 8) | (b(mp + 6) & 0xff)
+          val width = ((b(mp + 7) & 0xff) << 8) | (b(mp + 8) & 0xff)
+          val channels = b(mp + 9) & 0xff
+          return if (width <= 0 || height <= 0 || channels <= 0) Unknown
+          else MediaMeta("jpeg", width, height, channels, 0, 0.0, ok = true)
+        }
+        if (marker == 0xda) return Unknown // SOS before any SOF: no frame
+        pos = mp + 2L + len
+      }
+    }
+    Unknown
   }
 
   /** PNG: 8-byte signature, then the IHDR chunk (length + "IHDR" + 13
@@ -136,6 +181,35 @@ object MediaCodec {
     wbe32(out, 0) // IEND length
     out.write('I'); out.write('E'); out.write('N'); out.write('D')
     wbe32(out, 0) // IEND CRC
+    out.toByteArray
+  }
+
+  /** Minimal structurally-valid JPEG: SOI + APP0/JFIF + SOF0 frame
+    * header (real dimensions/components) + EOI. No quantization/Huffman
+    * tables or scan data — decode() reads only the frame header, and the
+    * demo corpus needs header-true bytes, not a renderable image. */
+  def encodeJpeg(width: Int, height: Int, channels: Int = 3): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def wbe16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    out.write(0xff); out.write(0xd8) // SOI
+    out.write(0xff); out.write(0xe0) // APP0
+    wbe16(16) // APP0 length
+    out.write('J'); out.write('F'); out.write('I'); out.write('F'); out.write(0)
+    out.write(1); out.write(1) // version 1.1
+    out.write(0) // density units
+    wbe16(1); wbe16(1) // x/y density
+    out.write(0); out.write(0) // no thumbnail
+    out.write(0xff); out.write(0xc0) // SOF0 (baseline)
+    wbe16(8 + 3 * channels) // frame header length
+    out.write(8) // precision
+    wbe16(height); wbe16(width)
+    out.write(channels)
+    (1 to channels).foreach { c =>
+      out.write(c) // component id
+      out.write(0x11) // 1x1 sampling
+      out.write(0) // quant table id
+    }
+    out.write(0xff); out.write(0xd9) // EOI
     out.toByteArray
   }
 

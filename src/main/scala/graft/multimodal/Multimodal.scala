@@ -40,18 +40,21 @@ object Multimodal {
   /** Deterministic demo media: REAL container bytes (MediaCodec
     * encoders) synthesized from doc fields — doc_id picks the modality
     * and the planted dimensions, so the decode path is exercised against
-    * true PNG/BMP/WAV headers with no external fixtures. */
+    * true JPEG/PNG/BMP/WAV headers with no external fixtures. */
   def synthesize(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("source")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, src) =>
-          val blob = (id % 3) match {
+          val blob = (id % 4) match {
             case 0 => MediaCodec.encodeBmp(
               16 + (id % 32).toInt, 8 + (id % 16).toInt)
             case 1 => MediaCodec.encodePng(
               32 + (id % 64).toInt, 16 + (id % 32).toInt)
+            case 2 => MediaCodec.encodeJpeg(
+              64 + (id % 128).toInt, 48 + (id % 64).toInt,
+              if (id % 8 == 2) 1 else 3)
             case _ => MediaCodec.encodeWav(
               1 + (id % 2).toInt,
               if (id % 4 == 3) 16000 else 8000,

@@ -73,6 +73,10 @@ object PipelineQueries {
     "text_stats" -> ((s, d) => TextOps.stats(docs(s, d))),
     "text_quality" -> ((s, d) => TextOps.quality(docs(s, d))),
     "token_count" -> ((s, d) => TextOps.tokenCountBySource(docs(s, d))),
+    // REAL trained-merge-table BPE token accounting; rows-only (the
+    // iterative merge training isn't ANSI-expressible — TextSpec proves
+    // the segmentation invariants and known merges on a planted corpus)
+    "token_count_bpe" -> ((s, d) => TextOps.tokenCountBpe(docs(s, d))),
     "lang_id" -> ((s, d) => TextOps.langId(docs(s, d))),
     "vocab_topk" -> ((s, d) => TextOps.vocabTopK(docs(s, d), k = 50)),
     "pipeline_curate" -> ((s, d) =>

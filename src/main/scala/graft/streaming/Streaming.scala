@@ -89,6 +89,32 @@ object Streaming {
       .filter(struct(col("ts_us"), col("segment"), col("sequence")) >
         struct(lit(cursorTsUs), lit(cursorSegment), lit(cursorSequence)))
 
+  /** Streaming Consume (multi-space merge, `pkg/api/messages.go:130-144`):
+    * the live dual of StreamOps.consumeMulti. `cursors` maps each
+    * subscribed space to an optional resolved space-offset tuple
+    * (ts_us, segment, sequence) — the form a live client actually holds
+    * (`Entry.GetSpaceOffset`, `messages.go:113-116`); `None` = no cursor,
+    * read the space from the start. Routing is a stream-static inner
+    * join against the broadcast O(#spaces) cursor table (only subscribed
+    * spaces pass — the server's space-offsets routing), and the cursor
+    * itself is a pure per-row tuple predicate evaluated per micro-batch
+    * BEFORE any stateful op, so resumption replays no state store. */
+  def consumeMultiStream(entryStream: DataFrame,
+      cursors: Map[String, Option[(Long, String, Long)]]): DataFrame = {
+    val spark = entryStream.sparkSession
+    import spark.implicits._
+    val anchors = cursors.toSeq.map { case (sp, c) =>
+      (sp, c.map(_._1), c.map(_._2), c.map(_._3))
+    }.toDF("a_space", "a_ts_us", "a_segment", "a_sequence")
+    entryStream
+      .join(broadcast(anchors), col("space") === col("a_space"))
+      .filter(col("a_ts_us").isNull ||
+        struct(col("ts_us"), col("segment"), col("sequence")) >
+          struct(col("a_ts_us"), col("a_segment"), col("a_sequence")))
+      .select(col("space"), col("segment"), col("sequence"), col("ts_us"),
+        col("value"), col("payload"))
+  }
+
   /** Live SegmentStatus feed: per-(space, segment) aggregate whose update
     * stream mirrors subscription notifications. Use outputMode("update")
     * so each micro-batch emits exactly the segments whose status changed —

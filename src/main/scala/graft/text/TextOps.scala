@@ -237,6 +237,98 @@ object TextOps {
         round(exp(-avg(col("logp"))), 2).as("perplexity"))
   }
 
+  /** Escape a learned BPE symbol for embedding in a SQL lambda literal. */
+  private def sqlLit(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'")
+
+  /** REAL byte-pair-encoding merge-table training (Sennrich, Haddow &
+    * Birch, ACL 2016 — "Neural Machine Translation of Rare Words with
+    * Subword Units"), entirely in DataFrame ops:
+    *
+    *  - training runs on the (word, freq) VOCABULARY, not the raw corpus
+    *    — the classic formulation: one corpus-wide shuffle builds the
+    *    vocab, then every merge round touches only vocab-sized data. At
+    *    100 TB the vocab is cut to the `maxVocab` most frequent words
+    *    (the standard frequency-floor cut), so rounds are bounded no
+    *    matter the corpus;
+    *  - each round counts adjacent symbol pairs weighted by word
+    *    frequency (one small hash agg), picks the top pair with a
+    *    deterministic (count desc, pair asc) tie-break, and applies the
+    *    merge as a left-to-right greedy fold over each word's symbol
+    *    array — a codegen'd `aggregate` lambda, no UDF;
+    *  - the per-round `.head` pulls ONE aggregated row (the chosen pair)
+    *    to the driver as a control decision — the same O(1)-per-round
+    *    driver traffic as dedupClusters' convergence count, not a data
+    *    collect. Vocab is localCheckpoint'd per round so plan depth stays
+    *    flat across merges.
+    *
+    * Returns (vocab with final `syms`/`n_bpe` per word, ordered merge
+    * list). Training stops early when no pair occurs at least twice. */
+  def bpeTrain(d: DataFrame, numMerges: Int,
+      maxVocab: Int = 65536): (DataFrame, Seq[(String, String)]) = {
+    var vocab = withToks(d.withColumn("text", lower(col("text"))))
+      .select(explode(col("toks")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(maxVocab)
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < numMerges) {
+      val top = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), " +
+            "i -> struct(syms[i] AS a, syms[i + 1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getAs[Long]("cnt") < 2L) done = true
+      else {
+        val (a, b) = (top.head.getAs[String]("a"), top.head.getAs[String]("b"))
+        merges += ((a, b))
+        // greedy left-to-right merge: fold each symbol in, replacing a
+        // trailing [a, b] with [ab]. The merged symbol a+b can never
+        // equal `a` (b is non-empty), so a fresh merge is never re-merged
+        // within the same round — exactly the paper's scan semantics.
+        vocab = vocab.withColumn("syms", expr(
+          s"""aggregate(syms, cast(array() as array<string>),
+             (acc, x) -> if(size(acc) > 0
+                            AND element_at(acc, -1) = '${sqlLit(a)}'
+                            AND x = '${sqlLit(b)}',
+                          concat(slice(acc, 1, size(acc) - 1),
+                            array('${sqlLit(a + b)}')),
+                          concat(acc, array(x))))"""))
+          .localCheckpoint(true)
+      }
+    }
+    (vocab.withColumn("n_bpe", size(col("syms")).cast("long")),
+      merges.toSeq)
+  }
+
+  /** Per-source token budget under the TRAINED BPE segmentation — the
+    * real token accounting a training pipeline runs (the regex in
+    * [[tokenCountBySource]] is the cheap approximation; this is the
+    * ground truth for a learned merge table). Apply is a join of corpus
+    * words against the vocab's symbol counts — vocab ≤ maxVocab rows, so
+    * AQE broadcasts it; the corpus side is one explode + hash agg. */
+  def tokenCountBpe(d: DataFrame, numMerges: Int = 40,
+      maxVocab: Int = 65536): DataFrame = {
+    val (vocab, _) = bpeTrain(d, numMerges, maxVocab)
+    val seg = vocab.select(col("word"), col("n_bpe"))
+    withToks(d.withColumn("text", lower(col("text"))))
+      .select(col("doc_id"), col("source"), explode(col("toks")).as("word"))
+      .join(seg, "word")
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("n_bpe")).as("total_bpe_tokens"),
+        round(avg(col("n_bpe")), 4).as("avg_bpe_per_word"))
+  }
+
   /** Polynomial rolling-hash fingerprint per document (custom codegen'd
     * Catalyst expression graft.functions.PolyHash64). */
   def fingerprint(d: DataFrame): DataFrame =

@@ -33,6 +33,54 @@ class MediaCodecSpec extends AnyFunSuite {
       math.abs(st.durationMs - 1000.0) < 1e-9)
   }
 
+  test("jpeg: encode→decode round-trips the SOF0 frame header") {
+    val m = MediaCodec.decode(MediaCodec.encodeJpeg(1920, 1080, 3))
+    assert(m.ok && m.format == "jpeg")
+    assert(m.width == 1920 && m.height == 1080 && m.channels == 3)
+    val gray = MediaCodec.decode(MediaCodec.encodeJpeg(7, 3, 1))
+    assert(gray.ok && gray.channels == 1 && gray.width == 7 && gray.height == 3)
+  }
+
+  test("jpeg: progressive SOF2 and fill bytes parse; DHT is not a frame") {
+    val b = MediaCodec.encodeJpeg(64, 32, 3)
+    // find the SOF0 marker and rewrite it to SOF2 (progressive)
+    val sof = b.indices.dropWhile(i =>
+      !((b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xc0)).head
+    b(sof + 1) = 0xc2.toByte
+    val m = MediaCodec.decode(b)
+    assert(m.ok && m.format == "jpeg" && m.width == 64 && m.height == 32)
+    // a DHT (FFC4) segment before the SOF must be walked over, not
+    // mistaken for a frame header; insert one after APP0 (ends at 20)
+    val dht = Array(0xff, 0xc4, 0x00, 0x04, 0x00, 0x01).map(_.toByte)
+    val withDht = b.take(20) ++ dht ++ b.drop(20)
+    val m2 = MediaCodec.decode(withDht)
+    assert(m2.ok && m2.width == 64 && m2.height == 32)
+    // fill 0xFF bytes before a marker are legal padding
+    val padded = b.take(20) ++ Array(0xff.toByte) ++ b.drop(20)
+    assert(MediaCodec.decode(padded).ok)
+  }
+
+  test("hostile jpeg segment lengths terminate and decode to unknown") {
+    // a segment length < 2 would rewind the cursor under naive
+    // arithmetic (pos += 2 + len - 2) — must reject, not loop forever
+    val b = MediaCodec.encodeJpeg(8, 8, 3)
+    b(4) = 0x00.toByte; b(5) = 0x00.toByte // APP0 length := 0
+    assert(!MediaCodec.decode(b).ok)
+    val b1 = MediaCodec.encodeJpeg(8, 8, 3)
+    b1(4) = 0x00.toByte; b1(5) = 0x01.toByte // APP0 length := 1
+    assert(!MediaCodec.decode(b1).ok)
+    // truncated mid-frame-header
+    assert(!MediaCodec.decode(MediaCodec.encodeJpeg(8, 8, 3).take(24)).ok)
+    // SOS with no preceding SOF: no frame header to report
+    val noSof = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 0x00, 0x00)
+      .map(_.toByte)
+    assert(!MediaCodec.decode(noSof).ok)
+    // a non-FF byte where a marker must start
+    val junk = Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x03, 0x00, 0x41, 0x42)
+      .map(_.toByte)
+    assert(!MediaCodec.decode(junk).ok)
+  }
+
   test("garbage, truncated, and empty blobs decode to unknown, never throw") {
     assert(!MediaCodec.decode(Array[Byte]()).ok)
     assert(!MediaCodec.decode(null).ok)

@@ -151,6 +151,44 @@ class StreamingSpec extends SparkSpec {
     assert(!got.exists(r => r(1) == "7" && r(2) == 5L))
   }
 
+  test("multi-space consume stream equals batch consumeMulti (incl. missing-anchor fallback)") {
+    val dir = Files.createTempDirectory("graft_multi_stream").toString
+    val entries = EventLog.entries(spark, SF)
+    graft.sources.EventLogWriter.write(entries, dir)
+    // a live client holds RESOLVED space-offset tuples; resolve the same
+    // (segment, sequence) anchors the batch query uses — and include one
+    // space with NO cursor (the read-from-start fallback)
+    def resolve(space: String, seg: String, seq: Long): (Long, String, Long) = {
+      val ts = entries.filter(col("space") === space &&
+        col("segment") === seg && col("sequence") === seq)
+        .select("ts_us").head.getLong(0)
+      (ts, seg, seq)
+    }
+    val cursors = Map(
+      "click" -> Some(resolve("click", "7", 5L)),
+      "view" -> Some(resolve("view", "12", 3L)),
+      "signup" -> None)
+    val stream = Streaming.readProducedStream(spark, dir,
+      maxFilesPerTrigger = 2)
+    runToCompletion(Streaming.consumeMultiStream(stream, cursors),
+      "multi_consume", "append")
+    val got = spark.table("multi_consume")
+      .select("space", "segment", "sequence", "ts_us", "value", "payload")
+      .collect().map(_.toSeq).toSet
+    // batch dual: signup's anchor (sequence 0) never resolves → full read
+    val want = StreamOps.consumeMulti(entries,
+        offsets = Map("click" -> ("7", 5L), "view" -> ("12", 3L),
+          "signup" -> ("0", 0L)))
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // routing: only subscribed spaces are consumed
+    assert(!got.exists(r => r.head == "purchase" || r.head == "error"))
+    // the un-cursored space arrives in full
+    val nSignup = got.count(_.head == "signup")
+    assert(nSignup == entries.filter(col("space") === "signup").count())
+  }
+
   test("streaming trx audit converges to the batch recovery audit") {
     val dir = Files.createTempDirectory("graft_trx_stream").toString
     val entries = EventLog.entries(spark, SF)

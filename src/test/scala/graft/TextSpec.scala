@@ -33,6 +33,64 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("bpe training learns the planted high-frequency merges in order") {
+    import spark.implicits._
+    // 'lo' is the most frequent adjacent pair (5+2+2=9 via low/lower/
+    // lowest... plus 'slow'); classic Sennrich toy corpus shape
+    val corpus = Seq(
+      (1L, "src", "low low low low low"),
+      (2L, "src", "lower lower newest newest"),
+      (3L, "src", "newest newest newest widest")).toDF("doc_id", "source", "text")
+    val (vocab, merges) = TextOps.bpeTrain(corpus, numMerges = 10)
+    assert(merges.nonEmpty)
+    // most frequent pairs dominate the early merges: 'es'+'t' chain or
+    // 'l'+'o' must appear among the first learned merges
+    assert(merges.take(3).exists { case (a, b) =>
+      (a == "l" && b == "o") || (a == "e" && b == "s") || (a == "es" && b == "t")
+    }, merges.toString)
+    val rows = vocab.collect()
+    rows.foreach { r =>
+      val word = r.getAs[String]("word")
+      val syms = r.getSeq[String](r.fieldIndex("syms"))
+      assert(syms.mkString == word) // segmentation concatenates to the word
+      assert(r.getAs[Long]("n_bpe") == syms.length)
+      assert(syms.length <= word.length)
+    }
+    // 'low' (freq 7 with 'lower') must compress below its char count
+    val low = rows.find(_.getAs[String]("word") == "low").get
+    assert(low.getAs[Long]("n_bpe") < 3L)
+  }
+
+  test("bpe with zero merges counts characters; merges only reduce counts") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a", "abab abab cdcd"), (2L, "b", "abab xyz"))
+      .toDF("doc_id", "source", "text")
+    val zero = TextOps.tokenCountBpe(corpus, numMerges = 0).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("total_bpe_tokens"))
+      .toMap
+    // no merges → every word is character-split: 'abab abab cdcd' = 12
+    assert(zero("a") == 12L && zero("b") == 7L)
+    val merged = TextOps.tokenCountBpe(corpus, numMerges = 8).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("total_bpe_tokens"))
+      .toMap
+    assert(merged("a") < zero("a") && merged("b") <= zero("b"))
+    // determinism: same corpus, same merges → identical counts
+    val again = TextOps.tokenCountBpe(corpus, numMerges = 8).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("total_bpe_tokens"))
+      .toMap
+    assert(again == merged)
+  }
+
+  test("bpe greedy apply is left-to-right (aaa -> [aa, a] under merge a+a)") {
+    import spark.implicits._
+    val corpus = Seq((1L, "s", "aaa aaa aaa")).toDF("doc_id", "source", "text")
+    val (vocab, merges) = TextOps.bpeTrain(corpus, numMerges = 1)
+    assert(merges == Seq(("a", "a")))
+    val row = vocab.filter(col("word") === "aaa").head
+    val syms = row.getSeq[String](row.fieldIndex("syms"))
+    assert(syms == Seq("aa", "a"), syms.toString)
+  }
+
   test("lang_id predicts a language for every doc, deterministically") {
     val a = TextOps.langId(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
@@ -130,7 +188,7 @@ class TextSpec extends SparkSpec {
       .collect()
     assert(feats.length == docs.count())
     feats.foreach { f =>
-      (f.doc_id % 3) match {
+      (f.doc_id % 4) match {
         case 0 =>
           assert(f.format == "bmp" &&
             f.width == 16 + (f.doc_id % 32).toInt &&
@@ -138,6 +196,11 @@ class TextSpec extends SparkSpec {
         case 1 =>
           assert(f.format == "png" &&
             f.width == 32 + (f.doc_id % 64).toInt, f.toString)
+        case 2 =>
+          assert(f.format == "jpeg" &&
+            f.width == 64 + (f.doc_id % 128).toInt &&
+            f.height == 48 + (f.doc_id % 64).toInt &&
+            (f.channels == 1 || f.channels == 3), f.toString)
         case _ =>
           assert(f.format == "wav" && f.sample_rate > 0 &&
             f.duration_ms > 0.0, f.toString)
