@@ -10,7 +10,8 @@ object Bench {
   // slowest queries of the last round — re-timed warm so per-query claims
   // aren't skewed by cold-codegen attribution
   private val WarmSet = Seq("knn_ivf", "dedup_clusters", "dedup_embedding",
-    "contamination_check", "dedup_char_ngram", "dedup_minhash")
+    "contamination_check", "dedup_char_ngram", "dedup_minhash",
+    "token_count_bpe", "emb_clusters", "es_replay_from_snapshot")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

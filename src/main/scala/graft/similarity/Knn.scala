@@ -127,7 +127,6 @@ object Knn {
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h").limit(k)
       .select(col("h").as("c_id"), col("v").as("cv"))
-      .localCheckpoint(true)
     (1 to iters).foreach { _ =>
       val scored = e.crossJoin(broadcast(withCnrm2(centroids)))
         .withColumn("d", sqDist)
@@ -163,15 +162,19 @@ object Knn {
     * queries probe the `nprobe` nearest lists. */
   def ivf(e: DataFrame, queryPred: Column, k: Int,
       nprobe: Int = 2, nlist: Int = 10): DataFrame = {
-    val centroids = kmeansCentroids(e, nlist)
+    // materialize the (id, v, nrm) base once: the k-means rounds, the
+    // corpus assignment, and the query probes otherwise each re-scan the
+    // source and re-derive norms — five scans collapse to one
+    val base = e.localCheckpoint(true)
+    val centroids = kmeansCentroids(base, nlist)
     // assign every vector to its nearest centroid: broadcast centroids,
     // min_by agg (partial combine) — no vec_id shuffle+sort
     val assigned = assignNearest(
-      e.crossJoin(broadcast(withCnrm2(centroids))).withColumn("d", sqDist),
+      base.crossJoin(broadcast(withCnrm2(centroids))).withColumn("d", sqDist),
       Seq("v", "nrm"))
       .select(col("vec_id"), col("v"), col("nrm"), col("c_id"))
     val probeW = Window.partitionBy("query_id").orderBy(col("d"), col("c_id"))
-    val probes = e.filter(queryPred)
+    val probes = base.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("v"), col("nrm"))
       .crossJoin(broadcast(withCnrm2(centroids)))
       .withColumn("d", sqDist)
