@@ -147,9 +147,12 @@ object Knn {
     * balancing). Same broadcast-score + min_by plan as the IVF build, so
     * it scales identically. */
   def clusterStats(e: DataFrame, k: Int = 8): DataFrame = {
-    val centroids = kmeansCentroids(e, k)
+    // same base materialization as [[ivf]]: k-means rounds + the final
+    // assignment re-scan the source otherwise
+    val base = e.localCheckpoint(true)
+    val centroids = kmeansCentroids(base, k)
     assignNearest(
-      e.crossJoin(broadcast(withCnrm2(centroids))).withColumn("d", sqDist),
+      base.crossJoin(broadcast(withCnrm2(centroids))).withColumn("d", sqDist),
       Seq("nrm"))
       .groupBy(col("c_id"))
       .agg(

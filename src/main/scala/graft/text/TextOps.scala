@@ -301,9 +301,13 @@ object TextOps {
                           concat(slice(acc, 1, size(acc) - 1),
                             array('${sqlLit(a + b)}')),
                           concat(acc, array(x))))"""))
-          .localCheckpoint(true)
+        // checkpoint every 4th merge (and the pair-count job next round
+        // evaluates at most 4 stacked folds): full per-round
+        // materialization doubled the job count for no plan-depth win
+        if (merges.length % 4 == 0) vocab = vocab.localCheckpoint(true)
       }
     }
+    vocab = vocab.localCheckpoint(true)
     (vocab.withColumn("n_bpe", size(col("syms")).cast("long")),
       merges.toSeq)
   }
