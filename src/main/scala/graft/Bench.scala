@@ -11,7 +11,8 @@ object Bench {
   // aren't skewed by cold-codegen attribution
   private val WarmSet = Seq("knn_ivf", "dedup_clusters", "dedup_embedding",
     "contamination_check", "dedup_char_ngram", "dedup_minhash",
-    "token_count_bpe", "emb_clusters", "es_replay_from_snapshot")
+    "token_count_bpe", "emb_clusters", "es_replay_from_snapshot",
+    "dedup_embedding_lsh", "knn_lsh")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -82,7 +82,10 @@ object LshBuckets {
     // count, the kept slice, the over-cap slice) and the caller joins the
     // result against itself — materializing the slim (id, key) table once
     // beats re-running the bucketing kernel per consumer and keeps the
-    // downstream plans flat (the dedupClusters lesson)
+    // downstream plans flat (the dedupClusters lesson). At cluster scale
+    // the same reuse holds with persist(MEMORY_AND_DISK): the table is
+    // 3 longs × n × tables (~0.1% of a 100 TB corpus), sharded across
+    // executors either way.
     val keys = rawKeys(e, planes, tables).localCheckpoint(true)
     val sizes = keys.groupBy(col("tbl"), col("bucket"))
       .agg(count(lit(1)).as("occ"))
