@@ -330,6 +330,71 @@ object PipelineQueries {
              count(*) AS n_docs
       FROM documents GROUP BY 1""",
 
+    // the 100 TB shape reproduced relationally: test-side inverted index
+    // with the same DF cap (100), candidate discovery through the capped
+    // index only, exact verify via the FULL (uncapped) inverted lists —
+    // the oracle dual of Dedup.contaminationAtScale, promoted from
+    // rows-only in round 3
+    "contamination_unscoped" -> """
+      WITH sp AS (
+        SELECT doc_id,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'
+                    THEN 'train' ELSE 'test' END AS split,
+               list_distinct(list_filter(string_split(lower(text), ' '),
+                 x -> x <> '')) AS w
+        FROM documents),
+      sz AS (SELECT doc_id, len(w) AS n FROM sp),
+      te AS (SELECT doc_id AS test_doc, w FROM sp WHERE split = 'test'),
+      tr AS (SELECT doc_id AS train_doc, w FROM sp WHERE split = 'train'),
+      testinv AS (SELECT test_doc, unnest(w) AS word FROM te),
+      rare AS (
+        SELECT word FROM (
+          SELECT word, count(*) AS df FROM testinv GROUP BY 1)
+        WHERE df <= 100),
+      idx AS (SELECT ti.test_doc, ti.word
+              FROM testinv ti JOIN rare USING (word)),
+      cand AS (
+        SELECT DISTINCT t.train_doc, i.test_doc
+        FROM (SELECT train_doc, unnest(w) AS word FROM tr) t
+        JOIN idx i USING (word)),
+      common AS (
+        SELECT c.train_doc, c.test_doc, CAST(count(*) AS BIGINT) AS n_common
+        FROM cand c
+        JOIN (SELECT train_doc, unnest(w) AS word FROM tr) a USING (train_doc)
+        JOIN (SELECT test_doc, unnest(w) AS word FROM te) b
+          ON b.test_doc = c.test_doc AND b.word = a.word
+        GROUP BY 1, 2)
+      SELECT train_doc, test_doc, n_common, s1.n AS n1, s2.n AS n2,
+             round(n_common / (s1.n + s2.n - n_common), 4) AS jaccard
+      FROM common
+      JOIN sz s1 ON train_doc = s1.doc_id
+      JOIN sz s2 ON test_doc = s2.doc_id
+      WHERE round(n_common / (s1.n + s2.n - n_common), 4) >= 0.9""",
+
+    // PolyHash64's Horner loop in the 2^61-1 field, reproduced with
+    // HUGEINT arithmetic + list_reduce (seed 7 prepended; corpus is
+    // ASCII so ord(char) == byte) — promoted from rows-only in round 3
+    "doc_fingerprint" -> """
+      WITH t AS (
+        SELECT doc_id, lower(trim(text)) AS s,
+               array_to_string(list_sort(list_filter(
+                 string_split(text, ' '), x -> x <> '')), ' ') AS bag
+        FROM documents)
+      SELECT doc_id,
+        CAST(list_reduce(
+          list_prepend(7::HUGEINT,
+            list_transform(range(1, length(s) + 1),
+              i -> ord(substring(s, i, 1))::HUGEINT)),
+          (acc, x) -> (acc * 31 + x) % 2305843009213693951::HUGEINT)
+          AS BIGINT) AS fingerprint,
+        CAST(list_reduce(
+          list_prepend(7::HUGEINT,
+            list_transform(range(1, length(bag) + 1),
+              i -> ord(substring(bag, i, 1))::HUGEINT)),
+          (acc, x) -> (acc * 31 + x) % 2305843009213693951::HUGEINT)
+          AS BIGINT) AS bag_fingerprint
+      FROM t""",
+
     "contamination_check" -> """
       WITH sp AS (
         SELECT doc_id, text,
