@@ -108,7 +108,17 @@ object Dedup {
       .withColumn("simhash", SimHash64(col("hs")))
       .select(col("doc_id"), col("simhash"))
 
-  def simHashPairs(d: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** Near-dup pairs via 4×16-bit simhash bands. Each band has a fixed
+    * 65,536-bucket key space (the §5-documented ceiling), so a band
+    * bucket's occupancy grows with the corpus — `maxOccupancy` caps it:
+    * over-cap (band, key) groups are excluded from candidate generation
+    * (the OR across the other 3 bands usually still surfaces their true
+    * pairs — a ≤3-hamming pair collides in ≥1 of 4 bands by pigeonhole,
+    * and a single dense band bucket rarely dominates all four). This is
+    * the same degenerate-bucket posture as the stop-gram DF cap and
+    * LshBuckets: bounded tasks first, recall via OR-construction. */
+  def simHashPairs(d: DataFrame, maxHamming: Int = 3,
+      maxOccupancy: Long = 8192L): DataFrame = {
     val sh = simHash(d)
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(expr(
@@ -117,7 +127,12 @@ object Dedup {
         .as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    banded.as("a").join(banded.as("b"),
+    val small = banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= maxOccupancy)
+      .select("band", "key")
+    val capped = banded.join(small, Seq("band", "key"), "left_semi")
+    capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),

@@ -47,6 +47,23 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("simhash occupancy cap: a degenerate bucket is excluded, not exploded") {
+    import spark.implicits._
+    // 40 identical docs land in ONE bucket of every band (identical
+    // simhash); with cap 10, all four band buckets are over cap → zero
+    // candidate pairs from this mass (exact dedup's job), instead of a
+    // 40²/2 self-join per band
+    val clones = (1L to 40L)
+      .map(i => (i, "en", "same exact duplicated text body for all"))
+      .toDF("doc_id", "lang", "text")
+    assert(Dedup.simHashPairs(clones, maxHamming = 3,
+      maxOccupancy = 10L).count() == 0L)
+    // the default cap leaves the small planted corpus untouched
+    val pairs = Dedup.simHashPairs(plantedDocs, maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
   test("char n-gram pairs find the planted near-dup, skip the disjoint doc") {
     val pairs = Dedup.charNGramPairs(plantedDocs, n = 5, tau = 0.5,
       sampleMod = 2).collect()
