@@ -88,6 +88,7 @@ object PipelineQueries {
     "doc_sample" -> ((s, d) =>
       TextOps.stratifiedSample(docs(s, d), fraction = 0.2)),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
+    "repetition_stats" -> ((s, d) => TextOps.repetitionStats(docs(s, d))),
     "lm_score" -> ((s, d) => TextOps.lmScore(docs(s, d))),
     // ── H. multimodal ─────────────────────────────────────────────────
     "mm_ingest" -> ((s, d) => Multimodal.byteStats(
@@ -329,6 +330,27 @@ object PipelineQueries {
       SELECT (length(text) // 100) * 100 AS bucket,
              count(*) AS n_docs
       FROM documents GROUP BY 1""",
+
+    // Spark arrays are 0-indexed, DuckDB lists 1-indexed — hence the
+    // toks[i+1..] shift; both sides emit space-joined word 3-grams
+    "repetition_stats" -> """
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                 AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+               list_transform(range(0, len(toks) - 2), i ->
+                 concat_ws(' ', toks[i + 1], toks[i + 2], toks[i + 3]))
+                 AS grams
+        FROM t WHERE len(toks) >= 3)
+      SELECT doc_id,
+             CAST(len(grams) AS BIGINT) AS n_grams,
+             CAST(len(list_distinct(grams)) AS BIGINT) AS n_uniq_grams,
+             round((len(grams) - len(list_distinct(grams))) / len(grams), 4)
+               AS dup_ratio
+      FROM g""",
 
     // the 100 TB shape reproduced relationally: test-side inverted index
     // with the same DF cap (100), candidate discovery through the capped

@@ -237,6 +237,27 @@ object TextOps {
         round(exp(-avg(col("logp"))), 2).as("perplexity"))
   }
 
+  /** Intra-document repetition signal (the dup-n-gram quality rule of
+    * Rae et al. '21 "Scaling Language Models" §A1.1 / MassiveText
+    * filtering): fraction of a document's word n-grams that are
+    * duplicates of an earlier n-gram in the SAME document — boilerplate,
+    * keyword stuffing, and degenerate generations score high and get
+    * filtered before training. Pure per-row map (one transform +
+    * array_distinct per doc), embarrassingly parallel, no shuffle at
+    * all — the cheapest kind of 100 TB pass. */
+  def repetitionStats(d: DataFrame, n: Int = 3): DataFrame = {
+    val parts = (0 until n).map(j => s"toks[i + $j]").mkString(", ")
+    withToks(d.withColumn("text", lower(col("text"))))
+      .filter(size(col("toks")) >= n)
+      .withColumn("grams", expr(
+        s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', $parts))"))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_uniq_grams"))
+      .withColumn("dup_ratio",
+        round((col("n_grams") - col("n_uniq_grams")) / col("n_grams"), 4))
+  }
+
   /** Escape a learned BPE symbol for embedding in a SQL lambda literal. */
   private def sqlLit(s: String): String =
     s.replace("\\", "\\\\").replace("'", "\\'")

@@ -33,6 +33,23 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("repetition stats flag duplicated n-grams and clear clean docs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "s", "buy now buy now buy now buy now"),       // heavy repetition
+      (2L, "s", "every word here appears exactly once today friends")
+    ).toDF("doc_id", "source", "text")
+    val r = TextOps.repetitionStats(corpus).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_grams"), x.getAs[Long]("n_uniq_grams"),
+          x.getAs[Double]("dup_ratio"))).toMap
+    // doc 1: 8 toks → 6 trigrams, only 2 distinct ("buy now buy",
+    // "now buy now") → dup_ratio 4/6
+    assert(r(1L) == ((6L, 2L, 0.6667)))
+    // doc 2: all trigrams unique
+    assert(r(2L)._1 == r(2L)._2 && r(2L)._3 == 0.0)
+  }
+
   test("bpe training learns the planted high-frequency merges in order") {
     import spark.implicits._
     // 'lo' is the most frequent adjacent pair (5+2+2=9 via low/lower/
