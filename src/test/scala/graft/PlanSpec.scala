@@ -132,6 +132,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("repetition_stats is a pure per-row map: zero Exchange in the plan") {
+    val p = plan(graft.text.TextOps.repetitionStats(
+      graft.text.TextOps.docs(spark, SF)))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Sort"), p)
+  }
+
   test("vocab_topk is TakeOrdered (per-partition heap), not a global sort") {
     val p = plan(graft.text.TextOps.vocabTopK(
       graft.text.TextOps.docs(spark, SF), 50))
