@@ -75,6 +75,10 @@ object MediaCodec {
       if ((b(p) & 0xff) != 0xff) return Unknown // marker must start FF
       var mp = p
       while (mp < b.length - 1 && (b(mp + 1) & 0xff) == 0xff) mp += 1 // fill bytes
+      // a blob ENDING in a fill-byte run leaves no marker code to read —
+      // without this guard b(mp + 1) would throw, failing the whole
+      // partition on one hostile blob
+      if (mp + 1 >= b.length) return Unknown
       val marker = b(mp + 1) & 0xff
       if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) {
         pos = mp + 2L // standalone marker, no length field

@@ -79,6 +79,11 @@ class MediaCodecSpec extends AnyFunSuite {
     val junk = Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x03, 0x00, 0x41, 0x42)
       .map(_.toByte)
     assert(!MediaCodec.decode(junk).ok)
+    // a blob that ENDS in a fill-byte run: the marker scan must not read
+    // past the array (regression: threw ArrayIndexOutOfBounds)
+    val allFill = Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff,
+      0xff, 0xff, 0xff, 0xff, 0xff).map(_.toByte)
+    assert(!MediaCodec.decode(allFill).ok)
   }
 
   test("garbage, truncated, and empty blobs decode to unknown, never throw") {
