@@ -138,6 +138,25 @@ object Relational {
         round(sum(col("value")), 2).as("sum_value"))
   }
 
+  /** TPC-H Q13-style customer distribution: LEFT OUTER join customers to
+    * their (filtered) orders, then the histogram of order counts —
+    * including the zero-order bucket only an outer join can produce.
+    * The double aggregation collapses immediately: the first groupBy is
+    * per-customer (map-side combinable after the join), the second runs
+    * on at most #distinct-counts rows. No broadcast hints — both sides
+    * are fact-sized at the design point. */
+  def custOrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer").select("c_custkey")
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey", "o_orderkey")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
   /** Top-3 customers by total order value within each nation. */
   def topCustomersPerNation(spark: SparkSession, dir: String): DataFrame = {
     val cust = t(spark, dir, "customer")

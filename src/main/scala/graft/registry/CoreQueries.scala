@@ -137,6 +137,7 @@ object CoreQueries {
     "q5_region" -> ((s, d) => Relational.q5Region(s, d)),
     "top_customers_per_nation" -> ((s, d) =>
       Relational.topCustomersPerNation(s, d)),
+    "q13_distribution" -> ((s, d) => Relational.custOrderDistribution(s, d)),
     "q_semi_anti" -> ((s, d) => Relational.semiAntiCustomers(s, d)),
     "enrich_events" -> ((s, d) =>
       Relational.enrichEvents(EventLog.named(s, d), s, d)),
@@ -509,6 +510,14 @@ object CoreQueries {
              CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
                AS BIGINT) AS n_view
       FROM events GROUP BY 1""",
+
+    "q13_distribution" -> """
+      SELECT c_count, count(*) AS custdist FROM (
+        SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey)
+      GROUP BY c_count""",
 
     "top_customers_per_nation" -> """
       WITH spend AS (

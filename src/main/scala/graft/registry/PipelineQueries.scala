@@ -90,6 +90,7 @@ object PipelineQueries {
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
     "repetition_stats" -> ((s, d) => TextOps.repetitionStats(docs(s, d))),
     "lm_score" -> ((s, d) => TextOps.lmScore(docs(s, d))),
+    "lm_score_bigram" -> ((s, d) => TextOps.lmScoreBigram(docs(s, d))),
     // ── H. multimodal ─────────────────────────────────────────────────
     "mm_ingest" -> ((s, d) => Multimodal.byteStats(
       Multimodal.ingest(docs(s, d)))),
@@ -316,6 +317,30 @@ object PipelineQueries {
              round(avg(ln(cnt) - ln(n_total)), 4) AS avg_logp,
              round(exp(-avg(ln(cnt) - ln(n_total))), 2) AS perplexity
       FROM t JOIN c USING (token) CROSS JOIN n
+      GROUP BY doc_id""",
+
+    // bigram LM trained on the scored corpus → every transition
+    // in-vocabulary, oracle exact; DuckDB's lockstep multi-unnest pairs
+    // the shifted token lists positionally (lists are 1-indexed)
+    "lm_score_bigram" -> """
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                 AS toks
+        FROM documents),
+      b AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, len(toks) - 1),
+                 i -> toks[i + 1])) AS w1,
+               unnest(list_transform(range(0, len(toks) - 1),
+                 i -> toks[i + 2])) AS w2
+        FROM t WHERE len(toks) >= 2),
+      c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2),
+      c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1)
+      SELECT doc_id, count(*) AS n_transitions,
+             round(avg(ln(c2) - ln(c1)), 4) AS avg_logp,
+             round(exp(-avg(ln(c2) - ln(c1))), 2) AS perplexity
+      FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
       GROUP BY doc_id""",
 
     "vocab_topk" -> """

@@ -354,6 +354,39 @@ object TextOps {
         round(avg(col("n_bpe")), 4).as("avg_bpe_per_word"))
   }
 
+  /** Bigram language-model scoring — the actual n-gram shape of a
+    * KenLM-style perplexity filter ([[lmScore]] is the unigram
+    * baseline): P(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1} ·),
+    * trained on the scored corpus itself so every transition is
+    * in-vocabulary and the oracle is exact (no smoothing/backoff term).
+    * Only transitions are scored (documents shorter than 2 tokens drop
+    * out). Counts join by plain shuffle joins on the bigram/context
+    * keys — the bigram table of a web corpus is far beyond broadcast
+    * budget; AQE upgrades when it isn't. */
+  def lmScoreBigram(d: DataFrame): DataFrame = {
+    val toks = withToks(d.withColumn("text", lower(col("text"))))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("toks"))
+    val bigrams = toks.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    // context totals roll up from the (already tiny) bigram table, not
+    // the corpus — one extra vocab-sized agg instead of a corpus pass
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    bigrams
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .select(col("doc_id"), (log(col("c2")) - log(col("c1"))).as("logp"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_transitions"),
+        round(avg(col("logp")), 4).as("avg_logp"),
+        round(exp(-avg(col("logp"))), 2).as("perplexity"))
+  }
+
   /** Polynomial rolling-hash fingerprint per document (custom codegen'd
     * Catalyst expression graft.functions.PolyHash64). */
   def fingerprint(d: DataFrame): DataFrame =

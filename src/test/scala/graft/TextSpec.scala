@@ -33,6 +33,22 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("bigram lm: deterministic transitions score perplexity 1, ambiguous higher") {
+    import spark.implicits._
+    // the LM is corpus-trained, so the docs use DISJOINT vocabularies:
+    // doc 1's contexts each have one continuation, doc 2's 'x' splits
+    // three ways
+    val corpus = Seq(
+      (1L, "s", "a b a b a b"),
+      (2L, "s", "x y x z x w")
+    ).toDF("doc_id", "source", "text")
+    val r = TextOps.lmScoreBigram(corpus).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_transitions"), x.getAs[Double]("perplexity"))).toMap
+    assert(r(1L)._1 == 5L && r(1L)._2 == 1.0, r.toString)
+    assert(r(2L)._1 == 5L && r(2L)._2 > 1.0, r.toString)
+  }
+
   test("repetition stats flag duplicated n-grams and clear clean docs") {
     import spark.implicits._
     val corpus = Seq(
