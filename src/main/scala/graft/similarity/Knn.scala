@@ -160,6 +160,58 @@ object Knn {
         round(avg(col("nrm")), 4).as("avg_norm"))
   }
 
+  /** Persist an IVF index: every vector assigned to its nearest
+    * centroid's inverted list, written as an external table BUCKETED BY
+    * the list id — the offline build §5 promises. Search against the
+    * persisted table needs no re-training, no re-assignment, and no
+    * Exchange on the index side: the bucketed layout already hash-
+    * partitions by `c_id`, and an equality/IN probe filter on `c_id`
+    * prunes entire buckets at planning time. Returns the centroid table
+    * (tiny — persist alongside, or recompute probes from it). */
+  def writeIvfIndex(e: DataFrame, tableName: String, path: String,
+      nlist: Int = 10, buckets: Int = 8): DataFrame = {
+    val base = e.localCheckpoint(true)
+    val centroids = kmeansCentroids(base, nlist)
+    val assigned = assignNearest(
+      base.crossJoin(broadcast(withCnrm2(centroids))).withColumn("d", sqDist),
+      Seq("v", "nrm"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"))
+    assigned
+      .repartition(col("c_id"))
+      .write
+      .option("path", path)
+      .bucketBy(buckets, "c_id")
+      .sortBy("c_id")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(tableName)
+    centroids
+  }
+
+  /** Search a persisted IVF index ([[writeIvfIndex]]): queries rank the
+    * centroid table for their `nprobe` nearest lists, then meet the
+    * bucketed index in a `c_id` equijoin — the index side arrives
+    * pre-partitioned (zero Exchange, PlanSpec-asserted), so at 100 TB
+    * the scan touches only the probed lists' buckets. */
+  def searchIvfIndex(spark: SparkSession, tableName: String,
+      centroids: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val probeW = Window.partitionBy("query_id").orderBy(col("d"), col("c_id"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("v"), col("nrm"))
+      .crossJoin(broadcast(withCnrm2(centroids)))
+      .withColumn("d", sqDist)
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("v"), col("nrm"), col("c_id"))
+    val scored = probes.as("q").join(spark.table(tableName).as("c"),
+        col("q.c_id") === col("c.c_id") &&
+          col("query_id") =!= col("c.vec_id"))
+      .withColumn("score", cosine)
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        col("score"))
+    ranked(scored, k)
+  }
+
   /** IVF: k-means centroids ([[kmeansCentroids]]; at scale trained once
     * offline), every vector joins its nearest centroid's inverted list;
     * queries probe the `nprobe` nearest lists. */

@@ -49,6 +49,41 @@ class KnnSpec extends SparkSpec {
     assert(a.values.forall(_ > 0))
   }
 
+  test("persisted IVF index: bucketed layout serves search with no index-side shuffle") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    spark.sql("DROP TABLE IF EXISTS ivf_idx")
+    val centroids = graft.similarity.Knn.writeIvfIndex(e, "ivf_idx", dir,
+      nlist = 10, buckets = 4)
+    // search over the PERSISTED index (no retraining) recalls like ivf
+    val brute = graft.similarity.Knn.brute(e, col("vec_id") < 5, k = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val idx = graft.similarity.Knn.searchIvfIndex(spark, "ivf_idx",
+      centroids, e.filter(col("vec_id") < 5), k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (brute & idx).size.toDouble / brute.size
+    assert(recall > 0.1, s"index search recall too low: $recall")
+    // the bucketed layout IS the partitioning: a c_id aggregation (and
+    // hence the c_id probe join's index side) runs with zero Exchange
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val aggPlan = spark.table("ivf_idx").groupBy("c_id")
+        .agg(count(lit(1))).queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"), aggPlan)
+      val searchPlan = graft.similarity.Knn.searchIvfIndex(spark, "ivf_idx",
+        centroids, e.filter(col("vec_id") < 5), k = 10)
+        .queryExecution.executedPlan.toString
+      // exactly ONE c_id Exchange: the probe side co-partitioning to the
+      // bucket layout. A non-bucketed index would need a second.
+      val cIdExchanges =
+        "Exchange hashpartitioning\\(c_id".r.findAllIn(searchPlan).length
+      assert(cIdExchanges == 1, searchPlan)
+      assert(searchPlan.contains("Bucketed: true"), searchPlan)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("ivf probes recover a reasonable share of brute top-10") {
     val brute = Knn.brute(e, col("vec_id") < 5, k = 10).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
