@@ -343,9 +343,15 @@ object TextOps {
       maxVocab: Int = 65536): DataFrame = {
     val (vocab, _) = bpeTrain(d, numMerges, maxVocab)
     val seg = vocab.select(col("word"), col("n_bpe"))
+    // LEFT join: a word outside the frequency-capped training vocab
+    // still counts — at its character-split length, the upper bound of
+    // any BPE segmentation (an inner join would silently drop OOV words
+    // from the budget once maxVocab bites at corpus scale)
     withToks(d.withColumn("text", lower(col("text"))))
       .select(col("doc_id"), col("source"), explode(col("toks")).as("word"))
-      .join(seg, "word")
+      .join(seg, Seq("word"), "left")
+      .withColumn("n_bpe",
+        coalesce(col("n_bpe"), length(col("word")).cast("long")))
       .groupBy(col("source"))
       .agg(
         countDistinct(col("doc_id")).as("n_docs"),
