@@ -368,6 +368,17 @@ object Dedup {
       .select("vec_id1", "vec_id2", "cos_sim")
   }
 
+  /** Exact embedding dedup: group on the raw vector (bit-identical
+    * doubles — the degenerate mass the LSH occupancy cap deliberately
+    * drops), keep the lowest vec_id. One map-side-combinable shuffle on
+    * the vector bytes; the companion to [[exact]] for the embedding
+    * table, and the documented absorber for `lsh_bucket_audit` drops. */
+  def embeddingExact(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("v").cast("array<double>").as("v"))
+      .groupBy(col("v"))
+      .agg(min(col("vec_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .select("keeper", "n_copies")
+
   def embeddingPairs(emb: DataFrame, tau: Double): DataFrame = {
     // norms computed once per vector (not per pair); the pair loop is the
     // native DotProduct kernel — no per-pair array allocation

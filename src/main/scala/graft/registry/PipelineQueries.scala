@@ -46,6 +46,8 @@ object PipelineQueries {
     "dedup_simhash" -> ((s, d) => Dedup.simHashPairs(docs(s, d))),
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingPairs(Knn.emb(s, d), tau = 0.4)),
+    "dedup_embedding_exact" -> ((s, d) =>
+      Dedup.embeddingExact(Knn.emb(s, d))),
     "dedup_embedding_lsh" -> ((s, d) =>
       Dedup.embeddingPairsLsh(Knn.emb(s, d), tau = 0.3)),
     // ── F. similarity ─────────────────────────────────────────────────
@@ -160,6 +162,12 @@ object PipelineQueries {
       JOIN sz s1 ON doc1 = s1.doc_id
       JOIN sz s2 ON doc2 = s2.doc_id
       WHERE round(n_common / (s1.n + s2.n - n_common), 4) >= 0.85""",
+
+    // group on the raw double vector: bit-identical parquet floats group
+    // identically in both engines
+    "dedup_embedding_exact" -> """
+      SELECT min(vec_id) AS keeper, count(*) AS n_copies
+      FROM embeddings GROUP BY embedding::DOUBLE[]""",
 
     "dedup_embedding" -> """
       SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2,

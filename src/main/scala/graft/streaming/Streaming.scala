@@ -115,6 +115,21 @@ object Streaming {
         col("value"), col("payload"))
   }
 
+  /** Live Peek (`pkg/api/messages.go:72-81`): the latest entry of every
+    * segment in a space, maintained incrementally over the produce feed —
+    * the same one-pass max_by state as the batch StreamOps.peek, sharded
+    * by (space, segment) with the state store. outputMode("update")
+    * emits exactly the segments whose head moved each micro-batch. */
+  def peekStream(producedStream: DataFrame, space: String): DataFrame =
+    producedStream
+      .filter(col("space") === space)
+      .groupBy(col("space"), col("segment"))
+      .agg(
+        max(col("sequence")).as("sequence"),
+        max_by(col("ts_us"), col("sequence")).as("ts_us"),
+        max_by(col("value"), col("sequence")).as("value"),
+        max_by(col("payload"), col("sequence")).as("payload"))
+
   /** Live SegmentStatus feed: per-(space, segment) aggregate whose update
     * stream mirrors subscription notifications. Use outputMode("update")
     * so each micro-batch emits exactly the segments whose status changed —

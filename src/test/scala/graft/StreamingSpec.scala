@@ -189,6 +189,22 @@ class StreamingSpec extends SparkSpec {
     assert(nSignup == entries.filter(col("space") === "signup").count())
   }
 
+  test("peek stream converges to batch peek") {
+    val dir = Files.createTempDirectory("graft_peek_stream").toString
+    val entries = EventLog.entries(spark, SF)
+    graft.sources.EventLogWriter.write(entries, dir)
+    val stream = Streaming.readProducedStream(spark, dir,
+      maxFilesPerTrigger = 2)
+    runToCompletion(Streaming.peekStream(stream, "signup"), "peek_stream",
+      "complete")
+    val got = spark.table("peek_stream")
+      .select("space", "segment", "sequence", "ts_us", "value", "payload")
+      .collect().map(_.toSeq).toSet
+    val want = StreamOps.peek(entries, "signup")
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("streaming trx audit converges to the batch recovery audit") {
     val dir = Files.createTempDirectory("graft_trx_stream").toString
     val entries = EventLog.entries(spark, SF)
