@@ -114,6 +114,66 @@ class TextSpec extends SparkSpec {
     assert(again == merged)
   }
 
+  /** Escape a learned BPE symbol for a SQL lambda literal (parity oracle). */
+  private def sqlLit(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'")
+
+  /** The round-3 in-engine DataFrame merge loop, kept verbatim as the
+    * parity oracle for the driver-local trainer (2 Spark jobs per merge —
+    * correct but serialized, which is why production bpeTrain moved the
+    * loop driver-local over the bounded vocab). */
+  private def bpeMergesInEngine(d: org.apache.spark.sql.DataFrame,
+      numMerges: Int): Seq[(String, String)] = {
+    var vocab = d
+      .withColumn("toks", expr("filter(split(lower(text), ' '), x -> x != '')"))
+      .select(explode(col("toks")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < numMerges) {
+      val top = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), " +
+            "i -> struct(syms[i] AS a, syms[i + 1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getAs[Long]("cnt") < 2L) done = true
+      else {
+        val (a, b) = (top.head.getAs[String]("a"), top.head.getAs[String]("b"))
+        merges += ((a, b))
+        vocab = vocab.withColumn("syms", expr(
+          s"""aggregate(syms, cast(array() as array<string>),
+             (acc, x) -> if(size(acc) > 0
+                            AND element_at(acc, -1) = '${sqlLit(a)}'
+                            AND x = '${sqlLit(b)}',
+                          concat(slice(acc, 1, size(acc) - 1),
+                            array('${sqlLit(a + b)}')),
+                          concat(acc, array(x))))"""))
+        if (merges.length % 4 == 0) vocab = vocab.localCheckpoint(true)
+      }
+    }
+    merges.toSeq
+  }
+
+  test("driver-local bpe merges are identical to the in-engine DataFrame loop") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "src", "low low low low low"),
+      (2L, "src", "lower lower newest newest"),
+      (3L, "src", "newest newest newest widest"),
+      (4L, "src", "aaa abab banana bandana ba na")).toDF("doc_id", "source", "text")
+    val (_, driverMerges) = TextOps.bpeTrain(corpus, numMerges = 12)
+    val engineMerges = bpeMergesInEngine(corpus, numMerges = 12)
+    assert(driverMerges == engineMerges,
+      s"driver=$driverMerges engine=$engineMerges")
+  }
+
   test("bpe greedy apply is left-to-right (aaa -> [aa, a] under merge a+a)") {
     import spark.implicits._
     val corpus = Seq((1L, "s", "aaa aaa aaa")).toDF("doc_id", "source", "text")
