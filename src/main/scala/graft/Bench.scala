@@ -54,6 +54,13 @@ object Bench {
     // output, so a long queries map must never push metric/value/total off
     // the end — anything truncated is the front of the line
     val line = s"""{"queries":$qs,"warm":$warm,"failed":$failedJson,"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total)}}"""
+    // also write the line to a file: sbt prints its own [success] trailer
+    // after stdout, so a driver capturing the tail of the process output
+    // can't reliably parse the stdout line
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: java.io.IOException => () } // stdout line still stands
     spark.sparkContext.setLogLevel("ERROR") // nothing may print after the metric line
     println(line)
     spark.stop()
