@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// keep the Bench JSON line as the LAST line of stdout: sbt's
+// "[success] Total time" trailer otherwise prints after it and the
+// driver's tail-parser reads that instead of the metric line
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

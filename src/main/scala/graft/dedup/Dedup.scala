@@ -120,6 +120,11 @@ object Dedup {
   def simHashPairs(d: DataFrame, maxHamming: Int = 3,
       maxOccupancy: Long = 8192L): DataFrame = {
     val sh = simHash(d)
+    // `banded` feeds three consumers (occupancy agg, the semi-join's
+    // probe side, both sides of the candidate self-join) — materialize
+    // the slim (id, hash, band, key) table once instead of re-running
+    // the tokenize+simhash kernel per consumer (the LshBuckets.members
+    // pattern; persist(MEMORY_AND_DISK) at cluster scale)
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(expr(
         "transform(sequence(0, 3), " +
@@ -127,6 +132,7 @@ object Dedup {
         .as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
+      .localCheckpoint(true)
     val small = banded.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") <= maxOccupancy)
@@ -340,14 +346,17 @@ object Dedup {
     * `lsh_bucket_audit`). */
   def embeddingPairsLsh(emb: DataFrame, tau: Double,
       planes: Int = 0, tables: Int = 4, targetOccupancy: Long = 128L,
-      maxOccupancy: Long = 4096L): DataFrame = {
+      maxOccupancy: Long = 4096L, n: Long = 0L): DataFrame = {
     import graft.similarity.LshBuckets
     val e = emb.select(col("vec_id"), col("v").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(DotProduct(col("v"), col("v"))))
-    // planes = 0 → derive from corpus size (one metadata-cheap count) so
-    // expected occupancy tracks targetOccupancy at ANY scale
+    // planes = 0 → derive from corpus size so expected occupancy tracks
+    // targetOccupancy at ANY scale; callers that already know the
+    // cardinality (table metadata, LshBuckets.corpusSize) pass `n` so a
+    // pipeline sizes once instead of one count scan per LSH query
     val p = if (planes > 0) planes
-      else LshBuckets.adaptivePlanes(e.count(), targetOccupancy)
+      else LshBuckets.adaptivePlanes(
+        if (n > 0L) n else e.count(), targetOccupancy)
     val m = LshBuckets.members(e, p, tables, maxOccupancy)
     val cand = m.as("a").join(m.as("b"),
         col("a.tbl") === col("b.tbl") &&

@@ -48,13 +48,22 @@ object PipelineQueries {
       Dedup.embeddingPairs(Knn.emb(s, d), tau = 0.4)),
     "dedup_embedding_exact" -> ((s, d) =>
       Dedup.embeddingExact(Knn.emb(s, d))),
-    "dedup_embedding_lsh" -> ((s, d) =>
-      Dedup.embeddingPairsLsh(Knn.emb(s, d), tau = 0.3)),
+    // corpus size via the shared JVM cache so the three LSH queries
+    // (this, knn_lsh, lsh_bucket_audit) run ONE sizing count between
+    // them, not one each
+    "dedup_embedding_lsh" -> ((s, d) => {
+      val e = Knn.emb(s, d)
+      Dedup.embeddingPairsLsh(e, tau = 0.3,
+        n = graft.similarity.LshBuckets.corpusSize(e, s"emb:$d"))
+    }),
     // ── F. similarity ─────────────────────────────────────────────────
     "knn_brute" -> ((s, d) =>
       Knn.brute(Knn.emb(s, d), col("vec_id") < 5, k = 10)),
-    "knn_lsh" -> ((s, d) =>
-      Knn.lsh(Knn.emb(s, d), col("vec_id") < 20, k = 5)),
+    "knn_lsh" -> ((s, d) => {
+      val e = Knn.emb(s, d)
+      Knn.lsh(e, col("vec_id") < 20, k = 5,
+        n = graft.similarity.LshBuckets.corpusSize(e, s"emb:$d"))
+    }),
     "knn_ivf" -> ((s, d) =>
       Knn.ivf(Knn.emb(s, d), col("vec_id") < 5, k = 10)),
     // corpus clustering over embeddings (seeded k-means + min_by
@@ -68,7 +77,8 @@ object PipelineQueries {
     "lsh_bucket_audit" -> ((s, d) => {
       val e = Knn.emb(s, d)
       graft.similarity.LshBuckets.audit(e,
-        planes = graft.similarity.LshBuckets.adaptivePlanes(e.count()),
+        planes = graft.similarity.LshBuckets.adaptivePlanes(
+          graft.similarity.LshBuckets.corpusSize(e, s"emb:$d")),
         tables = 4, maxOccupancy = 4096L)
     }),
     // ── G. text ───────────────────────────────────────────────────────

@@ -36,6 +36,19 @@ import graft.functions.HyperplaneBucket
   */
 object LshBuckets {
 
+  /** JVM-lifetime cache of corpus sizes, keyed by a caller-chosen dataset
+    * key (e.g. the parquet dir). The adaptive-plane derivation needs only
+    * the corpus cardinality; without this every LSH query re-scans the
+    * corpus just to size its planes — at 100 TB a full count per query is
+    * real money, and within one session the size of an immutable input
+    * can't change. A production pipeline would pass a precomputed `n`
+    * from table metadata instead. */
+  private val sizeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def corpusSize(e: DataFrame, key: String): Long =
+    sizeCache.computeIfAbsent(key, _ => Long.box(e.count())).longValue()
+
   /** Plane count that holds expected bucket occupancy at
     * `targetOccupancy` for a corpus of `n` vectors:
     * ceil(log₂(n / targetOccupancy)), clamped to [minPlanes, maxPlanes].
@@ -117,6 +130,10 @@ object LshBuckets {
     * the spec asserts stays ≤ maxOccupancy on a skewed corpus). */
   def audit(e: DataFrame, planes: Int, tables: Int,
       maxOccupancy: Long, subPlanes: Int = 6): DataFrame = {
+    // the `total` leg deliberately re-runs rawKeys rather than sharing
+    // [[members]]' internal checkpoint: the audit must count memberships
+    // BEFORE the cap, and an audit is a diagnostic run — one extra
+    // bucketing pass here beats widening members' return surface
     val total = rawKeys(e, planes, tables)
       .groupBy(col("tbl")).agg(count(lit(1)).as("n_memberships"))
     val finalOcc = members(e, planes, tables, maxOccupancy, subPlanes)

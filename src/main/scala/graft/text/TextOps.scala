@@ -421,12 +421,20 @@ object TextOps {
     val toks = withToks(d.withColumn("text", lower(col("text"))))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), col("toks"))
+    // the exploded transition table feeds TWO consumers (the count agg
+    // and the probe side of the scoring join) and the count table feeds
+    // two more (the scoring join and the context rollup) — materialize
+    // each once or the tokenize+explode pass re-runs per consumer (the
+    // multi-consumer lesson; at cluster scale the same reuse is
+    // persist(MEMORY_AND_DISK): the table is 3 slim columns, sharded)
     val bigrams = toks.select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks) - 2), " +
           "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .localCheckpoint(true)
     val c2 = bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true)
     // context totals roll up from the (already tiny) bigram table, not
     // the corpus — one extra vocab-sized agg instead of a corpus pass
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
