@@ -2,18 +2,21 @@ package graft.multimodal
 
 import java.nio.charset.StandardCharsets
 
-/** Pure-JVM encoders/decoders for four public container formats (JPEG,
-  * PNG, BMP, WAV), parsed from their published header layouts — no
-  * external codec libraries. The *pixel/sample* payload is not
-  * decompressed (PNG IDAT and JPEG entropy-coded data stay opaque); what
-  * a curation pipeline needs from 100 TB of media is the typed metadata —
-  * dimensions, channels, sample rate, duration — and that lives in the
-  * fixed-layout headers parsed here.
+/** Pure-JVM encoders/decoders for six public container formats (JPEG,
+  * PNG, BMP, WAV, GIF, WebP), parsed from their published header
+  * layouts — no external codec libraries. The *pixel/sample* payload is
+  * not decompressed (PNG IDAT and JPEG entropy-coded data stay opaque);
+  * what a curation pipeline needs from 100 TB of media is the typed
+  * metadata — dimensions, channels, sample rate, duration — and that
+  * lives in the fixed-layout headers parsed here.
   *
   * Layouts: JPEG marker segments + SOF0/SOF2 frame header (ITU T.81
   * §B.2.2), PNG signature + IHDR (RFC 2083 §3 / W3C PNG spec),
   * BITMAPINFOHEADER (Windows BMP), RIFF/WAVE `fmt ` + `data` chunks
-  * (Multimedia Programming Interface and Data Specifications 1.0). */
+  * (Multimedia Programming Interface and Data Specifications 1.0),
+  * GIF87a/89a logical screen descriptor (GIF89a spec §18), WebP
+  * RIFF container with VP8 (RFC 6386 §9.1) / VP8L (lossless bitstream
+  * spec §3) / VP8X (extended container) chunks. */
 object MediaCodec {
 
   final case class MediaMeta(format: String, width: Int, height: Int,
@@ -55,6 +58,12 @@ object MediaCodec {
     else if (blob(0) == 'R' && blob(1) == 'I' && blob(2) == 'F' &&
       blob(3) == 'F' && blob(8) == 'W' && blob(9) == 'A' &&
       blob(10) == 'V' && blob(11) == 'E') decodeWav(blob)
+    else if (blob(0) == 'R' && blob(1) == 'I' && blob(2) == 'F' &&
+      blob(3) == 'F' && blob(8) == 'W' && blob(9) == 'E' &&
+      blob(10) == 'B' && blob(11) == 'P') decodeWebp(blob)
+    else if (blob(0) == 'G' && blob(1) == 'I' && blob(2) == 'F' &&
+      blob(3) == '8' && (blob(4) == '7' || blob(4) == '9') &&
+      blob(5) == 'a') decodeGif(blob)
     else Unknown
   }
 
@@ -163,6 +172,69 @@ object MediaCodec {
       dataSize * 1000.0 / byteRate, ok = true)
   }
 
+  /** GIF (87a/89a): 6-byte signature then the logical screen descriptor —
+    * canvas width/height u16le at offsets 6/8 (GIF89a spec §18). GIF is
+    * palette-indexed (one index per pixel), so channels = 1, matching the
+    * PNG color-type-3 convention above. */
+  def decodeGif(b: Array[Byte]): MediaMeta = {
+    if (b.length < 13) return Unknown
+    val width = le16(b, 6)
+    val height = le16(b, 8)
+    if (width <= 0 || height <= 0) Unknown
+    else MediaMeta("gif", width, height, 1, 0, 0.0, ok = true)
+  }
+
+  /** WebP: RIFF container, walked with the same hostile-size-proof Long
+    * cursor as [[decodeWav]], to the first image chunk:
+    *
+    *  - `VP8 ` (lossy, RFC 6386 §9.1): 3-byte frame tag, 3-byte start
+    *    code 9D 01 2A, then width/height u16le (low 14 bits each);
+    *  - `VP8L` (lossless bitstream spec §3): signature byte 0x2F, then a
+    *    u32le carrying 14-bit width−1, 14-bit height−1, and the
+    *    alpha_is_used bit, LSB first;
+    *  - `VP8X` (extended container): flags byte (bit 4 = alpha), 3
+    *    reserved bytes, canvas width−1 / height−1 as u24le.
+    *
+    * Malformed signatures/lengths abort to Unknown, never loop or throw. */
+  def decodeWebp(b: Array[Byte]): MediaMeta = {
+    var pos = 12L
+    while (pos + 8 <= b.length) {
+      val p = pos.toInt
+      val id = new String(b, p, 4, StandardCharsets.US_ASCII)
+      val size = le32(b, p + 4).toLong & 0xffffffffL
+      val pl = p + 8
+      if (id == "VP8 ") {
+        if (size < 10L || pos + 18 > b.length) return Unknown
+        if ((b(pl + 3) & 0xff) != 0x9d || (b(pl + 4) & 0xff) != 0x01 ||
+          (b(pl + 5) & 0xff) != 0x2a) return Unknown
+        val width = le16(b, pl + 6) & 0x3fff
+        val height = le16(b, pl + 8) & 0x3fff
+        return if (width <= 0 || height <= 0) Unknown
+        else MediaMeta("webp", width, height, 3, 0, 0.0, ok = true)
+      } else if (id == "VP8L") {
+        if (size < 5L || pos + 13 > b.length) return Unknown
+        if ((b(pl) & 0xff) != 0x2f) return Unknown
+        val bits = le32(b, pl + 1)
+        val width = (bits & 0x3fff) + 1
+        val height = ((bits >>> 14) & 0x3fff) + 1
+        val alpha = (bits >>> 28) & 1
+        return MediaMeta("webp", width, height, if (alpha == 1) 4 else 3,
+          0, 0.0, ok = true)
+      } else if (id == "VP8X") {
+        if (size < 10L || pos + 18 > b.length) return Unknown
+        val alpha = (b(pl) >> 4) & 1
+        val width = ((b(pl + 4) & 0xff) | ((b(pl + 5) & 0xff) << 8) |
+          ((b(pl + 6) & 0xff) << 16)) + 1
+        val height = ((b(pl + 7) & 0xff) | ((b(pl + 8) & 0xff) << 8) |
+          ((b(pl + 9) & 0xff) << 16)) + 1
+        return MediaMeta("webp", width, height, if (alpha == 1) 4 else 3,
+          0, 0.0, ok = true)
+      }
+      pos += 8L + size + (size & 1L) // chunks are word-aligned
+    }
+    Unknown
+  }
+
   // ── encoders (for deterministic test/demo media) ──────────────────────
 
   /** Minimal structurally-valid PNG: signature + IHDR + empty IDAT + IEND
@@ -236,6 +308,39 @@ object MediaCodec {
     wle32(out, 2835); wle32(out, 2835) // 72 dpi
     wle32(out, 0); wle32(out, 0) // palette
     out.write(new Array[Byte](dataSize), 0, dataSize)
+    out.toByteArray
+  }
+
+  /** Minimal GIF89a: signature + logical screen descriptor + trailer (no
+    * color table, no image blocks — header-true bytes are all the demo
+    * corpus needs). */
+  def encodeGif(width: Int, height: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('G'); out.write('I'); out.write('F')
+    out.write('8'); out.write('9'); out.write('a')
+    wle16(out, width); wle16(out, height)
+    out.write(0) // no global color table
+    out.write(0) // background color index
+    out.write(0) // pixel aspect ratio
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Minimal WebP: RIFF/WEBP container holding a single VP8L chunk whose
+    * bitstream header carries real dimensions + the alpha bit. The chunk
+    * payload is padded to 6 bytes (even, so no RIFF pad ambiguity);
+    * decode() reads only the 5-byte header. */
+  def encodeWebp(width: Int, height: Int, alpha: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('R'); out.write('I'); out.write('F'); out.write('F')
+    wle32(out, 4 + 8 + 6) // "WEBP" + chunk header + 6-byte payload
+    out.write('W'); out.write('E'); out.write('B'); out.write('P')
+    out.write('V'); out.write('P'); out.write('8'); out.write('L')
+    wle32(out, 6)
+    out.write(0x2f) // VP8L signature
+    wle32(out, ((width - 1) & 0x3fff) | (((height - 1) & 0x3fff) << 14) |
+      (if (alpha) 1 << 28 else 0)) // version bits (29–31) = 0
+    out.write(0) // payload pad to even length
     out.toByteArray
   }
 
