@@ -124,7 +124,12 @@ object Dedup {
     // probe side, both sides of the candidate self-join) — materialize
     // the slim (id, hash, band, key) table once instead of re-running
     // the tokenize+simhash kernel per consumer (the LshBuckets.members
-    // pattern; persist(MEMORY_AND_DISK) at cluster scale)
+    // pattern). NOTE the eager checkpoint runs a full job at DataFrame-
+    // CONSTRUCTION time: plan-only consumers (graft.Explain) pay the
+    // materialization before the timed run, and checkpoint blocks don't
+    // survive executor loss — the documented trade (SURVEY §5 "eager
+    // intermediates"); at cluster scale this site switches to
+    // persist(MEMORY_AND_DISK)
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(expr(
         "transform(sequence(0, 3), " +
@@ -346,7 +351,7 @@ object Dedup {
     * `lsh_bucket_audit`). */
   def embeddingPairsLsh(emb: DataFrame, tau: Double,
       planes: Int = 0, tables: Int = 4, targetOccupancy: Long = 128L,
-      maxOccupancy: Long = 4096L, n: Long = 0L): DataFrame = {
+      maxOccupancy: Long = 4096L, n: Long = -1L): DataFrame = {
     import graft.similarity.LshBuckets
     val e = emb.select(col("vec_id"), col("v").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(DotProduct(col("v"), col("v"))))
@@ -354,9 +359,10 @@ object Dedup {
     // targetOccupancy at ANY scale; callers that already know the
     // cardinality (table metadata, LshBuckets.corpusSize) pass `n` so a
     // pipeline sizes once instead of one count scan per LSH query
+    // (n = -1 → unknown; 0 is a real empty-corpus cardinality)
     val p = if (planes > 0) planes
       else LshBuckets.adaptivePlanes(
-        if (n > 0L) n else e.count(), targetOccupancy)
+        if (n >= 0L) n else e.count(), targetOccupancy)
     val m = LshBuckets.members(e, p, tables, maxOccupancy)
     val cand = m.as("a").join(m.as("b"),
         col("a.tbl") === col("b.tbl") &&

@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
   * per-partition feature extraction.
   *
   * The decode step ([[MediaCodec]]) parses REAL public container formats
-  * (PNG IHDR, BMP BITMAPINFOHEADER, RIFF/WAVE chunks) in pure JVM code —
+  * (JPEG marker walk, PNG IHDR, BMP BITMAPINFOHEADER, RIFF/WAVE chunks,
+  * GIF logical screen descriptor, WebP VP8/VP8L/VP8X) in pure JVM code —
   * no external codec libraries, which also means the compressed pixel
   * payload itself stays opaque; dimensions/channels/sample-rate/duration
   * are what a curation pipeline filters on. Extraction runs as
@@ -40,14 +41,16 @@ object Multimodal {
   /** Deterministic demo media: REAL container bytes (MediaCodec
     * encoders) synthesized from doc fields — doc_id picks the modality
     * and the planted dimensions, so the decode path is exercised against
-    * true JPEG/PNG/BMP/WAV headers with no external fixtures. */
+    * true JPEG/PNG/BMP/WAV/GIF/WebP headers with no external fixtures
+    * (the WebP rows alternate the VP8L alpha bit, so both the 3- and
+    * 4-channel decode branches run). */
   def synthesize(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("source")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, src) =>
-          val blob = (id % 4) match {
+          val blob = (id % 6) match {
             case 0 => MediaCodec.encodeBmp(
               16 + (id % 32).toInt, 8 + (id % 16).toInt)
             case 1 => MediaCodec.encodePng(
@@ -55,10 +58,15 @@ object Multimodal {
             case 2 => MediaCodec.encodeJpeg(
               64 + (id % 128).toInt, 48 + (id % 64).toInt,
               if (id % 8 == 2) 1 else 3)
-            case _ => MediaCodec.encodeWav(
+            case 3 => MediaCodec.encodeWav(
               1 + (id % 2).toInt,
               if (id % 4 == 3) 16000 else 8000,
               400 + (id % 100).toInt * 40)
+            case 4 => MediaCodec.encodeGif(
+              20 + (id % 40).toInt, 10 + (id % 20).toInt)
+            case _ => MediaCodec.encodeWebp(
+              24 + (id % 48).toInt, 12 + (id % 24).toInt,
+              alpha = id % 12 == 11)
           }
           (id, src, blob)
         }

@@ -26,6 +26,14 @@ object PipelineQueries {
     "dedup_char_ngram" -> ((s, d) => Dedup.charNGramPairs(docs(s, d))),
     "dedup_clusters" -> ((s, d) =>
       Dedup.dedupClusters(Dedup.jaccardPairs(docs(s, d), "de", 0.85))),
+    // the 100 TB composition end-to-end: banded MinHash candidate pairs
+    // (linear-cost discovery) → connected components — what a production
+    // dedup pass actually runs; rows-only (banding isn't ANSI-
+    // expressible), DedupSpec proves parity with clusters over exact
+    // shingle-Jaccard at τ=1.0 where band recall is provably total
+    // (identical shingle sets ⟹ identical signatures in every band)
+    "dedup_clusters_lsh" -> ((s, d) =>
+      Dedup.dedupClusters(Dedup.minHashPairs(docs(s, d)))),
     // scoped to one language partition: the word-salad corpus shares a
     // tiny vocabulary, so an unscoped inverted-index join degenerates —
     // at real scale the test split is small and the index is built on it
@@ -66,6 +74,22 @@ object PipelineQueries {
     }),
     "knn_ivf" -> ((s, d) =>
       Knn.ivf(Knn.emb(s, d), col("vec_id") < 5, k = 10)),
+    // the offline-index story end-to-end: build the IVF index as a
+    // BUCKETED external table (bucketBy c_id — the index side of the
+    // search join arrives pre-partitioned, zero Exchange), then search
+    // the PERSISTED table with no retraining; rows-only (seeded k-means
+    // isn't ANSI-expressible), KnnSpec asserts the one-Exchange plan,
+    // the bucketed scan, and recall vs brute
+    "knn_ivf_persisted" -> ((s, d) => {
+      val e = Knn.emb(s, d)
+      val tbl = "graft_ivf_persisted"
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_ivf_persisted").toString
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val centroids = Knn.writeIvfIndex(e, tbl, path, nlist = 10, buckets = 8)
+      Knn.searchIvfIndex(s, tbl, centroids,
+        e.filter(col("vec_id") < 5), k = 10)
+    }),
     // corpus clustering over embeddings (seeded k-means + min_by
     // assignment); rows-only (centroid ids are hash-derived), KnnSpec
     // asserts coverage and determinism

@@ -59,12 +59,13 @@ object Knn {
     * one codegen'd pass per vector with no per-plane array allocation. */
   def lsh(e: DataFrame, queryPred: Column, k: Int,
       planes: Int = 0, tables: Int = 4, targetOccupancy: Long = 128L,
-      maxOccupancy: Long = 4096L, n: Long = 0L): DataFrame = {
+      maxOccupancy: Long = 4096L, n: Long = -1L): DataFrame = {
     // `n` = known corpus cardinality (metadata / LshBuckets.corpusSize):
-    // skips the sizing count scan; 0 → count here
+    // skips the sizing count scan; -1 → unknown, count here (0 is a real
+    // empty-corpus cardinality and is honored, not re-counted)
     val p = if (planes > 0) planes
       else LshBuckets.adaptivePlanes(
-        if (n > 0L) n else e.count(), targetOccupancy)
+        if (n >= 0L) n else e.count(), targetOccupancy)
     val m = LshBuckets.members(e, p, tables, maxOccupancy)
     val qm = m.join(e.filter(queryPred).select(col("vec_id")), "vec_id")
       .withColumnRenamed("vec_id", "query_id")

@@ -37,17 +37,29 @@ import graft.functions.HyperplaneBucket
 object LshBuckets {
 
   /** JVM-lifetime cache of corpus sizes, keyed by a caller-chosen dataset
-    * key (e.g. the parquet dir). The adaptive-plane derivation needs only
-    * the corpus cardinality; without this every LSH query re-scans the
-    * corpus just to size its planes — at 100 TB a full count per query is
-    * real money, and within one session the size of an immutable input
-    * can't change. A production pipeline would pass a precomputed `n`
-    * from table metadata instead. */
+    * key (e.g. the parquet dir) PLUS an invalidation token derived from
+    * the scan's resolved input files (count + sorted-name hash): if the
+    * data at a path is rewritten within one long-lived JVM (testdata
+    * regeneration under sbt shell, future service reuse), the parquet
+    * writer emits fresh UUID-named part files, the token changes, and
+    * the stale entry is simply never hit again. The adaptive-plane
+    * derivation needs only the corpus cardinality; without this cache
+    * every LSH query re-scans the corpus just to size its planes — at
+    * 100 TB a full count per query is real money. A production pipeline
+    * would pass a precomputed `n` from table metadata instead.
+    *
+    * A cached 0 is a real (empty-corpus) cardinality, not "unknown":
+    * callers use the -1 sentinel for unknown, so 0 is served from cache
+    * like any other value. */
   private val sizeCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  def corpusSize(e: DataFrame, key: String): Long =
-    sizeCache.computeIfAbsent(key, _ => Long.box(e.count())).longValue()
+  def corpusSize(e: DataFrame, key: String): Long = {
+    val files = e.inputFiles
+    val token = s"${files.length}:${files.sorted.toSeq.hashCode}"
+    sizeCache.computeIfAbsent(s"$key@$token", _ => Long.box(e.count()))
+      .longValue()
+  }
 
   /** Plane count that holds expected bucket occupancy at
     * `targetOccupancy` for a corpus of `n` vectors:

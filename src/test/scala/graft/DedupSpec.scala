@@ -124,6 +124,34 @@ class DedupSpec extends SparkSpec {
     assert(clusters(7L) == 7L && clusters(8L) == 7L)
   }
 
+  test("clusters over minhash == clusters over exact jaccard at τ=1 (total band recall)") {
+    import spark.implicits._
+    // At τ=1.0 the minhash path is provably lossless: identical shingle
+    // sets produce identical signatures, hence identical keys in EVERY
+    // band (recall 1), and the exact verify step kills any banding false
+    // positive — so the LSH composition must equal clustering the exact
+    // τ=1.0 Jaccard pairs. Clone groups {1,4,9} and {2,5}; 3 and 6 are
+    // distinct; 10 is a NEAR-dup of group 1 (jaccard < 1) and must be
+    // excluded on both sides.
+    val corpus = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog and runs far away home tonight"),
+      (2L, "en", "pack my box with five dozen liquor jugs before the long winter arrives early"),
+      (3L, "en", "completely different words about spark catalyst tungsten shuffles and partitions everywhere"),
+      (4L, "en", "the quick brown fox jumps over the lazy dog and runs far away home tonight"),
+      (5L, "en", "pack my box with five dozen liquor jugs before the long winter arrives early"),
+      (6L, "en", "sphinx of black quartz judge my vow while wizards jump quickly over fences"),
+      (9L, "en", "the quick brown fox jumps over the lazy dog and runs far away home tonight"),
+      (10L, "en", "the quick brown fox jumps over the lazy dog and runs far away home today"),
+    ).toDF("doc_id", "lang", "text")
+    val viaLsh = Dedup.dedupClusters(Dedup.minHashPairs(corpus, tau = 1.0))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaExact = Dedup.dedupClusters(Dedup.jaccardPairs(corpus, "en", 1.0))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLsh == viaExact)
+    assert(viaLsh ==
+      Map(1L -> 1L, 4L -> 1L, 9L -> 1L, 2L -> 2L, 5L -> 2L))
+  }
+
   test("split assignment is a pure function of doc_id with sane proportions") {
     val docs = spark.read.parquet(s"$SF/documents.parquet")
     val a = graft.text.TextOps.splitAssign(docs, 13).collect()

@@ -109,6 +109,135 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(!MediaCodec.decode(big).ok)
   }
 
+  test("gif: encode→decode round-trips the logical screen descriptor") {
+    val m = MediaCodec.decode(MediaCodec.encodeGif(320, 200))
+    assert(m.ok && m.format == "gif")
+    assert(m.width == 320 && m.height == 200 && m.channels == 1)
+    // GIF87a variant sniffs identically
+    val b = MediaCodec.encodeGif(7, 3)
+    b(4) = '7'.toByte
+    val m87 = MediaCodec.decode(b)
+    assert(m87.ok && m87.width == 7 && m87.height == 3)
+  }
+
+  test("hostile gif: truncation and zero dimensions decode to unknown") {
+    // a 12-byte GIF passes decode()'s global length gate but is one byte
+    // short of a full logical screen descriptor
+    val twelve = MediaCodec.encodeGif(4, 4).take(12)
+    assert(twelve.length == 12 && !MediaCodec.decode(twelve).ok)
+    // zero-width / zero-height canvases are rejected, not emitted
+    assert(!MediaCodec.decode(MediaCodec.encodeGif(0, 4)).ok)
+    assert(!MediaCodec.decode(MediaCodec.encodeGif(4, 0)).ok)
+    // every truncation prefix must return (not throw, not hang)
+    val full = MediaCodec.encodeGif(33, 17)
+    (0 until full.length).foreach(i =>
+      MediaCodec.decode(full.take(i)))
+  }
+
+  test("webp vp8l: encode→decode round-trips dims and the alpha bit") {
+    val m = MediaCodec.decode(MediaCodec.encodeWebp(100, 50))
+    assert(m.ok && m.format == "webp")
+    assert(m.width == 100 && m.height == 50 && m.channels == 3)
+    val a = MediaCodec.decode(MediaCodec.encodeWebp(100, 50, alpha = true))
+    assert(a.ok && a.channels == 4 && a.width == 100 && a.height == 50)
+    // 14-bit dimension field boundaries: 1×1 and 16384×16384
+    val tiny = MediaCodec.decode(MediaCodec.encodeWebp(1, 1))
+    assert(tiny.ok && tiny.width == 1 && tiny.height == 1)
+    val max = MediaCodec.decode(MediaCodec.encodeWebp(16384, 16384))
+    assert(max.ok && max.width == 16384 && max.height == 16384)
+  }
+
+  test("webp vp8 lossy: hand-built frame header parses per RFC 6386") {
+    // RIFF/WEBP + one "VP8 " chunk: 3-byte frame tag, start code
+    // 9D 01 2A, then width/height u16le (low 14 bits each)
+    def vp8(w: Int, h: Int, badStart: Boolean = false): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def wle32(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+        out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff) }
+      out.write('R'); out.write('I'); out.write('F'); out.write('F')
+      wle32(4 + 8 + 10)
+      out.write('W'); out.write('E'); out.write('B'); out.write('P')
+      out.write('V'); out.write('P'); out.write('8'); out.write(' ')
+      wle32(10)
+      out.write(0x00); out.write(0x00); out.write(0x00) // frame tag
+      out.write(if (badStart) 0x00 else 0x9d); out.write(0x01); out.write(0x2a)
+      out.write(w & 0xff); out.write((w >>> 8) & 0x3f)
+      out.write(h & 0xff); out.write((h >>> 8) & 0x3f)
+      out.toByteArray
+    }
+    val m = MediaCodec.decode(vp8(640, 360))
+    assert(m.ok && m.format == "webp")
+    assert(m.width == 640 && m.height == 360 && m.channels == 3)
+    // a wrong start code is a malformed bitstream, not a webp row
+    assert(!MediaCodec.decode(vp8(640, 360, badStart = true)).ok)
+    // truncated mid-frame-header at every byte: return, never throw
+    val full = vp8(640, 360)
+    (0 until full.length).foreach(i => MediaCodec.decode(full.take(i)))
+    assert(!MediaCodec.decode(full.take(full.length - 1)).ok)
+  }
+
+  test("webp vp8x: extended canvas dims and alpha flag parse") {
+    // RIFF/WEBP + one VP8X chunk: flags byte (bit 4 = alpha), 3 reserved
+    // bytes, canvas width−1 / height−1 as u24le
+    def vp8x(w: Int, h: Int, alpha: Boolean): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def wle32(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+        out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff) }
+      def wle24(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+        out.write((v >>> 16) & 0xff) }
+      out.write('R'); out.write('I'); out.write('F'); out.write('F')
+      wle32(4 + 8 + 10)
+      out.write('W'); out.write('E'); out.write('B'); out.write('P')
+      out.write('V'); out.write('P'); out.write('8'); out.write('X')
+      wle32(10)
+      out.write(if (alpha) 0x10 else 0x00)
+      out.write(0); out.write(0); out.write(0)
+      wle24(w - 1); wle24(h - 1)
+      out.toByteArray
+    }
+    val m = MediaCodec.decode(vp8x(4000, 3000, alpha = false))
+    assert(m.ok && m.format == "webp")
+    assert(m.width == 4000 && m.height == 3000 && m.channels == 3)
+    val a = MediaCodec.decode(vp8x(4000, 3000, alpha = true))
+    assert(a.ok && a.channels == 4)
+    // u24 canvas boundary: the full 16,777,216 extent round-trips
+    val big = MediaCodec.decode(vp8x(1 << 24, 1, alpha = false))
+    assert(big.ok && big.width == (1 << 24) && big.height == 1)
+    val full = vp8x(4000, 3000, alpha = true)
+    (0 until full.length).foreach(i => MediaCodec.decode(full.take(i)))
+  }
+
+  test("webp: unknown chunks are walked over; hostile sizes terminate") {
+    // a metadata chunk before the image chunk must be skipped (with the
+    // RIFF odd-size pad byte), landing on the VP8L header behind it
+    val vp8l = MediaCodec.encodeWebp(64, 32).drop(12) // VP8L chunk only
+    def container(chunks: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write('R'); out.write('I'); out.write('F'); out.write('F')
+      out.write((4 + chunks.length) & 0xff)
+      out.write(((4 + chunks.length) >>> 8) & 0xff); out.write(0); out.write(0)
+      out.write('W'); out.write('E'); out.write('B'); out.write('P')
+      out.write(chunks, 0, chunks.length)
+      out.toByteArray
+    }
+    val meta = Array[Byte]('X', 'M', 'P', ' ', 3, 0, 0, 0, 'a', 'b', 'c', 0)
+    val m = MediaCodec.decode(container(meta ++ vp8l))
+    assert(m.ok && m.format == "webp" && m.width == 64 && m.height == 32)
+    // chunk size 0xFFFFFFFF jumps the cursor past the end: must
+    // terminate as unknown under the Long cursor, not hang or throw
+    val hostile = container(
+      Array[Byte]('X', 'M', 'P', ' ', -1, -1, -1, -1) ++ vp8l)
+    assert(!MediaCodec.decode(hostile).ok)
+    // VP8L signature byte must be 0x2F, not whatever is in the stream
+    val badSig = MediaCodec.encodeWebp(64, 32)
+    badSig(20) = 0x00.toByte
+    assert(!MediaCodec.decode(badSig).ok)
+    // truncation at every byte boundary: return, never throw
+    val full = MediaCodec.encodeWebp(64, 32, alpha = true)
+    (0 until full.length).foreach(i => MediaCodec.decode(full.take(i)))
+    assert(!MediaCodec.decode(full.take(full.length - 2)).ok)
+  }
+
   test("bmp top-down negative height is normalized") {
     val bytes = MediaCodec.encodeBmp(4, 4)
     // patch height (offset 22, s32le) to -4: top-down row order

@@ -281,7 +281,7 @@ class TextSpec extends SparkSpec {
       .collect()
     assert(feats.length == docs.count())
     feats.foreach { f =>
-      (f.doc_id % 4) match {
+      (f.doc_id % 6) match {
         case 0 =>
           assert(f.format == "bmp" &&
             f.width == 16 + (f.doc_id % 32).toInt &&
@@ -294,11 +294,24 @@ class TextSpec extends SparkSpec {
             f.width == 64 + (f.doc_id % 128).toInt &&
             f.height == 48 + (f.doc_id % 64).toInt &&
             (f.channels == 1 || f.channels == 3), f.toString)
-        case _ =>
+        case 3 =>
           assert(f.format == "wav" && f.sample_rate > 0 &&
             f.duration_ms > 0.0, f.toString)
+        case 4 =>
+          assert(f.format == "gif" &&
+            f.width == 20 + (f.doc_id % 40).toInt &&
+            f.height == 10 + (f.doc_id % 20).toInt &&
+            f.channels == 1, f.toString)
+        case _ =>
+          assert(f.format == "webp" &&
+            f.width == 24 + (f.doc_id % 48).toInt &&
+            f.height == 12 + (f.doc_id % 24).toInt &&
+            f.channels == (if (f.doc_id % 12 == 11) 4 else 3), f.toString)
       }
     }
+    // all six container formats must actually appear in the corpus
+    assert(feats.map(_.format).toSet ==
+      Set("bmp", "png", "jpeg", "wav", "gif", "webp"))
     // text blobs are not a known container → unknown, not a crash
     val unk = Multimodal.featureStats(ingested).collect()
     assert(unk.length == 1 && unk.head.getString(0) == "unknown")
