@@ -122,9 +122,15 @@ class PlanSpec extends SparkSpec {
     // equijoins — any future "optimization" that reintroduces a cross
     // product here is a 100 TB scale regression and must fail this test.
     val emb = graft.similarity.Knn.emb(spark, SF)
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
     val lshPlans = Seq(
       graft.dedup.Dedup.embeddingPairsLsh(emb, 0.3),
-      graft.similarity.Knn.lsh(emb, col("vec_id") < 5, k = 5))
+      graft.similarity.Knn.lsh(emb, col("vec_id") < 5, k = 5),
+      // the text-side banded paths (now also feeding the registered
+      // dedup_clusters_lsh composition) must stay bucket equijoins too
+      graft.dedup.Dedup.minHashPairs(docs),
+      graft.dedup.Dedup.simHashPairs(docs),
+      graft.dedup.Dedup.charNGramPairs(docs))
     lshPlans.foreach { df =>
       val p = plan(df)
       assert(!p.contains("CartesianProduct"), p)
