@@ -64,6 +64,17 @@ object PipelineQueries {
       Dedup.embeddingPairsLsh(e, tau = 0.3,
         n = graft.similarity.LshBuckets.corpusSize(e, s"emb:$d"))
     }),
+    // semantic dedup (cluster-scoped pruning, the SemDeDup recipe):
+    // k-means neighborhoods → within-cluster cosine-≥τ components →
+    // keep min vec_id; complements the hyperplane-LSH path (clusters
+    // catch same-topic paraphrases hyperplanes split across buckets);
+    // rows-only (k-means isn't ANSI-expressible), KnnSpec proves
+    // planted duplicate groups collapse and coverage is total
+    "dedup_semantic" -> ((s, d) => {
+      val e = Knn.emb(s, d)
+      Knn.semanticDedup(e, tau = 0.4,
+        n = graft.similarity.LshBuckets.corpusSize(e, s"emb:$d"))
+    }),
     // ── F. similarity ─────────────────────────────────────────────────
     "knn_brute" -> ((s, d) =>
       Knn.brute(Knn.emb(s, d), col("vec_id") < 5, k = 10)),

@@ -164,6 +164,53 @@ object Knn {
         round(avg(col("nrm")), 4).as("avg_norm"))
   }
 
+  /** Semantic dedup — the cluster-scoped pruning recipe (SemDeDup,
+    * Abbas et al. 2023): k-means partitions the corpus into
+    * ~n/targetClusterSize clusters, candidate near-dup pairs are scored
+    * WITHIN clusters only, and each cosine-≥τ connected component keeps
+    * its lowest vec_id. Complements the hyperplane-LSH path: clusters
+    * capture semantic neighborhoods (same topic phrased differently)
+    * that random hyperplanes split across buckets.
+    *
+    * Scale: pair cost is Σ|cluster|² ≈ n · targetClusterSize — linear in
+    * the corpus at a fixed target, the same bounded-task posture as
+    * LshBuckets (there the knob is bucket occupancy, here cluster size;
+    * k grows with the corpus instead of the buckets overflowing). The
+    * within-cluster join is a c_id equijoin, never a cartesian
+    * (PlanSpec-fenced), and the component step reuses the CC-by-join
+    * pattern of Dedup.dedupClusters.
+    *
+    * Output: one row per vector — (vec_id, c_id, keeper); keeper ==
+    * vec_id marks the survivor of its semantic group (vectors with no
+    * ≥τ neighbor keep themselves). */
+  def semanticDedup(e: DataFrame, tau: Double,
+      targetClusterSize: Long = 64L, n: Long = -1L): DataFrame = {
+    val base = e.localCheckpoint(true)
+    val nn = if (n >= 0L) n else base.count()
+    val k = math.max(2L, nn / math.max(targetClusterSize, 1L)).toInt
+    val centroids = kmeansCentroids(base, k)
+    val assigned = assignNearest(
+      base.crossJoin(broadcast(withCnrm2(centroids))).withColumn("d", sqDist),
+      Seq("v", "nrm"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"))
+      .localCheckpoint(true) // feeds both pair sides + the final join
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.c_id") === col("b.c_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_sim",
+        round(DotProduct(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm")), 4))
+      .filter(col("cos_sim") >= tau)
+      .select(col("a.vec_id").as("doc1"), col("b.vec_id").as("doc2"))
+    val comps = graft.dedup.Dedup.dedupClusters(pairs)
+      .withColumnRenamed("doc_id", "vec_id")
+      .withColumnRenamed("cluster", "keeper")
+    assigned.select(col("vec_id"), col("c_id"))
+      .join(comps, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("c_id"),
+        coalesce(col("keeper"), col("vec_id")).as("keeper"))
+  }
+
   /** Persist an IVF index: every vector assigned to its nearest
     * centroid's inverted list, written as an external table BUCKETED BY
     * the list id — the offline build §5 promises. Search against the

@@ -84,6 +84,38 @@ class KnnSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("semantic dedup: planted duplicate groups collapse; coverage is total") {
+    import spark.implicits._
+    import graft.functions.DotProduct
+    // three exact-duplicate groups + isolated vectors, well separated so
+    // no cross-group cosine reaches τ regardless of cluster assignment
+    val planted = Seq(
+      (1L, Array(1.0, 0.0, 0.0)), (2L, Array(1.0, 0.0, 0.0)),
+      (3L, Array(1.0, 0.0, 0.0)),
+      (4L, Array(0.0, 1.0, 0.0)), (5L, Array(0.0, 1.0, 0.0)),
+      (6L, Array(0.0, 0.0, 1.0)),
+      (7L, Array(-1.0, 0.0, 0.0)),
+    ).toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(DotProduct(col("v"), col("v"))))
+    val r = Knn.semanticDedup(planted, tau = 0.9, targetClusterSize = 4L)
+      .collect().map(x => x.getAs[Long]("vec_id") -> x.getAs[Long]("keeper"))
+      .toMap
+    assert(r.size == 7) // every vector exactly once
+    assert(r(1L) == 1L && r(2L) == 1L && r(3L) == 1L)
+    assert(r(4L) == 4L && r(5L) == 4L)
+    assert(r(6L) == 6L && r(7L) == 7L) // opposite vector: cos = -1, kept
+  }
+
+  test("semantic dedup on real embeddings: keepers are fixpoints, coverage total") {
+    val rows = Knn.semanticDedup(e, tau = 0.4).collect()
+    assert(rows.length == e.count())
+    val keeper = rows.map(x =>
+      x.getAs[Long]("vec_id") -> x.getAs[Long]("keeper")).toMap
+    // min-label components: keeper ≤ member, and a keeper keeps itself
+    assert(rows.forall(x => x.getAs[Long]("keeper") <= x.getAs[Long]("vec_id")))
+    assert(keeper.values.forall(kp => keeper(kp) == kp))
+  }
+
   test("ivf probes recover a reasonable share of brute top-10") {
     val brute = Knn.brute(e, col("vec_id") < 5, k = 10).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet

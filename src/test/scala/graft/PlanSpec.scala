@@ -130,7 +130,11 @@ class PlanSpec extends SparkSpec {
       // dedup_clusters_lsh composition) must stay bucket equijoins too
       graft.dedup.Dedup.minHashPairs(docs),
       graft.dedup.Dedup.simHashPairs(docs),
-      graft.dedup.Dedup.charNGramPairs(docs))
+      graft.dedup.Dedup.charNGramPairs(docs),
+      // cluster-scoped semantic dedup: the within-cluster pair join
+      // must be a c_id equijoin (the sanctioned broadcast-centroid
+      // crossJoin is behind the eager assignment materialization)
+      graft.similarity.Knn.semanticDedup(emb, tau = 0.4))
     lshPlans.foreach { df =>
       val p = plan(df)
       assert(!p.contains("CartesianProduct"), p)
