@@ -36,18 +36,24 @@ object Bench {
       val (sec, ok) = time(name, fn)
       (name, sec, ok)
     }
-    val failed = results.filter(!_._3).map(_._1)
     def fmt(v: Double): String = f"$v%.3f" // 3 decimals keep the line short
     val qs = results.map { case (k, v, ok) =>
       s"\"" + k + "\":" + (if (ok) fmt(v) else "-1")
     }.mkString("{", ",", "}")
-    val warm = results
+    val warmResults = results
       .filter { case (_, sec, ok) => ok && sec >= WarmThresholdSec }
       .map { case (n, _, _) =>
         val (sec, ok) = time(n, SparkEntry.queries(n))
-        s"\"" + n + "\":" + (if (ok) fmt(sec) else "-1")
+        (n, sec, ok)
       }
-      .mkString("{", ",", "}")
+    val warm = warmResults.map { case (n, sec, ok) =>
+      s"\"" + n + "\":" + (if (ok) fmt(sec) else "-1")
+    }.mkString("{", ",", "}")
+    // a query that succeeds cold but dies on the warm re-run is still a
+    // flaky operator — it must surface in the headline failed list
+    val failed =
+      (results.filter(!_._3).map(_._1) ++ warmResults.filter(!_._3).map(_._1))
+        .distinct
     val total = results.filter(_._3).map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // headline fields LAST: the driver stores a byte-bounded TAIL of the

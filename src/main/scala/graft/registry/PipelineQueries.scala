@@ -93,9 +93,14 @@ object PipelineQueries {
     // the bucketed scan, and recall vs brute
     "knn_ivf_persisted" -> ((s, d) => {
       val e = Knn.emb(s, d)
-      val tbl = "graft_ivf_persisted"
+      // derive table + path from the sf dir so concurrent drivers on
+      // different datasets (selfcheck at sf0.01 while Bench runs sf0.1)
+      // can't race on one /tmp directory or metastore entry
+      val suffix = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val tbl = s"graft_ivf_persisted_$suffix"
       val path = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_ivf_persisted").toString
+        System.getProperty("java.io.tmpdir"), tbl).toString
       s.sql(s"DROP TABLE IF EXISTS $tbl")
       val centroids = Knn.writeIvfIndex(e, tbl, path, nlist = 10, buckets = 8)
       Knn.searchIvfIndex(s, tbl, centroids,

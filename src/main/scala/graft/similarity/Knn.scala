@@ -187,7 +187,11 @@ object Knn {
       targetClusterSize: Long = 64L, n: Long = -1L): DataFrame = {
     val base = e.localCheckpoint(true)
     val nn = if (n >= 0L) n else base.count()
-    val k = math.max(2L, nn / math.max(targetClusterSize, 1L)).toInt
+    // clamp BEFORE the Long→Int narrowing: at the 100 TB design point
+    // nn/targetClusterSize can exceed Int.MaxValue and a raw .toInt
+    // would wrap negative (limit(k) with k < 0 throws)
+    val k = math.min(Int.MaxValue.toLong,
+      math.max(2L, nn / math.max(targetClusterSize, 1L))).toInt
     val centroids = kmeansCentroids(base, k)
     val assigned = assignNearest(
       base.crossJoin(broadcast(withCnrm2(centroids))).withColumn("d", sqDist),

@@ -130,9 +130,14 @@ class DedupSpec extends SparkSpec {
     // sets produce identical signatures, hence identical keys in EVERY
     // band (recall 1), and the exact verify step kills any banding false
     // positive — so the LSH composition must equal clustering the exact
-    // τ=1.0 Jaccard pairs. Clone groups {1,4,9} and {2,5}; 3 and 6 are
-    // distinct; 10 is a NEAR-dup of group 1 (jaccard < 1) and must be
-    // excluded on both sides.
+    // τ=1.0 Jaccard pairs. CAVEAT (why this holds only for THIS corpus):
+    // minhash measures shingle-set Jaccard while jaccardPairs measures
+    // word-SET Jaccard, so two docs with the same words REORDERED have
+    // word-set Jaccard 1 but different shingle sets — planting such a
+    // pair here would break the asserted equality (the divergence test
+    // below pins that behavior). Clone groups {1,4,9} and {2,5}; 3 and 6
+    // are distinct; 10 is a NEAR-dup of group 1 (jaccard < 1) and must
+    // be excluded on both sides; no doc is a word-reorder of another.
     val corpus = Seq(
       (1L, "en", "the quick brown fox jumps over the lazy dog and runs far away home tonight"),
       (2L, "en", "pack my box with five dozen liquor jugs before the long winter arrives early"),
@@ -150,6 +155,23 @@ class DedupSpec extends SparkSpec {
     assert(viaLsh == viaExact)
     assert(viaLsh ==
       Map(1L -> 1L, 4L -> 1L, 9L -> 1L, 2L -> 2L, 5L -> 2L))
+  }
+
+  test("word-reorder pair: word-set jaccard 1 but shingle jaccard < 1 (known divergence)") {
+    import spark.implicits._
+    // The corpus-dependence caveat of the τ=1.0 parity proof above, made
+    // executable: same multiword vocabulary, different order. jaccardPairs
+    // (word-set) must pair them at τ=1.0; minHashPairs (shingle-set via
+    // exact verify) must NOT — a future corpus edit that plants such a
+    // pair in the parity test would silently invalidate its proof sketch.
+    val reordered = Seq(
+      (1L, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "en", "kappa iota theta eta zeta epsilon delta gamma beta alpha"),
+    ).toDF("doc_id", "lang", "text")
+    val bySet = Dedup.jaccardPairs(reordered, "en", 1.0).collect()
+    assert(bySet.length == 1, "word-set jaccard must see the reorder as identical")
+    val byShingle = Dedup.minHashPairs(reordered, tau = 1.0).collect()
+    assert(byShingle.isEmpty, "shingle jaccard must see the reorder as distinct")
   }
 
   test("split assignment is a pure function of doc_id with sane proportions") {
