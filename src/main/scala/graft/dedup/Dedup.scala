@@ -2,7 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{CharNGramHashes, DotProduct, MinHashSig, SimHash64}
+import graft.functions.{CharNGramHashes, DotProduct, MinHashSig, SimHash64, WinnowedAnchors}
 
 /** Deduplication suite over `documents` (SURVEY §2-E).
   *
@@ -335,6 +335,46 @@ object Dedup {
         (size(col("s1")) + size(col("s2")) - col("n_common")), 4))
       .filter(col("jaccard") >= tau)
       .select("doc1", "doc2", "n_common", "jaccard")
+  }
+
+  /** Exact-substring duplicate pairs (the ExactSubstr recipe of
+    * training-data dedup): documents sharing a verbatim character run.
+    * Candidates come from winnowed content-defined anchors
+    * ([[graft.functions.WinnowedAnchors]]: md5 per k-char window, min per
+    * w-hash run) — any shared run of length ≥ k+w-1 is GUARANTEED to
+    * share an anchor, and anchor equality IS the evidence (same md5 ⟹
+    * same k chars), so no separate verify pass is needed and the whole
+    * operator is oracle-checkable in ANSI SQL.
+    *
+    * Scale shape: one linear codegen'd kernel pass per document (no
+    * positional explode — winnowing keeps anchors at ~2/(w+1) per
+    * position), then a document-frequency-capped anchor equijoin.
+    * `maxDf` is the boilerplate fence: an anchor appearing in more docs
+    * than that (licence headers, templates) is dropped rather than
+    * allowed to quadratically blow up the join — same discipline as the
+    * stop-gram cap in [[charNGramPairs]]. Output: (doc1, doc2,
+    * n_anchors) — the shared-anchor count, an integer, so no FP rounding
+    * contract is needed. */
+  def substringPairs(d: DataFrame, k: Int = 40, w: Int = 25,
+      maxDf: Int = 50): DataFrame = {
+    // length filter prunes before the kernel runs (kernel returns empty
+    // for short docs anyway; the filter just pushes to the scan)
+    val anchors = d.filter(length(col("text")) >= k)
+      .select(col("doc_id"),
+        explode(WinnowedAnchors(col("text"), k, w)).as("h"))
+    // kernel output is distinct per doc, so df = document frequency;
+    // df >= 2 additionally prunes singleton anchors (no pair can come
+    // from them — pure volume optimization, result-identical)
+    // NOT a forced broadcast: the df∈[2,maxDf] set scales with duplicate
+    // content volume, unbounded at 100 TB — leave the join strategy to
+    // AQE, which broadcasts it when it is actually small
+    val byDf = anchors.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf).select("h")
+    val kept = anchors.join(byDf, "h")
+    kept.as("a").join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("n_anchors"))
   }
 
   /** Scale path for embedding near-dup: occupancy-safe random-hyperplane

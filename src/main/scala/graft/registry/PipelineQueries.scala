@@ -34,6 +34,10 @@ object PipelineQueries {
     // (identical shingle sets ⟹ identical signatures in every band)
     "dedup_clusters_lsh" -> ((s, d) =>
       Dedup.dedupClusters(Dedup.minHashPairs(docs(s, d)))),
+    // exact-substring dedup via winnowed md5 anchors: shared verbatim
+    // runs ≥ k+w-1 chars are guaranteed detected; fully oracle-checked
+    // (md5 + window-min + distinct are ANSI-expressible)
+    "dedup_substring" -> ((s, d) => Dedup.substringPairs(docs(s, d))),
     // scoped to one language partition: the word-salad corpus shares a
     // tiny vocabulary, so an unscoped inverted-index join degenerates —
     // at real scale the test split is small and the index is built on it
@@ -191,6 +195,34 @@ object PipelineQueries {
         UNION
         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
       SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a""",
+
+    // mirrors Dedup.substringPairs exactly: md5 per 40-char window,
+    // winnow = min over each run of 25 consecutive window hashes
+    // (trailing partial runs included on both sides), distinct per doc,
+    // document-frequency cap 50, then the anchor equijoin. The df >= 2
+    // prune in the Spark path is result-identical (singleton anchors
+    // can't form a pair) so the oracle omits it.
+    "dedup_substring" -> """
+      WITH pos AS (
+        SELECT doc_id, unnest(generate_series(1, length(text) - 39)) AS i,
+               text
+        FROM documents WHERE length(text) >= 40),
+      hashed AS (
+        SELECT doc_id, i, md5(substr(text, CAST(i AS INT), 40)) AS h
+        FROM pos),
+      winmin AS (
+        SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
+          ROWS BETWEEN CURRENT ROW AND 24 FOLLOWING) AS h
+        FROM hashed),
+      anchors AS (SELECT DISTINCT doc_id, h FROM winmin),
+      freq AS (SELECT h, count(*) AS c FROM anchors GROUP BY h),
+      kept AS (
+        SELECT a.doc_id, a.h FROM anchors a
+        JOIN freq f USING (h) WHERE f.c <= 50)
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+             CAST(count(*) AS BIGINT) AS n_anchors
+      FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2""",
 
     "dedup_jaccard" -> """
       WITH de AS (

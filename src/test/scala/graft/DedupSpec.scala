@@ -157,6 +157,57 @@ class DedupSpec extends SparkSpec {
       Map(1L -> 1L, 4L -> 1L, 9L -> 1L, 2L -> 2L, 5L -> 2L))
   }
 
+  test("substring pairs: shared run >= k+w-1 chars is guaranteed; disjoint text is not paired") {
+    import spark.implicits._
+    // shared run of 70 chars (> guarantee length 40+25-1 = 64), embedded
+    // at DIFFERENT offsets inside otherwise-unrelated padding — the
+    // content-defined anchors must still align; docs 3/4 share nothing
+    val run = "the exact same seventy character run of text planted into both documents!"
+    assert(run.length >= 64)
+    val padA = "completely unrelated prefix material for document number one here "
+    val padB = "a different and much longer leading section belonging to document two "
+    val corpus = Seq(
+      (1L, "en", padA + run + " trailing words for one"),
+      (2L, "en", padB + run + " other trailing material"),
+      (3L, "en", "this document shares no forty character window with any other document in the corpus"),
+      (4L, "en", "and neither does this one because every window of it is unique to itself entirely"),
+    ).toDF("doc_id", "lang", "text")
+    val pairs = Dedup.substringPairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("winnowed anchors kernel matches a brute-force reference (incl. non-ascii)") {
+    import graft.functions.WinnowedAnchors
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // brute-force reference: code-point windows, O(n·w) min scan
+    def ref(text: String, k: Int, w: Int): Set[String] = {
+      val cps = text.codePoints().toArray
+      val n = cps.length - k + 1
+      if (n <= 0) Set.empty
+      else {
+        val hs = (0 until n).map(i => md5hex(new String(cps, i, k)))
+        (0 until n).map(i => hs.slice(i, math.min(i + w, n)).min).toSet
+      }
+    }
+    val texts = Seq(
+      "über die brücke läuft ein igel mit çok güzel façade naïve texte",
+      "short",
+      "a" * 80, // degenerate: every window identical → exactly one anchor
+      "the quick brown fox jumps over the lazy dog and keeps on running home tonight",
+    )
+    val k = 11; val w = 4
+    val got = texts.toDF("text")
+      .select(WinnowedAnchors(col("text"), k, w).as("a"))
+      .collect().map(_.getSeq[String](0).toSet)
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g == ref(t, k, w), s"mismatch for: $t")
+    }
+  }
+
   test("word-reorder pair: word-set jaccard 1 but shingle jaccard < 1 (known divergence)") {
     import spark.implicits._
     // The corpus-dependence caveat of the τ=1.0 parity proof above, made
