@@ -235,6 +235,40 @@ object Dedup {
       .select("train_doc", "test_doc", "n_common", "n1", "n2", "jaccard")
   }
 
+  /** Substring-level decontamination: train docs sharing a VERBATIM
+    * character run (≥ k+w-1 chars guaranteed, see [[substringPairs]])
+    * with any test doc — the n-gram-overlap decontamination method of
+    * the published LLM training reports, done at the character level so
+    * tokenizer choice can't shift the boundary. Same posture as
+    * [[contaminationAtScale]]: the anchor index is built on the TEST
+    * split (the small side at 100 TB) with a document-frequency cap, and
+    * the train corpus streams against it as one equijoin. Anchor
+    * equality is the evidence (same md5 ⟹ same k-char run), so there is
+    * no verify pass and the whole operator is oracle-checkable. */
+  def contaminationSubstring(d: DataFrame, split: DataFrame,
+      k: Int = 40, w: Int = 25, maxDf: Int = 50): DataFrame = {
+    // one kernel pass; the anchor table feeds the test index (cap +
+    // postings) and the train probe side
+    val anchors = d.filter(length(col("text")) >= k)
+      .select(col("doc_id"),
+        explode(WinnowedAnchors(col("text"), k, w)).as("h"))
+      .join(split.select("doc_id", "split"), "doc_id")
+      .localCheckpoint(true)
+    val test = anchors.filter(col("split") === "test")
+      .select(col("doc_id").as("test_doc"), col("h"))
+    // cap on TEST-side df: a boilerplate anchor across many test docs
+    // would degenerate the index join; test-side rarity is what makes
+    // an anchor evidential
+    val rare = test.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("h")
+    val idx = test.join(rare, "h")
+    anchors.filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc"), col("h"))
+      .join(idx, "h")
+      .groupBy("train_doc", "test_doc")
+      .agg(count(lit(1)).as("n_anchors"))
+  }
+
   /** Near-dup CLUSTERS from a pair list: connected components via
     * iterative min-label propagation (each doc adopts the smallest
     * doc_id reachable through pair edges; iterate to fixpoint). Near-dup
@@ -358,10 +392,14 @@ object Dedup {
   def substringPairs(d: DataFrame, k: Int = 40, w: Int = 25,
       maxDf: Int = 50): DataFrame = {
     // length filter prunes before the kernel runs (kernel returns empty
-    // for short docs anyway; the filter just pushes to the scan)
+    // for short docs anyway; the filter just pushes to the scan).
+    // Eager checkpoint: the anchor table feeds the DF count AND both
+    // sides of the pair join — without it the md5 kernel pass runs four
+    // times (once per consumer scan)
     val anchors = d.filter(length(col("text")) >= k)
       .select(col("doc_id"),
         explode(WinnowedAnchors(col("text"), k, w)).as("h"))
+      .localCheckpoint(true)
     // kernel output is distinct per doc, so df = document frequency;
     // df >= 2 additionally prunes singleton anchors (no pair can come
     // from them — pure volume optimization, result-identical)

@@ -38,6 +38,13 @@ object PipelineQueries {
     // runs ≥ k+w-1 chars are guaranteed detected; fully oracle-checked
     // (md5 + window-min + distinct are ANSI-expressible)
     "dedup_substring" -> ((s, d) => Dedup.substringPairs(docs(s, d))),
+    // substring-level decontamination: train docs sharing a verbatim
+    // >= 64-char run with a test doc, via the same winnowed anchors;
+    // test-side DF-capped index, train streams against it
+    "contamination_substring" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.contaminationSubstring(dd, TextOps.splitAssign(dd, 13))
+    }),
     // scoped to one language partition: the word-salad corpus shares a
     // tiny vocabulary, so an unscoped inverted-index join degenerates —
     // at real scale the test split is small and the index is built on it
@@ -222,6 +229,44 @@ object PipelineQueries {
       SELECT a.doc_id AS doc1, b.doc_id AS doc2,
              CAST(count(*) AS BIGINT) AS n_anchors
       FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2""",
+
+    // same winnowing pipeline as dedup_substring, split per the
+    // split_assign oracle (trainSixteenths = 13 → boundary nibble 'd'),
+    // test-side DF cap 50, train×test anchor equijoin
+    "contamination_substring" -> """
+      WITH pos AS (
+        SELECT doc_id, unnest(generate_series(1, length(text) - 39)) AS i,
+               text
+        FROM documents WHERE length(text) >= 40),
+      hashed AS (
+        SELECT doc_id, i, md5(substr(text, CAST(i AS INT), 40)) AS h
+        FROM pos),
+      winmin AS (
+        SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
+          ROWS BETWEEN CURRENT ROW AND 24 FOLLOWING) AS h
+        FROM hashed),
+      anchors AS (SELECT DISTINCT doc_id, h FROM winmin),
+      sp AS (
+        SELECT doc_id,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents),
+      test AS (
+        SELECT a.doc_id AS test_doc, a.h
+        FROM anchors a JOIN sp ON a.doc_id = sp.doc_id
+        WHERE sp.split = 'test'),
+      rare AS (
+        SELECT h FROM (SELECT h, count(*) AS c FROM test GROUP BY h)
+        WHERE c <= 50),
+      idx AS (SELECT t.test_doc, t.h FROM test t JOIN rare USING (h)),
+      train AS (
+        SELECT a.doc_id AS train_doc, a.h
+        FROM anchors a JOIN sp ON a.doc_id = sp.doc_id
+        WHERE sp.split = 'train')
+      SELECT tr.train_doc, i.test_doc,
+             CAST(count(*) AS BIGINT) AS n_anchors
+      FROM train tr JOIN idx i ON tr.h = i.h
       GROUP BY 1, 2""",
 
     "dedup_jaccard" -> """

@@ -177,6 +177,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("substring contamination: only cross-split verbatim overlap is reported") {
+    import spark.implicits._
+    val run = "the exact same seventy character run of text planted into both documents!"
+    val corpus = Seq(
+      (1L, "en", "unrelated train-side leading material " + run),
+      (2L, "en", "different test document header text " + run + " and a tail"),
+      (3L, "en", "another train doc " + run + " sharing the same run as doc one"),
+      (4L, "en", "a test document with entirely unique content sharing no window with anything"),
+    ).toDF("doc_id", "lang", "text")
+    // explicit split: 1,3 train; 2,4 test — docs 1&3 share the run but
+    // are both train, so they must NOT be reported
+    val split = Seq((1L, "train"), (2L, "test"), (3L, "train"), (4L, "test"))
+      .toDF("doc_id", "split")
+    val got = Dedup.contaminationSubstring(corpus, split).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (3L, 2L)))
+  }
+
   test("winnowed anchors kernel matches a brute-force reference (incl. non-ascii)") {
     import graft.functions.WinnowedAnchors
     import spark.implicits._
