@@ -62,6 +62,9 @@ object PipelineQueries {
         tau = 0.9)
     }),
     "text_redact" -> ((s, d) => TextOps.redact(docs(s, d))),
+    // domain mixing: every source Bernoulli-downsampled to ≤ ~15
+    // expected rows via a pure md5 row function — no fact-table shuffle
+    "source_balance" -> ((s, d) => TextOps.sourceBalance(docs(s, d), 15L)),
     "dedup_simhash" -> ((s, d) => Dedup.simHashPairs(docs(s, d))),
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingPairs(Knn.emb(s, d), tau = 0.4)),
@@ -610,6 +613,22 @@ object PipelineQueries {
                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g'),
                  '[0-9]{6,}', '', 'g')) AS BIGINT) AS chars_redacted
       FROM documents""",
+
+    // the threshold expression (floor(15 * 65536.0 / n_src)) is the
+    // IDENTICAL IEEE arithmetic as the Spark side — multiply before
+    // divide — so the boundary row set cannot drift; thresh >= 65536
+    // (source already within cap) bypasses the 4-char lexicographic
+    // compare
+    "source_balance" -> """
+      WITH rates AS (
+        SELECT source,
+               CAST(floor(15 * 65536.0 / count(*)) AS BIGINT) AS thresh
+        FROM documents GROUP BY source)
+      SELECT d.doc_id, d.lang, d.source
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE r.thresh >= 65536 OR
+        substring(md5(concat_ws(':', CAST(d.doc_id AS VARCHAR), d.source,
+          '42')), 1, 4) < printf('%04x', r.thresh)""",
 
     "split_assign" -> """
       SELECT doc_id, lang, source,

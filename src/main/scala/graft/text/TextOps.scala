@@ -188,6 +188,37 @@ object TextOps {
         lit(seed.toString))), 1, 4) < f"$cut%04x")
   }
 
+  /** Source/domain balancing — the data-mixing step before training:
+    * every source is Bernoulli-downsampled to at most ≈`cap` expected
+    * rows, so no domain dominates the mix. Per-source keep rate
+    * r_s = min(1, cap / n_s) expressed as a 16-bit threshold, keep
+    * decision a pure function of md5(doc_id:source:seed) — fully
+    * distributed, engine-independent (the oracle reproduces the exact
+    * row set), and mergeable across shards.
+    *
+    * Scale: one map-side-combinable count per source (sources are a
+    * dim-sized set), the per-source thresholds broadcast back, then a
+    * stateless per-row filter — no shuffle of the fact table at all.
+    * The threshold arithmetic (`floor(cap * 65536.0 / n_s)`) is kept
+    * as the IDENTICAL IEEE expression in the oracle SQL: same multiply,
+    * same divide, same floor, so the boundary row set can't drift. */
+  def sourceBalance(d: DataFrame, cap: Long, seed: Long = 42L): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val rates = d.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      .withColumn("thresh",
+        floor(lit(cap) * lit(65536.0) / col("n_src")).cast("long"))
+    // thresh >= 65536 (source already within cap) would format as a
+    // 5-char hex string that compares lexicographically BELOW most
+    // 4-char prefixes — keep-all must bypass the string compare
+    // (cf. stratifiedSample)
+    d.join(broadcast(rates.select(col("source"), col("thresh"))), "source")
+      .filter(col("thresh") >= 65536L ||
+        substring(md5(concat_ws(":", col("doc_id").cast("string"),
+          col("source"), lit(seed.toString))), 1, 4) <
+          format_string("%04x", col("thresh")))
+      .select("doc_id", "lang", "source")
+  }
+
   /** Composed curation pipeline — the end-to-end pass a training-data
     * pipeline runs: quality gate → exact dedup (keep lowest doc_id) →
     * per-language survivor stats. Stays one lazy plan: Catalyst fuses the

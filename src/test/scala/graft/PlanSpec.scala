@@ -134,7 +134,12 @@ class PlanSpec extends SparkSpec {
       // cluster-scoped semantic dedup: the within-cluster pair join
       // must be a c_id equijoin (the sanctioned broadcast-centroid
       // crossJoin is behind the eager assignment materialization)
-      graft.similarity.Knn.semanticDedup(emb, tau = 0.4))
+      graft.similarity.Knn.semanticDedup(emb, tau = 0.4),
+      // winnowed-anchor paths: candidate discovery must stay an anchor
+      // equijoin (df-capped), never positional or all-pairs
+      graft.dedup.Dedup.substringPairs(docs),
+      graft.dedup.Dedup.contaminationSubstring(docs,
+        graft.text.TextOps.splitAssign(docs, 13)))
     lshPlans.foreach { df =>
       val p = plan(df)
       assert(!p.contains("CartesianProduct"), p)

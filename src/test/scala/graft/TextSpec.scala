@@ -18,6 +18,30 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("source balance: deterministic, per-source counts near cap, keep-all above cap") {
+    val cap = 15L
+    val a = TextOps.sourceBalance(docs, cap).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val b = TextOps.sourceBalance(docs, cap).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(a == b)
+    // each source is Binomial(n_src, cap/n_src): mean = cap, so kept
+    // counts concentrate near the cap (loose 4-sigma-ish bounds)
+    val perSource = TextOps.sourceBalance(docs, cap)
+      .groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    val srcSizes = docs.groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    srcSizes.foreach { case (src, n) =>
+      val kept = perSource.getOrElse(src, 0L)
+      assert(kept <= n)
+      if (n > cap) assert(kept >= cap / 3 && kept <= math.min(n, cap * 2),
+        s"$src kept $kept of $n (cap $cap)")
+    }
+    // cap >= every source: the filter must pass everything through
+    assert(TextOps.sourceBalance(docs, 1000000L).count() == docs.count())
+  }
+
   test("quality score is within [0, 1] for every doc") {
     val rows = TextOps.quality(docs).select("quality_score").collect()
     assert(rows.forall { r =>
