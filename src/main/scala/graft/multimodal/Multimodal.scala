@@ -96,6 +96,21 @@ object Multimodal {
       }
   }
 
+  /** Exact media dedup — the first pass of any crawl pipeline: group by
+    * content digest of the raw bytes, keep the lowest doc_id. Same
+    * one-shuffle map-side-combinable plan as text [[graft.dedup.Dedup
+    * .exact]], applied to the binary column; at 100 TB the digest is
+    * computed next to the scan and only (digest, id) pairs shuffle.
+    * Oracle-checkable WITHOUT the oracle seeing any bytes: synthesized
+    * blobs are a pure function of the doc_id parameter tuple, so DuckDB
+    * reproduces the group structure from doc_id arithmetic alone —
+    * which independently cross-checks that the encoders are injective
+    * in their parameters (byte-identical ⟺ same params). */
+  def exactDedup(media: DataFrame): DataFrame =
+    media.groupBy(md5(col("blob")).as("digest"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .select("keeper", "n_copies")
+
   /** Per-format rollup of decoded media features. */
   def featureStats(media: DataFrame): DataFrame =
     extractFeatures(media).toDF()

@@ -165,6 +165,12 @@ object PipelineQueries {
     // synthesis isn't SQL-expressible), MediaCodecSpec checks the parse
     "mm_features" -> ((s, d) => Multimodal.featureStats(
       Multimodal.synthesize(docs(s, d)))),
+    // exact media dedup by content digest; the oracle reproduces the
+    // group structure from the doc_id parameter tuple (synthesis is a
+    // pure function of doc_id), independently cross-checking encoder
+    // injectivity
+    "mm_dedup" -> ((s, d) => Multimodal.exactDedup(
+      Multimodal.synthesize(docs(s, d)))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -635,6 +641,26 @@ object PipelineQueries {
              CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'
                   THEN 'train' ELSE 'test' END AS split
       FROM documents""",
+
+    // mirrors Multimodal.synthesize's parameter derivation: one group
+    // per distinct (modality, encoder-parameter tuple) — byte-identical
+    // blobs ⟺ identical parameters because every encoder embeds its
+    // parameters in the container header
+    "mm_dedup" -> """
+      SELECT min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_copies
+      FROM documents
+      GROUP BY
+        doc_id % 6,
+        CASE doc_id % 6
+          WHEN 0 THEN concat_ws(',', doc_id % 32, doc_id % 16)
+          WHEN 1 THEN concat_ws(',', doc_id % 64, doc_id % 32)
+          WHEN 2 THEN concat_ws(',', doc_id % 128, doc_id % 64,
+                                doc_id % 8 = 2)
+          WHEN 3 THEN concat_ws(',', doc_id % 2, doc_id % 4 = 3,
+                                doc_id % 100)
+          WHEN 4 THEN concat_ws(',', doc_id % 40, doc_id % 20)
+          ELSE concat_ws(',', doc_id % 48, doc_id % 24, doc_id % 12 = 11)
+        END""",
 
     "mm_ingest" -> """
       SELECT source, count(*) AS n_docs,

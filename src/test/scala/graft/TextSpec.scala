@@ -18,6 +18,23 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("mm_dedup: byte-identical synthesis collapses, distinct params stay apart") {
+    import spark.implicits._
+    // bmp params are (id % 32, id % 16): ids 0 and 96 collide (96 = 3·32),
+    // id 6 is the same modality with different dims — the digest group
+    // structure must match the parameter-tuple structure exactly
+    val media = Multimodal.synthesize(
+      Seq((0L, "en", "s"), (96L, "en", "s"), (6L, "en", "s"))
+        .toDF("doc_id", "lang", "source"))
+    val blobs = media.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("blob")).toMap
+    assert(java.util.Arrays.equals(blobs(0L), blobs(96L)))
+    assert(!java.util.Arrays.equals(blobs(0L), blobs(6L)))
+    val groups = Multimodal.exactDedup(media).collect()
+      .map(r => r.getAs[Long]("keeper") -> r.getAs[Long]("n_copies")).toMap
+    assert(groups == Map(0L -> 2L, 6L -> 1L))
+  }
+
   test("source balance: deterministic, per-source counts near cap, keep-all above cap") {
     val cap = 15L
     val a = TextOps.sourceBalance(docs, cap).collect()
