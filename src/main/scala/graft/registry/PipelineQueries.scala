@@ -65,6 +65,10 @@ object PipelineQueries {
     // domain mixing: every source Bernoulli-downsampled to ≤ ~15
     // expected rows via a pure md5 row function — no fact-table shuffle
     "source_balance" -> ((s, d) => TextOps.sourceBalance(docs(s, d), 15L)),
+    // sequence packing: concat-and-chunk docs into 256-token packs per
+    // source (doc_id order); pack = chunk where the doc's first token
+    // lands, from the running prefix sum
+    "pack_assign" -> ((s, d) => TextOps.packAssign(docs(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simHashPairs(docs(s, d))),
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingPairs(Knn.emb(s, d), tau = 0.4)),
@@ -635,6 +639,20 @@ object PipelineQueries {
       WHERE r.thresh >= 65536 OR
         substring(md5(concat_ws(':', CAST(d.doc_id AS VARCHAR), d.source,
           '42')), 1, 4) < printf('%04x', r.thresh)""",
+
+    // same tokenizer as token_count; the pack id divide is the same
+    // IEEE /256.0 + floor as the Spark side (cumsum is exact BIGINT)
+    "pack_assign" -> """
+      WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                 x -> x <> '')) AS BIGINT) AS n_tok
+        FROM documents)
+      SELECT doc_id, source, n_tok,
+             CAST(floor((sum(n_tok) OVER (PARTITION BY source
+               ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok)
+               / 256.0) AS BIGINT) AS pack_id
+      FROM t""",
 
     "split_assign" -> """
       SELECT doc_id, lang, source,

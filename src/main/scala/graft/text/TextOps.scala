@@ -219,6 +219,34 @@ object TextOps {
       .select("doc_id", "lang", "source")
   }
 
+  /** Sequence packing — concat-and-chunk assignment of documents into
+    * fixed token-budget packs (what a training loader does to fill
+    * context windows): documents are laid out in doc_id order within
+    * each source, and a document's pack is the chunk its FIRST token
+    * lands in (`floor(start_tok / budget)` over the running token
+    * prefix sum). Deterministic and oracle-reproducible (window cumsum +
+    * the same IEEE divide/floor).
+    *
+    * Scale: the prefix sum partitions BY SOURCE — parallelism =
+    * #sources, the same one-task-per-partition design point as the
+    * per-segment ordered operators (SURVEY §5 hot-segment bound); for a
+    * pathological single giant source, the chunked two-phase prefix
+    * pattern of `StreamOps.watermarkAudit` is the documented escape
+    * hatch (token sums are reassociable). */
+  def packAssign(d: DataFrame, budget: Long = 256L): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withToks(d)
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_tok"))
+      .withColumn("start_tok", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("pack_id",
+        floor(col("start_tok") / lit(budget.toDouble)).cast("long"))
+      .select("doc_id", "source", "n_tok", "pack_id")
+  }
+
   /** Composed curation pipeline — the end-to-end pass a training-data
     * pipeline runs: quality gate → exact dedup (keep lowest doc_id) →
     * per-language survivor stats. Stays one lazy plan: Catalyst fuses the

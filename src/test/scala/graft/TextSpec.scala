@@ -18,6 +18,29 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("pack_assign: packs are contiguous, start at 0 per source, and respect the budget") {
+    val budget = 256L
+    val rows = TextOps.packAssign(docs, budget).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tok"), r.getAs[Long]("pack_id")))
+    assert(rows.length == docs.count())
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val ordered = rs.sortBy(_._2)
+      assert(ordered.head._4 == 0L, s"$src first pack")
+      // pack ids non-decreasing in doc order, no pack skipped, and each
+      // doc's start token falls inside its pack's window
+      var startTok = 0L
+      var prevPack = 0L
+      ordered.foreach { case (_, _, nTok, pack) =>
+        assert(pack >= prevPack && pack <= prevPack + math.max(1L, nTok / budget + 1),
+          s"$src pack jump $prevPack -> $pack")
+        assert(pack == startTok / budget, s"$src pack vs start token")
+        startTok += nTok
+        prevPack = pack
+      }
+    }
+  }
+
   test("mm_dedup: byte-identical synthesis collapses, distinct params stay apart") {
     import spark.implicits._
     // bmp params are (id % 32, id % 16): ids 0 and 96 collide (96 = 3·32),
