@@ -38,6 +38,10 @@ object PipelineQueries {
     // runs ≥ k+w-1 chars are guaranteed detected; fully oracle-checked
     // (md5 + window-min + distinct are ANSI-expressible)
     "dedup_substring" -> ((s, d) => Dedup.substringPairs(docs(s, d))),
+    // substring pairs → connected components: verbatim-overlap dedup
+    // groups end-to-end, with the recursive-closure oracle
+    "dedup_substring_clusters" -> ((s, d) =>
+      Dedup.dedupClusters(Dedup.substringPairs(docs(s, d)))),
     // substring-level decontamination: train docs sharing a verbatim
     // >= 64-char run with a test doc, via the same winnowed anchors;
     // test-side DF-capped index, train streams against it
@@ -243,6 +247,37 @@ object PipelineQueries {
              CAST(count(*) AS BIGINT) AS n_anchors
       FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2""",
+
+    // the dedup_substring pipeline feeding the recursive transitive
+    // closure (cf. dedup_clusters): cluster = min reachable doc_id
+    "dedup_substring_clusters" -> """
+      WITH RECURSIVE pos AS (
+        SELECT doc_id, unnest(generate_series(1, length(text) - 39)) AS i,
+               text
+        FROM documents WHERE length(text) >= 40),
+      hashed AS (
+        SELECT doc_id, i, md5(substr(text, CAST(i AS INT), 40)) AS h
+        FROM pos),
+      winmin AS (
+        SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
+          ROWS BETWEEN CURRENT ROW AND 24 FOLLOWING) AS h
+        FROM hashed),
+      anchors AS (SELECT DISTINCT doc_id, h FROM winmin),
+      freq AS (SELECT h, count(*) AS c FROM anchors GROUP BY h),
+      kept AS (
+        SELECT a.doc_id, a.h FROM anchors a
+        JOIN freq f USING (h) WHERE f.c <= 50),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id),
+      edges AS (
+        SELECT doc1 AS a, doc2 AS b FROM pairs
+        UNION SELECT doc2, doc1 FROM pairs),
+      reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+      SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a""",
 
     // same winnowing pipeline as dedup_substring, split per the
     // split_assign oracle (trainSixteenths = 13 → boundary nibble 'd'),

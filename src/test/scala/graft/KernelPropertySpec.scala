@@ -37,6 +37,48 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("winnowed_anchors matches an O(n·w) brute reference on random strings") {
+    import graft.functions.WinnowedAnchors
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def ref(text: String, k: Int, w: Int): Set[String] = {
+      val n = text.length - k + 1 // ascii inputs: chars == code points
+      if (n <= 0) Set.empty
+      else {
+        val hs = (0 until n).map(i => md5hex(text.substring(i, i + k)))
+        (0 until n).map(i => hs.slice(i, math.min(i + w, n)).min).toSet
+      }
+    }
+    (1 to 60).foreach { _ =>
+      val s = asciiStr(300)
+      val k = 3 + rnd.nextInt(10)
+      val w = 1 + rnd.nextInt(12) // w = 1 degenerates to every-hash
+      val got = WinnowedAnchors.anchors(UTF8String.fromString(s), k, w)
+      val gotSet = (0 until got.numElements())
+        .map(i => got.getUTF8String(i).toString).toSet
+      assert(gotSet == ref(s, k, w), s"k=$k w=$w for '$s'")
+    }
+  }
+
+  test("winnowed_anchors guarantee: a shared k+w-1 run always shares an anchor") {
+    import graft.functions.WinnowedAnchors
+    (1 to 40).foreach { _ =>
+      val k = 5 + rnd.nextInt(8)
+      val w = 2 + rnd.nextInt(8)
+      val shared = asciiStr(k + w + 20).padTo(k + w - 1, 'x').mkString
+      val a = asciiStr(60) + shared + asciiStr(60)
+      val b = asciiStr(80) + shared + asciiStr(40)
+      def anchorSet(s: String) = {
+        val arr = WinnowedAnchors.anchors(UTF8String.fromString(s), k, w)
+        (0 until arr.numElements())
+          .map(i => arr.getUTF8String(i).toString).toSet
+      }
+      assert(anchorSet(a).intersect(anchorSet(b)).nonEmpty,
+        s"k=$k w=$w shared='$shared'")
+    }
+  }
+
   test("minhash signature of a superset is elementwise <=") {
     (1 to 100).foreach { _ =>
       val small = Array.fill(1 + rnd.nextInt(50))(rnd.nextLong())
