@@ -235,6 +235,28 @@ object Dedup {
       .select("train_doc", "test_doc", "n_common", "n1", "n2", "jaccard")
   }
 
+  /** Drop accounting for the winnowed-anchor paths (the
+    * `lsh_bucket_audit` discipline applied to [[substringPairs]]): one
+    * row of corpus-level anchor statistics — total postings, distinct
+    * anchors, postings dropped by the boilerplate df-cap, and the
+    * realized max document frequency. This is the auditable guarantee
+    * that the cap is a fence, not silent recall loss: a pipeline alerts
+    * when `n_dropped_boilerplate` jumps (a licence header flooding the
+    * corpus) instead of wondering why duplicates slipped through. */
+  def substringAnchorAudit(d: DataFrame, k: Int = 40, w: Int = 25,
+      maxDf: Int = 50): DataFrame = {
+    val freq = d.filter(length(col("text")) >= k)
+      .select(col("doc_id"),
+        explode(WinnowedAnchors(col("text"), k, w)).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    freq.agg(
+      sum(col("df")).as("n_anchor_postings"),
+      count(lit(1)).as("n_distinct_anchors"),
+      sum(when(col("df") > maxDf, col("df")).otherwise(0L))
+        .as("n_dropped_boilerplate"),
+      max(col("df")).as("max_df"))
+  }
+
   /** Substring-level decontamination: train docs sharing a VERBATIM
     * character run (≥ k+w-1 chars guaranteed, see [[substringPairs]])
     * with any test doc — the n-gram-overlap decontamination method of

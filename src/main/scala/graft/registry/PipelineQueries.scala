@@ -42,6 +42,10 @@ object PipelineQueries {
     // groups end-to-end, with the recursive-closure oracle
     "dedup_substring_clusters" -> ((s, d) =>
       Dedup.dedupClusters(Dedup.substringPairs(docs(s, d)))),
+    // drop accounting for the anchor paths (the lsh_bucket_audit
+    // discipline): postings kept/dropped by the boilerplate df-cap
+    "substring_anchor_audit" -> ((s, d) =>
+      Dedup.substringAnchorAudit(docs(s, d))),
     // substring-level decontamination: train docs sharing a verbatim
     // >= 64-char run with a test doc, via the same winnowed anchors;
     // test-side DF-capped index, train streams against it
@@ -247,6 +251,29 @@ object PipelineQueries {
              CAST(count(*) AS BIGINT) AS n_anchors
       FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2""",
+
+    // the dedup_substring winnowing pipeline, rolled up to the one-row
+    // drop-accounting summary (sums are exact BIGINTs)
+    "substring_anchor_audit" -> """
+      WITH pos AS (
+        SELECT doc_id, unnest(generate_series(1, length(text) - 39)) AS i,
+               text
+        FROM documents WHERE length(text) >= 40),
+      hashed AS (
+        SELECT doc_id, i, md5(substr(text, CAST(i AS INT), 40)) AS h
+        FROM pos),
+      winmin AS (
+        SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
+          ROWS BETWEEN CURRENT ROW AND 24 FOLLOWING) AS h
+        FROM hashed),
+      anchors AS (SELECT DISTINCT doc_id, h FROM winmin),
+      freq AS (SELECT h, count(*) AS df FROM anchors GROUP BY h)
+      SELECT CAST(sum(df) AS BIGINT) AS n_anchor_postings,
+             CAST(count(*) AS BIGINT) AS n_distinct_anchors,
+             CAST(sum(CASE WHEN df > 50 THEN df ELSE 0 END) AS BIGINT)
+               AS n_dropped_boilerplate,
+             CAST(max(df) AS BIGINT) AS max_df
+      FROM freq""",
 
     // the dedup_substring pipeline feeding the recursive transitive
     // closure (cf. dedup_clusters): cluster = min reachable doc_id
