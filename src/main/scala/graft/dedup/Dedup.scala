@@ -245,6 +245,7 @@ object Dedup {
     * corpus) instead of wondering why duplicates slipped through. */
   def substringAnchorAudit(d: DataFrame, k: Int = 40, w: Int = 25,
       maxDf: Int = 50): DataFrame = {
+    require(k >= 1 && w >= 1 && maxDf >= 1, s"bad params k=$k w=$w maxDf=$maxDf")
     val freq = d.filter(length(col("text")) >= k)
       .select(col("doc_id"),
         explode(WinnowedAnchors(col("text"), k, w)).as("h"))
@@ -269,6 +270,7 @@ object Dedup {
     * no verify pass and the whole operator is oracle-checkable. */
   def contaminationSubstring(d: DataFrame, split: DataFrame,
       k: Int = 40, w: Int = 25, maxDf: Int = 50): DataFrame = {
+    require(k >= 1 && w >= 1 && maxDf >= 1, s"bad params k=$k w=$w maxDf=$maxDf")
     // one kernel pass; the anchor table feeds the test index (cap +
     // postings) and the train probe side
     val anchors = d.filter(length(col("text")) >= k)
@@ -413,6 +415,7 @@ object Dedup {
     * contract is needed. */
   def substringPairs(d: DataFrame, k: Int = 40, w: Int = 25,
       maxDf: Int = 50): DataFrame = {
+    require(k >= 1 && w >= 1 && maxDf >= 1, s"bad params k=$k w=$w maxDf=$maxDf")
     // length filter prunes before the kernel runs (kernel returns empty
     // for short docs anyway; the filter just pushes to the scan).
     // Eager checkpoint: the anchor table feeds the DF count AND both
