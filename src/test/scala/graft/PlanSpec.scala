@@ -147,6 +147,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("source_balance never shuffles the fact table; pack_assign shuffles once per source") {
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+    // source_balance: the ONLY shuffle is the dim-sized per-source count
+    // (map-side combined); the fact side reaches the broadcast join
+    // straight from its scan
+    val sb = plan(graft.text.TextOps.sourceBalance(docs, 15L))
+    assert("(?<!Broadcast)Exchange".r.findAllIn(sb).length == 1, sb)
+    assert(sb.contains("BroadcastExchange"), sb)
+    // pack_assign: exactly one Exchange (hash by source) feeding the
+    // per-source ordered prefix sum
+    val pa = plan(graft.text.TextOps.packAssign(docs))
+    assert("(?<!Broadcast)Exchange".r.findAllIn(pa).length == 1, pa)
+  }
+
   test("repetition_stats is a pure per-row map: zero Exchange in the plan") {
     val p = plan(graft.text.TextOps.repetitionStats(
       graft.text.TextOps.docs(spark, SF)))
