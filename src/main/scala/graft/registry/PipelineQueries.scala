@@ -77,6 +77,9 @@ object PipelineQueries {
     // source (doc_id order); pack = chunk where the doc's first token
     // lands, from the running prefix sum
     "pack_assign" -> ((s, d) => TextOps.packAssign(docs(s, d))),
+    // novelty signal: fraction of a doc's distinct word 5-grams whose
+    // first corpus occurrence (min doc_id) is this doc
+    "doc_novelty" -> ((s, d) => TextOps.docNovelty(docs(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simHashPairs(docs(s, d))),
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingPairs(Knn.emb(s, d), tau = 0.4)),
@@ -701,6 +704,35 @@ object PipelineQueries {
       WHERE r.thresh >= 65536 OR
         substring(md5(concat_ws(':', CAST(d.doc_id AS VARCHAR), d.source,
           '42')), 1, 4) < printf('%04x', r.thresh)""",
+
+    // DuckDB lists are 1-indexed (Spark arrays 0-indexed): positions
+    // run 1..len-4 here vs sequence(0, size-5) in the Spark path
+    "doc_novelty" -> """
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                 x -> x <> '') AS toks
+        FROM documents),
+      pos AS (
+        SELECT doc_id, unnest(generate_series(1, len(toks) - 4)) AS i,
+               toks
+        FROM t WHERE len(toks) >= 5),
+      gr AS (
+        SELECT DISTINCT doc_id,
+               concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+                 toks[i+4]) AS gram
+        FROM pos),
+      fst AS (SELECT gram, min(doc_id) AS first_doc FROM gr GROUP BY gram),
+      agg AS (
+        SELECT g.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_first
+        FROM gr g JOIN fst f USING (gram)
+        GROUP BY g.doc_id)
+      SELECT doc_id, n_grams, n_first,
+             round(CAST(n_first AS DOUBLE) / n_grams, 4) AS novelty
+      FROM agg""",
 
     // same tokenizer as token_count; the pack id divide is the same
     // IEEE /256.0 + floor as the Spark side (cumsum is exact BIGINT)

@@ -219,6 +219,39 @@ object TextOps {
       .select("doc_id", "lang", "source")
   }
 
+  /** Per-document novelty — the fraction of a document's distinct word
+    * n-grams that appear for the FIRST time in the corpus (first = the
+    * lowest doc_id containing the gram, i.e. ingestion order): the
+    * burstiness/novelty curation signal — near-zero novelty means the
+    * doc is assembled from already-seen phrasing even when no single
+    * pair-wise near-dup fires.
+    *
+    * Scale: one map-side-combinable min-agg over the gram postings
+    * (first occurrence is an argmin, not a window over a global order)
+    * and one gram equijoin back — shuffle volume ∝ corpus tokens,
+    * never pairs. */
+  def docNovelty(d: DataFrame, n: Int = 5): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    val gramExpr = (0 until n).map(j => s"toks[i + $j]").mkString(", ")
+    // the gram postings feed BOTH the first-occurrence agg and the
+    // join-back — checkpoint so the explode runs once
+    val grams = withToks(d)
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(array_distinct(
+        expr(s"transform(sequence(0, size(toks) - $n), " +
+          s"i -> concat_ws(' ', $gramExpr))"))).as("gram"))
+      .localCheckpoint(true)
+    val first = grams.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "gram")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_first"))
+      .withColumn("novelty",
+        round(col("n_first").cast("double") / col("n_grams"), 4))
+  }
+
   /** Sequence packing — concat-and-chunk assignment of documents into
     * fixed token-budget packs (what a training loader does to fill
     * context windows): documents are laid out in doc_id order within

@@ -18,6 +18,26 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("doc_novelty: first occurrence scores 1, a clone scores 0, mixtures in between") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val planted = Seq(
+      (1L, "en", base),
+      (2L, "en", base), // exact clone of 1 → every 5-gram already seen
+      (3L, "en", "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      // doc 4 starts with doc 1's phrasing and ends fresh
+      (4L, "en", "alpha beta gamma delta epsilon phi chi psi omega one two"),
+    ).toDF("doc_id", "lang", "text")
+    val got = TextOps.docNovelty(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_first"), r.getAs[Long]("n_grams"),
+          r.getAs[Double]("novelty"))).toMap
+    assert(got(1L)._3 == 1.0)
+    assert(got(2L) == (0L, got(1L)._2, 0.0))
+    assert(got(3L)._3 == 1.0)
+    assert(got(4L)._1 > 0L && got(4L)._1 < got(4L)._2)
+  }
+
   test("pack_assign: packs are contiguous, start at 0 per source, and respect the budget") {
     val budget = 256L
     val rows = TextOps.packAssign(docs, budget).collect()
