@@ -54,36 +54,65 @@ object Dedup {
     s"transform(sequence(0, size(t) - $k), i -> concat_ws(' ', $parts))"
   }
 
-  /** MinHash signatures + banded LSH candidate pairs, verified against the
-    * exact shingle Jaccard. Shingles are hashed once (xxhash64); the
-    * `numHashes` virtual permutations are the native MinHashSig kernel
-    * (splitmix64-seeded minima), banded into `bands` buckets; only
-    * same-bucket pairs are candidates — the linear-cost near-dup path for
-    * 100 TB (the standard Broder '97 / LSH construction). Candidate
-    * verification intersects the distinct shingle-hash sets, which equals
-    * shingle Jaccard up to 64-bit collisions. */
-  def minHashPairs(d: DataFrame, shingleK: Int = 3, numHashes: Int = 64,
-      bands: Int = 16, tau: Double = 0.5): DataFrame = {
-    val rows = numHashes / bands
-    val sh = d
-      .withColumn("t", expr(toksExpr))
+  /** Distinct shingle-hash sets per doc: word `shingleK`-grams of the
+    * lowercased text, hashed once (xxhash64). Shared by the signature
+    * banding and the exact candidate verification. */
+  private def shingleSets(d: DataFrame, shingleK: Int): DataFrame =
+    d.withColumn("t", expr(toksExpr))
       .filter(size(col("t")) >= shingleK)
       .select(col("doc_id"), array_distinct(
         expr(s"transform(${shingleExpr(shingleK)}, s -> xxhash64(s))"))
         .as("sh"))
-    val sig = sh.withColumn("mh", MinHashSig(col("sh"), numHashes))
-    // band keys only — shipping the full shingle arrays through the
-    // bands× explode and the candidate self-join would multiply the
-    // shuffle volume by the band count; the arrays are joined back just
-    // for the (few) candidates
-    val banded = sig.select(col("doc_id"),
+
+  /** (doc_id, band, sig) band-bucket keys: the `numHashes` virtual
+    * permutations are the native MinHashSig kernel (splitmix64-seeded
+    * minima), sliced into `bands` buckets of numHashes/bands rows each.
+    * Band keys only — shipping the full shingle arrays through the bands×
+    * explode and the candidate self-join would multiply the shuffle
+    * volume by the band count; the arrays are joined back just for the
+    * (few) candidates. */
+  private def bandKeys(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sh.withColumn("mh", MinHashSig(col("sh"), numHashes))
+      .select(col("doc_id"),
         explode(expr(
           s"transform(sequence(0, ${bands - 1}), " +
             s"b -> struct(b AS band, xxhash64(slice(mh, b * $rows + 1, $rows)) AS sig))"))
           .as("bk"))
       .select(col("doc_id"),
         col("bk.band").as("band"), col("bk.sig").as("sig"))
-    val cand = banded.as("a").join(banded.as("b"),
+  }
+
+  /** MinHash signatures + banded LSH candidate pairs, verified against the
+    * exact shingle Jaccard — the linear-cost near-dup path for 100 TB
+    * (the standard Broder '97 / LSH construction). Candidate verification
+    * intersects the distinct shingle-hash sets, which equals shingle
+    * Jaccard up to 64-bit collisions.
+    *
+    * `maxOccupancy` fences the band-bucket self-join (the simHashPairs /
+    * LshBuckets / stop-gram posture): a mass of m near-identical — but
+    * not byte-identical, so exact dedup does NOT absorb them — documents
+    * lands in ONE (band, sig) bucket of every band and would otherwise
+    * produce bands·m²/2 candidate rows in one task. Over-cap buckets are
+    * excluded from candidate generation; recall for everything else rides
+    * the OR across the `bands` independent bands. Drops are never silent:
+    * [[minHashBandAudit]] is the registered accounting row. */
+  def minHashPairs(d: DataFrame, shingleK: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, tau: Double = 0.5,
+      maxOccupancy: Long = 8192L): DataFrame = {
+    val sh = shingleSets(d, shingleK)
+    // `banded` feeds three consumers (the occupancy agg, the semi-join
+    // probe, both sides of the candidate self-join) — materialize the
+    // slim (id, band, sig) table once instead of re-running the
+    // tokenize+minhash kernel per consumer (the simHashPairs pattern;
+    // same documented eager-checkpoint trade, SURVEY §5)
+    val banded = bandKeys(sh, numHashes, bands).localCheckpoint(true)
+    val small = banded.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= maxOccupancy)
+      .select("band", "sig")
+    val capped = banded.join(small, Seq("band", "sig"), "left_semi")
+    val cand = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
@@ -96,6 +125,26 @@ object Dedup {
         (size(col("s1")) + size(col("s2")) - col("n_common")), 4))
       .filter(col("jaccard") >= tau)
       .select("doc1", "doc2", "n_common", "jaccard")
+  }
+
+  /** Drop accounting for [[minHashPairs]]'s band-bucket cap (the
+    * lsh_bucket_audit / substring_anchor_audit discipline): one row of
+    * corpus-level band statistics — total band memberships, distinct
+    * (band, sig) buckets, memberships dropped by the occupancy cap, and
+    * the realized max bucket occupancy. A pipeline alerts when
+    * `n_dropped_over_cap` jumps (a mirror-crawl flooding one signature)
+    * instead of wondering why near-dups slipped through. */
+  def minHashBandAudit(d: DataFrame, shingleK: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, maxOccupancy: Long = 8192L): DataFrame = {
+    val occ = bandKeys(shingleSets(d, shingleK), numHashes, bands)
+      .groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("occ"))
+    occ.agg(
+      sum(col("occ")).as("n_band_memberships"),
+      count(lit(1)).as("n_buckets"),
+      sum(when(col("occ") > maxOccupancy, col("occ")).otherwise(0L))
+        .as("n_dropped_over_cap"),
+      max(col("occ")).as("max_occupancy"))
   }
 
   /** 64-bit SimHash per document from word hashes (custom codegen'd

@@ -23,6 +23,13 @@ object PipelineQueries {
     "dedup_jaccard" -> ((s, d) =>
       Dedup.jaccardPairs(docs(s, d), lang = "de", tau = 0.85)),
     "dedup_minhash" -> ((s, d) => Dedup.minHashPairs(docs(s, d))),
+    // drop accounting for the minhash band-bucket cap (the
+    // lsh_bucket_audit discipline): memberships in/dropped + realized
+    // max (band, sig) occupancy; rows-only (minhash signatures aren't
+    // ANSI-expressible), DedupSpec asserts the cap fires on a planted
+    // near-clone mass and stays silent on the normal corpus
+    "minhash_band_audit" -> ((s, d) =>
+      Dedup.minHashBandAudit(docs(s, d))),
     "dedup_char_ngram" -> ((s, d) => Dedup.charNGramPairs(docs(s, d))),
     "dedup_clusters" -> ((s, d) =>
       Dedup.dedupClusters(Dedup.jaccardPairs(docs(s, d), "de", 0.85))),
@@ -102,6 +109,15 @@ object PipelineQueries {
     "dedup_semantic" -> ((s, d) => {
       val e = Knn.emb(s, d)
       Knn.semanticDedup(e, tau = 0.4,
+        n = graft.similarity.LshBuckets.corpusSize(e, s"emb:$d"))
+    }),
+    // drop accounting for dedup_semantic's cluster-occupancy cap: kept/
+    // dropped memberships + realized max pair-group size; rows-only
+    // (k-means isn't ANSI-expressible), KnnSpec asserts the hard bound
+    // on a skewed corpus
+    "semantic_cluster_audit" -> ((s, d) => {
+      val e = Knn.emb(s, d)
+      Knn.semanticClusterAudit(e,
         n = graft.similarity.LshBuckets.corpusSize(e, s"emb:$d"))
     }),
     // ── F. similarity ─────────────────────────────────────────────────

@@ -164,27 +164,12 @@ object Knn {
         round(avg(col("nrm")), 4).as("avg_norm"))
   }
 
-  /** Semantic dedup — the cluster-scoped pruning recipe (SemDeDup,
-    * Abbas et al. 2023): k-means partitions the corpus into
-    * ~n/targetClusterSize clusters, candidate near-dup pairs are scored
-    * WITHIN clusters only, and each cosine-≥τ connected component keeps
-    * its lowest vec_id. Complements the hyperplane-LSH path: clusters
-    * capture semantic neighborhoods (same topic phrased differently)
-    * that random hyperplanes split across buckets.
-    *
-    * Scale: pair cost is Σ|cluster|² ≈ n · targetClusterSize — linear in
-    * the corpus at a fixed target, the same bounded-task posture as
-    * LshBuckets (there the knob is bucket occupancy, here cluster size;
-    * k grows with the corpus instead of the buckets overflowing). The
-    * within-cluster join is a c_id equijoin, never a cartesian
-    * (PlanSpec-fenced), and the component step reuses the CC-by-join
-    * pattern of Dedup.dedupClusters.
-    *
-    * Output: one row per vector — (vec_id, c_id, keeper); keeper ==
-    * vec_id marks the survivor of its semantic group (vectors with no
-    * ≥τ neighbor keep themselves). */
-  def semanticDedup(e: DataFrame, tau: Double,
-      targetClusterSize: Long = 64L, n: Long = -1L): DataFrame = {
+  /** Nearest-centroid assignment of the whole corpus for the semantic
+    * paths: k = ~n/targetClusterSize seeded-k-means clusters. Returns the
+    * eagerly-materialized (vec_id, v, nrm, c_id) table — it feeds both
+    * pair sides, the occupancy agg, and the final join. */
+  private[similarity] def assignSemanticClusters(e: DataFrame,
+      targetClusterSize: Long, n: Long): DataFrame = {
     val base = e.localCheckpoint(true)
     val nn = if (n >= 0L) n else base.count()
     // clamp BEFORE the Long→Int narrowing: at the 100 TB design point
@@ -193,13 +178,72 @@ object Knn {
     val k = math.min(Int.MaxValue.toLong,
       math.max(2L, nn / math.max(targetClusterSize, 1L))).toInt
     val centroids = kmeansCentroids(base, k)
-    val assigned = assignNearest(
+    assignNearest(
       base.crossJoin(broadcast(withCnrm2(centroids))).withColumn("d", sqDist),
       Seq("v", "nrm"))
       .select(col("vec_id"), col("v"), col("nrm"), col("c_id"))
-      .localCheckpoint(true) // feeds both pair sides + the final join
-    val pairs = assigned.as("a").join(assigned.as("b"),
-        col("a.c_id") === col("b.c_id") &&
+      .localCheckpoint(true)
+  }
+
+  /** Occupancy-capped (vec_id, v, nrm, c_id, sub) pair-group members
+    * (the LshBuckets posture applied to k-means clusters): clusters at or
+    * under `maxOccupancy` keep sub = 0; over-cap clusters — k-means gives
+    * NO balance guarantee, and a dense semantic region (exactly what
+    * semantic dedup exists for) can concentrate into one giant cluster —
+    * are re-split by `subPlanes` fresh hyperplanes into sub ∈
+    * [1, 2^subPlanes]; sub-groups still over the cap are dropped (a
+    * pathological near-identical mass, exact embedding dedup's job).
+    * Every downstream pair join keys on (c_id, sub), so the worst-case
+    * per-task pair count is maxOccupancy²/2 BY CONSTRUCTION, not in
+    * expectation. Drops are audited ([[semanticClusterAudit]]). */
+  private[similarity] def cappedClusterMembers(assigned: DataFrame,
+      maxOccupancy: Long, subPlanes: Int): DataFrame = {
+    import graft.functions.HyperplaneBucket
+    val small = assigned.groupBy(col("c_id"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= maxOccupancy)
+      .select("c_id")
+    val keep = assigned.join(small, Seq("c_id"), "left_semi")
+      .withColumn("sub", lit(0L))
+    val refined = assigned.join(small, Seq("c_id"), "left_anti")
+      .withColumn("sub", HyperplaneBucket(col("v"), subPlanes, 0) + lit(1L))
+    val keep2 = refined.join(
+      refined.groupBy(col("c_id"), col("sub"))
+        .agg(count(lit(1)).as("occ"))
+        .filter(col("occ") <= maxOccupancy)
+        .select("c_id", "sub"),
+      Seq("c_id", "sub"), "left_semi")
+    keep.select("vec_id", "v", "nrm", "c_id", "sub")
+      .union(keep2.select("vec_id", "v", "nrm", "c_id", "sub"))
+  }
+
+  /** Semantic dedup — the cluster-scoped pruning recipe (SemDeDup,
+    * Abbas et al. 2023): k-means partitions the corpus into
+    * ~n/targetClusterSize clusters, candidate near-dup pairs are scored
+    * WITHIN clusters only, and each cosine-≥τ connected component keeps
+    * its lowest vec_id. Complements the hyperplane-LSH path: clusters
+    * capture semantic neighborhoods (same topic phrased differently)
+    * that random hyperplanes split across buckets.
+    *
+    * Scale: Σ|cluster|² ≈ n · targetClusterSize is only an EXPECTATION —
+    * k-means gives no balance bound — so the pair join runs over
+    * [[cappedClusterMembers]]: occupancy cap + one hyperplane sub-split
+    * level makes maxOccupancy²/2 the HARD per-task ceiling, with drops
+    * accounted by [[semanticClusterAudit]]. The within-cluster join is a
+    * (c_id, sub) equijoin, never a cartesian (PlanSpec-fenced), and the
+    * component step reuses the CC-by-join pattern of Dedup.dedupClusters.
+    *
+    * Output: one row per vector — (vec_id, c_id, keeper); keeper ==
+    * vec_id marks the survivor of its semantic group (vectors with no
+    * ≥τ neighbor — including members of dropped over-cap sub-groups —
+    * keep themselves). */
+  def semanticDedup(e: DataFrame, tau: Double,
+      targetClusterSize: Long = 64L, n: Long = -1L,
+      maxOccupancy: Long = 1024L, subPlanes: Int = 6): DataFrame = {
+    val assigned = assignSemanticClusters(e, targetClusterSize, n)
+    val members = cappedClusterMembers(assigned, maxOccupancy, subPlanes)
+    val pairs = members.as("a").join(members.as("b"),
+        col("a.c_id") === col("b.c_id") && col("a.sub") === col("b.sub") &&
           col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos_sim",
         round(DotProduct(col("a.v"), col("b.v")) /
@@ -213,6 +257,31 @@ object Knn {
       .join(comps, Seq("vec_id"), "left")
       .select(col("vec_id"), col("c_id"),
         coalesce(col("keeper"), col("vec_id")).as("keeper"))
+  }
+
+  /** Drop accounting for [[semanticDedup]]'s cluster cap (the
+    * lsh_bucket_audit discipline): one row — corpus size, memberships
+    * kept for pair generation, memberships dropped (over-cap sub-groups),
+    * final pair-group count, and the realized max pair-group occupancy
+    * (KnnSpec asserts it stays ≤ maxOccupancy on a skewed corpus). */
+  def semanticClusterAudit(e: DataFrame, targetClusterSize: Long = 64L,
+      n: Long = -1L, maxOccupancy: Long = 1024L,
+      subPlanes: Int = 6): DataFrame = {
+    val assigned = assignSemanticClusters(e, targetClusterSize, n)
+    val groups = cappedClusterMembers(assigned, maxOccupancy, subPlanes)
+      .groupBy(col("c_id"), col("sub"))
+      .agg(count(lit(1)).as("occ"))
+    val kept = groups.agg(
+      sum(col("occ")).as("n_kept"),
+      count(lit(1)).as("n_groups"),
+      max(col("occ")).as("max_occupancy"))
+    assigned.agg(count(lit(1)).as("n_vectors")).crossJoin(broadcast(kept))
+      .select(col("n_vectors"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_vectors") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"),
+        coalesce(col("n_groups"), lit(0L)).as("n_groups"),
+        coalesce(col("max_occupancy"), lit(0L)).as("max_occupancy"))
   }
 
   /** Persist an IVF index: every vector assigned to its nearest

@@ -64,6 +64,35 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("minhash occupancy cap: a near-clone mass is excluded, not exploded") {
+    import spark.implicits._
+    // 40 near-identical docs — one differing trailing token each, so
+    // exact dedup does NOT absorb them — share most shingles and band
+    // together heavily; byte-identical clones would land in ONE bucket of
+    // every band. With cap 10, over-cap (band, sig) buckets are excluded
+    // from candidate generation instead of a 40²/2 self-join per band.
+    val base = "same long duplicated text body shared by every clone in this mass entirely"
+    val clones = (1L to 40L)
+      .map(i => (i, "en", s"$base token$i"))
+      .toDF("doc_id", "lang", "text")
+    val capped = Dedup.minHashPairs(clones, tau = 0.5, maxOccupancy = 10L)
+    // bound, not zero: the differing token perturbs SOME bands under the
+    // cap on some pairs — what must vanish is the quadratic mass
+    assert(capped.count() < 100L)
+    // the audit row accounts for the drop: every membership counted,
+    // dropped mass > 0, max occupancy reports the degenerate bucket
+    val audit = Dedup.minHashBandAudit(clones, maxOccupancy = 10L).head()
+    assert(audit.getAs[Long]("n_dropped_over_cap") > 0L)
+    assert(audit.getAs[Long]("max_occupancy") > 10L)
+    assert(audit.getAs[Long]("n_band_memberships") == 40L * 16L)
+    // the default cap leaves the small planted corpus untouched
+    val pairs = Dedup.minHashPairs(plantedDocs, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+    val normal = Dedup.minHashBandAudit(plantedDocs).head()
+    assert(normal.getAs[Long]("n_dropped_over_cap") == 0L)
+  }
+
   test("char n-gram pairs find the planted near-dup, skip the disjoint doc") {
     val pairs = Dedup.charNGramPairs(plantedDocs, n = 5, tau = 0.5,
       sampleMod = 2).collect()

@@ -106,6 +106,45 @@ class KnnSpec extends SparkSpec {
     assert(r(6L) == 6L && r(7L) == 7L) // opposite vector: cos = -1, kept
   }
 
+  test("semantic cluster cap: a dense over-cap cluster is dropped, never exploded") {
+    import spark.implicits._
+    import graft.functions.DotProduct
+    // 600 identical vectors: k-means concentrates them into ONE cluster
+    // (distance ties break by c_id), the exact situation the SemDeDup
+    // recipe exists for — without the cap that is a 600²/2 pair join in
+    // one task. Identical vectors cannot be sub-split apart, so the mass
+    // must be dropped from pair generation (exact embedding dedup's job).
+    val dense = (1L to 600L).map(i => (i, Array(1.0, 0.5, 0.25, 0.125)))
+    val spread = (601L to 640L).map { i =>
+      val a = ((i * 37) % 101).toDouble / 50.0 - 1.0
+      val b = ((i * 59) % 103).toDouble / 51.0 - 1.0
+      val c = ((i * 83) % 107).toDouble / 53.0 - 1.0
+      (i, Array(a, b, c, a * b - c))
+    }
+    val corpus = (dense ++ spread).toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(DotProduct(col("v"), col("v"))))
+    val audit = Knn.semanticClusterAudit(corpus, targetClusterSize = 64L,
+      maxOccupancy = 50L, subPlanes = 2).head()
+    assert(audit.getAs[Long]("n_vectors") == 640L)
+    assert(audit.getAs[Long]("n_kept") +
+      audit.getAs[Long]("n_dropped") == 640L)
+    assert(audit.getAs[Long]("n_dropped") >= 600L)
+    // the HARD bound the pair join inherits by construction
+    assert(audit.getAs[Long]("max_occupancy") <= 50L)
+    // dropped members still appear in the dedup output, keeping themselves
+    val r = Knn.semanticDedup(corpus, tau = 0.9, targetClusterSize = 64L,
+      maxOccupancy = 50L, subPlanes = 2)
+    assert(r.count() == 640L)
+  }
+
+  test("semantic cluster cap: an un-skewed corpus keeps every membership") {
+    val audit = Knn.semanticClusterAudit(e).head()
+    val n = e.count()
+    assert(audit.getAs[Long]("n_vectors") == n)
+    assert(audit.getAs[Long]("n_dropped") == 0L)
+    assert(audit.getAs[Long]("max_occupancy") <= 1024L)
+  }
+
   test("semantic dedup on real embeddings: keepers are fixpoints, coverage total") {
     val rows = Knn.semanticDedup(e, tau = 0.4).collect()
     assert(rows.length == e.count())
