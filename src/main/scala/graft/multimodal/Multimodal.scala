@@ -111,6 +111,73 @@ object Multimodal {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
       .select("keeper", "n_copies")
 
+  /** Near-dup media dedup — the second media pass of a crawl pipeline
+    * (exact [[exactDedup]] catches byte-identical copies; this catches
+    * the same asset re-encoded, slightly resized, or with metadata
+    * stripped/rewritten). The binary dual of the banded text paths:
+    *
+    *  1. '''Candidates''' come from a decoded-header feature bucket —
+    *     (format, width/8 band, height/8 band, channels, sample_rate,
+    *     duration band). Re-encodes of one asset keep their dimensions
+    *     (or drift within a band), so they collide; the join is a bucket
+    *     equijoin, never all-pairs.
+    *  2. '''Occupancy cap''' (the minHashPairs/LshBuckets posture): a
+    *     bucket over `maxOccupancy` — a template image stamped across a
+    *     crawl — is excluded from candidate generation rather than
+    *     allowed a quadratic self-join (byte-identical masses are
+    *     [[exactDedup]]'s job).
+    *  3. '''Verify''' with byte-level n-gram Jaccard over the hex view of
+    *     the raw bytes (the CharNGramHashes kernel: n hex chars ≈ n/2
+    *     bytes per gram), thresholded on the ROUNDED score. `sampleMod`
+    *     subsamples gram hashes for multi-MB real media; the synthesized
+    *     demo blobs are header-sized, so the default keeps every gram.
+    *
+    * Rows-only (header decode isn't ANSI-expressible); MediaCodecSpec
+    * plants re-encodes, a resize, and an over-cap clone mass. */
+  def nearDedup(media: DataFrame, n: Int = 8, tau: Double = 0.5,
+      maxOccupancy: Long = 512L, sampleMod: Int = 1): DataFrame = {
+    import graft.functions.CharNGramHashes
+    require(n >= 1 && sampleMod >= 1 && maxOccupancy >= 1,
+      s"bad params n=$n sampleMod=$sampleMod maxOccupancy=$maxOccupancy")
+    // undecodable blobs carry no header evidence — they can't bucket
+    val keyed = extractFeatures(media).toDF()
+      .filter(col("format") =!= "unknown")
+      .select(col("doc_id"),
+        concat_ws(":", col("format"),
+          floor(col("width") / lit(8)), floor(col("height") / lit(8)),
+          col("channels"), col("sample_rate"),
+          floor(col("duration_ms") / lit(500.0))).as("bucket"))
+      // feeds the occupancy agg + the semi-join probe; slim (id, key)
+      .localCheckpoint(true)
+    val small = keyed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= maxOccupancy)
+      .select("bucket")
+    val capped = keyed.join(small, Seq("bucket"), "left_semi")
+    // each doc lands in exactly ONE bucket (features are a function of
+    // the blob), so a pair arises at most once — no dedup step needed
+    val cand = capped.as("a").join(capped.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+    val grams = media
+      .withColumn("gs",
+        array_distinct(CharNGramHashes(hex(col("blob")), n)))
+      .select(col("doc_id"),
+        expr(s"filter(gs, h -> h % $sampleMod = 0)").as("gs"))
+      // feeds both verify join-backs; re-hexing every blob per consumer
+      // is the expensive pass at real media sizes
+      .localCheckpoint(true)
+    cand
+      .join(grams.select(col("doc_id").as("doc1"), col("gs").as("s1")), "doc1")
+      .join(grams.select(col("doc_id").as("doc2"), col("gs").as("s2")), "doc2")
+      .withColumn("n_common", size(array_intersect(col("s1"), col("s2"))))
+      .withColumn("jaccard", round(col("n_common") /
+        (size(col("s1")) + size(col("s2")) - col("n_common")), 4))
+      .filter(col("jaccard") >= tau)
+      .select("doc1", "doc2", "n_common", "jaccard")
+  }
+
   /** Per-format rollup of decoded media features. */
   def featureStats(media: DataFrame): DataFrame =
     extractFeatures(media).toDF()

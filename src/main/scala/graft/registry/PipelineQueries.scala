@@ -178,6 +178,12 @@ object PipelineQueries {
     "vocab_topk" -> ((s, d) => TextOps.vocabTopK(docs(s, d), k = 50)),
     "pipeline_curate" -> ((s, d) =>
       TextOps.curate(docs(s, d), minQuality = 0.5)),
+    // the FULL production chain as one composition: quality → exact →
+    // substring-CC → minhash-CC → substring decontamination → source
+    // balance → sequence packing; rows-only (LSH/winnowing stages aren't
+    // ANSI-expressible — each stage is oracle-checked individually by
+    // its own row), TextSpec asserts the stage-subset invariants
+    "pipeline_full" -> ((s, d) => TextOps.curateFull(docs(s, d))),
     "doc_length_hist" -> ((s, d) =>
       TextOps.lengthHistogram(docs(s, d), width = 100)),
     "split_assign" -> ((s, d) =>
@@ -201,6 +207,12 @@ object PipelineQueries {
     // pure function of doc_id), independently cross-checking encoder
     // injectivity
     "mm_dedup" -> ((s, d) => Multimodal.exactDedup(
+      Multimodal.synthesize(docs(s, d)))),
+    // near-dup media: header-feature bucket candidates (occupancy-
+    // capped) + byte n-gram Jaccard verify over the hex view; rows-only
+    // (header decode isn't ANSI-expressible), MediaCodecSpec plants
+    // re-encodes and an over-cap clone mass
+    "mm_dedup_near" -> ((s, d) => Multimodal.nearDedup(
       Multimodal.synthesize(docs(s, d)))),
   )
 

@@ -300,6 +300,57 @@ object TextOps {
         round(avg(col("quality_score")), 4).as("avg_quality"))
   }
 
+  /** The FULL composed curation run — every stage a production
+    * training-data pass chains, as one composition (the driver gate
+    * exercises the stage interactions: shared scans, the eager-
+    * checkpoint placement inside the candidate-join stages, filter
+    * pushdown across stage boundaries):
+    *
+    *   quality gate → exact dedup (keep lowest doc_id per digest) →
+    *   exact-substring dedup (winnowed anchors → CC, keep cluster
+    *   representatives) → MinHash near-dup (banded LSH → CC, keep
+    *   representatives) → substring decontamination (drop train docs
+    *   sharing a verbatim run with any test doc) → source balancing →
+    *   sequence packing.
+    *
+    * Output: the packed training set — (doc_id, source, n_tok, pack_id).
+    * Each candidate-join stage keeps its own occupancy/DF fence, so the
+    * composition inherits every 100 TB bound of its parts. Rows-only
+    * (the LSH and winnowing stages aren't ANSI-expressible); every
+    * individual stage is oracle-checked by its own registry row. */
+  def curateFull(d: DataFrame, minQuality: Double = 0.5,
+      balanceCap: Long = 15L, trainSixteenths: Int = 13,
+      packBudget: Long = 256L): DataFrame = {
+    import graft.dedup.Dedup
+    val kept = d.join(quality(d).select("doc_id", "quality_score"), "doc_id")
+      .filter(col("quality_score") >= minQuality)
+      .select(d.columns.map(col): _*)
+    val exactSurv = kept
+      .groupBy(md5(lower(trim(col("text")))).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val afterExact = kept.join(exactSurv.select("doc_id"), "doc_id")
+    // CC keepers: a doc whose cluster label is NOT itself is a dropped
+    // near-duplicate; docs absent from the pair graph keep themselves
+    def keepRepresentatives(corpus: DataFrame, clusters: DataFrame) =
+      corpus.join(
+        clusters.filter(col("doc_id") =!= col("cluster")).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+    val afterSub = keepRepresentatives(afterExact,
+      Dedup.dedupClusters(Dedup.substringPairs(afterExact)))
+    val afterMh = keepRepresentatives(afterSub,
+      Dedup.dedupClusters(Dedup.minHashPairs(afterSub)))
+    val split = splitAssign(afterMh, trainSixteenths)
+    val contaminated = Dedup.contaminationSubstring(afterMh, split)
+      .select(col("train_doc").as("doc_id")).distinct()
+    val train = afterMh
+      .join(split.filter(col("split") === "train").select("doc_id"), "doc_id")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // balance thresholds are computed on the CURATED train corpus, then
+    // packing lays out the balanced survivors
+    val balanced = sourceBalance(train, balanceCap).select("doc_id")
+    packAssign(train.join(balanced, "doc_id"), packBudget)
+  }
+
   /** Unigram language-model scoring — the perplexity-style quality
     * filter of a training pipeline: train token log-probabilities on the
     * corpus itself (one count agg; at 100 TB this is the classic

@@ -78,6 +78,69 @@ class TextSpec extends SparkSpec {
     assert(groups == Map(0L -> 2L, 6L -> 1L))
   }
 
+  test("mm_dedup_near: re-encodes pair up; different dims do not; unknowns never bucket") {
+    import spark.implicits._
+    import graft.multimodal.MediaCodec
+    val a = MediaCodec.encodeJpeg(100, 80, 3)
+    // a "metadata rewrite" re-encode: same frame header, the JFIF
+    // density bytes differ — exact dedup misses it, near-dup must not
+    val b = a.clone(); b(14) = 2.toByte; b(16) = 2.toByte
+    val c = MediaCodec.encodeJpeg(100, 80, 3) // byte-identical to a
+    val d = MediaCodec.encodeJpeg(300, 200, 3) // other dims band
+    val junk = Array[Byte](1, 2, 3, 4) // undecodable
+    val media = Seq((1L, "s", a), (2L, "s", b), (3L, "s", c),
+      (4L, "s", d), (5L, "s", junk)).toDF("doc_id", "source", "blob")
+    val rows = Multimodal.nearDedup(media).collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // the byte-identical pair verifies at jaccard exactly 1
+    val exactPair = rows.find(r =>
+      (r.getLong(0), r.getLong(1)) == (1L, 3L)).get
+    assert(exactPair.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("mm_dedup_near occupancy cap: an identical-header mass is excluded, not exploded") {
+    import spark.implicits._
+    import graft.multimodal.MediaCodec
+    // 40 byte-identical blobs land in ONE feature bucket; with cap 10 the
+    // bucket is excluded from candidate generation (exactDedup's job)
+    // instead of a 40²/2 self-join
+    val mass = (1L to 40L).map(i => (i, "s", MediaCodec.encodeGif(30, 20)))
+      .toDF("doc_id", "source", "blob")
+    assert(Multimodal.nearDedup(mass, maxOccupancy = 10L).count() == 0L)
+    // the default cap leaves a small corpus untouched
+    assert(Multimodal.nearDedup(mass).count() == 40L * 39L / 2L)
+  }
+
+  test("pipeline_full: composed stages subset correctly and pack deterministically") {
+    def run() = TextOps.curateFull(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_tok"), r.getAs[Long]("pack_id")))
+    val r1 = run()
+    assert(r1.nonEmpty)
+    assert(r1.toSet == run().toSet) // deterministic end-to-end
+    val ids = r1.map(_._1).toSet
+    // every survivor passed the quality gate ...
+    val q = TextOps.quality(docs)
+      .filter(col("quality_score") >= 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(q))
+    // ... is a train-split member (split is a pure function of doc_id) ...
+    val train = TextOps.splitAssign(docs, 13)
+      .filter(col("split") === "train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(train))
+    // ... and an exact-dedup keeper (copies share a quality score, so the
+    // in-pipeline keeper equals the whole-corpus keeper)
+    val keepers = graft.dedup.Dedup.exact(docs)
+      .select("keeper").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(keepers))
+    // packing starts at pack 0 within every source
+    r1.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.map(_._4).min == 0L, s"source $src")
+    }
+  }
+
   test("source balance: deterministic, per-source counts near cap, keep-all above cap") {
     val cap = 15L
     val a = TextOps.sourceBalance(docs, cap).collect()
