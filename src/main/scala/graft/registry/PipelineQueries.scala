@@ -214,6 +214,12 @@ object PipelineQueries {
     // re-encodes and an over-cap clone mass
     "mm_dedup_near" -> ((s, d) => Multimodal.nearDedup(
       Multimodal.synthesize(docs(s, d)))),
+    // near-dup media groups end-to-end (the production shape: a dense
+    // near-dup region's pair list is inherently quadratic, its cluster
+    // list is linear) — header-bucket pairs → connected components,
+    // mirroring dedup_clusters_lsh on the text side
+    "mm_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(
+      Multimodal.nearDedup(Multimodal.synthesize(docs(s, d))))),
   )
 
   val oracle: Map[String, String] = Map(

@@ -139,7 +139,11 @@ class PlanSpec extends SparkSpec {
       // equijoin (df-capped), never positional or all-pairs
       graft.dedup.Dedup.substringPairs(docs),
       graft.dedup.Dedup.contaminationSubstring(docs,
-        graft.text.TextOps.splitAssign(docs, 13)))
+        graft.text.TextOps.splitAssign(docs, 13)),
+      // near-dup media: candidates must stay a header-feature bucket
+      // equijoin, verified per candidate — never blob × blob
+      graft.multimodal.Multimodal.nearDedup(
+        graft.multimodal.Multimodal.synthesize(docs)))
     lshPlans.foreach { df =>
       val p = plan(df)
       assert(!p.contains("CartesianProduct"), p)
