@@ -559,4 +559,58 @@ object Dedup {
       .select(col("a.vec_id").as("vec_id1"), col("b.vec_id").as("vec_id2"),
         col("cos_sim"))
   }
+
+  /** Persist the winnowed-anchor index of a curated corpus as an external
+    * table BUCKETED BY anchor hash — the text-side dual of
+    * [[graft.similarity.Knn.writeIvfIndex]]. The index is df-capped at
+    * write time (boilerplate anchors never enter it), so an incremental
+    * probe inherits the fence for free. At 100 TB this is the offline
+    * build a rolling-crawl pipeline runs once per corpus release. */
+  def writeAnchorIndex(d: DataFrame, tableName: String, path: String,
+      k: Int = 40, w: Int = 25, maxDf: Int = 50, buckets: Int = 8): Unit = {
+    require(k >= 1 && w >= 1 && maxDf >= 1, s"bad params k=$k w=$w maxDf=$maxDf")
+    // one kernel pass; the anchor table feeds the df count + the kept set
+    val anchors = d.filter(length(col("text")) >= k)
+      .select(col("doc_id"),
+        explode(WinnowedAnchors(col("text"), k, w)).as("h"))
+      .localCheckpoint(true)
+    val rare = anchors.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("h")
+    anchors.join(rare, "h")
+      .repartition(col("h"))
+      .write
+      .option("path", path)
+      .bucketBy(buckets, "h")
+      .sortBy("h")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(tableName)
+  }
+
+  /** Incremental substring dedup — the shape a rolling crawl actually
+    * runs: a NEW shard streams against the PERSISTED anchor index
+    * ([[writeAnchorIndex]]) instead of re-deduping the full corpus. One
+    * kernel pass over the shard, then an anchor equijoin where the index
+    * side arrives pre-bucketed (no Exchange on the corpus side — the
+    * shard is the only thing that shuffles, exactly the IVF-search join
+    * shape). The shard side carries its own df cap so a boilerplate
+    * anchor INSIDE the new shard can't degenerate the probe; the index
+    * was capped at write time. Output: (new_doc, corpus_doc, n_anchors) —
+    * anchor equality is the evidence (same md5 ⟹ same k-char run), no
+    * verify pass, same contract as [[substringPairs]]. */
+  def incrementalSubstringPairs(spark: SparkSession, tableName: String,
+      newDocs: DataFrame, k: Int = 40, w: Int = 25,
+      maxDf: Int = 50): DataFrame = {
+    require(k >= 1 && w >= 1 && maxDf >= 1, s"bad params k=$k w=$w maxDf=$maxDf")
+    val shard = newDocs.filter(length(col("text")) >= k)
+      .select(col("doc_id").as("new_doc"),
+        explode(WinnowedAnchors(col("text"), k, w)).as("h"))
+      .localCheckpoint(true) // feeds the df cap + the probe
+    val rare = shard.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("h")
+    shard.join(rare, "h")
+      .join(spark.table(tableName)
+        .select(col("doc_id").as("corpus_doc"), col("h")), "h")
+      .groupBy("new_doc", "corpus_doc")
+      .agg(count(lit(1)).as("n_anchors"))
+  }
 }

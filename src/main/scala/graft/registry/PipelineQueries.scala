@@ -53,6 +53,25 @@ object PipelineQueries {
     // discipline): postings kept/dropped by the boilerplate df-cap
     "substring_anchor_audit" -> ((s, d) =>
       Dedup.substringAnchorAudit(docs(s, d))),
+    // the rolling-crawl shape: write the corpus anchor index as a
+    // BUCKETED external table once, then the new shard (doc_id % 10 = 0)
+    // probes the PERSISTED index — no full-corpus re-dedup, no Exchange
+    // on the index side (the knn_ivf_persisted story for text); rows-only
+    // (the persisted-table round-trip isn't one ANSI statement), DedupSpec
+    // proves parity with the full run's cross slice + the bucketed scan
+    "dedup_incremental" -> ((s, d) => {
+      val dd = docs(s, d)
+      val suffix = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val tbl = s"graft_anchor_index_$suffix"
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), tbl).toString
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      Dedup.writeAnchorIndex(
+        dd.filter(col("doc_id") % 10 =!= 0), tbl, path)
+      Dedup.incrementalSubstringPairs(s, tbl,
+        dd.filter(col("doc_id") % 10 === 0))
+    }),
     // substring-level decontamination: train docs sharing a verbatim
     // >= 64-char run with a test doc, via the same winnowed anchors;
     // test-side DF-capped index, train streams against it

@@ -206,6 +206,43 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("incremental substring dedup: shard vs persisted index matches the full run's cross slice") {
+    import spark.implicits._
+    val run = "the exact same seventy character run of text planted into both documents!"
+    val corpus = Seq(
+      (1L, "en", "corpus doc leading material " + run + " plus trailing words"),
+      (2L, "en", "this document shares no forty character window with any other document here"),
+    ).toDF("doc_id", "lang", "text")
+    val shard = Seq(
+      (10L, "en", "new shard document with different padding " + run + " and a tail"),
+      (11L, "en", "and neither does this one because every window of it is unique to itself"),
+    ).toDF("doc_id", "lang", "text")
+    val tbl = "graft_anchor_index_spec"
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), tbl).toString
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    Dedup.writeAnchorIndex(corpus, tbl, path)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val got = Dedup.incrementalSubstringPairs(spark, tbl, shard)
+      val inc = got.collect()
+        .map(r => ((r.getLong(1), r.getLong(0)), r.getLong(2))).toMap
+      // only the planted cross pair, with the same anchor-count evidence
+      // the full (corpus ∪ shard) run reports for it
+      val full = Dedup.substringPairs(corpus.union(shard)).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(inc.keySet == Set((1L, 10L)))
+      assert(inc((1L, 10L)) == full((1L, 10L)))
+      // the persisted index side arrives pre-bucketed: its scan reads
+      // bucketed, and the join is never a cartesian
+      val p = got.queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("substring contamination: only cross-split verbatim overlap is reported") {
     import spark.implicits._
     val run = "the exact same seventy character run of text planted into both documents!"
