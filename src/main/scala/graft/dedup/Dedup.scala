@@ -596,7 +596,17 @@ object Dedup {
     * anchor INSIDE the new shard can't degenerate the probe; the index
     * was capped at write time. Output: (new_doc, corpus_doc, n_anchors) —
     * anchor equality is the evidence (same md5 ⟹ same k-char run), no
-    * verify pass, same contract as [[substringPairs]]. */
+    * verify pass, same contract as [[substringPairs]].
+    *
+    * Boundary approximation vs a full re-dedup: each df cap is applied
+    * on its OWN side (corpus df at write time, shard df at probe time),
+    * so an anchor with corpus-df ≤ maxDf and shard-df ≤ maxDf but
+    * union-df > maxDf still yields pairs where a full [[substringPairs]]
+    * over corpus+shard would drop it. That is the inherent price of not
+    * rebuilding the index per shard — the incremental run can only
+    * over-report near the cap boundary, never silently drop — and the
+    * oracle (`dedup_incremental`) checks exactly this per-side-cap
+    * semantics. */
   def incrementalSubstringPairs(spark: SparkSession, tableName: String,
       newDocs: DataFrame, k: Int = 40, w: Int = 25,
       maxDf: Int = 50): DataFrame = {

@@ -111,62 +111,93 @@ object Multimodal {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
       .select("keeper", "n_copies")
 
+  /** (doc_id, tbl, bucket) header-feature bucket memberships for
+    * [[nearDedup]] / [[nearDedupAudit]]. Two OR-combined band tables (the
+    * multi-table recall posture of the text LSH paths): table 0 buckets on
+    * floor(dim/8) bands, table 1 on floor((dim+4)/8) — offset by half a
+    * band — so a re-encode whose dimensions drift across a table-0 band
+    * boundary (width 103 vs 105 straddling 104) still collides in
+    * table 1. A pair can match in both tables; callers dedup pairs.
+    * Undecodable blobs carry no header evidence — they can't bucket. */
+  private def bucketKeys(media: DataFrame): DataFrame = {
+    def key(wOff: Int, hOff: Int, dOff: Double) =
+      concat_ws(":", col("format"),
+        floor((col("width") + lit(wOff)) / lit(8)),
+        floor((col("height") + lit(hOff)) / lit(8)),
+        col("channels"), col("sample_rate"),
+        floor((col("duration_ms") + lit(dOff)) / lit(500.0)))
+    extractFeatures(media).toDF()
+      .filter(col("format") =!= "unknown")
+      .select(col("doc_id"), explode(array(
+        struct(lit(0).as("tbl"), key(0, 0, 0.0).as("bucket")),
+        struct(lit(1).as("tbl"), key(4, 4, 250.0).as("bucket")))).as("m"))
+      .select(col("doc_id"), col("m.tbl").as("tbl"),
+        col("m.bucket").as("bucket"))
+  }
+
   /** Near-dup media dedup — the second media pass of a crawl pipeline
     * (exact [[exactDedup]] catches byte-identical copies; this catches
     * the same asset re-encoded, slightly resized, or with metadata
     * stripped/rewritten). The binary dual of the banded text paths:
     *
-    *  1. '''Candidates''' come from a decoded-header feature bucket —
-    *     (format, width/8 band, height/8 band, channels, sample_rate,
-    *     duration band). Re-encodes of one asset keep their dimensions
-    *     (or drift within a band), so they collide; the join is a bucket
-    *     equijoin, never all-pairs.
+    *  1. '''Candidates''' come from decoded-header feature buckets —
+    *     (format, width band, height band, channels, sample_rate,
+    *     duration band) — in TWO offset band tables ([[bucketKeys]]), so
+    *     dimension drift within ±4 px (±250 ms) always collides in at
+    *     least one table; the join is a bucket equijoin, never all-pairs,
+    *     and pairs matching in both tables are deduped before verify.
     *  2. '''Occupancy cap''' (the minHashPairs/LshBuckets posture): a
-    *     bucket over `maxOccupancy` — a template image stamped across a
-    *     crawl — is excluded from candidate generation rather than
-    *     allowed a quadratic self-join (byte-identical masses are
-    *     [[exactDedup]]'s job).
+    *     (tbl, bucket) group over `maxOccupancy` — a template image
+    *     stamped across a crawl — is excluded from candidate generation
+    *     rather than allowed a quadratic self-join (byte-identical masses
+    *     are [[exactDedup]]'s job). Drops are never silent:
+    *     [[nearDedupAudit]] is the registered accounting row.
     *  3. '''Verify''' with byte-level n-gram Jaccard over the hex view of
     *     the raw bytes (the CharNGramHashes kernel: n hex chars ≈ n/2
-    *     bytes per gram), thresholded on the ROUNDED score. `sampleMod`
+    *     bytes per gram), thresholded on the ROUNDED score — computed
+    *     ONLY for docs that appear in a candidate pair (semi-join first):
+    *     at real media sizes the hex+gram pass is the expensive step, and
+    *     candidates ≪ corpus in any non-degenerate crawl. `sampleMod`
     *     subsamples gram hashes for multi-MB real media; the synthesized
     *     demo blobs are header-sized, so the default keeps every gram.
     *
     * Rows-only (header decode isn't ANSI-expressible); MediaCodecSpec
-    * plants re-encodes, a resize, and an over-cap clone mass. */
+    * plants re-encodes, a band-boundary resize, and an over-cap clone
+    * mass. */
   def nearDedup(media: DataFrame, n: Int = 8, tau: Double = 0.5,
       maxOccupancy: Long = 512L, sampleMod: Int = 1): DataFrame = {
     import graft.functions.CharNGramHashes
     require(n >= 1 && sampleMod >= 1 && maxOccupancy >= 1,
       s"bad params n=$n sampleMod=$sampleMod maxOccupancy=$maxOccupancy")
-    // undecodable blobs carry no header evidence — they can't bucket
-    val keyed = extractFeatures(media).toDF()
-      .filter(col("format") =!= "unknown")
-      .select(col("doc_id"),
-        concat_ws(":", col("format"),
-          floor(col("width") / lit(8)), floor(col("height") / lit(8)),
-          col("channels"), col("sample_rate"),
-          floor(col("duration_ms") / lit(500.0))).as("bucket"))
-      // feeds the occupancy agg + the semi-join probe; slim (id, key)
-      .localCheckpoint(true)
-    val small = keyed.groupBy(col("bucket"))
+    // feeds the occupancy agg + the semi-join probe; slim (id, tbl, key)
+    val keyed = bucketKeys(media).localCheckpoint(true)
+    val small = keyed.groupBy(col("tbl"), col("bucket"))
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") <= maxOccupancy)
-      .select("bucket")
-    val capped = keyed.join(small, Seq("bucket"), "left_semi")
-    // each doc lands in exactly ONE bucket (features are a function of
-    // the blob), so a pair arises at most once — no dedup step needed
+      .select("tbl", "bucket")
+    val capped = keyed.join(small, Seq("tbl", "bucket"), "left_semi")
+    // feeds the candidate-id prune + the verify join — slim pair list,
+    // checkpoint instead of re-running the self-join per consumer
     val cand = capped.as("a").join(capped.as("b"),
-        col("a.bucket") === col("b.bucket") &&
+        col("a.tbl") === col("b.tbl") &&
+          col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .dropDuplicates("doc1", "doc2")
+      .localCheckpoint(true)
+    val candIds = cand.select(col("doc1").as("doc_id"))
+      .union(cand.select(col("doc2").as("doc_id")))
+      .distinct()
     val grams = media
+      // the expensive pass runs on the candidate slice only, never the
+      // full corpus — over-cap masses and undecodable blobs are never
+      // hexed at all
+      .join(candIds, Seq("doc_id"), "left_semi")
       .withColumn("gs",
         array_distinct(CharNGramHashes(hex(col("blob")), n)))
       .select(col("doc_id"),
         expr(s"filter(gs, h -> h % $sampleMod = 0)").as("gs"))
-      // feeds both verify join-backs; re-hexing every blob per consumer
-      // is the expensive pass at real media sizes
+      // feeds both verify join-backs
       .localCheckpoint(true)
     cand
       .join(grams.select(col("doc_id").as("doc1"), col("gs").as("s1")), "doc1")
@@ -176,6 +207,25 @@ object Multimodal {
         (size(col("s1")) + size(col("s2")) - col("n_common")), 4))
       .filter(col("jaccard") >= tau)
       .select("doc1", "doc2", "n_common", "jaccard")
+  }
+
+  /** Drop accounting for [[nearDedup]]'s bucket-occupancy cap (the
+    * minhash_band_audit / lsh_bucket_audit discipline): one row of
+    * corpus-level bucket statistics — total bucket memberships across
+    * both band tables, distinct (tbl, bucket) groups, memberships dropped
+    * by the occupancy cap, and the realized max occupancy. A pipeline
+    * alerts when `n_dropped_over_cap` jumps (a template asset flooding a
+    * crawl) instead of wondering why near-dups slipped through. */
+  def nearDedupAudit(media: DataFrame, maxOccupancy: Long = 512L): DataFrame = {
+    require(maxOccupancy >= 1, s"bad maxOccupancy=$maxOccupancy")
+    val occ = bucketKeys(media).groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("occ"))
+    occ.agg(
+      sum(col("occ")).as("n_bucket_memberships"),
+      count(lit(1)).as("n_buckets"),
+      sum(when(col("occ") > maxOccupancy, col("occ")).otherwise(0L))
+        .as("n_dropped_over_cap"),
+      max(col("occ")).as("max_occupancy"))
   }
 
   /** Per-format rollup of decoded media features. */

@@ -56,9 +56,12 @@ object PipelineQueries {
     // the rolling-crawl shape: write the corpus anchor index as a
     // BUCKETED external table once, then the new shard (doc_id % 10 = 0)
     // probes the PERSISTED index — no full-corpus re-dedup, no Exchange
-    // on the index side (the knn_ivf_persisted story for text); rows-only
-    // (the persisted-table round-trip isn't one ANSI statement), DedupSpec
-    // proves parity with the full run's cross slice + the bucketed scan
+    // on the index side (the knn_ivf_persisted story for text);
+    // oracle-checked (r11): the persisted round-trip is transparent to
+    // the result, so the oracle is the contamination_substring winnowing
+    // SQL with the shard predicate in place of the split and each DF cap
+    // applied on its own side; DedupSpec additionally proves parity with
+    // the full run's cross slice + the bucketed index scan
     "dedup_incremental" -> ((s, d) => {
       val dd = docs(s, d)
       val suffix = java.security.MessageDigest.getInstance("MD5")
@@ -227,11 +230,18 @@ object PipelineQueries {
     // injectivity
     "mm_dedup" -> ((s, d) => Multimodal.exactDedup(
       Multimodal.synthesize(docs(s, d)))),
-    // near-dup media: header-feature bucket candidates (occupancy-
-    // capped) + byte n-gram Jaccard verify over the hex view; rows-only
-    // (header decode isn't ANSI-expressible), MediaCodecSpec plants
-    // re-encodes and an over-cap clone mass
+    // near-dup media: header-feature bucket candidates in two offset
+    // band tables (occupancy-capped, OR-combined for drift recall) +
+    // byte n-gram Jaccard verify over the hex view of the candidate
+    // slice only; rows-only (header decode isn't ANSI-expressible),
+    // MediaCodecSpec plants re-encodes, a band-boundary resize, and an
+    // over-cap clone mass
     "mm_dedup_near" -> ((s, d) => Multimodal.nearDedup(
+      Multimodal.synthesize(docs(s, d)))),
+    // drop accounting for mm_dedup_near's occupancy cap (the
+    // minhash_band_audit discipline): memberships across both band
+    // tables, buckets, dropped-over-cap count, realized max occupancy
+    "mm_dedup_near_audit" -> ((s, d) => Multimodal.nearDedupAudit(
       Multimodal.synthesize(docs(s, d)))),
     // near-dup media groups end-to-end (the production shape: a dense
     // near-dup region's pair list is inherently quadratic, its cluster
@@ -361,6 +371,43 @@ object PipelineQueries {
         UNION
         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
       SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a""",
+
+    // the dedup_substring winnowing with the incremental split: index =
+    // corpus side (doc_id % 10 <> 0) capped on ITS df at 50 (the
+    // write-time cap of writeAnchorIndex), probe = shard side
+    // (doc_id % 10 = 0) capped on ITS df at 50 — each cap on its own
+    // side, reproducing the persisted-index round-trip exactly (the
+    // round-trip is transparent to the result); promoted from rows-only
+    // in round 11
+    "dedup_incremental" -> """
+      WITH pos AS (
+        SELECT doc_id, unnest(generate_series(1, length(text) - 39)) AS i,
+               text
+        FROM documents WHERE length(text) >= 40),
+      hashed AS (
+        SELECT doc_id, i, md5(substr(text, CAST(i AS INT), 40)) AS h
+        FROM pos),
+      winmin AS (
+        SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
+          ROWS BETWEEN CURRENT ROW AND 24 FOLLOWING) AS h
+        FROM hashed),
+      anchors AS (SELECT DISTINCT doc_id, h FROM winmin),
+      corpus AS (
+        SELECT doc_id AS corpus_doc, h FROM anchors WHERE doc_id % 10 <> 0),
+      cfreq AS (SELECT h, count(*) AS df FROM corpus GROUP BY h),
+      idx AS (
+        SELECT c.corpus_doc, c.h FROM corpus c
+        JOIN cfreq f USING (h) WHERE f.df <= 50),
+      shard AS (
+        SELECT doc_id AS new_doc, h FROM anchors WHERE doc_id % 10 = 0),
+      sfreq AS (SELECT h, count(*) AS df FROM shard GROUP BY h),
+      probe AS (
+        SELECT s.new_doc, s.h FROM shard s
+        JOIN sfreq f USING (h) WHERE f.df <= 50)
+      SELECT p.new_doc, i.corpus_doc,
+             CAST(count(*) AS BIGINT) AS n_anchors
+      FROM probe p JOIN idx i ON p.h = i.h
+      GROUP BY 1, 2""",
 
     // same winnowing pipeline as dedup_substring, split per the
     // split_assign oracle (trainSixteenths = 13 → boundary nibble 'd'),

@@ -102,14 +102,42 @@ class TextSpec extends SparkSpec {
   test("mm_dedup_near occupancy cap: an identical-header mass is excluded, not exploded") {
     import spark.implicits._
     import graft.multimodal.MediaCodec
-    // 40 byte-identical blobs land in ONE feature bucket; with cap 10 the
-    // bucket is excluded from candidate generation (exactDedup's job)
-    // instead of a 40²/2 self-join
+    // 40 byte-identical blobs land in ONE feature bucket per band table;
+    // with cap 10 both tables' buckets are excluded from candidate
+    // generation (exactDedup's job) instead of a 40²/2 self-join
     val mass = (1L to 40L).map(i => (i, "s", MediaCodec.encodeGif(30, 20)))
       .toDF("doc_id", "source", "blob")
     assert(Multimodal.nearDedup(mass, maxOccupancy = 10L).count() == 0L)
-    // the default cap leaves a small corpus untouched
+    // the default cap leaves a small corpus untouched (pairs matching in
+    // both band tables are deduped before verify)
     assert(Multimodal.nearDedup(mass).count() == 40L * 39L / 2L)
+    // the audit row accounts for every membership the cap dropped: 40
+    // docs × 2 band tables, both over cap 10, none over the default cap
+    val audit = Multimodal.nearDedupAudit(mass, maxOccupancy = 10L)
+      .collect().head
+    assert(audit.getAs[Long]("n_bucket_memberships") == 80L)
+    assert(audit.getAs[Long]("n_buckets") == 2L)
+    assert(audit.getAs[Long]("n_dropped_over_cap") == 80L)
+    assert(audit.getAs[Long]("max_occupancy") == 40L)
+    assert(Multimodal.nearDedupAudit(mass).collect()
+      .head.getAs[Long]("n_dropped_over_cap") == 0L)
+  }
+
+  test("mm_dedup_near: a resize across a table-0 band boundary is caught by the offset table") {
+    import spark.implicits._
+    import graft.multimodal.MediaCodec
+    // widths 103 vs 105 straddle the table-0 boundary at 104
+    // (floor(103/8)=12, floor(105/8)=13) — the r10 single-bucketing
+    // missed this pair; the offset table (floor((w+4)/8)=13 for both)
+    // must surface it. Heights equal so only width drifts.
+    val a = MediaCodec.encodeJpeg(103, 80, 3)
+    val b = MediaCodec.encodeJpeg(105, 80, 3)
+    val far = MediaCodec.encodeJpeg(240, 80, 3) // genuinely different
+    val media = Seq((1L, "s", a), (2L, "s", b), (3L, "s", far))
+      .toDF("doc_id", "source", "blob")
+    val pairs = Multimodal.nearDedup(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
   }
 
   test("pipeline_full: composed stages subset correctly and pack deterministically") {
