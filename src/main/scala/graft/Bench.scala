@@ -4,8 +4,10 @@ import org.apache.spark.sql.SparkSession
 /** Driver benchmark: one JSON line with per-query cold times, a `warm`
   * map re-timing the historically slowest queries after codegen/cache
   * warmup (cold numbers attribute one-time codegen to whichever query
-  * compiles an expression first), and a `failed` list so a broken
-  * operator can never masquerade as a fast one. */
+  * compiles an expression first), a `phases` map splitting the
+  * persisted-index rows into their build (index write) and probe
+  * (search) components, and a `failed` list so a broken operator can
+  * never masquerade as a fast one. */
 object Bench {
   // every query at or above this cold time is re-timed warm: cold
   // per-query numbers attribute one-time codegen/JIT to whichever query
@@ -13,9 +15,12 @@ object Bench {
   // code — only the warm map supports round-over-round per-query claims
   private val WarmThresholdSec = 0.5
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  // rows whose registry lambda performs an eager index WRITE before
+  // returning the probe plan — their cold number conflates a build job
+  // with a search, so the `phases` map reports both components
+  private val PhaseSplit = Set("dedup_incremental", "knn_ivf_persisted")
+
+  private def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,39 +30,72 @@ object Bench {
     // absorb session/codegen startup so it isn't billed to the first query
     spark.range(1000000).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Boolean) = {
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
-      ((System.nanoTime() - t0) / 1e9, ok)
+    spark
+  }
+
+  // release the eager localCheckpoint blocks a query pinned, OUTSIDE its
+  // timed window: each registry call rebuilds its DataFrames from
+  // scratch, so the blocks are never reused across queries — but left in
+  // place they accumulate over all the cold runs and later queries then
+  // execute under end-of-run heap pressure (r8: warm > cold on untouched
+  // code, 5–8× round-over-round swings on identical queries)
+  private def release(spark: SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.valuesIterator
+      .foreach(_.unpersist(blocking = true))
+  }
+
+  /** (makeSec, execSec, ok): `make` times the registry lambda — for the
+    * [[PhaseSplit]] rows that is the eager index-write job (plus any
+    * eager checkpoint prep), for everything else it is plan construction
+    * — and `exec` times the count. Cold/warm report make+exec, so the
+    * headline is comparable across rounds. */
+  private def time(spark: SparkSession, sfDir: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+      : (Double, Double, Boolean) = {
+    val t0 = System.nanoTime()
+    try {
+      val df = fn(spark, sfDir)
+      val t1 = System.nanoTime()
+      df.count()
+      val t2 = System.nanoTime()
+      ((t1 - t0) / 1e9, (t2 - t1) / 1e9, true)
+    } catch {
+      case _: Throwable => ((System.nanoTime() - t0) / 1e9, 0.0, false)
     }
-    // release the eager localCheckpoint blocks a query pinned, OUTSIDE its
-    // timed window: each registry call rebuilds its DataFrames from
-    // scratch, so the blocks are never reused across queries — but left in
-    // place they accumulate over all the cold runs and the warm re-times
-    // then execute under end-of-run heap pressure (r8: warm > cold on
-    // untouched code, 5–8× round-over-round swings on identical queries)
-    def release(): Unit = {
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.valuesIterator
-        .foreach(_.unpersist(blocking = true))
-    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = buildSession(cpus)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (sec, ok) = time(name, fn)
-      release()
-      (name, sec, ok)
+      val (mk, ex, ok) = time(spark, sfDir, fn)
+      release(spark)
+      (name, mk, ex, ok)
     }
     def fmt(v: Double): String = f"$v%.3f" // 3 decimals keep the line short
-    val qs = results.map { case (k, v, ok) =>
-      s"\"" + k + "\":" + (if (ok) fmt(v) else "-1")
+    val qs = results.map { case (k, mk, ex, ok) =>
+      s"\"" + k + "\":" + (if (ok) fmt(mk + ex) else "-1")
     }.mkString("{", ",", "}")
+    val phases = results
+      .filter { case (n, _, _, ok) => ok && PhaseSplit(n) }
+      .flatMap { case (n, mk, ex, _) =>
+        Seq(s"\"${n}_build\":" + fmt(mk), s"\"${n}_probe\":" + fmt(ex))
+      }.mkString("{", ",", "}")
+    // the warm pass runs in a FRESH SparkSession: release() cannot reach
+    // accumulated broadcast torrent blocks or late-run driver-heap
+    // pressure, which made r8–r10 warm re-times of UNTOUCHED queries read
+    // 3× their own cold time — a fresh context (codegen/JIT stay warm:
+    // both are JVM-level) is the only clean instrument
+    spark.stop()
+    val spark2 = buildSession(cpus)
     val warmResults = results
-      .filter { case (_, sec, ok) => ok && sec >= WarmThresholdSec }
-      .map { case (n, _, _) =>
-        val (sec, ok) = time(n, SparkEntry.queries(n))
-        release()
-        (n, sec, ok)
+      .filter { case (_, mk, ex, ok) => ok && mk + ex >= WarmThresholdSec }
+      .map { case (n, _, _, _) =>
+        val (mk, ex, ok) = time(spark2, sfDir, SparkEntry.queries(n))
+        release(spark2)
+        (n, mk + ex, ok)
       }
     val warm = warmResults.map { case (n, sec, ok) =>
       s"\"" + n + "\":" + (if (ok) fmt(sec) else "-1")
@@ -65,14 +103,14 @@ object Bench {
     // a query that succeeds cold but dies on the warm re-run is still a
     // flaky operator — it must surface in the headline failed list
     val failed =
-      (results.filter(!_._3).map(_._1) ++ warmResults.filter(!_._3).map(_._1))
+      (results.filter(!_._4).map(_._1) ++ warmResults.filter(!_._3).map(_._1))
         .distinct
-    val total = results.filter(_._3).map(_._2).sum
+    val total = results.filter(_._4).map(r => r._2 + r._3).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // headline fields LAST: the driver stores a byte-bounded TAIL of the
     // output, so a long queries map must never push metric/value/total off
     // the end — anything truncated is the front of the line
-    val line = s"""{"queries":$qs,"warm":$warm,"failed":$failedJson,"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total)}}"""
+    val line = s"""{"queries":$qs,"warm":$warm,"phases":$phases,"failed":$failedJson,"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total)}}"""
     // also write the line to a file: sbt prints its own [success] trailer
     // after stdout, so a driver capturing the tail of the process output
     // can't reliably parse the stdout line
@@ -80,8 +118,8 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: java.io.IOException => () } // stdout line still stands
-    spark.sparkContext.setLogLevel("ERROR") // nothing may print after the metric line
+    spark2.sparkContext.setLogLevel("ERROR") // nothing may print after the metric line
     println(line)
-    spark.stop()
+    spark2.stop()
   }
 }

@@ -112,14 +112,28 @@ object Dedup {
       .filter(col("occ") <= maxOccupancy)
       .select("band", "sig")
     val capped = banded.join(small, Seq("band", "sig"), "left_semi")
+    // slim pair list; feeds the candidate-id prune + the verify join
     val cand = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .dropDuplicates("doc1", "doc2")
+      .localCheckpoint(true)
+    // the verify shingle sets are recomputed for CANDIDATE docs only
+    // (semi-join first): `sh` is lazy, so joining it back directly would
+    // re-run the tokenize+shingle+distinct pass over the FULL corpus once
+    // per verify side (~3× total with the banding pass) — candidates ≪
+    // corpus in every non-degenerate crawl (r11, BENCH-verified; cf. the
+    // r3 sorted-kernel dead end, which attacked the per-pair intersect
+    // instead and lost to the per-doc sort)
+    val candIds = cand.select(col("doc1").as("doc_id"))
+      .union(cand.select(col("doc2").as("doc_id")))
+      .distinct()
+    val shc = shingleSets(d.join(candIds, Seq("doc_id"), "left_semi"),
+      shingleK).localCheckpoint(true)
     cand
-      .join(sh.select(col("doc_id").as("doc1"), col("sh").as("s1")), "doc1")
-      .join(sh.select(col("doc_id").as("doc2"), col("sh").as("s2")), "doc2")
+      .join(shc.select(col("doc_id").as("doc1"), col("sh").as("s1")), "doc1")
+      .join(shc.select(col("doc_id").as("doc2"), col("sh").as("s2")), "doc2")
       .withColumn("n_common", size(array_intersect(col("s1"), col("s2"))))
       .withColumn("jaccard", round(col("n_common") /
         (size(col("s1")) + size(col("s2")) - col("n_common")), 4))
@@ -430,13 +444,25 @@ object Dedup {
     val rare = inv.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("g")
     val pruned = inv.join(broadcast(rare), "g")
+    // slim pair list; feeds the candidate-id prune + the verify join
     val cand = pruned.as("a").join(pruned.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .dropDuplicates("doc1", "doc2")
+      .localCheckpoint(true)
+    // verify n-gram sets recomputed for CANDIDATE docs only (the
+    // minHashPairs r11 posture): `sh` is lazy, so a direct join-back
+    // would re-run the n-gram kernel over the full corpus per side
+    val candIds = cand.select(col("doc1").as("doc_id"))
+      .union(cand.select(col("doc2").as("doc_id")))
+      .distinct()
+    val shc = d.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        array_distinct(CharNGramHashes(lower(col("text")), n)).as("sh"))
+      .localCheckpoint(true)
     cand
-      .join(sh.select(col("doc_id").as("doc1"), col("sh").as("s1")), "doc1")
-      .join(sh.select(col("doc_id").as("doc2"), col("sh").as("s2")), "doc2")
+      .join(shc.select(col("doc_id").as("doc1"), col("sh").as("s1")), "doc1")
+      .join(shc.select(col("doc_id").as("doc2"), col("sh").as("s2")), "doc2")
       .withColumn("n_common", size(array_intersect(col("s1"), col("s2"))))
       .withColumn("jaccard", round(col("n_common") /
         (size(col("s1")) + size(col("s2")) - col("n_common")), 4))
