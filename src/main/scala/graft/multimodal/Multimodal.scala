@@ -73,6 +73,38 @@ object Multimodal {
       }.toDF("doc_id", "source", "blob")
   }
 
+  /** [[synthesize]] plus planted TRANSCODES: every fifth image asset's
+    * canvas re-encoded in a different container (BMP→WebP, PNG→WebP
+    * with alpha so channels still match, 3-channel JPEG→BMP) under
+    * doc_id + 10⁹ — the ground truth [[transcodeCandidates]] must
+    * surface. Still a pure function of doc_id, so the oracle reproduces
+    * the planted set arithmetically (the mm_dedup trick). Needed because
+    * [[synthesize]] derives width AND height from the SAME doc_id — the
+    * dims of two different-format originals are coupled residues that
+    * provably never collide, so without planting, cross-format
+    * candidates are arithmetically impossible on the demo corpus. */
+  def synthesizeWithTranscodes(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val extra = docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, src) =>
+          if (id % 5 != 0) Iterator.empty
+          else (id % 6) match {
+            case 0 => Iterator((id + 1000000000L, src, MediaCodec.encodeWebp(
+              16 + (id % 32).toInt, 8 + (id % 16).toInt)))
+            case 1 => Iterator((id + 1000000000L, src, MediaCodec.encodeWebp(
+              32 + (id % 64).toInt, 16 + (id % 32).toInt, alpha = true)))
+            case 2 if id % 8 != 2 =>
+              Iterator((id + 1000000000L, src, MediaCodec.encodeBmp(
+                64 + (id % 128).toInt, 48 + (id % 64).toInt)))
+            case _ => Iterator.empty
+          }
+        }
+      }.toDF("doc_id", "source", "blob")
+    synthesize(docs).unionByName(extra)
+  }
+
   final case class MediaFeature(doc_id: Long, source: String,
       format: String, width: Int, height: Int, channels: Int,
       sample_rate: Int, duration_ms: Double, n_bytes: Long)
@@ -226,6 +258,51 @@ object Multimodal {
       sum(when(col("occ") > maxOccupancy, col("occ")).otherwise(0L))
         .as("n_dropped_over_cap"),
       max(col("occ")).as("max_occupancy"))
+  }
+
+  /** Cross-format transcode CANDIDATES — the rung above [[nearDedup]] a
+    * crawl pipeline needs for a true transcode (JPEG→WebP of the same
+    * image): the byte streams of different codecs are unrelated, so byte
+    * n-grams can never verify across containers, and WITHOUT pixel
+    * decode (out of scope by design — the payload stays opaque) the
+    * strongest header evidence two containers can share is exact
+    * (width, height, channels). This operator emits the bounded
+    * candidate set a real pipeline would feed to a downstream
+    * pixel-level verifier: pairs of DIFFERENT-format decodable images
+    * with identical dims+channels, from one bucket equijoin on the
+    * (width, height, channels) key with the standard occupancy cap
+    * (a common canvas size across a crawl — 1920×1080×3 — is excluded
+    * rather than self-joined quadratically; drops surface in the
+    * bucket's absence, same fence discipline as every candidate join in
+    * the repo). Audio is excluded (no canvas). Fully oracle-checkable:
+    * synthesized blobs derive dims/channels from the doc_id parameter
+    * tuple, so DuckDB reproduces the candidate set from doc_id
+    * arithmetic without seeing bytes (the mm_dedup trick). */
+  def transcodeCandidates(media: DataFrame,
+      maxOccupancy: Long = 512L): DataFrame = {
+    require(maxOccupancy >= 1, s"bad maxOccupancy=$maxOccupancy")
+    val keyed = extractFeatures(media).toDF()
+      .filter(col("format") =!= "unknown" && col("width") > 0)
+      .select(col("doc_id"), col("format"), col("width"), col("height"),
+        col("channels"))
+      // feeds the occupancy agg + the probe + both join sides
+      .localCheckpoint(true)
+    val small = keyed.groupBy(col("width"), col("height"), col("channels"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= maxOccupancy)
+      .select("width", "height", "channels")
+    val capped = keyed.join(small,
+      Seq("width", "height", "channels"), "left_semi")
+    capped.as("a").join(capped.as("b"),
+        col("a.width") === col("b.width") &&
+          col("a.height") === col("b.height") &&
+          col("a.channels") === col("b.channels") &&
+          col("a.format") =!= col("b.format") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        col("a.format").as("format1"), col("b.format").as("format2"),
+        col("a.width").as("width"), col("a.height").as("height"),
+        col("a.channels").as("channels"))
   }
 
   /** Per-format rollup of decoded media features. */

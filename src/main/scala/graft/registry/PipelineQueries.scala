@@ -216,6 +216,15 @@ object PipelineQueries {
     "repetition_stats" -> ((s, d) => TextOps.repetitionStats(docs(s, d))),
     "lm_score" -> ((s, d) => TextOps.lmScore(docs(s, d))),
     "lm_score_bigram" -> ((s, d) => TextOps.lmScoreBigram(docs(s, d))),
+    // BM25 ranked keyword retrieval; per-term contributions rounded to
+    // integer micro-units before the per-doc sum so summation order
+    // can't flip the rounded score (oracle repeats the identical IEEE
+    // expression)
+    "text_search_bm25" -> ((s, d) => TextOps.bm25Search(docs(s, d),
+      Seq("vector", "stream", "window", "hash"))),
+    // per-doc top-3 tf-idf keywords; rank on the ROUNDED score with a
+    // term-asc tie-break so the cut is engine-stable
+    "doc_keywords" -> ((s, d) => TextOps.docKeywords(docs(s, d))),
     // ── H. multimodal ─────────────────────────────────────────────────
     "mm_ingest" -> ((s, d) => Multimodal.byteStats(
       Multimodal.ingest(docs(s, d)))),
@@ -249,6 +258,15 @@ object PipelineQueries {
     // mirroring dedup_clusters_lsh on the text side
     "mm_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(
       Multimodal.nearDedup(Multimodal.synthesize(docs(s, d))))),
+    // cross-format transcode candidates: different-container pairs with
+    // identical (width, height, channels) — the strongest header
+    // evidence available without pixel decode; occupancy-capped bucket
+    // equijoin over the corpus WITH planted transcodes (synthesize's
+    // dims are coupled residues of one doc_id, so unplanted cross-format
+    // collisions are arithmetically impossible); oracle reproduces both
+    // the corpus and the planted set from doc_id arithmetic
+    "mm_transcode_candidates" -> ((s, d) => Multimodal.transcodeCandidates(
+      Multimodal.synthesizeWithTranscodes(docs(s, d)))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -656,6 +674,65 @@ object PipelineQueries {
       FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
       GROUP BY doc_id""",
 
+    // the IDENTICAL IEEE expression as TextOps.bm25Search: idf+1
+    // variant, avgdl left as the sub-expression sum_dl/n_docs (exact
+    // BIGINTs divided the same way in both engines), and per-term
+    // contributions rounded to integer micro-units BEFORE the per-doc
+    // sum so the sum is exact integer arithmetic
+    "text_search_bm25" -> """
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                 AS toks
+        FROM documents),
+      dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
+      sc AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+      tf AS (
+        SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+        WHERE term IN ('vector', 'stream', 'window', 'hash')
+        GROUP BY 1, 2, 3),
+      df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+             FROM tf GROUP BY 1),
+      contrib AS (
+        SELECT doc_id,
+               CAST(round(
+                 ln((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)
+                     + 1.0::DOUBLE) *
+                   ((tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
+                     (tf + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE) +
+                       0.75::DOUBLE * (dl / (sum_dl / n_docs)))))
+                 * 1000000.0::DOUBLE, 0) AS BIGINT) AS micro
+        FROM tf JOIN df USING (term) CROSS JOIN sc)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+             round(CAST(sum(micro) AS BIGINT) / 1000000.0::DOUBLE, 4)
+               AS score
+      FROM contrib GROUP BY doc_id""",
+
+    // tf-idf = tf * ln(n_docs/df); n_docs counts docs with >= 1 token
+    // (the tf table's distinct doc set) exactly as the Spark side
+    "doc_keywords" -> """
+      WITH t AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                 x -> x <> '')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             FROM t GROUP BY 1, 2),
+      dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY 1),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+            FROM (SELECT DISTINCT doc_id FROM tf))
+      SELECT doc_id, term, tfidf, rnk FROM (
+        SELECT doc_id, term,
+               round(tf * ln(n_docs / df), 4) AS tfidf,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY round(tf * ln(n_docs / df), 4) DESC, term)
+                 AS BIGINT) AS rnk
+        FROM tf JOIN dft USING (term) CROSS JOIN n)
+      WHERE rnk <= 3""",
+
     "vocab_topk" -> """
       WITH w AS (
         SELECT unnest(list_filter(string_split(lower(text), ' '),
@@ -873,6 +950,66 @@ object PipelineQueries {
           WHEN 4 THEN concat_ws(',', doc_id % 40, doc_id % 20)
           ELSE concat_ws(',', doc_id % 48, doc_id % 24, doc_id % 12 = 11)
         END""",
+
+    // mirrors Multimodal.synthesizeWithTranscodes (the mm_dedup trick):
+    // format/dims/channels — including the planted doc_id+1e9 transcodes
+    // — are pure functions of doc_id, so the candidate set reproduces
+    // from doc_id arithmetic; audio (doc_id%6=3) has no canvas and is
+    // excluded on both sides
+    "mm_transcode_candidates" -> """
+      WITH feat AS (
+        SELECT doc_id,
+          CASE doc_id % 6 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+               WHEN 2 THEN 'jpeg' WHEN 4 THEN 'gif' ELSE 'webp'
+          END AS format,
+          CAST(CASE doc_id % 6
+            WHEN 0 THEN 16 + doc_id % 32
+            WHEN 1 THEN 32 + doc_id % 64
+            WHEN 2 THEN 64 + doc_id % 128
+            WHEN 4 THEN 20 + doc_id % 40
+            ELSE 24 + doc_id % 48 END AS INT) AS width,
+          CAST(CASE doc_id % 6
+            WHEN 0 THEN 8 + doc_id % 16
+            WHEN 1 THEN 16 + doc_id % 32
+            WHEN 2 THEN 48 + doc_id % 64
+            WHEN 4 THEN 10 + doc_id % 20
+            ELSE 12 + doc_id % 24 END AS INT) AS height,
+          CAST(CASE doc_id % 6
+            WHEN 0 THEN 3
+            WHEN 1 THEN 4
+            WHEN 2 THEN CASE WHEN doc_id % 8 = 2 THEN 1 ELSE 3 END
+            WHEN 4 THEN 1
+            ELSE CASE WHEN doc_id % 12 = 11 THEN 4 ELSE 3 END
+          END AS INT) AS channels
+        FROM documents WHERE doc_id % 6 <> 3
+        UNION ALL
+        SELECT doc_id + 1000000000 AS doc_id,
+          CASE doc_id % 6 WHEN 2 THEN 'bmp' ELSE 'webp' END AS format,
+          CAST(CASE doc_id % 6
+            WHEN 0 THEN 16 + doc_id % 32
+            WHEN 1 THEN 32 + doc_id % 64
+            ELSE 64 + doc_id % 128 END AS INT) AS width,
+          CAST(CASE doc_id % 6
+            WHEN 0 THEN 8 + doc_id % 16
+            WHEN 1 THEN 16 + doc_id % 32
+            ELSE 48 + doc_id % 64 END AS INT) AS height,
+          CAST(CASE doc_id % 6 WHEN 1 THEN 4 ELSE 3 END AS INT)
+            AS channels
+        FROM documents
+        WHERE doc_id % 5 = 0 AND (doc_id % 6 IN (0, 1) OR
+          (doc_id % 6 = 2 AND doc_id % 8 <> 2))),
+      occ AS (
+        SELECT width, height, channels FROM feat
+        GROUP BY 1, 2, 3 HAVING count(*) <= 512),
+      kept AS (
+        SELECT f.* FROM feat f JOIN occ USING (width, height, channels))
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+             a.format AS format1, b.format AS format2,
+             a.width AS width, a.height AS height, a.channels AS channels
+      FROM kept a JOIN kept b
+        ON a.width = b.width AND a.height = b.height
+       AND a.channels = b.channels AND a.format <> b.format
+       AND a.doc_id < b.doc_id""",
 
     "mm_ingest" -> """
       SELECT source, count(*) AS n_docs,

@@ -600,4 +600,81 @@ object TextOps {
       PolyHash64(lower(trim(col("text")))).as("fingerprint"),
       PolyHash64(expr("array_join(sort_array(" + toksExpr + "), ' ')"))
         .as("bag_fingerprint"))
+
+  /** BM25 ranked keyword retrieval (the Okapi BM25 formula) over
+    * whitespace tokens — the keyword-search pass a curation pipeline
+    * runs to surface domain-relevant documents from a crawl. One linear
+    * tokenize pass; only postings of the QUERY terms survive the explode
+    * filter, so the shuffled volume is ∝ matching postings, never corpus
+    * tokens; the df table (≤ |terms| rows) and the corpus scalars
+    * (1 row) are broadcast.
+    *
+    * FP contract (the oracle repeats the IDENTICAL IEEE expression):
+    * per-term contributions are rounded to integer MICRO-units before
+    * the per-doc sum, so the sum is exact integer arithmetic and
+    * summation order can never flip the rounded score. */
+  def bm25Search(d: DataFrame, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    val withDl = withToks(d.withColumn("text", lower(col("text"))))
+      .select(col("doc_id"), col("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    // corpus scalars: one partial-combined agg → 1 broadcast row
+    val scalars = withDl.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = withDl
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // idf uses the +1 variant (never negative); avgdl stays as the
+    // sub-expression sum_dl/n_docs — both engines divide the same exact
+    // BIGINTs, so the double agrees bit-for-bit
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(scalars))
+      .withColumn("contrib",
+        log((col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1.0)) *
+          ((col("tf") * (lit(k1) + lit(1.0))) /
+            (col("tf") + lit(k1) * ((lit(1.0) - lit(b)) +
+              lit(b) * (col("dl") / (col("sum_dl") / col("n_docs")))))))
+      .withColumn("micro",
+        round(col("contrib") * lit(1000000.0), 0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_matched"),
+        sum(col("micro")).as("micro_sum"))
+      .select(col("doc_id"), col("n_terms_matched"),
+        round(col("micro_sum") / lit(1000000.0), 4).as("score"))
+  }
+
+  /** Per-document keyword extraction: top-k tokens by tf-idf (idf =
+    * ln(n_docs/df) over the corpus itself) — the per-doc topic signal a
+    * pipeline stores next to quality/novelty. One tokenize pass →
+    * (doc, term) tf agg → df rollup from the tf table (vocab-sized, not
+    * a corpus pass) → per-doc top-k via row_number on the ROUNDED score
+    * with a term-asc tie-break, so engine FP differences cannot reorder
+    * the cut. Shuffles: the tf agg and the per-doc window hash
+    * partition — never a global sort. */
+  def docKeywords(d: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, s"bad k=$k")
+    val tf = withToks(d.withColumn("text", lower(col("text"))))
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      // feeds the df rollup AND the scoring join — one tokenize pass
+      .localCheckpoint(true)
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scalars = tf.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    tf.join(dft, "term") // vocab-sized right side: AQE picks the strategy
+      .crossJoin(broadcast(scalars))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs") / col("df")), 4))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("term"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "term", "tfidf", "rnk")
+  }
 }

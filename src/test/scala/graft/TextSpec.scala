@@ -140,6 +140,88 @@ class TextSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("mm_transcode_candidates: cross-format same-canvas pairs only, capped, audio excluded") {
+    import spark.implicits._
+    import graft.multimodal.MediaCodec
+    val media = Seq(
+      (1L, "s", MediaCodec.encodeBmp(40, 20)),           // bmp 40x20x3
+      (2L, "s", MediaCodec.encodeWebp(40, 20)),          // webp 40x20x3 → pair with 1
+      (3L, "s", MediaCodec.encodeWebp(40, 20, alpha = true)), // 4ch → no pair
+      (4L, "s", MediaCodec.encodeBmp(40, 20)),           // same format as 1 → no pair
+      (5L, "s", MediaCodec.encodeGif(40, 20)),           // 1ch → no pair
+      (6L, "s", MediaCodec.encodeWav(1, 8000, 400)),     // audio: excluded
+      (7L, "s", MediaCodec.encodePng(40, 20, colorType = 2)) // png 3ch → pairs with 1,2,4
+    ).toDF("doc_id", "source", "blob")
+    val got = Multimodal.transcodeCandidates(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 7L), (2L, 4L), (2L, 7L), (4L, 7L)))
+    // occupancy cap: a canvas-size flood is excluded, not self-joined
+    val flood = (1L to 40L).map(i => (i, "s",
+      if (i % 2 == 0) MediaCodec.encodeBmp(40, 20)
+      else MediaCodec.encodeWebp(40, 20))).toDF("doc_id", "source", "blob")
+    assert(Multimodal.transcodeCandidates(flood, maxOccupancy = 10L)
+      .count() == 0L)
+    assert(Multimodal.transcodeCandidates(flood).count() == 20L * 20L)
+    // planted-transcode synthesis (only id%5==0 image rows plant):
+    // id 0 (bmp) gains a same-canvas webp clone at id+1e9; id 25 (png)
+    // a webp+alpha clone; id 20 (3-channel jpeg) a bmp clone; id 170
+    // (1-CHANNEL jpeg: 170%8=2) must NOT plant — those pairs, only
+    val planted = Multimodal.transcodeCandidates(
+      Multimodal.synthesizeWithTranscodes(
+        Seq((0L, "en", "s"), (25L, "en", "s"), (20L, "en", "s"),
+          (170L, "en", "s")).toDF("doc_id", "lang", "source")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted == Set((0L, 1000000000L), (25L, 1000000025L),
+      (20L, 1000000020L)))
+  }
+
+  test("bm25: term-bearing docs rank by tf and length; no-match docs absent; order-exact sum") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "vector vector vector stream alpha beta gamma"),
+      (2L, "en", "vector alpha beta gamma delta epsilon zeta eta"),
+      (3L, "en", "alpha beta gamma delta"),
+      (4L, "en", "hash window hash window stream vector kappa iota"),
+    ).toDF("doc_id", "lang", "text")
+    val rows = TextOps.bm25Search(docs, Seq("vector", "stream", "window", "hash"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_terms_matched"), r.getAs[Double]("score"))).toMap
+    assert(!rows.contains(3L)) // no query term
+    assert(rows(1L)._1 == 2L && rows(2L)._1 == 1L && rows(4L)._1 == 4L)
+    // doc 4 matches all four terms → highest score; doc 1 (3×vector +
+    // stream) beats doc 2 (1×vector, longer doc)
+    assert(rows(4L)._2 > rows(1L)._2 && rows(1L)._2 > rows(2L)._2)
+    assert(rows.values.forall(_._2 > 0.0))
+    // deterministic across runs (integer-micro sum: no FP order drift)
+    val again = TextOps.bm25Search(docs, Seq("vector", "stream", "window", "hash"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_terms_matched"), r.getAs[Double]("score"))).toMap
+    assert(again == rows)
+  }
+
+  test("doc_keywords: rare terms outrank common ones; k and tie-break respected") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "common common rare1 rare1 rare1 mid"),
+      (2L, "en", "common common common mid zebra"),
+      (3L, "en", "common mid"),
+    ).toDF("doc_id", "lang", "text")
+    val rows = TextOps.docKeywords(docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("rnk")) ->
+        (r.getAs[String]("term"), r.getAs[Double]("tfidf")))
+      .toMap
+    // every doc emits exactly min(k, #terms) rows
+    assert(rows.keySet.map(_._1) == Set(1L, 2L, 3L))
+    assert(rows.keys.count(_._1 == 1L) == 2)
+    // doc 1: rare1 (tf 3, df 1) is the top keyword, far above common
+    assert(rows((1L, 1L))._1 == "rare1")
+    // doc 2: zebra (df 1) beats mid (df 3) and common (df 3)
+    assert(rows((2L, 1L))._1 == "zebra")
+    // doc 3: both terms have tfidf 0 at df 3... common < mid lexically
+    val d3 = Seq(rows((3L, 1L))._1, rows((3L, 2L))._1)
+    assert(d3 == d3.sorted) // equal rounded scores → term-asc order
+  }
+
   test("pipeline_full: composed stages subset correctly and pack deterministically") {
     def run() = TextOps.curateFull(docs).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
