@@ -18,7 +18,8 @@ object Bench {
   // rows whose registry lambda performs an eager index WRITE before
   // returning the probe plan — their cold number conflates a build job
   // with a search, so the `phases` map reports both components
-  private val PhaseSplit = Set("dedup_incremental", "knn_ivf_persisted")
+  private val PhaseSplit =
+    Set("dedup_incremental", "knn_ivf_persisted", "text_search_indexed")
 
   private def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()

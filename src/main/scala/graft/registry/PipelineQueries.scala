@@ -17,6 +17,46 @@ object PipelineQueries {
 
   private def docs(s: SparkSession, d: String) = TextOps.docs(s, d)
 
+  /** Shared by text_search_bm25 AND text_search_indexed (the persisted
+    * probe is result-identical — df/tf/dl round-trip the index exactly,
+    * so the hop is transparent to the oracle). The IDENTICAL IEEE
+    * expression as TextOps.bm25Search: idf+1 variant, avgdl left as the
+    * sub-expression sum_dl/n_docs (exact BIGINTs divided the same way in
+    * both engines), every literal forced ::DOUBLE (bare decimals are
+    * DECIMAL-typed in DuckDB), and per-term contributions rounded to
+    * integer micro-units BEFORE the per-doc sum so the sum is exact
+    * integer arithmetic and summation order can't flip the score. */
+  private val Bm25OracleSql = """
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                 AS toks
+        FROM documents),
+      dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
+      sc AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+      tf AS (
+        SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+        WHERE term IN ('vector', 'stream', 'window', 'hash')
+        GROUP BY 1, 2, 3),
+      df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+             FROM tf GROUP BY 1),
+      contrib AS (
+        SELECT doc_id,
+               CAST(round(
+                 ln((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)
+                     + 1.0::DOUBLE) *
+                   ((tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
+                     (tf + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE) +
+                       0.75::DOUBLE * (dl / (sum_dl / n_docs)))))
+                 * 1000000.0::DOUBLE, 0) AS BIGINT) AS micro
+        FROM tf JOIN df USING (term) CROSS JOIN sc)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+             round(CAST(sum(micro) AS BIGINT) / 1000000.0::DOUBLE, 4)
+               AS score
+      FROM contrib GROUP BY doc_id"""
+
   val queries: Map[String, Q] = Map(
     // ── E. dedup ──────────────────────────────────────────────────────
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
@@ -225,6 +265,22 @@ object PipelineQueries {
     // per-doc top-3 tf-idf keywords; rank on the ROUNDED score with a
     // term-asc tie-break so the cut is engine-stable
     "doc_keywords" -> ((s, d) => TextOps.docKeywords(docs(s, d))),
+    // BM25 against the PERSISTED bucketed postings index (build once,
+    // probe per query — the search-serving shape, completing the
+    // persisted-index trilogy with knn_ivf_persisted and
+    // dedup_incremental); result-identical to text_search_bm25, so it
+    // shares that oracle — the persisted hop is transparent
+    "text_search_indexed" -> ((s, d) => {
+      val suffix = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val tbl = s"graft_text_index_$suffix"
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), tbl).toString
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"DROP TABLE IF EXISTS ${tbl}_stats")
+      TextOps.writeTextIndex(docs(s, d), tbl, path)
+      TextOps.searchIndex(s, tbl, Seq("vector", "stream", "window", "hash"))
+    }),
     // ── H. multimodal ─────────────────────────────────────────────────
     "mm_ingest" -> ((s, d) => Multimodal.byteStats(
       Multimodal.ingest(docs(s, d)))),
@@ -679,36 +735,10 @@ object PipelineQueries {
     // BIGINTs divided the same way in both engines), and per-term
     // contributions rounded to integer micro-units BEFORE the per-doc
     // sum so the sum is exact integer arithmetic
-    "text_search_bm25" -> """
-      WITH t AS (
-        SELECT doc_id,
-               list_filter(string_split(lower(text), ' '), x -> x <> '')
-                 AS toks
-        FROM documents),
-      dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
-      sc AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                    CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
-      tf AS (
-        SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
-        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
-        WHERE term IN ('vector', 'stream', 'window', 'hash')
-        GROUP BY 1, 2, 3),
-      df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-             FROM tf GROUP BY 1),
-      contrib AS (
-        SELECT doc_id,
-               CAST(round(
-                 ln((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)
-                     + 1.0::DOUBLE) *
-                   ((tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
-                     (tf + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE) +
-                       0.75::DOUBLE * (dl / (sum_dl / n_docs)))))
-                 * 1000000.0::DOUBLE, 0) AS BIGINT) AS micro
-        FROM tf JOIN df USING (term) CROSS JOIN sc)
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
-             round(CAST(sum(micro) AS BIGINT) / 1000000.0::DOUBLE, 4)
-               AS score
-      FROM contrib GROUP BY doc_id""",
+    "text_search_bm25" -> Bm25OracleSql,
+    // the persisted-index probe is result-identical to the ad-hoc BM25
+    // (df/tf/dl round-trip the index exactly) — same oracle
+    "text_search_indexed" -> Bm25OracleSql,
 
     // tf-idf = tf * ln(n_docs/df); n_docs counts docs with >= 1 token
     // (the tf table's distinct doc set) exactly as the Spark side

@@ -648,6 +648,73 @@ object TextOps {
         round(col("micro_sum") / lit(1000000.0), 4).as("score"))
   }
 
+  /** Persist the corpus postings index for [[searchIndex]] as an external
+    * table BUCKETED BY term — the search-serving dual of
+    * [[graft.dedup.Dedup.writeAnchorIndex]] / `Knn.writeIvfIndex`: a real
+    * pipeline tokenizes the corpus ONCE at index-build time, then every
+    * query probes the persisted postings instead of re-tokenizing 100 TB.
+    * Rows: (term, doc_id, tf, dl) — document length rides along with each
+    * posting so scoring needs no second corpus table — plus a one-row
+    * `<table>_stats` side table (n_docs, sum_dl) for the BM25 length
+    * normalizer. Bucketing by term means a query's postings land in a
+    * known bucket subset and the per-term df rollup needs no Exchange. */
+  def writeTextIndex(d: DataFrame, tableName: String, path: String,
+      buckets: Int = 8): Unit = {
+    val spark = d.sparkSession
+    val withDl = withToks(d.withColumn("text", lower(col("text"))))
+      .select(col("doc_id"), col("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+      // feeds the stats row AND the postings write — one tokenize pass
+      .localCheckpoint(true)
+    withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write
+      .option("path", s"${path}_stats")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${tableName}_stats")
+    withDl
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .repartition(col("term"))
+      .write
+      .option("path", path)
+      .bucketBy(buckets, "term")
+      .sortBy("term")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(tableName)
+  }
+
+  /** BM25 against the PERSISTED postings index ([[writeTextIndex]]) —
+    * result-identical to [[bm25Search]] (same formula, same integer
+    * micro-unit sum, and df/tf/dl round-trip the index exactly), so it
+    * shares its oracle: the persisted hop is transparent to the result.
+    * The probe reads only the query terms' postings (predicate pushed to
+    * the bucketed parquet scan); df rolls up from those postings with no
+    * index-side Exchange. */
+  def searchIndex(spark: SparkSession, tableName: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    val postings = spark.table(tableName)
+      .filter(col("term").isin(terms: _*))
+    val scalars = spark.table(s"${tableName}_stats")
+    val df = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    postings.join(broadcast(df), "term")
+      .crossJoin(broadcast(scalars))
+      .withColumn("contrib",
+        log((col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1.0)) *
+          ((col("tf") * (lit(k1) + lit(1.0))) /
+            (col("tf") + lit(k1) * ((lit(1.0) - lit(b)) +
+              lit(b) * (col("dl") / (col("sum_dl") / col("n_docs")))))))
+      .withColumn("micro",
+        round(col("contrib") * lit(1000000.0), 0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_matched"),
+        sum(col("micro")).as("micro_sum"))
+      .select(col("doc_id"), col("n_terms_matched"),
+        round(col("micro_sum") / lit(1000000.0), 4).as("score"))
+  }
+
   /** Per-document keyword extraction: top-k tokens by tf-idf (idf =
     * ln(n_docs/df) over the corpus itself) — the per-doc topic signal a
     * pipeline stores next to quality/novelty. One tokenize pass →

@@ -143,7 +143,11 @@ class PlanSpec extends SparkSpec {
       // near-dup media: candidates must stay a header-feature bucket
       // equijoin, verified per candidate — never blob × blob
       graft.multimodal.Multimodal.nearDedup(
-        graft.multimodal.Multimodal.synthesize(docs)))
+        graft.multimodal.Multimodal.synthesize(docs)),
+      // cross-format transcode candidates: a canvas-key bucket equijoin,
+      // never image × image
+      graft.multimodal.Multimodal.transcodeCandidates(
+        graft.multimodal.Multimodal.synthesizeWithTranscodes(docs)))
     lshPlans.foreach { df =>
       val p = plan(df)
       assert(!p.contains("CartesianProduct"), p)

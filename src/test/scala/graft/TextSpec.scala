@@ -199,6 +199,29 @@ class TextSpec extends SparkSpec {
     assert(again == rows)
   }
 
+  test("text_search_indexed: persisted probe equals ad-hoc bm25; bucketed scan, pushed filter") {
+    val d = spark.read.parquet(s"$SF/documents.parquet")
+    val terms = Seq("vector", "stream", "window", "hash")
+    val tbl = "graft_text_index_spec"
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), tbl).toString
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_stats")
+    TextOps.writeTextIndex(d, tbl, path)
+    val got = TextOps.searchIndex(spark, tbl, terms)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_terms_matched"),
+        r.getAs[Double]("score"))).toSet
+    val adhoc = key(TextOps.bm25Search(d, terms))
+    assert(adhoc.nonEmpty)
+    assert(key(got) == adhoc) // the persisted hop is transparent
+    // the probe reads the bucketed postings with the term filter pushed
+    // to the scan — the index side never rescans or reshuffles
+    val p = got.queryExecution.executedPlan.toString
+    assert(p.contains("Bucketed: true"), p)
+    assert(p.contains("In(term"), p)
+  }
+
   test("doc_keywords: rare terms outrank common ones; k and tie-break respected") {
     import spark.implicits._
     val docs = Seq(
