@@ -44,6 +44,12 @@ object Bench {
     spark.sharedState.cacheManager.clearCache()
     spark.sparkContext.getPersistentRDDs.valuesIterator
       .foreach(_.unpersist(blocking = true))
+    // broadcast torrent blocks are only reclaimed when the ContextCleaner
+    // sees their references garbage-collected — without this nudge they
+    // accumulate over ~90 queries and the LATE-alphabet warm re-times run
+    // under heap pressure (r11 trial: pipeline_full warm 17.6 s vs 8.5 s
+    // clean, same code)
+    System.gc()
   }
 
   /** (makeSec, execSec, ok): `make` times the registry lambda — for the

@@ -112,28 +112,21 @@ object Dedup {
       .filter(col("occ") <= maxOccupancy)
       .select("band", "sig")
     val capped = banded.join(small, Seq("band", "sig"), "left_semi")
-    // slim pair list; feeds the candidate-id prune + the verify join
     val cand = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .dropDuplicates("doc1", "doc2")
-      .localCheckpoint(true)
-    // the verify shingle sets are recomputed for CANDIDATE docs only
-    // (semi-join first): `sh` is lazy, so joining it back directly would
-    // re-run the tokenize+shingle+distinct pass over the FULL corpus once
-    // per verify side (~3× total with the banding pass) — candidates ≪
-    // corpus in every non-degenerate crawl (r11, BENCH-verified; cf. the
-    // r3 sorted-kernel dead end, which attacked the per-pair intersect
-    // instead and lost to the per-doc sort)
-    val candIds = cand.select(col("doc1").as("doc_id"))
-      .union(cand.select(col("doc2").as("doc_id")))
-      .distinct()
-    val shc = shingleSets(d.join(candIds, Seq("doc_id"), "left_semi"),
-      shingleK).localCheckpoint(true)
+    // the verify sides recompute the lazy shingle pass (~3× total with
+    // the banding pass) — MEASURED r11: semi-join-pruning the recompute
+    // to candidate ids (2 checkpoints + distinct + slice passes) was a
+    // bench REGRESSION at sf0.1 (warm 1.44→2.18 s; char-ngram sibling
+    // 1.96→3.02) — the fixed cost of the extra materializations exceeds
+    // two corpus kernel passes until the corpus is far larger; revisit
+    // only with a corpus-size switch (cf. the r3 sorted-kernel dead end)
     cand
-      .join(shc.select(col("doc_id").as("doc1"), col("sh").as("s1")), "doc1")
-      .join(shc.select(col("doc_id").as("doc2"), col("sh").as("s2")), "doc2")
+      .join(sh.select(col("doc_id").as("doc1"), col("sh").as("s1")), "doc1")
+      .join(sh.select(col("doc_id").as("doc2"), col("sh").as("s2")), "doc2")
       .withColumn("n_common", size(array_intersect(col("s1"), col("s2"))))
       .withColumn("jaccard", round(col("n_common") /
         (size(col("s1")) + size(col("s2")) - col("n_common")), 4))
@@ -444,25 +437,16 @@ object Dedup {
     val rare = inv.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("g")
     val pruned = inv.join(broadcast(rare), "g")
-    // slim pair list; feeds the candidate-id prune + the verify join
     val cand = pruned.as("a").join(pruned.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .dropDuplicates("doc1", "doc2")
-      .localCheckpoint(true)
-    // verify n-gram sets recomputed for CANDIDATE docs only (the
-    // minHashPairs r11 posture): `sh` is lazy, so a direct join-back
-    // would re-run the n-gram kernel over the full corpus per side
-    val candIds = cand.select(col("doc1").as("doc_id"))
-      .union(cand.select(col("doc2").as("doc_id")))
-      .distinct()
-    val shc = d.join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
-        array_distinct(CharNGramHashes(lower(col("text")), n)).as("sh"))
-      .localCheckpoint(true)
+    // lazy verify recompute kept deliberately — see the minHashPairs
+    // measured-regression note (r11): candidate-pruning it lost to the
+    // materialization overhead at every tested scale
     cand
-      .join(shc.select(col("doc_id").as("doc1"), col("sh").as("s1")), "doc1")
-      .join(shc.select(col("doc_id").as("doc2"), col("sh").as("s2")), "doc2")
+      .join(sh.select(col("doc_id").as("doc1"), col("sh").as("s1")), "doc1")
+      .join(sh.select(col("doc_id").as("doc2"), col("sh").as("s2")), "doc2")
       .withColumn("n_common", size(array_intersect(col("s1"), col("s2"))))
       .withColumn("jaccard", round(col("n_common") /
         (size(col("s1")) + size(col("s2")) - col("n_common")), 4))
@@ -585,6 +569,47 @@ object Dedup {
       .select(col("a.vec_id").as("vec_id1"), col("b.vec_id").as("vec_id2"),
         col("cos_sim"))
   }
+
+  /** Quality-aware keeper selection over near-dup clusters — the stage a
+    * production pipeline runs INSTEAD of keep-lowest-id: within each
+    * cluster keep the highest-quality member (doc_id asc tie-break on
+    * the rounded score, so the choice is deterministic and
+    * engine-stable). One hash agg with `max_by` over a struct — the
+    * Knn.assignNearest argmax pattern, never a row_number window over
+    * the corpus. Input: (doc_id, cluster) from [[dedupClusters]] and a
+    * quality table carrying (doc_id, quality_score). */
+  def keeperByQuality(clusters: DataFrame, quality: DataFrame): DataFrame =
+    clusters.join(quality.select("doc_id", "quality_score"), "doc_id")
+      .groupBy(col("cluster"))
+      .agg(
+        max_by(col("doc_id"),
+          struct(col("quality_score"), (-col("doc_id")).as("neg")))
+          .as("keeper"),
+        max(col("quality_score")).as("keeper_quality"),
+        count(lit(1)).as("n_members"))
+      .select("cluster", "keeper", "keeper_quality", "n_members")
+
+  /** Per-source exact-dedup savings report — the observability rollup a
+    * crawl pipeline publishes after its first dedup pass (the audit-row
+    * discipline applied at the report level): docs, distinct contents,
+    * duplicate docs, total chars, and chars saved by keeping only the
+    * lowest-id copy of each content group. One map-side-combinable agg
+    * on (source, digest) then a source rollup — no joins, no windows. */
+  def dedupReport(d: DataFrame): DataFrame =
+    d.withColumn("digest", md5(lower(trim(col("text")))))
+      .withColumn("len", length(col("text")).cast("long"))
+      .groupBy(col("source"), col("digest"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("len")).as("sum_chars"),
+        min_by(col("len"), col("doc_id")).as("kept_chars"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_uniq"),
+        sum(col("n") - lit(1L)).as("n_dup"),
+        sum(col("sum_chars")).as("chars_total"),
+        sum(col("sum_chars") - col("kept_chars")).as("chars_saved"))
 
   /** Persist the winnowed-anchor index of a curated corpus as an external
     * table BUCKETED BY anchor hash — the text-side dual of

@@ -93,6 +93,18 @@ object PipelineQueries {
     // discipline): postings kept/dropped by the boilerplate df-cap
     "substring_anchor_audit" -> ((s, d) =>
       Dedup.substringAnchorAudit(docs(s, d))),
+    // quality-aware keeper selection: within each near-dup cluster keep
+    // the highest-quality member (rounded-score tie → lowest doc_id) —
+    // the production alternative to keep-lowest-id
+    "dedup_keeper_quality" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.keeperByQuality(
+        Dedup.dedupClusters(Dedup.jaccardPairs(dd, "de", 0.85)),
+        TextOps.quality(dd))
+    }),
+    // per-source exact-dedup savings rollup (the audit discipline at
+    // report level): docs / distinct contents / dup count / chars saved
+    "dedup_report" -> ((s, d) => Dedup.dedupReport(docs(s, d))),
     // the rolling-crawl shape: write the corpus anchor index as a
     // BUCKETED external table once, then the new shard (doc_id % 10 = 0)
     // probes the PERSISTED index — no full-corpus re-dedup, no Exchange
@@ -391,6 +403,87 @@ object PipelineQueries {
              CAST(count(*) AS BIGINT) AS n_anchors
       FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2""",
+
+    // the dedup_clusters recursive closure composed with the
+    // text_quality score: keeper = row_number 1 per cluster ordered by
+    // (rounded quality desc, doc_id) — the same deterministic choice as
+    // Spark's max_by over (quality_score, -doc_id)
+    "dedup_keeper_quality" -> """
+      WITH RECURSIVE de AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split(lower(text), ' '),
+                 x -> x <> '')) AS w
+        FROM documents WHERE lang = 'de'),
+      sz AS (SELECT doc_id, len(w) AS n FROM de),
+      inv AS (SELECT doc_id, unnest(w) AS word FROM de),
+      cand AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM inv a JOIN inv b
+          ON a.word = b.word AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT doc1, doc2
+        FROM cand
+        JOIN sz s1 ON doc1 = s1.doc_id
+        JOIN sz s2 ON doc2 = s2.doc_id
+        WHERE round(n_common / (s1.n + s2.n - n_common), 4) >= 0.85),
+      edges AS (
+        SELECT doc1 AS a, doc2 AS b FROM pairs
+        UNION SELECT doc2, doc1 FROM pairs),
+      reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      clusters AS (SELECT a AS doc_id, min(b) AS cluster FROM reach
+                   GROUP BY a),
+      t AS (
+        SELECT doc_id, text,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               round(len(list_filter(toks,
+                 x -> x IN ('a', 'value', 'data', 'key', 'the')))
+                 / len(toks), 4) AS stop_ratio,
+               round(len(list_distinct(toks)) / len(toks), 4) AS uniq_ratio,
+               round(length(replace(text, ' ', '')) / len(toks), 4)
+                 AS avg_token_len
+        FROM t),
+      q AS (
+        SELECT doc_id, round(
+          (CASE WHEN n_tokens BETWEEN 30 AND 500 THEN 0.25 ELSE 0 END) +
+          (CASE WHEN stop_ratio BETWEEN 0.02 AND 0.5 THEN 0.25 ELSE 0 END) +
+          (CASE WHEN uniq_ratio >= 0.2 THEN 0.25 ELSE 0 END) +
+          (CASE WHEN avg_token_len BETWEEN 2.0 AND 10.0 THEN 0.25
+                ELSE 0 END), 2) AS quality_score
+        FROM m),
+      mem AS (SELECT c.cluster, c.doc_id, q.quality_score
+              FROM clusters c JOIN q USING (doc_id))
+      SELECT cluster, keeper, keeper_quality, n_members FROM (
+        SELECT cluster, doc_id AS keeper,
+               quality_score AS keeper_quality,
+               row_number() OVER (PARTITION BY cluster
+                 ORDER BY quality_score DESC, doc_id) AS rn,
+               CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT)
+                 AS n_members
+        FROM mem) WHERE rn = 1""",
+
+    "dedup_report" -> """
+      WITH g AS (
+        SELECT source, md5(lower(trim(text))) AS digest,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+               CAST(arg_min(length(text), doc_id) AS BIGINT) AS kept_chars
+        FROM documents GROUP BY 1, 2)
+      SELECT source,
+             CAST(sum(n) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_uniq,
+             CAST(sum(n - 1) AS BIGINT) AS n_dup,
+             CAST(sum(sum_chars) AS BIGINT) AS chars_total,
+             CAST(sum(sum_chars - kept_chars) AS BIGINT) AS chars_saved
+      FROM g GROUP BY source""",
 
     // the dedup_substring winnowing pipeline, rolled up to the one-row
     // drop-accounting summary (sums are exact BIGINTs)

@@ -143,6 +143,34 @@ class DedupSpec extends SparkSpec {
     assert(atScale == scoped)
   }
 
+  test("keeper by quality picks the best-quality member, doc_id breaks rounded ties") {
+    import spark.implicits._
+    // clusters {1,2,5} and {7,8}; quality makes 5 the winner of the
+    // first and leaves 7/8 tied — tie must go to the LOWER doc_id
+    val clusters = Seq((1L, 1L), (2L, 1L), (5L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "cluster")
+    val quality = Seq((1L, 0.25), (2L, 0.5), (5L, 0.75), (7L, 0.5),
+      (8L, 0.5)).toDF("doc_id", "quality_score")
+    val got = Dedup.keeperByQuality(clusters, quality).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getLong(3)))).toMap
+    assert(got == Map(1L -> ((5L, 0.75, 3L)), 7L -> ((7L, 0.5, 2L))))
+  }
+
+  test("dedup report: per-source savings account for every duplicate char") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "same text"), (2L, "a", "same text"), (3L, "a", "other"),
+      (4L, "b", "unique content here"),
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.dedupReport(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // source a: 3 docs, 2 uniq, 1 dup, chars 9+9+5=23, saved 9
+    assert(got("a") == ((3L, 2L, 1L, 23L, 9L)))
+    assert(got("b") == ((1L, 1L, 0L, 19L, 0L)))
+  }
+
   test("dedup clusters: transitive pairs collapse to one component") {
     import spark.implicits._
     // edges: 1-2, 2-5, 7-8 → components {1,2,5}, {7,8}
