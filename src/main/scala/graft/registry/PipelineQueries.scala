@@ -249,6 +249,8 @@ object PipelineQueries {
     // the segmentation invariants and known merges on a planted corpus)
     "token_count_bpe" -> ((s, d) => TextOps.tokenCountBpe(docs(s, d))),
     "lang_id" -> ((s, d) => TextOps.langId(docs(s, d))),
+    // classifier-quality rollup: (true lang, predicted lang, count)
+    "lang_id_confusion" -> ((s, d) => TextOps.langIdConfusion(docs(s, d))),
     "vocab_topk" -> ((s, d) => TextOps.vocabTopK(docs(s, d), k = 50)),
     "pipeline_curate" -> ((s, d) =>
       TextOps.curate(docs(s, d), minQuality = 0.5)),
@@ -299,6 +301,11 @@ object PipelineQueries {
     // real container decode (PNG/BMP/WAV header parse) over
     // deterministically synthesized media bytes; rows-only (byte
     // synthesis isn't SQL-expressible), MediaCodecSpec checks the parse
+    // per-format rollup of REAL container decode; oracle-checked since
+    // r11: the synthesized blob's dims, channels, duration, AND byte
+    // length are all pure doc_id arithmetic (every encoder emits a
+    // fixed-layout container), so DuckDB cross-checks all six decoders
+    // and encoders without seeing a byte
     "mm_features" -> ((s, d) => Multimodal.featureStats(
       Multimodal.synthesize(docs(s, d)))),
     // exact media dedup by content digest; the oracle reproduces the
@@ -1073,6 +1080,88 @@ object PipelineQueries {
           WHEN 4 THEN concat_ws(',', doc_id % 40, doc_id % 20)
           ELSE concat_ws(',', doc_id % 48, doc_id % 24, doc_id % 12 = 11)
         END""",
+
+    // the mm_dedup trick extended to EVERY decoded field: dims, channels,
+    // duration (the exact dataSize*1000.0/byteRate IEEE expression the
+    // decoder computes — exact doubles here, so avg order can't drift),
+    // and the container byte length (each encoder emits a fixed layout:
+    // bmp 54+rowBytes*h, png 57, jpeg 32+3ch, wav 44+dataSize, gif 14,
+    // webp 26) — cross-checking all six encoders AND decoders
+    "mm_features" -> """
+      WITH feat AS (
+        SELECT
+          CASE doc_id % 6 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+               WHEN 2 THEN 'jpeg' WHEN 3 THEN 'wav' WHEN 4 THEN 'gif'
+               ELSE 'webp' END AS format,
+          CASE doc_id % 6 WHEN 0 THEN 16 + doc_id % 32
+               WHEN 1 THEN 32 + doc_id % 64 WHEN 2 THEN 64 + doc_id % 128
+               WHEN 3 THEN 0 WHEN 4 THEN 20 + doc_id % 40
+               ELSE 24 + doc_id % 48 END AS width,
+          CASE doc_id % 6 WHEN 0 THEN 8 + doc_id % 16
+               WHEN 1 THEN 16 + doc_id % 32 WHEN 2 THEN 48 + doc_id % 64
+               WHEN 3 THEN 0 WHEN 4 THEN 10 + doc_id % 20
+               ELSE 12 + doc_id % 24 END AS height,
+          CASE doc_id % 6 WHEN 0 THEN 3 WHEN 1 THEN 4
+               WHEN 2 THEN CASE WHEN doc_id % 8 = 2 THEN 1 ELSE 3 END
+               WHEN 3 THEN 1 + doc_id % 2 WHEN 4 THEN 1
+               ELSE CASE WHEN doc_id % 12 = 11 THEN 4 ELSE 3 END
+          END AS channels,
+          CASE WHEN doc_id % 6 = 3 THEN
+            (((400 + (doc_id % 100) * 40) * (1 + doc_id % 2) * 2)
+              * 1000.0::DOUBLE) /
+            ((CASE WHEN doc_id % 4 = 3 THEN 16000 ELSE 8000 END)
+              * (1 + doc_id % 2) * 2)
+          ELSE 0.0::DOUBLE END AS duration_ms,
+          CASE doc_id % 6
+            WHEN 0 THEN 54 + ((16 + doc_id % 32) * 3 + 3) // 4 * 4
+                          * (8 + doc_id % 16)
+            WHEN 1 THEN 57
+            WHEN 2 THEN 32 + 3 *
+              (CASE WHEN doc_id % 8 = 2 THEN 1 ELSE 3 END)
+            WHEN 3 THEN 44 + (400 + (doc_id % 100) * 40)
+                          * (1 + doc_id % 2) * 2
+            WHEN 4 THEN 14
+            ELSE 26 END AS n_bytes
+        FROM documents)
+      SELECT format, count(*) AS n_docs,
+             round(avg(width), 2) AS avg_width,
+             round(avg(height), 2) AS avg_height,
+             CAST(max(channels) AS BIGINT) AS max_channels,
+             round(avg(duration_ms), 2) AS avg_duration_ms,
+             CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+      FROM feat GROUP BY format""",
+
+    // the lang_id oracle's CTE chain with a (lang, pred_lang) rollup
+    // as the final select
+    "lang_id_confusion" -> """
+      WITH bg AS (
+        SELECT doc_id, lang,
+               list_transform(range(1, length(text)), i ->
+                 ord(substring(text, i, 1)) * 65536 +
+                 ord(substring(text, i + 1, 1))) AS bgs
+        FROM documents),
+      expl AS (SELECT lang AS cand_lang, unnest(bgs) AS b FROM bg),
+      counts AS (SELECT cand_lang, b, count(*) AS cnt
+                 FROM expl GROUP BY 1, 2),
+      prof AS (
+        SELECT cand_lang, b FROM (
+          SELECT cand_lang, b,
+                 row_number() OVER (PARTITION BY cand_lang
+                   ORDER BY cnt DESC, b) AS rnk
+          FROM counts) WHERE rnk <= 30),
+      profiles AS (SELECT cand_lang, list(b) AS profile
+                   FROM prof GROUP BY 1),
+      scored AS (
+        SELECT doc_id, lang, cand_lang,
+               CAST(len(list_distinct(list_filter(bgs,
+                 x -> list_contains(profile, x)))) AS BIGINT) AS ov
+        FROM bg CROSS JOIN profiles)
+      SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs FROM (
+        SELECT doc_id, lang, cand_lang AS pred_lang,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY ov DESC, cand_lang) AS rn
+        FROM scored) WHERE rn = 1
+      GROUP BY 1, 2""",
 
     // mirrors Multimodal.synthesizeWithTranscodes (the mm_dedup trick):
     // format/dims/channels — including the planted doc_id+1e9 transcodes

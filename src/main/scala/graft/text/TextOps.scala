@@ -118,6 +118,13 @@ object TextOps {
       .select("doc_id", "lang", "pred_lang", "overlap")
   }
 
+  /** Language-ID confusion matrix: (true lang, predicted lang, count) —
+    * the classifier-quality rollup a pipeline monitors per crawl batch.
+    * One tiny agg over [[langId]]'s output (#langs² rows). */
+  def langIdConfusion(d: DataFrame): DataFrame =
+    langId(d).groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Corpus vocabulary: top-k tokens by frequency (deterministic order:
     * count desc, token asc). One explode + partial-combined count — the
     * canonical vocabulary-builder pass of a training pipeline. */
