@@ -195,6 +195,24 @@ object Streaming {
       .withColumn("digest", md5(lower(trim(col("text")))))
       .dropDuplicates("digest")
 
+  /** Live curation stage — the streaming front of the batch curation
+    * chain for an INGESTION pipeline: score each arriving document with
+    * the batch quality definition (TextOps.qualityScored is a pure
+    * per-row transform, reused verbatim — one definition of quality is
+    * what makes the stream==batch convergence spec meaningful), gate on
+    * the score, and keep only the FIRST arrival of each content digest
+    * across micro-batches (state = seen digests, sharded by digest hash
+    * exactly like [[streamingDedup]]). The near-dup / decontamination
+    * stages stay batch jobs over the curated log — candidate joins need
+    * corpus-wide indexes — so this stage's output IS their input feed. */
+  def streamingCurate(docStream: DataFrame,
+      minQuality: Double = 0.5): DataFrame =
+    graft.text.TextOps.qualityScored(docStream)
+      .filter(col("quality_score") >= minQuality)
+      .withColumn("digest", md5(lower(trim(col("text")))))
+      .dropDuplicates("digest")
+      .select("doc_id", "lang", "source", "quality_score", "digest")
+
   case class EntryEvent(space: String, segment: String, ts_us: Long,
       event_id: Long, value: Double)
   case class AggState(n_events: Long, balance: Double, last_ts_us: Long)

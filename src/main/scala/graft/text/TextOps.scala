@@ -40,9 +40,12 @@ object TextOps {
 
   private val StopWords = Seq("a", "value", "data", "key", "the")
 
-  /** Composite quality score in [0,1]: length band + stopword ratio band +
-    * uniqueness + mean token length band (0.25 each). */
-  def quality(d: DataFrame): DataFrame = {
+  /** [[quality]] with the INPUT columns preserved next to the metric
+    * columns — a pure per-row transform, so it applies unchanged to a
+    * STREAM of documents ([[graft.streaming.Streaming.streamingCurate]]
+    * reuses it verbatim: one definition of quality is what makes the
+    * stream==batch convergence spec meaningful). */
+  def qualityScored(d: DataFrame): DataFrame = {
     val stopList = StopWords.map(w => s"'$w'").mkString(", ")
     withToks(d)
       .withColumn("n_tokens", size(col("toks")).cast("long"))
@@ -60,9 +63,14 @@ object TextOps {
         when(col("uniq_ratio") >= 0.2, 0.25).otherwise(0.0) +
         when(col("avg_token_len").between(2.0, 10.0), 0.25).otherwise(0.0),
         2))
-      .select("doc_id", "n_tokens", "stop_ratio", "uniq_ratio",
-        "avg_token_len", "quality_score")
+      .drop("toks")
   }
+
+  /** Composite quality score in [0,1]: length band + stopword ratio band +
+    * uniqueness + mean token length band (0.25 each). */
+  def quality(d: DataFrame): DataFrame =
+    qualityScored(d).select("doc_id", "n_tokens", "stop_ratio",
+      "uniq_ratio", "avg_token_len", "quality_score")
 
   /** BPE-ish token regex: letter runs, single digits, single punctuation. */
   val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"

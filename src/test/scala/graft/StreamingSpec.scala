@@ -92,6 +92,32 @@ class StreamingSpec extends SparkSpec {
     assert(got == 50) // the 20 replayed docs are all dropped as dups
   }
 
+  test("streaming curate converges to the batch gate + dedup across micro-batches") {
+    val docsDir = Files.createTempDirectory("graft_curate_stream").toString
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+    // replay a slice in a second file so duplicates span micro-batches
+    docs.limit(60).write.mode("overwrite").parquet(docsDir)
+    docs.limit(25).write.mode("append").parquet(docsDir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(docsDir)
+    val q = Streaming.streamingCurate(stream, minQuality = 0.5)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curate_stream").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("curate_stream").collect()
+      .map(r => r.getAs[String]("digest")).toSeq
+    // batch truth on the same 60-doc slice: quality-gated, one survivor
+    // per digest (the stream keeps first ARRIVAL; the digest set and
+    // count must match the batch exactly — the 25 replays all drop)
+    val slice = docs.limit(60)
+    val want = graft.text.TextOps.qualityScored(slice)
+      .filter(col("quality_score") >= 0.5)
+      .select(md5(lower(trim(col("text")))).as("digest"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(got.size == want.size) // no digest emitted twice
+    assert(got.toSet == want)
+  }
+
   test("append-mode watermark drops data later than the threshold") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_late").toString
