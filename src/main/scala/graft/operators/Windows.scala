@@ -78,6 +78,38 @@ object Windows {
         round(expr(s"approx_percentile(value, 0.99, $accuracy)"), 4).as("p99"),
         round(avg(col("value")), 4).as("mean"))
 
+  /** Ordered event funnel — the step-conversion analysis an
+    * event-analytics consumer runs over the log: for each segment
+    * (user), step k is reached when a step-k event occurs STRICTLY
+    * after the segment's first qualifying step-(k−1) event; the output
+    * is one row per step with the count of segments that reached it.
+    * Each stage is a segment-keyed aggregate (≤ #segments rows, eagerly
+    * checkpointed — it feeds its own count AND the next stage's join),
+    * so the per-step cost is one filtered scan + one small join — the
+    * funnel chain is inherently sequential but each link is tiny.
+    * `named` view (no sequence needed — ordering is by event time). */
+  def funnel(named: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, s"funnel needs >= 2 steps, got ${steps.size}")
+    def countRow(reached: DataFrame, step: Int, space: String) =
+      reached.groupBy().agg(count(lit(1)).as("n_segments"))
+        .select(lit(step.toLong).as("step"), lit(space).as("space"),
+          col("n_segments"))
+    var reached = named.filter(col("space") === steps.head)
+      .groupBy(col("segment")).agg(min(col("ts_us")).as("t"))
+      .localCheckpoint(true)
+    var out = countRow(reached, 1, steps.head)
+    steps.zipWithIndex.drop(1).foreach { case (sp, i) =>
+      reached = named.filter(col("space") === sp)
+        .select(col("segment"), col("ts_us"))
+        .join(reached, "segment")
+        .filter(col("ts_us") > col("t"))
+        .groupBy(col("segment")).agg(min(col("ts_us")).as("t"))
+        .localCheckpoint(true)
+      out = out.unionByName(countRow(reached, i + 1, sp))
+    }
+    out
+  }
+
   /** Running cumulative sum per segment of one space, in sequence order.
     * Left-to-right accumulation order is identical in any engine, so the
     * running double is bit-stable. */

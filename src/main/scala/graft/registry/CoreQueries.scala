@@ -106,6 +106,10 @@ object CoreQueries {
       Windows.running(EventLog.entries(s, d, Some("click")), "click")),
     "value_quantiles" -> ((s, d) =>
       Windows.valueQuantiles(EventLog.named(s, d))),
+    // ordered step-conversion funnel: segment reaches step k only via an
+    // event strictly after its first qualifying step-(k-1) event
+    "event_funnel" -> ((s, d) =>
+      Windows.funnel(EventLog.named(s, d), Seq("view", "click", "purchase"))),
     // temporal joins (operators Spark lacks natively; see
     // graft.operators.Temporal for the scale-safe formulations)
     "asof_join" -> ((s, d) =>
@@ -398,6 +402,25 @@ object CoreQueries {
     "sk_codec_roundtrip" -> s"""$E
       SELECT space, segment, sequence, ts_us, value, payload FROM entries
       WHERE space = 'error'""",
+
+    // the same strictly-after chain as Windows.funnel: per segment,
+    // t_k = min event time of step k after t_{k-1}
+    "event_funnel" -> s"""$E,
+      s1 AS (SELECT segment, min(ts_us) AS t FROM entries
+             WHERE space = 'view' GROUP BY 1),
+      s2 AS (SELECT e.segment, min(e.ts_us) AS t
+             FROM entries e JOIN s1 ON e.segment = s1.segment
+             WHERE e.space = 'click' AND e.ts_us > s1.t GROUP BY 1),
+      s3 AS (SELECT e.segment, min(e.ts_us) AS t
+             FROM entries e JOIN s2 ON e.segment = s2.segment
+             WHERE e.space = 'purchase' AND e.ts_us > s2.t GROUP BY 1)
+      SELECT CAST(1 AS BIGINT) AS step, 'view' AS space,
+             CAST(count(*) AS BIGINT) AS n_segments FROM s1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'click', CAST(count(*) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT)
+      FROM s3""",
 
     "value_quantiles" -> """
       SELECT event_type AS space,

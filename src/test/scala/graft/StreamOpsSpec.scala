@@ -98,6 +98,30 @@ class StreamOpsSpec extends SparkSpec {
     assert(audit(7L) == coarse)
   }
 
+  test("funnel counts strictly-after progressions only, monotone by step") {
+    import spark.implicits._
+    import graft.operators.Windows
+    // u1 completes view→click→purchase in order; u2 clicks BEFORE its
+    // first view (click must not count); u3 stops after click; u4 has a
+    // pre-view click but a second click after the view (counts)
+    val named = Seq(
+      ("view", "u1", 10L), ("click", "u1", 20L), ("purchase", "u1", 30L),
+      ("click", "u2", 5L), ("view", "u2", 10L), ("purchase", "u2", 20L),
+      ("view", "u3", 10L), ("click", "u3", 15L),
+      ("click", "u4", 1L), ("view", "u4", 10L), ("click", "u4", 12L),
+    ).toDF("space", "segment", "ts_us")
+    val got = Windows.funnel(named, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    // step1: all four viewed; step2: u1, u3, u4 (u2's click precedes its
+    // view; u2's purchase can't count without a qualifying click);
+    // step3: u1 only
+    assert(got == Map(1L -> (("view", 4L)), 2L -> (("click", 3L)),
+      3L -> (("purchase", 1L))))
+    // funnel counts can never grow with depth
+    assert(got(1L)._2 >= got(2L)._2 && got(2L)._2 >= got(3L)._2)
+  }
+
   test("approx quantiles track exact quantiles within 2%") {
     val named = EventLog.named(spark, SF)
     val exact = graft.operators.Windows.valueQuantiles(named).collect()
