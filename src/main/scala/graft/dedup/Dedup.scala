@@ -589,6 +589,34 @@ object Dedup {
         count(lit(1)).as("n_members"))
       .select("cluster", "keeper", "keeper_quality", "n_members")
 
+  /** Takedown propagation through near-dup clusters — the
+    * right-to-be-forgotten pass a training pipeline runs when sources
+    * opt out: purged members leave their clusters and each cluster
+    * re-elects its keeper among the survivors (keep-lowest-id, the
+    * [[dedupClusters]] convention; a fully-purged cluster reports
+    * keeper −1). Cluster identity stays that of the full corpus run —
+    * membership is filtered, edges are not recomputed — so downstream
+    * artifacts keyed by cluster id remain joinable across the purge.
+    * One source join + one hash agg over the (small) cluster membership
+    * table; the conditional min IS the re-election (no window, no
+    * second pass). */
+  def purgeReelect(clusters: DataFrame, d: DataFrame,
+      optOut: Seq[String]): DataFrame = {
+    require(optOut.nonEmpty, "purgeReelect needs at least one opt-out source")
+    val flagged = clusters
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("purged", col("source").isInCollection(optOut))
+    flagged.groupBy(col("cluster"))
+      .agg(
+        min(col("doc_id")).as("old_keeper"),
+        coalesce(min(when(!col("purged"), col("doc_id"))), lit(-1L))
+          .as("new_keeper"),
+        count(lit(1)).as("n_members"),
+        sum(when(col("purged"), 1L).otherwise(0L)).as("n_purged"))
+      .select("cluster", "old_keeper", "new_keeper", "n_members",
+        "n_purged")
+  }
+
   /** Per-source exact-dedup savings report — the observability rollup a
     * crawl pipeline publishes after its first dedup pass (the audit-row
     * discipline applied at the report level): docs, distinct contents,

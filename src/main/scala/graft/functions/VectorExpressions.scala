@@ -52,6 +52,47 @@ object DotProduct {
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
 }
 
+/** Integer dot product over int8-quantized vectors (array<byte>) — the
+  * memory-scale ANN kernel: 8× smaller resident vectors than
+  * array<double> with exact integer accumulation (max 127·127·dims per
+  * pair, nowhere near Long overflow), so the quantized score is
+  * bit-deterministic across engines and partitionings. */
+case class ByteDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "byte_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ByteDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ByteDot.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ByteDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object ByteDot {
+  /** Called from generated code. Arrays must be array<byte> of equal
+    * length (same no-truncation contract as [[DotProduct.dot]]). */
+  def dot(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    if (b.numElements() != n) {
+      throw new IllegalArgumentException(
+        s"byte_dot dimensionality mismatch: $n vs ${b.numElements()}")
+    }
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getByte(i).toLong * b.getByte(i).toLong; i += 1 }
+    s
+  }
+
+  def apply(a: Column, b: Column): Column =
+    Bridge.column(ByteDot(Bridge.expression(a), Bridge.expression(b)))
+}
+
 /** 64-bit SimHash over an array of 64-bit token hashes: majority vote per
   * bit position (Charikar '02). */
 case class SimHash64(child: Expression) extends UnaryExpression {

@@ -110,6 +110,31 @@ object Windows {
     out
   }
 
+  /** Cohort retention matrix — the activation-analytics dual of
+    * [[funnel]]: each segment (user) belongs to the cohort of its first
+    * active day; output counts, per (cohort_day, day_offset), the
+    * segments of that cohort active again `day_offset` days later.
+    *
+    * Scale shape: three map-side-combinable hash aggs and nothing else —
+    * distinct (segment, day); per-segment min(day) + collect_list of the
+    * segment's DISTINCT active days (bounded by the day horizon, never
+    * the event count) re-exploded against its cohort day; the
+    * (cohort_day, offset) rollup. No window (no per-partition sort), no
+    * join, no checkpoint — survives any segment skew because every
+    * per-group state is O(days), not O(events). */
+  def cohortRetention(named: DataFrame,
+      dayUs: Long = 86400000000L): DataFrame =
+    named
+      .select(col("segment"), expr(s"ts_us div $dayUs").as("day"))
+      .distinct()
+      .groupBy(col("segment"))
+      .agg(min(col("day")).as("cohort_day"),
+        collect_list(col("day")).as("days"))
+      .select(col("cohort_day"), explode(col("days")).as("day"))
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_segments"))
+
   /** Running cumulative sum per segment of one space, in sequence order.
     * Left-to-right accumulation order is identical in any engine, so the
     * running double is bit-stable. */

@@ -14,6 +14,7 @@ object CoreQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private val HOUR_US = 3600000000L
+  private val DAY_US = 86400000000L
   private val SIX_H_US = 21600000000L
   private val GAP_30M_US = 1800000000L
   private val TOL_5M_US = 300000000L
@@ -110,6 +111,9 @@ object CoreQueries {
     // event strictly after its first qualifying step-(k-1) event
     "event_funnel" -> ((s, d) =>
       Windows.funnel(EventLog.named(s, d), Seq("view", "click", "purchase"))),
+    // cohort-of-first-day retention matrix
+    "cohort_retention" -> ((s, d) =>
+      Windows.cohortRetention(EventLog.named(s, d))),
     // temporal joins (operators Spark lacks natively; see
     // graft.operators.Temporal for the scale-safe formulations)
     "asof_join" -> ((s, d) =>
@@ -421,6 +425,18 @@ object CoreQueries {
       UNION ALL
       SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT)
       FROM s3""",
+
+    // same cohort chain: distinct active days → first day per segment →
+    // (cohort, offset) rollup; integer day index via floor division
+    "cohort_retention" -> s"""$E,
+      days AS (SELECT DISTINCT segment, ts_us // $DAY_US AS day
+               FROM entries),
+      cohort AS (SELECT segment, min(day) AS cohort_day
+                 FROM days GROUP BY 1)
+      SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+             count(*) AS n_segments
+      FROM days d JOIN cohort c ON d.segment = c.segment
+      GROUP BY 1, 2""",
 
     "value_quantiles" -> """
       SELECT event_type AS space,

@@ -105,6 +105,16 @@ object PipelineQueries {
     // per-source exact-dedup savings rollup (the audit discipline at
     // report level): docs / distinct contents / dup count / chars saved
     "dedup_report" -> ((s, d) => Dedup.dedupReport(docs(s, d))),
+    // right-to-be-forgotten propagation: opted-out sources leave their
+    // near-dup clusters and keepers are re-elected among survivors
+    // (cluster ids stay those of the full run — membership filtered,
+    // edges not recomputed, downstream cluster keys stay joinable)
+    "purge_reelect" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.purgeReelect(
+        Dedup.dedupClusters(Dedup.jaccardPairs(dd, "de", 0.85)),
+        dd, Seq("src3", "src7"))
+    }),
     // the rolling-crawl shape: write the corpus anchor index as a
     // BUCKETED external table once, then the new shard (doc_id % 10 = 0)
     // probes the PERSISTED index — no full-corpus re-dedup, no Exchange
@@ -197,6 +207,11 @@ object PipelineQueries {
     // ── F. similarity ─────────────────────────────────────────────────
     "knn_brute" -> ((s, d) =>
       Knn.brute(Knn.emb(s, d), col("vec_id") < 5, k = 10)),
+    // int8-quantized search (8× smaller resident corpus); rows-only —
+    // quantized scores aren't float-oracle-reproducible; KnnSpec bounds
+    // recall vs brute
+    "knn_quantized" -> ((s, d) =>
+      Knn.bruteQuantized(Knn.emb(s, d), col("vec_id") < 5, k = 10)),
     "knn_lsh" -> ((s, d) => {
       val e = Knn.emb(s, d)
       Knn.lsh(e, col("vec_id") < 20, k = 5,
@@ -252,6 +267,9 @@ object PipelineQueries {
     // classifier-quality rollup: (true lang, predicted lang, count)
     "lang_id_confusion" -> ((s, d) => TextOps.langIdConfusion(docs(s, d))),
     "vocab_topk" -> ((s, d) => TextOps.vocabTopK(docs(s, d), k = 50)),
+    // exact tokens above corpus-freq n/k; Misra–Gries-pruned shuffle,
+    // output provably identical to the naive full groupBy (the oracle)
+    "heavy_hitters" -> ((s, d) => TextOps.heavyHitters(docs(s, d), k = 100)),
     "pipeline_curate" -> ((s, d) =>
       TextOps.curate(docs(s, d), minQuality = 0.5)),
     // the FULL production chain as one composition: quality → exact →
@@ -491,6 +509,50 @@ object PipelineQueries {
              CAST(sum(sum_chars) AS BIGINT) AS chars_total,
              CAST(sum(sum_chars - kept_chars) AS BIGINT) AS chars_saved
       FROM g GROUP BY source""",
+
+    // same de/0.85 recursive closure as dedup_keeper_quality, with the
+    // keeper re-election over the surviving (non-opted-out) members
+    "purge_reelect" -> """
+      WITH RECURSIVE de AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split(lower(text), ' '),
+                 x -> x <> '')) AS w
+        FROM documents WHERE lang = 'de'),
+      sz AS (SELECT doc_id, len(w) AS n FROM de),
+      inv AS (SELECT doc_id, unnest(w) AS word FROM de),
+      cand AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM inv a JOIN inv b
+          ON a.word = b.word AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT doc1, doc2
+        FROM cand
+        JOIN sz s1 ON doc1 = s1.doc_id
+        JOIN sz s2 ON doc2 = s2.doc_id
+        WHERE round(n_common / (s1.n + s2.n - n_common), 4) >= 0.85),
+      edges AS (
+        SELECT doc1 AS a, doc2 AS b FROM pairs
+        UNION SELECT doc2, doc1 FROM pairs),
+      reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      clusters AS (SELECT a AS doc_id, min(b) AS cluster FROM reach
+                   GROUP BY a),
+      mem AS (
+        SELECT c.cluster, c.doc_id, d.source
+        FROM clusters c JOIN documents d USING (doc_id))
+      SELECT cluster,
+             min(doc_id) AS old_keeper,
+             coalesce(min(CASE WHEN source NOT IN ('src3', 'src7')
+                          THEN doc_id END), CAST(-1 AS BIGINT))
+               AS new_keeper,
+             CAST(count(*) AS BIGINT) AS n_members,
+             CAST(sum(CASE WHEN source IN ('src3', 'src7')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_purged
+      FROM mem GROUP BY cluster""",
 
     // the dedup_substring winnowing pipeline, rolled up to the one-row
     // drop-accounting summary (sums are exact BIGINTs)
@@ -870,6 +932,16 @@ object PipelineQueries {
         FROM documents)
       SELECT word, count(*) AS cnt FROM w GROUP BY word
       ORDER BY cnt DESC, word LIMIT 50""",
+
+    // the naive query the MG-pruned pass must equal exactly: integer
+    // threshold cnt*k > n_total, no FP anywhere
+    "heavy_hitters" -> """
+      WITH w AS (
+        SELECT unnest(list_filter(string_split(lower(text), ' '),
+          x -> x <> '')) AS word
+        FROM documents)
+      SELECT word, count(*) AS cnt FROM w GROUP BY word
+      HAVING count(*) * 100 > (SELECT count(*) FROM w)""",
 
     "doc_length_hist" -> """
       SELECT (length(text) // 100) * 100 AS bucket,

@@ -144,6 +144,61 @@ object TextOps {
       .orderBy(col("cnt").desc, col("word"))
       .limit(k)
 
+  /** Exact corpus heavy hitters with a sketch-pruned shuffle: the tokens
+    * whose corpus frequency strictly exceeds n_tokens/k.
+    *
+    * Phase 1 runs a Misra–Gries summary (capacity k, O(k) state) inside
+    * each partition: a token with GLOBAL count > n/k must exceed n_p/k in
+    * at least one partition (else the partition counts couldn't sum past
+    * n/k), and MG with k counters retains every token above
+    * n_p/(k+1) ≤ n_p/k — so the unioned candidates are a GUARANTEED
+    * superset of the true heavy hitters. The same pass emits each
+    * partition's token total (marker row), so phase 1 is one scan with a
+    * ≤(k+1)·#partitions-row output (eagerly checkpointed — it feeds both
+    * the candidate list and the corpus total). Phase 2 exact-counts ONLY
+    * the candidates (broadcast semi-join under the agg) and applies the
+    * integer threshold cnt·k > n_total. Output is bit-identical to the
+    * naive full groupBy — the oracle IS that naive query — but the
+    * count shuffle carries candidate keys only (≤ k·#partitions distinct
+    * tokens instead of the whole vocabulary). The 100 TB shape: vocab
+    * can be billions of keys; candidates stay driver-broadcastable. */
+  def heavyHitters(d: DataFrame, k: Int): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    require(k >= 2 && k <= 100000, s"heavyHitters k out of range: $k")
+    def toks = withToks(d.withColumn("text", lower(col("text"))))
+      .select(explode(col("toks")).as("word"))
+    // (word, 0) candidate rows + one ("", n_p) partition-total marker;
+    // "" is never a token (toksExpr drops empties)
+    val phase1 = toks.as[String].mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      var n = 0L
+      it.foreach { w =>
+        n += 1L
+        if (counts.contains(w)) counts(w) += 1L
+        else if (counts.size < k) counts(w) = 1L
+        else {
+          // canonical MG step: decrement every counter, discard w
+          val dead = List.newBuilder[String]
+          counts.keysIterator.toArray.foreach { key =>
+            val c = counts(key) - 1L
+            if (c == 0L) dead += key else counts(key) = c
+          }
+          dead.result().foreach(counts.remove)
+        }
+      }
+      counts.keysIterator.map(w => (w, 0L)) ++ Iterator(("", n))
+    }.toDF("word", "n").localCheckpoint(true)
+    val total = phase1.groupBy().agg(sum(col("n")).as("n_total"))
+    val cands = phase1.filter(col("word") =!= "")
+      .select(col("word")).distinct()
+    toks.join(broadcast(cands), "word")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * k > col("n_total"))
+      .select(col("word"), col("cnt"))
+  }
+
   /** Document-length histogram (bucket = chars div width * width). */
   def lengthHistogram(d: DataFrame, width: Int): DataFrame =
     d.withColumn("bucket",

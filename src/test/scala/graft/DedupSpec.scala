@@ -157,6 +157,24 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> ((5L, 0.75, 3L)), 7L -> ((7L, 0.5, 2L))))
   }
 
+  test("purge re-election: survivors take over, empty clusters report -1") {
+    import spark.implicits._
+    // cluster 1: keeper 1 purged → 2 takes over; cluster 7: untouched;
+    // cluster 9: fully purged → new keeper -1
+    val clusters = Seq((1L, 1L), (2L, 1L), (5L, 1L), (7L, 7L), (8L, 7L),
+      (9L, 9L), (10L, 9L)).toDF("doc_id", "cluster")
+    val docs = Seq((1L, "bad"), (2L, "ok"), (5L, "ok"), (7L, "ok"),
+      (8L, "ok"), (9L, "bad"), (10L, "worse"))
+      .toDF("doc_id", "source")
+    val got = Dedup.purgeReelect(clusters, docs, Seq("bad", "worse"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      1L -> ((1L, 2L, 3L, 1L)),
+      7L -> ((7L, 7L, 2L, 0L)),
+      9L -> ((9L, -1L, 2L, 2L))))
+  }
+
   test("dedup report: per-source savings account for every duplicate char") {
     import spark.implicits._
     val docs = Seq(

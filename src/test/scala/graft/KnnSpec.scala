@@ -26,6 +26,35 @@ class KnnSpec extends SparkSpec {
       r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
   }
 
+  test("quantized search: high recall vs float brute, codes in int8 range") {
+    val k = 10
+    val brute = Knn.brute(e, col("vec_id") < 10, k).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val quant = Knn.bruteQuantized(e, col("vec_id") < 10, k).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    // int8 cosine distorts ranks only near ties; recall@10 stays high
+    val recall = (brute & quant).size.toDouble / brute.size
+    assert(recall >= 0.8, s"quantized recall too low: $recall")
+    // every code is a genuine int8 and each non-zero vector uses the
+    // full scale (some |code| = 127)
+    val q = Knn.quantize(e)
+    val bad = q.filter(expr(
+      "exists(qv, x -> x < -127 OR x > 127)")).count()
+    assert(bad == 0)
+    val unsaturated = q
+      .filter(expr("array_max(transform(v, x -> abs(x))) > 0"))
+      .filter(expr("array_max(transform(qv, x -> abs(cast(x as int)))) != 127"))
+      .count()
+    assert(unsaturated == 0)
+    // zero vector → all-zero codes, no NaN/crash
+    import spark.implicits._
+    val z = Seq((999L, "z", Seq(0.0, 0.0, 0.0))).toDF("vec_id", "label", "v")
+    val zq = Knn.quantize(z).selectExpr("array_max(qv)", "qnrm").collect().head
+    assert(zq.getByte(0) == 0 && zq.getDouble(1) == 0.0)
+  }
+
   test("lsh candidates score identically to brute for the same pairs") {
     val brute = Knn.brute(e, col("vec_id") < 10, k = 50).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->

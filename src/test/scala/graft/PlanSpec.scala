@@ -176,6 +176,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Sort"), p)
   }
 
+  test("cohort_retention is a pure agg chain: no join, no window") {
+    val p = plan(graft.operators.Windows.cohortRetention(
+      EventLog.named(spark, SF)))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial"), p)
+  }
+
+  test("heavy_hitters joins only broadcast (candidate set), never a shuffled vocab join") {
+    val p = plan(graft.text.TextOps.heavyHitters(
+      graft.text.TextOps.docs(spark, SF), k = 100))
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
   test("vocab_topk is TakeOrdered (per-partition heap), not a global sort") {
     val p = plan(graft.text.TextOps.vocabTopK(
       graft.text.TextOps.docs(spark, SF), 50))

@@ -122,6 +122,27 @@ class StreamOpsSpec extends SparkSpec {
     assert(got(1L)._2 >= got(2L)._2 && got(2L)._2 >= got(3L)._2)
   }
 
+  test("cohortRetention assigns first-day cohorts and counts distinct-day offsets") {
+    import spark.implicits._
+    import graft.operators.Windows
+    val day = 100L // shrunken "day" keeps literals readable
+    // u1 first active day 0, again day 2 (twice — must count once) and
+    // day 3; u2 first active day 1 only; u3 days 1 and 2
+    val named = Seq(
+      ("a", "u1", 0L), ("a", "u1", 250L), ("b", "u1", 260L),
+      ("a", "u1", 310L),
+      ("a", "u2", 150L),
+      ("a", "u3", 199L), ("b", "u3", 201L),
+    ).toDF("space", "segment", "ts_us")
+    val got = Windows.cohortRetention(named, dayUs = day)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(
+      (0L, 0L) -> 1L, (0L, 2L) -> 1L, (0L, 3L) -> 1L, // u1
+      (1L, 0L) -> 2L,                                 // u2 + u3 day-1 cohort
+      (1L, 1L) -> 1L))                                // u3 returns next day
+  }
+
   test("approx quantiles track exact quantiles within 2%") {
     val named = EventLog.named(spark, SF)
     val exact = graft.operators.Windows.valueQuantiles(named).collect()

@@ -18,6 +18,35 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("heavyHitters equals the naive groupBy under hostile partitioning") {
+    import spark.implicits._
+    // one hot token concentrated in few docs, a medium token spread out,
+    // and a long unique-token tail that overflows the k=5 MG capacity
+    val hot = (1L to 6L).map(i => (i, "en", Seq.fill(30)("hot").mkString(" ")))
+    val med = (7L to 26L).map(i => (i, "en", "med med filler" + i))
+    val tail = (27L to 126L).map(i =>
+      (i, "en", s"u${i}a u${i}b u${i}c u${i}d u${i}e"))
+    // repartition by doc_id so the hot mass lands in few partitions
+    val planted = (hot ++ med ++ tail).toDF("doc_id", "lang", "text")
+      .repartition(8, col("doc_id"))
+    def naive(k: Int) = {
+      val w = planted.select(explode(
+        expr("filter(split(lower(text), ' '), x -> x != '')")).as("word"))
+      val n = w.count()
+      w.groupBy("word").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * k > lit(n))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    for (k <- Seq(5, 20, 100)) {
+      val got = TextOps.heavyHitters(planted, k).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == naive(k), s"k=$k")
+    }
+    // the hot token (180 of ~780 tokens) must survive even tiny capacity
+    assert(TextOps.heavyHitters(planted, 5).collect()
+      .exists(_.getString(0) == "hot"))
+  }
+
   test("doc_novelty: first occurrence scores 1, a clone scores 0, mixtures in between") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
