@@ -135,6 +135,106 @@ object Windows {
         (col("day") - col("cohort_day")).as("day_offset"))
       .agg(count(lit(1)).as("n_segments"))
 
+  /** Pairwise Pearson correlation of space activity over the complete
+    * hourly grid — the cross-stream co-movement signal (paired with
+    * [[anomaly]], the monitoring layer over the log).
+    *
+    * Numeric contract: every moment (n, Σx, Σx², Σxy) is an EXACT
+    * integer — buckets absent from the hourly table are true zeros, so
+    * they contribute only to n (grid size) and never to a sum — and the
+    * correlation is ONE double expression over those integers, written
+    * identically in the oracle: engines can't drift via FP summation
+    * order. Zero-variance spaces are excluded by an INTEGER predicate
+    * (n·Σx² − Σx·Σx > 0), so row membership is engine-stable too.
+    *
+    * Scale: one hash agg over the log (the hourly table), then
+    * everything downstream is #spaces-sized (pair join keyed on the
+    * tiny hour×space table, broadcast stat joins). */
+  def spaceCorrelation(named: DataFrame, widthUs: Long): DataFrame = {
+    val hourly = named
+      .withColumn("h", expr(s"ts_us div $widthUs"))
+      .groupBy(col("space"), col("h"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // 3 consumers: grid, per-space stats, Σxy
+    val grid = hourly.groupBy()
+      .agg((max(col("h")) - min(col("h")) + lit(1L)).as("n"))
+    val stats = hourly.groupBy(col("space"))
+      .agg(sum(col("c")).as("s"), sum(col("c") * col("c")).as("ss"))
+    val sxy = hourly.as("a").join(hourly.as("b"),
+        col("a.h") === col("b.h") && col("a.space") < col("b.space"))
+      .groupBy(col("a.space").as("space1"), col("b.space").as("space2"))
+      .agg(sum(col("a.c") * col("b.c")).as("sxy"))
+    val pairs = stats.select(col("space").as("space1"), col("s").as("sx"),
+        col("ss").as("sxx"))
+      .join(broadcast(stats.select(col("space").as("space2"),
+        col("s").as("sy"), col("ss").as("syy"))),
+        col("space1") < col("space2"))
+    pairs
+      .join(sxy, Seq("space1", "space2"), "left")
+      .withColumn("sxy", coalesce(col("sxy"), lit(0L)))
+      .crossJoin(broadcast(grid))
+      .filter(col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+        col("n") * col("syy") - col("sy") * col("sy") > 0)
+      .select(col("space1"), col("space2"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+            .cast("double"))), 4).as("corr"))
+  }
+
+  /** Per-space integer activity moments over the complete grid —
+    * (space, s=Σc, ss=Σc², n=grid buckets) — the OFFLINE baseline the
+    * streaming monitor ([[graft.streaming.Streaming.anomalyStream]])
+    * scores live windows against. Same moment definitions as
+    * [[anomaly]]/[[spaceCorrelation]]. */
+  def activityStats(named: DataFrame, widthUs: Long): DataFrame = {
+    val hourly = named
+      .withColumn("h", expr(s"ts_us div $widthUs"))
+      .groupBy(col("space"), col("h"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // 2 consumers: grid + per-space sums
+    val grid = hourly.groupBy()
+      .agg((max(col("h")) - min(col("h")) + lit(1L)).as("n"))
+    hourly.groupBy(col("space"))
+      .agg(sum(col("c")).as("s"), sum(col("c") * col("c")).as("ss"))
+      .crossJoin(broadcast(grid))
+  }
+
+  /** Hourly activity anomalies per space: buckets whose event count sits
+    * ≥ tau standard deviations from the space's full-grid mean. Same
+    * integer-moment contract as [[spaceCorrelation]]:
+    * z = (n·c − Σx)/√(n·Σx² − Σx²) is one double expression over exact
+    * integers, the emit threshold compares the ROUNDED z (CLAUDE.md
+    * rule) and zero-variance spaces are excluded by the integer
+    * predicate. Absent buckets are true zeros: they widen n (and thus
+    * the variance) but are not emitted — dropout detection is a
+    * different monitor ([[graft.operators.StreamOps.watermarkAudit]]).
+    * One log-sized hash agg + one broadcast stat join. */
+  def anomaly(named: DataFrame, widthUs: Long, tau: Double): DataFrame = {
+    val hourly = named
+      .withColumn("h", expr(s"ts_us div $widthUs"))
+      .groupBy(col("space"), col("h"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // 2 consumers: grid + the per-bucket scores
+    val grid = hourly.groupBy()
+      .agg((max(col("h")) - min(col("h")) + lit(1L)).as("n"))
+    val stats = hourly.groupBy(col("space"))
+      .agg(sum(col("c")).as("s"), sum(col("c") * col("c")).as("ss"))
+    hourly
+      .join(broadcast(stats), "space")
+      .crossJoin(broadcast(grid))
+      .filter(col("n") * col("ss") - col("s") * col("s") > 0)
+      .withColumn("z",
+        round((col("n") * col("c") - col("s")).cast("double") /
+          sqrt((col("n") * col("ss") - col("s") * col("s"))
+            .cast("double")), 4))
+      .filter(abs(col("z")) >= tau)
+      .select(col("space"), (col("h") * widthUs).as("window_start_us"),
+        col("c").as("n_events"), col("z"))
+  }
+
   /** Running cumulative sum per segment of one space, in sequence order.
     * Left-to-right accumulation order is identical in any engine, so the
     * running double is bit-stable. */

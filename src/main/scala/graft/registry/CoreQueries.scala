@@ -114,6 +114,12 @@ object CoreQueries {
     // cohort-of-first-day retention matrix
     "cohort_retention" -> ((s, d) =>
       Windows.cohortRetention(EventLog.named(s, d))),
+    // cross-stream co-movement + per-bucket anomaly monitoring: exact
+    // integer moments, one engine-stable double expression at the end
+    "space_correlation" -> ((s, d) =>
+      Windows.spaceCorrelation(EventLog.named(s, d), HOUR_US)),
+    "win_anomaly" -> ((s, d) =>
+      Windows.anomaly(EventLog.named(s, d), HOUR_US, tau = 2.0)),
     // temporal joins (operators Spark lacks natively; see
     // graft.operators.Temporal for the scale-safe formulations)
     "asof_join" -> ((s, d) =>
@@ -437,6 +443,55 @@ object CoreQueries {
              count(*) AS n_segments
       FROM days d JOIN cohort c ON d.segment = c.segment
       GROUP BY 1, 2""",
+
+    // exact integer moments (absent buckets are true zeros: they widen n
+    // only), then ONE double expression written identically to the Spark
+    // side — no FP summation-order hazard, integer row-membership guard
+    "space_correlation" -> s"""
+      WITH hourly AS (
+        SELECT event_type AS space, epoch_us(ts) // $HOUR_US AS h,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      grid AS (SELECT max(h) - min(h) + 1 AS n FROM hourly),
+      stats AS (SELECT space, CAST(sum(c) AS BIGINT) AS s,
+                       CAST(sum(c * c) AS BIGINT) AS ss
+                FROM hourly GROUP BY 1),
+      xy AS (SELECT a.space AS space1, b.space AS space2,
+                    CAST(sum(a.c * b.c) AS BIGINT) AS sxy
+             FROM hourly a JOIN hourly b
+               ON a.h = b.h AND a.space < b.space
+             GROUP BY 1, 2),
+      pairs AS (SELECT s1.space AS space1, s2.space AS space2,
+                       s1.s AS sx, s1.ss AS sxx, s2.s AS sy, s2.ss AS syy
+                FROM stats s1 JOIN stats s2 ON s1.space < s2.space)
+      SELECT p.space1, p.space2,
+             round(CAST(g.n * coalesce(x.sxy, 0) - p.sx * p.sy AS DOUBLE) /
+                   (sqrt(CAST(g.n * p.sxx - p.sx * p.sx AS DOUBLE)) *
+                    sqrt(CAST(g.n * p.syy - p.sy * p.sy AS DOUBLE))), 4)
+               AS corr
+      FROM pairs p LEFT JOIN xy x USING (space1, space2)
+      CROSS JOIN grid g
+      WHERE g.n * p.sxx - p.sx * p.sx > 0
+        AND g.n * p.syy - p.sy * p.sy > 0""",
+
+    "win_anomaly" -> s"""
+      WITH hourly AS (
+        SELECT event_type AS space, epoch_us(ts) // $HOUR_US AS h,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      grid AS (SELECT max(h) - min(h) + 1 AS n FROM hourly),
+      stats AS (SELECT space, CAST(sum(c) AS BIGINT) AS s,
+                       CAST(sum(c * c) AS BIGINT) AS ss
+                FROM hourly GROUP BY 1),
+      z AS (
+        SELECT h.space, h.h, h.c,
+               round(CAST(g.n * h.c - st.s AS DOUBLE) /
+                     sqrt(CAST(g.n * st.ss - st.s * st.s AS DOUBLE)), 4)
+                 AS z
+        FROM hourly h JOIN stats st USING (space) CROSS JOIN grid g
+        WHERE g.n * st.ss - st.s * st.s > 0)
+      SELECT space, h * $HOUR_US AS window_start_us, c AS n_events, z
+      FROM z WHERE abs(z) >= 2.0""",
 
     "value_quantiles" -> """
       SELECT event_type AS space,

@@ -117,6 +117,57 @@ object EventLogWriter {
       .select("space", "segment", "sequence", "ts_us", "event_id", "value",
         "payload")
 
+  /** Compact the small files of a produced-layout log — the OPTIMIZE
+    * pass a long-lived 100 TB log needs: every micro-batch append lands
+    * a file per (space-partition, task), and a year of appends turns
+    * scans metadata-bound (file-open cost dwarfs row cost). Per space:
+    * list the files (DRIVER-SIDE but metadata-sized — the same listing
+    * any table service does; never row data), and when a space holds
+    * more files than its bytes justify, rewrite it to
+    * ceil(bytes/targetBytes) files with the layout contract intact
+    * (hash-distributed by segment, files sorted by (segment, sequence),
+    * so [[readProduced]] stays window-free and row-group pruning keeps
+    * working). The swap is delete-then-rename per space — the standard
+    * non-transactional-FS caveat applies (a real deployment puts a
+    * table format's commit protocol under this; the rewrite job itself
+    * is unchanged). Returns the per-space audit
+    * (space, n_files_before, n_files_after, bytes) — compaction is a
+    * maintenance job, and its report is the point. */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val root = new Path(path)
+    val fs = FileSystem.get(root.toUri, spark.sessionState.newHadoopConf())
+    val audit = fs.listStatus(root).filter(_.isDirectory).toSeq
+      .filter(_.getPath.getName.startsWith("space="))
+      .map { dir =>
+        val files = fs.listStatus(dir.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        val bytes = files.map(_.getLen).sum
+        val target = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+        val space = dir.getPath.getName.stripPrefix("space=")
+        val after =
+          if (files.length <= target) files.length.toLong
+          else {
+            val tmp = new Path(root, s".compact_tmp_space=$space")
+            fs.delete(tmp, true)
+            spark.read.parquet(dir.getPath.toString)
+              .repartition(target.toInt, col("segment"))
+              .sortWithinPartitions("segment", "sequence")
+              .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+            fs.delete(dir.getPath, true)
+            fs.rename(tmp, dir.getPath)
+            fs.listStatus(dir.getPath)
+              .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
+              .toLong
+          }
+        (space, files.length.toLong, after, bytes)
+      }
+    import spark.implicits._
+    audit.toDF("space", "n_files_before", "n_files_after", "bytes")
+  }
+
   /** Bucketed production layout (SURVEY §5): bucketed by `segment`,
     * sorted by (segment, sequence) inside each bucket. Bucketing makes
     * the file→key mapping part of the table metadata, so any

@@ -213,6 +213,37 @@ object Streaming {
       .dropDuplicates("digest")
       .select("doc_id", "lang", "source", "quality_score", "digest")
 
+  /** Live anomaly monitor — the streaming dual of
+    * [[graft.operators.Windows.anomaly]] in the lambda shape a
+    * monitoring pipeline actually runs: watermarked tumbling counts per
+    * space, scored against a STATIC offline baseline
+    * ([[graft.operators.Windows.activityStats]], refreshed by a batch
+    * job) with the identical integer-moment z expression and the same
+    * rounded-z threshold. The stats side is one row per space, so
+    * scoring is a broadcast join — no stateful operator beyond the
+    * windowed count itself, and the state shards by (space, window)
+    * exactly like [[windowedCounts]]. */
+  def anomalyStream(entryStream: DataFrame, stats: DataFrame,
+      widthUs: Long, tau: Double,
+      watermark: String = "30 minutes"): DataFrame =
+    entryStream
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermark)
+      .groupBy(col("space"),
+        org.apache.spark.sql.functions.window(col("event_time"),
+          s"$widthUs microseconds"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(stats), "space")
+      .filter(col("n") * col("ss") - col("s") * col("s") > 0)
+      .withColumn("z",
+        round((col("n") * col("c") - col("s")).cast("double") /
+          sqrt((col("n") * col("ss") - col("s") * col("s"))
+            .cast("double")), 4))
+      .filter(abs(col("z")) >= tau)
+      .select(col("space"),
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("c").as("n_events"), col("z"))
+
   case class EntryEvent(space: String, segment: String, ts_us: Long,
       event_id: Long, value: Double)
   case class AggState(n_events: Long, balance: Double, last_ts_us: Long)

@@ -121,6 +121,43 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("compact merges small files, preserves data and the window-free layout") {
+    val dir = Files.createTempDirectory("graft_compact").toString
+    val entries = EventLog.entries(spark, SF)
+    // force a pathological small-file layout: one file per ~40 rows
+    entries.repartition(col("space"), col("segment"))
+      .sortWithinPartitions("segment", "sequence")
+      .write.partitionBy("space")
+      .option("maxRecordsPerFile", 40)
+      .mode(SaveMode.Overwrite).parquet(dir)
+    val before = EventLogWriter.readProduced(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val audit = EventLogWriter.compact(spark, dir, targetBytes = 1L << 20)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(audit.size == 5)
+    audit.foreach { case (sp, (nb, na, bytes)) =>
+      assert(na <= nb, s"$sp grew: $nb -> $na")
+      // each space is well under 1 MiB, so compaction must reach ONE file
+      assert(bytes < (1L << 20) && na == 1L, s"$sp: $na files, $bytes B")
+      assert(nb > 1L, s"test setup failed to fragment $sp")
+    }
+    // data unchanged, layout contract intact: window-free read-back and
+    // per-file (segment, sequence) sort
+    val after = EventLogWriter.readProduced(spark, dir)
+    assert(after.collect().map(_.toSeq).toSet == before)
+    assert(!after.filter(col("space") === "click")
+      .queryExecution.executedPlan.toString.contains("Window"))
+    val unsorted = after
+      .withColumn("f", input_file_name())
+      .withColumn("prev", lag(struct(col("segment"), col("sequence")), 1)
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("f")
+          .orderBy(monotonically_increasing_id())))
+      .filter(col("prev").isNotNull &&
+        struct(col("segment"), col("sequence")) < col("prev"))
+    assert(unsorted.count() == 0)
+  }
+
   test("catalog views make the whole surface SQL-reachable") {
     graft.api.GraftCatalog.registerViews(spark, SF)
     val n = spark.sql(

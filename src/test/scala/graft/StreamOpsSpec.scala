@@ -143,6 +143,38 @@ class StreamOpsSpec extends SparkSpec {
       (1L, 1L) -> 1L))                                // u3 returns next day
   }
 
+  test("spaceCorrelation: identical series → 1, opposed series → -1") {
+    import spark.implicits._
+    import graft.operators.Windows
+    // bucket width 10: space a counts [1,2,3] per bucket, b identical,
+    // c reversed [3,2,1]
+    def rows(space: String, perBucket: Seq[Int]) =
+      perBucket.zipWithIndex.flatMap { case (n, h) =>
+        (0 until n).map(i => (space, s"u$i", h * 10L + i)) }
+    val named = (rows("a", Seq(1, 2, 3)) ++ rows("b", Seq(1, 2, 3)) ++
+      rows("c", Seq(3, 2, 1))).toDF("space", "segment", "ts_us")
+    val got = Windows.spaceCorrelation(named, widthUs = 10L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(got == Map(("a", "b") -> 1.0, ("a", "c") -> -1.0,
+      ("b", "c") -> -1.0))
+  }
+
+  test("anomaly flags exactly the planted spike at its exact z") {
+    import spark.implicits._
+    import graft.operators.Windows
+    // counts [10,10,10,10,50]: mean 18, z(spike) = 160/80 = 2.0 exactly
+    val named = (0 until 4).flatMap(h =>
+        (0 until 10).map(i => ("a", s"u$i", h * 10L + i % 10))) ++
+      (0 until 50).map(i => ("a", s"u$i", 40L + i % 10))
+    val got = Windows.anomaly(named.toDF("space", "segment", "ts_us"),
+      widthUs = 10L, tau = 2.0).collect()
+    assert(got.length == 1)
+    assert(got.head.getString(0) == "a" &&
+      got.head.getLong(1) == 40L && got.head.getLong(2) == 50L &&
+      got.head.getDouble(3) == 2.0)
+  }
+
   test("approx quantiles track exact quantiles within 2%") {
     val named = EventLog.named(spark, SF)
     val exact = graft.operators.Windows.valueQuantiles(named).collect()

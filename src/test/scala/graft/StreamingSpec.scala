@@ -118,6 +118,21 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSet == want)
   }
 
+  test("streaming anomaly monitor converges to the batch monitor exactly") {
+    val width = 3600000000L
+    val named = EventLog.named(spark, SF)
+    val stats = graft.operators.Windows.activityStats(named, width)
+    val stream = Streaming.readEntryStream(spark, streamDir,
+      maxFilesPerTrigger = 2)
+    runToCompletion(Streaming.anomalyStream(stream, stats, width,
+      tau = 0.5, watermark = "40 days"), "anom", "complete")
+    val got = spark.table("anom").collect().map(_.toSeq).toSet
+    val want = graft.operators.Windows.anomaly(named, width, tau = 0.5)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty, "tau too high for the test corpus")
+    assert(got == want)
+  }
+
   test("append-mode watermark drops data later than the threshold") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_late").toString
