@@ -42,6 +42,32 @@ object EventSourcing {
         max_by(col("ts_us"), col("sequence")).as("last_ts_us"),
         max_by(col("payload"), col("sequence")).as("last_payload"))
 
+  /** State diff between two points in time — the audit question an
+    * event-sourced consumer actually asks ("what changed since t1?"):
+    * per segment of `space`, the (n_events, balance) state at `t1Us`
+    * vs `t2Us`, restricted to segments that CHANGED in the interval.
+    * ONE filtered scan with conditional aggregation — never two
+    * replays joined: at 100 TB this halves the log read and removes
+    * the join entirely, and the change filter is an integer predicate
+    * (event-count growth), so row membership can't hinge on FP. */
+  def stateDiff(entries: DataFrame, space: String, t1Us: Long,
+      t2Us: Long): DataFrame = {
+    require(t1Us <= t2Us, s"stateDiff needs t1 <= t2: $t1Us > $t2Us")
+    entries
+      .filter(col("space") === space && col("ts_us") <= t2Us)
+      .groupBy(col("space"), col("segment"))
+      .agg(
+        sum(when(col("ts_us") <= t1Us, 1L).otherwise(0L))
+          .as("n_events_before"),
+        count(lit(1)).as("n_events_after"),
+        round(sum(when(col("ts_us") <= t1Us, col("value")).otherwise(0.0)),
+          2).as("balance_before"),
+        round(sum(col("value")), 2).as("balance_after"))
+      .filter(col("n_events_after") > col("n_events_before"))
+      .withColumn("n_new_events",
+        col("n_events_after") - col("n_events_before"))
+  }
+
   /** Snapshot materialization (`pkg/eskit/store.go:33-46`: load
     * snapshot, then `LoadEvents(minSequence = snapshot.sequence + 1)`):
     * per-aggregate state as of a global sequence point. Carries the RAW

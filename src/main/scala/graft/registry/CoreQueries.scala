@@ -89,6 +89,11 @@ object CoreQueries {
     "es_as_of_time" -> ((s, d) =>
       EventSourcing.stateAsOf(EventLog.entries(s, d, Some("purchase")),
         "purchase", T_2024_01_15)),
+    // "what changed since t1" in ONE filtered scan with conditional
+    // aggregation — never two replays joined
+    "es_state_diff" -> ((s, d) =>
+      EventSourcing.stateDiff(EventLog.entries(s, d, Some("purchase")),
+        "purchase", T_2024_01_15, T_2024_01_25)),
     "es_projection_daily" -> ((s, d) =>
       EventSourcing.projectionDaily(EventLog.named(s, d))),
     "es_payload_decode" -> ((s, d) =>
@@ -345,6 +350,24 @@ object CoreQueries {
              max_by(payload, sequence) AS last_payload
       FROM entries WHERE space = 'purchase' AND ts_us <= $T_2024_01_15
       GROUP BY 1, 2""",
+
+    // integer change predicate (event-count growth) so row membership
+    // can't hinge on FP; balances rounded at 2 like every ES fold
+    "es_state_diff" -> s"""$E
+      SELECT space, segment,
+             CAST(sum(CASE WHEN ts_us <= $T_2024_01_15 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_events_before,
+             count(*) AS n_events_after,
+             round(sum(CASE WHEN ts_us <= $T_2024_01_15 THEN value
+                       ELSE 0 END), 2) AS balance_before,
+             round(sum(value), 2) AS balance_after,
+             CAST(count(*) -
+                  sum(CASE WHEN ts_us <= $T_2024_01_15 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_new_events
+      FROM entries WHERE space = 'purchase' AND ts_us <= $T_2024_01_25
+      GROUP BY 1, 2
+      HAVING count(*) >
+             sum(CASE WHEN ts_us <= $T_2024_01_15 THEN 1 ELSE 0 END)""",
 
     "es_payload_decode" -> s"""$E
       SELECT space, segment, count(*) AS n_events,

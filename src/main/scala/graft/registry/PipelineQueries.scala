@@ -270,6 +270,8 @@ object PipelineQueries {
     // exact tokens above corpus-freq n/k; Misra–Gries-pruned shuffle,
     // output provably identical to the naive full groupBy (the oracle)
     "heavy_hitters" -> ((s, d) => TextOps.heavyHitters(docs(s, d), k = 100)),
+    // per-source mean-quality drift z (the crawl-batch quality monitor)
+    "quality_drift" -> ((s, d) => TextOps.qualityDrift(docs(s, d))),
     "pipeline_curate" -> ((s, d) =>
       TextOps.curate(docs(s, d), minQuality = 0.5)),
     // the FULL production chain as one composition: quality → exact →
@@ -768,6 +770,47 @@ object PipelineQueries {
                (CASE WHEN avg_token_len BETWEEN 2.0 AND 10.0 THEN 0.25
                      ELSE 0 END), 2) AS quality_score
       FROM m""",
+
+    // per-source mean-quality drift vs the corpus: q4 = 4·quality is an
+    // exact integer (quarters), so every moment is integer-exact and z
+    // is one double expression repeated verbatim from the Spark side
+    "quality_drift" -> """
+      WITH t AS (
+        SELECT doc_id, source, text,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents),
+      m AS (
+        SELECT doc_id, source,
+               len(toks) AS n_tokens,
+               round(len(list_filter(toks,
+                 x -> x IN ('a', 'value', 'data', 'key', 'the')))
+                 / len(toks), 4) AS stop_ratio,
+               round(len(list_distinct(toks)) / len(toks), 4) AS uniq_ratio,
+               round(length(replace(text, ' ', '')) / len(toks), 4)
+                 AS avg_token_len
+        FROM t),
+      q4 AS (
+        SELECT source, CAST(round((
+               (CASE WHEN n_tokens BETWEEN 30 AND 500 THEN 0.25 ELSE 0 END) +
+               (CASE WHEN stop_ratio BETWEEN 0.02 AND 0.5 THEN 0.25 ELSE 0 END) +
+               (CASE WHEN uniq_ratio >= 0.2 THEN 0.25 ELSE 0 END) +
+               (CASE WHEN avg_token_len BETWEEN 2.0 AND 10.0 THEN 0.25
+                     ELSE 0 END)) * 4, 0) AS BIGINT) AS q4
+        FROM m),
+      g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(q4) AS BIGINT) AS g,
+                   CAST(sum(q4 * q4) AS BIGINT) AS gg
+            FROM q4),
+      s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(q4) AS BIGINT) AS sum_q4
+            FROM q4 GROUP BY 1)
+      SELECT s.source, s.n_docs, s.sum_q4,
+             round(CAST(g.n * s.sum_q4 - s.n_docs * g.g AS DOUBLE) *
+                   sqrt(CAST(s.n_docs AS DOUBLE)) /
+                   (CAST(s.n_docs AS DOUBLE) *
+                    sqrt(CAST(g.n * g.gg - g.g * g.g AS DOUBLE))), 4) AS z
+      FROM s CROSS JOIN g
+      WHERE g.n * g.gg - g.g * g.g > 0""",
 
     "token_count" -> """
       WITH t AS (

@@ -72,6 +72,37 @@ object TextOps {
     qualityScored(d).select("doc_id", "n_tokens", "stop_ratio",
       "uniq_ratio", "avg_token_len", "quality_score")
 
+  /** Per-source quality drift — the data-quality monitor a curation
+    * pipeline tracks per crawl batch: each source's mean quality scored
+    * against the corpus distribution as
+    * z = (mean_src − mean_corpus)·√n_src / σ_corpus (the standard error
+    * of the source mean). Quality scores are exact QUARTERS, so q4 =
+    * 4·quality is an exact integer and every moment (n, Σq4, Σq4²) is
+    * integer-exact — the [[graft.operators.Windows.spaceCorrelation]]
+    * oracle contract: one double expression over integers, identical in
+    * DuckDB, integer zero-variance guard. One corpus hash agg; the
+    * per-source table is #sources-sized. */
+  def qualityDrift(d: DataFrame): DataFrame = {
+    val q4 = qualityScored(d)
+      .select(col("source"),
+        round(col("quality_score") * 4, 0).cast("long").as("q4"))
+      .localCheckpoint(true) // 2 consumers: global + per-source moments
+    val global = q4.groupBy().agg(
+      count(lit(1)).as("n"), sum(col("q4")).as("g"),
+      sum(col("q4") * col("q4")).as("gg"))
+    q4.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("q4")).as("sum_q4"))
+      .crossJoin(broadcast(global))
+      .filter(col("n") * col("gg") - col("g") * col("g") > 0)
+      .select(col("source"), col("n_docs"), col("sum_q4"),
+        round((col("n") * col("sum_q4") - col("n_docs") * col("g"))
+            .cast("double") *
+          sqrt(col("n_docs").cast("double")) /
+          (col("n_docs").cast("double") *
+           sqrt((col("n") * col("gg") - col("g") * col("g"))
+             .cast("double"))), 4).as("z"))
+  }
+
   /** BPE-ish token regex: letter runs, single digits, single punctuation. */
   val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
 

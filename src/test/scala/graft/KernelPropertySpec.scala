@@ -149,6 +149,29 @@ class KernelPropertySpec extends SparkSpec {
       s"avg flips ${flips.sum.toDouble / flips.size}")
   }
 
+  test("byte_dot matches the double kernel on int8 codes, rejects mismatched dims") {
+    import graft.functions.{ByteDot, DotProduct}
+    (1 to 200).foreach { _ =>
+      val n = 1 + rnd.nextInt(64)
+      val a = Array.fill(n)((rnd.nextInt(255) - 127).toByte)
+      val b = Array.fill(n)((rnd.nextInt(255) - 127).toByte)
+      val got = ByteDot.dot(new GenericArrayData(a.map(x => x: Any)),
+        new GenericArrayData(b.map(x => x: Any)))
+      // integer dot == exact double dot of the same values (all int8
+      // products are exactly representable), and symmetric
+      val viaDouble = DotProduct.dot(
+        new GenericArrayData(a.map(_.toDouble: Any)),
+        new GenericArrayData(b.map(_.toDouble: Any)))
+      assert(got.toDouble == viaDouble)
+      assert(got == ByteDot.dot(new GenericArrayData(b.map(x => x: Any)),
+        new GenericArrayData(a.map(x => x: Any))))
+    }
+    intercept[IllegalArgumentException] {
+      ByteDot.dot(new GenericArrayData(Array[Any](1.toByte)),
+        new GenericArrayData(Array[Any](1.toByte, 2.toByte)))
+    }
+  }
+
   test("char_bigrams length and packing") {
     (1 to 200).foreach { _ =>
       val s = asciiStr()

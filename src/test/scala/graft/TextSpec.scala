@@ -47,6 +47,21 @@ class TextSpec extends SparkSpec {
       .exists(_.getString(0) == "hot"))
   }
 
+  test("qualityDrift: a uniformly bad source scores negative, a good one positive") {
+    import spark.implicits._
+    val good = "the value data key " * 20 // 80 tokens, stopword-heavy mix
+    val junk = "x"
+    val planted = ((1L to 20L).map(i => (i, "en", s"$good doc$i", "good")) ++
+      (21L to 40L).map(i => (i, "en", junk, "bad")))
+      .toDF("doc_id", "lang", "text", "source")
+    val got = TextOps.qualityDrift(planted).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(got.keySet == Set("good", "bad"))
+    assert(got("good")._1 == 20L && got("bad")._1 == 20L)
+    assert(got("bad")._2 < 0 && got("good")._2 > 0)
+    assert(got("good")._2 == -got("bad")._2) // symmetric two-source case
+  }
+
   test("doc_novelty: first occurrence scores 1, a clone scores 0, mixtures in between") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
