@@ -103,6 +103,11 @@ class GraftSpace(store: GraftStore, val name: String) {
   def stateAsOf(tsUs: Long): DataFrame =
     EventSourcing.stateAsOf(store.entriesFor(Some(name)), name, tsUs)
 
+  /** "What changed between t1 and t2" — one-pass conditional-agg diff
+    * (see [[graft.operators.EventSourcing.stateDiff]]). */
+  def stateDiff(t1Us: Long, t2Us: Long): DataFrame =
+    EventSourcing.stateDiff(store.entriesFor(Some(name)), name, t1Us, t2Us)
+
   /** eskit snapshot at a sequence point (materialize with .write). */
   def snapshot(atSequence: Long): DataFrame =
     EventSourcing.snapshot(store.entriesFor(Some(name)), name, atSequence)

@@ -43,18 +43,23 @@ object PipelineQueries {
       df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
              FROM tf GROUP BY 1),
       contrib AS (
+        -- idf snapped to the 1e-6 grid before composing: ln() is the one
+        -- transcendental and engine libms differ by ulps (seen at sf0.1)
         SELECT doc_id,
                CAST(round(
-                 ln((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)
-                     + 1.0::DOUBLE) *
+                 (round(ln((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)
+                     + 1.0::DOUBLE) * 1000000.0::DOUBLE, 0) /
+                   1000000.0::DOUBLE) *
                    ((tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
                      (tf + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE) +
                        0.75::DOUBLE * (dl / (sum_dl / n_docs)))))
                  * 1000000.0::DOUBLE, 0) AS BIGINT) AS micro
         FROM tf JOIN df USING (term) CROSS JOIN sc)
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
-             round(CAST(sum(micro) AS BIGINT) / 1000000.0::DOUBLE, 4)
-               AS score
+             -- integer half-up then ONE exact division (micro sums end
+             -- in ...50; float round diverges between engines there)
+             CAST((CAST(sum(micro) AS BIGINT) + 50) // 100 AS DOUBLE) /
+               10000.0::DOUBLE AS score
       FROM contrib GROUP BY doc_id"""
 
   val queries: Map[String, Q] = Map(

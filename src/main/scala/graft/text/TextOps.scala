@@ -731,12 +731,19 @@ object TextOps {
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // idf uses the +1 variant (never negative); avgdl stays as the
     // sub-expression sum_dl/n_docs — both engines divide the same exact
-    // BIGINTs, so the double agrees bit-for-bit
+    // BIGINTs, so the double agrees bit-for-bit. ln() is the ONE
+    // transcendental in the score and engines' libm may differ by an
+    // ulp (measured at sf0.1: a flipped micro-unit), so the idf is
+    // snapped to the 1e-6 grid on both sides BEFORE composing — the
+    // rest is correctly-rounded IEEE arithmetic over identical inputs
     tf.join(broadcast(df), "term")
       .crossJoin(broadcast(scalars))
+      .withColumn("idf",
+        round(log((col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1.0)) * lit(1000000.0), 0) /
+          lit(1000000.0))
       .withColumn("contrib",
-        log((col("n_docs") - col("df") + lit(0.5)) /
-            (col("df") + lit(0.5)) + lit(1.0)) *
+        col("idf") *
           ((col("tf") * (lit(k1) + lit(1.0))) /
             (col("tf") + lit(k1) * ((lit(1.0) - lit(b)) +
               lit(b) * (col("dl") / (col("sum_dl") / col("n_docs")))))))
@@ -745,8 +752,12 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms_matched"),
         sum(col("micro")).as("micro_sum"))
+      // 4-decimal display via INTEGER half-up + one exact division:
+      // micro sums end in ...50 by construction, and Spark's decimal-
+      // string round disagrees with DuckDB's binary round exactly there
       .select(col("doc_id"), col("n_terms_matched"),
-        round(col("micro_sum") / lit(1000000.0), 4).as("score"))
+        (expr("(micro_sum + 50) div 100").cast("double") /
+          lit(10000.0)).as("score"))
   }
 
   /** Persist the corpus postings index for [[searchIndex]] as an external
@@ -801,9 +812,13 @@ object TextOps {
     val df = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     postings.join(broadcast(df), "term")
       .crossJoin(broadcast(scalars))
+      // idf snapped to the 1e-6 grid — same ulp rationale as bm25Search
+      .withColumn("idf",
+        round(log((col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1.0)) * lit(1000000.0), 0) /
+          lit(1000000.0))
       .withColumn("contrib",
-        log((col("n_docs") - col("df") + lit(0.5)) /
-            (col("df") + lit(0.5)) + lit(1.0)) *
+        col("idf") *
           ((col("tf") * (lit(k1) + lit(1.0))) /
             (col("tf") + lit(k1) * ((lit(1.0) - lit(b)) +
               lit(b) * (col("dl") / (col("sum_dl") / col("n_docs")))))))
@@ -812,8 +827,12 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms_matched"),
         sum(col("micro")).as("micro_sum"))
+      // 4-decimal display via INTEGER half-up + one exact division:
+      // micro sums end in ...50 by construction, and Spark's decimal-
+      // string round disagrees with DuckDB's binary round exactly there
       .select(col("doc_id"), col("n_terms_matched"),
-        round(col("micro_sum") / lit(1000000.0), 4).as("score"))
+        (expr("(micro_sum + 50) div 100").cast("double") /
+          lit(10000.0)).as("score"))
   }
 
   /** Per-document keyword extraction: top-k tokens by tf-idf (idf =

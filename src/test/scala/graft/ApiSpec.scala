@@ -28,6 +28,10 @@ class ApiSpec extends SparkSpec {
       .map(_.toSeq).toSeq
     assert(viaSnap == full)
     assert(sp.tail(2).count() == sp.segments.count() * 2)
+    // the diff between t and t over the full span is empty; a diff from
+    // 0 to the far future flags every segment as changed
+    assert(sp.stateDiff(Long.MaxValue, Long.MaxValue).count() == 0)
+    assert(sp.stateDiff(0L, Long.MaxValue).count() == sp.segments.count())
     assert(store.validate.filter(!col("contiguous")).count() == 0)
     assert(store.trxAudit().filter(!col("contiguous")).count() == 0)
     assert(store.watermarkAudit(300000000L).count() == 5)
