@@ -192,6 +192,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
 
+  test("monitors join only broadcast: quality_drift and es_state_diff stay shuffle-light") {
+    // quality_drift: one corpus agg; the stats join is broadcast
+    val pd = plan(graft.text.TextOps.qualityDrift(
+      graft.text.TextOps.docs(spark, SF)))
+    assert(!pd.contains("SortMergeJoin") && !pd.contains("ShuffledHashJoin"),
+      pd)
+    // es_state_diff: ONE filtered scan + conditional agg — no join at all
+    val ps = plan(graft.operators.EventSourcing.stateDiff(
+      EventLog.entries(spark, SF, Some("purchase")), "purchase",
+      0L, Long.MaxValue))
+    assert(!ps.contains("Join"), ps)
+    assert(ps.contains("partial"), ps)
+  }
+
   test("vocab_topk is TakeOrdered (per-partition heap), not a global sort") {
     val p = plan(graft.text.TextOps.vocabTopK(
       graft.text.TextOps.docs(spark, SF), 50))
