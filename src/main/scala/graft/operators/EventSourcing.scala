@@ -68,6 +68,22 @@ object EventSourcing {
         col("n_events_after") - col("n_events_before"))
   }
 
+  /** Top-k segments by absolute balance change in (t1, t2] — the
+    * "biggest movers" ranking over [[stateDiff]]. The order key is the
+    * ROUNDED change with a segment tie-break (a total order over
+    * engine-identical doubles, so the cut is deterministic), and the
+    * plan is a TakeOrdered per partition — never a global sort. */
+  def topMovers(entries: DataFrame, space: String, t1Us: Long,
+      t2Us: Long, k: Int): DataFrame = {
+    require(k >= 1, s"bad k=$k")
+    stateDiff(entries, space, t1Us, t2Us)
+      .withColumn("abs_change",
+        round(abs(col("balance_after") - col("balance_before")), 2))
+      .orderBy(col("abs_change").desc, col("segment"))
+      .limit(k)
+      .select("segment", "balance_before", "balance_after", "abs_change")
+  }
+
   /** Snapshot materialization (`pkg/eskit/store.go:33-46`: load
     * snapshot, then `LoadEvents(minSequence = snapshot.sequence + 1)`):
     * per-aggregate state as of a global sequence point. Carries the RAW

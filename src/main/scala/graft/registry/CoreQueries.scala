@@ -94,6 +94,11 @@ object CoreQueries {
     "es_state_diff" -> ((s, d) =>
       EventSourcing.stateDiff(EventLog.entries(s, d, Some("purchase")),
         "purchase", T_2024_01_15, T_2024_01_25)),
+    // biggest movers over the diff: rounded-change order + segment
+    // tie-break → deterministic cut; TakeOrdered, never a global sort
+    "es_top_movers" -> ((s, d) =>
+      EventSourcing.topMovers(EventLog.entries(s, d, Some("purchase")),
+        "purchase", T_2024_01_15, T_2024_01_25, k = 10)),
     "es_projection_daily" -> ((s, d) =>
       EventSourcing.projectionDaily(EventLog.named(s, d))),
     "es_payload_decode" -> ((s, d) =>
@@ -368,6 +373,23 @@ object CoreQueries {
       GROUP BY 1, 2
       HAVING count(*) >
              sum(CASE WHEN ts_us <= $T_2024_01_15 THEN 1 ELSE 0 END)""",
+
+    "es_top_movers" -> s"""$E,
+      d AS (
+        SELECT segment,
+               round(sum(CASE WHEN ts_us <= $T_2024_01_15 THEN value
+                         ELSE 0 END), 2) AS balance_before,
+               round(sum(value), 2) AS balance_after,
+               count(*) AS n_after,
+               sum(CASE WHEN ts_us <= $T_2024_01_15 THEN 1 ELSE 0 END)
+                 AS n_before
+        FROM entries WHERE space = 'purchase' AND ts_us <= $T_2024_01_25
+        GROUP BY 1
+        HAVING count(*) >
+               sum(CASE WHEN ts_us <= $T_2024_01_15 THEN 1 ELSE 0 END))
+      SELECT segment, balance_before, balance_after,
+             round(abs(balance_after - balance_before), 2) AS abs_change
+      FROM d ORDER BY abs_change DESC, segment LIMIT 10""",
 
     "es_payload_decode" -> s"""$E
       SELECT space, segment, count(*) AS n_events,
