@@ -305,9 +305,12 @@ object Multimodal {
         col("a.channels").as("channels"))
   }
 
-  /** Per-format rollup of decoded media features. */
-  def featureStats(media: DataFrame): DataFrame =
-    extractFeatures(media).toDF()
+  /** Per-format rollup over already-extracted features — ONE definition
+    * shared by the batch path ([[featureStats]]) and the streaming dual
+    * ([[graft.streaming.Streaming.mediaFeaturesStream]]), so the
+    * stream==batch convergence spec pins the same aggregation. */
+  def featureRollup(features: DataFrame): DataFrame =
+    features
       .groupBy(col("format"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -316,4 +319,8 @@ object Multimodal {
         max(col("channels")).cast("long").as("max_channels"),
         round(avg(col("duration_ms")), 2).as("avg_duration_ms"),
         sum(col("n_bytes")).as("total_bytes"))
+
+  /** Per-format rollup of decoded media features. */
+  def featureStats(media: DataFrame): DataFrame =
+    featureRollup(extractFeatures(media).toDF())
 }

@@ -244,6 +244,19 @@ object Streaming {
         unix_micros(col("window.start")).as("window_start_us"),
         col("c").as("n_events"), col("z"))
 
+  /** Live multimodal ingest — the media front of the curation chain:
+    * container headers decoded per arriving blob with the SAME batch
+    * kernel (`Multimodal.extractFeatures` is a stateless mapPartitions,
+    * so it applies to a stream unchanged — the streamingCurate
+    * one-definition argument), then the shared per-format rollup
+    * maintained incrementally. Undecodable blobs surface as `unknown`
+    * rows exactly like batch: corrupt members are data, not stream
+    * failures. State is one row per format — bounded by the codec set,
+    * not the corpus. */
+  def mediaFeaturesStream(mediaStream: DataFrame): DataFrame =
+    graft.multimodal.Multimodal.featureRollup(
+      graft.multimodal.Multimodal.extractFeatures(mediaStream).toDF())
+
   case class EntryEvent(space: String, segment: String, ts_us: Long,
       event_id: Long, value: Double)
   case class AggState(n_events: Long, balance: Double, last_ts_us: Long)

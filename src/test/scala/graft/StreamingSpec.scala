@@ -118,6 +118,21 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSet == want)
   }
 
+  test("streaming media decode rollup converges to batch featureStats") {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.synthesize(graft.text.TextOps.docs(spark, SF))
+    val dir = Files.createTempDirectory("graft_media_stream").toString
+    media.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(media.schema)
+      .option("maxFilesPerTrigger", 2).parquet(dir)
+    runToCompletion(Streaming.mediaFeaturesStream(stream), "media_feats",
+      "complete")
+    val got = spark.table("media_feats").collect().map(_.toSeq).toSet
+    val want = Multimodal.featureStats(media).collect().map(_.toSeq).toSet
+    assert(want.size >= 6, "expected all six container formats")
+    assert(got == want)
+  }
+
   test("streaming anomaly monitor converges to the batch monitor exactly") {
     val width = 3600000000L
     val named = EventLog.named(spark, SF)
