@@ -204,6 +204,11 @@ class PlanSpec extends SparkSpec {
       0L, Long.MaxValue))
     assert(!ps.contains("Join"), ps)
     assert(ps.contains("partial"), ps)
+    // space_correlation: the hourly self-join is an h-equijoin — a plan
+    // regression to a cartesian would be quadratic in the grid
+    val pc = plan(graft.operators.Windows.spaceCorrelation(
+      EventLog.named(spark, SF), 3600000000L))
+    assert(!pc.contains("CartesianProduct"), pc)
   }
 
   test("vocab_topk is TakeOrdered (per-partition heap), not a global sort") {
