@@ -122,6 +122,29 @@ class StreamOpsSpec extends SparkSpec {
     assert(got(1L)._2 >= got(2L)._2 && got(2L)._2 >= got(3L)._2)
   }
 
+  test("stateDiff and topMovers: change-only rows, deterministic tie-break cut") {
+    import spark.implicits._
+    import graft.operators.EventSourcing
+    // s1 changes by +5 after t1; s2 by +5 too (tie); s3 only before t1
+    // (must be absent); s4 appears only after t1
+    val e = Seq(
+      ("p", "s1", 1L, 10L, 1.0), ("p", "s1", 2L, 30L, 5.0),
+      ("p", "s2", 1L, 11L, 2.0), ("p", "s2", 2L, 31L, 5.0),
+      ("p", "s3", 1L, 12L, 3.0),
+      ("p", "s4", 1L, 32L, 4.0),
+    ).toDF("space", "segment", "sequence", "ts_us", "value")
+    val diff = EventSourcing.stateDiff(e, "p", 20L, 40L)
+      .collect().map(r => r.getAs[String]("segment") ->
+        (r.getAs[Long]("n_new_events"), r.getAs[Double]("balance_before"),
+          r.getAs[Double]("balance_after"))).toMap
+    assert(diff.keySet == Set("s1", "s2", "s4"))
+    assert(diff("s1") == ((1L, 1.0, 6.0)) && diff("s4") == ((1L, 0.0, 4.0)))
+    // equal abs_change 5.0 for s1/s2 → the k=1 cut must take s1 (tie →
+    // segment asc), never depend on partitioning
+    val top = EventSourcing.topMovers(e, "p", 20L, 40L, k = 1).collect()
+    assert(top.length == 1 && top.head.getString(0) == "s1")
+  }
+
   test("cohortRetention assigns first-day cohorts and counts distinct-day offsets") {
     import spark.implicits._
     import graft.operators.Windows
