@@ -951,7 +951,12 @@ object PipelineQueries {
     "text_search_indexed" -> Bm25OracleSql,
 
     // tf-idf = tf * ln(n_docs/df); n_docs counts docs with >= 1 token
-    // (the tf table's distinct doc set) exactly as the Spark side
+    // (the tf table's distinct doc set) exactly as the Spark side.
+    // idf snapped to the 1e-6 grid (ln is the one transcendental;
+    // engine libms differ by ulps), then micro = tf * idf_micro is
+    // exact integer arithmetic, rank orders on it, and the 4-decimal
+    // display is integer half-up + one exact division — the bm25
+    // discipline, no float round() anywhere
     "doc_keywords" -> """
       WITH t AS (
         SELECT doc_id,
@@ -963,14 +968,19 @@ object PipelineQueries {
       dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
               FROM tf GROUP BY 1),
       n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
-            FROM (SELECT DISTINCT doc_id FROM tf))
+            FROM (SELECT DISTINCT doc_id FROM tf)),
+      sc AS (
+        SELECT doc_id, term,
+               tf * CAST(round(ln(n_docs / df) * 1000000.0::DOUBLE, 0)
+                 AS BIGINT) AS micro
+        FROM tf JOIN dft USING (term) CROSS JOIN n)
       SELECT doc_id, term, tfidf, rnk FROM (
         SELECT doc_id, term,
-               round(tf * ln(n_docs / df), 4) AS tfidf,
+               CAST((micro + 50) // 100 AS DOUBLE) / 10000.0::DOUBLE
+                 AS tfidf,
                CAST(row_number() OVER (PARTITION BY doc_id
-                 ORDER BY round(tf * ln(n_docs / df), 4) DESC, term)
-                 AS BIGINT) AS rnk
-        FROM tf JOIN dft USING (term) CROSS JOIN n)
+                 ORDER BY micro DESC, term) AS BIGINT) AS rnk
+        FROM sc)
       WHERE rnk <= 3""",
 
     "vocab_topk" -> """

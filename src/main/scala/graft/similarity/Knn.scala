@@ -68,7 +68,12 @@ object Knn {
     * [[brute]]. Same broadcast-queries shape as brute — at scale the
     * win is the 8× smaller corpus side staying cache-resident. */
   def bruteQuantized(e: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    // zero vectors quantize to all-zero codes with qnrm = 0; their
+    // cosine is undefined (0/0 → NaN, which sorts ABOVE every real
+    // score in a descending order) — exclude them from both sides, the
+    // dual of quantize's explicit zero-vector handling
     val qe = quantize(e).select(col("vec_id"), col("qv"), col("qnrm"))
+      .filter(col("qnrm") > lit(0.0))
     val q = qe.filter(queryPred).select(col("vec_id").as("query_id"),
       col("qv"), col("qnrm"))
     val scored = q.as("q").join(qe.as("c"),

@@ -127,10 +127,16 @@ object EventLogWriter {
     * ceil(bytes/targetBytes) files with the layout contract intact
     * (hash-distributed by segment, files sorted by (segment, sequence),
     * so [[readProduced]] stays window-free and row-group pruning keeps
-    * working). The swap is delete-then-rename per space — the standard
-    * non-transactional-FS caveat applies (a real deployment puts a
-    * table format's commit protocol under this; the rewrite job itself
-    * is unchanged). Returns the per-space audit
+    * working). The swap is staged so NO state loses the partition: write
+    * the rewrite to a hidden tmp dir, rename the live dir ASIDE, promote
+    * tmp, then delete the aside copy — a crash at any point leaves
+    * either the old dir live or both copies on disk, and [[compact]]
+    * self-recovers leftovers on the next run (aside dir with no live
+    * dir → restored; orphaned tmp/aside next to a live dir → swept).
+    * The remaining window is one metadata rename, the best a
+    * non-transactional FS offers (a real deployment puts a table
+    * format's commit protocol under this; the rewrite job itself is
+    * unchanged). Returns the per-space audit
     * (space, n_files_before, n_files_after, bytes) — compaction is a
     * maintenance job, and its report is the point. */
   def compact(spark: SparkSession, path: String,
@@ -139,6 +145,19 @@ object EventLogWriter {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val root = new Path(path)
     val fs = FileSystem.get(root.toUri, spark.sessionState.newHadoopConf())
+    // crash recovery from a previous interrupted run: an aside dir whose
+    // live dir is gone means the crash hit between rename-aside and
+    // promote — restore it; anything else hidden is a sweepable orphan
+    fs.listStatus(root).filter(_.isDirectory).foreach { d =>
+      val name = d.getPath.getName
+      if (name.startsWith(".compact_bak_space=")) {
+        val live = new Path(root, name.stripPrefix(".compact_bak_"))
+        if (!fs.exists(live)) fs.rename(d.getPath, live)
+        else fs.delete(d.getPath, true)
+      } else if (name.startsWith(".compact_tmp_space=")) {
+        fs.delete(d.getPath, true)
+      }
+    }
     val audit = fs.listStatus(root).filter(_.isDirectory).toSeq
       .filter(_.getPath.getName.startsWith("space="))
       .map { dir =>
@@ -151,13 +170,18 @@ object EventLogWriter {
           if (files.length <= target) files.length.toLong
           else {
             val tmp = new Path(root, s".compact_tmp_space=$space")
+            val bak = new Path(root, s".compact_bak_space=$space")
             fs.delete(tmp, true)
             spark.read.parquet(dir.getPath.toString)
-              .repartition(target.toInt, col("segment"))
+              // a space larger than targetBytes * Int.MaxValue can't be
+              // expressed as a partition count — clamp, don't overflow
+              .repartition(math.min(target, Int.MaxValue.toLong).toInt,
+                col("segment"))
               .sortWithinPartitions("segment", "sequence")
               .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-            fs.delete(dir.getPath, true)
+            fs.rename(dir.getPath, bak)
             fs.rename(tmp, dir.getPath)
+            fs.delete(bak, true)
             fs.listStatus(dir.getPath)
               .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
               .toLong

@@ -839,9 +839,14 @@ object TextOps {
     * ln(n_docs/df) over the corpus itself) — the per-doc topic signal a
     * pipeline stores next to quality/novelty. One tokenize pass →
     * (doc, term) tf agg → df rollup from the tf table (vocab-sized, not
-    * a corpus pass) → per-doc top-k via row_number on the ROUNDED score
-    * with a term-asc tie-break, so engine FP differences cannot reorder
-    * the cut. Shuffles: the tf agg and the per-doc window hash
+    * a corpus pass) → per-doc top-k ranked on an INTEGER score with a
+    * term-asc tie-break. The idf is the one transcendental: snap
+    * ln(n_docs/df) to the 1e-6 grid (engine libms differ by ulps — the
+    * bm25Search lesson), then micro = tf · idf_micro is EXACT integer
+    * arithmetic, the rank orders on it, and the 4-decimal display score
+    * is one integer half-up + one exact division — no float round()
+    * anywhere, so a 4-decimal half-boundary can't flip row membership
+    * between engines. Shuffles: the tf agg and the per-doc window hash
     * partition — never a global sort. */
   def docKeywords(d: DataFrame, k: Int = 3): DataFrame = {
     require(k >= 1, s"bad k=$k")
@@ -856,11 +861,15 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"))
     tf.join(dft, "term") // vocab-sized right side: AQE picks the strategy
       .crossJoin(broadcast(scalars))
+      .withColumn("idf_micro",
+        round(log(col("n_docs") / col("df")) * lit(1000000.0), 0)
+          .cast("long"))
+      .withColumn("micro", col("tf") * col("idf_micro"))
       .withColumn("tfidf",
-        round(col("tf") * log(col("n_docs") / col("df")), 4))
+        expr("(micro + 50) div 100").cast("double") / lit(10000.0))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("doc_id")
-          .orderBy(col("tfidf").desc, col("term"))).cast("long"))
+          .orderBy(col("micro").desc, col("term"))).cast("long"))
       .filter(col("rnk") <= k)
       .select("doc_id", "term", "tfidf", "rnk")
   }

@@ -162,6 +162,31 @@ class ApiSpec extends SparkSpec {
     assert(unsorted.count() == 0)
   }
 
+  test("compact self-recovers every crash-leftover state") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft_compact_crash").toString
+    val entries = EventLog.entries(spark, SF)
+    EventLogWriter.write(entries, dir)
+    val expected = EventLogWriter.readProduced(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // crash between rename-aside and promote: live dir gone, aside holds
+    // the only copy → compact must restore it before doing anything else
+    fs.rename(new Path(root, "space=click"),
+      new Path(root, ".compact_bak_space=click"))
+    // crash after promote but before aside cleanup: both copies present
+    fs.mkdirs(new Path(root, ".compact_bak_space=view"))
+    // orphaned tmp from a crash mid-rewrite
+    fs.mkdirs(new Path(root, ".compact_tmp_space=purchase"))
+    EventLogWriter.compact(spark, dir, targetBytes = 1L << 20)
+    assert(EventLogWriter.readProduced(spark, dir)
+      .collect().map(_.toSeq).toSet == expected)
+    val leftover = fs.listStatus(root)
+      .map(_.getPath.getName).filter(_.startsWith(".compact_"))
+    assert(leftover.isEmpty, leftover.mkString(","))
+  }
+
   test("catalog views make the whole surface SQL-reachable") {
     graft.api.GraftCatalog.registerViews(spark, SF)
     val n = spark.sql(
