@@ -19,7 +19,8 @@ object Bench {
   // returning the probe plan — their cold number conflates a build job
   // with a search, so the `phases` map reports both components
   private val PhaseSplit =
-    Set("dedup_incremental", "knn_ivf_persisted", "text_search_indexed")
+    Set("dedup_incremental", "knn_ivf_persisted", "knn_ivf_quantized",
+      "text_search_indexed")
 
   private def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()

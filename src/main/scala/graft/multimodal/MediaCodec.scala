@@ -2,13 +2,13 @@ package graft.multimodal
 
 import java.nio.charset.StandardCharsets
 
-/** Pure-JVM encoders/decoders for six public container formats (JPEG,
-  * PNG, BMP, WAV, GIF, WebP), parsed from their published header
+/** Pure-JVM encoders/decoders for seven public container formats (JPEG,
+  * PNG, BMP, WAV, GIF, WebP, MP4), parsed from their published header
   * layouts — no external codec libraries. The *pixel/sample* payload is
-  * not decompressed (PNG IDAT and JPEG entropy-coded data stay opaque);
-  * what a curation pipeline needs from 100 TB of media is the typed
-  * metadata — dimensions, channels, sample rate, duration — and that
-  * lives in the fixed-layout headers parsed here.
+  * not decompressed (PNG IDAT, JPEG entropy-coded data and MP4 mdat
+  * stay opaque); what a curation pipeline needs from 100 TB of media is
+  * the typed metadata — dimensions, channels, sample rate, duration —
+  * and that lives in the fixed-layout headers parsed here.
   *
   * Layouts: JPEG marker segments + SOF0/SOF2 frame header (ITU T.81
   * §B.2.2), PNG signature + IHDR (RFC 2083 §3 / W3C PNG spec),
@@ -16,7 +16,9 @@ import java.nio.charset.StandardCharsets
   * (Multimedia Programming Interface and Data Specifications 1.0),
   * GIF87a/89a logical screen descriptor (GIF89a spec §18), WebP
   * RIFF container with VP8 (RFC 6386 §9.1) / VP8L (lossless bitstream
-  * spec §3) / VP8X (extended container) chunks. */
+  * spec §3) / VP8X (extended container) chunks, MP4/ISO-BMFF box tree
+  * with `mvhd` (timescale + duration) and `tkhd` (16.16 fixed-point
+  * canvas) boxes (ISO/IEC 14496-12 §8.2.2 / §8.3.2). */
 object MediaCodec {
 
   final case class MediaMeta(format: String, width: Int, height: Int,
@@ -64,6 +66,8 @@ object MediaCodec {
     else if (blob(0) == 'G' && blob(1) == 'I' && blob(2) == 'F' &&
       blob(3) == '8' && (blob(4) == '7' || blob(4) == '9') &&
       blob(5) == 'a') decodeGif(blob)
+    else if (blob(4) == 'f' && blob(5) == 't' && blob(6) == 'y' &&
+      blob(7) == 'p') decodeMp4(blob)
     else Unknown
   }
 
@@ -235,6 +239,85 @@ object MediaCodec {
     Unknown
   }
 
+  /** MP4/ISO-BMFF (ISO/IEC 14496-12): walk the top-level box tree to
+    * `moov`, then its children for `mvhd` (§8.2.2 — movie timescale +
+    * duration → duration_ms) and the first `trak` whose `tkhd` (§8.3.2)
+    * carries a non-zero 16.16 fixed-point canvas (audio tracks encode a
+    * 0×0 canvas; the first VIDEO track defines the presentation dims).
+    * Both full-box versions are handled (v0: u32 times, v1: u64). Box
+    * sizes are u32be with the two spec escapes — size 0 = "to end of
+    * file", size 1 = u64 largesize follows — and a hostile size below
+    * the header length would rewind or stall the cursor, so anything
+    * < 8 (< 16 for largesize) aborts to Unknown; the Long cursor is the
+    * same overflow-proof walk as [[decodeWav]]. Channels = 3: the canvas
+    * is a decoded video frame (RGB), matching the image-format
+    * convention; the compressed sample data (mdat) stays opaque. */
+  def decodeMp4(b: Array[Byte]): MediaMeta = {
+    // one box level: [from, until) byte range → iterator of
+    // (type, payloadFrom, payloadUntil); hostile sizes end the walk
+    def boxes(from: Long, until: Long): Iterator[(String, Long, Long)] =
+      new Iterator[(String, Long, Long)] {
+        private var pos = from
+        private var nxt: (String, Long, Long) = advance()
+        private def advance(): (String, Long, Long) = {
+          if (pos + 8 > until) return null
+          val p = pos.toInt
+          val size32 = be32(b, p).toLong & 0xffffffffL
+          val typ = new String(b, p + 4, 4, StandardCharsets.US_ASCII)
+          val (size, hdr) =
+            if (size32 == 0L) (until - pos, 8L) // "to end" escape
+            else if (size32 == 1L) { // u64 largesize follows the type
+              if (pos + 16 > until) return null
+              val hi = be32(b, p + 8).toLong & 0xffffffffL
+              val lo = be32(b, p + 12).toLong & 0xffffffffL
+              ((hi << 32) | lo, 16L)
+            } else (size32, 8L)
+          if (size < hdr || pos + size > until) return null // hostile
+          val out = (typ, pos + hdr, pos + size)
+          pos += size
+          out
+        }
+        def hasNext: Boolean = nxt != null
+        def next(): (String, Long, Long) = {
+          val out = nxt; nxt = advance(); out
+        }
+      }
+    var timescale = 0L; var duration = -1L
+    var width = 0; var height = 0
+    boxes(0L, b.length.toLong).foreach { case (typ, from, until) =>
+      if (typ == "moov") boxes(from, until).foreach {
+        case ("mvhd", f, u) if u - f >= 20 =>
+          val v = b(f.toInt) & 0xff
+          if (v == 0 && u - f >= 20) {
+            timescale = be32(b, f.toInt + 12).toLong & 0xffffffffL
+            duration = be32(b, f.toInt + 16).toLong & 0xffffffffL
+          } else if (v == 1 && u - f >= 32) {
+            timescale = be32(b, f.toInt + 20).toLong & 0xffffffffL
+            duration = ((be32(b, f.toInt + 24).toLong & 0xffffffffL) << 32) |
+              (be32(b, f.toInt + 28).toLong & 0xffffffffL)
+          }
+        case ("trak", f, u) => boxes(f, u).foreach {
+          case ("tkhd", tf, tu) if width == 0 =>
+            val v = b(tf.toInt) & 0xff
+            // width/height close the box: v0 at +76/+80 past the
+            // version word, v1 at +88/+92 (64-bit times)
+            val off = if (v == 0) 76L else 88L
+            if (tu - tf >= off + 8) {
+              val w = be32(b, (tf + off).toInt) >>> 16 // 16.16 → int
+              val h = be32(b, (tf + off + 4).toInt) >>> 16
+              if (w > 0 && h > 0) { width = w; height = h }
+            }
+          case _ => ()
+        }
+        case _ => ()
+      }
+    }
+    if (timescale <= 0L || duration < 0L || width <= 0 || height <= 0)
+      Unknown
+    else MediaMeta("mp4", width, height, 3, 0,
+      duration * 1000.0 / timescale, ok = true)
+  }
+
   // ── encoders (for deterministic test/demo media) ──────────────────────
 
   /** Minimal structurally-valid PNG: signature + IHDR + empty IDAT + IEND
@@ -341,6 +424,49 @@ object MediaCodec {
     wle32(out, ((width - 1) & 0x3fff) | (((height - 1) & 0x3fff) << 14) |
       (if (alpha) 1 << 28 else 0)) // version bits (29–31) = 0
     out.write(0) // payload pad to even length
+    out.toByteArray
+  }
+
+  /** Minimal structurally-valid MP4: `ftyp` (isom) + `moov` holding a
+    * v0 `mvhd` (real timescale + duration) and one `trak`/`tkhd` with
+    * the real 16.16 canvas, closed by an empty `mdat` — 244 bytes of
+    * FIXED layout (20 + 216 + 8), so the container byte length stays
+    * pure parameter arithmetic like the other six encoders. No sample
+    * tables or codec config: decode() reads only mvhd/tkhd, and the
+    * demo corpus needs header-true bytes, not playable video. */
+  def encodeMp4(width: Int, height: Int, durationTicks: Int,
+      timescale: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def tag(s: String): Unit = s.foreach(c => out.write(c))
+    wbe32(out, 20); tag("ftyp") // ftyp: major brand + minor + 1 compat
+    tag("isom"); wbe32(out, 512); tag("isom")
+    wbe32(out, 216); tag("moov") //   = 8 + mvhd 108 + trak 100
+    wbe32(out, 108); tag("mvhd")
+    wbe32(out, 0) // version 0 + flags
+    wbe32(out, 0); wbe32(out, 0) // creation/modification time
+    wbe32(out, timescale); wbe32(out, durationTicks)
+    wbe32(out, 0x00010000) // rate 1.0 (16.16)
+    wbe32(out, 0x01000000) // volume 1.0 (8.8) + 2 reserved bytes
+    wbe32(out, 0); wbe32(out, 0) // reserved
+    // unity matrix: 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+      .foreach(wbe32(out, _))
+    (1 to 6).foreach(_ => wbe32(out, 0)) // pre_defined
+    wbe32(out, 2) // next_track_ID
+    wbe32(out, 100); tag("trak") //  = 8 + tkhd 92
+    wbe32(out, 92); tag("tkhd")
+    wbe32(out, 7) // version 0 + flags: enabled | in_movie | in_preview
+    wbe32(out, 0); wbe32(out, 0) // creation/modification time
+    wbe32(out, 1) // track_ID
+    wbe32(out, 0) // reserved
+    wbe32(out, durationTicks)
+    wbe32(out, 0); wbe32(out, 0) // reserved
+    wbe32(out, 0) // layer + alternate_group
+    wbe32(out, 0) // volume (0 for video) + reserved
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+      .foreach(wbe32(out, _))
+    wbe32(out, width << 16); wbe32(out, height << 16) // 16.16 canvas
+    wbe32(out, 8); tag("mdat") // empty mdat closes the file
     out.toByteArray
   }
 

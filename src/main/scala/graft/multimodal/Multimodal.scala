@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   *
   * The decode step ([[MediaCodec]]) parses REAL public container formats
   * (JPEG marker walk, PNG IHDR, BMP BITMAPINFOHEADER, RIFF/WAVE chunks,
-  * GIF logical screen descriptor, WebP VP8/VP8L/VP8X) in pure JVM code —
+  * GIF logical screen descriptor, WebP VP8/VP8L/VP8X, MP4/ISO-BMFF
+  * mvhd/tkhd box walk) in pure JVM code —
   * no external codec libraries, which also means the compressed pixel
   * payload itself stays opaque; dimensions/channels/sample-rate/duration
   * are what a curation pipeline filters on. Extraction runs as
@@ -41,16 +42,17 @@ object Multimodal {
   /** Deterministic demo media: REAL container bytes (MediaCodec
     * encoders) synthesized from doc fields — doc_id picks the modality
     * and the planted dimensions, so the decode path is exercised against
-    * true JPEG/PNG/BMP/WAV/GIF/WebP headers with no external fixtures
-    * (the WebP rows alternate the VP8L alpha bit, so both the 3- and
-    * 4-channel decode branches run). */
+    * true JPEG/PNG/BMP/WAV/GIF/WebP/MP4 headers with no external
+    * fixtures (the WebP rows alternate the VP8L alpha bit, so both the
+    * 3- and 4-channel decode branches run; the MP4 rows alternate the
+    * movie timescale, so duration_ms exercises both rates). */
   def synthesize(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("source")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, src) =>
-          val blob = (id % 6) match {
+          val blob = (id % 7) match {
             case 0 => MediaCodec.encodeBmp(
               16 + (id % 32).toInt, 8 + (id % 16).toInt)
             case 1 => MediaCodec.encodePng(
@@ -64,9 +66,16 @@ object Multimodal {
               400 + (id % 100).toInt * 40)
             case 4 => MediaCodec.encodeGif(
               20 + (id % 40).toInt, 10 + (id % 20).toInt)
-            case _ => MediaCodec.encodeWebp(
+            case 5 => MediaCodec.encodeWebp(
               24 + (id % 48).toInt, 12 + (id % 24).toInt,
               alpha = id % 12 == 11)
+            // timescales divide ticks*1000 exactly (duration_ms = 40+8k
+            // or 100+20k — EXACT doubles, the wav discipline: avg
+            // summation order can't drift a rounded aggregate)
+            case _ => MediaCodec.encodeMp4(
+              48 + (id % 96).toInt, 32 + (id % 64).toInt,
+              1000 + (id % 50).toInt * 200,
+              if (id % 10 == 6) 25000 else 10000)
           }
           (id, src, blob)
         }
@@ -75,14 +84,15 @@ object Multimodal {
 
   /** [[synthesize]] plus planted TRANSCODES: every fifth image asset's
     * canvas re-encoded in a different container (BMP→WebP, PNG→WebP
-    * with alpha so channels still match, 3-channel JPEG→BMP) under
-    * doc_id + 10⁹ — the ground truth [[transcodeCandidates]] must
-    * surface. Still a pure function of doc_id, so the oracle reproduces
-    * the planted set arithmetically (the mm_dedup trick). Needed because
-    * [[synthesize]] derives width AND height from the SAME doc_id — the
-    * dims of two different-format originals are coupled residues that
-    * provably never collide, so without planting, cross-format
-    * candidates are arithmetically impossible on the demo corpus. */
+    * with alpha so channels still match, 3-channel JPEG→BMP, and the
+    * video rung: MP4 canvas → BMP poster frame) under doc_id + 10⁹ —
+    * ground truth [[transcodeCandidates]] must surface. Still a pure
+    * function of doc_id, so the oracle reproduces the planted set
+    * arithmetically (the mm_dedup trick). The planting guarantees a
+    * known candidate mass: [[synthesize]] derives width AND height from
+    * the SAME doc_id, so cross-format collisions between unplanted
+    * originals are rare coupled-residue coincidences — whatever few
+    * exist, the oracle reproduces them from the same arithmetic. */
   def synthesizeWithTranscodes(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -90,7 +100,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { case (id, src) =>
           if (id % 5 != 0) Iterator.empty
-          else (id % 6) match {
+          else (id % 7) match {
             case 0 => Iterator((id + 1000000000L, src, MediaCodec.encodeWebp(
               16 + (id % 32).toInt, 8 + (id % 16).toInt)))
             case 1 => Iterator((id + 1000000000L, src, MediaCodec.encodeWebp(
@@ -98,6 +108,8 @@ object Multimodal {
             case 2 if id % 8 != 2 =>
               Iterator((id + 1000000000L, src, MediaCodec.encodeBmp(
                 64 + (id % 128).toInt, 48 + (id % 64).toInt)))
+            case 6 => Iterator((id + 1000000000L, src, MediaCodec.encodeBmp(
+              48 + (id % 96).toInt, 32 + (id % 64).toInt)))
             case _ => Iterator.empty
           }
         }
@@ -247,7 +259,10 @@ object Multimodal {
     * both band tables, distinct (tbl, bucket) groups, memberships dropped
     * by the occupancy cap, and the realized max occupancy. A pipeline
     * alerts when `n_dropped_over_cap` jumps (a template asset flooding a
-    * crawl) instead of wondering why near-dups slipped through. */
+    * crawl) instead of wondering why near-dups slipped through.
+    * Oracle-checked (r12): every band-key component is pure doc_id
+    * arithmetic on the synthesized corpus, so DuckDB reproduces the
+    * bucket structure — and with it this rollup — exactly. */
   def nearDedupAudit(media: DataFrame, maxOccupancy: Long = 512L): DataFrame = {
     require(maxOccupancy >= 1, s"bad maxOccupancy=$maxOccupancy")
     val occ = bucketKeys(media).groupBy(col("tbl"), col("bucket"))

@@ -212,9 +212,13 @@ object PipelineQueries {
     // ── F. similarity ─────────────────────────────────────────────────
     "knn_brute" -> ((s, d) =>
       Knn.brute(Knn.emb(s, d), col("vec_id") < 5, k = 10)),
-    // int8-quantized search (8× smaller resident corpus); rows-only —
-    // quantized scores aren't float-oracle-reproducible; KnnSpec bounds
-    // recall vs brute
+    // int8-quantized search (8× smaller resident corpus); oracle-checked
+    // since r12: the codes are floor-half-up over identical IEEE
+    // expressions, the dot is exact integer arithmetic (≤127²·dim ≪
+    // 2^53, so DuckDB's double list math is exact), and the displayed
+    // score is floor-half-up + one division — no float round() anywhere,
+    // so rank order and row membership reproduce bit-exactly; KnnSpec
+    // additionally bounds recall vs float brute
     "knn_quantized" -> ((s, d) =>
       Knn.bruteQuantized(Knn.emb(s, d), col("vec_id") < 5, k = 10)),
     "knn_lsh" -> ((s, d) => {
@@ -243,6 +247,27 @@ object PipelineQueries {
       s.sql(s"DROP TABLE IF EXISTS $tbl")
       val centroids = Knn.writeIvfIndex(e, tbl, path, nlist = 10, buckets = 8)
       Knn.searchIvfIndex(s, tbl, centroids,
+        e.filter(col("vec_id") < 5), k = 10)
+    }),
+    // the int8 codes COMPOSED into the persisted IVF index (the
+    // IVF-PQ-shaped production layout): float-space centroid training
+    // and assignment offline, but the bucketed inverted lists store
+    // only quantized codes (8× smaller resident index) and the probe
+    // equijoin scores with the integer ByteDot kernel; rows-only
+    // (seeded k-means + quantization isn't ANSI-expressible), KnnSpec
+    // bounds recall vs the float IVF and asserts the bucketed
+    // zero-index-Exchange plan carries over
+    "knn_ivf_quantized" -> ((s, d) => {
+      val e = Knn.emb(s, d)
+      val suffix = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val tbl = s"graft_ivf_quantized_$suffix"
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), tbl).toString
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val centroids = Knn.writeIvfIndexQuantized(e, tbl, path,
+        nlist = 10, buckets = 8)
+      Knn.searchIvfIndexQuantized(s, tbl, centroids,
         e.filter(col("vec_id") < 5), k = 10)
     }),
     // corpus clustering over embeddings (seeded k-means + min_by
@@ -329,8 +354,8 @@ object PipelineQueries {
     // per-format rollup of REAL container decode; oracle-checked since
     // r11: the synthesized blob's dims, channels, duration, AND byte
     // length are all pure doc_id arithmetic (every encoder emits a
-    // fixed-layout container), so DuckDB cross-checks all six decoders
-    // and encoders without seeing a byte
+    // fixed-layout container), so DuckDB cross-checks all seven decoders
+    // and encoders (incl. the r12 MP4 box walk) without seeing a byte
     "mm_features" -> ((s, d) => Multimodal.featureStats(
       Multimodal.synthesize(docs(s, d)))),
     // exact media dedup by content digest; the oracle reproduces the
@@ -349,7 +374,11 @@ object PipelineQueries {
       Multimodal.synthesize(docs(s, d)))),
     // drop accounting for mm_dedup_near's occupancy cap (the
     // minhash_band_audit discipline): memberships across both band
-    // tables, buckets, dropped-over-cap count, realized max occupancy
+    // tables, buckets, dropped-over-cap count, realized max occupancy.
+    // Oracle-checked since r12: every band key component is pure doc_id
+    // arithmetic (the mm_features trick), so DuckDB reproduces the full
+    // bucket structure — tuple-grouping equals the Spark side's
+    // ':'-joined string key because the components are separator-free
     "mm_dedup_near_audit" -> ((s, d) => Multimodal.nearDedupAudit(
       Multimodal.synthesize(docs(s, d)))),
     // near-dup media groups end-to-end (the production shape: a dense
@@ -1199,8 +1228,8 @@ object PipelineQueries {
       SELECT min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_copies
       FROM documents
       GROUP BY
-        doc_id % 6,
-        CASE doc_id % 6
+        doc_id % 7,
+        CASE doc_id % 7
           WHEN 0 THEN concat_ws(',', doc_id % 32, doc_id % 16)
           WHEN 1 THEN concat_ws(',', doc_id % 64, doc_id % 32)
           WHEN 2 THEN concat_ws(',', doc_id % 128, doc_id % 64,
@@ -1208,41 +1237,51 @@ object PipelineQueries {
           WHEN 3 THEN concat_ws(',', doc_id % 2, doc_id % 4 = 3,
                                 doc_id % 100)
           WHEN 4 THEN concat_ws(',', doc_id % 40, doc_id % 20)
-          ELSE concat_ws(',', doc_id % 48, doc_id % 24, doc_id % 12 = 11)
+          WHEN 5 THEN concat_ws(',', doc_id % 48, doc_id % 24,
+                                doc_id % 12 = 11)
+          ELSE concat_ws(',', doc_id % 96, doc_id % 64, doc_id % 10 = 6,
+                         doc_id % 50)
         END""",
 
     // the mm_dedup trick extended to EVERY decoded field: dims, channels,
-    // duration (the exact dataSize*1000.0/byteRate IEEE expression the
-    // decoder computes — exact doubles here, so avg order can't drift),
-    // and the container byte length (each encoder emits a fixed layout:
-    // bmp 54+rowBytes*h, png 57, jpeg 32+3ch, wav 44+dataSize, gif 14,
-    // webp 26) — cross-checking all six encoders AND decoders
+    // duration (the exact dataSize*1000.0/byteRate and ticks*1000.0/
+    // timescale IEEE expressions the decoders compute — exact doubles
+    // here, so avg order can't drift), and the container byte length
+    // (each encoder emits a fixed layout: bmp 54+rowBytes*h, png 57,
+    // jpeg 32+3ch, wav 44+dataSize, gif 14, webp 26, mp4 244) —
+    // cross-checking all seven encoders AND decoders
     "mm_features" -> """
       WITH feat AS (
         SELECT
-          CASE doc_id % 6 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+          CASE doc_id % 7 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
                WHEN 2 THEN 'jpeg' WHEN 3 THEN 'wav' WHEN 4 THEN 'gif'
-               ELSE 'webp' END AS format,
-          CASE doc_id % 6 WHEN 0 THEN 16 + doc_id % 32
+               WHEN 5 THEN 'webp' ELSE 'mp4' END AS format,
+          CASE doc_id % 7 WHEN 0 THEN 16 + doc_id % 32
                WHEN 1 THEN 32 + doc_id % 64 WHEN 2 THEN 64 + doc_id % 128
                WHEN 3 THEN 0 WHEN 4 THEN 20 + doc_id % 40
-               ELSE 24 + doc_id % 48 END AS width,
-          CASE doc_id % 6 WHEN 0 THEN 8 + doc_id % 16
+               WHEN 5 THEN 24 + doc_id % 48
+               ELSE 48 + doc_id % 96 END AS width,
+          CASE doc_id % 7 WHEN 0 THEN 8 + doc_id % 16
                WHEN 1 THEN 16 + doc_id % 32 WHEN 2 THEN 48 + doc_id % 64
                WHEN 3 THEN 0 WHEN 4 THEN 10 + doc_id % 20
-               ELSE 12 + doc_id % 24 END AS height,
-          CASE doc_id % 6 WHEN 0 THEN 3 WHEN 1 THEN 4
+               WHEN 5 THEN 12 + doc_id % 24
+               ELSE 32 + doc_id % 64 END AS height,
+          CASE doc_id % 7 WHEN 0 THEN 3 WHEN 1 THEN 4
                WHEN 2 THEN CASE WHEN doc_id % 8 = 2 THEN 1 ELSE 3 END
                WHEN 3 THEN 1 + doc_id % 2 WHEN 4 THEN 1
-               ELSE CASE WHEN doc_id % 12 = 11 THEN 4 ELSE 3 END
+               WHEN 5 THEN CASE WHEN doc_id % 12 = 11 THEN 4 ELSE 3 END
+               ELSE 3
           END AS channels,
-          CASE WHEN doc_id % 6 = 3 THEN
+          CASE WHEN doc_id % 7 = 3 THEN
             (((400 + (doc_id % 100) * 40) * (1 + doc_id % 2) * 2)
               * 1000.0::DOUBLE) /
             ((CASE WHEN doc_id % 4 = 3 THEN 16000 ELSE 8000 END)
               * (1 + doc_id % 2) * 2)
+          WHEN doc_id % 7 = 6 THEN
+            ((1000 + (doc_id % 50) * 200) * 1000.0::DOUBLE) /
+            (CASE WHEN doc_id % 10 = 6 THEN 25000 ELSE 10000 END)
           ELSE 0.0::DOUBLE END AS duration_ms,
-          CASE doc_id % 6
+          CASE doc_id % 7
             WHEN 0 THEN 54 + ((16 + doc_id % 32) * 3 + 3) // 4 * 4
                           * (8 + doc_id % 16)
             WHEN 1 THEN 57
@@ -1251,7 +1290,8 @@ object PipelineQueries {
             WHEN 3 THEN 44 + (400 + (doc_id % 100) * 40)
                           * (1 + doc_id % 2) * 2
             WHEN 4 THEN 14
-            ELSE 26 END AS n_bytes
+            WHEN 5 THEN 26
+            ELSE 244 END AS n_bytes
         FROM documents)
       SELECT format, count(*) AS n_docs,
              round(avg(width), 2) AS avg_width,
@@ -1301,45 +1341,52 @@ object PipelineQueries {
     "mm_transcode_candidates" -> """
       WITH feat AS (
         SELECT doc_id,
-          CASE doc_id % 6 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
-               WHEN 2 THEN 'jpeg' WHEN 4 THEN 'gif' ELSE 'webp'
+          CASE doc_id % 7 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+               WHEN 2 THEN 'jpeg' WHEN 4 THEN 'gif' WHEN 5 THEN 'webp'
+               ELSE 'mp4'
           END AS format,
-          CAST(CASE doc_id % 6
+          CAST(CASE doc_id % 7
             WHEN 0 THEN 16 + doc_id % 32
             WHEN 1 THEN 32 + doc_id % 64
             WHEN 2 THEN 64 + doc_id % 128
             WHEN 4 THEN 20 + doc_id % 40
-            ELSE 24 + doc_id % 48 END AS INT) AS width,
-          CAST(CASE doc_id % 6
+            WHEN 5 THEN 24 + doc_id % 48
+            ELSE 48 + doc_id % 96 END AS INT) AS width,
+          CAST(CASE doc_id % 7
             WHEN 0 THEN 8 + doc_id % 16
             WHEN 1 THEN 16 + doc_id % 32
             WHEN 2 THEN 48 + doc_id % 64
             WHEN 4 THEN 10 + doc_id % 20
-            ELSE 12 + doc_id % 24 END AS INT) AS height,
-          CAST(CASE doc_id % 6
+            WHEN 5 THEN 12 + doc_id % 24
+            ELSE 32 + doc_id % 64 END AS INT) AS height,
+          CAST(CASE doc_id % 7
             WHEN 0 THEN 3
             WHEN 1 THEN 4
             WHEN 2 THEN CASE WHEN doc_id % 8 = 2 THEN 1 ELSE 3 END
             WHEN 4 THEN 1
-            ELSE CASE WHEN doc_id % 12 = 11 THEN 4 ELSE 3 END
+            WHEN 5 THEN CASE WHEN doc_id % 12 = 11 THEN 4 ELSE 3 END
+            ELSE 3
           END AS INT) AS channels
-        FROM documents WHERE doc_id % 6 <> 3
+        FROM documents WHERE doc_id % 7 <> 3
         UNION ALL
         SELECT doc_id + 1000000000 AS doc_id,
-          CASE doc_id % 6 WHEN 2 THEN 'bmp' ELSE 'webp' END AS format,
-          CAST(CASE doc_id % 6
+          CASE WHEN doc_id % 7 IN (2, 6) THEN 'bmp' ELSE 'webp'
+          END AS format,
+          CAST(CASE doc_id % 7
             WHEN 0 THEN 16 + doc_id % 32
             WHEN 1 THEN 32 + doc_id % 64
-            ELSE 64 + doc_id % 128 END AS INT) AS width,
-          CAST(CASE doc_id % 6
+            WHEN 2 THEN 64 + doc_id % 128
+            ELSE 48 + doc_id % 96 END AS INT) AS width,
+          CAST(CASE doc_id % 7
             WHEN 0 THEN 8 + doc_id % 16
             WHEN 1 THEN 16 + doc_id % 32
-            ELSE 48 + doc_id % 64 END AS INT) AS height,
-          CAST(CASE doc_id % 6 WHEN 1 THEN 4 ELSE 3 END AS INT)
+            WHEN 2 THEN 48 + doc_id % 64
+            ELSE 32 + doc_id % 64 END AS INT) AS height,
+          CAST(CASE doc_id % 7 WHEN 1 THEN 4 ELSE 3 END AS INT)
             AS channels
         FROM documents
-        WHERE doc_id % 5 = 0 AND (doc_id % 6 IN (0, 1) OR
-          (doc_id % 6 = 2 AND doc_id % 8 <> 2))),
+        WHERE doc_id % 5 = 0 AND (doc_id % 7 IN (0, 1, 6) OR
+          (doc_id % 7 = 2 AND doc_id % 8 <> 2))),
       occ AS (
         SELECT width, height, channels FROM feat
         GROUP BY 1, 2, 3 HAVING count(*) <= 512),
@@ -1352,6 +1399,111 @@ object PipelineQueries {
         ON a.width = b.width AND a.height = b.height
        AND a.channels = b.channels AND a.format <> b.format
        AND a.doc_id < b.doc_id""",
+
+    // bucketKeys reproduced arithmetically: every component of the two
+    // offset band keys (format, floor-banded dims, channels,
+    // sample_rate, floor-banded duration) is a pure function of doc_id,
+    // and grouping by the component TUPLE equals grouping by the Spark
+    // side's ':'-joined string (components are separator-free). The
+    // corpus-level rollup (memberships / buckets / dropped-over-cap /
+    // max occupancy) then compares exactly
+    "mm_dedup_near_audit" -> """
+      WITH feat AS (
+        SELECT doc_id,
+          CASE doc_id % 7 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+               WHEN 2 THEN 'jpeg' WHEN 3 THEN 'wav' WHEN 4 THEN 'gif'
+               WHEN 5 THEN 'webp' ELSE 'mp4' END AS format,
+          CASE doc_id % 7 WHEN 0 THEN 16 + doc_id % 32
+               WHEN 1 THEN 32 + doc_id % 64 WHEN 2 THEN 64 + doc_id % 128
+               WHEN 3 THEN 0 WHEN 4 THEN 20 + doc_id % 40
+               WHEN 5 THEN 24 + doc_id % 48
+               ELSE 48 + doc_id % 96 END AS width,
+          CASE doc_id % 7 WHEN 0 THEN 8 + doc_id % 16
+               WHEN 1 THEN 16 + doc_id % 32 WHEN 2 THEN 48 + doc_id % 64
+               WHEN 3 THEN 0 WHEN 4 THEN 10 + doc_id % 20
+               WHEN 5 THEN 12 + doc_id % 24
+               ELSE 32 + doc_id % 64 END AS height,
+          CASE doc_id % 7 WHEN 0 THEN 3 WHEN 1 THEN 4
+               WHEN 2 THEN CASE WHEN doc_id % 8 = 2 THEN 1 ELSE 3 END
+               WHEN 3 THEN 1 + doc_id % 2 WHEN 4 THEN 1
+               WHEN 5 THEN CASE WHEN doc_id % 12 = 11 THEN 4 ELSE 3 END
+               ELSE 3
+          END AS channels,
+          CASE WHEN doc_id % 7 = 3 THEN
+            CASE WHEN doc_id % 4 = 3 THEN 16000 ELSE 8000 END
+          ELSE 0 END AS sample_rate,
+          CASE WHEN doc_id % 7 = 3 THEN
+            (((400 + (doc_id % 100) * 40) * (1 + doc_id % 2) * 2)
+              * 1000.0::DOUBLE) /
+            ((CASE WHEN doc_id % 4 = 3 THEN 16000 ELSE 8000 END)
+              * (1 + doc_id % 2) * 2)
+          WHEN doc_id % 7 = 6 THEN
+            ((1000 + (doc_id % 50) * 200) * 1000.0::DOUBLE) /
+            (CASE WHEN doc_id % 10 = 6 THEN 25000 ELSE 10000 END)
+          ELSE 0.0::DOUBLE END AS duration_ms
+        FROM documents),
+      mem AS (
+        SELECT 0 AS tbl, format, floor(width / 8.0) AS wb,
+               floor(height / 8.0) AS hb, channels, sample_rate,
+               floor(duration_ms / 500.0) AS db
+        FROM feat
+        UNION ALL
+        SELECT 1, format, floor((width + 4) / 8.0),
+               floor((height + 4) / 8.0), channels, sample_rate,
+               floor((duration_ms + 250.0) / 500.0)
+        FROM feat),
+      occ AS (
+        SELECT tbl, format, wb, hb, channels, sample_rate, db,
+               CAST(count(*) AS BIGINT) AS occ
+        FROM mem GROUP BY tbl, format, wb, hb, channels, sample_rate, db)
+      SELECT CAST(sum(occ) AS BIGINT) AS n_bucket_memberships,
+             CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(CASE WHEN occ > 512 THEN occ ELSE 0 END) AS BIGINT)
+               AS n_dropped_over_cap,
+             CAST(max(occ) AS BIGINT) AS max_occupancy
+      FROM occ""",
+
+    // the full int8 chain reproduced in DuckDB list arithmetic: codes
+    // are floor-half-up over the identical IEEE expression
+    // (x * 127.0 / mx + 0.5 — floor of identical doubles is identical
+    // in every engine, unlike round()), the dot of ≤127² integers is
+    // EXACT in doubles regardless of summation order, qnrm = sqrt of an
+    // exact integer, and the displayed score is floor-half-up at 1e4 +
+    // one exact division. Rank orders identical doubles → identical
+    // rows. Zero-norm codes excluded on both sides (0/0 = NaN would
+    // sort first in a DESC rank)
+    "knn_quantized" -> """
+      WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      m AS (
+        SELECT vec_id, v,
+               list_aggregate(list_transform(v, x -> abs(x)), 'max') AS mx
+        FROM base),
+      codes AS (
+        SELECT vec_id,
+               list_transform(v, x -> floor(
+                 CASE WHEN mx = 0.0::DOUBLE THEN 0.0::DOUBLE
+                      ELSE x * 127.0::DOUBLE / mx END
+                 + 0.5::DOUBLE)) AS qv
+        FROM m),
+      n AS (
+        SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS qnrm
+        FROM codes),
+      nz AS (SELECT * FROM n WHERE qnrm > 0.0::DOUBLE),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(floor(list_dot_product(q.qv, c.qv) * 10000.0::DOUBLE /
+                 (q.qnrm * c.qnrm) + 0.5::DOUBLE) AS DOUBLE) /
+                 10000.0::DOUBLE AS score
+        FROM nz q JOIN nz c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
+      SELECT query_id, neighbor_id, score, rnk FROM (
+        SELECT query_id, neighbor_id, score,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+        FROM scored)
+      WHERE rnk <= 10""",
 
     "mm_ingest" -> """
       SELECT source, count(*) AS n_docs,

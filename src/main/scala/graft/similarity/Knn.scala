@@ -47,26 +47,47 @@ object Knn {
   }
 
   /** Int8 scalar quantization of the corpus: per-vector symmetric scale
-    * (q_i = round(v_i · 127 / max|v_j|), zero vectors → all-zero codes).
-    * One linear encode pass; the quantized corpus is 8× smaller resident
-    * than array<double> — at 100 TB of embeddings this is the difference
+    * (q_i = floor(v_i · 127 / max|v_j| + 0.5), zero vectors → all-zero
+    * codes). Half-up via floor(x + 0.5), NOT round(): floor of identical
+    * doubles is identical in every engine, while round() diverges
+    * between Spark (decimal-string HALF_UP) and DuckDB (binary) exactly
+    * at .5 boundaries — this is what makes the codes, and with them the
+    * whole integer scoring chain, oracle-reproducible. One linear encode
+    * pass; the quantized corpus is 8× smaller resident than
+    * array<double> — at 100 TB of embeddings this is the difference
     * between an executor-cached index and one that spills. */
   def quantize(e: DataFrame): DataFrame =
     e.withColumn("mx", expr("array_max(transform(v, x -> abs(x)))"))
       .withColumn("qv",
-        expr("""transform(v, x -> cast(round(
-                 CASE WHEN mx = 0.0 THEN 0.0 ELSE x * 127.0 / mx END)
+        expr("""transform(v, x -> cast(floor(
+                 CASE WHEN mx = 0.0D THEN 0.0D ELSE x * 127.0D / mx END
+                 + 0.5D)
                as tinyint))"""))
       .withColumn("qnrm", sqrt(graft.functions.ByteDot(col("qv"), col("qv"))
         .cast("double")))
       .drop("mx")
 
+  /** Quantized cosine at 4 displayed decimals with NO float round():
+    * dot · 10⁴ / (|q|·|c|) + 0.5 → floor → one exact division. Every
+    * input is an identical double in any engine (integer dot, sqrt of
+    * integers), +,×,÷,floor are IEEE-identical, so score AND rank order
+    * reproduce bit-exactly — the property that puts the int8 kernel
+    * under the hash gate. */
+  private def quantizedScore: Column =
+    floor(graft.functions.ByteDot(col("q.qv"), col("c.qv")).cast("double")
+        * lit(10000.0) / (col("q.qnrm") * col("c.qnrm")) + lit(0.5))
+      .cast("double") / lit(10000.0)
+
   /** Exact top-k search IN THE QUANTIZED SPACE: integer [[ByteDot]]
     * accumulation (bit-deterministic — no FP summation-order hazard),
     * cosine of the int8 codes. Approximate w.r.t. the float cosine only
     * through the quantization itself; KnnSpec bounds recall@k against
-    * [[brute]]. Same broadcast-queries shape as brute — at scale the
-    * win is the 8× smaller corpus side staying cache-resident. */
+    * [[brute]], and since r12 the whole chain (codes, integer dot,
+    * [[quantizedScore]], rank) is oracle-EXACT: DuckDB list arithmetic
+    * reproduces every row (dots of ≤127² ints are exact in doubles, and
+    * no float round() appears anywhere). Same broadcast-queries shape
+    * as brute — at scale the win is the 8× smaller corpus side staying
+    * cache-resident. */
   def bruteQuantized(e: DataFrame, queryPred: Column, k: Int): DataFrame = {
     // zero vectors quantize to all-zero codes with qnrm = 0; their
     // cosine is undefined (0/0 → NaN, which sorts ABOVE every real
@@ -78,9 +99,7 @@ object Knn {
       col("qv"), col("qnrm"))
     val scored = q.as("q").join(qe.as("c"),
         col("query_id") =!= col("c.vec_id"))
-      .withColumn("score",
-        round(graft.functions.ByteDot(col("q.qv"), col("c.qv"))
-          .cast("double") / (col("q.qnrm") * col("c.qnrm")), 4))
+      .withColumn("score", quantizedScore)
       .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
         col("score"))
     ranked(scored, k)
@@ -349,6 +368,66 @@ object Knn {
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(tableName)
     centroids
+  }
+
+  /** Persist an IVF index whose inverted lists store int8-QUANTIZED
+    * codes — the IVF-PQ-shaped layout a 100 TB embedding corpus
+    * actually serves from: centroid assignment runs in FLOAT space
+    * (build accuracy is an offline, once-per-corpus cost), but the
+    * stored rows carry only (qv, qnrm) — the resident index is 8×
+    * smaller than float vectors, which is the difference between
+    * inverted lists that stay executor-cached and ones that spill.
+    * Bucketed by `c_id` exactly like [[writeIvfIndex]], so the probe
+    * equijoin reads pre-partitioned buckets with zero index-side
+    * Exchange (KnnSpec-asserted). Returns the float centroid table
+    * (probes rank centroids in float space — it is tiny). */
+  def writeIvfIndexQuantized(e: DataFrame, tableName: String, path: String,
+      nlist: Int = 10, buckets: Int = 8): DataFrame = {
+    val base = quantize(e).localCheckpoint(true)
+    val centroids = kmeansCentroids(base, nlist)
+    val assigned = assignNearest(
+      base.crossJoin(broadcast(withCnrm2(centroids))).withColumn("d", sqDist),
+      Seq("qv", "qnrm"))
+      .select(col("vec_id"), col("qv"), col("qnrm"), col("c_id"))
+    assigned
+      .repartition(col("c_id"))
+      .write
+      .option("path", path)
+      .bucketBy(buckets, "c_id")
+      .sortBy("c_id")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(tableName)
+    centroids
+  }
+
+  /** Search a quantized persisted IVF index ([[writeIvfIndexQuantized]]):
+    * queries rank the float centroid table for their `nprobe` nearest
+    * lists (float space — the query set is small), then meet the
+    * bucketed code lists in a `c_id` equijoin and score with the
+    * integer [[graft.functions.ByteDot]] kernel — bit-deterministic
+    * accumulation, no FP summation-order hazard, 8× less data read per
+    * probed list. Zero-norm codes are excluded on both sides (their
+    * cosine is 0/0 = NaN, which would sort above every real score). */
+  def searchIvfIndexQuantized(spark: SparkSession, tableName: String,
+      centroids: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val probeW = Window.partitionBy("query_id").orderBy(col("d"), col("c_id"))
+    val probes = quantize(queries).filter(col("qnrm") > lit(0.0))
+      .select(col("vec_id").as("query_id"), col("v"), col("nrm"),
+        col("qv"), col("qnrm"))
+      .crossJoin(broadcast(withCnrm2(centroids)))
+      .withColumn("d", sqDist)
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qnrm"), col("c_id"))
+    val scored = probes.as("q")
+      .join(spark.table(tableName).filter(col("qnrm") > lit(0.0)).as("c"),
+        col("q.c_id") === col("c.c_id") &&
+          col("query_id") =!= col("c.vec_id"))
+      .withColumn("score", quantizedScore)
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        col("score"))
+    ranked(scored, k)
   }
 
   /** Search a persisted IVF index ([[writeIvfIndex]]): queries rank the

@@ -113,6 +113,63 @@ class KnnSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("quantized persisted IVF: int8 lists recall like the float index, bucketed plan carries over") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfq_idx").toString
+    spark.sql("DROP TABLE IF EXISTS ivfq_idx")
+    val centroids = graft.similarity.Knn.writeIvfIndexQuantized(
+      e, "ivfq_idx", dir, nlist = 10, buckets = 4)
+    // the stored lists carry CODES, not float vectors: tinyint array +
+    // one double norm per row — the 8× memory story is the schema
+    val idxSchema = spark.table("ivfq_idx").schema
+    assert(idxSchema.fieldNames.toSet ==
+      Set("vec_id", "qv", "qnrm", "c_id"), idxSchema.treeString)
+    assert(idxSchema("qv").dataType.simpleString == "array<tinyint>")
+    // same-session float IVF index over the same corpus: the quantized
+    // probe must recall nearly the same neighbor set (quantization is
+    // the only difference; both probe nprobe=2 of 10 lists)
+    val fdir = java.nio.file.Files.createTempDirectory("graft_ivff_idx").toString
+    spark.sql("DROP TABLE IF EXISTS ivff_idx")
+    val fcentroids = graft.similarity.Knn.writeIvfIndex(
+      e, "ivff_idx", fdir, nlist = 10, buckets = 4)
+    val q = e.filter(col("vec_id") < 5)
+    val fl = graft.similarity.Knn.searchIvfIndex(spark, "ivff_idx",
+      fcentroids, q, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val qt = graft.similarity.Knn.searchIvfIndexQuantized(spark, "ivfq_idx",
+      centroids, q, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (fl & qt).size.toDouble / fl.size
+    assert(recall > 0.6, s"quantized IVF recall vs float IVF too low: $recall")
+    // determinism: integer accumulation makes repeat runs bit-identical
+    val again = graft.similarity.Knn.searchIvfIndexQuantized(spark, "ivfq_idx",
+      centroids, q, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("score"))).toSet
+    val first = graft.similarity.Knn.searchIvfIndexQuantized(spark, "ivfq_idx",
+      centroids, q, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("score"))).toSet
+    assert(again == first)
+    // the bucketed-layout plan assertions carry over from the float
+    // index: zero Exchange on a c_id agg, exactly one (probe-side) c_id
+    // Exchange in the search join, bucketed index scan
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val aggPlan = spark.table("ivfq_idx").groupBy("c_id")
+        .agg(count(lit(1))).queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"), aggPlan)
+      val searchPlan = graft.similarity.Knn.searchIvfIndexQuantized(spark,
+        "ivfq_idx", centroids, q, k = 10)
+        .queryExecution.executedPlan.toString
+      val cIdExchanges =
+        "Exchange hashpartitioning\\(c_id".r.findAllIn(searchPlan).length
+      assert(cIdExchanges == 1, searchPlan)
+      assert(searchPlan.contains("Bucketed: true"), searchPlan)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("semantic dedup: planted duplicate groups collapse; coverage is total") {
     import spark.implicits._
     import graft.functions.DotProduct

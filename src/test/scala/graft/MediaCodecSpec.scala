@@ -238,6 +238,100 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(!MediaCodec.decode(full.take(full.length - 2)).ok)
   }
 
+  test("mp4: encode→decode round-trips canvas and mvhd duration") {
+    val b = MediaCodec.encodeMp4(640, 360, 2500, 25000)
+    assert(b.length == 244) // fixed layout: ftyp 20 + moov 216 + mdat 8
+    val m = MediaCodec.decode(b)
+    assert(m.ok && m.format == "mp4")
+    assert(m.width == 640 && m.height == 360 && m.channels == 3)
+    assert(math.abs(m.durationMs - 100.0) < 1e-9) // 2500/25000 s
+    // the empty-mdat "size 0 = to end of file" escape still decodes
+    val toEnd = b.clone()
+    toEnd(236) = 0; toEnd(237) = 0; toEnd(238) = 0; toEnd(239) = 0
+    assert(MediaCodec.decode(toEnd).ok)
+  }
+
+  test("mp4: an audio track's 0×0 tkhd canvas is skipped for the video track's") {
+    // moov = mvhd + trak(audio: zeroed canvas) + trak(video): dims must
+    // come from the first NON-ZERO canvas, per the first-video-track rule
+    val base = MediaCodec.encodeMp4(640, 360, 2500, 25000)
+    val ftyp = base.slice(0, 20)
+    val mvhd = base.slice(28, 136)
+    val trak = base.slice(136, 236)
+    val mdat = base.slice(236, 244)
+    val audio = trak.clone() // zero the 16.16 canvas at trak +92/+96
+    (92 until 100).foreach(i => audio(i) = 0)
+    val out = new java.io.ByteArrayOutputStream()
+    def wbe32(v: Int): Unit = { out.write((v >>> 24) & 0xff)
+      out.write((v >>> 16) & 0xff); out.write((v >>> 8) & 0xff)
+      out.write(v & 0xff) }
+    out.write(ftyp, 0, 20)
+    wbe32(8 + 108 + 100 + 100); out.write('m'); out.write('o')
+    out.write('o'); out.write('v')
+    out.write(mvhd, 0, 108); out.write(audio, 0, 100)
+    out.write(trak, 0, 100); out.write(mdat, 0, 8)
+    val m = MediaCodec.decode(out.toByteArray)
+    assert(m.ok && m.width == 640 && m.height == 360)
+  }
+
+  test("mp4: version-1 boxes (64-bit times) and the u64 largesize escape parse") {
+    val base = MediaCodec.encodeMp4(320, 240, 1800, 10000)
+    // rebuild moov with a v1 mvhd (120 B) and a v1 tkhd (104 B)
+    val out = new java.io.ByteArrayOutputStream()
+    def wbe32(v: Int): Unit = { out.write((v >>> 24) & 0xff)
+      out.write((v >>> 16) & 0xff); out.write((v >>> 8) & 0xff)
+      out.write(v & 0xff) }
+    def wbe64(v: Long): Unit = { wbe32((v >>> 32).toInt); wbe32(v.toInt) }
+    def tag(s: String): Unit = s.foreach(c => out.write(c))
+    out.write(base, 0, 20) // ftyp
+    // moov via the size-1 + u64 largesize escape (header 16 B)
+    val moovContent = 120 + 8 + 104
+    wbe32(1); tag("moov"); wbe64(16L + moovContent)
+    wbe32(120); tag("mvhd")
+    out.write(1); out.write(0); out.write(0); out.write(0) // version 1
+    wbe64(0L); wbe64(0L) // creation/modification (u64)
+    wbe32(10000); wbe64(1800L) // timescale, duration (u64)
+    wbe32(0x00010000); wbe32(0x01000000); wbe32(0); wbe32(0)
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+      .foreach(wbe32)
+    (1 to 6).foreach(_ => wbe32(0)); wbe32(2)
+    wbe32(8 + 104); tag("trak")
+    wbe32(104); tag("tkhd")
+    out.write(1); out.write(0); out.write(0); out.write(7) // version 1
+    wbe64(0L); wbe64(0L) // creation/modification (u64)
+    wbe32(1); wbe32(0) // track_ID + reserved
+    wbe64(1800L) // duration (u64)
+    wbe32(0); wbe32(0); wbe32(0); wbe32(0) // reserved/layer/volume
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+      .foreach(wbe32)
+    wbe32(320 << 16); wbe32(240 << 16)
+    val m = MediaCodec.decode(out.toByteArray)
+    assert(m.ok && m.format == "mp4")
+    assert(m.width == 320 && m.height == 240)
+    assert(math.abs(m.durationMs - 180.0) < 1e-9)
+  }
+
+  test("hostile mp4: bad box sizes and truncation terminate as unknown, never throw") {
+    val b = MediaCodec.encodeMp4(64, 32, 1000, 10000)
+    // a box size below the 8-byte header would rewind/stall the cursor
+    val small = b.clone(); small(23) = 4 // moov size := 4
+    assert(!MediaCodec.decode(small).ok)
+    // a size jumping past the end of the blob ends the walk
+    val huge = b.clone(); huge(20) = 0x7f.toByte
+    assert(!MediaCodec.decode(huge).ok)
+    // largesize escape with no room for the u64 is hostile, not a read
+    val noRoom = b.slice(0, 20) ++
+      Array[Byte](0, 0, 0, 1, 'm', 'o', 'o', 'v', 0, 0)
+    assert(!MediaCodec.decode(noRoom).ok)
+    // zero dimensions / zero timescale are rejected, not emitted
+    assert(!MediaCodec.decode(MediaCodec.encodeMp4(0, 32, 10, 100)).ok)
+    assert(!MediaCodec.decode(MediaCodec.encodeMp4(64, 32, 10, 0)).ok)
+    // every truncation prefix at every box boundary and inside each box
+    // must return (not throw, not hang); mid-moov truncation is unknown
+    (0 until b.length).foreach(i => MediaCodec.decode(b.take(i)))
+    assert(!MediaCodec.decode(b.take(100)).ok)
+  }
+
   test("bmp top-down negative height is normalized") {
     val bytes = MediaCodec.encodeBmp(4, 4)
     // patch height (offset 22, s32le) to -4: top-down row order

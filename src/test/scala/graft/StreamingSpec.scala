@@ -129,7 +129,7 @@ class StreamingSpec extends SparkSpec {
       "complete")
     val got = spark.table("media_feats").collect().map(_.toSeq).toSet
     val want = Multimodal.featureStats(media).collect().map(_.toSeq).toSet
-    assert(want.size >= 6, "expected all six container formats")
+    assert(want.size >= 7, "expected all seven container formats")
     assert(got == want)
   }
 

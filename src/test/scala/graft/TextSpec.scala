@@ -107,19 +107,20 @@ class TextSpec extends SparkSpec {
 
   test("mm_dedup: byte-identical synthesis collapses, distinct params stay apart") {
     import spark.implicits._
-    // bmp params are (id % 32, id % 16): ids 0 and 96 collide (96 = 3·32),
-    // id 6 is the same modality with different dims — the digest group
-    // structure must match the parameter-tuple structure exactly
+    // bmp params are (id % 32, id % 16): ids 0 and 224 collide
+    // (224 = lcm(7,32), so both are bmp rows with params (0,0)); id 7 is
+    // the same modality with different dims — the digest group structure
+    // must match the parameter-tuple structure exactly
     val media = Multimodal.synthesize(
-      Seq((0L, "en", "s"), (96L, "en", "s"), (6L, "en", "s"))
+      Seq((0L, "en", "s"), (224L, "en", "s"), (7L, "en", "s"))
         .toDF("doc_id", "lang", "source"))
     val blobs = media.collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("blob")).toMap
-    assert(java.util.Arrays.equals(blobs(0L), blobs(96L)))
-    assert(!java.util.Arrays.equals(blobs(0L), blobs(6L)))
+    assert(java.util.Arrays.equals(blobs(0L), blobs(224L)))
+    assert(!java.util.Arrays.equals(blobs(0L), blobs(7L)))
     val groups = Multimodal.exactDedup(media).collect()
       .map(r => r.getAs[Long]("keeper") -> r.getAs[Long]("n_copies")).toMap
-    assert(groups == Map(0L -> 2L, 6L -> 1L))
+    assert(groups == Map(0L -> 2L, 7L -> 1L))
   }
 
   test("mm_dedup_near: re-encodes pair up; different dims do not; unknowns never bucket") {
@@ -132,11 +133,17 @@ class TextSpec extends SparkSpec {
     val c = MediaCodec.encodeJpeg(100, 80, 3) // byte-identical to a
     val d = MediaCodec.encodeJpeg(300, 200, 3) // other dims band
     val junk = Array[Byte](1, 2, 3, 4) // undecodable
+    // the video rung: a re-encoded MP4 whose canvas and duration drift
+    // within their bands (100→102 px, 100→104 ms) pairs; the format
+    // field keeps it out of every image bucket
+    val e = MediaCodec.encodeMp4(100, 80, 1000, 10000)
+    val f = MediaCodec.encodeMp4(102, 80, 1040, 10000)
     val media = Seq((1L, "s", a), (2L, "s", b), (3L, "s", c),
-      (4L, "s", d), (5L, "s", junk)).toDF("doc_id", "source", "blob")
+      (4L, "s", d), (5L, "s", junk), (6L, "s", e), (7L, "s", f))
+      .toDF("doc_id", "source", "blob")
     val rows = Multimodal.nearDedup(media).collect()
     val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (6L, 7L)))
     // the byte-identical pair verifies at jaccard exactly 1
     val exactPair = rows.find(r =>
       (r.getLong(0), r.getLong(1)) == (1L, 3L)).get
@@ -206,16 +213,17 @@ class TextSpec extends SparkSpec {
     assert(Multimodal.transcodeCandidates(flood, maxOccupancy = 10L)
       .count() == 0L)
     assert(Multimodal.transcodeCandidates(flood).count() == 20L * 20L)
-    // planted-transcode synthesis (only id%5==0 image rows plant):
-    // id 0 (bmp) gains a same-canvas webp clone at id+1e9; id 25 (png)
-    // a webp+alpha clone; id 20 (3-channel jpeg) a bmp clone; id 170
-    // (1-CHANNEL jpeg: 170%8=2) must NOT plant — those pairs, only
+    // planted-transcode synthesis (only id%5==0 image/video rows plant):
+    // id 0 (bmp) gains a same-canvas webp clone at id+1e9; id 15 (png)
+    // a webp+alpha clone; id 20 (mp4: 20%7=6) a same-canvas bmp "poster
+    // frame" — the cross-format video rung; id 170 (1-CHANNEL jpeg:
+    // 170%7=2, 170%8=2) must NOT plant — those pairs, only
     val planted = Multimodal.transcodeCandidates(
       Multimodal.synthesizeWithTranscodes(
-        Seq((0L, "en", "s"), (25L, "en", "s"), (20L, "en", "s"),
+        Seq((0L, "en", "s"), (15L, "en", "s"), (20L, "en", "s"),
           (170L, "en", "s")).toDF("doc_id", "lang", "source")))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(planted == Set((0L, 1000000000L), (25L, 1000000025L),
+    assert(planted == Set((0L, 1000000000L), (15L, 1000000015L),
       (20L, 1000000020L)))
   }
 
@@ -605,7 +613,7 @@ class TextSpec extends SparkSpec {
       .collect()
     assert(feats.length == docs.count())
     feats.foreach { f =>
-      (f.doc_id % 6) match {
+      (f.doc_id % 7) match {
         case 0 =>
           assert(f.format == "bmp" &&
             f.width == 16 + (f.doc_id % 32).toInt &&
@@ -626,16 +634,21 @@ class TextSpec extends SparkSpec {
             f.width == 20 + (f.doc_id % 40).toInt &&
             f.height == 10 + (f.doc_id % 20).toInt &&
             f.channels == 1, f.toString)
-        case _ =>
+        case 5 =>
           assert(f.format == "webp" &&
             f.width == 24 + (f.doc_id % 48).toInt &&
             f.height == 12 + (f.doc_id % 24).toInt &&
             f.channels == (if (f.doc_id % 12 == 11) 4 else 3), f.toString)
+        case _ =>
+          assert(f.format == "mp4" &&
+            f.width == 48 + (f.doc_id % 96).toInt &&
+            f.height == 32 + (f.doc_id % 64).toInt &&
+            f.channels == 3 && f.duration_ms > 0.0, f.toString)
       }
     }
-    // all six container formats must actually appear in the corpus
+    // all seven container formats must actually appear in the corpus
     assert(feats.map(_.format).toSet ==
-      Set("bmp", "png", "jpeg", "wav", "gif", "webp"))
+      Set("bmp", "png", "jpeg", "wav", "gif", "webp", "mp4"))
     // text blobs are not a known container → unknown, not a crash
     val unk = Multimodal.featureStats(ingested).collect()
     assert(unk.length == 1 && unk.head.getString(0) == "unknown")
