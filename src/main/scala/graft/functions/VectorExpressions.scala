@@ -93,6 +93,63 @@ object ByteDot {
     Bridge.column(ByteDot(Bridge.expression(a), Bridge.expression(b)))
 }
 
+/** Int8 symmetric scalar quantization of a double vector in ONE linear
+  * pass: `q_i = floor(v_i · 127 / max_j|v_j| + 0.5)` (half-up via
+  * floor — engine-identical, unlike round()), zero/empty vectors → all
+  * zeros. Exists because the SQL formulation
+  * (`transform(v, x -> floor(x*127/mx + 0.5))` over an `mx` alias) gets
+  * its `array_max(transform(v, abs))` subexpression INLINED into the
+  * per-element lambda by alias substitution — predicate pushdown of a
+  * `qnrm > 0` filter then re-derives the whole chain inside the filter
+  * condition, turning the encode into O(dim²) work per row evaluated
+  * several times per row (measured r12: knn_quantized 0.57 s → 3–4.7 s
+  * at sf0.1). The kernel computes the max and the codes in two tight
+  * loops, allocates once, and stays in whole-stage codegen. The double
+  * arithmetic is the IDENTICAL IEEE expression sequence
+  * ((x·127)/mx + 0.5, floor) as the SQL/DuckDB oracle formulation, so
+  * the codes remain oracle-reproducible bit-exactly. */
+case class QuantizeInt8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.ByteType, containsNull = false)
+  override def prettyName: String = "quantize_int8"
+
+  override def nullSafeEval(input: Any): Any =
+    QuantizeInt8.encode(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.QuantizeInt8.encode($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8 =
+    copy(child = newChild)
+}
+
+object QuantizeInt8 {
+  /** Called from generated code. Input must be array<double>. */
+  def encode(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Byte](n)
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getDouble(i))
+      if (a > mx) mx = a
+      i += 1
+    }
+    if (mx != 0.0) {
+      i = 0
+      while (i < n) {
+        // same IEEE op order as the oracle SQL: (x*127.0)/mx + 0.5, floor
+        out(i) = math.floor(v.getDouble(i) * 127.0 / mx + 0.5).toLong.toByte
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def apply(c: Column): Column =
+    Bridge.column(QuantizeInt8(Bridge.expression(c)))
+}
+
 /** 64-bit SimHash over an array of 64-bit token hashes: majority vote per
   * bit position (Charikar '02). */
 case class SimHash64(child: Expression) extends UnaryExpression {

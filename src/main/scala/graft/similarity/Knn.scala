@@ -57,15 +57,9 @@ object Knn {
     * array<double> — at 100 TB of embeddings this is the difference
     * between an executor-cached index and one that spills. */
   def quantize(e: DataFrame): DataFrame =
-    e.withColumn("mx", expr("array_max(transform(v, x -> abs(x)))"))
-      .withColumn("qv",
-        expr("""transform(v, x -> cast(floor(
-                 CASE WHEN mx = 0.0D THEN 0.0D ELSE x * 127.0D / mx END
-                 + 0.5D)
-               as tinyint))"""))
+    e.withColumn("qv", graft.functions.QuantizeInt8(col("v")))
       .withColumn("qnrm", sqrt(graft.functions.ByteDot(col("qv"), col("qv"))
         .cast("double")))
-      .drop("mx")
 
   /** Quantized cosine at 4 displayed decimals with NO float round():
     * dot · 10⁴ / (|q|·|c|) + 0.5 → floor → one exact division. Every

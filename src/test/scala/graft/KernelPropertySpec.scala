@@ -172,6 +172,31 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("quantize_int8 matches the scalar reference, zero/empty vectors, range") {
+    import graft.functions.QuantizeInt8
+    (1 to 200).foreach { _ =>
+      val n = 1 + rnd.nextInt(64)
+      val v = Array.fill(n)((rnd.nextDouble() - 0.5) * 20.0)
+      val got = QuantizeInt8.encode(new GenericArrayData(v.map(x => x: Any)))
+      // reference: the exact IEEE sequence of the oracle SQL formulation
+      val mx = v.map(math.abs).max
+      (0 until n).foreach { i =>
+        val expect =
+          if (mx == 0.0) 0.toByte
+          else math.floor(v(i) * 127.0 / mx + 0.5).toLong.toByte
+        assert(got.getByte(i) == expect, s"elem $i of ${v.toSeq}")
+        assert(got.getByte(i) >= -127 && got.getByte(i) <= 127)
+      }
+      // the max-|v| element always codes to ±127 — qnrm>0 ⟺ mx>0
+      assert(v.indices.exists(i => math.abs(got.getByte(i)) == 127) || mx == 0.0)
+    }
+    val zeros = QuantizeInt8.encode(new GenericArrayData(
+      Array[Any](0.0, 0.0, 0.0)))
+    assert((0 until 3).forall(zeros.getByte(_) == 0))
+    assert(QuantizeInt8.encode(new GenericArrayData(Array.empty[Any]))
+      .numElements() == 0)
+  }
+
   test("char_bigrams length and packing") {
     (1 to 200).foreach { _ =>
       val s = asciiStr()

@@ -55,6 +55,23 @@ class KnnSpec extends SparkSpec {
     assert(zq.getByte(0) == 0 && zq.getDouble(1) == 0.0)
   }
 
+  test("quantize_int8 kernel is bit-identical to the SQL transform formulation") {
+    // the kernel replaced this exact SQL (r12: alias inlining made it
+    // O(dim²) inside pushed-down filters) — the oracle reproduces the SQL,
+    // so kernel == SQL on the real corpus keeps the hash gate honest
+    val sql = e
+      .withColumn("mx", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("qv_sql",
+        expr("""transform(v, x -> cast(floor(
+                 CASE WHEN mx = 0.0D THEN 0.0D ELSE x * 127.0D / mx END
+                 + 0.5D)
+               as tinyint))"""))
+    val mismatches = Knn.quantize(e).select(col("vec_id"), col("qv"))
+      .join(sql.select(col("vec_id"), col("qv_sql")), "vec_id")
+      .filter(not(col("qv") === col("qv_sql"))).count()
+    assert(mismatches == 0)
+  }
+
   test("lsh candidates score identically to brute for the same pairs") {
     val brute = Knn.brute(e, col("vec_id") < 10, k = 50).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
