@@ -93,6 +93,81 @@ object ByteDot {
     Bridge.column(ByteDot(Bridge.expression(a), Bridge.expression(b)))
 }
 
+/** Sparse dot product + intersection count over two sparse vectors in
+  * PARALLEL-ARRAY layout: (aKeys, aW, bKeys, bW), keys ascending,
+  * all `array<long>`. One two-pointer merge per pair over primitive
+  * longs — no per-element struct wrappers, no string compares, no
+  * per-pair allocation beyond the 2-element result — inside
+  * whole-stage codegen. Exists because the equivalent formulations are
+  * measured r12 dead weight on doc_similar at sf0.1: (a) explode +
+  * term equijoin + per-pair re-aggregation pushes Σ_term df² partials
+  * (5.7·10⁷ rows) through a 3.2M-group hash aggregate = 24–32 s of a
+  * 35 s query; (b) a struct-array merge kernel
+  * (array<struct<term,w>>, UTF8String compares) still pays an
+  * InternalRow wrapper PER ELEMENT touched — 2·10⁸ allocations, ~11 s.
+  * Keys are 64-bit term hashes: two distinct terms colliding within
+  * one language's banded vocabulary would merge their contributions
+  * (the minhash-verify "up to 64-bit collisions" caveat; ~10⁻¹⁵ at any
+  * plausible vocabulary). Returns `[dot, n_common]` as array<long>. */
+case class SparseDotCounts(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sparse_dot_counts"
+
+  override def nullSafeEval(ak: Any, aw: Any, bk: Any, bw: Any): Any =
+    SparseDotCounts.merge(ak.asInstanceOf[ArrayData],
+      aw.asInstanceOf[ArrayData], bk.asInstanceOf[ArrayData],
+      bw.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (ak, aw, bk, bw) =>
+      s"graft.functions.SparseDotCounts.merge($ak, $aw, $bk, $bw)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): SparseDotCounts =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
+}
+
+object SparseDotCounts {
+  /** Called from generated code. Keys must be ascending; aK/aW and
+    * bK/bW must be same-length parallel arrays (same no-truncation
+    * contract as [[DotProduct.dot]]). */
+  def merge(aK: ArrayData, aW: ArrayData, bK: ArrayData,
+      bW: ArrayData): ArrayData = {
+    val na = aK.numElements()
+    val nb = bK.numElements()
+    if (aW.numElements() != na || bW.numElements() != nb) {
+      throw new IllegalArgumentException(
+        s"sparse_dot_counts parallel-array mismatch: " +
+          s"$na/${aW.numElements()} vs $nb/${bW.numElements()}")
+    }
+    var dot = 0L
+    var common = 0L
+    var i = 0
+    var j = 0
+    while (i < na && j < nb) {
+      val ka = aK.getLong(i)
+      val kb = bK.getLong(j)
+      if (ka == kb) {
+        dot += aW.getLong(i) * bW.getLong(j)
+        common += 1L
+        i += 1; j += 1
+      } else if (ka < kb) i += 1
+      else j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(dot, common))
+  }
+
+  def apply(aK: Column, aW: Column, bK: Column, bW: Column): Column =
+    Bridge.column(SparseDotCounts(Bridge.expression(aK),
+      Bridge.expression(aW), Bridge.expression(bK), Bridge.expression(bW)))
+}
+
 /** Int8 symmetric scalar quantization of a double vector in ONE linear
   * pass: `q_i = floor(v_i · 127 / max_j|v_j| + 0.5)` (half-up via
   * floor — engine-identical, unlike round()), zero/empty vectors → all

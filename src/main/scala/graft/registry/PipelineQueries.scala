@@ -329,6 +329,12 @@ object PipelineQueries {
     // per-doc top-3 tf-idf keywords; rank on the ROUNDED score with a
     // term-asc tie-break so the cut is engine-stable
     "doc_keywords" -> ((s, d) => TextOps.docKeywords(docs(s, d))),
+    // doc-to-doc tf-idf cosine pairs over the df-banded vocabulary
+    // (inverted-index self-join; the corpus-share stop band df·10 ≤
+    // 9·n_docs is an integer predicate and part of the score
+    // definition — not a lossy prune); integer weights/dot/norms, one
+    // final double expression, NaN fenced by an integer n2 > 0 guard
+    "doc_similar" -> ((s, d) => TextOps.docSimilar(docs(s, d))),
     // BM25 against the PERSISTED bucketed postings index (build once,
     // probe per query — the search-serving shape, completing the
     // persisted-index trilogy with knn_ivf_persisted and
@@ -1011,6 +1017,49 @@ object PipelineQueries {
                  ORDER BY micro DESC, term) AS BIGINT) AS rnk
         FROM sc)
       WHERE rnk <= 3""",
+
+    // the docSimilar dual: identical df band, identical 1e-3 idf snap,
+    // exact BIGINT weights/dot/norms, the same single floor-half-up
+    // double expression, and the same integer n2 > 0 NaN fence
+    "doc_similar" -> """
+      WITH t AS (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split(lower(text), ' '),
+                 x -> x <> '')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS tf
+             FROM t GROUP BY 1, 2, 3),
+      n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM (SELECT DISTINCT doc_id, lang FROM tf) GROUP BY 1),
+      dft AS (SELECT lang, term, df, n_docs FROM
+                (SELECT lang, term, CAST(count(*) AS BIGINT) AS df
+                 FROM tf GROUP BY 1, 2) JOIN n USING (lang)
+              WHERE df >= 2 AND df * 10 <= n_docs * 9),
+      w AS (
+        SELECT doc_id, tf.lang, tf.term,
+               tf * CAST(round(ln(n_docs / df) * 1000.0::DOUBLE, 0)
+                 AS BIGINT) AS w
+        FROM tf JOIN dft
+          ON tf.lang = dft.lang AND tf.term = dft.term),
+      norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+                FROM w GROUP BY 1),
+      dots AS (
+        SELECT a.lang AS lang, a.doc_id AS doc1, b.doc_id AS doc2,
+               CAST(count(*) AS BIGINT) AS n_common,
+               CAST(sum(a.w * b.w) AS BIGINT) AS dot
+        FROM w a JOIN w b
+          ON a.lang = b.lang AND a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3)
+      SELECT lang, doc1, doc2, n_common, score FROM (
+        SELECT lang, doc1, doc2, n_common,
+               floor(CAST(dot AS DOUBLE) * 10000.0 /
+                 (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+                 + 0.5) / 10000.0 AS score
+        FROM dots
+        JOIN norms na ON dots.doc1 = na.doc_id
+        JOIN norms nb ON dots.doc2 = nb.doc_id
+        WHERE na.n2 > 0 AND nb.n2 > 0)
+      WHERE score >= 0.9""",
 
     "vocab_topk" -> """
       WITH w AS (

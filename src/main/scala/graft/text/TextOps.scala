@@ -873,4 +873,120 @@ object TextOps {
       .filter(col("rnk") <= k)
       .select("doc_id", "term", "tfidf", "rnk")
   }
+
+  /** Doc-to-doc tf-idf cosine similarity pairs — the "more like this"
+    * query of a curation pipeline (surface near-topical duplicates that
+    * share no verbatim runs, cluster a crawl by lexical topic, route
+    * review queues). The scalable construction is the classic
+    * construction: per-doc KEY-SORTED sparse vectors (64-bit term
+    * hashes + integer weights, parallel primitive arrays) over the
+    * df-banded per-language vocabulary, scored by the
+    * [[graft.functions.SparseDotCounts]] two-pointer kernel over a
+    * lang-blocked pair join. Everything is conditioned PER LANGUAGE:
+    * unigram lexical cosine across languages is noise, so the vector
+    * space, the collection statistics (n_docs, df, idf), and the pair
+    * join are all scoped to the document's language (the dedup_jaccard
+    * scoping — MEASURED r12: unscoped on the dense synthetic
+    * vocabulary was 5·10⁸ join partials / 130+ s at sf0.1). The space
+    * is DF-BANDED [minDf, maxDfTenths/10 of the language's corpus]:
+    * df < minDf terms cannot co-occur (pure norm noise) and stop terms
+    * above the corpus-share cap are excluded from the SPACE ITSELF —
+    * band and scoping are part of the score definition, reproduced
+    * identically by the oracle (unlike the candidate-prune caps,
+    * nothing is dropped from an otherwise-defined result). The
+    * lang-blocked all-pairs join is the oracle-able exact baseline
+    * (the dedup_jaccard posture — per-language blocks bound the
+    * quadratic); at 100 TB the SAME kernel scores candidate pairs fed
+    * by the banded inverted index or the minhash/LSH paths instead of
+    * the lang block, exactly as dedup_clusters_lsh swaps the pair
+    * source under dedup_clusters.
+    *
+    * FP contract (bm25/doc_keywords discipline, extended to a
+    * bilinear form): idf is snapped to the 1e-3 grid (the one
+    * transcendental; MILLI not micro so the dot of two weights stays
+    * well inside exact-double range — w ≤ tf·9e3, w_a·w_b ≤ ~1e13 per
+    * term, summed ≪ 2^53), weights w = tf·idf_milli are exact
+    * integers, dot and both squared norms are exact integer sums, row
+    * membership is guarded by the INTEGER predicate n2 > 0 (an
+    * all-stop-term doc would otherwise produce 0/0 = NaN, which Spark
+    * sorts/filters differently from DuckDB), and the displayed score
+    * is ONE double expression over those integers
+    * (floor(dot·10⁴/(√n2₁·√n2₂) + 0.5)/10⁴ — floor half-up, no float
+    * round()), thresholded on the rounded value. Shuffles: tf agg, the
+    * term equijoin, the pair agg — all hash-partitioned; the slim
+    * (doc, term, w) table is checkpointed once and feeds the norms agg
+    * plus both join sides. */
+  def docSimilar(d: DataFrame, tau: Double = 0.9, minDf: Long = 2L,
+      maxDfTenths: Int = 9): DataFrame = {
+    // tau must be POSITIVE: a pair sharing no in-band term scores 0.0
+    // and is absent from the inverted-index oracle formulation — tau > 0
+    // is what makes the two derivations emit the same row set
+    require(tau > 0.0 && minDf >= 2L && maxDfTenths >= 1 && maxDfTenths <= 10,
+      s"bad params tau=$tau minDf=$minDf maxDfTenths=$maxDfTenths")
+    val tf = withToks(d.withColumn("text", lower(col("text"))))
+      .select(col("doc_id"), col("lang"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("lang"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      // feeds the df rollup, the per-lang counts, and the weight join —
+      // one tokenize pass (the docKeywords placement)
+      .localCheckpoint(true)
+    val scalars = tf.select(col("doc_id"), col("lang")).distinct()
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    // the stop band is CORPUS-RELATIVE (df·10 ≤ n_docs·maxDfTenths — an
+    // integer predicate, engine-exact): an absolute cap is meaningless
+    // across corpus sizes, and membership of a term in the vector space
+    // must never hinge on a float share computation
+    val dft = tf.groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("df"))
+      .join(broadcast(scalars), "lang")
+      .filter(col("df") >= minDf &&
+        col("df") * lit(10L) <= col("n_docs") * lit(maxDfTenths.toLong))
+    val w = tf.join(dft, Seq("lang", "term")) // vocab-sized right side
+      .withColumn("idf_milli",
+        round(log(col("n_docs") / col("df")) * lit(1000.0), 0).cast("long"))
+      .withColumn("w", col("tf") * col("idf_milli"))
+      .select(col("doc_id"), col("lang"), col("term"), col("w"))
+    // ONE row per doc: the term-sorted sparse vector + its squared norm.
+    // Pairs are then scored by the SparseDotCounts two-pointer kernel
+    // over a lang-blocked doc join — NOT by re-aggregating the exploded
+    // (pair, term) partials: Σ_term df² partial rows through a
+    // pair-cardinality hash aggregate is where Spark's agg falls over
+    // (measured r12 at sf0.1: 5.7e7 partials → 3.2M groups = 24–32 s;
+    // the kernel over the same pairs: seconds). A pair sharing no term
+    // scores dot 0 < tau, so the result is IDENTICAL to the
+    // inverted-index formulation — which is exactly what the DuckDB
+    // oracle runs, making the hash match a two-formulation
+    // cross-derivation (the es_replay_from_snapshot pattern).
+    val vecs = w.groupBy(col("doc_id"), col("lang"))
+      .agg(sort_array(collect_list(struct(
+          xxhash64(col("term")).as("k"), col("w").as("w")))).as("kw"),
+        sum(col("w") * col("w")).as("n2"))
+      // integer guard BEFORE the float expression: a doc whose every
+      // in-band term has idf 0 (df = n_docs possible in a tiny corpus)
+      // has n2 = 0 → 0/0 = NaN, and NaN orders differently across
+      // engines
+      .filter(col("n2") > lit(0L))
+      // PARALLEL-ARRAY layout for the kernel: primitive long key/weight
+      // arrays, never struct arrays (getStruct allocates an InternalRow
+      // wrapper per element — measured 11 s over the pair join)
+      .select(col("doc_id"), col("lang"), col("n2"),
+        expr("transform(kw, s -> s.k)").as("ks"),
+        expr("transform(kw, s -> s.w)").as("ws"))
+      // feeds both sides of the pair join
+      .localCheckpoint(true)
+    vecs.as("a").join(vecs.as("b"),
+        col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .withColumn("dc", graft.functions.SparseDotCounts(
+        col("a.ks"), col("a.ws"), col("b.ks"), col("b.ws")))
+      .withColumn("score",
+        floor(col("dc").getItem(0).cast("double") * lit(10000.0) /
+            (sqrt(col("a.n2").cast("double")) *
+              sqrt(col("b.n2").cast("double"))) + lit(0.5))
+          .cast("double") / lit(10000.0))
+      .filter(col("score") >= tau)
+      .select(col("a.lang").as("lang"),
+        col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        col("dc").getItem(1).as("n_common"), col("score"))
+  }
 }

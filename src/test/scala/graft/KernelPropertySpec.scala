@@ -197,6 +197,34 @@ class KernelPropertySpec extends SparkSpec {
       .numElements() == 0)
   }
 
+  test("sparse_dot_counts matches a map-based reference, rejects mismatched arrays") {
+    import graft.functions.SparseDotCounts
+    (1 to 200).foreach { _ =>
+      def vec(): (Array[Long], Array[Long]) = {
+        val n = rnd.nextInt(40)
+        val ks = Array.fill(n)(rnd.nextInt(30).toLong).distinct.sorted
+        (ks, Array.fill(ks.length)((rnd.nextInt(2000) - 1000).toLong))
+      }
+      val (ak, aw) = vec(); val (bk, bw) = vec()
+      val got = SparseDotCounts.merge(
+        new GenericArrayData(ak.map(x => x: Any)),
+        new GenericArrayData(aw.map(x => x: Any)),
+        new GenericArrayData(bk.map(x => x: Any)),
+        new GenericArrayData(bw.map(x => x: Any)))
+      val am = ak.zip(aw).toMap
+      val bm = bk.zip(bw).toMap
+      val shared = am.keySet & bm.keySet
+      assert(got.getLong(0) == shared.toSeq.map(k => am(k) * bm(k)).sum)
+      assert(got.getLong(1) == shared.size.toLong)
+    }
+    intercept[IllegalArgumentException] {
+      SparseDotCounts.merge(new GenericArrayData(Array[Any](1L)),
+        new GenericArrayData(Array[Any](1L, 2L)),
+        new GenericArrayData(Array[Any](1L)),
+        new GenericArrayData(Array[Any](1L)))
+    }
+  }
+
   test("char_bigrams length and packing") {
     (1 to 200).foreach { _ =>
       val s = asciiStr()

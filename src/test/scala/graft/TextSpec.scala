@@ -653,4 +653,30 @@ class TextSpec extends SparkSpec {
     val unk = Multimodal.featureStats(ingested).collect()
     assert(unk.length == 1 && unk.head.getString(0) == "unknown")
   }
+
+  test("docSimilar: shared in-band terms pair up, banded-out terms don't count") {
+    import spark.implicits._
+    // docs 1-2 and 3-4 are identical in the banded space; "common" is in
+    // every doc (df·10 = 50 > 9·n_docs = 45 → excluded from the VECTOR
+    // SPACE, so it can't make everything similar); doc 5's distinctive
+    // terms have df=1 < minDf → zero in-band mass → no rows, no NaN;
+    // doc 6 duplicates doc 1 in a DIFFERENT language → the lang scoping
+    // must keep them apart (its own lang's in-band space is empty)
+    val planted = Seq(
+      (1L, "en", "alpha beta gamma common"),
+      (2L, "en", "alpha beta gamma common"),
+      (3L, "en", "delta epsilon zeta common"),
+      (4L, "en", "delta epsilon zeta common"),
+      (5L, "en", "eta theta iota common"),
+      (6L, "fr", "alpha beta gamma common")).toDF("doc_id", "lang", "text")
+    val pairs = TextOps.docSimilar(planted, tau = 0.5, minDf = 2,
+      maxDfTenths = 9).collect()
+    val keys = pairs.map(r =>
+      (r.getAs[Long]("doc1"), r.getAs[Long]("doc2"))).toSet
+    assert(keys == Set((1L, 2L), (3L, 4L)), pairs.mkString(", "))
+    pairs.foreach { r =>
+      assert(r.getAs[Double]("score") == 1.0, r.toString) // identical vectors
+      assert(r.getAs[Long]("n_common") == 3, r.toString) // stop term excluded
+    }
+  }
 }
