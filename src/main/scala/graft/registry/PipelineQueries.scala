@@ -274,6 +274,12 @@ object PipelineQueries {
     // assignment); rows-only (centroid ids are hash-derived), KnnSpec
     // asserts coverage and determinism
     "emb_clusters" -> ((s, d) => Knn.clusterStats(Knn.emb(s, d))),
+    // per-label quantized-centroid drift vs the corpus centroid (the
+    // embedding dual of quality_drift): integer code sums end to end,
+    // corpus sums rolled up from label sums in one pass, NaN fenced by
+    // integer s2/c2 > 0 guards, one floor-half-up double expression
+    "emb_drift_quantized" -> ((s, d) =>
+      Knn.embDriftQuantized(Knn.emb(s, d))),
     // occupancy/drop accounting for the hyperplane-LSH paths: per hash
     // table, memberships in/kept/dropped and the realized max final
     // bucket occupancy — the auditable guarantee that the LSH candidate
@@ -1521,6 +1527,50 @@ object PipelineQueries {
     // one exact division. Rank orders identical doubles → identical
     // rows. Zero-norm codes excluded on both sides (0/0 = NaN would
     // sort first in a DESC rank)
+    // quantize chain shared with knn_quantized; per-dim sums via
+    // DuckDB's lockstep parallel unnest (values + generate_series);
+    // every aggregate forced to BIGINT before summing so both engines
+    // do the identical exact integer arithmetic
+    "emb_drift_quantized" -> """
+      WITH base AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      m AS (
+        SELECT vec_id, label, v,
+               list_aggregate(list_transform(v, x -> abs(x)), 'max') AS mx
+        FROM base),
+      codes AS (
+        SELECT vec_id, label,
+               list_transform(v, x -> floor(
+                 CASE WHEN mx = 0.0::DOUBLE THEN 0.0::DOUBLE
+                      ELSE x * 127.0::DOUBLE / mx END
+                 + 0.5::DOUBLE)) AS qv
+        FROM m),
+      expl AS (
+        SELECT label,
+               unnest(generate_series(1, len(qv))) AS pos,
+               unnest(qv) AS code
+        FROM codes),
+      bl AS (
+        SELECT label, pos,
+               CAST(sum(CAST(code AS BIGINT)) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n_vecs
+        FROM expl GROUP BY 1, 2),
+      corpus AS (
+        SELECT pos, CAST(sum(s) AS BIGINT) AS c FROM bl GROUP BY 1),
+      agg AS (
+        SELECT label, max(n_vecs) AS n_vecs,
+               CAST(sum(s * c) AS BIGINT) AS dot,
+               CAST(sum(s * s) AS BIGINT) AS s2,
+               CAST(sum(c * c) AS BIGINT) AS c2
+        FROM bl JOIN corpus USING (pos) GROUP BY 1)
+      SELECT CAST(label AS BIGINT) AS label, n_vecs,
+             CAST(floor(CAST(dot AS DOUBLE) * 10000.0::DOUBLE /
+               (sqrt(CAST(s2 AS DOUBLE)) * sqrt(CAST(c2 AS DOUBLE)))
+               + 0.5::DOUBLE) AS DOUBLE) / 10000.0::DOUBLE AS centroid_cos
+      FROM agg WHERE s2 > 0 AND c2 > 0""",
+
     "knn_quantized" -> """
       WITH base AS (
         SELECT vec_id,

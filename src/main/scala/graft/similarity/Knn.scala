@@ -99,6 +99,46 @@ object Knn {
     ranked(scored, k)
   }
 
+  /** Per-label embedding DRIFT monitor in the quantized space — the
+    * embedding dual of `quality_drift`: for each label (source /
+    * crawl-batch id), the cosine between the label's int8-centroid-sum
+    * vector and the corpus's, flagging batches whose embedding
+    * distribution points away from the corpus. Integer-exact end to
+    * end, which is what makes it oracle-checkable: codes come from
+    * [[quantize]] (floor-half-up, engine-identical), the per-(label,
+    * dim) and per-dim sums are exact integer aggregates (zero vectors
+    * contribute 0 — no special-casing), the corpus sums roll up from
+    * the label sums (ONE pass over the exploded codes, never a second
+    * corpus scan), degenerate all-zero centroids are fenced by the
+    * INTEGER predicates s2 > 0 / c2 > 0 (0/0 = NaN orders differently
+    * across engines), and the displayed cosine is ONE floor-half-up
+    * double expression over exact integers. Shuffles: the exploded
+    * (label, dim) agg — 64·|labels| groups — plus a broadcast-sized
+    * dim join; nothing pairwise. Long-overflow bound: Σc² ≤
+    * (127·n·64)² per dim needs n ≲ 10⁷ vectors per monitored batch —
+    * the monitor is a per-crawl-batch pass by design (scope the input,
+    * not the math, at 100 TB). */
+  def embDriftQuantized(e: DataFrame): DataFrame = {
+    val codes = quantize(e)
+      .select(col("label"), posexplode(col("qv")).as(Seq("pos", "code")))
+    val byLabel = codes.groupBy(col("label"), col("pos"))
+      .agg(sum(col("code").cast("long")).as("s"),
+        count(lit(1)).as("n_vecs"))
+    val corpus = byLabel.groupBy(col("pos")).agg(sum(col("s")).as("c"))
+    byLabel.join(broadcast(corpus), "pos")
+      .groupBy(col("label"))
+      .agg(max(col("n_vecs")).as("n_vecs"), // identical across dims
+        sum(col("s") * col("c")).as("dot"),
+        sum(col("s") * col("s")).as("s2"),
+        sum(col("c") * col("c")).as("c2"))
+      .filter(col("s2") > lit(0L) && col("c2") > lit(0L))
+      .select(col("label").cast("long").as("label"),
+        col("n_vecs"),
+        (floor(col("dot").cast("double") * lit(10000.0) /
+          (sqrt(col("s2").cast("double")) * sqrt(col("c2").cast("double")))
+          + lit(0.5)).cast("double") / lit(10000.0)).as("centroid_cos"))
+  }
+
   /** Occupancy-safe random-hyperplane LSH search ([[LshBuckets]]):
     * adaptive plane count (planes = 0 → log₂(n/targetOccupancy), so
     * bucket occupancy — and with it per-query candidate cost AND the

@@ -55,6 +55,28 @@ class KnnSpec extends SparkSpec {
     assert(zq.getByte(0) == 0 && zq.getDouble(1) == 0.0)
   }
 
+  test("embDriftQuantized: every label covered, cosine bounded, degenerate fenced") {
+    import spark.implicits._
+    val rows = Knn.embDriftQuantized(e).collect()
+    val labels = e.select("label").distinct().count()
+    assert(rows.length == labels, s"${rows.length} vs $labels labels")
+    rows.foreach { r =>
+      val c = r.getAs[Double]("centroid_cos")
+      assert(c >= -1.0001 && c <= 1.0001, r.toString)
+      assert(r.getAs[Long]("n_vecs") > 0L)
+    }
+    // a single-label corpus IS its own corpus centroid → cosine exactly 1
+    val solo = Seq((1L, 0, Seq(0.5, 0.25, 0.0)), (2L, 0, Seq(0.4, 0.1, 0.2)))
+      .toDF("vec_id", "label", "v")
+    val soloRow = Knn.embDriftQuantized(solo).collect()
+    assert(soloRow.length == 1 && soloRow.head.getAs[Double]("centroid_cos") == 1.0)
+    // two labels with exactly opposite mass → corpus centroid all-zero →
+    // the integer c2 > 0 fence drops every row instead of emitting NaN
+    val opp = Seq((1L, 0, Seq(1.0, 0.0)), (2L, 1, Seq(-1.0, 0.0)))
+      .toDF("vec_id", "label", "v")
+    assert(Knn.embDriftQuantized(opp).collect().isEmpty)
+  }
+
   test("quantize_int8 kernel is bit-identical to the SQL transform formulation") {
     // the kernel replaced this exact SQL (r12: alias inlining made it
     // O(dim²) inside pushed-down filters) — the oracle reproduces the SQL,
