@@ -124,6 +124,11 @@ object Knn {
     val byLabel = codes.groupBy(col("label"), col("pos"))
       .agg(sum(col("code").cast("long")).as("s"),
         count(lit(1)).as("n_vecs"))
+      // dims·|labels| rows feeding TWO consumers (the corpus rollup and
+      // the scoring join) — materialize once or the corpus is scanned
+      // and re-quantized twice (PlanSpec pins zero parquet scans in the
+      // final plan)
+      .localCheckpoint(true)
     val corpus = byLabel.groupBy(col("pos")).agg(sum(col("s")).as("c"))
     byLabel.join(broadcast(corpus), "pos")
       .groupBy(col("label"))

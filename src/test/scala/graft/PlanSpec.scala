@@ -216,4 +216,28 @@ class PlanSpec extends SparkSpec {
       graft.text.TextOps.docs(spark, SF), 50))
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("doc_similar scores via the kernel over a lang equijoin, never a cartesian") {
+    val p = plan(graft.text.TextOps.docSimilar(
+      graft.text.TextOps.docs(spark, SF)))
+    assert(!p.contains("CartesianProduct"), p)
+    // the pair stage must stay the SparseDotCounts kernel — a regression
+    // back to the exploded-postings re-aggregation (measured r12: 24-32 s
+    // of a 35 s query at sf0.1) would hide here as a silent plan change
+    assert(p.contains("sparse_dot_counts"), p)
+  }
+
+  test("emb_drift_quantized scans the corpus once; the dim join is broadcast") {
+    val df = graft.similarity.Knn.embDriftQuantized(
+      graft.similarity.Knn.emb(spark, SF))
+    val p = plan(df)
+    // corpus sums roll up from the eagerly-checkpointed label sums — the
+    // final plan must read ONLY the tiny checkpointed table (zero parquet
+    // scans); a parquet scan here means the one-pass rollup broke and the
+    // corpus is being re-quantized per consumer
+    val nScans = "Scan parquet".r.findAllIn(p).length
+    assert(nScans == 0, s"expected 0 embeddings scans, got $nScans:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
