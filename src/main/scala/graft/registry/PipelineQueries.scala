@@ -165,6 +165,13 @@ object PipelineQueries {
       Dedup.contaminationAtScale(dd, TextOps.splitAssign(dd, 13),
         tau = 0.9)
     }),
+    // the embedding dual of the contamination rows: (train, test) pairs
+    // whose QUANTIZED cosine reaches tau — catches paraphrased near-dups
+    // digest/substring decontamination can't see; split = the
+    // split_assign md5-nibble rule on vec_id, scoring = the
+    // knn_quantized integer chain, so the whole operator is oracle-exact
+    "contamination_semantic" -> ((s, d) =>
+      Knn.contaminationSemantic(Knn.emb(s, d))),
     "text_redact" -> ((s, d) => TextOps.redact(docs(s, d))),
     // domain mixing: every source Bernoulli-downsampled to ≤ ~15
     // expected rows via a pure md5 row function — no fact-table shuffle
@@ -1527,6 +1534,37 @@ object PipelineQueries {
     // one exact division. Rank orders identical doubles → identical
     // rows. Zero-norm codes excluded on both sides (0/0 = NaN would
     // sort first in a DESC rank)
+    // quantize chain + integer scoring shared with knn_quantized; split
+    // membership is the split_assign md5-nibble rule on vec_id
+    "contamination_semantic" -> """
+      WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      m AS (
+        SELECT vec_id, v,
+               list_aggregate(list_transform(v, x -> abs(x)), 'max') AS mx
+        FROM base),
+      codes AS (
+        SELECT vec_id,
+               list_transform(v, x -> floor(
+                 CASE WHEN mx = 0.0::DOUBLE THEN 0.0::DOUBLE
+                      ELSE x * 127.0::DOUBLE / mx END
+                 + 0.5::DOUBLE)) AS qv
+        FROM m),
+      n AS (
+        SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS qnrm,
+               CASE WHEN substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) < 'd'
+                    THEN 'train' ELSE 'test' END AS split
+        FROM codes WHERE list_dot_product(qv, qv) > 0)
+      SELECT test_vec, train_vec, score FROM (
+        SELECT s.vec_id AS test_vec, t.vec_id AS train_vec,
+               CAST(floor(list_dot_product(t.qv, s.qv) * 10000.0::DOUBLE /
+                 (t.qnrm * s.qnrm) + 0.5::DOUBLE) AS DOUBLE) /
+                 10000.0::DOUBLE AS score
+        FROM n t JOIN n s ON t.split = 'train' AND s.split = 'test')
+      WHERE score >= 0.45""",
+
     // quantize chain shared with knn_quantized; per-dim sums via
     // DuckDB's lockstep parallel unnest (values + generate_series);
     // every aggregate forced to BIGINT before summing so both engines

@@ -99,6 +99,50 @@ object Knn {
     ranked(scored, k)
   }
 
+  /** Cross-split SEMANTIC contamination check — the embedding dual of
+    * the text `contamination_*` rows: flag (train, test) example pairs
+    * whose quantized cosine reaches `tau`, catching the paraphrased /
+    * re-rendered near-duplicates that digest- and substring-based
+    * decontamination can never see (the eval-hygiene gap SemDeDup-style
+    * pipelines close). Split membership is the split_assign rule
+    * verbatim (md5 nibble of the id — a pure row function both engines
+    * compute identically), scoring is the knn_quantized integer chain
+    * (floor-half-up codes, exact integer ByteDot, one floor-half-up
+    * double expression), zero-norm codes excluded on both sides — so
+    * the whole operator sits under the hash gate. The pair join is the
+    * sanctioned brute baseline: test side broadcast (the minority
+    * split), train side streamed — the dedup_embedding posture. At
+    * 100 TB the same scoring chain runs over IVF-probe candidates from
+    * the persisted quantized index (knn_ivf_quantized) instead of the
+    * full cross product; the threshold semantics are unchanged. */
+  def contaminationSemantic(e: DataFrame, trainSixteenths: Int = 13,
+      tau: Double = 0.45): DataFrame = {
+    require(trainSixteenths >= 1 && trainSixteenths <= 15,
+      s"trainSixteenths must be in [1, 15], got $trainSixteenths")
+    require(tau > 0.0, s"bad tau=$tau")
+    val boundary = trainSixteenths.toHexString
+    // feeds both split slices — encode once, never per side
+    val q = quantize(e).filter(col("qnrm") > lit(0.0))
+      .withColumn("split",
+        when(substring(md5(col("vec_id").cast("string")), 1, 1) < boundary,
+          "train").otherwise("test"))
+      .select(col("vec_id"), col("split"), col("qv"), col("qnrm"))
+      .localCheckpoint(true)
+    val train = q.filter(col("split") === "train")
+      .select(col("vec_id").as("train_vec"), col("qv").as("tqv"),
+        col("qnrm").as("tnrm"))
+    val test = q.filter(col("split") === "test")
+      .select(col("vec_id").as("test_vec"), col("qv").as("sqv"),
+        col("qnrm").as("snrm"))
+    train.crossJoin(broadcast(test))
+      .withColumn("score",
+        floor(graft.functions.ByteDot(col("tqv"), col("sqv")).cast("double")
+            * lit(10000.0) / (col("tnrm") * col("snrm")) + lit(0.5))
+          .cast("double") / lit(10000.0))
+      .filter(col("score") >= tau)
+      .select("test_vec", "train_vec", "score")
+  }
+
   /** Per-label embedding DRIFT monitor in the quantized space — the
     * embedding dual of `quality_drift`: for each label (source /
     * crawl-batch id), the cosine between the label's int8-centroid-sum

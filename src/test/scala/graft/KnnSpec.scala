@@ -55,6 +55,34 @@ class KnnSpec extends SparkSpec {
     assert(zq.getByte(0) == 0 && zq.getDouble(1) == 0.0)
   }
 
+  test("contaminationSemantic: planted cross-split duplicate surfaces at 1.0") {
+    import spark.implicits._
+    def isTrain(id: Long): Boolean = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      h.charAt(0) < 'd'
+    }
+    val a = (0L to 50L).find(isTrain).get
+    val b = (0L to 50L).find(id => !isTrain(id)).get
+    val rnd = new scala.util.Random(7)
+    val base = (0L to 50L).map(id =>
+      (id, 0, Seq.fill(8)(rnd.nextDouble() - 0.5)))
+    // plant: the test-split vector b IS the train-split vector a
+    val planted = base.map { case (id, l, v) =>
+      if (id == b) (id, l, base(a.toInt)._3) else (id, l, v)
+    }.toDF("vec_id", "label", "v")
+    val rows = Knn.contaminationSemantic(planted, 13, tau = 0.99).collect()
+    assert(rows.exists(r => r.getAs[Long]("test_vec") == b &&
+      r.getAs[Long]("train_vec") == a &&
+      r.getAs[Double]("score") == 1.0), rows.mkString(", "))
+    // split discipline on every returned pair
+    rows.foreach { r =>
+      assert(!isTrain(r.getAs[Long]("test_vec")), r.toString)
+      assert(isTrain(r.getAs[Long]("train_vec")), r.toString)
+    }
+  }
+
   test("embDriftQuantized: every label covered, cosine bounded, degenerate fenced") {
     import spark.implicits._
     val rows = Knn.embDriftQuantized(e).collect()
