@@ -20,7 +20,7 @@ object Bench {
   // with a search, so the `phases` map reports both components
   private val PhaseSplit =
     Set("dedup_incremental", "knn_ivf_persisted", "knn_ivf_quantized",
-      "text_search_indexed")
+      "text_search_indexed", "token_count_bpe_persisted")
 
   private def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()

@@ -306,6 +306,21 @@ object PipelineQueries {
     // iterative merge training isn't ANSI-expressible — TextSpec proves
     // the segmentation invariants and known merges on a planted corpus)
     "token_count_bpe" -> ((s, d) => TextOps.tokenCountBpe(docs(s, d))),
+    // the persisted-model shape: train + write the merge table once
+    // (build phase), then tokenize against the frozen bucketed vocab
+    // (probe); result-identical to token_count_bpe (TextSpec parity),
+    // rows-only like it
+    "token_count_bpe_persisted" -> ((s, d) => {
+      val suffix = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val tbl = s"graft_bpe_model_$suffix"
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), tbl).toString
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"DROP TABLE IF EXISTS ${tbl}_merges")
+      TextOps.writeBpeModel(docs(s, d), tbl, path)
+      TextOps.tokenCountBpeIndexed(s, tbl, docs(s, d))
+    }),
     "lang_id" -> ((s, d) => TextOps.langId(docs(s, d))),
     // classifier-quality rollup: (true lang, predicted lang, count)
     "lang_id_confusion" -> ((s, d) => TextOps.langIdConfusion(docs(s, d))),

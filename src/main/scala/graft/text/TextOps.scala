@@ -652,6 +652,66 @@ object TextOps {
         round(avg(col("n_bpe")), 4).as("avg_bpe_per_word"))
   }
 
+  /** Persist the trained BPE model — the tokenizer's "model file" as
+    * tables, completing the persisted-index story for the tokenizer
+    * family (postings: `writeTextIndex`; vectors: `writeIvfIndex*`;
+    * anchors: `writeAnchorIndex`): a real pipeline trains the merge
+    * table ONCE on a reference corpus and then tokenizes every
+    * incoming batch against the frozen model instead of retraining per
+    * query. Two tables: the segmented vocabulary (word, freq, n_bpe)
+    * BUCKETED BY word (the apply join's key — a vocab bigger than the
+    * broadcast budget still joins bucket-to-shuffle with no index-side
+    * Exchange), and `<table>_merges`, the ORDERED merge list — the
+    * actual model artifact, which is what lets a serving tokenizer
+    * segment genuinely novel words; the spec asserts it round-trips
+    * exactly. */
+  def writeBpeModel(d: DataFrame, tableName: String, path: String,
+      numMerges: Int = 40, maxVocab: Int = 65536,
+      buckets: Int = 8): Unit = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    val (vocab, merges) = bpeTrain(d, numMerges, maxVocab)
+    vocab.select(col("word"), col("freq"), col("n_bpe"))
+      .repartition(col("word"))
+      .write
+      .option("path", path)
+      .bucketBy(buckets, "word")
+      .sortBy("word")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(tableName)
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("merge_rank", "left", "right")
+      .write
+      .option("path", s"${path}_merges")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${tableName}_merges")
+  }
+
+  /** Per-source BPE token budget against the PERSISTED model
+    * ([[writeBpeModel]]) — result-identical to [[tokenCountBpe]] on the
+    * training corpus (same vocab, same segmentation, same OOV
+    * char-length upper bound; TextSpec proves row parity), so the
+    * train-once/apply-per-batch hop is transparent to the result. The
+    * probe is one tokenize pass + a join against the bucketed vocab
+    * (broadcast when it fits, bucket-side Exchange-free when it
+    * doesn't). */
+  def tokenCountBpeIndexed(spark: SparkSession, tableName: String,
+      d: DataFrame): DataFrame = {
+    val seg = spark.table(tableName).select(col("word"), col("n_bpe"))
+    withToks(d.withColumn("text", lower(col("text"))))
+      .select(col("doc_id"), col("source"), explode(col("toks")).as("word"))
+      .join(seg, Seq("word"), "left")
+      .withColumn("n_bpe",
+        coalesce(col("n_bpe"), length(col("word")).cast("long")))
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("n_bpe")).as("total_bpe_tokens"),
+        round(avg(col("n_bpe")), 4).as("avg_bpe_per_word"))
+  }
+
   /** Bigram language-model scoring — the actual n-gram shape of a
     * KenLM-style perplexity filter ([[lmScore]] is the unigram
     * baseline): P(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1} ·),

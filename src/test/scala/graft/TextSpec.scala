@@ -446,6 +446,27 @@ class TextSpec extends SparkSpec {
     assert(again == merged)
   }
 
+  test("persisted BPE model: merge list round-trips, indexed apply equals in-query") {
+    val tbl = "graft_bpe_model_spec"
+    val path = java.nio.file.Files
+      .createTempDirectory("bpe_model").toString + "/m"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_merges")
+    val (_, trained) = TextOps.bpeTrain(docs, numMerges = 40)
+    TextOps.writeBpeModel(docs, tbl, path, numMerges = 40)
+    // the model artifact round-trips exactly, in merge order
+    val persisted = spark.table(s"${tbl}_merges")
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    assert(persisted == trained, s"$persisted vs $trained")
+    // train-once/apply-per-batch is transparent to the result
+    val direct = TextOps.tokenCountBpe(docs, numMerges = 40).collect()
+      .map(_.toSeq).toSet
+    val indexed = TextOps.tokenCountBpeIndexed(spark, tbl, docs).collect()
+      .map(_.toSeq).toSet
+    assert(indexed == direct)
+  }
+
   /** Escape a learned BPE symbol for a SQL lambda literal (parity oracle). */
   private def sqlLit(s: String): String =
     s.replace("\\", "\\\\").replace("'", "\\'")
