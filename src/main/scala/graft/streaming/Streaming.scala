@@ -257,6 +257,82 @@ object Streaming {
     graft.multimodal.Multimodal.featureRollup(
       graft.multimodal.Multimodal.extractFeatures(mediaStream).toDF())
 
+  /** File-source embedding stream with the batch [[graft.similarity
+    * .Knn.emb]] column contract (vec_id, label, v as array<double>). */
+  def readEmbeddingStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+
+  // Seq[Byte] (not Array[Byte]): the encoder must map qv to
+  // ARRAY<TINYINT>, the quantize kernel's type — Array[Byte] means BINARY
+  case class EmbEvent(vec_id: Long, label: Int, qv: Seq[Byte])
+  case class DriftState(sums: Array[Long], n: Long)
+  case class DriftRow(label: Long, n_vecs: Long, centroid_cos: Double)
+
+  /** Live embedding-drift monitor — the streaming dual of
+    * [[graft.similarity.Knn.embDriftQuantized]] in the shape a crawl
+    * monitor actually runs: arriving embeddings are quantized with the
+    * SAME [[graft.functions.QuantizeInt8]] kernel (stateless — the
+    * one-definition convergence argument of streamingCurate /
+    * mediaFeaturesStream), per-label integer code sums fold
+    * incrementally (state = one dims-length long array per label —
+    * bounded by labels·dims, never the corpus), and every update
+    * re-scores the label's running centroid against a STATIC offline
+    * corpus-centroid sum (`corpusSums`, the batch job's per-dim code
+    * sums — the anomalyStream broadcast-baseline posture, here a
+    * dims-length closure constant). The cosine is the IDENTICAL
+    * integer-exact floor-half-up expression as batch (JVM
+    * floor/sqrt/× over the same exact integers = the same IEEE ops
+    * Spark SQL runs), and the s2 > 0 / c2 > 0 fences carry over — so
+    * when the stream has consumed the corpus that produced
+    * `corpusSums`, the last emit per label is bit-identical to the
+    * batch row (StreamingSpec). */
+  def embDriftStream(spark: SparkSession, embStream: DataFrame,
+      corpusSums: Array[Long]): Dataset[DriftRow] = {
+    import spark.implicits._
+    val dims = corpusSums.length
+    var c2 = 0L
+    corpusSums.foreach(c => c2 += c * c)
+    graft.similarity.Knn.quantize(embStream)
+      .select(col("vec_id"), col("label"), col("qv")).as[EmbEvent]
+      .groupByKey(_.label)
+      .flatMapGroupsWithState[DriftState, DriftRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (label, events, state: GroupState[DriftState]) =>
+          val prev = state.getOption
+            .getOrElse(DriftState(new Array[Long](dims), 0L))
+          val sums = prev.sums.clone()
+          var n = prev.n
+          events.foreach { e =>
+            val m = math.min(e.qv.length, dims)
+            var i = 0
+            while (i < m) { sums(i) += e.qv(i).toLong; i += 1 }
+            n += 1L
+          }
+          state.update(DriftState(sums, n))
+          var dot = 0L
+          var s2 = 0L
+          var i = 0
+          while (i < dims) {
+            dot += sums(i) * corpusSums(i)
+            s2 += sums(i) * sums(i)
+            i += 1
+          }
+          if (s2 > 0L && c2 > 0L)
+            Iterator.single(DriftRow(label.toLong, n,
+              math.floor(dot.toDouble * 10000.0 /
+                (math.sqrt(s2.toDouble) * math.sqrt(c2.toDouble))
+                + 0.5) / 10000.0))
+          else Iterator.empty
+      }
+  }
+
   case class EntryEvent(space: String, segment: String, ts_us: Long,
       event_id: Long, value: Double)
   case class AggState(n_events: Long, balance: Double, last_ts_us: Long)

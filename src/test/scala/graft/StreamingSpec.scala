@@ -299,6 +299,31 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("embedding drift stream converges bit-exactly to batch embDriftQuantized") {
+    import graft.similarity.Knn
+    val e = Knn.emb(spark, SF)
+    // offline baseline: the batch job's per-dim corpus code sums
+    val corpusSums = Knn.quantize(e)
+      .select(posexplode(col("qv")).as(Seq("pos", "code")))
+      .groupBy("pos").agg(sum(col("code").cast("long")).as("c"))
+      .orderBy("pos").collect().map(_.getAs[Long]("c"))
+    val dir = Files.createTempDirectory("graft_emb_stream").toString
+    spark.read.parquet(s"$SF/embeddings.parquet").repartition(8)
+      .write.mode("overwrite").parquet(dir)
+    val stream = Streaming.readEmbeddingStream(spark, dir,
+      maxFilesPerTrigger = 2)
+    runToCompletion(Streaming.embDriftStream(spark, stream, corpusSums)
+      .toDF(), "emb_drift", "update")
+    // update mode: keep the last emit (max n_vecs) per label
+    val got = spark.table("emb_drift")
+      .groupBy("label")
+      .agg(max(struct(col("n_vecs"), col("centroid_cos"))).as("s"))
+      .select(col("label"), col("s.n_vecs"), col("s.centroid_cos"))
+      .collect().map(_.toSeq).toSet
+    val want = Knn.embDriftQuantized(e).collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
   test("incremental es fold converges to batch replay state") {
     import spark.implicits._
     val stream = Streaming.readEntryStream(spark, streamDir,
