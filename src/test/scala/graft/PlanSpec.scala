@@ -227,6 +227,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("sparse_dot_counts"), p)
   }
 
+  test("contamination_semantic cross join carries a broadcast side, never a cartesian") {
+    val p = plan(graft.similarity.Knn.contaminationSemantic(
+      graft.similarity.Knn.emb(spark, SF)))
+    // the sanctioned brute-baseline shape: test minority split broadcast
+    // into a nested-loop join — a CartesianProduct here means the
+    // broadcast hint was dropped and both sides shuffle-pair at n²
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("emb_drift_quantized scans the corpus once; the dim join is broadcast") {
     val df = graft.similarity.Knn.embDriftQuantized(
       graft.similarity.Knn.emb(spark, SF))
