@@ -26,6 +26,49 @@ object PipelineQueries {
     * DECIMAL-typed in DuckDB), and per-term contributions rounded to
     * integer micro-units BEFORE the per-doc sum so the sum is exact
     * integer arithmetic and summation order can't flip the score. */
+  /** The doc_similar inverted-index oracle, shared verbatim by
+    * doc_similar_prefix (the prefix filter is a sound Cauchy–Schwarz
+    * prune, so both derivations produce the identical row set). */
+  private val DocSimilarOracleSql = """
+      WITH t AS (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split(lower(text), ' '),
+                 x -> x <> '')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS tf
+             FROM t GROUP BY 1, 2, 3),
+      n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM (SELECT DISTINCT doc_id, lang FROM tf) GROUP BY 1),
+      dft AS (SELECT lang, term, df, n_docs FROM
+                (SELECT lang, term, CAST(count(*) AS BIGINT) AS df
+                 FROM tf GROUP BY 1, 2) JOIN n USING (lang)
+              WHERE df >= 2 AND df * 10 <= n_docs * 9),
+      w AS (
+        SELECT doc_id, tf.lang, tf.term,
+               tf * CAST(round(ln(n_docs / df) * 1000.0::DOUBLE, 0)
+                 AS BIGINT) AS w
+        FROM tf JOIN dft
+          ON tf.lang = dft.lang AND tf.term = dft.term),
+      norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+                FROM w GROUP BY 1),
+      dots AS (
+        SELECT a.lang AS lang, a.doc_id AS doc1, b.doc_id AS doc2,
+               CAST(count(*) AS BIGINT) AS n_common,
+               CAST(sum(a.w * b.w) AS BIGINT) AS dot
+        FROM w a JOIN w b
+          ON a.lang = b.lang AND a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3)
+      SELECT lang, doc1, doc2, n_common, score FROM (
+        SELECT lang, doc1, doc2, n_common,
+               floor(CAST(dot AS DOUBLE) * 10000.0 /
+                 (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+                 + 0.5) / 10000.0 AS score
+        FROM dots
+        JOIN norms na ON dots.doc1 = na.doc_id
+        JOIN norms nb ON dots.doc2 = nb.doc_id
+        WHERE na.n2 > 0 AND nb.n2 > 0)
+      WHERE score >= 0.9"""
+
   private val Bm25OracleSql = """
       WITH t AS (
         SELECT doc_id,
@@ -363,6 +406,12 @@ object PipelineQueries {
     // definition — not a lossy prune); integer weights/dot/norms, one
     // final double expression, NaN fenced by an integer n2 > 0 guard
     "doc_similar" -> ((s, d) => TextOps.docSimilar(docs(s, d))),
+    // the 100 TB path with a PROVABLY identical result: prefix-filtered
+    // candidate join (sound Cauchy–Schwarz suffix-norm prune, AllPairs/
+    // PPJoin specialized to cosine) + the same kernel scoring over full
+    // vectors; shares doc_similar's oracle (spec proves row equality)
+    "doc_similar_prefix" -> ((s, d) =>
+      TextOps.docSimilarPrefix(docs(s, d))),
     // BM25 against the PERSISTED bucketed postings index (build once,
     // probe per query — the search-serving shape, completing the
     // persisted-index trilogy with knn_ivf_persisted and
@@ -1048,46 +1097,12 @@ object PipelineQueries {
 
     // the docSimilar dual: identical df band, identical 1e-3 idf snap,
     // exact BIGINT weights/dot/norms, the same single floor-half-up
-    // double expression, and the same integer n2 > 0 NaN fence
-    "doc_similar" -> """
-      WITH t AS (
-        SELECT doc_id, lang,
-               unnest(list_filter(string_split(lower(text), ' '),
-                 x -> x <> '')) AS term
-        FROM documents),
-      tf AS (SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS tf
-             FROM t GROUP BY 1, 2, 3),
-      n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
-            FROM (SELECT DISTINCT doc_id, lang FROM tf) GROUP BY 1),
-      dft AS (SELECT lang, term, df, n_docs FROM
-                (SELECT lang, term, CAST(count(*) AS BIGINT) AS df
-                 FROM tf GROUP BY 1, 2) JOIN n USING (lang)
-              WHERE df >= 2 AND df * 10 <= n_docs * 9),
-      w AS (
-        SELECT doc_id, tf.lang, tf.term,
-               tf * CAST(round(ln(n_docs / df) * 1000.0::DOUBLE, 0)
-                 AS BIGINT) AS w
-        FROM tf JOIN dft
-          ON tf.lang = dft.lang AND tf.term = dft.term),
-      norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
-                FROM w GROUP BY 1),
-      dots AS (
-        SELECT a.lang AS lang, a.doc_id AS doc1, b.doc_id AS doc2,
-               CAST(count(*) AS BIGINT) AS n_common,
-               CAST(sum(a.w * b.w) AS BIGINT) AS dot
-        FROM w a JOIN w b
-          ON a.lang = b.lang AND a.term = b.term AND a.doc_id < b.doc_id
-        GROUP BY 1, 2, 3)
-      SELECT lang, doc1, doc2, n_common, score FROM (
-        SELECT lang, doc1, doc2, n_common,
-               floor(CAST(dot AS DOUBLE) * 10000.0 /
-                 (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
-                 + 0.5) / 10000.0 AS score
-        FROM dots
-        JOIN norms na ON dots.doc1 = na.doc_id
-        JOIN norms nb ON dots.doc2 = nb.doc_id
-        WHERE na.n2 > 0 AND nb.n2 > 0)
-      WHERE score >= 0.9""",
+    // double expression, and the same integer n2 > 0 NaN fence; shared
+    // verbatim by doc_similar_prefix (provably identical result — the
+    // prefix filter is a sound Cauchy–Schwarz prune, so the same SQL
+    // checks both derivations)
+    "doc_similar" -> DocSimilarOracleSql,
+    "doc_similar_prefix" -> DocSimilarOracleSql,
 
     "vocab_topk" -> """
       WITH w AS (

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.PolyHash64
@@ -976,13 +976,12 @@ object TextOps {
     * term equijoin, the pair agg — all hash-partitioned; the slim
     * (doc, term, w) table is checkpointed once and feeds the norms agg
     * plus both join sides. */
-  def docSimilar(d: DataFrame, tau: Double = 0.9, minDf: Long = 2L,
-      maxDfTenths: Int = 9): DataFrame = {
-    // tau must be POSITIVE: a pair sharing no in-band term scores 0.0
-    // and is absent from the inverted-index oracle formulation — tau > 0
-    // is what makes the two derivations emit the same row set
-    require(tau > 0.0 && minDf >= 2L && maxDfTenths >= 1 && maxDfTenths <= 10,
-      s"bad params tau=$tau minDf=$minDf maxDfTenths=$maxDfTenths")
+  /** The per-language df-banded integer tf-idf weight table
+    * (doc_id, lang, term, w) shared by [[docSimilar]] /
+    * [[docSimilarPrefix]]. Lazy — callers checkpoint per their own
+    * consumer count. */
+  private def docWeights(d: DataFrame, minDf: Long,
+      maxDfTenths: Int): DataFrame = {
     val tf = withToks(d.withColumn("text", lower(col("text"))))
       .select(col("doc_id"), col("lang"), explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("lang"), col("term"))
@@ -1001,14 +1000,45 @@ object TextOps {
       .join(broadcast(scalars), "lang")
       .filter(col("df") >= minDf &&
         col("df") * lit(10L) <= col("n_docs") * lit(maxDfTenths.toLong))
-    val w = tf.join(dft, Seq("lang", "term")) // vocab-sized right side
+    tf.join(dft, Seq("lang", "term")) // vocab-sized right side
       .withColumn("idf_milli",
         round(log(col("n_docs") / col("df")) * lit(1000.0), 0).cast("long"))
       .withColumn("w", col("tf") * col("idf_milli"))
       .select(col("doc_id"), col("lang"), col("term"), col("w"))
-    // ONE row per doc: the term-sorted sparse vector + its squared norm.
-    // Pairs are then scored by the SparseDotCounts two-pointer kernel
-    // over a lang-blocked doc join — NOT by re-aggregating the exploded
+  }
+
+  /** ONE row per doc from [[docWeights]] output: the key-sorted sparse
+    * vector in PARALLEL-ARRAY layout (primitive long key/weight arrays,
+    * never struct arrays — getStruct allocates an InternalRow wrapper
+    * per element, measured 11 s over the pair join) + its squared norm;
+    * n2 = 0 docs fenced (0/0 = NaN orders differently across engines);
+    * checkpointed (feeds both sides of the pair join). */
+  private def docVectors(w: DataFrame): DataFrame =
+    w.groupBy(col("doc_id"), col("lang"))
+      .agg(sort_array(collect_list(struct(
+          xxhash64(col("term")).as("k"), col("w").as("w")))).as("kw"),
+        sum(col("w") * col("w")).as("n2"))
+      .filter(col("n2") > lit(0L))
+      .select(col("doc_id"), col("lang"), col("n2"),
+        expr("transform(kw, s -> s.k)").as("ks"),
+        expr("transform(kw, s -> s.w)").as("ws"))
+      .localCheckpoint(true)
+
+  private def quantizedCosine(dotCol: Column, n2a: Column,
+      n2b: Column): Column =
+    floor(dotCol.cast("double") * lit(10000.0) /
+        (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double"))) + lit(0.5))
+      .cast("double") / lit(10000.0)
+
+  def docSimilar(d: DataFrame, tau: Double = 0.9, minDf: Long = 2L,
+      maxDfTenths: Int = 9): DataFrame = {
+    // tau must be POSITIVE: a pair sharing no in-band term scores 0.0
+    // and is absent from the inverted-index oracle formulation — tau > 0
+    // is what makes the two derivations emit the same row set
+    require(tau > 0.0 && minDf >= 2L && maxDfTenths >= 1 && maxDfTenths <= 10,
+      s"bad params tau=$tau minDf=$minDf maxDfTenths=$maxDfTenths")
+    // pairs are scored by the SparseDotCounts two-pointer kernel over a
+    // lang-blocked doc join — NOT by re-aggregating the exploded
     // (pair, term) partials: Σ_term df² partial rows through a
     // pair-cardinality hash aggregate is where Spark's agg falls over
     // (measured r12 at sf0.1: 5.7e7 partials → 3.2M groups = 24–32 s;
@@ -1017,36 +1047,85 @@ object TextOps {
     // inverted-index formulation — which is exactly what the DuckDB
     // oracle runs, making the hash match a two-formulation
     // cross-derivation (the es_replay_from_snapshot pattern).
-    val vecs = w.groupBy(col("doc_id"), col("lang"))
-      .agg(sort_array(collect_list(struct(
-          xxhash64(col("term")).as("k"), col("w").as("w")))).as("kw"),
-        sum(col("w") * col("w")).as("n2"))
-      // integer guard BEFORE the float expression: a doc whose every
-      // in-band term has idf 0 (df = n_docs possible in a tiny corpus)
-      // has n2 = 0 → 0/0 = NaN, and NaN orders differently across
-      // engines
-      .filter(col("n2") > lit(0L))
-      // PARALLEL-ARRAY layout for the kernel: primitive long key/weight
-      // arrays, never struct arrays (getStruct allocates an InternalRow
-      // wrapper per element — measured 11 s over the pair join)
-      .select(col("doc_id"), col("lang"), col("n2"),
-        expr("transform(kw, s -> s.k)").as("ks"),
-        expr("transform(kw, s -> s.w)").as("ws"))
-      // feeds both sides of the pair join
-      .localCheckpoint(true)
+    val vecs = docVectors(docWeights(d, minDf, maxDfTenths))
     vecs.as("a").join(vecs.as("b"),
         col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id"))
       .withColumn("dc", graft.functions.SparseDotCounts(
         col("a.ks"), col("a.ws"), col("b.ks"), col("b.ws")))
       .withColumn("score",
-        floor(col("dc").getItem(0).cast("double") * lit(10000.0) /
-            (sqrt(col("a.n2").cast("double")) *
-              sqrt(col("b.n2").cast("double"))) + lit(0.5))
-          .cast("double") / lit(10000.0))
+        quantizedCosine(col("dc").getItem(0), col("a.n2"), col("b.n2")))
       .filter(col("score") >= tau)
       .select(col("a.lang").as("lang"),
         col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        col("dc").getItem(1).as("n_common"), col("score"))
+  }
+
+  /** The 100 TB path for [[docSimilar]], with a PROVABLY IDENTICAL
+    * result — prefix filtering (the AllPairs/PPJoin bound, Bayardo,
+    * Ma & Srikant WWW'07, specialized to cosine): process each doc's
+    * in-band terms in canonical (term asc) order and keep a posting
+    * only while the doc's SUFFIX norm from that term on can still
+    * reach `tau` — if cos(d₁,d₂) ≥ τ and t is the pair's FIRST shared
+    * term in canonical order, Cauchy–Schwarz on the suffixes gives
+    * cos ≤ ‖u₁suffix(t)‖·‖u₂suffix(t)‖ with both factors ≤ 1, so BOTH
+    * suffix norms are ≥ τ and the pair is generated at t. The prune
+    * compares the EXACT integer suffix-Σw² against (τ−0.001)²·n2: the
+    * 0.001 slack dominates both the float ulps of the compare and the
+    * 5·10⁻⁵ display-rounding slack of the final `round-then-threshold`
+    * (a pair kept by docSimilar has true cosine ≥ τ − 5·10⁻⁵), so no
+    * qualifying pair can be pruned — the candidate set is a provable
+    * superset and the final kernel scoring (identical expression over
+    * the FULL vectors) makes the output equal row-for-row
+    * (spec-asserted). Scale shape: the candidate join touches only
+    * prefix postings — on a Zipf vocabulary the overwhelming mass of
+    * high-df low-idf postings sits in suffixes and never joins.
+    * MEASURED r12 at sf0.1 (the dense ~31-word worst case): identical
+    * 656 rows, ~7.5 s warm vs ~4 s for the lang-blocked join — here
+    * the pair-dedup aggregate costs more than the dense block join
+    * saves, so the blocked form is the registered default at test
+    * scale. The prefix path is the shape that SURVIVES 100 TB: a web
+    * corpus's dominant language makes the lang block itself quadratic
+    * (0.6n² pairs for a 60% language), while prefix filtering bounds
+    * candidates by the τ-reachable posting mass independent of block
+    * size. Shares doc_similar's oracle (result-identical, the
+    * text_search_indexed precedent). */
+  def docSimilarPrefix(d: DataFrame, tau: Double = 0.9, minDf: Long = 2L,
+      maxDfTenths: Int = 9): DataFrame = {
+    require(tau > 0.001 && tau <= 1.0 &&
+      minDf >= 2L && maxDfTenths >= 1 && maxDfTenths <= 10,
+      s"bad params tau=$tau minDf=$minDf maxDfTenths=$maxDfTenths")
+    // feeds the vector agg AND the prefix-posting window
+    val w = docWeights(d, minDf, maxDfTenths).localCheckpoint(true)
+    val vecs = docVectors(w)
+    // inclusive suffix Σw² in canonical order: running sum ordered DESC
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("term").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tauP = tau - 0.001
+    val prefix = w
+      .withColumn("suf_sq", sum(col("w") * col("w")).over(win))
+      .join(vecs.select(col("doc_id"), col("n2")), "doc_id")
+      .filter(col("suf_sq").cast("double") >=
+        lit(tauP * tauP) * col("n2").cast("double"))
+      .select(col("doc_id"), col("lang"), col("term"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.lang") === col("b.lang") &&
+          col("a.term") === col("b.term") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .dropDuplicates("doc1", "doc2")
+    cand
+      .join(vecs.select(col("doc_id").as("doc1"), col("lang"),
+        col("n2").as("n2_1"), col("ks").as("ks1"), col("ws").as("ws1")),
+        "doc1")
+      .join(vecs.select(col("doc_id").as("doc2"), col("n2").as("n2_2"),
+        col("ks").as("ks2"), col("ws").as("ws2")), "doc2")
+      .withColumn("dc", graft.functions.SparseDotCounts(
+        col("ks1"), col("ws1"), col("ks2"), col("ws2")))
+      .withColumn("score",
+        quantizedCosine(col("dc").getItem(0), col("n2_1"), col("n2_2")))
+      .filter(col("score") >= tau)
+      .select(col("lang"), col("doc1"), col("doc2"),
         col("dc").getItem(1).as("n_common"), col("score"))
   }
 }

@@ -446,6 +446,28 @@ class TextSpec extends SparkSpec {
     assert(again == merged)
   }
 
+  test("docSimilarPrefix equals docSimilar row-for-row and actually prunes") {
+    import spark.implicits._
+    // real corpus at the spec SF, default parameters
+    val want = TextOps.docSimilar(docs).collect().map(_.toSeq).toSet
+    val got = TextOps.docSimilarPrefix(docs).collect().map(_.toSeq).toSet
+    assert(got == want, s"prefix ${got.size} vs blocked ${want.size}")
+    assert(want.nonEmpty) // vacuous equality proves nothing
+    // the planted corpus from the docSimilar spec must agree too
+    val planted = Seq(
+      (1L, "en", "alpha beta gamma common"),
+      (2L, "en", "alpha beta gamma common"),
+      (3L, "en", "delta epsilon zeta common"),
+      (4L, "en", "delta epsilon zeta common"),
+      (5L, "en", "eta theta iota common"),
+      (6L, "fr", "alpha beta gamma common")).toDF("doc_id", "lang", "text")
+    val wantP = TextOps.docSimilar(planted, tau = 0.5, minDf = 2,
+      maxDfTenths = 9).collect().map(_.toSeq).toSet
+    val gotP = TextOps.docSimilarPrefix(planted, tau = 0.5, minDf = 2,
+      maxDfTenths = 9).collect().map(_.toSeq).toSet
+    assert(gotP == wantP && wantP.nonEmpty)
+  }
+
   test("persisted BPE model: merge list round-trips, indexed apply equals in-query") {
     val tbl = "graft_bpe_model_spec"
     val path = java.nio.file.Files
