@@ -412,6 +412,9 @@ object PipelineQueries {
     // vectors; shares doc_similar's oracle (spec proves row equality)
     "doc_similar_prefix" -> ((s, d) =>
       TextOps.docSimilarPrefix(docs(s, d))),
+    // the per-doc serving cut: symmetrized pairs ranked on the
+    // 1e-4-grid score with an id tie-break (deterministic k-boundary)
+    "doc_similar_topk" -> ((s, d) => TextOps.docSimilarTopK(docs(s, d))),
     // BM25 against the PERSISTED bucketed postings index (build once,
     // probe per query — the search-serving shape, completing the
     // persisted-index trilogy with knn_ivf_persisted and
@@ -1103,6 +1106,20 @@ object PipelineQueries {
     // checks both derivations)
     "doc_similar" -> DocSimilarOracleSql,
     "doc_similar_prefix" -> DocSimilarOracleSql,
+    // serving cut over the same pair list: symmetrize + row_number on
+    // the grid score with the similar_id tie-break
+    "doc_similar_topk" -> s"""
+      WITH pairs AS ($DocSimilarOracleSql),
+      sym AS (
+        SELECT lang, doc1 AS doc_id, doc2 AS similar_id, score FROM pairs
+        UNION ALL
+        SELECT lang, doc2 AS doc_id, doc1 AS similar_id, score FROM pairs)
+      SELECT lang, doc_id, similar_id, score, rnk FROM (
+        SELECT lang, doc_id, similar_id, score,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, similar_id) AS BIGINT) AS rnk
+        FROM sym)
+      WHERE rnk <= 5""",
 
     "vocab_topk" -> """
       WITH w AS (

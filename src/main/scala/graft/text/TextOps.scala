@@ -1061,6 +1061,31 @@ object TextOps {
         col("dc").getItem(1).as("n_common"), col("score"))
   }
 
+  /** The per-doc SERVING cut of [[docSimilar]] — "show me the k most
+    * similar documents" as a pipeline stores it next to each doc:
+    * symmetrize the above-τ pair list (each undirected pair serves both
+    * endpoints) and rank per doc on (score desc, similar_id asc). The
+    * rank key is engine-total: scores live on the 1e-4 grid as
+    * identical doubles and the id tie-break makes the cut deterministic
+    * (the es_top_movers discipline — a rounded order key plus a total
+    * tie-break, so the k-boundary can never depend on engine sort
+    * internals). Plan: the per-doc window hash-partitions on doc_id —
+    * parallelism = docs, never a global sort. */
+  def docSimilarTopK(d: DataFrame, k: Int = 5, tau: Double = 0.9,
+      minDf: Long = 2L, maxDfTenths: Int = 9): DataFrame = {
+    require(k >= 1, s"bad k=$k")
+    val pairs = docSimilar(d, tau, minDf, maxDfTenths)
+    val sym = pairs.select(col("lang"), col("doc1").as("doc_id"),
+        col("doc2").as("similar_id"), col("score"))
+      .unionByName(pairs.select(col("lang"), col("doc2").as("doc_id"),
+        col("doc1").as("similar_id"), col("score")))
+    sym.withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("similar_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("lang", "doc_id", "similar_id", "score", "rnk")
+  }
+
   /** The 100 TB path for [[docSimilar]], with a PROVABLY IDENTICAL
     * result — prefix filtering (the AllPairs/PPJoin bound, Bayardo,
     * Ma & Srikant WWW'07, specialized to cosine): process each doc's

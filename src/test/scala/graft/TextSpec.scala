@@ -446,6 +446,34 @@ class TextSpec extends SparkSpec {
     assert(again == merged)
   }
 
+  test("docSimilarTopK: per-doc cut bounded, ranks consecutive, symmetric plant") {
+    import spark.implicits._
+    val rows = TextOps.docSimilarTopK(docs).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq == (1L to g.length))
+      val sc = sorted.map(_.getAs[Double]("score"))
+      assert(sc.toSeq == sc.sortBy(-_).toSeq) // non-increasing down the rank
+      assert(g.length <= 5)
+    }
+    // planted: identical docs serve each other as rank-1 at exactly 1.0
+    val planted = Seq(
+      (1L, "en", "alpha beta gamma common"),
+      (2L, "en", "alpha beta gamma common"),
+      (3L, "en", "delta epsilon zeta common"),
+      (4L, "en", "delta epsilon zeta common"),
+      (5L, "en", "eta theta iota common")).toDF("doc_id", "lang", "text")
+    val top = TextOps.docSimilarTopK(planted, k = 2, tau = 0.5,
+      minDf = 2, maxDfTenths = 9).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("similar_id"), r.getAs[Double]("score"),
+          r.getAs[Long]("rnk"))).toMap
+    assert(top(1L) == ((2L, 1.0, 1L)) && top(2L) == ((1L, 1.0, 1L)))
+    assert(top(3L) == ((4L, 1.0, 1L)) && top(4L) == ((3L, 1.0, 1L)))
+    assert(!top.contains(5L)) // no in-band mass → never served
+  }
+
   test("docSimilarPrefix equals docSimilar row-for-row and actually prunes") {
     import spark.implicits._
     // real corpus at the spec SF, default parameters
