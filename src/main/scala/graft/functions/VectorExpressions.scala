@@ -105,10 +105,18 @@ object ByteDot {
   * 35 s query; (b) a struct-array merge kernel
   * (array<struct<term,w>>, UTF8String compares) still pays an
   * InternalRow wrapper PER ELEMENT touched — 2·10⁸ allocations, ~11 s.
-  * Keys are 64-bit term hashes: two distinct terms colliding within
-  * one language's banded vocabulary would merge their contributions
-  * (the minhash-verify "up to 64-bit collisions" caveat; ~10⁻¹⁵ at any
-  * plausible vocabulary). Returns `[dot, n_common]` as array<long>. */
+  * KEY CONTRACT: keys are 64-bit term hashes (xxhash64(lang, term) —
+  * lang-salted so the collision domain is one language's banded
+  * vocabulary, the same domain the pair join blocks on), and the
+  * kernel REQUIRES them injective over that domain: a collision would
+  * merge two terms' contributions Spark-side only, and since the
+  * DuckDB oracle joins exact terms it would land as a hash-gate
+  * mismatch rather than a documented approximation. Callers therefore
+  * verify injectivity outright before building keys
+  * (TextOps.requireInjectiveTermHash — a vocab-sized aggregate that
+  * turns the ~10⁻¹⁵ event into a loud, named error; spec-proven to
+  * fire on a planted colliding hash). Returns `[dot, n_common]` as
+  * array<long>. */
 case class SparseDotCounts(first: Expression, second: Expression,
     third: Expression, fourth: Expression)
     extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {

@@ -22,7 +22,8 @@ import java.nio.charset.StandardCharsets
 object MediaCodec {
 
   final case class MediaMeta(format: String, width: Int, height: Int,
-      channels: Int, sampleRate: Int, durationMs: Double, ok: Boolean)
+      channels: Int, sampleRate: Int, durationMs: Double, ok: Boolean,
+      nFrames: Int = 0)
 
   private val Unknown = MediaMeta("unknown", 0, 0, 0, 0, 0.0, ok = false)
 
@@ -179,13 +180,64 @@ object MediaCodec {
   /** GIF (87a/89a): 6-byte signature then the logical screen descriptor —
     * canvas width/height u16le at offsets 6/8 (GIF89a spec §18). GIF is
     * palette-indexed (one index per pixel), so channels = 1, matching the
-    * PNG color-type-3 convention above. */
+    * PNG color-type-3 convention above.
+    *
+    * ANIMATION accounting (r12 verdict ask): after the LSD (and global
+    * color table, if flagged) the block stream is walked — image
+    * descriptors (0x2C, §20) count as frames; Graphic Control Extension
+    * sub-blocks (0x21 0xF9, §23) carry the u16le inter-frame delay in
+    * centiseconds, summed into duration_ms. A still GIF has no GCE, so
+    * its duration stays 0. The walk has the decodeWav hostility
+    * contract: a Long cursor that strictly advances (sub-block sizes are
+    * unsigned bytes, descriptors fixed-length), any truncated or
+    * unrecognized block ENDS the walk with whatever was accumulated
+    * (the 13-byte header already validated — partial animation metadata
+    * from a damaged tail is data, not an error), and nothing throws. */
   def decodeGif(b: Array[Byte]): MediaMeta = {
     if (b.length < 13) return Unknown
     val width = le16(b, 6)
     val height = le16(b, 8)
-    if (width <= 0 || height <= 0) Unknown
-    else MediaMeta("gif", width, height, 1, 0, 0.0, ok = true)
+    if (width <= 0 || height <= 0) return Unknown
+    val gct = if ((b(10) & 0x80) != 0) 3L * (1 << ((b(10) & 7) + 1)) else 0L
+    var pos = 13L + gct
+    var frames = 0
+    var durationCs = 0L
+    var stop = false
+    // skip a sub-block chain starting at `p` (first length byte),
+    // returning the position after its 0 terminator, or -1 if truncated
+    def skipSubBlocks(p0: Long): Long = {
+      var p = p0
+      while (p < b.length && (b(p.toInt) & 0xff) != 0)
+        p += 1L + (b(p.toInt) & 0xff)
+      if (p < b.length) p + 1 else -1L
+    }
+    while (!stop && pos < b.length) {
+      (b(pos.toInt) & 0xff) match {
+        case 0x3b => stop = true // trailer
+        case 0x21 if pos + 2 <= b.length => // extension block
+          val label = b(pos.toInt + 1) & 0xff
+          // GCE: sub-block [size=4][flags][delay u16le][transp] — the
+          // delay sits at data offset 1; read it before the generic
+          // sub-block skip
+          if (label == 0xf9 && pos + 6 <= b.length &&
+            (b(pos.toInt + 2) & 0xff) >= 3)
+            durationCs += le16(b, pos.toInt + 4)
+          val next = skipSubBlocks(pos + 2)
+          if (next < 0) stop = true else pos = next
+        case 0x2c if pos + 10 <= b.length => // image descriptor = frame
+          val flags = b(pos.toInt + 9) & 0xff
+          val lct = if ((flags & 0x80) != 0) 3L * (1 << ((flags & 7) + 1))
+            else 0L
+          frames += 1
+          // descriptor(10) + local color table + LZW min-code byte,
+          // then the compressed-data sub-block chain
+          val next = skipSubBlocks(pos + 10 + lct + 1)
+          if (next < 0) stop = true else pos = next
+        case _ => stop = true // unknown/truncated block: keep header info
+      }
+    }
+    MediaMeta("gif", width, height, 1, 0, durationCs * 10.0, ok = true,
+      nFrames = frames)
   }
 
   /** WebP: RIFF container, walked with the same hostile-size-proof Long
@@ -202,6 +254,19 @@ object MediaCodec {
     * Malformed signatures/lengths abort to Unknown, never loop or throw. */
   def decodeWebp(b: Array[Byte]): MediaMeta = {
     var pos = 12L
+    // VP8X canvas, if seen: the walk then CONTINUES over the remaining
+    // chunks to account animation (ANIM flags it, each ANMF carries a
+    // u24le per-frame duration in ms at payload offset 12 — WebP
+    // container spec, "Animation"); a still VP8X file simply yields no
+    // ANMFs. Simple-format files (bare VP8 /VP8L first) return at the
+    // image chunk exactly as before. nFrames counts only frames the
+    // container ENUMERATES (ANMF entries here, image descriptors in
+    // GIF) — a simple still chunk is not an enumerated frame, keeping
+    // the field's meaning uniform across formats.
+    var ext: MediaMeta = null
+    var animated = false
+    var frames = 0
+    var durMs = 0L
     while (pos + 8 <= b.length) {
       val p = pos.toInt
       val id = new String(b, p, 4, StandardCharsets.US_ASCII)
@@ -213,8 +278,9 @@ object MediaCodec {
           (b(pl + 5) & 0xff) != 0x2a) return Unknown
         val width = le16(b, pl + 6) & 0x3fff
         val height = le16(b, pl + 8) & 0x3fff
-        return if (width <= 0 || height <= 0) Unknown
-        else MediaMeta("webp", width, height, 3, 0, 0.0, ok = true)
+        if (width <= 0 || height <= 0) return Unknown
+        if (ext == null)
+          return MediaMeta("webp", width, height, 3, 0, 0.0, ok = true)
       } else if (id == "VP8L") {
         if (size < 5L || pos + 13 > b.length) return Unknown
         if ((b(pl) & 0xff) != 0x2f) return Unknown
@@ -222,21 +288,32 @@ object MediaCodec {
         val width = (bits & 0x3fff) + 1
         val height = ((bits >>> 14) & 0x3fff) + 1
         val alpha = (bits >>> 28) & 1
-        return MediaMeta("webp", width, height, if (alpha == 1) 4 else 3,
-          0, 0.0, ok = true)
+        if (ext == null)
+          return MediaMeta("webp", width, height, if (alpha == 1) 4 else 3,
+            0, 0.0, ok = true)
       } else if (id == "VP8X") {
         if (size < 10L || pos + 18 > b.length) return Unknown
         val alpha = (b(pl) >> 4) & 1
+        animated = (b(pl) & 0x02) != 0
         val width = ((b(pl + 4) & 0xff) | ((b(pl + 5) & 0xff) << 8) |
           ((b(pl + 6) & 0xff) << 16)) + 1
         val height = ((b(pl + 7) & 0xff) | ((b(pl + 8) & 0xff) << 8) |
           ((b(pl + 9) & 0xff) << 16)) + 1
-        return MediaMeta("webp", width, height, if (alpha == 1) 4 else 3,
+        ext = MediaMeta("webp", width, height, if (alpha == 1) 4 else 3,
           0, 0.0, ok = true)
+      } else if (id == "ANMF") {
+        // frame header: x,y u24 (6), w-1,h-1 u24 (12), duration u24le
+        // (15), flags (16); a truncated header ends the file below
+        if (animated && size >= 16L && pos + 24 <= b.length) {
+          frames += 1
+          durMs += ((b(pl + 12) & 0xff) | ((b(pl + 13) & 0xff) << 8) |
+            ((b(pl + 14) & 0xff) << 16)).toLong
+        }
       }
       pos += 8L + size + (size & 1L) // chunks are word-aligned
     }
-    Unknown
+    if (ext == null) Unknown
+    else ext.copy(durationMs = durMs.toDouble, nFrames = frames)
   }
 
   /** MP4/ISO-BMFF (ISO/IEC 14496-12): walk the top-level box tree to
@@ -409,6 +486,37 @@ object MediaCodec {
     out.toByteArray
   }
 
+  /** Animated GIF89a: LSD + per frame a Graphic Control Extension
+    * (delay `delayCs` centiseconds) and an image descriptor with an
+    * empty LZW data stream, closed by the trailer. Fixed layout:
+    * 13 (header) + 20·frames (GCE 8 + descriptor 10 + min-code byte +
+    * block terminator) + 1 (trailer) = 14 + 20·frames bytes — byte
+    * length stays pure parameter arithmetic like every other encoder.
+    * Total duration decodes as frames · delayCs · 10 ms. */
+  def encodeGifAnim(width: Int, height: Int, frames: Int,
+      delayCs: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('G'); out.write('I'); out.write('F')
+    out.write('8'); out.write('9'); out.write('a')
+    wle16(out, width); wle16(out, height)
+    out.write(0); out.write(0); out.write(0) // no GCT, bg, aspect
+    (1 to frames).foreach { _ =>
+      out.write(0x21); out.write(0xf9); out.write(4) // GCE, size 4
+      out.write(0) // flags: no disposal, no transparency
+      wle16(out, delayCs)
+      out.write(0) // transparent color index (unused)
+      out.write(0) // sub-block terminator
+      out.write(0x2c) // image descriptor
+      wle16(out, 0); wle16(out, 0) // left, top
+      wle16(out, width); wle16(out, height)
+      out.write(0) // no local color table
+      out.write(2) // LZW minimum code size
+      out.write(0) // empty data sub-block chain
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
   /** Minimal WebP: RIFF/WEBP container holding a single VP8L chunk whose
     * bitstream header carries real dimensions + the alpha bit. The chunk
     * payload is padded to 6 bytes (even, so no RIFF pad ambiguity);
@@ -424,6 +532,39 @@ object MediaCodec {
     wle32(out, ((width - 1) & 0x3fff) | (((height - 1) & 0x3fff) << 14) |
       (if (alpha) 1 << 28 else 0)) // version bits (29–31) = 0
     out.write(0) // payload pad to even length
+    out.toByteArray
+  }
+
+  /** Animated WebP: RIFF/WEBP with VP8X (animation + canvas), ANIM
+    * (background + loop count), and one header-only ANMF per frame
+    * carrying `frameMs` as its u24le duration. Fixed layout: 12 (RIFF)
+    * + 18 (VP8X) + 14 (ANIM) + 24·frames (ANMF header chunks) =
+    * 44 + 24·frames bytes. Total duration decodes as frames · frameMs. */
+  def encodeWebpAnim(width: Int, height: Int, frames: Int,
+      frameMs: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def wle24(v: Int): Unit = { out.write(v & 0xff)
+      out.write((v >>> 8) & 0xff); out.write((v >>> 16) & 0xff) }
+    out.write('R'); out.write('I'); out.write('F'); out.write('F')
+    wle32(out, 4 + 18 + 14 + 24 * frames)
+    out.write('W'); out.write('E'); out.write('B'); out.write('P')
+    out.write('V'); out.write('P'); out.write('8'); out.write('X')
+    wle32(out, 10)
+    out.write(0x02) // flags: animation
+    out.write(0); out.write(0); out.write(0) // reserved
+    wle24(width - 1); wle24(height - 1)
+    out.write('A'); out.write('N'); out.write('I'); out.write('M')
+    wle32(out, 6)
+    wle32(out, 0) // background color
+    wle16(out, 0) // loop count: infinite
+    (1 to frames).foreach { _ =>
+      out.write('A'); out.write('N'); out.write('M'); out.write('F')
+      wle32(out, 16) // header-only frame payload
+      wle24(0); wle24(0) // frame x, y
+      wle24(width - 1); wle24(height - 1)
+      wle24(frameMs)
+      out.write(0) // flags: dispose none, blend
+    }
     out.toByteArray
   }
 

@@ -64,8 +64,21 @@ object Multimodal {
               1 + (id % 2).toInt,
               if (id % 4 == 3) 16000 else 8000,
               400 + (id % 100).toInt * 40)
+            // every third GIF is ANIMATED (frames/delay pure doc_id
+            // arithmetic → duration_ms = frames·delay·10, an exact
+            // integer in ms, so every oracle that sees duration — the
+            // features rollup and the near-dup duration band —
+            // reproduces it exactly)
+            case 4 if id % 3 == 2 => MediaCodec.encodeGifAnim(
+              20 + (id % 40).toInt, 10 + (id % 20).toInt,
+              2 + (id % 4).toInt, 5 + (id % 6).toInt)
             case 4 => MediaCodec.encodeGif(
               20 + (id % 40).toInt, 10 + (id % 20).toInt)
+            // animated WebP on a residue disjoint from the alpha plant
+            // (id%12==11): duration_ms = frames·frameMs exactly
+            case 5 if id % 12 == 7 => MediaCodec.encodeWebpAnim(
+              24 + (id % 48).toInt, 12 + (id % 24).toInt,
+              2 + (id % 5).toInt, 40 + (id % 8).toInt * 10)
             case 5 => MediaCodec.encodeWebp(
               24 + (id % 48).toInt, 12 + (id % 24).toInt,
               alpha = id % 12 == 11)
@@ -117,9 +130,13 @@ object Multimodal {
     synthesize(docs).unionByName(extra)
   }
 
+  /** `n_frames` counts only frames the container ENUMERATES (GIF image
+    * descriptors, WebP ANMF entries) — simple single-image chunks and
+    * audio report 0, keeping the field uniform across formats. */
   final case class MediaFeature(doc_id: Long, source: String,
       format: String, width: Int, height: Int, channels: Int,
-      sample_rate: Int, duration_ms: Double, n_bytes: Long)
+      sample_rate: Int, duration_ms: Double, n_bytes: Long,
+      n_frames: Int)
 
   /** Batched per-partition feature extraction: sniff + header-parse each
     * blob (MediaCodec.decode); undecodable blobs surface as format
@@ -135,7 +152,7 @@ object Multimodal {
           val m = MediaCodec.decode(blob)
           MediaFeature(id, src, m.format, m.width, m.height, m.channels,
             m.sampleRate, m.durationMs,
-            if (blob == null) 0L else blob.length.toLong)
+            if (blob == null) 0L else blob.length.toLong, m.nFrames)
         }
       }
   }
@@ -208,11 +225,22 @@ object Multimodal {
     * Rows-only (header decode isn't ANSI-expressible); MediaCodecSpec
     * plants re-encodes, a band-boundary resize, and an over-cap clone
     * mass. */
-  def nearDedup(media: DataFrame, n: Int = 8, tau: Double = 0.5,
-      maxOccupancy: Long = 512L, sampleMod: Int = 1): DataFrame = {
-    import graft.functions.CharNGramHashes
-    require(n >= 1 && sampleMod >= 1 && maxOccupancy >= 1,
-      s"bad params n=$n sampleMod=$sampleMod maxOccupancy=$maxOccupancy")
+  /** [[nearDedup]]'s CANDIDATE stage as a first-class operator — the
+    * occupancy-capped double-band bucket pairs BEFORE byte verification,
+    * with the band-table multiplicity each pair collided in (n_tables ∈
+    * {1, 2}: 2 = stable dims, 1 = drift across one table's band
+    * boundary — the recall the offset table exists to provide, now
+    * observable per pair). Split out because it is oracle-EXACT where
+    * the verify stage can't be: every band-key component is pure doc_id
+    * arithmetic on the synthesized corpus (the mm_dedup_near_audit
+    * argument, extended from the corpus rollup to the pair list itself),
+    * so DuckDB reproduces the exact candidate set — which puts the
+    * entire candidate-generation machinery (band keys, offset tables,
+    * occupancy cap, pair dedup) under the hash gate and leaves only the
+    * n-gram verify rows-only. */
+  def nearDedupCandidates(media: DataFrame,
+      maxOccupancy: Long = 512L): DataFrame = {
+    require(maxOccupancy >= 1, s"bad maxOccupancy=$maxOccupancy")
     // feeds the occupancy agg + the semi-join probe; slim (id, tbl, key)
     val keyed = bucketKeys(media).localCheckpoint(true)
     val small = keyed.groupBy(col("tbl"), col("bucket"))
@@ -220,14 +248,25 @@ object Multimodal {
       .filter(col("occ") <= maxOccupancy)
       .select("tbl", "bucket")
     val capped = keyed.join(small, Seq("tbl", "bucket"), "left_semi")
-    // feeds the candidate-id prune + the verify join — slim pair list,
-    // checkpoint instead of re-running the self-join per consumer
-    val cand = capped.as("a").join(capped.as("b"),
+    // one bucket per (doc, tbl) ⇒ a pair collides at most once per
+    // table, so the dedup groupBy's count IS the table multiplicity
+    capped.as("a").join(capped.as("b"),
         col("a.tbl") === col("b.tbl") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-      .dropDuplicates("doc1", "doc2")
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("n_tables"))
+  }
+
+  def nearDedup(media: DataFrame, n: Int = 8, tau: Double = 0.5,
+      maxOccupancy: Long = 512L, sampleMod: Int = 1): DataFrame = {
+    import graft.functions.CharNGramHashes
+    require(n >= 1 && sampleMod >= 1 && maxOccupancy >= 1,
+      s"bad params n=$n sampleMod=$sampleMod maxOccupancy=$maxOccupancy")
+    // feeds the candidate-id prune + the verify join — slim pair list,
+    // checkpoint instead of re-running the self-join per consumer
+    val cand = nearDedupCandidates(media, maxOccupancy)
+      .select("doc1", "doc2")
       .localCheckpoint(true)
     val candIds = cand.select(col("doc1").as("doc_id"))
       .union(cand.select(col("doc2").as("doc_id")))
@@ -333,7 +372,8 @@ object Multimodal {
         round(avg(col("height")), 2).as("avg_height"),
         max(col("channels")).cast("long").as("max_channels"),
         round(avg(col("duration_ms")), 2).as("avg_duration_ms"),
-        sum(col("n_bytes")).as("total_bytes"))
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("n_frames")).cast("long").as("total_frames"))
 
   /** Per-format rollup of decoded media features. */
   def featureStats(media: DataFrame): DataFrame =

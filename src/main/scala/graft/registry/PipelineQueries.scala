@@ -17,6 +17,26 @@ object PipelineQueries {
 
   private def docs(s: SparkSession, d: String) = TextOps.docs(s, d)
 
+  /** Metastore table name + warehouse path for a persisted-index query,
+    * scoped by BOTH the sf dir (concurrent drivers on different datasets
+    * — selfcheck at sf0.01 while Bench runs sf0.1 — can't collide) and
+    * the session's applicationId (concurrent drivers on the SAME sf dir
+    * — Verify next to Bench, parallel CI shards — would otherwise race
+    * on one DROP + Overwrite and read a half-written bucketed table).
+    * Deterministic within a session, so a query's build and probe phases
+    * agree; leftover tables from dead runs are inert (nothing ever reads
+    * a foreign applicationId's name). */
+  private def runScopedTable(s: SparkSession, d: String,
+      prefix: String): (String, String) = {
+    val suffix = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    val tbl = s"${prefix}_${suffix}_$app"
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), tbl).toString
+    (tbl, path)
+  }
+
   /** Shared by text_search_bm25 AND text_search_indexed (the persisted
     * probe is result-identical — df/tf/dl round-trip the index exactly,
     * so the hop is transparent to the oracle). The IDENTICAL IEEE
@@ -68,6 +88,81 @@ object PipelineQueries {
         JOIN norms nb ON dots.doc2 = nb.doc_id
         WHERE na.n2 > 0 AND nb.n2 > 0)
       WHERE score >= 0.9"""
+
+  /** bucketKeys reproduced arithmetically — shared by
+    * mm_dedup_near_audit (corpus rollup) and mm_dedup_near_candidates
+    * (the pair list): every component of the two offset band keys
+    * (format, floor-banded dims, channels, sample_rate, floor-banded
+    * duration) is a pure function of doc_id on the synthesized corpus,
+    * and grouping by the component TUPLE equals grouping by the Spark
+    * side's ':'-joined string (components are separator-free). `mem`
+    * carries doc_id: the audit ignores it, the candidate join needs it. */
+  private val MmBucketMemCte = """feat AS (
+        SELECT doc_id,
+          CASE doc_id % 7 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+               WHEN 2 THEN 'jpeg' WHEN 3 THEN 'wav' WHEN 4 THEN 'gif'
+               WHEN 5 THEN 'webp' ELSE 'mp4' END AS format,
+          CASE doc_id % 7 WHEN 0 THEN 16 + doc_id % 32
+               WHEN 1 THEN 32 + doc_id % 64 WHEN 2 THEN 64 + doc_id % 128
+               WHEN 3 THEN 0 WHEN 4 THEN 20 + doc_id % 40
+               WHEN 5 THEN 24 + doc_id % 48
+               ELSE 48 + doc_id % 96 END AS width,
+          CASE doc_id % 7 WHEN 0 THEN 8 + doc_id % 16
+               WHEN 1 THEN 16 + doc_id % 32 WHEN 2 THEN 48 + doc_id % 64
+               WHEN 3 THEN 0 WHEN 4 THEN 10 + doc_id % 20
+               WHEN 5 THEN 12 + doc_id % 24
+               ELSE 32 + doc_id % 64 END AS height,
+          CASE doc_id % 7 WHEN 0 THEN 3 WHEN 1 THEN 4
+               WHEN 2 THEN CASE WHEN doc_id % 8 = 2 THEN 1 ELSE 3 END
+               WHEN 3 THEN 1 + doc_id % 2 WHEN 4 THEN 1
+               WHEN 5 THEN CASE WHEN doc_id % 12 = 11 THEN 4 ELSE 3 END
+               ELSE 3
+          END AS channels,
+          CASE WHEN doc_id % 7 = 3 THEN
+            CASE WHEN doc_id % 4 = 3 THEN 16000 ELSE 8000 END
+          ELSE 0 END AS sample_rate,
+          CASE WHEN doc_id % 7 = 3 THEN
+            (((400 + (doc_id % 100) * 40) * (1 + doc_id % 2) * 2)
+              * 1000.0::DOUBLE) /
+            ((CASE WHEN doc_id % 4 = 3 THEN 16000 ELSE 8000 END)
+              * (1 + doc_id % 2) * 2)
+          WHEN doc_id % 7 = 6 THEN
+            ((1000 + (doc_id % 50) * 200) * 1000.0::DOUBLE) /
+            (CASE WHEN doc_id % 10 = 6 THEN 25000 ELSE 10000 END)
+          WHEN doc_id % 7 = 4 AND doc_id % 3 = 2 THEN
+            ((2 + doc_id % 4) * (5 + doc_id % 6) * 10) * 1.0::DOUBLE
+          WHEN doc_id % 7 = 5 AND doc_id % 12 = 7 THEN
+            ((2 + doc_id % 5) * (40 + (doc_id % 8) * 10)) * 1.0::DOUBLE
+          ELSE 0.0::DOUBLE END AS duration_ms
+        FROM documents),
+      mem AS (
+        SELECT doc_id, 0 AS tbl, format, floor(width / 8.0) AS wb,
+               floor(height / 8.0) AS hb, channels, sample_rate,
+               floor(duration_ms / 500.0) AS db
+        FROM feat
+        UNION ALL
+        SELECT doc_id, 1, format, floor((width + 4) / 8.0),
+               floor((height + 4) / 8.0), channels, sample_rate,
+               floor((duration_ms + 250.0) / 500.0)
+        FROM feat)"""
+
+  /** The serving cut over the doc_similar pair list — shared by
+    * doc_similar_topk (pairs from the lang-blocked exact join) and
+    * doc_similar_topk_prefix (pairs from the prefix-filtered join):
+    * the two pair sources are row-identical (spec-proven), so ONE SQL
+    * checks the cut over both. */
+  private val DocSimilarTopKOracleSql = s"""
+      WITH pairs AS ($DocSimilarOracleSql),
+      sym AS (
+        SELECT lang, doc1 AS doc_id, doc2 AS similar_id, score FROM pairs
+        UNION ALL
+        SELECT lang, doc2 AS doc_id, doc1 AS similar_id, score FROM pairs)
+      SELECT lang, doc_id, similar_id, score, rnk FROM (
+        SELECT lang, doc_id, similar_id, score,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, similar_id) AS BIGINT) AS rnk
+        FROM sym)
+      WHERE rnk <= 5"""
 
   private val Bm25OracleSql = """
       WITH t AS (
@@ -174,11 +269,7 @@ object PipelineQueries {
     // the full run's cross slice + the bucketed index scan
     "dedup_incremental" -> ((s, d) => {
       val dd = docs(s, d)
-      val suffix = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-      val tbl = s"graft_anchor_index_$suffix"
-      val path = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), tbl).toString
+      val (tbl, path) = runScopedTable(s, d, "graft_anchor_index")
       s.sql(s"DROP TABLE IF EXISTS $tbl")
       Dedup.writeAnchorIndex(
         dd.filter(col("doc_id") % 10 =!= 0), tbl, path)
@@ -215,6 +306,18 @@ object PipelineQueries {
     // knn_quantized integer chain, so the whole operator is oracle-exact
     "contamination_semantic" -> ((s, d) =>
       Knn.contaminationSemantic(Knn.emb(s, d))),
+    // the 100 TB path for the semantic check: train split → persisted
+    // quantized IVF index (bucketed code lists, zero index-side
+    // Exchange), test split probes its nprobe nearest lists and scores
+    // candidates with the IDENTICAL integer chain — every emitted pair
+    // is a subset of contamination_semantic's with bit-identical scores
+    // (KnnSpec asserts both + planted-duplicate recall); rows-only
+    // (probe recall depends on the seeded k-means assignment, which
+    // isn't ANSI-expressible)
+    "contamination_semantic_ivf" -> ((s, d) => {
+      val (tbl, path) = runScopedTable(s, d, "graft_contam_ivf")
+      Knn.contaminationSemanticIvf(s, Knn.emb(s, d), tbl, path)
+    }),
     "text_redact" -> ((s, d) => TextOps.redact(docs(s, d))),
     // domain mixing: every source Bernoulli-downsampled to ≤ ~15
     // expected rows via a pure md5 row function — no fact-table shuffle
@@ -286,14 +389,7 @@ object PipelineQueries {
     // the bucketed scan, and recall vs brute
     "knn_ivf_persisted" -> ((s, d) => {
       val e = Knn.emb(s, d)
-      // derive table + path from the sf dir so concurrent drivers on
-      // different datasets (selfcheck at sf0.01 while Bench runs sf0.1)
-      // can't race on one /tmp directory or metastore entry
-      val suffix = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-      val tbl = s"graft_ivf_persisted_$suffix"
-      val path = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), tbl).toString
+      val (tbl, path) = runScopedTable(s, d, "graft_ivf_persisted")
       s.sql(s"DROP TABLE IF EXISTS $tbl")
       val centroids = Knn.writeIvfIndex(e, tbl, path, nlist = 10, buckets = 8)
       Knn.searchIvfIndex(s, tbl, centroids,
@@ -309,11 +405,7 @@ object PipelineQueries {
     // zero-index-Exchange plan carries over
     "knn_ivf_quantized" -> ((s, d) => {
       val e = Knn.emb(s, d)
-      val suffix = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-      val tbl = s"graft_ivf_quantized_$suffix"
-      val path = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), tbl).toString
+      val (tbl, path) = runScopedTable(s, d, "graft_ivf_quantized")
       s.sql(s"DROP TABLE IF EXISTS $tbl")
       val centroids = Knn.writeIvfIndexQuantized(e, tbl, path,
         nlist = 10, buckets = 8)
@@ -354,11 +446,7 @@ object PipelineQueries {
     // (probe); result-identical to token_count_bpe (TextSpec parity),
     // rows-only like it
     "token_count_bpe_persisted" -> ((s, d) => {
-      val suffix = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-      val tbl = s"graft_bpe_model_$suffix"
-      val path = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), tbl).toString
+      val (tbl, path) = runScopedTable(s, d, "graft_bpe_model")
       s.sql(s"DROP TABLE IF EXISTS $tbl")
       s.sql(s"DROP TABLE IF EXISTS ${tbl}_merges")
       TextOps.writeBpeModel(docs(s, d), tbl, path)
@@ -415,17 +503,20 @@ object PipelineQueries {
     // the per-doc serving cut: symmetrized pairs ranked on the
     // 1e-4-grid score with an id tie-break (deterministic k-boundary)
     "doc_similar_topk" -> ((s, d) => TextOps.docSimilarTopK(docs(s, d))),
+    // the serving cut RIDING THE 100 TB PAIR SOURCE: same cut, pairs
+    // from the prefix-filtered join — the composition a web-scale
+    // pipeline actually runs (a dominant language makes the lang block
+    // quadratic; prefix candidates stay τ-bounded); oracle-checked with
+    // the same SQL as doc_similar_topk (row-identical pair sources)
+    "doc_similar_topk_prefix" -> ((s, d) =>
+      TextOps.docSimilarTopKFrom(TextOps.docSimilarPrefix(docs(s, d)))),
     // BM25 against the PERSISTED bucketed postings index (build once,
     // probe per query — the search-serving shape, completing the
     // persisted-index trilogy with knn_ivf_persisted and
     // dedup_incremental); result-identical to text_search_bm25, so it
     // shares that oracle — the persisted hop is transparent
     "text_search_indexed" -> ((s, d) => {
-      val suffix = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-      val tbl = s"graft_text_index_$suffix"
-      val path = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), tbl).toString
+      val (tbl, path) = runScopedTable(s, d, "graft_text_index")
       s.sql(s"DROP TABLE IF EXISTS $tbl")
       s.sql(s"DROP TABLE IF EXISTS ${tbl}_stats")
       TextOps.writeTextIndex(docs(s, d), tbl, path)
@@ -466,6 +557,13 @@ object PipelineQueries {
     // bucket structure — tuple-grouping equals the Spark side's
     // ':'-joined string key because the components are separator-free
     "mm_dedup_near_audit" -> ((s, d) => Multimodal.nearDedupAudit(
+      Multimodal.synthesize(docs(s, d)))),
+    // mm_dedup_near's CANDIDATE stage promoted to the hash gate (r12
+    // verdict ask): the capped double-band pair list with per-pair band
+    // multiplicity is pure doc_id arithmetic end to end, so DuckDB
+    // reproduces the exact pair set — only the byte n-gram verify
+    // remains rows-only
+    "mm_dedup_near_candidates" -> ((s, d) => Multimodal.nearDedupCandidates(
       Multimodal.synthesize(docs(s, d)))),
     // near-dup media groups end-to-end (the production shape: a dense
     // near-dup region's pair list is inherently quadratic, its cluster
@@ -1107,19 +1205,11 @@ object PipelineQueries {
     "doc_similar" -> DocSimilarOracleSql,
     "doc_similar_prefix" -> DocSimilarOracleSql,
     // serving cut over the same pair list: symmetrize + row_number on
-    // the grid score with the similar_id tie-break
-    "doc_similar_topk" -> s"""
-      WITH pairs AS ($DocSimilarOracleSql),
-      sym AS (
-        SELECT lang, doc1 AS doc_id, doc2 AS similar_id, score FROM pairs
-        UNION ALL
-        SELECT lang, doc2 AS doc_id, doc1 AS similar_id, score FROM pairs)
-      SELECT lang, doc_id, similar_id, score, rnk FROM (
-        SELECT lang, doc_id, similar_id, score,
-               CAST(row_number() OVER (PARTITION BY doc_id
-                 ORDER BY score DESC, similar_id) AS BIGINT) AS rnk
-        FROM sym)
-      WHERE rnk <= 5""",
+    // the grid score with the similar_id tie-break; shared verbatim by
+    // doc_similar_topk_prefix (the pair sources are row-identical by
+    // the prefix spec, so one SQL checks the cut over both)
+    "doc_similar_topk" -> DocSimilarTopKOracleSql,
+    "doc_similar_topk_prefix" -> DocSimilarTopKOracleSql,
 
     "vocab_topk" -> """
       WITH w AS (
@@ -1345,9 +1435,15 @@ object PipelineQueries {
                                 doc_id % 8 = 2)
           WHEN 3 THEN concat_ws(',', doc_id % 2, doc_id % 4 = 3,
                                 doc_id % 100)
-          WHEN 4 THEN concat_ws(',', doc_id % 40, doc_id % 20)
+          WHEN 4 THEN concat_ws(',', doc_id % 40, doc_id % 20,
+                          CASE WHEN doc_id % 3 = 2 THEN
+                            concat_ws(',', 'anim', doc_id % 4, doc_id % 6)
+                          ELSE 'still' END)
           WHEN 5 THEN concat_ws(',', doc_id % 48, doc_id % 24,
-                                doc_id % 12 = 11)
+                                doc_id % 12 = 11,
+                          CASE WHEN doc_id % 12 = 7 THEN
+                            concat_ws(',', 'anim', doc_id % 5, doc_id % 8)
+                          ELSE 'still' END)
           ELSE concat_ws(',', doc_id % 96, doc_id % 64, doc_id % 10 = 6,
                          doc_id % 50)
         END""",
@@ -1389,6 +1485,10 @@ object PipelineQueries {
           WHEN doc_id % 7 = 6 THEN
             ((1000 + (doc_id % 50) * 200) * 1000.0::DOUBLE) /
             (CASE WHEN doc_id % 10 = 6 THEN 25000 ELSE 10000 END)
+          WHEN doc_id % 7 = 4 AND doc_id % 3 = 2 THEN
+            ((2 + doc_id % 4) * (5 + doc_id % 6) * 10) * 1.0::DOUBLE
+          WHEN doc_id % 7 = 5 AND doc_id % 12 = 7 THEN
+            ((2 + doc_id % 5) * (40 + (doc_id % 8) * 10)) * 1.0::DOUBLE
           ELSE 0.0::DOUBLE END AS duration_ms,
           CASE doc_id % 7
             WHEN 0 THEN 54 + ((16 + doc_id % 32) * 3 + 3) // 4 * 4
@@ -1398,16 +1498,22 @@ object PipelineQueries {
               (CASE WHEN doc_id % 8 = 2 THEN 1 ELSE 3 END)
             WHEN 3 THEN 44 + (400 + (doc_id % 100) * 40)
                           * (1 + doc_id % 2) * 2
-            WHEN 4 THEN 14
-            WHEN 5 THEN 26
-            ELSE 244 END AS n_bytes
+            WHEN 4 THEN CASE WHEN doc_id % 3 = 2
+                          THEN 14 + 20 * (2 + doc_id % 4) ELSE 14 END
+            WHEN 5 THEN CASE WHEN doc_id % 12 = 7
+                          THEN 44 + 24 * (2 + doc_id % 5) ELSE 26 END
+            ELSE 244 END AS n_bytes,
+          CASE WHEN doc_id % 7 = 4 AND doc_id % 3 = 2 THEN 2 + doc_id % 4
+               WHEN doc_id % 7 = 5 AND doc_id % 12 = 7 THEN 2 + doc_id % 5
+               ELSE 0 END AS n_frames
         FROM documents)
       SELECT format, count(*) AS n_docs,
              round(avg(width), 2) AS avg_width,
              round(avg(height), 2) AS avg_height,
              CAST(max(channels) AS BIGINT) AS max_channels,
              round(avg(duration_ms), 2) AS avg_duration_ms,
-             CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+             CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+             CAST(sum(n_frames) AS BIGINT) AS total_frames
       FROM feat GROUP BY format""",
 
     // the lang_id oracle's CTE chain with a (lang, pred_lang) rollup
@@ -1516,51 +1622,8 @@ object PipelineQueries {
     // side's ':'-joined string (components are separator-free). The
     // corpus-level rollup (memberships / buckets / dropped-over-cap /
     // max occupancy) then compares exactly
-    "mm_dedup_near_audit" -> """
-      WITH feat AS (
-        SELECT doc_id,
-          CASE doc_id % 7 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
-               WHEN 2 THEN 'jpeg' WHEN 3 THEN 'wav' WHEN 4 THEN 'gif'
-               WHEN 5 THEN 'webp' ELSE 'mp4' END AS format,
-          CASE doc_id % 7 WHEN 0 THEN 16 + doc_id % 32
-               WHEN 1 THEN 32 + doc_id % 64 WHEN 2 THEN 64 + doc_id % 128
-               WHEN 3 THEN 0 WHEN 4 THEN 20 + doc_id % 40
-               WHEN 5 THEN 24 + doc_id % 48
-               ELSE 48 + doc_id % 96 END AS width,
-          CASE doc_id % 7 WHEN 0 THEN 8 + doc_id % 16
-               WHEN 1 THEN 16 + doc_id % 32 WHEN 2 THEN 48 + doc_id % 64
-               WHEN 3 THEN 0 WHEN 4 THEN 10 + doc_id % 20
-               WHEN 5 THEN 12 + doc_id % 24
-               ELSE 32 + doc_id % 64 END AS height,
-          CASE doc_id % 7 WHEN 0 THEN 3 WHEN 1 THEN 4
-               WHEN 2 THEN CASE WHEN doc_id % 8 = 2 THEN 1 ELSE 3 END
-               WHEN 3 THEN 1 + doc_id % 2 WHEN 4 THEN 1
-               WHEN 5 THEN CASE WHEN doc_id % 12 = 11 THEN 4 ELSE 3 END
-               ELSE 3
-          END AS channels,
-          CASE WHEN doc_id % 7 = 3 THEN
-            CASE WHEN doc_id % 4 = 3 THEN 16000 ELSE 8000 END
-          ELSE 0 END AS sample_rate,
-          CASE WHEN doc_id % 7 = 3 THEN
-            (((400 + (doc_id % 100) * 40) * (1 + doc_id % 2) * 2)
-              * 1000.0::DOUBLE) /
-            ((CASE WHEN doc_id % 4 = 3 THEN 16000 ELSE 8000 END)
-              * (1 + doc_id % 2) * 2)
-          WHEN doc_id % 7 = 6 THEN
-            ((1000 + (doc_id % 50) * 200) * 1000.0::DOUBLE) /
-            (CASE WHEN doc_id % 10 = 6 THEN 25000 ELSE 10000 END)
-          ELSE 0.0::DOUBLE END AS duration_ms
-        FROM documents),
-      mem AS (
-        SELECT 0 AS tbl, format, floor(width / 8.0) AS wb,
-               floor(height / 8.0) AS hb, channels, sample_rate,
-               floor(duration_ms / 500.0) AS db
-        FROM feat
-        UNION ALL
-        SELECT 1, format, floor((width + 4) / 8.0),
-               floor((height + 4) / 8.0), channels, sample_rate,
-               floor((duration_ms + 250.0) / 500.0)
-        FROM feat),
+    "mm_dedup_near_audit" -> s"""
+      WITH $MmBucketMemCte,
       occ AS (
         SELECT tbl, format, wb, hb, channels, sample_rate, db,
                CAST(count(*) AS BIGINT) AS occ
@@ -1571,6 +1634,29 @@ object PipelineQueries {
                AS n_dropped_over_cap,
              CAST(max(occ) AS BIGINT) AS max_occupancy
       FROM occ""",
+
+    // the candidate PAIR LIST from the same arithmetic: cap buckets at
+    // 512, self-join memberships per (tbl, key tuple), count the band
+    // tables each pair collided in — tuple-grouping equals the Spark
+    // side's ':'-joined string key (components are separator-free), and
+    // one bucket per (doc, tbl) makes count(*) the table multiplicity
+    "mm_dedup_near_candidates" -> s"""
+      WITH $MmBucketMemCte,
+      occ AS (
+        SELECT tbl, format, wb, hb, channels, sample_rate, db
+        FROM mem GROUP BY 1, 2, 3, 4, 5, 6, 7
+        HAVING count(*) <= 512),
+      kept AS (
+        SELECT m.* FROM mem m JOIN occ
+          USING (tbl, format, wb, hb, channels, sample_rate, db))
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+             CAST(count(*) AS BIGINT) AS n_tables
+      FROM kept a JOIN kept b
+        ON a.tbl = b.tbl AND a.format = b.format AND a.wb = b.wb
+       AND a.hb = b.hb AND a.channels = b.channels
+       AND a.sample_rate = b.sample_rate AND a.db = b.db
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2""",
 
     // the full int8 chain reproduced in DuckDB list arithmetic: codes
     // are floor-half-up over the identical IEEE expression

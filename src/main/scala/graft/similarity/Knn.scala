@@ -143,6 +143,62 @@ object Knn {
       .select("test_vec", "train_vec", "score")
   }
 
+  /** Cross-split semantic contamination over the PERSISTED quantized IVF
+    * index — the 100 TB path that [[contaminationSemantic]]'s docstring
+    * promises: instead of broadcasting the whole test split into a cross
+    * join (which stops planning long before 100 TB — the test split is
+    * 3/16 of the corpus by construction), the TRAIN split is written as
+    * the [[writeIvfIndexQuantized]] bucketed code index and the test
+    * split PROBES it: each test vector ranks the tiny float centroid
+    * table for its `nprobe` nearest lists, meets the bucketed lists in a
+    * `c_id` equijoin (index side pre-partitioned — zero index-side
+    * Exchange, the KnnSpec-asserted layout), and is scored with the
+    * IDENTICAL integer chain (floor-half-up codes, exact integer
+    * [[graft.functions.ByteDot]], one floor-half-up double expression).
+    * Every emitted pair is therefore a subset of the brute operator's
+    * pairs with BIT-IDENTICAL scores (KnnSpec asserts both); recall is
+    * probe-dependent (a τ-near-duplicate assigned to a list the probe
+    * skips is missed — nprobe tunes that trade), which is why this
+    * registers rows-only while the brute baseline keeps the oracle.
+    * Split discipline holds BY CONSTRUCTION: only train rows enter the
+    * index, only test rows probe. Per-probe cost is nprobe·|list| —
+    * corpus-linear build, candidate-linear search, no cross product
+    * anywhere (PlanSpec-fenced). */
+  def contaminationSemanticIvf(spark: SparkSession, e: DataFrame,
+      tableName: String, path: String, trainSixteenths: Int = 13,
+      tau: Double = 0.45, nlist: Int = 10, buckets: Int = 8,
+      nprobe: Int = 2): DataFrame = {
+    require(trainSixteenths >= 1 && trainSixteenths <= 15,
+      s"trainSixteenths must be in [1, 15], got $trainSixteenths")
+    require(tau > 0.0, s"bad tau=$tau")
+    val boundary = trainSixteenths.toHexString
+    // the split_assign md5-nibble rule, verbatim from the brute operator
+    val isTrain =
+      substring(md5(col("vec_id").cast("string")), 1, 1) < boundary
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    val centroids = writeIvfIndexQuantized(e.filter(isTrain), tableName,
+      path, nlist, buckets)
+    val probeW = Window.partitionBy("test_vec").orderBy(col("d"), col("c_id"))
+    val probes = quantize(e.filter(!isTrain))
+      .filter(col("qnrm") > lit(0.0))
+      .select(col("vec_id").as("test_vec"), col("v"), col("nrm"),
+        col("qv").as("sqv"), col("qnrm").as("snrm"))
+      .crossJoin(broadcast(withCnrm2(centroids)))
+      .withColumn("d", sqDist)
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("test_vec"), col("sqv"), col("snrm"), col("c_id"))
+    probes
+      .join(spark.table(tableName).filter(col("qnrm") > lit(0.0)),
+        Seq("c_id"))
+      .withColumn("score",
+        floor(graft.functions.ByteDot(col("qv"), col("sqv")).cast("double")
+            * lit(10000.0) / (col("qnrm") * col("snrm")) + lit(0.5))
+          .cast("double") / lit(10000.0))
+      .filter(col("score") >= tau)
+      .select(col("test_vec"), col("vec_id").as("train_vec"), col("score"))
+  }
+
   /** Per-label embedding DRIFT monitor in the quantized space — the
     * embedding dual of `quality_drift`: for each label (source /
     * crawl-batch id), the cosine between the label's int8-centroid-sum
@@ -158,10 +214,14 @@ object Knn {
     * across engines), and the displayed cosine is ONE floor-half-up
     * double expression over exact integers. Shuffles: the exploded
     * (label, dim) agg — 64·|labels| groups — plus a broadcast-sized
-    * dim join; nothing pairwise. Long-overflow bound: Σc² ≤
-    * (127·n·64)² per dim needs n ≲ 10⁷ vectors per monitored batch —
-    * the monitor is a per-crawl-batch pass by design (scope the input,
-    * not the math, at 100 TB). */
+    * dim join; nothing pairwise. Long-overflow bound: the largest
+    * aggregate is per-label c2 = Σ_pos c_pos² with |c_pos| ≤ 127·n, so
+    * c2 ≤ 64·(127·n)² — under 2⁶³ only for n ≲ 3·10⁶ vectors per
+    * monitored corpus. Past that Spark's long sum WRAPS silently while
+    * the DuckDB oracle sums in HUGEINT then casts (a gate mismatch at
+    * best, a silent wrong answer in rows-only use) — the monitor is a
+    * per-crawl-batch pass by design; scope the input, not the math, at
+    * 100 TB. */
   def embDriftQuantized(e: DataFrame): DataFrame = {
     val codes = quantize(e)
       .select(col("label"), posexplode(col("qv")).as(Seq("pos", "code")))

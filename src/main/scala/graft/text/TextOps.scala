@@ -1000,6 +1000,16 @@ object TextOps {
       .join(broadcast(scalars), "lang")
       .filter(col("df") >= minDf &&
         col("df") * lit(10L) <= col("n_docs") * lit(maxDfTenths.toLong))
+    // the kernel keys vectors on xxhash64(lang, term) ([[docVectors]]):
+    // verify injectivity over the in-band vocabulary OUTRIGHT instead of
+    // documenting a ~1e-15 probability — a 64-bit collision between two
+    // in-band terms of one language would merge their vector entries on
+    // the Spark side only (the DuckDB oracle joins exact terms) and
+    // land as a MYSTERY hash-gate mismatch; the require turns that into
+    // a loud, named error (the zero-dot equivalence precedent: gate-
+    // facing assumptions are require()s, not comments). Cost: one
+    // vocab-sized aggregate over the checkpointed tf lineage.
+    requireInjectiveTermHash(dft.select(col("lang"), col("term")))
     tf.join(dft, Seq("lang", "term")) // vocab-sized right side
       .withColumn("idf_milli",
         round(log(col("n_docs") / col("df")) * lit(1000.0), 0).cast("long"))
@@ -1007,16 +1017,40 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("term"), col("w"))
   }
 
+  /** Fails fast unless `hash` is injective over the (lang, term) vocab:
+    * compares distinct (lang, term) keys against distinct (lang, hash)
+    * keys in one aggregate. The production caller ([[docWeights]]) wires
+    * the kernel's actual key hash; the spec wires a deliberately
+    * colliding hash to prove the guard FIRES (a real xxhash64 collision
+    * is not constructible in a test). */
+  private[graft] def requireInjectiveTermHash(vocab: DataFrame,
+      hash: Column = xxhash64(col("lang"), col("term"))): Unit = {
+    val r = vocab.agg(
+      countDistinct(col("lang"), col("term")).as("nk"),
+      countDistinct(col("lang"), hash).as("nh")).collect().head
+    require(r.getLong(0) == r.getLong(1),
+      s"term-hash collision inside an in-band vocabulary: " +
+        s"${r.getLong(0)} (lang, term) keys hash to ${r.getLong(1)} " +
+        s"(lang, hash) keys — the sparse-dot kernel would silently " +
+        s"merge the colliding terms (Spark-side only; the oracle joins " +
+        s"exact terms)")
+  }
+
   /** ONE row per doc from [[docWeights]] output: the key-sorted sparse
     * vector in PARALLEL-ARRAY layout (primitive long key/weight arrays,
     * never struct arrays — getStruct allocates an InternalRow wrapper
     * per element, measured 11 s over the pair join) + its squared norm;
     * n2 = 0 docs fenced (0/0 = NaN orders differently across engines);
-    * checkpointed (feeds both sides of the pair join). */
+    * checkpointed (feeds both sides of the pair join). Keys are
+    * xxhash64(lang, term) — salted with the language so the collision
+    * domain is one language's IN-BAND vocabulary (the join already
+    * blocks on lang), and [[requireInjectiveTermHash]] has verified
+    * injectivity over exactly that domain before any key is built. */
   private def docVectors(w: DataFrame): DataFrame =
     w.groupBy(col("doc_id"), col("lang"))
       .agg(sort_array(collect_list(struct(
-          xxhash64(col("term")).as("k"), col("w").as("w")))).as("kw"),
+          xxhash64(col("lang"), col("term")).as("k"),
+          col("w").as("w")))).as("kw"),
         sum(col("w") * col("w")).as("n2"))
       .filter(col("n2") > lit(0L))
       .select(col("doc_id"), col("lang"), col("n2"),
@@ -1072,9 +1106,19 @@ object TextOps {
     * internals). Plan: the per-doc window hash-partitions on doc_id —
     * parallelism = docs, never a global sort. */
   def docSimilarTopK(d: DataFrame, k: Int = 5, tau: Double = 0.9,
-      minDf: Long = 2L, maxDfTenths: Int = 9): DataFrame = {
+      minDf: Long = 2L, maxDfTenths: Int = 9): DataFrame =
+    docSimilarTopKFrom(docSimilar(d, tau, minDf, maxDfTenths), k)
+
+  /** The serving cut over ANY pair source honoring [[docSimilar]]'s row
+    * contract (lang, doc1, doc2, score with doc1 < doc2, one row per
+    * undirected pair) — the dedup_clusters_lsh pattern of swapping the
+    * pair source under an unchanged consumer: at test scale the cut
+    * rides the lang-blocked exact join, at 100 TB it rides
+    * [[docSimilarPrefix]] UNCHANGED (row-identical pair sets by the
+    * prefix spec, so the cut is identical too — spec-asserted both
+    * ways). */
+  def docSimilarTopKFrom(pairs: DataFrame, k: Int = 5): DataFrame = {
     require(k >= 1, s"bad k=$k")
-    val pairs = docSimilar(d, tau, minDf, maxDfTenths)
     val sym = pairs.select(col("lang"), col("doc1").as("doc_id"),
         col("doc2").as("similar_id"), col("score"))
       .unionByName(pairs.select(col("lang"), col("doc2").as("doc_id"),

@@ -83,6 +83,68 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("contaminationSemanticIvf: planted duplicate surfaces through the " +
+      "probe; pairs are a subset of brute with bit-identical scores") {
+    import spark.implicits._
+    def isTrain(id: Long): Boolean = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      h.charAt(0) < 'd'
+    }
+    val a = (0L to 50L).find(isTrain).get
+    val b = (0L to 50L).find(id => !isTrain(id)).get
+    val rnd = new scala.util.Random(7)
+    val base = (0L to 50L).map(id =>
+      (id, 0, Seq.fill(8)(rnd.nextDouble() - 0.5)))
+    val planted = base.map { case (id, l, v) =>
+      if (id == b) (id, l, base(a.toInt)._3) else (id, l, v)
+    }.toDF("vec_id", "label", "v")
+      .withColumn("nrm",
+        sqrt(graft.functions.DotProduct(col("v"), col("v"))))
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft_contam_ivf").toString
+    spark.sql("DROP TABLE IF EXISTS contam_ivf_t")
+    val rows = Knn.contaminationSemanticIvf(spark, planted, "contam_ivf_t",
+      dir, 13, tau = 0.3, nlist = 4, buckets = 2, nprobe = 2).collect()
+    // the planted cross-split duplicate is RECALLED at exactly 1.0: the
+    // test copy's nearest centroid is by construction the train copy's
+    // assigned list (identical vectors, identical (d, c_id) tie-break in
+    // assignment and probe ranking), so nprobe ≥ 1 suffices for exact dups
+    assert(rows.exists(r => r.getAs[Long]("test_vec") == b &&
+      r.getAs[Long]("train_vec") == a &&
+      r.getAs[Double]("score") == 1.0), rows.mkString(", "))
+    // split discipline holds by construction — verify anyway
+    rows.foreach { r =>
+      assert(!isTrain(r.getAs[Long]("test_vec")), r.toString)
+      assert(isTrain(r.getAs[Long]("train_vec")), r.toString)
+    }
+    // probe pairs ⊆ brute pairs with BIT-identical scores: the probe
+    // only prunes candidates (skipped lists), never changes a score
+    val brute = Knn.contaminationSemantic(planted, 13, tau = 0.3).collect()
+      .map(r => (r.getAs[Long]("test_vec"), r.getAs[Long]("train_vec"),
+        r.getAs[Double]("score"))).toSet
+    val got = rows.map(r => (r.getAs[Long]("test_vec"),
+      r.getAs[Long]("train_vec"), r.getAs[Double]("score"))).toSet
+    assert(got.nonEmpty && got.subsetOf(brute),
+      s"probe pairs not a subset of brute: ${(got -- brute).take(5)}")
+    // the quantized-IVF plan fences carry over: bucketed index scan, no
+    // cartesian, exactly one (probe-side) c_id Exchange
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = Knn.contaminationSemanticIvf(spark, planted, "contam_ivf_t",
+        dir, 13, tau = 0.3, nlist = 4, buckets = 2, nprobe = 2)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), p)
+      val cIdExchanges =
+        "Exchange hashpartitioning\\(c_id".r.findAllIn(p).length
+      assert(cIdExchanges == 1, p)
+      assert(p.contains("Bucketed: true"), p)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("embDriftQuantized: every label covered, cosine bounded, degenerate fenced") {
     import spark.implicits._
     val rows = Knn.embDriftQuantized(e).collect()

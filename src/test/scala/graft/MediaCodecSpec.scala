@@ -120,6 +120,45 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(m87.ok && m87.width == 7 && m87.height == 3)
   }
 
+  test("gif animation: frame count and summed GCE delays round-trip; stills stay 0") {
+    val m = MediaCodec.decode(MediaCodec.encodeGifAnim(64, 32, 4, 7))
+    assert(m.ok && m.format == "gif" && m.width == 64 && m.height == 32)
+    assert(m.nFrames == 4 && m.durationMs == 4 * 7 * 10.0)
+    // still GIF: no enumerated frames, zero duration
+    val s = MediaCodec.decode(MediaCodec.encodeGif(64, 32))
+    assert(s.ok && s.nFrames == 0 && s.durationMs == 0.0)
+    // every truncation prefix returns (never throws, never hangs); a
+    // cut inside the block stream keeps the already-validated header
+    val full = MediaCodec.encodeGifAnim(64, 32, 3, 9)
+    (0 until full.length).foreach(i => MediaCodec.decode(full.take(i)))
+    val cut = MediaCodec.decode(full.take(full.length - 5))
+    assert(cut.ok && cut.width == 64 && cut.nFrames <= 3)
+    // a hostile GCE sub-block size runs the cursor past the end: the
+    // walk terminates with the header intact, partial animation data
+    val bad = full.clone()
+    bad(15) = 0xff.toByte // first GCE's block-size byte
+    val bm = MediaCodec.decode(bad)
+    assert(bm.ok && bm.width == 64)
+  }
+
+  test("webp animation: ANMF count and u24 durations round-trip; vp8x still stays 0") {
+    val m = MediaCodec.decode(MediaCodec.encodeWebpAnim(100, 50, 3, 80))
+    assert(m.ok && m.format == "webp" && m.width == 100 && m.height == 50)
+    assert(m.channels == 3 && m.nFrames == 3 && m.durationMs == 240.0)
+    // truncating into the last ANMF drops exactly that frame — the
+    // canvas (validated VP8X) survives
+    val full = MediaCodec.encodeWebpAnim(100, 50, 3, 80)
+    val cut = MediaCodec.decode(full.take(full.length - 10))
+    assert(cut.ok && cut.nFrames == 2 && cut.durationMs == 160.0)
+    // every truncation prefix returns, never throws
+    (0 until full.length).foreach(i => MediaCodec.decode(full.take(i)))
+    // a zero-frame animation container decodes as the bare canvas —
+    // nFrames counts only ENUMERATED ANMF frames
+    val vp8xStill = MediaCodec.encodeWebpAnim(100, 50, 0, 0)
+    val sm = MediaCodec.decode(vp8xStill)
+    assert(sm.ok && sm.nFrames == 0 && sm.durationMs == 0.0)
+  }
+
   test("hostile gif: truncation and zero dimensions decode to unknown") {
     // a 12-byte GIF passes decode()'s global length gate but is one byte
     // short of a full logical screen descriptor

@@ -237,6 +237,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("contamination_semantic_ivf probes the bucketed code index — no cross product anywhere") {
+    // the 100 TB replacement for the brute cross join above: train split
+    // persisted as the quantized IVF index, test split probes nprobe
+    // lists — candidate-linear, and the index side arrives
+    // pre-partitioned (bucketed scan, zero index-side Exchange)
+    val dir = Files.createTempDirectory("graft_contam_ivf_plan").toString
+    spark.sql("DROP TABLE IF EXISTS contam_ivf_plan")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan(graft.similarity.Knn.contaminationSemanticIvf(spark,
+        graft.similarity.Knn.emb(spark, SF), "contam_ivf_plan", dir))
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("Bucketed: true"), p)
+      val cIdExchanges =
+        "Exchange hashpartitioning\\(c_id".r.findAllIn(p).length
+      assert(cIdExchanges == 1, p)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("emb_drift_quantized scans the corpus once; the dim join is broadcast") {
     val df = graft.similarity.Knn.embDriftQuantized(
       graft.similarity.Knn.emb(spark, SF))

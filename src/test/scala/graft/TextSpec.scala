@@ -191,6 +191,29 @@ class TextSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("mm_dedup_near_candidates: band multiplicity per pair, superset of verified") {
+    import spark.implicits._
+    import graft.multimodal.MediaCodec
+    // identical dims collide in BOTH band tables (n_tables = 2); the
+    // 103/105 boundary drift collides in the offset table only (1)
+    val a = MediaCodec.encodeJpeg(103, 80, 3)
+    val b = MediaCodec.encodeJpeg(105, 80, 3)
+    val c = MediaCodec.encodeJpeg(103, 80, 3) // byte-identical to a
+    val far = MediaCodec.encodeJpeg(240, 80, 3)
+    val media = Seq((1L, "s", a), (2L, "s", b), (3L, "s", c), (4L, "s", far))
+      .toDF("doc_id", "source", "blob")
+    val cand = Multimodal.nearDedupCandidates(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("n_tables"))
+      .toMap
+    assert(cand ==
+      Map((1L, 2L) -> 1L, (2L, 3L) -> 1L, (1L, 3L) -> 2L), cand.toString)
+    // the candidate stage is a superset of the verified pair list by
+    // construction (verify only filters) — pin it anyway
+    val verified = Multimodal.nearDedup(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.nonEmpty && verified.subsetOf(cand.keySet))
+  }
+
   test("mm_transcode_candidates: cross-format same-canvas pairs only, capped, audio excluded") {
     import spark.implicits._
     import graft.multimodal.MediaCodec
@@ -496,6 +519,35 @@ class TextSpec extends SparkSpec {
     assert(gotP == wantP && wantP.nonEmpty)
   }
 
+  test("requireInjectiveTermHash: real hash passes, planted collision fires") {
+    import spark.implicits._
+    val vocab = Seq(("en", "alpha"), ("en", "beta"), ("fr", "alpha"))
+      .toDF("lang", "term")
+    TextOps.requireInjectiveTermHash(vocab) // the production hash
+    // a planted colliding hash (constant) must FIRE the guard — the
+    // failure mode the kernel's key contract forbids is detected, not
+    // silently merged into the dot
+    val err = intercept[IllegalArgumentException] {
+      TextOps.requireInjectiveTermHash(vocab, lit(0L))
+    }
+    assert(err.getMessage.contains("collision"), err.getMessage)
+    // equal hashes ACROSS languages are not collisions (the pair join
+    // blocks on lang — that is the whole point of the lang salt)
+    TextOps.requireInjectiveTermHash(vocab,
+      when(col("term") === "alpha", lit(1L)).otherwise(lit(2L)))
+  }
+
+  test("docSimilarTopKFrom over the prefix pair source equals the blocked cut") {
+    // the serving composition registered as doc_similar_topk_prefix:
+    // identical pair sources (previous test) must give an identical cut
+    // — this is what lets both registry rows share one oracle SQL
+    val blocked = TextOps.docSimilarTopK(docs).collect().map(_.toSeq).toSet
+    val prefix = TextOps.docSimilarTopKFrom(TextOps.docSimilarPrefix(docs))
+      .collect().map(_.toSeq).toSet
+    assert(prefix == blocked && blocked.nonEmpty,
+      s"prefix cut ${prefix.size} vs blocked cut ${blocked.size}")
+  }
+
   test("persisted BPE model: merge list round-trips, indexed apply equals in-query") {
     val tbl = "graft_bpe_model_spec"
     val path = java.nio.file.Files
@@ -705,11 +757,25 @@ class TextSpec extends SparkSpec {
             f.width == 20 + (f.doc_id % 40).toInt &&
             f.height == 10 + (f.doc_id % 20).toInt &&
             f.channels == 1, f.toString)
+          // the animated plant: frame count and total GCE delay are
+          // doc_id arithmetic; stills stay zero-frame, zero-duration
+          if (f.doc_id % 3 == 2)
+            assert(f.n_frames == 2 + (f.doc_id % 4).toInt &&
+              f.duration_ms == ((2 + f.doc_id % 4) *
+                (5 + f.doc_id % 6) * 10).toDouble, f.toString)
+          else
+            assert(f.n_frames == 0 && f.duration_ms == 0.0, f.toString)
         case 5 =>
           assert(f.format == "webp" &&
             f.width == 24 + (f.doc_id % 48).toInt &&
             f.height == 12 + (f.doc_id % 24).toInt &&
             f.channels == (if (f.doc_id % 12 == 11) 4 else 3), f.toString)
+          if (f.doc_id % 12 == 7)
+            assert(f.n_frames == 2 + (f.doc_id % 5).toInt &&
+              f.duration_ms == ((2 + f.doc_id % 5) *
+                (40 + (f.doc_id % 8) * 10)).toDouble, f.toString)
+          else
+            assert(f.n_frames == 0 && f.duration_ms == 0.0, f.toString)
         case _ =>
           assert(f.format == "mp4" &&
             f.width == 48 + (f.doc_id % 96).toInt &&
