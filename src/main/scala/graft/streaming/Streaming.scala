@@ -333,6 +333,81 @@ object Streaming {
       }
   }
 
+  /** Streaming MORE-LIKE-THIS — the incremental dual of
+    * [[graft.text.TextOps.docSimilar]] in the shape a serving pipeline
+    * actually runs: each ARRIVING document is vectorized against the
+    * FROZEN df-banded vocabulary and scored against the PERSISTED
+    * corpus vectors only ([[graft.text.TextOps.writeDocVectorIndex]]),
+    * emitting its above-τ neighbors. Entirely STATELESS — per-row
+    * vectorization + a stream-static lang equijoin — so it runs in
+    * append mode with no state store; the corpus index is the state,
+    * refreshed by the batch build exactly like anomalyStream's offline
+    * baseline.
+    *
+    * Convergence (StreamingSpec): the frozen vocabulary ships as a
+    * closure constant (the embDriftStream corpusSums posture — the
+    * banded vocab IS the bounded serving model, the persisted-BPE
+    * argument), per-doc tf folds in the closure over the SAME
+    * lowercased tokenization expression as batch (one definition:
+    * TextOps.lowerToks), weights/norms are exact integers (order-free
+    * sums), keys and their canonical sort are the IDENTICAL
+    * xxhash64(lang, term) + sort_array expressions, and the score is
+    * the same kernel + floor-half-up chain — so when the stream has
+    * replayed the corpus the index was built from, the emitted pair set
+    * equals the batch doc_similar rows exactly (each undirected pair
+    * served to both endpoints, scores bit-identical). */
+  def docSimilarStream(spark: SparkSession, docStream: DataFrame,
+      vecTable: String, vocabTable: String, tau: Double = 0.9): DataFrame = {
+    import spark.implicits._
+    require(tau > 0.0, s"bad tau=$tau")
+    val vocab: Map[(String, String), Long] = spark.table(vocabTable)
+      .select(col("lang"), col("term"), col("idf_milli"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val bc = spark.sparkContext.broadcast(vocab)
+    val entries = graft.text.TextOps.lowerToks(
+        docStream.select(col("doc_id"), col("lang"), col("text")))
+      .select(col("doc_id"), col("lang"), col("toks"))
+      .as[(Long, String, Seq[String])]
+      .map { case (id, lang, toks) =>
+        // per-doc tf over the doc's OWN tokens (bounded per row, no
+        // streaming aggregation), gated by the frozen in-band vocab;
+        // integer weights and n2 are order-free sums
+        val m = bc.value
+        val tf = scala.collection.mutable.HashMap.empty[String, Long]
+        toks.foreach(t => tf.update(t, tf.getOrElse(t, 0L) + 1L))
+        val terms = Seq.newBuilder[String]
+        val tws = Seq.newBuilder[Long]
+        var n2 = 0L
+        tf.foreach { case (t, c) =>
+          m.get((lang, t)).foreach { idf =>
+            val w = c * idf
+            terms += t; tws += w; n2 += w * w
+          }
+        }
+        (id, lang, terms.result(), tws.result(), n2)
+      }.toDF("doc_id", "lang", "terms", "tws", "n2")
+      .filter(col("n2") > lit(0L)) // the batch NaN fence, verbatim
+      // keys + canonical sort with the EXACT batch expressions
+      .withColumn("kw", sort_array(expr(
+        "transform(arrays_zip(terms, tws), p -> " +
+          "named_struct('k', xxhash64(lang, p.terms), 'w', p.tws))")))
+      .select(col("doc_id"), col("lang"), col("n2"),
+        expr("transform(kw, s -> s.k)").as("ks"),
+        expr("transform(kw, s -> s.w)").as("ws"))
+    val corpus = spark.table(vecTable)
+      .select(col("doc_id").as("similar_id"), col("lang"),
+        col("n2").as("cn2"), col("ks").as("cks"), col("ws").as("cws"))
+    entries.join(corpus, Seq("lang"))
+      .filter(col("doc_id") =!= col("similar_id"))
+      .withColumn("dc", graft.functions.SparseDotCounts(
+        col("ks"), col("ws"), col("cks"), col("cws")))
+      .withColumn("score", graft.text.TextOps.quantizedCosine(
+        col("dc").getItem(0), col("n2"), col("cn2")))
+      .filter(col("score") >= tau)
+      .select(col("lang"), col("doc_id"), col("similar_id"), col("score"))
+  }
+
   case class EntryEvent(space: String, segment: String, ts_us: Long,
       event_id: Long, value: Double)
   case class AggState(n_events: Long, balance: Double, last_ts_us: Long)

@@ -26,6 +26,12 @@ object TextOps {
   private def withToks(d: DataFrame): DataFrame =
     d.withColumn("toks", expr(toksExpr))
 
+  /** Lowercased tokenization as ONE definition for batch and streaming
+    * consumers (the streamingCurate convergence argument): stateless
+    * per-row expressions, so it applies to a stream unchanged. */
+  private[graft] def lowerToks(d: DataFrame): DataFrame =
+    withToks(d.withColumn("text", lower(col("text"))))
+
   /** Per-document surface statistics. */
   def stats(d: DataFrame): DataFrame =
     withToks(d).select(
@@ -1014,7 +1020,10 @@ object TextOps {
       .withColumn("idf_milli",
         round(log(col("n_docs") / col("df")) * lit(1000.0), 0).cast("long"))
       .withColumn("w", col("tf") * col("idf_milli"))
-      .select(col("doc_id"), col("lang"), col("term"), col("w"))
+      // idf_milli rides along for consumers that persist the vocabulary
+      // ([[writeDocVectorIndex]]); the similarity paths ignore it
+      .select(col("doc_id"), col("lang"), col("term"), col("w"),
+        col("idf_milli"))
   }
 
   /** Fails fast unless `hash` is injective over the (lang, term) vocab:
@@ -1058,7 +1067,7 @@ object TextOps {
         expr("transform(kw, s -> s.w)").as("ws"))
       .localCheckpoint(true)
 
-  private def quantizedCosine(dotCol: Column, n2a: Column,
+  private[graft] def quantizedCosine(dotCol: Column, n2a: Column,
       n2b: Column): Column =
     floor(dotCol.cast("double") * lit(10000.0) /
         (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double"))) + lit(0.5))
@@ -1128,6 +1137,36 @@ object TextOps {
           .orderBy(col("score").desc, col("similar_id"))).cast("long"))
       .filter(col("rnk") <= k)
       .select("lang", "doc_id", "similar_id", "score", "rnk")
+  }
+
+  /** Persist the doc-similarity SERVING artifacts (the writeTextIndex
+    * posture applied to the vector space): `tableName` holds the corpus
+    * sparse vectors exactly as [[docVectors]] builds them (doc_id, lang,
+    * n2, ks, ws — lang-salted xxhash64 keys, integer weights), and
+    * `tableName_vocab` freezes the df-banded vocabulary with its 1e-3-
+    * grid idf (lang, term, idf_milli) — the bounded artifact a serving
+    * tokenizer ships (the persisted-BPE-model argument: the vocabulary
+    * is the model). An arriving document vectorized against the FROZEN
+    * vocab with the same expressions produces a vector bit-identical to
+    * the one this index holds for an equal corpus document, which is
+    * what makes the streaming more-like-this dual
+    * ([[graft.streaming.Streaming.docSimilarStream]]) converge exactly
+    * (StreamingSpec). */
+  def writeDocVectorIndex(d: DataFrame, tableName: String, path: String,
+      minDf: Long = 2L, maxDfTenths: Int = 9): Unit = {
+    // feeds the vocab distinct AND the vector agg — one tokenize pass
+    val w = docWeights(d, minDf, maxDfTenths).localCheckpoint(true)
+    w.select(col("lang"), col("term"), col("idf_milli")).distinct()
+      .write
+      .option("path", s"${path}_vocab")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${tableName}_vocab")
+    docVectors(w)
+      .select(col("doc_id"), col("lang"), col("n2"), col("ks"), col("ws"))
+      .write
+      .option("path", path)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(tableName)
   }
 
   /** The 100 TB path for [[docSimilar]], with a PROVABLY IDENTICAL

@@ -118,6 +118,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSet == want)
   }
 
+  test("streaming more-like-this converges to the batch doc_similar rows") {
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+    // freeze the serving artifacts over the full corpus
+    spark.sql("DROP TABLE IF EXISTS mlt_vec")
+    spark.sql("DROP TABLE IF EXISTS mlt_vec_vocab")
+    val idx = Files.createTempDirectory("graft_mlt_idx").toString + "/v"
+    graft.text.TextOps.writeDocVectorIndex(docs, "mlt_vec", idx)
+    // replay the same corpus as a multi-micro-batch stream
+    val dir = Files.createTempDirectory("graft_mlt_stream").toString
+    docs.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    runToCompletion(Streaming.docSimilarStream(spark, stream,
+      "mlt_vec", "mlt_vec_vocab"), "mlt_stream", "append")
+    val emits = spark.table("mlt_stream").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("similar_id"), r.getAs[Double]("score")))
+    // normalized undirected pairs + BIT-identical scores equal batch
+    val got = emits.map { case (l, a, b, s) =>
+      (l, math.min(a, b), math.max(a, b), s) }.toSet
+    val want = graft.text.TextOps.docSimilar(docs).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc1"),
+        r.getAs[Long]("doc2"), r.getAs[Double]("score"))).toSet
+    assert(want.nonEmpty && got == want,
+      s"stream ${got.size} vs batch ${want.size}")
+    // every undirected pair is served to BOTH endpoints, exactly once
+    assert(emits.length == 2 * want.size)
+  }
+
   test("streaming media decode rollup converges to batch featureStats") {
     import graft.multimodal.Multimodal
     val media = Multimodal.synthesize(graft.text.TextOps.docs(spark, SF))
