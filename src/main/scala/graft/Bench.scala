@@ -20,7 +20,8 @@ object Bench {
   // with a search, so the `phases` map reports both components
   private val PhaseSplit =
     Set("dedup_incremental", "knn_ivf_persisted", "knn_ivf_quantized",
-      "text_search_indexed", "token_count_bpe_persisted")
+      "text_search_indexed", "token_count_bpe_persisted",
+      "contamination_semantic_ivf")
 
   private def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()

@@ -111,10 +111,11 @@ object Knn {
     * double expression), zero-norm codes excluded on both sides — so
     * the whole operator sits under the hash gate. The pair join is the
     * sanctioned brute baseline: test side broadcast (the minority
-    * split), train side streamed — the dedup_embedding posture. At
-    * 100 TB the same scoring chain runs over IVF-probe candidates from
-    * the persisted quantized index (knn_ivf_quantized) instead of the
-    * full cross product; the threshold semantics are unchanged. */
+    * split), train side streamed — the dedup_embedding posture. The
+    * 100 TB path is IMPLEMENTED as [[contaminationSemanticIvf]] (r13):
+    * the same scoring chain over IVF-probe candidates from the
+    * persisted quantized index — this brute form survives as its
+    * oracle baseline, exactly like knn_brute under knn_ivf. */
   def contaminationSemantic(e: DataFrame, trainSixteenths: Int = 13,
       tau: Double = 0.45): DataFrame = {
     require(trainSixteenths >= 1 && trainSixteenths <= 15,

@@ -1014,8 +1014,18 @@ object TextOps {
     // land as a MYSTERY hash-gate mismatch; the require turns that into
     // a loud, named error (the zero-dot equivalence precedent: gate-
     // facing assumptions are require()s, not comments). Cost: one
-    // vocab-sized aggregate over the checkpointed tf lineage.
-    requireInjectiveTermHash(dft.select(col("lang"), col("term")))
+    // vocab-sized aggregate over the checkpointed tf lineage, paid ONCE
+    // per (corpus files, band) per JVM — the LshBuckets.corpusSize memo
+    // posture, since four registry queries build over the same corpus in
+    // one run; in-memory corpora (no input files) are never memoized.
+    val files = d.inputFiles
+    val token =
+      if (files.isEmpty) null
+      else s"${files.length}:${files.sorted.toSeq.hashCode}:$minDf:$maxDfTenths"
+    if (token == null || !verifiedVocabs.contains(token)) {
+      requireInjectiveTermHash(dft.select(col("lang"), col("term")))
+      if (token != null) verifiedVocabs.add(token)
+    }
     tf.join(dft, Seq("lang", "term")) // vocab-sized right side
       .withColumn("idf_milli",
         round(log(col("n_docs") / col("df")) * lit(1000.0), 0).cast("long"))
@@ -1025,6 +1035,12 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("term"), col("w"),
         col("idf_milli"))
   }
+
+  /** Corpora whose in-band vocabulary already passed the injectivity
+    * check this JVM, keyed by (input files, band) — see the call site in
+    * [[docWeights]]. */
+  private val verifiedVocabs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Fails fast unless `hash` is injective over the (lang, term) vocab:
     * compares distinct (lang, term) keys against distinct (lang, hash)
