@@ -318,6 +318,15 @@ object PipelineQueries {
       val (tbl, path) = runScopedTable(s, d, "graft_contam_ivf")
       Knn.contaminationSemanticIvf(s, Knn.emb(s, d), tbl, path)
     }),
+    // probe-coverage accounting for the IVF path (the lsh_bucket_audit
+    // discipline): indexed/probing rows, candidate pairs scored, pairs
+    // flagged — the pruning factor vs the brute cross product a
+    // pipeline watches when tuning nprobe; rows-only (k-means
+    // assignment isn't ANSI-expressible)
+    "contamination_semantic_ivf_audit" -> ((s, d) => {
+      val (tbl, path) = runScopedTable(s, d, "graft_contam_ivf_aud")
+      Knn.contaminationSemanticIvfAudit(s, Knn.emb(s, d), tbl, path)
+    }),
     "text_redact" -> ((s, d) => TextOps.redact(docs(s, d))),
     // domain mixing: every source Bernoulli-downsampled to ≤ ~15
     // expected rows via a pure md5 row function — no fact-table shuffle

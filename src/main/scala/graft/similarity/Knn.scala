@@ -169,9 +169,21 @@ object Knn {
       tableName: String, path: String, trainSixteenths: Int = 13,
       tau: Double = 0.45, nlist: Int = 10, buckets: Int = 8,
       nprobe: Int = 2): DataFrame = {
+    require(tau > 0.0, s"bad tau=$tau")
+    contaminationProbeScored(spark, e, tableName, path, trainSixteenths,
+      nlist, buckets, nprobe)
+      .filter(col("score") >= tau)
+      .select(col("test_vec"), col("vec_id").as("train_vec"), col("score"))
+  }
+
+  /** Shared by [[contaminationSemanticIvf]] and its audit: build the
+    * quantized train-split index, probe with the test split, score every
+    * probe candidate — UNFILTERED (test_vec, vec_id, score) rows. */
+  private def contaminationProbeScored(spark: SparkSession, e: DataFrame,
+      tableName: String, path: String, trainSixteenths: Int,
+      nlist: Int, buckets: Int, nprobe: Int): DataFrame = {
     require(trainSixteenths >= 1 && trainSixteenths <= 15,
       s"trainSixteenths must be in [1, 15], got $trainSixteenths")
-    require(tau > 0.0, s"bad tau=$tau")
     val boundary = trainSixteenths.toHexString
     // the split_assign md5-nibble rule, verbatim from the brute operator
     val isTrain =
@@ -196,8 +208,39 @@ object Knn {
         floor(graft.functions.ByteDot(col("qv"), col("sqv")).cast("double")
             * lit(10000.0) / (col("qnrm") * col("snrm")) + lit(0.5))
           .cast("double") / lit(10000.0))
-      .filter(col("score") >= tau)
-      .select(col("test_vec"), col("vec_id").as("train_vec"), col("score"))
+  }
+
+  /** Probe-coverage accounting for [[contaminationSemanticIvf]] (the
+    * lsh_bucket_audit discipline — every candidate-pruning operator
+    * carries an audit row): one row — train rows indexed, test rows
+    * probing, candidate pairs actually scored through the probe
+    * equijoin, and pairs at or above `tau`. The pruning factor
+    * n_candidates / (n_train · n_test) is what replaces the brute cross
+    * product; at fixed nprobe/nlist it stays ≈ nprobe/nlist of the
+    * brute pair count INDEPENDENT of corpus size, which is the number a
+    * pipeline watches when tuning probe width against missed-
+    * contamination risk. */
+  def contaminationSemanticIvfAudit(spark: SparkSession, e: DataFrame,
+      tableName: String, path: String, trainSixteenths: Int = 13,
+      tau: Double = 0.45, nlist: Int = 10, buckets: Int = 8,
+      nprobe: Int = 2): DataFrame = {
+    require(tau > 0.0, s"bad tau=$tau")
+    val scored = contaminationProbeScored(spark, e, tableName, path,
+      trainSixteenths, nlist, buckets, nprobe)
+    val boundary = trainSixteenths.toHexString
+    val isTrain =
+      substring(md5(col("vec_id").cast("string")), 1, 1) < boundary
+    val q = quantize(e).filter(col("qnrm") > lit(0.0))
+    val sizes = q.agg(
+      sum(when(isTrain, 1L).otherwise(0L)).as("n_train"),
+      sum(when(isTrain, 0L).otherwise(1L)).as("n_test"))
+    val stats = scored.agg(
+      count(lit(1)).as("n_candidates"),
+      sum(when(col("score") >= tau, 1L).otherwise(0L)).as("n_flagged"))
+    sizes.crossJoin(broadcast(stats))
+      .select(col("n_train"), col("n_test"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"))
   }
 
   /** Per-label embedding DRIFT monitor in the quantized space — the

@@ -128,6 +128,23 @@ class KnnSpec extends SparkSpec {
       r.getAs[Long]("train_vec"), r.getAs[Double]("score"))).toSet
     assert(got.nonEmpty && got.subsetOf(brute),
       s"probe pairs not a subset of brute: ${(got -- brute).take(5)}")
+    // the audit row accounts the probe exactly: every split member
+    // counted, candidates bounded by the brute cross product, flagged
+    // count equals the operator's row count at the same tau
+    spark.sql("DROP TABLE IF EXISTS contam_ivf_aud_t")
+    val audDir =
+      java.nio.file.Files.createTempDirectory("graft_contam_aud").toString
+    val aud = Knn.contaminationSemanticIvfAudit(spark, planted,
+      "contam_ivf_aud_t", audDir, 13, tau = 0.3, nlist = 4, buckets = 2,
+      nprobe = 2).collect().head
+    val nTrain = aud.getAs[Long]("n_train")
+    val nTest = aud.getAs[Long]("n_test")
+    assert(nTrain + nTest == 51L, aud.toString)
+    assert(nTest == (0L to 50L).count(id => !isTrain(id)).toLong)
+    val nCand = aud.getAs[Long]("n_candidates")
+    assert(nCand > 0L && nCand <= nTrain * nTest, aud.toString)
+    assert(aud.getAs[Long]("n_flagged") == rows.length.toLong,
+      s"$aud vs ${rows.length} operator rows")
     // the quantized-IVF plan fences carry over: bucketed index scan, no
     // cartesian, exactly one (probe-side) c_id Exchange
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
