@@ -639,6 +639,56 @@ object Dedup {
         sum(col("sum_chars")).as("chars_total"),
         sum(col("sum_chars") - col("kept_chars")).as("chars_saved"))
 
+  /** Cross-source exact-duplicate matrix — the mirror detector: for each
+    * ordered source pair (a < b), how many distinct contents appear in
+    * BOTH, and how many doc copies each side holds over those shared
+    * contents. A pair with a large shared count is one crawl mirroring
+    * another — the provenance question a curation pipeline answers
+    * before weighting sources independently.
+    *
+    * Scale: one (digest, source) distinct-agg, then a digest self-join
+    * whose fan-out is bounded by |sources|² per digest (sources are a
+    * handful, not a corpus dimension) — never doc-pairwise. */
+  def sourceOverlap(d: DataFrame): DataFrame = {
+    val g = d
+      .groupBy(md5(lower(trim(col("text")))).as("digest"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    g.as("a").join(g.as("b"),
+        col("a.digest") === col("b.digest") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(
+        count(lit(1)).as("n_shared_digests"),
+        sum(col("a.n")).as("docs_a"),
+        sum(col("b.n")).as("docs_b"))
+  }
+
+  /** Decontamination GOVERNANCE rollup — one row per method over the
+    * engine's four cross-split checks (lexical scoped, lexical unscoped,
+    * substring, semantic): pair count plus distinct train/test members.
+    * The four methods see different contamination (token overlap vs
+    * verbatim runs vs paraphrase in embedding space); a release sign-off
+    * reads them side by side, which is this row set. Pair sources are
+    * PARAMETERS (the doc_similar_topk posture): the registry feeds the
+    * oracle-checked operators, a 100 TB run feeds their scale variants
+    * (unscoped stays, substring stays, semantic swaps in the IVF probe)
+    * and the report composes unchanged. CONTRACT: each frame's FIRST
+    * column is the train-side member, SECOND the test-side (callers
+    * re-select when the operator emits test first, as the semantic
+    * family does). */
+  def contaminationReport(methods: Seq[(String, DataFrame)]): DataFrame = {
+    require(methods.nonEmpty, "no methods")
+    methods.map { case (name, pairs) =>
+      val Seq(trainCol, testCol) = pairs.columns.toSeq.take(2)
+      pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col(trainCol)).as("n_train_members"),
+        countDistinct(col(testCol)).as("n_test_members"))
+        .select(lit(name).as("method"), col("n_pairs"),
+          col("n_train_members"), col("n_test_members"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Persist the winnowed-anchor index of a curated corpus as an external
     * table BUCKETED BY anchor hash — the text-side dual of
     * [[graft.similarity.Knn.writeIvfIndex]]. The index is df-capped at

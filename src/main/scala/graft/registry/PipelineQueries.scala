@@ -318,6 +318,36 @@ object PipelineQueries {
       val (tbl, path) = runScopedTable(s, d, "graft_contam_ivf")
       Knn.contaminationSemanticIvf(s, Knn.emb(s, d), tbl, path)
     }),
+    // decontamination governance rollup: the four cross-split checks
+    // (lexical scoped / lexical unscoped / substring / semantic) as one
+    // method × counts row set — the release sign-off view; pair sources
+    // are parameters, each feeding its oracle-checked operator here and
+    // its scale variant at 100 TB (semantic swaps in the IVF probe)
+    "contamination_report" -> ((s, d) => {
+      val dd = docs(s, d)
+      val fr = dd.filter(col("lang") === "fr")
+      Dedup.contaminationReport(Seq(
+        "lexical_scoped" ->
+          Dedup.contamination(fr, TextOps.splitAssign(fr, 13), tau = 0.9)
+            .select("train_doc", "test_doc"),
+        "lexical_unscoped" ->
+          Dedup.contaminationAtScale(dd, TextOps.splitAssign(dd, 13),
+            tau = 0.9).select("train_doc", "test_doc"),
+        "substring" ->
+          Dedup.contaminationSubstring(dd, TextOps.splitAssign(dd, 13))
+            .select("train_doc", "test_doc"),
+        "semantic" -> Knn.contaminationSemantic(Knn.emb(s, d))
+          .select("train_vec", "test_vec")))
+    }),
+    // cross-source exact-duplicate matrix: which crawls mirror which —
+    // the provenance diagnostic before weighting sources independently
+    "source_overlap" -> ((s, d) => Dedup.sourceOverlap(docs(s, d))),
+    // dedup-adjusted token budget per (lang, source): raw vs surviving
+    // tokens under the global digest-keeper election
+    "token_yield" -> ((s, d) => TextOps.tokenYield(docs(s, d))),
+    // exact-k per-stratum eval sample via the MinKByKey bounded
+    // aggregate — no per-stratum sort, map-side combine ships <= k rows
+    "sample_exact_k" -> ((s, d) => TextOps.sampleExactK(docs(s, d))),
     // probe-coverage accounting for the IVF path (the lsh_bucket_audit
     // discipline): indexed/probing rows, candidate pairs scored, pairs
     // flagged — the pruning factor vs the brute cross product a
@@ -591,7 +621,7 @@ object PipelineQueries {
       Multimodal.synthesizeWithTranscodes(docs(s, d)))),
   )
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "dedup_exact" -> """
       SELECT md5(lower(trim(text))) AS digest,
              min(doc_id) AS keeper, count(*) AS n_copies
@@ -1797,5 +1827,88 @@ object PipelineQueries {
       SELECT doc_id, lang, source FROM documents
       WHERE substring(md5(concat_ws(':', CAST(doc_id AS VARCHAR), lang,
         '42')), 1, 4) < '3333'""",
+  )
+
+  /** One method rollup block for [[contaminationReportSql]]: counts over
+    * an existing oracle formulation, embedded verbatim as a derived
+    * table so the report can never drift from the per-method oracles. */
+  private def reportBlock(method: String, pairSql: String,
+      trainCol: String, testCol: String): String = s"""
+      SELECT '$method' AS method,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(count(DISTINCT $trainCol) AS BIGINT) AS n_train_members,
+             CAST(count(DISTINCT $testCol) AS BIGINT) AS n_test_members
+      FROM ($pairSql) ${method}_pairs"""
+
+  /** Governance rollup over the four decontamination methods — each
+    * block is the method's own oracle SQL verbatim, so the report is
+    * checked against exactly what the per-method rows are. */
+  private val contaminationReportSql: String = Seq(
+    reportBlock("lexical_scoped", oracleBase("contamination_check"),
+      "train_doc", "test_doc"),
+    reportBlock("lexical_unscoped", oracleBase("contamination_unscoped"),
+      "train_doc", "test_doc"),
+    reportBlock("substring", oracleBase("contamination_substring"),
+      "train_doc", "test_doc"),
+    reportBlock("semantic", oracleBase("contamination_semantic"),
+      "train_vec", "test_vec")).mkString("\n      UNION ALL\n")
+
+  val oracle: Map[String, String] = oracleBase ++ Map(
+    "contamination_report" -> contaminationReportSql,
+
+    "source_overlap" -> """
+      WITH g AS (
+        SELECT md5(lower(trim(text))) AS digest, source,
+               CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2)
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_shared_digests,
+             CAST(sum(a.n) AS BIGINT) AS docs_a,
+             CAST(sum(b.n) AS BIGINT) AS docs_b
+      FROM g a JOIN g b ON a.digest = b.digest AND a.source < b.source
+      GROUP BY 1, 2""",
+
+    // keeper election and tokenization mirror dedup_exact/token_count;
+    // yield_frac is the floor-half-up double contract (no float round),
+    // membership guarded by the INTEGER tokens_raw > 0 predicate
+    "token_yield" -> """
+      WITH t AS (
+        SELECT doc_id, lang, source,
+               CAST(len(list_filter(string_split(text, ' '),
+                 x -> x <> '')) AS BIGINT) AS n_tok
+        FROM documents),
+      k AS (
+        SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+        FROM documents GROUP BY md5(lower(trim(text)))),
+      j AS (
+        SELECT t.lang, t.source, t.n_tok,
+               CASE WHEN k.doc_id IS NULL THEN 0 ELSE 1 END AS kept
+        FROM t LEFT JOIN k USING (doc_id)),
+      a AS (
+        SELECT lang, source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS tokens_raw,
+               CAST(sum(kept) AS BIGINT) AS n_docs_kept,
+               CAST(sum(CASE WHEN kept = 1 THEN n_tok ELSE 0 END)
+                 AS BIGINT) AS tokens_kept
+        FROM j GROUP BY 1, 2)
+      SELECT lang, source, n_docs, tokens_raw, n_docs_kept, tokens_kept,
+             CAST(floor(CAST(tokens_kept AS DOUBLE) * 10000.0 /
+               CAST(tokens_raw AS DOUBLE) + 0.5) AS DOUBLE) / 10000.0
+               AS yield_frac
+      FROM a WHERE tokens_raw > 0""",
+
+    // the window formulation IS the oracle; the engine runs the
+    // MinKByKey bounded aggregate instead (no per-stratum sort) and
+    // must reproduce the identical row set
+    "sample_exact_k" -> """
+      SELECT lang, source, doc_id, CAST(rk AS BIGINT) AS sample_rank
+      FROM (
+        SELECT lang, source, doc_id,
+               row_number() OVER (PARTITION BY lang, source
+                 ORDER BY md5(concat_ws(':', CAST(doc_id AS VARCHAR),
+                   'strat')), doc_id) AS rk
+        FROM documents) t
+      WHERE rk <= 5""",
   )
 }

@@ -3,7 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.PolyHash64
+import graft.functions.{MinKByKey, PolyHash64}
 
 /** Text-analysis operators over the `documents` table (SURVEY §2-G) —
   * the per-document scoring/counting passes a training-data pipeline runs
@@ -293,6 +293,75 @@ object TextOps {
     else base.filter(
       substring(md5(concat_ws(":", col("doc_id").cast("string"), col("lang"),
         lit(seed.toString))), 1, 4) < f"$cut%04x")
+  }
+
+  /** EXACT-k stratified sample — the eval-set construction primitive:
+    * exactly `k` documents per (lang, source) stratum (fewer only when
+    * the stratum is smaller), chosen as the k smallest
+    * md5(doc_id:salt) keys — uniform-without-replacement per stratum,
+    * deterministic, engine-independent, and stable under corpus
+    * re-partitioning (the keep set is a pure function of the stratum's
+    * id set). Complements [[stratifiedSample]]: that one is a Bernoulli
+    * FRACTION (rate control), this one is an exact COUNT (an eval suite
+    * needs exactly k, not ≈k).
+    *
+    * Scale: the naive formulation (`row_number` over a per-stratum
+    * window) sorts every stratum — a full corpus sort at 100 TB. This
+    * runs the [[graft.functions.MinKByKey]] bounded aggregate instead:
+    * one hash agg whose map-side combine ships ≤ k rows per (stratum ×
+    * input partition), no sort anywhere (PlanSpec-asserted).
+    * `sample_rank` is the position in the ascending (key, doc_id) order, so
+    * consumers can take a smaller prefix without resampling. */
+  def sampleExactK(d: DataFrame, k: Int = 5,
+      salt: String = "strat"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val key = md5(concat_ws(":", col("doc_id").cast("string"), lit(salt)))
+    d.groupBy(col("lang"), col("source"))
+      .agg(MinKByKey(struct(key.as("key"), col("doc_id").as("id")), k)
+        .as("picks"))
+      .select(col("lang"), col("source"), posexplode(col("picks")))
+      .select(col("lang"), col("source"), col("col.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("sample_rank"))
+  }
+
+  /** Dedup-adjusted token accounting per (lang, source) — the number a
+    * training-data owner actually budgets with: raw token counts next to
+    * the counts surviving exact dedup (digest keepers only), plus the
+    * survival fraction. A corpus slice with a low yield is dominated by
+    * copies; its raw size overstates its training value. Keepers are
+    * elected GLOBALLY (min doc_id per md5 digest, the [[graft.dedup
+    * .Dedup.exact]] rule) and attributed to the keeper's own stratum, so
+    * cross-source copies debit the stratum that loses the election —
+    * the same attribution dedup_report uses for chars_saved.
+    *
+    * Scale: one digest hash agg (map-side combined), one doc_id
+    * equijoin, one stratum agg — nothing pairwise, no skew hazard
+    * (digest groups are copy-counts, strata are few). The yield guard is
+    * an INTEGER predicate (tokens_raw > 0), so row membership can't flip
+    * on an engine FP difference. */
+  def tokenYield(d: DataFrame): DataFrame = {
+    val toks = withToks(d).select(col("doc_id"), col("lang"), col("source"),
+      size(col("toks")).cast("long").as("n_tok"))
+    val keepers = d
+      .groupBy(md5(lower(trim(col("text")))).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(1L).as("kept"))
+    toks.join(keepers, Seq("doc_id"), "left")
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tokens_raw"),
+        sum(coalesce(col("kept"), lit(0L))).as("n_docs_kept"),
+        sum(when(col("kept").isNotNull, col("n_tok")).otherwise(0L))
+          .as("tokens_kept"))
+      .filter(col("tokens_raw") > 0L)
+      // floor-half-up in one double expression (the knn_quantized FP
+      // contract): multiply, divide, add, floor — IEEE-identical in any
+      // engine, no float round() anywhere
+      .withColumn("yield_frac",
+        floor(col("tokens_kept").cast("double") * lit(10000.0) /
+            col("tokens_raw").cast("double") + lit(0.5))
+          .cast("double") / lit(10000.0))
   }
 
   /** Source/domain balancing — the data-mixing step before training:

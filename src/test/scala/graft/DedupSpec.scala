@@ -376,6 +376,41 @@ class DedupSpec extends SparkSpec {
     assert(s1.nonEmpty && s1.size < docs.count())
   }
 
+  test("source_overlap: planted mirror counted once, disjoint pairs absent") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "s1", "shared content alpha"),
+      (2L, "s2", "shared content alpha"),
+      (3L, "s2", "shared content alpha"),  // second copy inside s2
+      (4L, "s1", "only in s1"),
+      (5L, "s3", "only in s3"))
+      .toDF("doc_id", "source", "text")
+    val rows = graft.dedup.Dedup.sourceOverlap(d).collect()
+    assert(rows.length == 1, rows.mkString(", "))
+    val r = rows.head
+    assert(r.getAs[String]("source_a") == "s1" &&
+      r.getAs[String]("source_b") == "s2")
+    assert(r.getAs[Long]("n_shared_digests") == 1L)
+    // docs_b counts BOTH s2 copies of the shared content
+    assert(r.getAs[Long]("docs_a") == 1L && r.getAs[Long]("docs_b") == 2L)
+  }
+
+  test("contamination_report: one row per method, empty methods report zero") {
+    import spark.implicits._
+    val p1 = Seq((1L, 10L), (2L, 10L)).toDF("train_doc", "test_doc")
+    val p2 = Seq.empty[(Long, Long)].toDF("train_doc", "test_doc")
+    val rep = graft.dedup.Dedup.contaminationReport(
+      Seq("m1" -> p1, "m2" -> p2)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rep.size == 2)
+    assert(rep("m1").getAs[Long]("n_pairs") == 2 &&
+      rep("m1").getAs[Long]("n_train_members") == 2 &&
+      rep("m1").getAs[Long]("n_test_members") == 1)
+    assert(rep("m2").getAs[Long]("n_pairs") == 0 &&
+      rep("m2").getAs[Long]("n_train_members") == 0 &&
+      rep("m2").getAs[Long]("n_test_members") == 0)
+  }
+
   test("poly_hash64 is deterministic, empty-seeded, and spread") {
     val vals = plantedDocs.select(PolyHash64(col("text")).as("h"))
       .collect().map(_.getLong(0))

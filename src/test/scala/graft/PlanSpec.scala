@@ -271,4 +271,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("sample_exact_k runs the bounded aggregate: no window, no sort") {
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+    val p = plan(graft.text.TextOps.sampleExactK(docs))
+    // the scale claim: a TypedImperativeAggregate hash agg (map-side
+    // combine ships <= k per stratum per partition), NEVER the
+    // row_number window formulation (a per-stratum sort of the corpus)
+    assert(p.contains("min_k_by_key"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Sort "), p)
+  }
 }

@@ -816,4 +816,60 @@ class TextSpec extends SparkSpec {
       assert(r.getAs[Long]("n_common") == 3, r.toString) // stop term excluded
     }
   }
+
+  test("sample_exact_k: exact k per stratum, window-parity, partition-stable") {
+    import spark.implicits._
+    val d = (0L until 200L).map(i =>
+      (i, if (i % 2 == 0) "en" else "fr", s"src${i % 3}", s"text $i"))
+      .toDF("doc_id", "lang", "source", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+    val got = TextOps.sampleExactK(d, k = 4).collect()
+    // every (lang, source) stratum has >= 4 members → exactly 4 each
+    val per = got.groupBy(r => (r.getString(0), r.getString(1)))
+      .view.mapValues(_.length).toMap
+    assert(per.size == 6 && per.values.forall(_ == 4), per.toString)
+    // ranks are 1..k within each stratum
+    got.groupBy(r => (r.getString(0), r.getString(1))).values.foreach { rs =>
+      assert(rs.map(_.getLong(3)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    }
+    // the window formulation (= the DuckDB oracle) is the semantics; the
+    // bounded aggregate must reproduce its exact row set
+    d.createOrReplaceTempView("sek_docs")
+    val want = spark.sql("""
+      SELECT lang, source, doc_id, CAST(rk AS BIGINT) AS sample_rank FROM (
+        SELECT lang, source, doc_id,
+               row_number() OVER (PARTITION BY lang, source
+                 ORDER BY md5(concat_ws(':', CAST(doc_id AS STRING),
+                   'strat')), doc_id) AS rk
+        FROM sek_docs) WHERE rk <= 4""").collect()
+    assert(got.map(key).toSet == want.map(key).toSet)
+    // a pure function of the id set: identical under any partitioning
+    val again = TextOps.sampleExactK(d.repartition(7), k = 4).collect()
+    assert(again.map(key).toSet == got.map(key).toSet)
+    // stratum smaller than k yields all its members, never pads
+    val small = Seq((1L, "xx", "s", "t"), (2L, "xx", "s", "t"))
+      .toDF("doc_id", "lang", "source", "text")
+    assert(TextOps.sampleExactK(small, k = 5).count() == 2)
+  }
+
+  test("token_yield: copies debit the losing stratum, keepers score 1.0") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "en", "a", "one two three"),          // keeper (min doc_id)
+      (2L, "en", "b", "one two three"),          // copy: loses election
+      (3L, "en", "a", "four five six seven"))    // unique
+      .toDF("doc_id", "lang", "source", "text")
+    val r = TextOps.tokenYield(d).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    val a = r(("en", "a"))
+    assert(a.getAs[Long]("n_docs") == 2 && a.getAs[Long]("tokens_raw") == 7)
+    assert(a.getAs[Long]("n_docs_kept") == 2 &&
+      a.getAs[Long]("tokens_kept") == 7)
+    assert(a.getAs[Double]("yield_frac") == 1.0)
+    val b = r(("en", "b"))
+    assert(b.getAs[Long]("n_docs") == 1 && b.getAs[Long]("n_docs_kept") == 0)
+    assert(b.getAs[Long]("tokens_kept") == 0 &&
+      b.getAs[Double]("yield_frac") == 0.0)
+  }
 }
