@@ -447,4 +447,67 @@ object Streaming {
           Iterator.single(AggSnapshot(space, segment, n, rounded, last))
       }
   }
+
+  case class SampleEvent(doc_id: Long, lang: String, source: String)
+  case class SampleState(keys: Seq[String], ids: Seq[Long], n_seen: Long)
+  case class SampleRow(lang: String, source: String, doc_id: Long,
+      sample_rank: Long, n_seen: Long)
+
+  /** Streaming EXACT-k stratified sample — the live dual of
+    * [[graft.text.TextOps.sampleExactK]]: each (lang, source) stratum
+    * keeps the k smallest md5(doc_id:salt) keys seen so far (a
+    * deterministic bottom-k "reservoir"), emitting its current pick
+    * list each touched micro-batch. State is HARD-BOUNDED at k
+    * (key, id) pairs per stratum — the same ≤ k-per-group invariant
+    * [[graft.functions.MinKByKey]]'s map-side combine enforces in
+    * batch, so an always-on sampler over an unbounded crawl holds a
+    * fixed-size state store regardless of corpus size.
+    *
+    * Convergence (StreamingSpec): min-k over (key, id) is
+    * order-insensitive and associative — the pick set is a pure
+    * function of the id SET seen, however it was micro-batched — and
+    * the closure md5 (UTF-8 of "id:salt") is the same function as the
+    * batch/oracle `md5(concat_ws(':', ...))`, so once the stream has
+    * replayed a corpus the last emit per stratum equals the batch
+    * operator's rows exactly. */
+  def sampleExactKStream(spark: SparkSession, docStream: DataFrame,
+      k: Int = 5, salt: String = "strat"): Dataset[SampleRow] = {
+    import spark.implicits._
+    require(k >= 1, s"k must be >= 1, got $k")
+    docStream.select(col("doc_id"), col("lang"), col("source"))
+      .as[SampleEvent]
+      .groupByKey(e => (e.lang, e.source))
+      .flatMapGroupsWithState[SampleState, SampleRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case ((lang, source), events, state: GroupState[SampleState]) =>
+          val prev = state.getOption.getOrElse(SampleState(Nil, Nil, 0L))
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+          buf ++= prev.keys.zip(prev.ids)
+          var n = prev.n_seen
+          val md = java.security.MessageDigest.getInstance("MD5")
+          events.foreach { e =>
+            md.reset()
+            val hex = md.digest(s"${e.doc_id}:$salt".getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            buf += ((hex, e.doc_id))
+            if (buf.length > k) {
+              // evict the largest (key, id) — LastKEntries' linear scan
+              var mi = 0
+              var i = 1
+              while (i < buf.length) {
+                val c = buf(i)._1.compareTo(buf(mi)._1)
+                if (c > 0 || (c == 0 && buf(i)._2 > buf(mi)._2)) mi = i
+                i += 1
+              }
+              buf.remove(mi)
+            }
+            n += 1L
+          }
+          val sorted = buf.sortBy(identity).toSeq
+          state.update(SampleState(sorted.map(_._1), sorted.map(_._2), n))
+          sorted.iterator.zipWithIndex.map { case ((_, id), i) =>
+            SampleRow(lang, source, id, i + 1L, n)
+          }
+      }
+  }
 }

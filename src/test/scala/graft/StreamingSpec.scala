@@ -375,4 +375,39 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(got == want)
   }
+
+  test("streaming exact-k sample converges to the batch pick set") {
+    import java.nio.file.Files
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+    val docsDir = Files.createTempDirectory("graft_sample_stream").toString
+    // two files → two micro-batches: picks must converge across
+    // re-batching because min-k over (key, id) is order-insensitive
+    docs.limit(80).write.mode("overwrite").parquet(docsDir)
+    docs.limit(30).write.mode("append").parquet(docsDir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(docsDir)
+    runToCompletion(Streaming.sampleExactKStream(spark, stream, k = 3)
+      .toDF(), "sample_stream", "update")
+    // update mode: the stratum's LAST emit (max n_seen) is its final
+    // pick list
+    val got = spark.table("sample_stream")
+      .groupBy("lang", "source", "sample_rank")
+      .agg(max(struct(col("n_seen"), col("doc_id"))).as("s"))
+      .select(col("lang"), col("source"), col("s.doc_id"),
+        col("sample_rank"))
+      .collect().map(_.toSeq).toSet
+    val replayed = spark.read.parquet(docsDir) // what the stream saw
+    val want = graft.text.TextOps.sampleExactK(replayed, k = 3)
+      .select(col("lang"), col("source"), col("doc_id"),
+        col("sample_rank"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    // the state bound is the serving claim: never more than k picks
+    // emitted per stratum in any single emit
+    val perEmit = spark.table("sample_stream")
+      .groupBy("lang", "source", "n_seen")
+      .agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("mx")).head.getLong(0)
+    assert(perEmit <= 3L, s"emit exceeded k: $perEmit")
+  }
 }
