@@ -21,7 +21,8 @@ object Bench {
   private val PhaseSplit =
     Set("dedup_incremental", "knn_ivf_persisted", "knn_ivf_quantized",
       "text_search_indexed", "token_count_bpe_persisted",
-      "contamination_semantic_ivf", "contamination_semantic_ivf_audit")
+      "contamination_semantic_ivf", "contamination_semantic_ivf_audit",
+      "contamination_report_ivf")
 
   private def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()

@@ -37,6 +37,25 @@ object PipelineQueries {
     (tbl, path)
   }
 
+  /** The engine-side lexical/substring methods shared by
+    * contamination_report and contamination_report_ivf — one definition
+    * so the two reports can only differ in their semantic pair source. */
+  private def lexicalReportMethods(s: SparkSession,
+      d: String): Seq[(String, DataFrame)] = {
+    val dd = docs(s, d)
+    val fr = dd.filter(col("lang") === "fr")
+    Seq(
+      "lexical_scoped" ->
+        Dedup.contamination(fr, TextOps.splitAssign(fr, 13), tau = 0.9)
+          .select("train_doc", "test_doc"),
+      "lexical_unscoped" ->
+        Dedup.contaminationAtScale(dd, TextOps.splitAssign(dd, 13),
+          tau = 0.9).select("train_doc", "test_doc"),
+      "substring" ->
+        Dedup.contaminationSubstring(dd, TextOps.splitAssign(dd, 13))
+          .select("train_doc", "test_doc"))
+  }
+
   /** Shared by text_search_bm25 AND text_search_indexed (the persisted
     * probe is result-identical — df/tf/dl round-trip the index exactly,
     * so the hop is transparent to the oracle). The IDENTICAL IEEE
@@ -322,22 +341,23 @@ object PipelineQueries {
     // (lexical scoped / lexical unscoped / substring / semantic) as one
     // method × counts row set — the release sign-off view; pair sources
     // are parameters, each feeding its oracle-checked operator here and
-    // its scale variant at 100 TB (semantic swaps in the IVF probe)
-    "contamination_report" -> ((s, d) => {
-      val dd = docs(s, d)
-      val fr = dd.filter(col("lang") === "fr")
-      Dedup.contaminationReport(Seq(
-        "lexical_scoped" ->
-          Dedup.contamination(fr, TextOps.splitAssign(fr, 13), tau = 0.9)
-            .select("train_doc", "test_doc"),
-        "lexical_unscoped" ->
-          Dedup.contaminationAtScale(dd, TextOps.splitAssign(dd, 13),
-            tau = 0.9).select("train_doc", "test_doc"),
-        "substring" ->
-          Dedup.contaminationSubstring(dd, TextOps.splitAssign(dd, 13))
-            .select("train_doc", "test_doc"),
-        "semantic" -> Knn.contaminationSemantic(Knn.emb(s, d))
-          .select("train_vec", "test_vec")))
+    // its scale variant at 100 TB (semantic swaps in the IVF probe —
+    // contamination_report_ivf below registers exactly that swap)
+    "contamination_report" -> ((s, d) =>
+      Dedup.contaminationReport(lexicalReportMethods(s, d) :+
+        ("semantic" -> Knn.contaminationSemantic(Knn.emb(s, d))
+          .select("train_vec", "test_vec")))),
+    // the report with the semantic method riding the persisted
+    // quantized IVF probe — the composition a 100 TB release run
+    // registers (the brute broadcast pair join stops planning at
+    // scale); rows-only: probe recall is k-means-assignment-dependent,
+    // while the three lexical/substring methods stay byte-identical to
+    // the oracle-checked report (DedupSpec asserts both properties)
+    "contamination_report_ivf" -> ((s, d) => {
+      val (tbl, path) = runScopedTable(s, d, "graft_contam_rep_ivf")
+      Dedup.contaminationReport(lexicalReportMethods(s, d) :+
+        ("semantic_ivf" -> Knn.contaminationSemanticIvf(s, Knn.emb(s, d),
+          tbl, path).select(col("train_vec"), col("test_vec"))))
     }),
     // cross-source exact-duplicate matrix: which crawls mirror which —
     // the provenance diagnostic before weighting sources independently

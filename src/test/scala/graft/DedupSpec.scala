@@ -411,6 +411,25 @@ class DedupSpec extends SparkSpec {
       rep("m2").getAs[Long]("n_test_members") == 0)
   }
 
+  test("contamination_report_ivf: shared methods byte-identical, ivf a subset") {
+    def byMethod(name: String) =
+      graft.registry.PipelineQueries.queries(name)(spark, SF)
+        .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val rep = byMethod("contamination_report")
+    val repIvf = byMethod("contamination_report_ivf")
+    // the three engine-side lexical/substring methods are ONE definition
+    // — the reports can only differ in the semantic pair source
+    Seq("lexical_scoped", "lexical_unscoped", "substring").foreach { m =>
+      assert(rep(m) == repIvf(m), s"$m: ${rep(m)} vs ${repIvf(m)}")
+    }
+    // the probe path emits a subset of the brute pairs (KnnSpec proves
+    // the pair-level subset; here the report-level counts must agree)
+    val brute = rep("semantic").map(_.asInstanceOf[Long])
+    val probed = repIvf("semantic_ivf").map(_.asInstanceOf[Long])
+    assert(probed.zip(brute).forall { case (p, b) => p <= b },
+      s"ivf counts exceed brute: $probed vs $brute")
+  }
+
   test("poly_hash64 is deterministic, empty-seeded, and spread") {
     val vals = plantedDocs.select(PolyHash64(col("text")).as("h"))
       .collect().map(_.getLong(0))
