@@ -1,8 +1,9 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType}
 
 /** Canonical event-log adapter: maps the driver's `events` table onto the
   * streamkit data model (store → space → segment → sequenced entries), cf.
@@ -27,26 +28,44 @@ object EventLog {
     * raw aggregates (status/listing ops) so Catalyst can prune columns
     * and skip the sequence-derivation shuffle entirely.
     *
-    * The driver's `ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses
-    * to map to its µs TimestampType; we read it as a long (nanos) and work
-    * in epoch micros. `ts div 1000` truncates real sub-µs digits — that is
-    * intentional: DuckDB also reads TIMESTAMP_NS parquet µs-truncated, so
-    * both engines see identical ts_us values, and ordering ties at µs
-    * granularity are broken by the unique event_id on both sides. */
+    * The driver's `ts` has shipped as both parquet TIMESTAMP(NANOS)
+    * (rounds ≤ 12) and TIMESTAMP(MICROS) (r13 regeneration). With
+    * `nanosAsLong` set, the nanos form surfaces as LongType (Spark 4
+    * refuses to map nanos to its µs TimestampType); the micros form
+    * surfaces as TIMESTAMP_NTZ. [[tsUs]] normalizes either to epoch
+    * micros, so every downstream operator is agnostic to which
+    * generation wrote the file. */
   def raw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
   }
 
+  /** Epoch-micros expression for whichever physical `ts` the parquet
+    * carries. Nanos-as-long: `ts div 1000` truncates real sub-µs digits
+    * — intentional, DuckDB reads TIMESTAMP_NS parquet µs-truncated too,
+    * so both engines see identical ts_us. Micros: the NTZ wall-clock is
+    * cast to the session-tz instant — every graft session pins
+    * `spark.sql.session.timeZone=UTC`, so `unix_micros` yields the same
+    * integer DuckDB's `epoch_us(ts)` computes on the naive timestamp.
+    * Ordering ties at µs granularity are broken by the unique event_id
+    * on both sides. */
+  private[graft] def tsUs(tsType: DataType): Column = tsType match {
+    case LongType           => expr("ts div 1000")
+    case _: TimestampNTZType => unix_micros(col("ts").cast("timestamp"))
+    case _                  => unix_micros(col("ts"))
+  }
+
   /** Raw projected to canonical names, WITHOUT sequence derivation. */
-  def named(spark: SparkSession, dir: String): DataFrame =
-    raw(spark, dir).select(
+  def named(spark: SparkSession, dir: String): DataFrame = {
+    val r = raw(spark, dir)
+    r.select(
       col("event_type").as("space"),
       col("user_id").cast("string").as("segment"),
-      expr("ts div 1000").as("ts_us"),
+      tsUs(r.schema("ts").dataType).as("ts_us"),
       col("event_id"),
       col("value"),
       col("props").as("payload"))
+  }
 
   /** Canonical entry view: named + per-segment `sequence` (1-based).
     *
@@ -69,7 +88,7 @@ object EventLog {
     r.select(
         col("event_type").as("space"),
         col("user_id").cast("string").as("segment"),
-        expr("ts div 1000").as("ts_us"),
+        tsUs(r.schema("ts").dataType).as("ts_us"),
         col("event_id"),
         col("value"),
         col("props").as("payload"))

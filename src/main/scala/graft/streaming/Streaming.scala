@@ -21,29 +21,26 @@ import org.apache.spark.sql.types._
   * state store. */
 object Streaming {
 
-  /** Schema of the events parquet when TIMESTAMP(NANOS) is read as long
-    * (see EventLog.raw). */
-  val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** File-source stream of the canonical entry columns (no sequence —
-    * sequence assignment in a live pipeline happens at produce time). */
+    * sequence assignment in a live pipeline happens at produce time).
+    * The stream schema is probed from a batch read of the same directory
+    * (file streams require an explicit schema): the driver's `ts` has
+    * shipped as both TIMESTAMP(NANOS)→long-under-nanosAsLong and
+    * TIMESTAMP(MICROS)→TIMESTAMP_NTZ, and `EventLog.tsUs` normalizes
+    * either to epoch micros — one definition with the batch adapter, so
+    * stream==batch convergence specs stay meaningful. */
   def readEntryStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val probe = spark.read.parquet(dir)
     spark.readStream
-      .schema(eventSchema)
+      .schema(probe.schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
       .select(
         col("event_type").as("space"),
         col("user_id").cast("string").as("segment"),
-        expr("ts div 1000").as("ts_us"),
+        graft.sources.EventLog.tsUs(probe.schema("ts").dataType).as("ts_us"),
         col("event_id"),
         col("value"),
         col("props").as("payload"))
