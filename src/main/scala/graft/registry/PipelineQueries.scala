@@ -365,6 +365,14 @@ object PipelineQueries {
     // dedup-adjusted token budget per (lang, source): raw vs surviving
     // tokens under the global digest-keeper election
     "token_yield" -> ((s, d) => TextOps.tokenYield(docs(s, d))),
+    // temperature-balanced (alpha = 1/2) mixture plan over the
+    // dedup-adjusted yields, budget = total kept tokens; sqrt is the
+    // one IEEE-identical nonlinearity, snapped to the milli grid so
+    // every weight is an exact integer on both engines
+    "mix_plan" -> ((s, d) => TextOps.mixPlan(docs(s, d))),
+    // the materialized mixture: per-doc copy counts (whole epochs +
+    // one md5-thresholded fractional copy); fact table never shuffles
+    "mix_apply" -> ((s, d) => TextOps.mixApply(docs(s, d))),
     // exact-k per-stratum eval sample via the MinKByKey bounded
     // aggregate — no per-stratum sort, map-side combine ships <= k rows
     "sample_exact_k" -> ((s, d) => TextOps.sampleExactK(docs(s, d))),
@@ -1873,25 +1881,9 @@ object PipelineQueries {
     reportBlock("semantic", oracleBase("contamination_semantic"),
       "train_vec", "test_vec")).mkString("\n      UNION ALL\n")
 
-  val oracle: Map[String, String] = oracleBase ++ Map(
-    "contamination_report" -> contaminationReportSql,
-
-    "source_overlap" -> """
-      WITH g AS (
-        SELECT md5(lower(trim(text))) AS digest, source,
-               CAST(count(*) AS BIGINT) AS n
-        FROM documents GROUP BY 1, 2)
-      SELECT a.source AS source_a, b.source AS source_b,
-             CAST(count(*) AS BIGINT) AS n_shared_digests,
-             CAST(sum(a.n) AS BIGINT) AS docs_a,
-             CAST(sum(b.n) AS BIGINT) AS docs_b
-      FROM g a JOIN g b ON a.digest = b.digest AND a.source < b.source
-      GROUP BY 1, 2""",
-
-    // keeper election and tokenization mirror dedup_exact/token_count;
-    // yield_frac is the floor-half-up double contract (no float round),
-    // membership guarded by the INTEGER tokens_raw > 0 predicate
-    "token_yield" -> """
+  /** Dedup-adjusted token accounting (the `token_yield` oracle), kept
+    * as a named block because the mixture oracles embed it verbatim. */
+  private val TokenYieldSql = """
       WITH t AS (
         SELECT doc_id, lang, source,
                CAST(len(list_filter(string_split(text, ' '),
@@ -1916,7 +1908,84 @@ object PipelineQueries {
              CAST(floor(CAST(tokens_kept AS DOUBLE) * 10000.0 /
                CAST(tokens_raw AS DOUBLE) + 0.5) AS DOUBLE) / 10000.0
                AS yield_frac
-      FROM a WHERE tokens_raw > 0""",
+      FROM a WHERE tokens_raw > 0"""
+
+  /** Temperature-balanced (α = 1/2) mixture plan: TokenYieldSql as a
+    * derived table, sqrt snapped to the milli grid (exact-integer
+    * weights), budget = the corpus's total kept tokens. */
+  private val MixPlanSql = s"""
+      WITH y AS (
+        SELECT lang, source, tokens_kept,
+               CAST(floor(sqrt(CAST(tokens_kept AS DOUBLE)) * 1000.0)
+                 AS BIGINT) AS weight_milli
+        FROM ($TokenYieldSql) ty WHERE tokens_kept > 0),
+      tot AS (
+        SELECT CAST(sum(weight_milli) AS BIGINT) AS w_total,
+               CAST(sum(tokens_kept) AS BIGINT) AS kept_total FROM y),
+      p AS (
+        SELECT y.lang, y.source, y.tokens_kept, y.weight_milli,
+               tot.w_total,
+               CAST(floor(CAST(tot.kept_total AS DOUBLE) *
+                 CAST(y.weight_milli AS DOUBLE) /
+                 CAST(tot.w_total AS DOUBLE)) AS BIGINT) AS target_tokens
+        FROM y, tot)
+      SELECT lang, source, tokens_kept, weight_milli,
+             CAST(floor(CAST(weight_milli AS DOUBLE) * 10000.0 /
+               CAST(w_total AS DOUBLE) + 0.5) AS DOUBLE) / 10000.0
+               AS share,
+             target_tokens,
+             CAST(floor(CAST(target_tokens AS DOUBLE) * 10000.0 /
+               CAST(tokens_kept AS DOUBLE) + 0.5) AS DOUBLE) / 10000.0
+               AS epochs
+      FROM p"""
+
+  val oracle: Map[String, String] = oracleBase ++ Map(
+    "contamination_report" -> contaminationReportSql,
+
+    "source_overlap" -> """
+      WITH g AS (
+        SELECT md5(lower(trim(text))) AS digest, source,
+               CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2)
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_shared_digests,
+             CAST(sum(a.n) AS BIGINT) AS docs_a,
+             CAST(sum(b.n) AS BIGINT) AS docs_b
+      FROM g a JOIN g b ON a.digest = b.digest AND a.source < b.source
+      GROUP BY 1, 2""",
+
+    // keeper election and tokenization mirror dedup_exact/token_count;
+    // yield_frac is the floor-half-up double contract (no float round),
+    // membership guarded by the INTEGER tokens_raw > 0 predicate
+    "token_yield" -> TokenYieldSql,
+
+    // mixture plan over the yields: TokenYieldSql embedded VERBATIM as
+    // a derived table (the reportBlock discipline — the plan can never
+    // drift from the yield it budgets over); weights are exact
+    // integers (floor(sqrt * 1000)), share/epochs floor-half-up
+    "mix_plan" -> MixPlanSql,
+
+    // per-doc copy counts under the plan: MixPlanSql's core embedded
+    // verbatim; ratio r is divided once and each engine subtracts its
+    // own floor — the identical IEEE chain as the Spark expression
+    "mix_apply" -> s"""
+      WITH p AS ($MixPlanSql),
+      j AS (
+        SELECT d.doc_id, d.lang, d.source,
+               CAST(p.target_tokens AS DOUBLE) /
+                 CAST(p.tokens_kept AS DOUBLE) AS r
+        FROM documents d JOIN p USING (lang, source)),
+      c AS (
+        SELECT doc_id, lang, source,
+               CAST(floor(r) AS BIGINT) +
+               CASE WHEN substring(md5(concat_ws(':',
+                      CAST(doc_id AS VARCHAR), lang, source, '42')), 1, 4)
+                    < printf('%04x',
+                        CAST(floor((r - floor(r)) * 65536.0) AS BIGINT))
+                    THEN 1 ELSE 0 END AS n_copies
+        FROM j)
+      SELECT doc_id, lang, source, n_copies
+      FROM c WHERE n_copies > 0""",
 
     // the window formulation IS the oracle; the engine runs the
     // MinKByKey bounded aggregate instead (no per-stratum sort) and

@@ -364,6 +364,99 @@ object TextOps {
           .cast("double") / lit(10000.0))
   }
 
+  /** Temperature-balanced mixture plan over dedup-adjusted token yields
+    * — the data-mixing computation a training run performs before
+    * sampling: allocate a token budget across (lang, source) strata
+    * proportionally to tokens_kept^α with α = 1/2, the temperature-
+    * sampling rule of multilingual pretraining (small corpora are
+    * upweighted; sqrt flattens the size distribution), then report each
+    * stratum's share and epoch (repeat) factor. Composes over
+    * [[tokenYield]] so the budget is allocated over tokens that SURVIVE
+    * exact dedup — raw counts overstate a copy-heavy source.
+    *
+    * FP contract (the token_yield discipline extended by one
+    * nonlinearity): sqrt over an exact-integer double is IEEE-
+    * correctly-rounded — the one non-rational op that is engine-
+    * identical, unlike ln/exp/pow (which is why α is pinned to 1/2
+    * rather than parameterized) — and is snapped immediately to the
+    * milli grid (floor(sqrt(kept)·1000) AS BIGINT), so stratum weights
+    * and their total are EXACT integers; share/epochs are ONE
+    * floor-half-up double expression each over those integers;
+    * target_tokens = floor(budget·w/W) with multiply before divide.
+    * Membership is guarded by the INTEGER tokens_kept > 0 predicate.
+    *
+    * `budget` defaults to the corpus's own total kept tokens (an exact
+    * integer both engines compute): re-balance at constant size, no
+    * absolute constant that breaks at a different scale.
+    *
+    * Scale: everything past tokenYield's stratum agg operates on a
+    * strata-sized table (the broadcast total is one row) — cost is the
+    * yield scan, which is one map-side-combinable pass. */
+  def mixPlan(d: DataFrame, budget: Option[Long] = None): DataFrame = {
+    val y = tokenYield(d).filter(col("tokens_kept") > 0L)
+      .select(col("lang"), col("source"), col("tokens_kept"))
+      .withColumn("weight_milli",
+        floor(sqrt(col("tokens_kept").cast("double")) * lit(1000.0))
+          .cast("long"))
+    val tot = y.groupBy().agg(
+      sum(col("weight_milli")).as("w_total"),
+      sum(col("tokens_kept")).as("kept_total"))
+    y.crossJoin(broadcast(tot))
+      .withColumn("budget_tokens",
+        budget.map(lit(_).cast("long")).getOrElse(col("kept_total")))
+      .withColumn("target_tokens",
+        floor(col("budget_tokens").cast("double") *
+          col("weight_milli").cast("double") /
+          col("w_total").cast("double")).cast("long"))
+      .select(
+        col("lang"), col("source"), col("tokens_kept"), col("weight_milli"),
+        (floor(col("weight_milli").cast("double") * lit(10000.0) /
+          col("w_total").cast("double") + lit(0.5)).cast("double") /
+          lit(10000.0)).as("share"),
+        col("target_tokens"),
+        (floor(col("target_tokens").cast("double") * lit(10000.0) /
+          col("tokens_kept").cast("double") + lit(0.5)).cast("double") /
+          lit(10000.0)).as("epochs"))
+  }
+
+  /** Materialized mixture: per-document COPY COUNT under [[mixPlan]] —
+    * the stratum's epoch factor target/kept splits into whole copies
+    * (floor) plus one Bernoulli fractional copy decided by a 16-bit
+    * md5(doc_id:lang:source:seed) threshold, so the expected token mass
+    * emitted per stratum is exactly target_tokens and the copy set is a
+    * deterministic pure function of the id set (partition-stable,
+    * engine-reproducible). The fractional part is strictly < 1, so the
+    * threshold stays below 65536 and needs no keep-all bypass branch
+    * (unlike [[sourceBalance]]/[[stratifiedSample]], whose rates can
+    * reach 1). Threshold arithmetic is the IDENTICAL IEEE expression on
+    * both engines (divide, subtract its own floor, multiply, floor).
+    *
+    * Scale: the plan is a strata-sized broadcast joined back onto the
+    * corpus; the copy decision is a stateless per-row expression — the
+    * fact table is never shuffled (the source_balance posture,
+    * PlanSpec-asserted). Zero-kept strata and zero-copy draws drop out
+    * via INTEGER predicates. Consumers explode n_copies at read time
+    * (keeping copies implicit is deliberate: a 3.7-epoch stratum would
+    * otherwise quadruple its bytes on disk). */
+  def mixApply(d: DataFrame, budget: Option[Long] = None,
+      seed: Long = 42L): DataFrame = {
+    val plan = mixPlan(d, budget)
+      .select("lang", "source", "tokens_kept", "target_tokens")
+    val ratio = col("target_tokens").cast("double") /
+      col("tokens_kept").cast("double")
+    d.select(col("doc_id"), col("lang"), col("source"))
+      .join(broadcast(plan), Seq("lang", "source"))
+      .withColumn("n_copies",
+        floor(ratio).cast("long") +
+          when(substring(md5(concat_ws(":", col("doc_id").cast("string"),
+            col("lang"), col("source"), lit(seed.toString))), 1, 4) <
+            format_string("%04x",
+              floor((ratio - floor(ratio)) * lit(65536.0)).cast("long")),
+            1L).otherwise(0L))
+      .filter(col("n_copies") > 0L)
+      .select("doc_id", "lang", "source", "n_copies")
+  }
+
   /** Source/domain balancing — the data-mixing step before training:
     * every source is Bernoulli-downsampled to at most ≈`cap` expected
     * rows, so no domain dominates the mix. Per-source keep rate

@@ -169,6 +169,18 @@ class PlanSpec extends SparkSpec {
     assert("(?<!Broadcast)Exchange".r.findAllIn(pa).length == 1, pa)
   }
 
+  test("mix_apply adds zero shuffles beyond the plan build (fact side broadcast-only)") {
+    val docs = graft.text.TextOps.docs(spark, SF)
+    def shuffles(p: String) =
+      "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    val planOnly = shuffles(plan(graft.text.TextOps.mixPlan(docs)))
+    val applied = plan(graft.text.TextOps.mixApply(docs))
+    // the per-doc copy decision rides a broadcast of the strata-sized
+    // plan — the fact table is never shuffled (source_balance posture)
+    assert(shuffles(applied) == planOnly, applied)
+    assert(applied.contains("BroadcastExchange"), applied)
+  }
+
   test("repetition_stats is a pure per-row map: zero Exchange in the plan") {
     val p = plan(graft.text.TextOps.repetitionStats(
       graft.text.TextOps.docs(spark, SF)))

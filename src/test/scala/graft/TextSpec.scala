@@ -853,6 +853,68 @@ class TextSpec extends SparkSpec {
     assert(TextOps.sampleExactK(small, k = 5).count() == 2)
   }
 
+  test("mix_plan: sqrt temperature weights, exact integer grid, budget override") {
+    import spark.implicits._
+    // unique word streams → no dedup loss; stratum a has 4x b's tokens
+    val d = Seq(
+      (1L, "en", "a", (0 until 400).map(i => s"a$i").mkString(" ")),
+      (2L, "en", "b", (0 until 100).map(i => s"b$i").mkString(" ")),
+      // duplicate of doc 1's text in source c → loses the election,
+      // tokens_kept = 0 → excluded from the plan by the integer guard
+      (3L, "en", "c", (0 until 400).map(i => s"a$i").mkString(" ")))
+      .toDF("doc_id", "lang", "source", "text")
+    val p = TextOps.mixPlan(d).collect()
+      .map(r => r.getString(1) -> r).toMap
+    assert(p.keySet == Set("a", "b"))
+    // weights: floor(sqrt(400)*1000) = 20000, floor(sqrt(100)*1000) = 10000
+    assert(p("a").getAs[Long]("weight_milli") == 20000L)
+    assert(p("b").getAs[Long]("weight_milli") == 10000L)
+    // budget = kept_total = 500: targets floor(500*w/30000)
+    assert(p("a").getAs[Long]("target_tokens") == 333L)
+    assert(p("b").getAs[Long]("target_tokens") == 166L)
+    // share/epochs on the 1e-4 floor-half-up grid
+    assert(p("a").getAs[Double]("share") == 0.6667)
+    assert(p("b").getAs[Double]("share") == 0.3333)
+    assert(p("a").getAs[Double]("epochs") == 0.8325)
+    assert(p("b").getAs[Double]("epochs") == 1.66)
+    // explicit budget rescales targets only
+    val p2 = TextOps.mixPlan(d, Some(1000L)).collect()
+      .map(r => r.getString(1) -> r).toMap
+    assert(p2("a").getAs[Long]("target_tokens") == 666L)
+    assert(p2("b").getAs[Long]("target_tokens") == 333L)
+    assert(p2("a").getAs[Long]("weight_milli") == 20000L)
+  }
+
+  test("mix_apply: whole epochs + one thresholded fractional copy") {
+    import spark.implicits._
+    // 100 docs x 4 tokens in a, 100 docs x 1 token in b → same stratum
+    // totals as the plan spec: r_a = 333/400 = 0.8325, r_b = 166/100 = 1.66
+    val d = ((0 until 100).map(i =>
+        (i.toLong, "en", "a", s"a${i}w0 a${i}w1 a${i}w2 a${i}w3")) ++
+      (0 until 100).map(i => (100L + i, "en", "b", s"b${i}solo")))
+      .toDF("doc_id", "lang", "source", "text")
+    val got = TextOps.mixApply(d).collect()
+    val bySrc = got.groupBy(_.getString(2))
+    // b: every doc keeps its whole epoch (>= 1 copy), ~66% draw a 2nd
+    val b = bySrc("b").map(_.getAs[Long]("n_copies"))
+    assert(b.length == 100 && b.forall(c => c == 1L || c == 2L))
+    val b2 = b.count(_ == 2L)
+    assert(b2 > 40 && b2 < 90, s"frac-copy draws $b2, expected ~66")
+    // a: base epoch 0 → only fractional draws survive the >0 guard,
+    // ~83% of docs, each exactly 1 copy
+    val a = bySrc("a").map(_.getAs[Long]("n_copies"))
+    assert(a.forall(_ == 1L))
+    assert(a.length > 60 && a.length <= 100, s"draws ${a.length}, exp ~83")
+    // pure function of the id set: identical under any partitioning
+    val again = TextOps.mixApply(d.repartition(7)).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))
+    assert(again.map(key).toSet == got.map(key).toSet)
+    // a tight budget drops every whole epoch below 1
+    val tight = TextOps.mixApply(d, Some(50L)).collect()
+    assert(tight.forall(_.getAs[Long]("n_copies") == 1L))
+  }
+
   test("token_yield: copies debit the losing stratum, keepers score 1.0") {
     import spark.implicits._
     val d = Seq(
