@@ -405,6 +405,65 @@ object Streaming {
       .select(col("lang"), col("doc_id"), col("similar_id"), col("score"))
   }
 
+  /** Streaming DECONTAMINATION — the live hygiene gate of a training
+    * pipeline: every ARRIVING train document is checked against the
+    * FROZEN test-set anchor index before it is admitted, emitting
+    * (train_doc, test_doc, n_anchors) evidence rows exactly like batch
+    * [[graft.dedup.Dedup.contaminationSubstring]]. A release pipeline
+    * runs the batch check once per cut; the ingest path runs THIS —
+    * contaminated shards are flagged on arrival, not at release time.
+    *
+    * Entirely STATELESS (append mode, no state store): the df-capped
+    * test-side index ([[graft.dedup.Dedup.writeAnchorIndex]] over the
+    * test split) ships as a bounded broadcast closure constant — the
+    * test split is the SMALL side by construction (3/16 here, a few
+    * eval suites at 100 TB), the same bounded-serving-model argument as
+    * docSimilarStream's frozen vocabulary and embDriftStream's corpus
+    * sums. The per-doc anchor walk calls the SAME
+    * [[graft.functions.WinnowedAnchors]] kernel helper the batch
+    * expression compiles to (one definition), anchors are per-doc
+    * DISTINCT, and per-pair counts fold over the doc's OWN anchors —
+    * order-free, so the emitted rows are a pure function of the doc,
+    * independent of micro-batching. Convergence (StreamingSpec): stream
+    * over the train split == batch contaminationSubstring rows exactly.
+    *
+    * The length gate reproduces the batch `length(text) >= k` filter in
+    * CODEPOINTS (Spark `length` counts codepoints; Java String.length
+    * counts UTF-16 units — a surrogate pair would drift the gate). */
+  def contaminationStream(spark: SparkSession, docStream: DataFrame,
+      anchorTable: String, k: Int = 40, w: Int = 25): DataFrame = {
+    import spark.implicits._
+    require(k >= 1 && w >= 1, s"bad params k=$k w=$w")
+    val idx: Map[String, Array[Long]] = spark.table(anchorTable)
+      .select(col("h"), col("doc_id"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (h, rows) => h -> rows.map(_.getLong(1)).sorted }
+    val bc = spark.sparkContext.broadcast(idx)
+    docStream.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null ||
+            text.codePointCount(0, text.length) < k) Iterator.empty
+        else {
+          val m = bc.value
+          val hs = graft.functions.WinnowedAnchors.anchors(
+            org.apache.spark.unsafe.types.UTF8String.fromString(text),
+            k, w)
+          val counts = scala.collection.mutable.LongMap.empty[Long]
+          var i = 0
+          while (i < hs.numElements()) {
+            m.get(hs.getUTF8String(i).toString).foreach(_.foreach { t =>
+              counts.update(t, counts.getOrElse(t, 0L) + 1L)
+            })
+            i += 1
+          }
+          counts.iterator.map { case (t, n) => (id, t, n) }
+        }
+      }
+      .toDF("train_doc", "test_doc", "n_anchors")
+  }
+
   case class EntryEvent(space: String, segment: String, ts_us: Long,
       event_id: Long, value: Double)
   case class AggState(n_events: Long, balance: Double, last_ts_us: Long)

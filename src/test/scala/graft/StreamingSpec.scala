@@ -147,6 +147,33 @@ class StreamingSpec extends SparkSpec {
     assert(emits.length == 2 * want.size)
   }
 
+  test("streaming decontamination converges to the batch substring check") {
+    val docs = graft.text.TextOps.docs(spark, SF)
+    val split = graft.text.TextOps.splitAssign(docs, 13)
+    // freeze the serving artifact: the df-capped TEST-side anchor index
+    spark.sql("DROP TABLE IF EXISTS contam_stream_idx")
+    val idxPath = Files.createTempDirectory("graft_contam_sidx")
+      .toString + "/v"
+    graft.dedup.Dedup.writeAnchorIndex(
+      docs.join(split.filter(col("split") === "test").select("doc_id"),
+        "doc_id"),
+      "contam_stream_idx", idxPath)
+    // replay the train split as a multi-micro-batch stream
+    val train = docs.join(
+      split.filter(col("split") === "train").select("doc_id"), "doc_id")
+    val dir = Files.createTempDirectory("graft_contam_stream").toString
+    train.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(train.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    runToCompletion(Streaming.contaminationStream(spark, stream,
+      "contam_stream_idx"), "contam_stream", "append")
+    val got = spark.table("contam_stream").collect().map(_.toSeq).toSet
+    val want = graft.dedup.Dedup.contaminationSubstring(docs, split)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty, "no cross-split contamination in the corpus")
+    assert(got == want, s"stream ${got.size} vs batch ${want.size}")
+  }
+
   test("streaming media decode rollup converges to batch featureStats") {
     import graft.multimodal.Multimodal
     val media = Multimodal.synthesize(graft.text.TextOps.docs(spark, SF))
