@@ -373,6 +373,25 @@ object PipelineQueries {
     // the materialized mixture: per-doc copy counts (whole epochs +
     // one md5-thresholded fractional copy); fact table never shuffles
     "mix_apply" -> ((s, d) => TextOps.mixApply(docs(s, d))),
+    // one-row allocation accounting: pool vs allocated (floor slack),
+    // upsampled strata, worst repeat factor
+    "mix_audit" -> ((s, d) => TextOps.mixAudit(docs(s, d))),
+    // in-engine TRAINED linear classifier (NB log-odds, the CCNet
+    // reference-vs-crawl quality filter): counting is the training,
+    // which is what makes the trainer oracle-checkable end to end
+    "domain_classifier" -> ((s, d) => TextOps.domainClassifier(docs(s, d))),
+    // confusion rollup over the scored docs (the sign-off view)
+    "domain_classifier_eval" -> ((s, d) =>
+      TextOps.domainClassifierEval(docs(s, d))),
+    // train-once/score-per-crawl: the persisted bucketed model table;
+    // round-trip transparent to the result (shares the oracle — the
+    // dedup_incremental posture)
+    "domain_classifier_persisted" -> ((s, d) => {
+      val (tbl, path) = runScopedTable(s, d, "graft_domain_model")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      TextOps.writeDomainModel(docs(s, d), tbl, path)
+      TextOps.domainScorePersisted(s, docs(s, d), tbl)
+    }),
     // exact-k per-stratum eval sample via the MinKByKey bounded
     // aggregate — no per-stratum sort, map-side combine ships <= k rows
     "sample_exact_k" -> ((s, d) => TextOps.sampleExactK(docs(s, d))),
@@ -1939,8 +1958,72 @@ object PipelineQueries {
                AS epochs
       FROM p"""
 
+  /** NB domain-classifier per-doc scores: class counts / totals /
+    * vocabulary are exact integers; the one transcendental (ln of the
+    * Laplace-smoothed odds ratio) is a single identical IEEE chain
+    * snapped to the milli grid; doc scores exact integer sums; the
+    * class decision an integer predicate. Named because the eval
+    * rollup and the persisted variant embed/share it. */
+  private val DomainScoreSql = """
+      WITH tk AS (
+        SELECT doc_id,
+               CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_ref,
+               unnest(list_filter(string_split(lower(text), ' '),
+                 x -> x <> '')) AS term
+        FROM documents),
+      tc AS (
+        SELECT term,
+               CAST(sum(is_ref) AS BIGINT) AS c_ref,
+               CAST(sum(1 - is_ref) AS BIGINT) AS c_oth,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tk GROUP BY term
+        HAVING count(DISTINCT doc_id) >= 2),
+      tot AS (
+        SELECT CAST(sum(c_ref) AS BIGINT) AS r_total,
+               CAST(sum(c_oth) AS BIGINT) AS o_total,
+               CAST(count(*) AS BIGINT) AS v_size
+        FROM tc),
+      m AS (
+        SELECT term,
+               CAST(floor(ln(CAST(c_ref + 1 AS DOUBLE) *
+                 CAST(o_total + v_size AS DOUBLE) /
+                 (CAST(c_oth + 1 AS DOUBLE) *
+                  CAST(r_total + v_size AS DOUBLE))) * 1000.0 + 0.5)
+                 AS BIGINT) AS logodds_milli
+        FROM tc, tot),
+      dt AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM tk GROUP BY doc_id, term)
+      SELECT dt.doc_id,
+             CAST(sum(tf) AS BIGINT) AS n_scored_tokens,
+             CAST(sum(tf * logodds_milli) AS BIGINT) AS logodds_milli_sum,
+             CAST(CASE WHEN sum(tf * logodds_milli) > 0 THEN 1 ELSE 0 END
+               AS BIGINT) AS pred_ref
+      FROM dt JOIN m USING (term)
+      GROUP BY dt.doc_id"""
+
   val oracle: Map[String, String] = oracleBase ++ Map(
     "contamination_report" -> contaminationReportSql,
+
+    "domain_classifier" -> DomainScoreSql,
+
+    // the persisted-model round trip is transparent to the result
+    // (same vocab band, same milli-snapped log-odds), so it shares the
+    // training-corpus oracle — the dedup_incremental posture
+    "domain_classifier_persisted" -> DomainScoreSql,
+
+    // confusion over scored docs only (no-evidence docs carry no
+    // prediction); embeds the per-doc SQL verbatim
+    "domain_classifier_eval" -> s"""
+      WITH s AS ($DomainScoreSql),
+      l AS (
+        SELECT doc_id,
+               CAST(CASE WHEN source = 'src0' THEN 1 ELSE 0 END
+                 AS BIGINT) AS is_ref
+        FROM documents)
+      SELECT l.is_ref, s.pred_ref, CAST(count(*) AS BIGINT) AS n_docs
+      FROM s JOIN l USING (doc_id)
+      GROUP BY 1, 2""",
 
     "source_overlap" -> """
       WITH g AS (
@@ -1964,6 +2047,18 @@ object PipelineQueries {
     // drift from the yield it budgets over); weights are exact
     // integers (floor(sqrt * 1000)), share/epochs floor-half-up
     "mix_plan" -> MixPlanSql,
+
+    // allocation accounting over the plan (MixPlanSql verbatim): the
+    // upsample predicate is integer, max_epochs maxes grid-snapped
+    // doubles (comparison only, no new FP expression)
+    "mix_audit" -> s"""
+      SELECT CAST(count(*) AS BIGINT) AS n_strata,
+             CAST(sum(tokens_kept) AS BIGINT) AS kept_total,
+             CAST(sum(target_tokens) AS BIGINT) AS target_total,
+             CAST(sum(CASE WHEN target_tokens > tokens_kept THEN 1
+               ELSE 0 END) AS BIGINT) AS n_upsampled,
+             max(epochs) AS max_epochs
+      FROM ($MixPlanSql) mp""",
 
     // per-doc copy counts under the plan: MixPlanSql's core embedded
     // verbatim; ratio r is divided once and each engine subtracts its

@@ -464,6 +464,47 @@ object Streaming {
       .toDF("train_doc", "test_doc", "n_anchors")
   }
 
+  /** Streaming quality-filter scoring — the apply side of the trained
+    * NB domain classifier ([[graft.text.TextOps.writeDomainModel]]) in
+    * the shape a crawl-filtering fleet runs it: every ARRIVING document
+    * is scored against the FROZEN per-term log-odds and emits the same
+    * (doc_id, n_scored_tokens, logodds_milli_sum, pred_ref) row as
+    * batch [[graft.text.TextOps.domainClassifier]]. Stateless append
+    * mode; the banded model ships as a bounded broadcast closure
+    * constant (the model IS the banded vocabulary — the
+    * docSimilarStream frozen-vocab argument). Scores are exact integer
+    * sums over the doc's OWN tokens (order-free), the class decision is
+    * the integer sum > 0 predicate, and tokenization goes through
+    * Spark's own UTF8String lowercase (locale-free, identical to the
+    * batch `lower` expression) — so emits are a pure function of the
+    * doc and the spec's stream==batch row equality is exact. */
+  def domainScoreStream(spark: SparkSession, docStream: DataFrame,
+      modelTable: String): DataFrame = {
+    import spark.implicits._
+    val model: Map[String, Long] = spark.table(modelTable)
+      .select(col("term"), col("logodds_milli"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bc = spark.sparkContext.broadcast(model)
+    docStream.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null) Iterator.empty
+        else {
+          val m = bc.value
+          val toks = org.apache.spark.unsafe.types.UTF8String
+            .fromString(text).toLowerCase.toString.split(" ", -1)
+          var n = 0L
+          var s = 0L
+          toks.foreach { t =>
+            if (t.nonEmpty) m.get(t).foreach { lo => n += 1L; s += lo }
+          }
+          if (n > 0L) Iterator.single((id, n, s, if (s > 0L) 1L else 0L))
+          else Iterator.empty
+        }
+      }
+      .toDF("doc_id", "n_scored_tokens", "logodds_milli_sum", "pred_ref")
+  }
+
   case class EntryEvent(space: String, segment: String, ts_us: Long,
       event_id: Long, value: Double)
   case class AggState(n_events: Long, balance: Double, last_ts_us: Long)

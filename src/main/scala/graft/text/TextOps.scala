@@ -419,6 +419,25 @@ object TextOps {
           lit(10000.0)).as("epochs"))
   }
 
+  /** One-row governance audit for [[mixPlan]] (the lsh_bucket_audit
+    * discipline: every allocation operator carries an accounting row a
+    * pipeline can alert on): strata count, the kept-token pool, the
+    * summed allocation (≤ pool by floor rounding — the difference is
+    * the rounding slack, bounded by n_strata tokens), how many strata
+    * the temperature UPSAMPLES (an integer target > kept predicate —
+    * the strata whose docs will repeat epochs), and the worst repeat
+    * factor (a max over already-grid-snapped doubles — comparisons of
+    * identical values, no new FP hazard). Everything is one agg over
+    * the strata-sized plan. */
+  def mixAudit(d: DataFrame, budget: Option[Long] = None): DataFrame =
+    mixPlan(d, budget).agg(
+      count(lit(1)).as("n_strata"),
+      sum(col("tokens_kept")).as("kept_total"),
+      sum(col("target_tokens")).as("target_total"),
+      sum(when(col("target_tokens") > col("tokens_kept"), 1L)
+        .otherwise(0L)).as("n_upsampled"),
+      max(col("epochs")).as("max_epochs"))
+
   /** Materialized mixture: per-document COPY COUNT under [[mixPlan]] —
     * the stratum's epoch factor target/kept splits into whole copies
     * (floor) plus one Bernoulli fractional copy decided by a 16-bit
@@ -456,6 +475,131 @@ object TextOps {
       .filter(col("n_copies") > 0L)
       .select("doc_id", "lang", "source", "n_copies")
   }
+
+  /** In-engine TRAINED linear text classifier (the CCNet/GPT-3
+    * quality-filter shape: label a reference corpus vs the crawl, train
+    * a cheap linear model on tokens, score everything): multinomial
+    * Naive-Bayes log-odds per in-band term, trained by COUNTING (one
+    * corpus pass — NB's closed form is what makes an in-engine trainer
+    * oracle-checkable end to end; an SGD loop's float gradient sums are
+    * not), applied as an exact integer sum per document.
+    *
+    * FP contract (the lm_score → doc_similar ladder): class counts,
+    * totals and vocabulary size are exact integers; the ONLY
+    * transcendental is one ln over one double expression
+    * (Laplace-smoothed odds ratio, multiply-multiply-divide — each
+    * engine rounds the same IEEE chain identically), snapped
+    * immediately to the milli grid (floor(·1000 + 0.5) AS BIGINT); doc
+    * scores are exact integer Σ tf·logodds_milli; the CLASS DECISION is
+    * the INTEGER predicate sum > 0 (σ is monotone, so thresholding the
+    * logit ≡ thresholding the probability — no sigmoid anywhere).
+    *
+    * Returns per-doc rows: (doc_id, n_scored_tokens, logodds_milli_sum,
+    * pred_ref). Docs with zero in-band terms have no evidence and no
+    * row (inner-join membership — an integer decision). The df band
+    * (`minDf`) is the doc_similar vocabulary discipline: rare terms are
+    * noise AND unbounded vocabulary; at 100 TB the model table is the
+    * banded vocab, which is what [[writeDomainModel]] persists.
+    *
+    * Scale: train = one map-side-combinable term agg (the heavy_hitters
+    * shuffle shape, term-hash partitioned); score = one (doc, term) tf
+    * agg + one term equijoin + one doc agg. Nothing pairwise, no
+    * windows, no iteration. */
+  def domainClassifier(d: DataFrame, refSource: String = "src0",
+      minDf: Int = 2): DataFrame = {
+    val model = domainModel(d, refSource, minDf)
+      .select("term", "logodds_milli")
+    scoreAgainstModel(docTermTf(d), model)
+  }
+
+  /** Exploded (doc_id, is_ref, term) rows — the one-definition
+    * tokenization (lowercased whitespace split) shared by train, score,
+    * and the streaming dual's closure. */
+  private def labeledTerms(d: DataFrame, refSource: String): DataFrame =
+    lowerToks(d).select(col("doc_id"),
+      (col("source") === refSource).cast("long").as("is_ref"),
+      explode(col("toks")).as("term"))
+
+  private def docTermTf(d: DataFrame): DataFrame =
+    lowerToks(d).select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** The trained model: per in-band term, class counts and the
+    * milli-snapped NB log-odds. One term agg + a broadcast one-row
+    * total. */
+  def domainModel(d: DataFrame, refSource: String = "src0",
+      minDf: Int = 2): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    val termClass = labeledTerms(d, refSource)
+      .groupBy(col("term"))
+      .agg(
+        sum(col("is_ref")).as("c_ref"),
+        sum(lit(1L) - col("is_ref")).as("c_oth"),
+        countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+    val tot = termClass.groupBy().agg(
+      sum(col("c_ref")).as("r_total"),
+      sum(col("c_oth")).as("o_total"),
+      count(lit(1)).as("v_size"))
+    termClass.crossJoin(broadcast(tot))
+      .withColumn("logodds_milli",
+        floor(log(
+          (col("c_ref") + 1L).cast("double") *
+            (col("o_total") + col("v_size")).cast("double") /
+            ((col("c_oth") + 1L).cast("double") *
+              (col("r_total") + col("v_size")).cast("double"))) *
+          lit(1000.0) + lit(0.5)).cast("long"))
+      .select("term", "c_ref", "c_oth", "df", "logodds_milli")
+  }
+
+  private def scoreAgainstModel(tf: DataFrame, model: DataFrame): DataFrame =
+    tf.join(model, "term")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_scored_tokens"),
+        sum(col("tf") * col("logodds_milli")).as("logodds_milli_sum"))
+      .withColumn("pred_ref",
+        (col("logodds_milli_sum") > 0L).cast("long"))
+
+  /** Confusion rollup of [[domainClassifier]] against the true source
+    * labels — the train-time accuracy view a filtering pipeline signs
+    * off on before applying the model to a crawl. Scored docs only
+    * (no-evidence docs have no prediction); composition embeds the
+    * per-doc oracle verbatim (the contamination_report discipline). */
+  def domainClassifierEval(d: DataFrame, refSource: String = "src0",
+      minDf: Int = 2): DataFrame =
+    domainClassifier(d, refSource, minDf)
+      .join(d.select(col("doc_id"),
+        (col("source") === refSource).cast("long").as("is_ref")), "doc_id")
+      .groupBy(col("is_ref"), col("pred_ref"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Persist the trained model as a bucketed external table keyed by the
+    * APPLY key (`term` — the writeBpeModel posture): the serving
+    * artifact a filtering fleet loads, so scoring a new crawl never
+    * re-trains. */
+  def writeDomainModel(d: DataFrame, tableName: String, path: String,
+      refSource: String = "src0", minDf: Int = 2,
+      buckets: Int = 8): Unit = {
+    domainModel(d, refSource, minDf)
+      .repartition(col("term"))
+      .write
+      .option("path", path)
+      .bucketBy(buckets, "term")
+      .sortBy("term")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(tableName)
+  }
+
+  /** Score a corpus against the PERSISTED model ([[writeDomainModel]])
+    * — result-identical to [[domainClassifier]] on the training corpus
+    * (spec-proven row parity): the train-once/score-per-crawl hop is
+    * transparent to the result. */
+  def domainScorePersisted(spark: SparkSession, d: DataFrame,
+      tableName: String): DataFrame =
+    scoreAgainstModel(docTermTf(d),
+      spark.table(tableName).select("term", "logodds_milli"))
 
   /** Source/domain balancing — the data-mixing step before training:
     * every source is Bernoulli-downsampled to at most ≈`cap` expected

@@ -174,6 +174,25 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"stream ${got.size} vs batch ${want.size}")
   }
 
+  test("streaming quality-filter scoring converges to the batch classifier") {
+    val docs = graft.text.TextOps.docs(spark, SF)
+    spark.sql("DROP TABLE IF EXISTS dom_model_stream")
+    val path = Files.createTempDirectory("graft_dom_stream_idx")
+      .toString + "/m"
+    graft.text.TextOps.writeDomainModel(docs, "dom_model_stream", path)
+    val dir = Files.createTempDirectory("graft_dom_stream").toString
+    docs.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    runToCompletion(Streaming.domainScoreStream(spark, stream,
+      "dom_model_stream"), "dom_stream", "append")
+    val got = spark.table("dom_stream").collect().map(_.toSeq).toSet
+    val want = graft.text.TextOps.domainClassifier(docs)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want,
+      s"stream ${got.size} vs batch ${want.size}")
+  }
+
   test("streaming media decode rollup converges to batch featureStats") {
     import graft.multimodal.Multimodal
     val media = Multimodal.synthesize(graft.text.TextOps.docs(spark, SF))

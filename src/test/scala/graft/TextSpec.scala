@@ -885,6 +885,21 @@ class TextSpec extends SparkSpec {
     assert(p2("a").getAs[Long]("weight_milli") == 20000L)
   }
 
+  test("mix_audit: pool vs allocation, floor slack bounded, upsample count") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "en", "a", (0 until 400).map(i => s"a$i").mkString(" ")),
+      (2L, "en", "b", (0 until 100).map(i => s"b$i").mkString(" ")))
+      .toDF("doc_id", "lang", "source", "text")
+    val r = TextOps.mixAudit(d).collect()(0)
+    assert(r.getAs[Long]("n_strata") == 2L)
+    assert(r.getAs[Long]("kept_total") == 500L)
+    // 333 + 166: each target floors, slack < n_strata tokens
+    assert(r.getAs[Long]("target_total") == 499L)
+    assert(r.getAs[Long]("n_upsampled") == 1L) // b: 166 > 100
+    assert(r.getAs[Double]("max_epochs") == 1.66)
+  }
+
   test("mix_apply: whole epochs + one thresholded fractional copy") {
     import spark.implicits._
     // 100 docs x 4 tokens in a, 100 docs x 1 token in b → same stratum
@@ -913,6 +928,48 @@ class TextSpec extends SparkSpec {
     // a tight budget drops every whole epoch below 1
     val tight = TextOps.mixApply(d, Some(50L)).collect()
     assert(tight.forall(_.getAs[Long]("n_copies") == 1L))
+  }
+
+  test("domain_classifier: planted vocabularies separate, band excludes rare terms") {
+    import spark.implicits._
+    // ref docs speak alpha/beta, crawl docs zeta/eta, 'common' is shared
+    // and uninformative; 'once' appears in one doc only → out of band
+    val d = ((1 to 4).map(i => (i.toLong, "en", "ref", "alpha beta common")) ++
+      (5 to 8).map(i => (i.toLong, "en", "crawl", "zeta eta common")) ++
+      Seq((9L, "en", "crawl", "once")))
+      .toDF("doc_id", "lang", "source", "text")
+    val m = TextOps.domainModel(d, refSource = "ref").collect()
+      .map(r => r.getString(0) -> r).toMap
+    // df band: 'once' (df=1) is excluded from the vocabulary
+    assert(!m.contains("once"))
+    assert(m("alpha").getAs[Long]("c_ref") == 4L &&
+      m("alpha").getAs[Long]("c_oth") == 0L)
+    assert(m("alpha").getAs[Long]("logodds_milli") > 0L)
+    assert(m("zeta").getAs[Long]("logodds_milli") < 0L)
+    // 'common' appears 4x in each class: log-odds exactly ln(1) = 0
+    assert(m("common").getAs[Long]("logodds_milli") == 0L)
+    val scores = TextOps.domainClassifier(d, refSource = "ref").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 9's only term is out of band → no evidence, no row
+    assert(!scores.contains(9L))
+    (1 to 4).foreach(i => assert(scores(i.toLong).getAs[Long]("pred_ref") == 1L))
+    (5 to 8).foreach(i => assert(scores(i.toLong).getAs[Long]("pred_ref") == 0L))
+    // confusion rollup: perfectly separated planted corpus
+    val ev = TextOps.domainClassifierEval(d, refSource = "ref").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("n_docs")).toMap
+    assert(ev == Map((1L, 1L) -> 4L, (0L, 0L) -> 4L))
+  }
+
+  test("domain_classifier_persisted: round-trip identical to the in-session model") {
+    val d = graft.text.TextOps.docs(spark, SF)
+    spark.sql("DROP TABLE IF EXISTS dom_model_spec")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_dom_model_spec").toString + "/m"
+    TextOps.writeDomainModel(d, "dom_model_spec", path)
+    val got = TextOps.domainScorePersisted(spark, d, "dom_model_spec")
+      .collect().map(_.toSeq).toSet
+    val want = TextOps.domainClassifier(d).collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want)
   }
 
   test("token_yield: copies debit the losing stratum, keepers score 1.0") {
