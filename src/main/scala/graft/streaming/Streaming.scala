@@ -505,6 +505,53 @@ object Streaming {
       .toDF("doc_id", "n_scored_tokens", "logodds_milli_sum", "pred_ref")
   }
 
+  /** Streaming mixture application — ingest-time data mixing: every
+    * ARRIVING document draws its copy count against the FROZEN mixture
+    * plan ([[graft.text.TextOps.mixPlan]] materialized to a table),
+    * emitting the identical (doc_id, lang, source, n_copies) row as
+    * batch [[graft.text.TextOps.mixApply]]. Stateless append mode; the
+    * strata-sized plan ships as a closure constant. The copy decision
+    * is a pure per-doc function (md5 over the same doc_id:lang:source:
+    * seed string, the same floor/subtract/multiply IEEE chain on the
+    * stratum ratio), so emits are independent of micro-batching and
+    * the spec's stream==batch row equality is exact. Docs from strata
+    * outside the plan (zero kept tokens) and zero-copy draws drop, the
+    * batch integer-membership rule. */
+  def mixApplyStream(spark: SparkSession, docStream: DataFrame,
+      planTable: String, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    // (lang, source) -> (base copies, 16-bit fractional threshold),
+    // precomputed once from the frozen plan with the batch expressions
+    val plan: Map[(String, String), (Long, Long)] = spark.table(planTable)
+      .select(col("lang"), col("source"), col("tokens_kept"),
+        col("target_tokens"))
+      .collect()
+      .map { r =>
+        val ratio = r.getLong(3).toDouble / r.getLong(2).toDouble
+        val whole = math.floor(ratio)
+        (r.getString(0), r.getString(1)) ->
+          (whole.toLong, math.floor((ratio - whole) * 65536.0).toLong)
+      }.toMap
+    val bc = spark.sparkContext.broadcast(plan)
+    docStream.select(col("doc_id"), col("lang"), col("source"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, lang, source) =>
+        bc.value.get((lang, source)) match {
+          case None => Iterator.empty
+          case Some((whole, thresh)) =>
+            val hex = java.security.MessageDigest.getInstance("MD5")
+              .digest(s"$id:$lang:$source:$seed"
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              .map("%02x".format(_)).mkString.take(4)
+            val frac = if (hex < "%04x".format(thresh)) 1L else 0L
+            val n = whole + frac
+            if (n > 0L) Iterator.single((id, lang, source, n))
+            else Iterator.empty
+        }
+      }
+      .toDF("doc_id", "lang", "source", "n_copies")
+  }
+
   case class EntryEvent(space: String, segment: String, ts_us: Long,
       event_id: Long, value: Double)
   case class AggState(n_events: Long, balance: Double, last_ts_us: Long)

@@ -193,6 +193,23 @@ class StreamingSpec extends SparkSpec {
       s"stream ${got.size} vs batch ${want.size}")
   }
 
+  test("streaming mixture application converges to batch mix_apply") {
+    val docs = graft.text.TextOps.docs(spark, SF)
+    graft.text.TextOps.mixPlan(docs)
+      .createOrReplaceTempView("mix_plan_stream")
+    val dir = Files.createTempDirectory("graft_mixa_stream").toString
+    docs.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    runToCompletion(Streaming.mixApplyStream(spark, stream,
+      "mix_plan_stream"), "mixa_stream", "append")
+    val got = spark.table("mixa_stream").collect().map(_.toSeq).toSet
+    val want = graft.text.TextOps.mixApply(docs)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want,
+      s"stream ${got.size} vs batch ${want.size}")
+  }
+
   test("streaming media decode rollup converges to batch featureStats") {
     import graft.multimodal.Multimodal
     val media = Multimodal.synthesize(graft.text.TextOps.docs(spark, SF))
