@@ -383,6 +383,10 @@ object PipelineQueries {
     // confusion rollup over the scored docs (the sign-off view)
     "domain_classifier_eval" -> ((s, d) =>
       TextOps.domainClassifierEval(docs(s, d))),
+    // held-out: train on the train split, score the test split — the
+    // hygiene-correct evaluation (self-scoring inflates separability)
+    "domain_classifier_holdout" -> ((s, d) =>
+      TextOps.domainClassifierHoldout(docs(s, d))),
     // train-once/score-per-crawl: the persisted bucketed model table;
     // round-trip transparent to the result (shares the oracle — the
     // dedup_incremental posture)
@@ -2011,6 +2015,54 @@ object PipelineQueries {
     // (same vocab band, same milli-snapped log-odds), so it shares the
     // training-corpus oracle — the dedup_incremental posture
     "domain_classifier_persisted" -> DomainScoreSql,
+
+    // held-out: the model CTEs read the train split, scoring reads the
+    // test split; split membership is the split_assign md5-nibble
+    // predicate (trainSixteenths = 13 → boundary 'd')
+    "domain_classifier_holdout" -> """
+      WITH sp AS (
+        SELECT doc_id,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents),
+      tk AS (
+        SELECT doc_id,
+               CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_ref,
+               unnest(list_filter(string_split(lower(text), ' '),
+                 x -> x <> '')) AS term
+        FROM documents),
+      tc AS (
+        SELECT term,
+               CAST(sum(is_ref) AS BIGINT) AS c_ref,
+               CAST(sum(1 - is_ref) AS BIGINT) AS c_oth,
+               CAST(count(DISTINCT tk.doc_id) AS BIGINT) AS df
+        FROM tk JOIN sp USING (doc_id) WHERE sp.split = 'train'
+        GROUP BY term
+        HAVING count(DISTINCT tk.doc_id) >= 2),
+      tot AS (
+        SELECT CAST(sum(c_ref) AS BIGINT) AS r_total,
+               CAST(sum(c_oth) AS BIGINT) AS o_total,
+               CAST(count(*) AS BIGINT) AS v_size
+        FROM tc),
+      m AS (
+        SELECT term,
+               CAST(floor(ln(CAST(c_ref + 1 AS DOUBLE) *
+                 CAST(o_total + v_size AS DOUBLE) /
+                 (CAST(c_oth + 1 AS DOUBLE) *
+                  CAST(r_total + v_size AS DOUBLE))) * 1000.0 + 0.5)
+                 AS BIGINT) AS logodds_milli
+        FROM tc, tot),
+      dt AS (
+        SELECT tk.doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM tk JOIN sp USING (doc_id) WHERE sp.split = 'test'
+        GROUP BY tk.doc_id, term)
+      SELECT dt.doc_id,
+             CAST(sum(tf) AS BIGINT) AS n_scored_tokens,
+             CAST(sum(tf * logodds_milli) AS BIGINT) AS logodds_milli_sum,
+             CAST(CASE WHEN sum(tf * logodds_milli) > 0 THEN 1 ELSE 0 END
+               AS BIGINT) AS pred_ref
+      FROM dt JOIN m USING (term)
+      GROUP BY dt.doc_id""",
 
     // confusion over scored docs only (no-evidence docs carry no
     // prediction); embeds the per-doc SQL verbatim

@@ -21,6 +21,12 @@ import org.apache.spark.sql.types._
   * state store. */
 object Streaming {
 
+  /** Per-thread digest (the WinnowedAnchors posture) — closure-side md5
+    * draws must not allocate a MessageDigest per row. */
+  private val Md5: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   /** File-source stream of the canonical entry columns (no sequence —
     * sequence assignment in a live pipeline happens at produce time).
     * The stream schema is probed from a batch read of the same directory
@@ -539,7 +545,7 @@ object Streaming {
         bc.value.get((lang, source)) match {
           case None => Iterator.empty
           case Some((whole, thresh)) =>
-            val hex = java.security.MessageDigest.getInstance("MD5")
+            val hex = Streaming.Md5.get()
               .digest(s"$id:$lang:$source:$seed"
                 .getBytes(java.nio.charset.StandardCharsets.UTF_8))
               .map("%02x".format(_)).mkString.take(4)

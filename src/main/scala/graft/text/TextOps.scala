@@ -562,6 +562,26 @@ object TextOps {
       .withColumn("pred_ref",
         (col("logodds_milli_sum") > 0L).cast("long"))
 
+  /** Held-out variant of [[domainClassifier]]: the model trains on the
+    * TRAIN split only and scores the TEST split only — the
+    * hygiene-correct evaluation (self-scoring inflates separability:
+    * every term count includes the doc being scored, so a memorized
+    * rare term is its own evidence). Same closed-form trainer, same
+    * integer contract; the oracle reproduces the split with the
+    * split_assign md5-nibble predicate, so train/test membership is an
+    * engine-independent pure function of doc_id. */
+  def domainClassifierHoldout(d: DataFrame, refSource: String = "src0",
+      minDf: Int = 2, trainSixteenths: Int = 13): DataFrame = {
+    val split = splitAssign(d, trainSixteenths).select("doc_id", "split")
+    val train = d.join(
+      split.filter(col("split") === "train").select("doc_id"), "doc_id")
+    val test = d.join(
+      split.filter(col("split") === "test").select("doc_id"), "doc_id")
+    scoreAgainstModel(docTermTf(test),
+      domainModel(train, refSource, minDf)
+        .select("term", "logodds_milli"))
+  }
+
   /** Confusion rollup of [[domainClassifier]] against the true source
     * labels — the train-time accuracy view a filtering pipeline signs
     * off on before applying the model to a crawl. Scored docs only

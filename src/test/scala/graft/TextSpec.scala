@@ -960,6 +960,36 @@ class TextSpec extends SparkSpec {
     assert(ev == Map((1L, 1L) -> 4L, (0L, 0L) -> 4L))
   }
 
+  test("domain_classifier_holdout: trains on train split, scores only test split") {
+    import spark.implicits._
+    // resolve which ids land in which split (pure function of doc_id)
+    val base = (1L to 60L).toDF("doc_id")
+      .withColumn("lang", lit("en")).withColumn("source", lit("x"))
+    val sp = TextOps.splitAssign(base, 13).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val trainIds = (1L to 60L).filter(sp(_) == "train")
+    val testIds = (1L to 60L).filter(sp(_) == "test")
+    assert(trainIds.size >= 8 && testIds.size >= 5, sp.toString)
+    val rows =
+      trainIds.take(4).map((_, "en", "ref", "alpha beta common")) ++
+      trainIds.slice(4, 8).map((_, "en", "crawl", "zeta eta common")) ++
+      testIds.take(2).map((_, "en", "ref", "alpha beta")) ++
+      testIds.slice(2, 4).map((_, "en", "crawl", "zeta eta")) ++
+      // a term that exists ONLY in the test split: not in the trained
+      // vocabulary, so this doc has no evidence and no row
+      Seq((testIds(4), "en", "crawl", "qqq qqq"))
+    val d = rows.toDF("doc_id", "lang", "source", "text")
+    val got = TextOps.domainClassifierHoldout(d, refSource = "ref")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // only test-split docs are scored
+    assert(got.keySet.forall(id => sp(id) == "test"), got.keySet.toString)
+    assert(!got.contains(testIds(4)))
+    testIds.take(2).foreach(id =>
+      assert(got(id).getAs[Long]("pred_ref") == 1L, s"doc $id"))
+    testIds.slice(2, 4).foreach(id =>
+      assert(got(id).getAs[Long]("pred_ref") == 0L, s"doc $id"))
+  }
+
   test("domain_classifier_persisted: round-trip identical to the in-session model") {
     val d = graft.text.TextOps.docs(spark, SF)
     spark.sql("DROP TABLE IF EXISTS dom_model_spec")
