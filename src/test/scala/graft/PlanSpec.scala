@@ -169,6 +169,22 @@ class PlanSpec extends SparkSpec {
     assert("(?<!Broadcast)Exchange".r.findAllIn(pa).length == 1, pa)
   }
 
+  test("domain_classifier: no window/sort, one-row totals broadcast, no shuffled cartesian") {
+    val docs = graft.text.TextOps.docs(spark, SF)
+    for (p <- Seq(
+        plan(graft.text.TextOps.domainClassifier(docs)),
+        plan(graft.text.TextOps.domainClassifierHoldout(docs)))) {
+      assert(!p.contains("Window"), p)
+      // the term-keyed score join may plan sort-merge (correct when the
+      // model is large; AQE broadcasts it when small) — the fences are
+      // on the genuinely wrong shapes: no per-doc window machinery and
+      // no shuffled cross product (the one-row totals must attach via
+      // a broadcast nested loop, the space_correlation posture)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
   test("mix_apply adds zero shuffles beyond the plan build (fact side broadcast-only)") {
     val docs = graft.text.TextOps.docs(spark, SF)
     def shuffles(p: String) =
