@@ -558,6 +558,68 @@ object Streaming {
       .toDF("doc_id", "lang", "source", "n_copies")
   }
 
+  case class MgState(words: Seq[String], counts: Seq[Long], n_seen: Long)
+  case class MgRow(shard: Int, word: String, mg_count: Long, n_seen: Long)
+
+  /** Streaming heavy hitters — the always-on vocabulary monitor with
+    * HARD-BOUNDED state: per-shard Misra–Gries summaries of capacity
+    * `k` over the live token stream (terms hash-shard across `shards`
+    * independent groups, so state ≤ shards·k counters TOTAL and the
+    * summaries update in parallel — a billion-term vocabulary never
+    * materializes anywhere).
+    *
+    * Guarantee (order-independent, unlike the counter values): every
+    * term with GLOBAL count > n/k survives in its shard's summary —
+    * all of a term's occurrences land in one shard, the shard stream
+    * is a sub-stream of length n_s ≤ n, and MG at capacity k on that
+    * sub-stream retains anything with shard count > n_s/k; a global
+    * count > n/k implies a shard count > n/k ≥ n_s/k. So the union of
+    * shard summaries is a SUPERSET of the true > n/k hitters at every
+    * point in the stream — exactly the candidate-feed role the per-partition MG
+    * pass plays inside batch [[graft.text.TextOps.heavyHitters]]; a
+    * consumer exact-counts the emitted candidates the same way
+    * (broadcast recount), and the batch spec's superset assertion
+    * holds against the live summary too (StreamingSpec).
+    *
+    * Emits the full summary of each updated shard per trigger (update
+    * mode, `n_seen` monotone per shard — the sampleExactKStream
+    * last-emit convention). */
+  def heavyHittersStream(spark: SparkSession, docStream: DataFrame,
+      k: Int = 100, shards: Int = 32): Dataset[MgRow] = {
+    import spark.implicits._
+    require(k >= 2 && shards >= 1, s"bad params k=$k shards=$shards")
+    graft.text.TextOps.lowerToks(
+        docStream.select(col("doc_id"), col("text")))
+      .select(explode(col("toks")).as("word"))
+      .as[String]
+      .groupByKey(w => math.floorMod(w.hashCode, shards))
+      .flatMapGroupsWithState[MgState, MgRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (shard, words, state: GroupState[MgState]) =>
+          val prev = state.getOption.getOrElse(MgState(Nil, Nil, 0L))
+          val counts = scala.collection.mutable.HashMap.empty[String, Long]
+          prev.words.zip(prev.counts).foreach { case (w, c) => counts(w) = c }
+          var n = prev.n_seen
+          words.foreach { w =>
+            n += 1L
+            if (counts.contains(w)) counts(w) += 1L
+            else if (counts.size < k) counts(w) = 1L
+            else {
+              // canonical MG step (the batch phase-1 loop verbatim)
+              val dead = List.newBuilder[String]
+              counts.keysIterator.toArray.foreach { key =>
+                val c = counts(key) - 1L
+                if (c == 0L) dead += key else counts(key) = c
+              }
+              dead.result().foreach(counts.remove)
+            }
+          }
+          val snap = counts.toSeq.sortBy(_._1)
+          state.update(MgState(snap.map(_._1), snap.map(_._2), n))
+          snap.iterator.map { case (w, c) => MgRow(shard, w, c, n) }
+      }
+  }
+
   case class EntryEvent(space: String, segment: String, ts_us: Long,
       event_id: Long, value: Double)
   case class AggState(n_events: Long, balance: Double, last_ts_us: Long)

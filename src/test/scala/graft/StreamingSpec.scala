@@ -210,6 +210,33 @@ class StreamingSpec extends SparkSpec {
       s"stream ${got.size} vs batch ${want.size}")
   }
 
+  test("streaming heavy hitters: bounded summaries, superset of batch exact hitters") {
+    val docs = graft.text.TextOps.docs(spark, SF)
+    val dir = Files.createTempDirectory("graft_hh_stream").toString
+    docs.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    runToCompletion(Streaming.heavyHittersStream(spark, stream, k = 100,
+      shards = 8).toDF(), "hh_stream", "update")
+    // final summary per shard = its last emit (max n_seen)
+    val rows = spark.table("hh_stream").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(3)))
+    val lastSeen = rows.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    val finalWords = rows.collect {
+      case (s, w, n) if n == lastSeen(s) => w
+    }.toSet
+    // superset guarantee: every exact > n/k hitter survives the stream
+    val want = graft.text.TextOps.heavyHitters(docs, k = 100)
+      .collect().map(_.getString(0)).toSet
+    assert(want.nonEmpty, "no heavy hitters in the corpus at k=100")
+    assert(want.subsetOf(finalWords),
+      s"missing hitters: ${want -- finalWords}")
+    // the state bound is the serving claim: never more than k counters
+    // in any shard's emit
+    val perEmit = rows.groupBy(r => (r._1, r._3)).values.map(_.size).max
+    assert(perEmit <= 100, s"summary exceeded k: $perEmit")
+  }
+
   test("streaming media decode rollup converges to batch featureStats") {
     import graft.multimodal.Multimodal
     val media = Multimodal.synthesize(graft.text.TextOps.docs(spark, SF))
