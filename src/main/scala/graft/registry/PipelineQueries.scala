@@ -471,6 +471,11 @@ object PipelineQueries {
     }),
     "knn_ivf" -> ((s, d) =>
       Knn.ivf(Knn.emb(s, d), col("vec_id") < 5, k = 10)),
+    // ANN quality accounting: recall@k of the probe path vs brute on
+    // the same probes — the number that decides nprobe/nlist tuning
+    // and index rebuilds; rows-only (k-means isn't ANSI-expressible)
+    "knn_recall_audit" -> ((s, d) =>
+      Knn.ivfRecallAudit(Knn.emb(s, d), col("vec_id") < 5, k = 10)),
     // the offline-index story end-to-end: build the IVF index as a
     // BUCKETED external table (bucketBy c_id — the index side of the
     // search join arrives pre-partitioned, zero Exchange), then search

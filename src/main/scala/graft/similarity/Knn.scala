@@ -645,6 +645,38 @@ object Knn {
   /** IVF: k-means centroids ([[kmeansCentroids]]; at scale trained once
     * offline), every vector joins its nearest centroid's inverted list;
     * queries probe the `nprobe` nearest lists. */
+  /** ANN quality audit — recall@k of the IVF search against the brute
+    * baseline on the same probe set, as ONE auditable row (the
+    * lsh_bucket_audit discipline applied to search QUALITY instead of
+    * candidate volume): n_probes, k, hits (probe∩brute pairs), and
+    * recall as a floor-half-up milli fraction. This is the number a
+    * pipeline watches when tuning nprobe/nlist or deciding the index
+    * needs a rebuild after drift — recall degradation is silent in the
+    * search results themselves. Per-probe denominators use the BRUTE
+    * list's own size (≤ k: a probe can have fewer than k candidates),
+    * so a small corpus can still audit exactly.
+    *
+    * Scale: both sides restrict to the probe set (tiny); the join is
+    * (query_id, neighbor_id) on two ≤ n_probes·k row sets. rows-only:
+    * k-means assignment isn't ANSI-expressible. */
+  def ivfRecallAudit(e: DataFrame, queryPred: Column, k: Int,
+      nprobe: Int = 2, nlist: Int = 10): DataFrame = {
+    val b = brute(e, queryPred, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val a = ivf(e, queryPred, k, nprobe, nlist)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    b.join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy()
+      .agg(
+        countDistinct(col("query_id")).as("n_probes"),
+        count(lit(1)).as("n_brute_pairs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("k", lit(k.toLong))
+      .withColumn("recall_milli",
+        floor(col("n_hits").cast("double") * lit(1000.0) /
+          col("n_brute_pairs").cast("double") + lit(0.5)).cast("long"))
+  }
+
   def ivf(e: DataFrame, queryPred: Column, k: Int,
       nprobe: Int = 2, nlist: Int = 10): DataFrame = {
     // materialize the (id, v, nrm) base once: the k-means rounds, the

@@ -395,4 +395,23 @@ class KnnSpec extends SparkSpec {
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall > 0.1, s"ivf recall too low: $recall")
   }
+
+  test("ivf recall audit: consistent accounting, exact 1000 when probing every list") {
+    val r = Knn.ivfRecallAudit(e, col("vec_id") < 5, k = 10).collect()(0)
+    val nProbes = r.getAs[Long]("n_probes")
+    val nPairs = r.getAs[Long]("n_brute_pairs")
+    val nHits = r.getAs[Long]("n_hits")
+    assert(nProbes == 5L)
+    assert(nPairs <= nProbes * 10L && nPairs > 0L)
+    assert(nHits >= 0L && nHits <= nPairs)
+    assert(r.getAs[Long]("recall_milli") ==
+      math.floor(nHits.toDouble * 1000.0 / nPairs.toDouble + 0.5).toLong)
+    // probing every list makes the candidate set the full corpus: the
+    // IVF list equals brute (same score expression, same rank cut) and
+    // recall is EXACTLY 1000
+    val full = Knn.ivfRecallAudit(e, col("vec_id") < 5, k = 10,
+      nprobe = 10, nlist = 10).collect()(0)
+    assert(full.getAs[Long]("recall_milli") == 1000L,
+      full.toString)
+  }
 }
