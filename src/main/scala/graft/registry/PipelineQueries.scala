@@ -416,6 +416,8 @@ object PipelineQueries {
     // source (doc_id order); pack = chunk where the doc's first token
     // lands, from the running prefix sum
     "pack_assign" -> ((s, d) => TextOps.packAssign(docs(s, d))),
+    // per-source fill/oversize accounting over the pack layout
+    "pack_audit" -> ((s, d) => TextOps.packAudit(docs(s, d))),
     // novelty signal: fraction of a doc's distinct word 5-grams whose
     // first corpus occurrence (min doc_id) is this doc
     "doc_novelty" -> ((s, d) => TextOps.docNovelty(docs(s, d))),
@@ -676,6 +678,21 @@ object PipelineQueries {
     "mm_transcode_candidates" -> ((s, d) => Multimodal.transcodeCandidates(
       Multimodal.synthesizeWithTranscodes(docs(s, d)))),
   )
+
+  /** Sequence-packing layout (the `pack_assign` oracle), named because
+    * the pack audit embeds it verbatim. Defined before [[oracleBase]]
+    * (object vals initialize in declaration order). */
+  private val PackAssignSql = """
+      WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                 x -> x <> '')) AS BIGINT) AS n_tok
+        FROM documents)
+      SELECT doc_id, source, n_tok,
+             CAST(floor((sum(n_tok) OVER (PARTITION BY source
+               ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok)
+               / 256.0) AS BIGINT) AS pack_id
+      FROM t"""
 
   private val oracleBase: Map[String, String] = Map(
     "dedup_exact" -> """
@@ -1496,17 +1513,22 @@ object PipelineQueries {
 
     // same tokenizer as token_count; the pack id divide is the same
     // IEEE /256.0 + floor as the Spark side (cumsum is exact BIGINT)
-    "pack_assign" -> """
-      WITH t AS (
-        SELECT doc_id, source,
-               CAST(len(list_filter(string_split(lower(text), ' '),
-                 x -> x <> '')) AS BIGINT) AS n_tok
-        FROM documents)
-      SELECT doc_id, source, n_tok,
-             CAST(floor((sum(n_tok) OVER (PARTITION BY source
-               ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok)
-               / 256.0) AS BIGINT) AS pack_id
-      FROM t""",
+    "pack_assign" -> PackAssignSql,
+
+    // per-source fill/oversize accounting over the pack layout
+    // (PackAssignSql verbatim); one floor-half-up expression
+    "pack_audit" -> s"""
+      WITH p AS ($PackAssignSql)
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+             CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+             CAST(sum(CASE WHEN n_tok > 256 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_oversize_docs,
+             CAST(floor(CAST(sum(n_tok) AS DOUBLE) * 1000.0 /
+               (CAST(count(DISTINCT pack_id) AS DOUBLE) * 256.0) + 0.5)
+               AS BIGINT) AS fill_milli
+      FROM p GROUP BY source""",
 
     "split_assign" -> """
       SELECT doc_id, lang, source,

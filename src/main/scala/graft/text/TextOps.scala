@@ -713,6 +713,29 @@ object TextOps {
       .select("doc_id", "source", "n_tok", "pack_id")
   }
 
+  /** Per-source packing audit for [[packAssign]] (the mix_audit
+    * discipline): docs, packs, token mass, docs LONGER than the context
+    * budget (the rows a sequence builder must truncate or document-split
+    * — silent in pack_assign's own output), and the realized fill as a
+    * floor-half-up milli fraction of n_packs·budget. A fill collapse
+    * means doc-length drift against the budget; oversize growth means
+    * the corpus outgrew the context window. One agg over the
+    * pack-assigned table; all integers plus one floor-half-up
+    * expression. */
+  def packAudit(d: DataFrame, budget: Long = 256L): DataFrame =
+    packAssign(d, budget)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("pack_id")).as("n_packs"),
+        sum(col("n_tok")).as("tokens_total"),
+        sum(when(col("n_tok") > budget, 1L).otherwise(0L))
+          .as("n_oversize_docs"))
+      .withColumn("fill_milli",
+        floor(col("tokens_total").cast("double") * lit(1000.0) /
+          (col("n_packs").cast("double") * lit(budget.toDouble)) +
+          lit(0.5)).cast("long"))
+
   /** Composed curation pipeline — the end-to-end pass a training-data
     * pipeline runs: quality gate → exact dedup (keep lowest doc_id) →
     * per-language survivor stats. Stays one lazy plan: Catalyst fuses the

@@ -1002,6 +1002,28 @@ class TextSpec extends SparkSpec {
     assert(want.nonEmpty && got == want)
   }
 
+  test("pack_audit: fill and oversize accounting per source") {
+    import spark.implicits._
+    def words(n: Int, p: String) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val d = Seq(
+      (1L, "en", "a", words(4, "x")),   // starts 0, 4, 8 → one pack
+      (2L, "en", "a", words(4, "y")),
+      (3L, "en", "a", words(4, "z")),
+      (4L, "en", "b", words(12, "w")))  // longer than the budget itself
+      .toDF("doc_id", "lang", "source", "text")
+    val r = TextOps.packAudit(d, budget = 10L).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val a = r("a")
+    assert(a.getAs[Long]("n_docs") == 3L && a.getAs[Long]("n_packs") == 1L)
+    assert(a.getAs[Long]("tokens_total") == 12L)
+    assert(a.getAs[Long]("n_oversize_docs") == 0L)
+    // the straddling tail doc overfills the single pack: 12/10 → 1200
+    assert(a.getAs[Long]("fill_milli") == 1200L)
+    val b = r("b")
+    assert(b.getAs[Long]("n_oversize_docs") == 1L)
+    assert(b.getAs[Long]("n_packs") == 1L)
+  }
+
   test("token_yield: copies debit the losing stratum, keepers score 1.0") {
     import spark.implicits._
     val d = Seq(
