@@ -180,7 +180,10 @@ object Multimodal {
     * boundary (width 103 vs 105 straddling 104) still collides in
     * table 1. A pair can match in both tables; callers dedup pairs.
     * Undecodable blobs carry no header evidence — they can't bucket. */
-  private def bucketKeys(media: DataFrame): DataFrame = {
+  /** Per-doc band keys as ONE array column — the stateless per-row form
+    * the streaming checker applies to arriving media unchanged (one
+    * definition of the band arithmetic for batch and stream). */
+  private[graft] def bucketKeyArray(media: DataFrame): DataFrame = {
     def key(wOff: Int, hOff: Int, dOff: Double) =
       concat_ws(":", col("format"),
         floor((col("width") + lit(wOff)) / lit(8)),
@@ -189,12 +192,42 @@ object Multimodal {
         floor((col("duration_ms") + lit(dOff)) / lit(500.0)))
     extractFeatures(media).toDF()
       .filter(col("format") =!= "unknown")
-      .select(col("doc_id"), explode(array(
+      .select(col("doc_id"), array(
         struct(lit(0).as("tbl"), key(0, 0, 0.0).as("bucket")),
-        struct(lit(1).as("tbl"), key(4, 4, 250.0).as("bucket")))).as("m"))
+        struct(lit(1).as("tbl"), key(4, 4, 250.0).as("bucket"))).as("keys"))
+  }
+
+  private def bucketKeys(media: DataFrame): DataFrame =
+    bucketKeyArray(media)
+      .select(col("doc_id"), explode(col("keys")).as("m"))
       .select(col("doc_id"), col("m.tbl").as("tbl"),
         col("m.bucket").as("bucket"))
+
+  /** The occupancy-capped bucket membership table — the candidate-side
+    * artifact of [[nearDedupCandidates]], exposed so a frozen corpus
+    * index can be persisted for the streaming checker ([[
+    * writeMediaBucketIndex]]); the cap is applied at freeze time, the
+    * batch semantics. */
+  private[graft] def cappedBucketKeys(media: DataFrame,
+      maxOccupancy: Long): DataFrame = {
+    val keyed = bucketKeys(media).localCheckpoint(true)
+    val small = keyed.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= maxOccupancy)
+      .select("tbl", "bucket")
+    keyed.join(small, Seq("tbl", "bucket"), "left_semi")
   }
+
+  /** Persist the corpus's capped bucket membership as the frozen
+    * near-dup index an ingest stream checks against (the
+    * writeAnchorIndex posture for media). */
+  def writeMediaBucketIndex(media: DataFrame, tableName: String,
+      path: String, maxOccupancy: Long = 512L): Unit =
+    cappedBucketKeys(media, maxOccupancy)
+      .write
+      .option("path", path)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(tableName)
 
   /** Near-dup media dedup — the second media pass of a crawl pipeline
     * (exact [[exactDedup]] catches byte-identical copies; this catches
@@ -241,13 +274,7 @@ object Multimodal {
   def nearDedupCandidates(media: DataFrame,
       maxOccupancy: Long = 512L): DataFrame = {
     require(maxOccupancy >= 1, s"bad maxOccupancy=$maxOccupancy")
-    // feeds the occupancy agg + the semi-join probe; slim (id, tbl, key)
-    val keyed = bucketKeys(media).localCheckpoint(true)
-    val small = keyed.groupBy(col("tbl"), col("bucket"))
-      .agg(count(lit(1)).as("occ"))
-      .filter(col("occ") <= maxOccupancy)
-      .select("tbl", "bucket")
-    val capped = keyed.join(small, Seq("tbl", "bucket"), "left_semi")
+    val capped = cappedBucketKeys(media, maxOccupancy)
     // one bucket per (doc, tbl) ⇒ a pair collides at most once per
     // table, so the dedup groupBy's count IS the table multiplicity
     capped.as("a").join(capped.as("b"),

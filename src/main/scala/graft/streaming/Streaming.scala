@@ -558,6 +558,48 @@ object Streaming {
       .toDF("doc_id", "lang", "source", "n_copies")
   }
 
+  /** Streaming media near-dup check — live ingest dedup for binary
+    * assets: every ARRIVING media blob is header-decoded (the same
+    * extractFeatures pass as batch), its two offset-band bucket keys
+    * are computed by the SAME band arithmetic
+    * ([[graft.multimodal.Multimodal.bucketKeyArray]] — one definition),
+    * and it is checked against the FROZEN occupancy-capped corpus
+    * bucket index ([[graft.multimodal.Multimodal.writeMediaBucketIndex]]),
+    * emitting (doc_id, corpus_doc, n_tables) candidate evidence exactly
+    * like batch `mm_dedup_near_candidates` — re-encoded copies of known
+    * assets are flagged on arrival, before the crawl lands. Stateless
+    * append mode: the capped index ships as a bounded broadcast closure
+    * (bucket membership post-cap is ≤ maxOccupancy per bucket by
+    * construction); per-pair table multiplicity folds over the arriving
+    * doc's OWN two keys — order-free, a pure function of the blob.
+    * Downstream, the byte-gram verify runs on the flagged pairs only,
+    * the batch posture. */
+  def mediaNearDupStream(spark: SparkSession, mediaStream: DataFrame,
+      indexTable: String): DataFrame = {
+    import spark.implicits._
+    val idx: Map[(Int, String), Array[Long]] = spark.table(indexTable)
+      .select(col("tbl"), col("bucket"), col("doc_id"))
+      .collect()
+      .groupBy(r => (r.getInt(0), r.getString(1)))
+      .map { case (k, rows) => k -> rows.map(_.getLong(2)).sorted }
+    val bc = spark.sparkContext.broadcast(idx)
+    graft.multimodal.Multimodal.bucketKeyArray(mediaStream)
+      .select(col("doc_id"), col("keys.tbl").as("tbls"),
+        col("keys.bucket").as("buckets"))
+      .as[(Long, Seq[Int], Seq[String])]
+      .flatMap { case (id, tbls, buckets) =>
+        val m = bc.value
+        val counts = scala.collection.mutable.LongMap.empty[Long]
+        tbls.zip(buckets).foreach { case (t, b) =>
+          m.get((t, b)).foreach(_.foreach { c =>
+            if (c != id) counts.update(c, counts.getOrElse(c, 0L) + 1L)
+          })
+        }
+        counts.iterator.map { case (c, n) => (id, c, n) }
+      }
+      .toDF("doc_id", "corpus_doc", "n_tables")
+  }
+
   case class MgState(words: Seq[String], counts: Seq[Long], n_seen: Long)
   case class MgRow(shard: Int, word: String, mg_count: Long, n_seen: Long)
 

@@ -252,6 +252,31 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming media near-dup check converges to the batch candidate pairs") {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.synthesize(graft.text.TextOps.docs(spark, SF))
+      .localCheckpoint(true)
+    spark.sql("DROP TABLE IF EXISTS mm_bucket_idx")
+    val idxPath = Files.createTempDirectory("graft_mm_bidx").toString + "/v"
+    Multimodal.writeMediaBucketIndex(media, "mm_bucket_idx", idxPath)
+    val dir = Files.createTempDirectory("graft_mm_nd_stream").toString
+    media.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(media.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    runToCompletion(Streaming.mediaNearDupStream(spark, stream,
+      "mm_bucket_idx"), "mm_nd_stream", "append")
+    // replaying the index's own corpus: each undirected pair is served
+    // to both endpoints with the same multiplicity; normalized, the set
+    // equals the batch candidate pairs exactly
+    val got = spark.table("mm_nd_stream").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)), r.getLong(2))).toSet
+    val want = Multimodal.nearDedupCandidates(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty && got == want,
+      s"stream ${got.size} vs batch ${want.size}")
+  }
+
   test("streaming anomaly monitor converges to the batch monitor exactly") {
     val width = 3600000000L
     val named = EventLog.named(spark, SF)
