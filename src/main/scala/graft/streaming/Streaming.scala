@@ -568,12 +568,20 @@ object Streaming {
     * emitting (doc_id, corpus_doc, n_tables) candidate evidence exactly
     * like batch `mm_dedup_near_candidates` — re-encoded copies of known
     * assets are flagged on arrival, before the crawl lands. Stateless
-    * append mode: the capped index ships as a bounded broadcast closure
-    * (bucket membership post-cap is ≤ maxOccupancy per bucket by
-    * construction); per-pair table multiplicity folds over the arriving
+    * append mode; per-pair table multiplicity folds over the arriving
     * doc's OWN two keys — order-free, a pure function of the blob.
     * Downstream, the byte-gram verify runs on the flagged pairs only,
-    * the batch posture. */
+    * the batch posture.
+    *
+    * Scale honesty (unlike the test-split/vocab/model closures, this
+    * index is NOT intrinsically small — it is 2 rows per indexed
+    * asset): the closure constant fits when the index covers a CURATED
+    * known-asset set (licensed/watermarked/eval media — the realistic
+    * always-on use, bounded by curation, and what the cap's
+    * ≤ maxOccupancy-per-bucket keeps join-safe); checking against a
+    * full 100 TB crawl's index instead is the stream-static bucket
+    * equijoin + per-micro-batch pair re-agg, the same swap
+    * dedup_incremental makes in batch. */
   def mediaNearDupStream(spark: SparkSession, mediaStream: DataFrame,
       indexTable: String): DataFrame = {
     import spark.implicits._
