@@ -478,6 +478,15 @@ object PipelineQueries {
     // and index rebuilds; rows-only (k-means isn't ANSI-expressible)
     "knn_recall_audit" -> ((s, d) =>
       Knn.ivfRecallAudit(Knn.emb(s, d), col("vec_id") < 5, k = 10)),
+    // the same audit over the PRODUCTION path: persisted quantized
+    // lists vs quantized brute — identical integer chain both sides,
+    // so the number isolates what the list pruning costs
+    "knn_recall_audit_quantized" -> ((s, d) => {
+      val (tbl, path) = runScopedTable(s, d, "graft_ivfq_audit")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      Knn.ivfQuantizedRecallAudit(s, Knn.emb(s, d), tbl, path,
+        col("vec_id") < 5, k = 10)
+    }),
     // the offline-index story end-to-end: build the IVF index as a
     // BUCKETED external table (bucketBy c_id — the index side of the
     // search join arrives pre-partitioned, zero Exchange), then search

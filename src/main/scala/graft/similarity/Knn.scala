@@ -660,10 +660,35 @@ object Knn {
     * (query_id, neighbor_id) on two ≤ n_probes·k row sets. rows-only:
     * k-means assignment isn't ANSI-expressible. */
   def ivfRecallAudit(e: DataFrame, queryPred: Column, k: Int,
+      nprobe: Int = 2, nlist: Int = 10): DataFrame =
+    recallAccounting(
+      brute(e, queryPred, k),
+      ivf(e, queryPred, k, nprobe, nlist), k)
+
+  /** [[ivfRecallAudit]] for the PRODUCTION path: the persisted
+    * quantized IVF probe ([[writeIvfIndexQuantized]] /
+    * [[searchIvfIndexQuantized]]) against the quantized brute baseline
+    * on the same probes. Both sides rank with the SAME integer scoring
+    * chain, so the recall number isolates exactly what the list
+    * PRUNING costs — no quantization-error confound (that error is
+    * bounded separately by the knn_quantized recall spec against float
+    * brute). The index build is the once-per-release job; the audit is
+    * the per-release sign-off row next to it. */
+  def ivfQuantizedRecallAudit(spark: SparkSession, e: DataFrame,
+      tableName: String, path: String, queryPred: Column, k: Int,
       nprobe: Int = 2, nlist: Int = 10): DataFrame = {
-    val b = brute(e, queryPred, k)
-      .select(col("query_id"), col("neighbor_id"))
-    val a = ivf(e, queryPred, k, nprobe, nlist)
+    val centroids = writeIvfIndexQuantized(e, tableName, path,
+      nlist = nlist, buckets = 8)
+    recallAccounting(
+      bruteQuantized(e, queryPred, k),
+      searchIvfIndexQuantized(spark, tableName, centroids,
+        e.filter(queryPred), k, nprobe), k)
+  }
+
+  private def recallAccounting(brutePairs: DataFrame,
+      probePairs: DataFrame, k: Int): DataFrame = {
+    val b = brutePairs.select(col("query_id"), col("neighbor_id"))
+    val a = probePairs
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
     b.join(a, Seq("query_id", "neighbor_id"), "left")
       .groupBy()

@@ -414,4 +414,17 @@ class KnnSpec extends SparkSpec {
     assert(full.getAs[Long]("recall_milli") == 1000L,
       full.toString)
   }
+
+  test("quantized recall audit: full probe width is exact over the persisted index") {
+    spark.sql("DROP TABLE IF EXISTS ivfq_audit_spec")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfq_audit_spec").toString + "/v"
+    // identical integer chain both sides + all lists probed ⇒ the
+    // persisted probe IS quantized brute: recall exactly 1000
+    val full = Knn.ivfQuantizedRecallAudit(spark, e, "ivfq_audit_spec",
+      path, col("vec_id") < 5, k = 10, nprobe = 10, nlist = 10)
+      .collect()(0)
+    assert(full.getAs[Long]("recall_milli") == 1000L, full.toString)
+    assert(full.getAs[Long]("n_probes") == 5L)
+  }
 }
