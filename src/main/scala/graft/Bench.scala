@@ -22,7 +22,8 @@ object Bench {
     Set("dedup_incremental", "knn_ivf_persisted", "knn_ivf_quantized",
       "text_search_indexed", "token_count_bpe_persisted",
       "contamination_semantic_ivf", "contamination_semantic_ivf_audit",
-      "contamination_report_ivf")
+      "contamination_report_ivf", "domain_classifier_persisted",
+      "knn_recall_audit_quantized")
 
   private def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
