@@ -418,6 +418,10 @@ object PipelineQueries {
     "pack_assign" -> ((s, d) => TextOps.packAssign(docs(s, d))),
     // per-source fill/oversize accounting over the pack layout
     "pack_audit" -> ((s, d) => TextOps.packAudit(docs(s, d))),
+    // global quality-ordered phase cuts with ZERO sort: grid-histogram
+    // prefix + all-integer per-doc decision (the scale formulation of
+    // a corpus-wide ntile)
+    "curriculum_assign" -> ((s, d) => TextOps.curriculumAssign(docs(s, d))),
     // novelty signal: fraction of a doc's distinct word 5-grams whose
     // first corpus occurrence (min doc_id) is this doc
     "doc_novelty" -> ((s, d) => TextOps.docNovelty(docs(s, d))),
@@ -1523,6 +1527,57 @@ object PipelineQueries {
     // same tokenizer as token_count; the pack id divide is the same
     // IEEE /256.0 + floor as the Spark side (cumsum is exact BIGINT)
     "pack_assign" -> PackAssignSql,
+
+    // all-integer curriculum cuts: the q4 CTE is the quality_drift
+    // formulation verbatim; the per-doc phase is a sum of integer CASE
+    // indicators over the grid-prefix boundaries (// = DuckDB integer
+    // division, mirroring Spark's div); no doubles anywhere
+    "curriculum_assign" -> s"""
+      WITH t AS (
+        SELECT doc_id, text,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               round(len(list_filter(toks,
+                 x -> x IN ('a', 'value', 'data', 'key', 'the')))
+                 / len(toks), 4) AS stop_ratio,
+               round(len(list_distinct(toks)) / len(toks), 4) AS uniq_ratio,
+               round(length(replace(text, ' ', '')) / len(toks), 4)
+                 AS avg_token_len
+        FROM t),
+      q AS (
+        SELECT doc_id, CAST(round((
+               (CASE WHEN n_tokens BETWEEN 30 AND 500 THEN 0.25 ELSE 0 END) +
+               (CASE WHEN stop_ratio BETWEEN 0.02 AND 0.5 THEN 0.25 ELSE 0 END) +
+               (CASE WHEN uniq_ratio >= 0.2 THEN 0.25 ELSE 0 END) +
+               (CASE WHEN avg_token_len BETWEEN 2.0 AND 10.0 THEN 0.25
+                     ELSE 0 END)) * 4, 0) AS BIGINT) AS q4
+        FROM m),
+      grid AS (
+        SELECT q4, CAST(count(*) AS BIGINT) AS cnt FROM q GROUP BY 1),
+      pref AS (
+        SELECT q4, cnt,
+               CAST(coalesce(sum(cnt) OVER (ORDER BY q4 DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_before
+        FROM grid),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM grid),
+      j AS (
+        SELECT q.doc_id, q.q4, pref.cnt, pref.cum_before, tot.total,
+               substr(md5(concat_ws(':', CAST(q.doc_id AS VARCHAR),
+                 'curr')), 1, 4) AS hex4
+        FROM q JOIN pref ON q.q4 = pref.q4 CROSS JOIN tot)
+      SELECT doc_id, q4, CAST(${(1 to 3).map { p =>
+        val dp = s"(($p * total) // 4) - cum_before"
+        val tp = s"(((($dp)) * 65536 + cnt - 1) // cnt)"
+        s"""(CASE WHEN ($dp) <= 0 THEN 1
+                 WHEN $tp >= 65536 THEN 0
+                 WHEN hex4 >= printf('%04x', $tp) THEN 1
+                 ELSE 0 END)"""
+      }.mkString(" + ")} AS BIGINT) AS phase
+      FROM j""",
 
     // per-source fill/oversize accounting over the pack layout
     // (PackAssignSql verbatim); one floor-half-up expression

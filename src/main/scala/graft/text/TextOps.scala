@@ -713,6 +713,60 @@ object TextOps {
       .select("doc_id", "source", "n_tok", "pack_id")
   }
 
+  /** Curriculum phase assignment — split the corpus into `nPhases`
+    * equal-mass phases in GLOBAL quality order (phase 0 = highest
+    * quality, the curriculum/annealing data-ordering step of a training
+    * run) WITHOUT any global sort: quality scores are exact quarters
+    * (q4 integers), so the global order statistic collapses to a
+    * grid-HISTOGRAM prefix — one tiny per-score count table, a window
+    * over THAT (the watermarkAudit chunk-table pattern: the window runs
+    * over ≤ a handful of grid rows, never over docs), and a per-doc
+    * integer decision. Docs sharing a score straddle phase cuts; they
+    * are spread deterministically by a 16-bit md5 draw against
+    * per-group integer thresholds (the stratifiedSample rule, with the
+    * ceil ((d·65536 + cnt − 1) div cnt) so a cut at the group edge
+    * excludes/includes exactly; t ≥ 65536 is decided on the INTEGER,
+    * never the 5-char hex string — the documented compare trap).
+    * EVERYTHING is integer arithmetic + one md5 string compare: no
+    * doubles anywhere, so phase membership cannot drift between
+    * engines or partitionings. Cross-score monotonicity is exact: a
+    * higher-q4 doc never lands in a later phase than a lower-q4 doc
+    * (group position intervals are disjoint; spec-asserted).
+    *
+    * Scale: this is the zero-sort formulation of a global ntile — the
+    * naive `row_number() OVER (ORDER BY quality)` sorts the corpus on
+    * one task chain at 100 TB; here the corpus is touched by two
+    * stateless passes (score, assign) and the only window runs over the
+    * score grid. The same shape generalizes to any rounded-grid order
+    * key. */
+  def curriculumAssign(d: DataFrame, nPhases: Int = 4,
+      salt: String = "curr"): DataFrame = {
+    require(nPhases >= 2 && nPhases <= 16,
+      s"nPhases must be in [2, 16], got $nPhases")
+    val q = qualityScored(d).select(col("doc_id"),
+      round(col("quality_score") * 4, 0).cast("long").as("q4"))
+    val grid = q.groupBy(col("q4")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("q4").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pref = grid.withColumn("cum_before",
+      coalesce(sum(col("cnt")).over(w), lit(0L)))
+    val tot = grid.groupBy().agg(sum(col("cnt")).as("total"))
+    val boundaries = pref.crossJoin(broadcast(tot))
+    val terms = (1 until nPhases).map { p =>
+      val dp = s"(($p * total) div $nPhases) - cum_before"
+      val tp = s"((($dp) * 65536 + cnt - 1) div cnt)"
+      s"""CASE WHEN ($dp) <= 0 THEN 1
+               WHEN $tp >= 65536 THEN 0
+               WHEN hex4 >= format_string('%04x', $tp) THEN 1
+               ELSE 0 END"""
+    }
+    q.join(broadcast(boundaries), "q4")
+      .withColumn("hex4", substring(md5(concat_ws(":",
+        col("doc_id").cast("string"), lit(salt))), 1, 4))
+      .withColumn("phase", expr(terms.mkString(" + ")).cast("long"))
+      .select("doc_id", "q4", "phase")
+  }
+
   /** Per-source packing audit for [[packAssign]] (the mix_audit
     * discipline): docs, packs, token mass, docs LONGER than the context
     * budget (the rows a sequence builder must truncate or document-split

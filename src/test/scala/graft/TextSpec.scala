@@ -1002,6 +1002,37 @@ class TextSpec extends SparkSpec {
     assert(want.nonEmpty && got == want)
   }
 
+  test("curriculum_assign: equal-mass phases, cross-score monotone, no doubles") {
+    val d = TextOps.docs(spark, SF)
+    val got = TextOps.curriculumAssign(d, nPhases = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = got.length
+    assert(n > 0)
+    // every doc gets a phase in [0, 4)
+    assert(got.forall(r => r._3 >= 0L && r._3 < 4L))
+    // equal-mass within the binomial spread of the straddling groups
+    val sizes = got.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(sizes.keySet == Set(0L, 1L, 2L, 3L), sizes.toString)
+    sizes.values.foreach(s =>
+      assert(math.abs(s - n / 4.0) < n * 0.1 + 20, sizes.toString))
+    // exact cross-score monotonicity: a higher-quality doc never lands
+    // in a LATER phase than a lower-quality doc (disjoint position
+    // intervals per score group)
+    val byScore = got.groupBy(_._2).view
+      .mapValues(rs => (rs.map(_._3).min, rs.map(_._3).max)).toMap
+    val scores = byScore.keys.toSeq.sorted.reverse // descending quality
+    scores.sliding(2).foreach {
+      case Seq(hi, lo) =>
+        assert(byScore(hi)._2 <= byScore(lo)._1,
+          s"q4=$hi phases ${byScore(hi)} overlap q4=$lo ${byScore(lo)}")
+      case _ =>
+    }
+    // pure function of the id set: identical under any partitioning
+    val again = TextOps.curriculumAssign(d.repartition(7), nPhases = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet == got.toSet)
+  }
+
   test("pack_audit: fill and oversize accounting per source") {
     import spark.implicits._
     def words(n: Int, p: String) = (0 until n).map(i => s"$p$i").mkString(" ")
