@@ -608,6 +608,26 @@ object Streaming {
       .toDF("doc_id", "corpus_doc", "n_tables")
   }
 
+  /** Streaming curriculum assignment — the data-loader serving shape:
+    * every ARRIVING document is scored (the stateless qualityScored
+    * expressions apply to a stream unchanged) and assigned its phase
+    * against the FROZEN corpus distribution (the grid-sized
+    * `curriculumBoundaries` table, the batch artifact) via the SAME
+    * all-integer broadcast-equijoin decision
+    * ([[graft.text.TextOps.assignPhases]], one definition). Stateless
+    * append mode, no flatMap closure at all — the whole dual is
+    * expressions + a stream-static broadcast join, so emits are a pure
+    * function of the doc and the spec's stream==batch row equality is
+    * exact. An arriving doc whose quarter score never occurred in the
+    * frozen corpus has no grid row and no phase (inner-join membership
+    * — the distribution must be rebuilt, the monitoring signal). */
+  def curriculumStream(spark: SparkSession, docStream: DataFrame,
+      boundariesTable: String, nPhases: Int = 4,
+      salt: String = "curr"): DataFrame =
+    graft.text.TextOps.assignPhases(
+      graft.text.TextOps.scoredQ4(docStream),
+      spark.table(boundariesTable), nPhases, salt)
+
   case class MgState(words: Seq[String], counts: Seq[Long], n_seen: Long)
   case class MgRow(shard: Int, word: String, mg_count: Long, n_seen: Long)
 

@@ -740,18 +740,39 @@ object TextOps {
     * score grid. The same shape generalizes to any rounded-grid order
     * key. */
   def curriculumAssign(d: DataFrame, nPhases: Int = 4,
-      salt: String = "curr"): DataFrame = {
+      salt: String = "curr"): DataFrame =
+    assignPhases(scoredQ4(d), curriculumBoundaries(d, nPhases),
+      nPhases, salt)
+
+  /** The per-row quarter-score — stateless expressions only, so it
+    * applies to a STREAM of documents unchanged (one definition with
+    * the boundary build). */
+  private[graft] def scoredQ4(d: DataFrame): DataFrame =
+    qualityScored(d).select(col("doc_id"),
+      round(col("quality_score") * 4, 0).cast("long").as("q4"))
+
+  /** The frozen distribution artifact: per score-grid row, its count,
+    * the mass strictly above it, and the corpus total — everything the
+    * per-doc phase decision needs. Grid-sized (≤ #distinct quarter
+    * scores). */
+  private[graft] def curriculumBoundaries(d: DataFrame,
+      nPhases: Int): DataFrame = {
     require(nPhases >= 2 && nPhases <= 16,
       s"nPhases must be in [2, 16], got $nPhases")
-    val q = qualityScored(d).select(col("doc_id"),
-      round(col("quality_score") * 4, 0).cast("long").as("q4"))
-    val grid = q.groupBy(col("q4")).agg(count(lit(1)).as("cnt"))
+    val grid = scoredQ4(d).groupBy(col("q4")).agg(count(lit(1)).as("cnt"))
     val w = Window.orderBy(col("q4").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val pref = grid.withColumn("cum_before",
       coalesce(sum(col("cnt")).over(w), lit(0L)))
     val tot = grid.groupBy().agg(sum(col("cnt")).as("total"))
-    val boundaries = pref.crossJoin(broadcast(tot))
+    pref.crossJoin(broadcast(tot))
+  }
+
+  /** The all-integer per-doc phase decision against a (frozen)
+    * boundaries table — a stateless broadcast equijoin + expression,
+    * shared verbatim by the batch operator and the streaming dual. */
+  private[graft] def assignPhases(scored: DataFrame, boundaries: DataFrame,
+      nPhases: Int, salt: String): DataFrame = {
     val terms = (1 until nPhases).map { p =>
       val dp = s"(($p * total) div $nPhases) - cum_before"
       val tp = s"((($dp) * 65536 + cnt - 1) div cnt)"
@@ -760,7 +781,7 @@ object TextOps {
                WHEN hex4 >= format_string('%04x', $tp) THEN 1
                ELSE 0 END"""
     }
-    q.join(broadcast(boundaries), "q4")
+    scored.join(broadcast(boundaries), "q4")
       .withColumn("hex4", substring(md5(concat_ws(":",
         col("doc_id").cast("string"), lit(salt))), 1, 4))
       .withColumn("phase", expr(terms.mkString(" + ")).cast("long"))

@@ -237,6 +237,26 @@ class StreamingSpec extends SparkSpec {
     assert(perEmit <= 100, s"summary exceeded k: $perEmit")
   }
 
+  test("streaming curriculum assignment converges to the batch phases") {
+    val docs = graft.text.TextOps.docs(spark, SF)
+    // freeze the distribution artifact (grid-sized)
+    val b = graft.text.TextOps.curriculumBoundaries(docs, 4)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(b.collect().toSeq.asJava, b.schema)
+      .createOrReplaceTempView("curr_bounds")
+    val dir = Files.createTempDirectory("graft_curr_stream").toString
+    docs.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    runToCompletion(Streaming.curriculumStream(spark, stream,
+      "curr_bounds"), "curr_stream", "append")
+    val got = spark.table("curr_stream").collect().map(_.toSeq).toSet
+    val want = graft.text.TextOps.curriculumAssign(docs)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want,
+      s"stream ${got.size} vs batch ${want.size}")
+  }
+
   test("streaming media decode rollup converges to batch featureStats") {
     import graft.multimodal.Multimodal
     val media = Multimodal.synthesize(graft.text.TextOps.docs(spark, SF))
