@@ -663,6 +663,31 @@ object Dedup {
         sum(col("b.n")).as("docs_b"))
   }
 
+  /** NEAR-duplicate mirror matrix — [[sourceOverlap]]'s blind spot
+    * closed: exact digests miss a mirror that rewrites boilerplate or
+    * injects banners, while shared ≥ k+w−1-char verbatim runs
+    * ([[substringPairs]]) survive both. One row per normalized source
+    * pair with pair count and total anchor evidence; the DIAGONAL
+    * (source_a = source_b) is the intra-source near-dup mass, read next
+    * to the off-diagonal mirror signal. The pair list is the already-
+    * fenced substring join (df-capped, never all-pairs); the rollup
+    * adds two doc_id equijoins and a sources²-bounded agg. */
+  def sourceOverlapNear(d: DataFrame, k: Int = 40, w: Int = 25,
+      maxDf: Int = 50): DataFrame = {
+    val src = d.select(col("doc_id"), col("source"))
+    substringPairs(d, k, w, maxDf)
+      .join(src.select(col("doc_id").as("doc1"),
+        col("source").as("source_1")), "doc1")
+      .join(src.select(col("doc_id").as("doc2"),
+        col("source").as("source_2")), "doc2")
+      .groupBy(
+        least(col("source_1"), col("source_2")).as("source_a"),
+        greatest(col("source_1"), col("source_2")).as("source_b"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("n_anchors")).as("n_anchors"))
+  }
+
   /** Decontamination GOVERNANCE rollup — one row per method over the
     * engine's four cross-split checks (lexical scoped, lexical unscoped,
     * substring, semantic): pair count plus distinct train/test members.

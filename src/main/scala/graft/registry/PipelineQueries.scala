@@ -362,6 +362,9 @@ object PipelineQueries {
     // cross-source exact-duplicate matrix: which crawls mirror which —
     // the provenance diagnostic before weighting sources independently
     "source_overlap" -> ((s, d) => Dedup.sourceOverlap(docs(s, d))),
+    // the near-dup mirror matrix: substring pairs rolled up to source
+    // pairs; diagonal = intra-source near-dup mass
+    "source_overlap_near" -> ((s, d) => Dedup.sourceOverlapNear(docs(s, d))),
     // dedup-adjusted token budget per (lang, source): raw vs surviving
     // tokens under the global digest-keeper election
     "token_yield" -> ((s, d) => TextOps.tokenYield(docs(s, d))),
@@ -707,6 +710,31 @@ object PipelineQueries {
                / 256.0) AS BIGINT) AS pack_id
       FROM t"""
 
+  /** Winnowed-anchor substring pairs (the `dedup_substring` oracle),
+    * named because the near-dup source-overlap rollup embeds it
+    * verbatim. */
+  private val DedupSubstringSql = """
+      WITH pos AS (
+        SELECT doc_id, unnest(generate_series(1, length(text) - 39)) AS i,
+               text
+        FROM documents WHERE length(text) >= 40),
+      hashed AS (
+        SELECT doc_id, i, md5(substr(text, CAST(i AS INT), 40)) AS h
+        FROM pos),
+      winmin AS (
+        SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
+          ROWS BETWEEN CURRENT ROW AND 24 FOLLOWING) AS h
+        FROM hashed),
+      anchors AS (SELECT DISTINCT doc_id, h FROM winmin),
+      freq AS (SELECT h, count(*) AS c FROM anchors GROUP BY h),
+      kept AS (
+        SELECT a.doc_id, a.h FROM anchors a
+        JOIN freq f USING (h) WHERE f.c <= 50)
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+             CAST(count(*) AS BIGINT) AS n_anchors
+      FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2"""
+
   private val oracleBase: Map[String, String] = Map(
     "dedup_exact" -> """
       SELECT md5(lower(trim(text))) AS digest,
@@ -752,26 +780,22 @@ object PipelineQueries {
     // document-frequency cap 50, then the anchor equijoin. The df >= 2
     // prune in the Spark path is result-identical (singleton anchors
     // can't form a pair) so the oracle omits it.
-    "dedup_substring" -> """
-      WITH pos AS (
-        SELECT doc_id, unnest(generate_series(1, length(text) - 39)) AS i,
-               text
-        FROM documents WHERE length(text) >= 40),
-      hashed AS (
-        SELECT doc_id, i, md5(substr(text, CAST(i AS INT), 40)) AS h
-        FROM pos),
-      winmin AS (
-        SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
-          ROWS BETWEEN CURRENT ROW AND 24 FOLLOWING) AS h
-        FROM hashed),
-      anchors AS (SELECT DISTINCT doc_id, h FROM winmin),
-      freq AS (SELECT h, count(*) AS c FROM anchors GROUP BY h),
-      kept AS (
-        SELECT a.doc_id, a.h FROM anchors a
-        JOIN freq f USING (h) WHERE f.c <= 50)
-      SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-             CAST(count(*) AS BIGINT) AS n_anchors
-      FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+    "dedup_substring" -> DedupSubstringSql,
+
+    // near-dup mirror matrix: the substring pair SQL embedded VERBATIM
+    // (the reportBlock discipline), rolled up to normalized source
+    // pairs; the diagonal (source_a = source_b) is intra-source
+    // near-dup mass
+    "source_overlap_near" -> s"""
+      WITH sp AS ($DedupSubstringSql),
+      s AS (SELECT doc_id, source FROM documents)
+      SELECT least(s1.source, s2.source) AS source_a,
+             greatest(s1.source, s2.source) AS source_b,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(sp.n_anchors) AS BIGINT) AS n_anchors
+      FROM sp
+      JOIN s s1 ON sp.doc1 = s1.doc_id
+      JOIN s s2 ON sp.doc2 = s2.doc_id
       GROUP BY 1, 2""",
 
     // the dedup_clusters recursive closure composed with the

@@ -395,6 +395,29 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Long]("docs_a") == 1L && r.getAs[Long]("docs_b") == 2L)
   }
 
+  test("source_overlap_near: mirrors via verbatim runs, intra-source diagonal") {
+    import spark.implicits._
+    // an 80-char varied run (>= k+w-1 = 64 guarantees a shared anchor)
+    val shared = (1 to 80).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    val d = Seq(
+      (1L, "srcA", s"prefix one $shared"),
+      (2L, "srcB", s"other start $shared trailing part"),   // mirror A<->B
+      (3L, "srcA", s"$shared more content inside source a"), // intra-A
+      (4L, "srcC", "completely different text with no shared runs at " +
+        "all but enough length to pass the forty char gate"))
+      .toDF("doc_id", "source", "text")
+    val rows = graft.dedup.Dedup.sourceOverlapNear(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // cross-source mirror present (pairs 1-2 and 2-3)
+    assert(rows.contains(("srcA", "srcB")), rows.keySet.toString)
+    assert(rows(("srcA", "srcB")).getAs[Long]("n_pairs") == 2L)
+    // the diagonal: intra-source near-dup mass (pair 1-3)
+    assert(rows.contains(("srcA", "srcA")))
+    assert(rows(("srcA", "srcA")).getAs[Long]("n_pairs") == 1L)
+    // no shared runs with srcC anywhere
+    assert(!rows.keySet.exists(k => k._1 == "srcC" || k._2 == "srcC"))
+  }
+
   test("contamination_report: one row per method, empty methods report zero") {
     import spark.implicits._
     val p1 = Seq((1L, 10L), (2L, 10L)).toDF("train_doc", "test_doc")
