@@ -37,6 +37,28 @@ object PipelineQueries {
     (tbl, path)
   }
 
+  /** The chunk-grid derivation shared VERBATIM by chunk_assign and
+    * chunk_dedup's derived table (the reportBlock one-definition
+    * discipline): a grid-formulation drift can only break one place. */
+  private val ChunkAssignSql = """
+      SELECT doc_id, chunk_idx,
+             chunk_idx * 32 AS start_word,
+             CAST(least(32, n_words - chunk_idx * 32) AS BIGINT)
+               AS chunk_words,
+             md5(array_to_string(
+               list_slice(words, chunk_idx * 32 + 1, chunk_idx * 32 + 32),
+               ' ')) AS chunk_digest
+      FROM (
+        SELECT doc_id, words, n_words,
+               unnest(generate_series(0, (n_words - 1) // 32)) AS chunk_idx
+        FROM (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS words,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   x -> x <> '')) AS BIGINT) AS n_words
+          FROM documents)
+        WHERE n_words > 0)"""
+
   /** The engine-side lexical/substring methods shared by
     * contamination_report and contamination_report_ivf — one definition
     * so the two reports can only differ in their semantic pair source. */
@@ -588,6 +610,16 @@ object PipelineQueries {
       TextOps.splitAssign(docs(s, d), trainSixteenths = 13)),
     "doc_sample" -> ((s, d) =>
       TextOps.stratifiedSample(docs(s, d), fraction = 0.2)),
+    // deterministic passage chunking: non-overlapping 32-word windows
+    // with a content digest per window (the RAG / training-loader cut
+    // between whole-doc dedup and substring anchors); pure integer grid
+    // + md5 arithmetic, so chunk identity is engine-exact
+    "chunk_assign" -> ((s, d) => graft.text.Chunks.chunkAssign(docs(s, d))),
+    // chunk-granular dedup (the C4 repeated-lines recipe on the window
+    // grid): one keeper per distinct window content corpus-wide — the
+    // lexicographic-min (doc_id, chunk_idx) rule, so intra-doc repeats
+    // dedup too; per-doc survival accounting
+    "chunk_dedup" -> ((s, d) => graft.text.Chunks.chunkDedup(docs(s, d))),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
     "repetition_stats" -> ((s, d) => TextOps.repetitionStats(docs(s, d))),
     "lm_score" -> ((s, d) => TextOps.lmScore(docs(s, d))),
@@ -1382,6 +1414,39 @@ object PipelineQueries {
       SELECT (length(text) // 100) * 100 AS bucket,
              count(*) AS n_docs
       FROM documents GROUP BY 1""",
+
+    // the non-overlapping word-window grid: chunk count = ceil(n/W) via
+    // (n-1)//W (both engines floor nonnegative integer division), the
+    // digest is md5 of the space-rejoined window (DuckDB list_slice is
+    // 1-based inclusive, clamped at the list end exactly like Spark's
+    // slice), chunk_words = least(W, remainder)
+    "chunk_assign" -> ChunkAssignSql,
+
+    // corpus-wide keeper election per chunk digest: lexicographic min of
+    // (doc_id, chunk_idx) — computed as min doc_id per digest, then min
+    // chunk_idx within that doc (≡ Spark's min(struct(doc_id,
+    // chunk_idx))); every output is an exact integer aggregate
+    "chunk_dedup" -> s"""
+      WITH chunks AS ($ChunkAssignSql),
+      kd AS (
+        SELECT chunk_digest, min(doc_id) AS kdoc FROM chunks GROUP BY 1),
+      k AS (
+        SELECT c.chunk_digest, kd.kdoc, min(c.chunk_idx) AS kidx
+        FROM chunks c JOIN kd ON c.chunk_digest = kd.chunk_digest
+         AND c.doc_id = kd.kdoc
+        GROUP BY 1, 2)
+      SELECT c.doc_id,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN c.doc_id = k.kdoc AND c.chunk_idx = k.kidx
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN c.doc_id = k.kdoc AND c.chunk_idx = k.kidx
+                           THEN 0 ELSE 1 END) AS BIGINT) AS n_dup,
+             CAST(sum(c.chunk_words) AS BIGINT) AS words_total,
+             CAST(sum(CASE WHEN c.doc_id = k.kdoc AND c.chunk_idx = k.kidx
+                           THEN c.chunk_words ELSE 0 END) AS BIGINT)
+               AS words_kept
+      FROM chunks c JOIN k ON c.chunk_digest = k.chunk_digest
+      GROUP BY 1""",
 
     // Spark arrays are 0-indexed, DuckDB lists 1-indexed — hence the
     // toks[i+1..] shift; both sides emit space-joined word 3-grams

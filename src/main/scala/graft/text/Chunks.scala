@@ -1,0 +1,80 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Passage chunking and chunk-granular deduplication (SURVEY §2-G).
+  *
+  * The training-loader / RAG primitive between whole-document dedup and
+  * substring anchors: documents are cut into fixed-width word windows on
+  * a deterministic grid, each window carries a content digest, and the
+  * dedup pass elects one keeper per distinct window content corpus-wide
+  * (the C4 recipe's "remove repeated lines" step, re-expressed at window
+  * granularity because this corpus is single-line by construction — the
+  * grid plays the role newline boundaries play in prose).
+  *
+  * Everything here is exact integer / digest arithmetic over a pure
+  * function of (doc text, grid), so both operators sit under the DuckDB
+  * hash gate: the word split is the whitespace `toksExpr` discipline,
+  * the grid is integer division, the digest is md5 of the
+  * space-rejoined window (identical in both engines), and keeper
+  * election is the lexicographic min of (doc_id, chunk_idx) — the
+  * dedup_exact rule extended to a position inside the doc so INTRA-doc
+  * repetition dedups too (second occurrence loses to the first).
+  *
+  * Scale: chunking is a stateless per-row pass (explode ∝ corpus
+  * words / width — the same fan-out pack_assign's consumers pay);
+  * keeper election is ONE map-side-combinable hash agg on the digest
+  * plus one digest equijoin back — the dedup_exact shuffle at chunk
+  * cardinality, never pairwise. No windows, no sorts, no driver state. */
+object Chunks {
+
+  /** One row per (doc, chunk): deterministic non-overlapping word
+    * windows of `width`, trailing partial window kept (its chunk_words
+    * records the shortfall). Docs with no words emit nothing (integer
+    * membership — both engines agree). */
+  def chunkAssign(d: DataFrame, width: Int = 32): DataFrame = {
+    require(width >= 1, s"bad width=$width")
+    val w = lit(width.toLong)
+    d.select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x != '')").as("words"))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .filter(col("n_words") > 0L)
+      .select(col("doc_id"), col("words"), col("n_words"),
+        explode(sequence(lit(0L), expr(s"(n_words - 1) div ${width}L")))
+          .as("chunk_idx"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        (col("chunk_idx") * w).as("start_word"),
+        least(w, col("n_words") - col("chunk_idx") * w).as("chunk_words"),
+        md5(concat_ws(" ",
+          slice(col("words"), (col("chunk_idx") * w + 1L).cast("int"),
+            lit(width))))
+          .as("chunk_digest"))
+  }
+
+  /** Per-document survival accounting under corpus-wide chunk-keeper
+    * election: a chunk survives iff it IS the lexicographically smallest
+    * (doc_id, chunk_idx) holding its digest. Output per doc with ≥ 1
+    * chunk: total/kept/duplicate chunk counts and the word mass kept —
+    * the per-doc signal a curation pass thresholds on (a doc whose
+    * chunks all lose is pure boilerplate already seen elsewhere). */
+  def chunkDedup(d: DataFrame, width: Int = 32): DataFrame = {
+    val chunks = chunkAssign(d, width)
+    val keepers = chunks.groupBy(col("chunk_digest"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("keeper"))
+    chunks.join(keepers, Seq("chunk_digest"))
+      .withColumn("kept",
+        (col("keeper.doc_id") === col("doc_id")) &&
+          (col("keeper.chunk_idx") === col("chunk_idx")))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dup"),
+        sum(col("chunk_words")).as("words_total"),
+        sum(when(col("kept"), col("chunk_words")).otherwise(0L))
+          .as("words_kept"))
+  }
+}

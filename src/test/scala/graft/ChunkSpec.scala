@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{Chunks, TextOps}
+
+class ChunkSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def df(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("chunkAssign: grid reconstructs the document exactly") {
+    val docs = TextOps.docs(spark, SF)
+    val chunks = Chunks.chunkAssign(docs, width = 32)
+    val words = docs.select(col("doc_id"),
+      expr("filter(split(text, ' '), x -> x != '')").as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_words"))
+      .filter(col("n_words") > 0)
+    val per = chunks.groupBy("doc_id").agg(
+      count(lit(1)).as("n_chunks"),
+      sum("chunk_words").as("cw"),
+      max("chunk_idx").as("max_idx"),
+      min("start_word").as("min_start"))
+    val joined = per.join(words, "doc_id").collect()
+    assert(joined.length == words.count())
+    joined.foreach { r =>
+      val n = r.getAs[Long]("n_words")
+      assert(r.getAs[Long]("cw") == n) // windows partition the words
+      assert(r.getAs[Long]("n_chunks") == (n - 1) / 32 + 1) // ceil(n/32)
+      assert(r.getAs[Long]("max_idx") == (n - 1) / 32)
+      assert(r.getAs[Long]("min_start") == 0L)
+    }
+  }
+
+  test("chunkAssign: identical windows share a digest, width respected") {
+    val a = (1 to 32).map(i => s"w$i").mkString(" ")
+    val b = (1 to 32).map(i => s"x$i").mkString(" ")
+    // doc 1 = A B, doc 2 = A (prefix copy), doc 3 = B tail-partial
+    val d = df(1L -> s"$a $b", 2L -> a, 3L -> (b + " extra"))
+    val c = Chunks.chunkAssign(d, width = 32).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx")) ->
+        (r.getAs[String]("chunk_digest"), r.getAs[Long]("chunk_words")))
+      .toMap
+    assert(c.size == 5)
+    assert(c((1L, 0L))._1 == c((2L, 0L))._1) // shared A window
+    assert(c((1L, 1L))._1 == c((3L, 0L))._1) // shared B window
+    assert(c((1L, 0L))._1 != c((1L, 1L))._1)
+    assert(c((3L, 1L))._2 == 1L) // trailing partial records shortfall
+    assert(c.values.forall(_._2 <= 32L))
+  }
+
+  test("chunkDedup: keeper election is lexicographic min incl. intra-doc") {
+    val a = (1 to 32).map(i => s"w$i").mkString(" ")
+    val b = (1 to 32).map(i => s"x$i").mkString(" ")
+    // doc 1 repeats A internally; doc 2 is a verbatim copy of doc 1's
+    // first window; doc 3 is unique
+    val d = df(1L -> s"$a $a $b", 2L -> a, 3L -> "solo words only")
+    val out = Chunks.chunkDedup(d, width = 32).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_dup"), r.getAs[Long]("words_kept")))
+      .toMap
+    // doc 1: chunks A,A,B → first A + B kept, second A is an intra-doc dup
+    assert(out(1L) == ((3L, 2L, 1L, 64L)))
+    // doc 2's only chunk loses to doc 1 chunk 0
+    assert(out(2L) == ((1L, 0L, 1L, 0L)))
+    assert(out(3L) == ((1L, 1L, 0L, 3L)))
+  }
+
+  test("chunkDedup: clean corpus keeps everything; empty docs drop out") {
+    val d = df(1L -> "a b c", 2L -> "d e f", 3L -> "", 4L -> "   ")
+    val out = Chunks.chunkDedup(d, width = 2).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L))
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_dup") == 0L)
+      assert(r.getAs[Long]("n_kept") == r.getAs[Long]("n_chunks"))
+      assert(r.getAs[Long]("words_kept") == r.getAs[Long]("words_total"))
+    }
+  }
+}
