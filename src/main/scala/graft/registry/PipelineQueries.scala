@@ -59,6 +59,28 @@ object PipelineQueries {
           FROM documents)
         WHERE n_words > 0)"""
 
+  /** The crawl-diff derivation shared verbatim by crawl_diff and
+    * crawl_diff_report's derived table. */
+  private val CrawlDiffSql = """
+      SELECT COALESCE(o.doc_id, c.doc_id) AS doc_id,
+             CASE WHEN o.o_digest IS NULL THEN 'added'
+                  WHEN c.n_digest IS NULL THEN 'removed'
+                  WHEN o.o_digest <> c.n_digest THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             COALESCE(c.lang, o.lang) AS lang
+      FROM (
+        SELECT doc_id, lang,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':mut'),
+                      1, 1) < '3'
+                    THEN md5('v0:' || text) ELSE md5(text) END AS o_digest
+        FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':old'), 1, 1) < 'e'
+      ) o FULL OUTER JOIN (
+        SELECT doc_id, lang, md5(text) AS n_digest
+        FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':new'), 1, 1) < 'e'
+      ) c ON o.doc_id = c.doc_id"""
+
   /** The engine-side lexical/substring methods shared by
     * contamination_report and contamination_report_ivf — one definition
     * so the two reports can only differ in their semantic pair source. */
@@ -610,6 +632,18 @@ object PipelineQueries {
       TextOps.splitAssign(docs(s, d), trainSixteenths = 13)),
     "doc_sample" -> ((s, d) =>
       TextOps.stratifiedSample(docs(s, d), fraction = 0.2)),
+    // crawl-refresh diff: per-doc added/removed/changed/unchanged over
+    // two snapshots (synthetic here — membership/mutation are pure
+    // md5-nibble functions of doc_id, so the oracle derives the same
+    // snapshots); one full-outer doc_id equijoin, exact digest compare
+    "crawl_diff" -> ((s, d) => graft.text.CrawlDiff.diff(
+      graft.text.CrawlDiff.syntheticOld(docs(s, d)),
+      graft.text.CrawlDiff.syntheticCurrent(docs(s, d)))),
+    // the refresh report: counts per (status, lang) — oracle embeds the
+    // diff SQL verbatim (the reportBlock one-definition discipline)
+    "crawl_diff_report" -> ((s, d) => graft.text.CrawlDiff.report(
+      graft.text.CrawlDiff.syntheticOld(docs(s, d)),
+      graft.text.CrawlDiff.syntheticCurrent(docs(s, d)))),
     // deterministic passage chunking: non-overlapping 32-word windows
     // with a content digest per window (the RAG / training-loader cut
     // between whole-doc dedup and substring anchors); pure integer grid
@@ -1414,6 +1448,16 @@ object PipelineQueries {
       SELECT (length(text) // 100) * 100 AS bucket,
              count(*) AS n_docs
       FROM documents GROUP BY 1""",
+
+    // snapshot membership/mutation are the same md5-nibble row
+    // functions the engine uses (pure functions of doc_id); presence is
+    // read off the digest columns (non-null by construction)
+    "crawl_diff" -> CrawlDiffSql,
+
+    "crawl_diff_report" -> s"""
+      WITH diff AS ($CrawlDiffSql)
+      SELECT status, lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM diff GROUP BY 1, 2""",
 
     // the non-overlapping word-window grid: chunk count = ceil(n/W) via
     // (n-1)//W (both engines floor nonnegative integer division), the

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{CrawlDiff, TextOps}
+
+class CrawlDiffSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("diff: planted snapshots classify all four ways") {
+    val old = Seq((1L, "en", "A"), (2L, "en", "B"), (4L, "fr", "D"))
+      .toDF("doc_id", "lang", "digest")
+    val cur = Seq((2L, "en", "B2"), (3L, "fr", "C"), (4L, "fr", "D"))
+      .toDF("doc_id", "lang", "digest")
+    val out = CrawlDiff.diff(old, cur).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("status"), r.getAs[String]("lang"))).toMap
+    assert(out == Map(
+      1L -> ("removed", "en"), 2L -> ("changed", "en"),
+      3L -> ("added", "fr"), 4L -> ("unchanged", "fr")))
+  }
+
+  test("synthetic snapshots: statuses partition the id universe correctly") {
+    val d = TextOps.docs(spark, SF)
+    val old = CrawlDiff.syntheticOld(d)
+    val cur = CrawlDiff.syntheticCurrent(d)
+    val diff = CrawlDiff.diff(old, cur).cache()
+    val oldIds = old.select("doc_id").as[Long].collect().toSet
+    val curIds = cur.select("doc_id").as[Long].collect().toSet
+    val byStatus = diff.collect()
+      .groupBy(_.getAs[String]("status"))
+      .map { case (k, v) => k -> v.map(_.getAs[Long]("doc_id")).toSet }
+    assert(byStatus.getOrElse("added", Set.empty[Long]) == curIds -- oldIds)
+    assert(byStatus.getOrElse("removed", Set.empty[Long]) == oldIds -- curIds)
+    val both = oldIds intersect curIds
+    assert((byStatus.getOrElse("changed", Set.empty[Long]) ++
+      byStatus.getOrElse("unchanged", Set.empty[Long])) == both)
+    // a changed doc is exactly a ':mut'-drawn doc present in both
+    val mut = d.filter(substring(md5(concat_ws(":",
+        col("doc_id").cast("string"), lit("mut"))), 1, 1) < "3")
+      .select("doc_id").as[Long].collect().toSet
+    assert(byStatus.getOrElse("changed", Set.empty[Long]) == (both intersect mut))
+  }
+
+  test("report equals a groupBy over the diff") {
+    val d = TextOps.docs(spark, SF)
+    val old = CrawlDiff.syntheticOld(d)
+    val cur = CrawlDiff.syntheticCurrent(d)
+    val rep = CrawlDiff.report(old, cur).collect()
+      .map(r => (r.getAs[String]("status"), r.getAs[String]("lang")) ->
+        r.getAs[Long]("n_docs")).toMap
+    val direct = CrawlDiff.diff(old, cur).groupBy("status", "lang").count()
+      .collect()
+      .map(r => (r.getAs[String]("status"), r.getAs[String]("lang")) ->
+        r.getAs[Long]("count")).toMap
+    assert(rep == direct)
+    assert(rep.values.sum == CrawlDiff.diff(old, cur).count())
+  }
+}
