@@ -81,6 +81,55 @@ object PipelineQueries {
         WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':new'), 1, 1) < 'e'
       ) c ON o.doc_id = c.doc_id"""
 
+  /** The per-vector label-propagation derivation shared verbatim by
+    * knn_label_prop and its eval rollup: the knn_quantized code chain
+    * (floor-half-up codes, exact integer dot, one floor-half-up double
+    * expression), the salted ':lbl' md5-nibble labeled slice (boundary
+    * 'c' = 12/16), integer votes, and the (count desc, label asc)
+    * winner — the oracle formulates the argmax as a window, the engine
+    * as a max_by hash agg (two-formulation strengthening). */
+  private val LabelPropSql = """
+      WITH base AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      m AS (
+        SELECT vec_id, label, v,
+               list_aggregate(list_transform(v, x -> abs(x)), 'max') AS mx
+        FROM base),
+      codes AS (
+        SELECT vec_id, label,
+               list_transform(v, x -> floor(
+                 CASE WHEN mx = 0.0::DOUBLE THEN 0.0::DOUBLE
+                      ELSE x * 127.0::DOUBLE / mx END
+                 + 0.5::DOUBLE)) AS qv
+        FROM m),
+      n AS (
+        SELECT vec_id, label, qv, sqrt(list_dot_product(qv, qv)) AS qnrm,
+               substring(md5(CAST(vec_id AS VARCHAR) || ':lbl'), 1, 1) < 'c'
+                 AS labeled
+        FROM codes WHERE list_dot_product(qv, qv) > 0),
+      pairs AS (
+        SELECT u.vec_id, u.label AS true_label, l.label AS lab_label,
+               CAST(floor(list_dot_product(l.qv, u.qv) * 10000.0::DOUBLE /
+                 (l.qnrm * u.qnrm) + 0.5::DOUBLE) AS DOUBLE) /
+                 10000.0::DOUBLE AS score
+        FROM n l JOIN n u ON l.labeled AND NOT u.labeled),
+      votes AS (
+        SELECT vec_id, true_label, lab_label,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM pairs WHERE score >= 0.3 GROUP BY 1, 2, 3),
+      ranked AS (
+        SELECT vec_id, true_label, lab_label, cnt,
+               CAST(sum(cnt) OVER (PARTITION BY vec_id) AS BIGINT)
+                 AS n_neighbors,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cnt DESC, lab_label ASC) AS rn
+        FROM votes)
+      SELECT vec_id, true_label, lab_label AS pred_label,
+             cnt AS n_votes, n_neighbors
+      FROM ranked WHERE rn = 1"""
+
   /** The engine-side lexical/substring methods shared by
     * contamination_report and contamination_report_ivf — one definition
     * so the two reports can only differ in their semantic pair source. */
@@ -572,6 +621,24 @@ object PipelineQueries {
     // corpus clustering over embeddings (seeded k-means + min_by
     // assignment); rows-only (centroid ids are hash-derived), KnnSpec
     // asserts coverage and determinism
+    // semi-supervised label propagation: unlabeled vectors adopt the
+    // majority label among τ-near labeled neighbors — quantized integer
+    // scoring chain + integer votes + (count desc, label asc) winner,
+    // so the prediction sits under the hash gate; no-neighbor vectors
+    // abstain (no row)
+    "knn_label_prop" -> ((s, d) => Knn.labelPropagation(Knn.emb(s, d))),
+    // the sign-off confusion rollup; oracle embeds the per-vector SQL
+    // verbatim (the domain_classifier_eval discipline)
+    "knn_label_prop_eval" -> ((s, d) =>
+      Knn.labelPropagationEval(Knn.emb(s, d))),
+    // the 100 TB path: labeled slice persisted as the bucketed quantized
+    // IVF code index, unlabeled vectors probe nprobe lists, same vote
+    // rollup; rows-only (probe recall is k-means-assignment-dependent —
+    // KnnSpec proves vote-pair subset with bit-identical scores)
+    "knn_label_prop_ivf" -> ((s, d) => {
+      val (tbl, path) = runScopedTable(s, d, "graft_label_prop_ivf")
+      Knn.labelPropagationIvf(s, Knn.emb(s, d), tbl, path)
+    }),
     "emb_clusters" -> ((s, d) => Knn.clusterStats(Knn.emb(s, d))),
     // per-label quantized-centroid drift vs the corpus centroid (the
     // embedding dual of quality_drift): integer code sums end to end,
@@ -1983,6 +2050,13 @@ object PipelineQueries {
     // sort first in a DESC rank)
     // quantize chain + integer scoring shared with knn_quantized; split
     // membership is the split_assign md5-nibble rule on vec_id
+    "knn_label_prop" -> LabelPropSql,
+
+    "knn_label_prop_eval" -> s"""
+      WITH pred AS ($LabelPropSql)
+      SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n_vecs
+      FROM pred GROUP BY 1, 2""",
+
     "contamination_semantic" -> """
       WITH base AS (
         SELECT vec_id,

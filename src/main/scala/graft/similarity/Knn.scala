@@ -188,19 +188,36 @@ object Knn {
     // the split_assign md5-nibble rule, verbatim from the brute operator
     val isTrain =
       substring(md5(col("vec_id").cast("string")), 1, 1) < boundary
+    probeScoredBy(spark, e, tableName, path, isTrain, nlist, buckets,
+      nprobe).withColumnRenamed("probe_vec", "test_vec")
+  }
+
+  /** The generic persisted-quantized-IVF probe: rows selected by
+    * `isIndexed` are written as the bucketed code index, the complement
+    * probes its `nprobe` nearest lists (float centroid ranking on the
+    * tiny broadcast centroid table), and every candidate is scored with
+    * the knn_quantized integer chain — UNFILTERED (probe_vec, vec_id,
+    * score) rows, where vec_id is the indexed side. One definition under
+    * [[contaminationSemanticIvf]] (isIndexed = the split rule) and
+    * [[labelPropagationIvf]] (isIndexed = the labeled-slice rule), so
+    * the plan fences (bucketed scan, zero index-side Exchange, one
+    * probe-side c_id Exchange, no cartesian) are proven once. */
+  private def probeScoredBy(spark: SparkSession, e: DataFrame,
+      tableName: String, path: String, isIndexed: Column,
+      nlist: Int, buckets: Int, nprobe: Int): DataFrame = {
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
-    val centroids = writeIvfIndexQuantized(e.filter(isTrain), tableName,
+    val centroids = writeIvfIndexQuantized(e.filter(isIndexed), tableName,
       path, nlist, buckets)
-    val probeW = Window.partitionBy("test_vec").orderBy(col("d"), col("c_id"))
-    val probes = quantize(e.filter(!isTrain))
+    val probeW = Window.partitionBy("probe_vec").orderBy(col("d"), col("c_id"))
+    val probes = quantize(e.filter(!isIndexed))
       .filter(col("qnrm") > lit(0.0))
-      .select(col("vec_id").as("test_vec"), col("v"), col("nrm"),
+      .select(col("vec_id").as("probe_vec"), col("v"), col("nrm"),
         col("qv").as("sqv"), col("qnrm").as("snrm"))
       .crossJoin(broadcast(withCnrm2(centroids)))
       .withColumn("d", sqDist)
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
-      .select(col("test_vec"), col("sqv"), col("snrm"), col("c_id"))
+      .select(col("probe_vec"), col("sqv"), col("snrm"), col("c_id"))
     probes
       .join(spark.table(tableName).filter(col("qnrm") > lit(0.0)),
         Seq("c_id"))
@@ -242,6 +259,124 @@ object Knn {
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(col("n_flagged"), lit(0L)).as("n_flagged"))
   }
+
+  /** Semi-supervised LABEL PROPAGATION over the quantized embedding
+    * space — the cheap labeling pass a training pipeline runs when only
+    * a slice of the corpus carries curated labels (domain tags, quality
+    * grades, license classes): every UNLABELED vector adopts the
+    * majority label among its τ-near LABELED neighbors. The labeled
+    * slice is a pure md5-nibble row function of vec_id (salted ':lbl'
+    * so it draws independently of the split_assign rule), scoring is
+    * the knn_quantized integer chain, votes are exact integer counts,
+    * and the winner is decided on (count desc, label asc) — a total
+    * order over integers, so the prediction cannot drift between
+    * engines or partitionings and the whole operator sits under the
+    * hash gate. Vectors with no τ-neighbor get no row (integer
+    * membership — the "abstain" a real pipeline routes to manual
+    * labeling). Pair join = the sanctioned brute baseline (unlabeled
+    * minority broadcast); the 100 TB swap is [[labelPropagationIvf]].
+    * Label domain must stay within Int (the -label tie-break negation);
+    * votes never overflow (≤ corpus cardinality). */
+  def labelPropagation(e: DataFrame, labeledSixteenths: Int = 12,
+      tau: Double = 0.3): DataFrame =
+    voteRollup(labelPropPairs(e, labeledSixteenths, tau))
+
+  /** The UNROLLED (unlabeled, labeled) vote pairs ≥ τ — shared by the
+    * brute and IVF formulations so the rollup is one definition. */
+  private[graft] def labelPropPairs(e: DataFrame, labeledSixteenths: Int,
+      tau: Double): DataFrame = {
+    require(labeledSixteenths >= 1 && labeledSixteenths <= 15,
+      s"labeledSixteenths must be in [1, 15], got $labeledSixteenths")
+    require(tau > 0.0, s"bad tau=$tau")
+    val q = quantize(e).filter(col("qnrm") > lit(0.0))
+      .withColumn("labeled", isLabeled(labeledSixteenths))
+      .select(col("vec_id"), col("label"), col("labeled"), col("qv"),
+        col("qnrm"))
+      .localCheckpoint(true)
+    val lab = q.filter(col("labeled"))
+      .select(col("vec_id").as("lab_vec"), col("label").as("lab_label"),
+        col("qv").as("lqv"), col("qnrm").as("lnrm"))
+    val unl = q.filter(!col("labeled"))
+      .select(col("vec_id"), col("label").as("true_label"),
+        col("qv").as("uqv"), col("qnrm").as("unrm"))
+    lab.crossJoin(broadcast(unl))
+      .withColumn("score",
+        floor(graft.functions.ByteDot(col("lqv"), col("uqv")).cast("double")
+            * lit(10000.0) / (col("lnrm") * col("unrm")) + lit(0.5))
+          .cast("double") / lit(10000.0))
+      .filter(col("score") >= tau)
+      .select(col("vec_id"), col("true_label"), col("lab_vec"),
+        col("lab_label"), col("score"))
+  }
+
+  /** The labeled-slice membership rule (salted md5 nibble on vec_id). */
+  private def isLabeled(labeledSixteenths: Int): Column =
+    substring(md5(concat_ws(":", col("vec_id").cast("string"), lit("lbl"))),
+      1, 1) < labeledSixteenths.toHexString
+
+  /** Majority vote per unlabeled vector: one hash agg to (vec, label)
+    * counts, one to the argmax — max_by over struct(cnt, -label) ≡
+    * (count desc, label asc), the es_top_movers total-order discipline;
+    * never a corpus window. */
+  private def voteRollup(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("vec_id"), col("true_label"), col("lab_label"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("vec_id"), col("true_label"))
+      .agg(
+        sum(col("cnt")).as("n_neighbors"),
+        max_by(struct(col("cnt"), col("lab_label")),
+          struct(col("cnt"), -col("lab_label"))).as("pick"))
+      .select(col("vec_id"), col("true_label"),
+        col("pick.lab_label").as("pred_label"),
+        col("pick.cnt").as("n_votes"),
+        col("n_neighbors"))
+
+  /** Propagation-quality confusion rollup over the docs the operator
+    * actually labels — the sign-off view (the domain_classifier_eval
+    * discipline): (true, predicted, count). The diagonal mass is the
+    * accuracy a pipeline tracks before trusting propagated labels. */
+  def labelPropagationEval(e: DataFrame, labeledSixteenths: Int = 12,
+      tau: Double = 0.3): DataFrame =
+    labelPropagation(e, labeledSixteenths, tau)
+      .groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n_vecs"))
+
+  /** Label propagation over the PERSISTED quantized IVF index — the
+    * 100 TB path (the contaminationSemanticIvf posture, one shared
+    * probe definition): the LABELED slice is written as the bucketed
+    * code index, unlabeled vectors probe their nprobe nearest lists,
+    * candidates are scored with the identical integer chain and fed to
+    * the SAME vote rollup. Emitted votes are a subset of the brute
+    * pairs with bit-identical scores (KnnSpec), so predictions can
+    * differ from brute only where the probe pruned a voter — the
+    * recall trade nprobe tunes; rows-only for that reason. Labels ride
+    * two candidate-sized key equijoins (the index stores codes only). */
+  def labelPropagationIvf(spark: SparkSession, e: DataFrame,
+      tableName: String, path: String, labeledSixteenths: Int = 12,
+      tau: Double = 0.3, nlist: Int = 10, buckets: Int = 8,
+      nprobe: Int = 2): DataFrame = {
+    require(labeledSixteenths >= 1 && labeledSixteenths <= 15,
+      s"labeledSixteenths must be in [1, 15], got $labeledSixteenths")
+    require(tau > 0.0, s"bad tau=$tau")
+    voteRollup(labelPropPairsIvf(spark, e, tableName, path,
+      labeledSixteenths, tau, nlist, buckets, nprobe))
+  }
+
+  /** The IVF-probe vote pairs (same columns as [[labelPropPairs]]). */
+  private[graft] def labelPropPairsIvf(spark: SparkSession, e: DataFrame,
+      tableName: String, path: String, labeledSixteenths: Int,
+      tau: Double, nlist: Int, buckets: Int, nprobe: Int): DataFrame =
+    probeScoredBy(spark, e, tableName, path, isLabeled(labeledSixteenths),
+      nlist, buckets, nprobe)
+      .filter(col("score") >= tau)
+      .withColumnRenamed("vec_id", "lab_vec")
+      .join(e.select(col("vec_id").as("lab_vec"),
+        col("label").as("lab_label")), Seq("lab_vec"))
+      .withColumnRenamed("probe_vec", "vec_id")
+      .join(e.select(col("vec_id"), col("label").as("true_label")),
+        Seq("vec_id"))
+      .select(col("vec_id"), col("true_label"), col("lab_vec"),
+        col("lab_label"), col("score"))
 
   /** Per-label embedding DRIFT monitor in the quantized space — the
     * embedding dual of `quality_drift`: for each label (source /

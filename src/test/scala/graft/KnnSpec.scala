@@ -162,6 +162,100 @@ class KnnSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  private def isLabeledId(id: Long): Boolean = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$id:lbl".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    h.charAt(0) < 'c'
+  }
+
+  test("labelPropagation: planted neighborhoods vote majority; ties break " +
+      "to the smallest label; abstainers emit nothing") {
+    import spark.implicits._
+    val ids = 0L to 60L
+    val labIds = ids.filter(isLabeledId).take(5)
+    val unlIds = ids.filter(id => !isLabeledId(id)).take(2)
+    val Seq(l1, l2, l3, l4, l5) = labIds
+    val Seq(u1, u2) = unlIds
+    val rnd = new scala.util.Random(11)
+    val w1 = Seq.fill(8)(rnd.nextDouble() - 0.5)
+    val w2 = Seq.fill(8)(rnd.nextDouble() - 0.5)
+    val rows = ids.map { id =>
+      val v = if (Seq(l1, l2, l3, u1).contains(id)) w1
+        else if (Seq(l4, l5, u2).contains(id)) w2
+        else Seq.fill(8)(rnd.nextDouble() - 0.5)
+      val label =
+        if (id == l1 || id == l2) 2 else if (id == l3) 5
+        else if (id == l4) 7 else if (id == l5) 4
+        else 9
+      (id, label, v)
+    }.toDF("vec_id", "label", "v")
+    // tau high enough that only the planted exact copies vote
+    val out = Knn.labelPropagation(rows, labeledSixteenths = 12, tau = 0.99)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("pred_label"), r.getAs[Long]("n_votes"),
+          r.getAs[Long]("n_neighbors"))).toMap
+    // u1 sees labels {2, 2, 5} → majority 2 with 2 of 3 votes
+    assert(out(u1) == ((2, 2L, 3L)), out.toString)
+    // u2 sees {7, 4} — a 1-1 tie → the smaller label wins
+    assert(out(u2) == ((4, 1L, 2L)), out.toString)
+    // only unlabeled vectors are ever labeled; isolated ones abstain
+    assert(out.keySet.forall(id => !isLabeledId(id)))
+    assert(out.keySet == Set(u1, u2))
+  }
+
+  test("labelPropagationIvf: vote pairs are a subset of brute with " +
+      "bit-identical scores; exact copies are recalled; rollup consistent") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val ids = 0L to 50L
+    val lab = ids.find(isLabeledId).get
+    val unl = ids.find(id => !isLabeledId(id)).get
+    val base = ids.map(id => (id, (id % 10).toInt,
+      Seq.fill(8)(rnd.nextDouble() - 0.5)))
+    val planted = base.map { case (id, l, v) =>
+      if (id == unl) (id, l, base(lab.toInt)._3) else (id, l, v)
+    }.toDF("vec_id", "label", "v")
+      .withColumn("nrm",
+        sqrt(graft.functions.DotProduct(col("v"), col("v"))))
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft_lblprop_ivf").toString
+    spark.sql("DROP TABLE IF EXISTS lblprop_ivf_t")
+    val ivfPairs = Knn.labelPropPairsIvf(spark, planted, "lblprop_ivf_t",
+      dir, 12, tau = 0.3, nlist = 4, buckets = 2, nprobe = 2).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("lab_vec"),
+        r.getAs[Double]("score"))).toSet
+    val brutePairs = Knn.labelPropPairs(planted, 12, tau = 0.3).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("lab_vec"),
+        r.getAs[Double]("score"))).toSet
+    assert(ivfPairs.nonEmpty && ivfPairs.subsetOf(brutePairs),
+      s"ivf pairs not a subset: ${(ivfPairs -- brutePairs).take(5)}")
+    // the planted exact copy votes through the probe (same-centroid
+    // argument as contaminationSemanticIvf) with score exactly 1.0
+    assert(ivfPairs.contains((unl, lab, 1.0)), ivfPairs.toString)
+    spark.sql("DROP TABLE IF EXISTS lblprop_ivf_t2")
+    val dir2 =
+      java.nio.file.Files.createTempDirectory("graft_lblprop_ivf2").toString
+    val rolled = Knn.labelPropagationIvf(spark, planted, "lblprop_ivf_t2",
+      dir2, 12, tau = 0.3, nlist = 4, buckets = 2, nprobe = 2).collect()
+    rolled.foreach { r =>
+      assert(!isLabeledId(r.getAs[Long]("vec_id")), r.toString)
+      assert(r.getAs[Long]("n_votes") >= 1L &&
+        r.getAs[Long]("n_votes") <= r.getAs[Long]("n_neighbors"), r.toString)
+    }
+  }
+
+  test("labelPropagationEval equals a groupBy over the per-vector rows") {
+    val pred = Knn.labelPropagation(e).cache()
+    val direct = pred.groupBy("true_label", "pred_label").count().collect()
+      .map(r => (r.getAs[Int]("true_label"), r.getAs[Int]("pred_label")) ->
+        r.getAs[Long]("count")).toMap
+    val eval = Knn.labelPropagationEval(e).collect()
+      .map(r => (r.getAs[Int]("true_label"), r.getAs[Int]("pred_label")) ->
+        r.getAs[Long]("n_vecs")).toMap
+    assert(eval == direct)
+  }
+
   test("embDriftQuantized: every label covered, cosine bounded, degenerate fenced") {
     import spark.implicits._
     val rows = Knn.embDriftQuantized(e).collect()

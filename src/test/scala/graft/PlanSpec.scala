@@ -286,6 +286,30 @@ class PlanSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("knn_label_prop: brute is broadcast-fenced; IVF probe keeps the index fences") {
+    // brute vote join = the sanctioned baseline shape (unlabeled
+    // minority broadcast), same fence as contamination_semantic
+    val p = plan(graft.similarity.Knn.labelPropagation(
+      graft.similarity.Knn.emb(spark, SF)))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the argmax is a hash agg (max_by over struct), never a window sort
+    assert(!p.contains("Window"), p)
+    // the IVF swap rides probeScoredBy — bucketed code-index scan, no
+    // cross product (the labels ride candidate-sized key equijoins)
+    val dir = Files.createTempDirectory("graft_lblprop_plan").toString
+    spark.sql("DROP TABLE IF EXISTS lblprop_plan")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pi = plan(graft.similarity.Knn.labelPropagationIvf(spark,
+        graft.similarity.Knn.emb(spark, SF), "lblprop_plan", dir))
+      assert(!pi.contains("CartesianProduct"), pi)
+      assert(pi.contains("Bucketed: true"), pi)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("emb_drift_quantized scans the corpus once; the dim join is broadcast") {
     val df = graft.similarity.Knn.embDriftQuantized(
       graft.similarity.Knn.emb(spark, SF))
