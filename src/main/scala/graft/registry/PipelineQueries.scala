@@ -81,6 +81,53 @@ object PipelineQueries {
         WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':new'), 1, 1) < 'e'
       ) c ON o.doc_id = c.doc_id"""
 
+  /** The per-vector centroid-affinity derivation shared verbatim by
+    * emb_centroid_affinity and emb_outliers: the quantize code chain,
+    * exact BIGINT centroid sums / dots (DuckDB sums in HUGEINT — every
+    * aggregate cast back to BIGINT so both engines present identical
+    * integers), integer q2/s2 fences, one floor-half-up display. */
+  private val EmbAffinitySql = """
+      WITH base AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      m AS (
+        SELECT vec_id, label, v,
+               list_aggregate(list_transform(v, x -> abs(x)), 'max') AS mx
+        FROM base),
+      codes AS (
+        SELECT vec_id, label,
+               list_transform(v, x -> floor(
+                 CASE WHEN mx = 0.0::DOUBLE THEN 0.0::DOUBLE
+                      ELSE x * 127.0::DOUBLE / mx END
+                 + 0.5::DOUBLE)) AS qv
+        FROM m),
+      n AS (
+        SELECT vec_id, label, qv,
+               CAST(list_dot_product(qv, qv) AS BIGINT) AS q2
+        FROM codes WHERE list_dot_product(qv, qv) > 0),
+      expl AS (
+        SELECT vec_id, label, q2,
+               unnest(generate_series(1, len(qv))) AS pos,
+               unnest(qv) AS code
+        FROM n),
+      cent AS (
+        SELECT label, pos, CAST(sum(CAST(code AS BIGINT)) AS BIGINT) AS s
+        FROM expl GROUP BY 1, 2),
+      sn AS (
+        SELECT label, CAST(sum(s * s) AS BIGINT) AS s2
+        FROM cent GROUP BY 1 HAVING CAST(sum(s * s) AS BIGINT) > 0),
+      dots AS (
+        SELECT e.vec_id, e.label, e.q2,
+               CAST(sum(CAST(e.code AS BIGINT) * c.s) AS BIGINT) AS dot
+        FROM expl e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+        GROUP BY 1, 2, 3)
+      SELECT d.vec_id, d.label, d.dot,
+             CAST(floor(CAST(d.dot AS DOUBLE) * 10000.0::DOUBLE /
+               (sqrt(CAST(d.q2 AS DOUBLE)) * sqrt(CAST(s.s2 AS DOUBLE))) +
+               0.5::DOUBLE) AS DOUBLE) / 10000.0::DOUBLE AS score
+      FROM dots d JOIN sn s ON d.label = s.label"""
+
   /** The per-vector label-propagation derivation shared verbatim by
     * knn_label_prop and its eval rollup: the knn_quantized code chain
     * (floor-half-up codes, exact integer dot, one floor-half-up double
@@ -621,6 +668,16 @@ object PipelineQueries {
     // corpus clustering over embeddings (seeded k-means + min_by
     // assignment); rows-only (centroid ids are hash-derived), KnnSpec
     // asserts coverage and determinism
+    // per-vector centroid affinity (prototype-affinity pruning signal):
+    // cosine of each vector's int8 codes against its label's centroid
+    // code sum — integer-exact chain, raw integer dot rides along as
+    // the downstream membership key
+    "emb_centroid_affinity" -> ((s, d) =>
+      Knn.embCentroidAffinity(Knn.emb(s, d))),
+    // the flagged tail: dot < 0 (an INTEGER membership predicate) —
+    // vectors pointing away from their own label's centroid, the
+    // likely-mislabeled / out-of-distribution review queue
+    "emb_outliers" -> ((s, d) => Knn.embOutliers(Knn.emb(s, d))),
     // semi-supervised label propagation: unlabeled vectors adopt the
     // majority label among τ-near labeled neighbors — quantized integer
     // scoring chain + integer votes + (count desc, label asc) winner,
@@ -2050,6 +2107,12 @@ object PipelineQueries {
     // sort first in a DESC rank)
     // quantize chain + integer scoring shared with knn_quantized; split
     // membership is the split_assign md5-nibble rule on vec_id
+    "emb_centroid_affinity" -> EmbAffinitySql,
+
+    "emb_outliers" -> s"""
+      WITH aff AS ($EmbAffinitySql)
+      SELECT vec_id, label, dot, score FROM aff WHERE dot < 0""",
+
     "knn_label_prop" -> LabelPropSql,
 
     "knn_label_prop_eval" -> s"""

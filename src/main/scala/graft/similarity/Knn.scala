@@ -427,6 +427,56 @@ object Knn {
           + lit(0.5)).cast("double") / lit(10000.0)).as("centroid_cos"))
   }
 
+  /** Per-vector centroid AFFINITY in the quantized space — the
+    * prototype-affinity signal of published data-pruning work (rank
+    * examples by alignment with their class/domain prototype; prune or
+    * re-queue the tail): for every vector, the cosine between its int8
+    * codes and its label's centroid CODE SUM. Integer-exact end to end
+    * (the emb_drift_quantized contract): codes from [[quantize]],
+    * per-(label, dim) centroid sums and per-vector dots are exact
+    * BIGINT aggregates, degenerate masses are fenced by INTEGER
+    * predicates (q2 > 0 per vector, s2 > 0 per label), and the
+    * displayed score is ONE floor-half-up double expression — so the
+    * whole per-vector diagnostic sits under the hash gate, and the raw
+    * integer `dot` rides along as the membership key downstream flags
+    * threshold on. Shuffles: one (label, dim)-group agg, one broadcast
+    * centroid join re-agged per vector (n·dims partials — the
+    * emb_drift shape), nothing pairwise. Same per-label long-overflow
+    * bound as emb_drift (n ≲ 3·10⁶ vectors per label per batch). */
+  def embCentroidAffinity(e: DataFrame): DataFrame = {
+    val q = quantize(e)
+      .withColumn("q2",
+        graft.functions.ByteDot(col("qv"), col("qv")).cast("long"))
+      .filter(col("q2") > lit(0L))
+      .select(col("vec_id"), col("label"), col("q2"), col("qv"))
+    val codes = q.select(col("vec_id"), col("label"), col("q2"),
+      posexplode(col("qv")).as(Seq("pos", "code")))
+      // feeds the centroid agg AND the scoring join — one materialization
+      .localCheckpoint(true)
+    val cent = codes.groupBy(col("label"), col("pos"))
+      .agg(sum(col("code").cast("long")).as("s"))
+      .localCheckpoint(true) // 2 consumers: the norm rollup + the dot join
+    val snrm = cent.groupBy(col("label"))
+      .agg(sum(col("s") * col("s")).as("s2"))
+      .filter(col("s2") > lit(0L))
+    codes.join(broadcast(cent), Seq("label", "pos"))
+      .groupBy(col("vec_id"), col("label"), col("q2"))
+      .agg(sum(col("code").cast("long") * col("s")).as("dot"))
+      .join(broadcast(snrm), "label")
+      .select(col("vec_id"), col("label"), col("dot"),
+        (floor(col("dot").cast("double") * lit(10000.0) /
+          (sqrt(col("q2").cast("double")) * sqrt(col("s2").cast("double")))
+          + lit(0.5)).cast("double") / lit(10000.0)).as("score"))
+  }
+
+  /** The flagged tail of [[embCentroidAffinity]]: vectors pointing AWAY
+    * from their own label's centroid (dot < 0 — an INTEGER membership
+    * predicate, no float compare anywhere) — the likely-mislabeled /
+    * out-of-distribution queue a labeling pipeline re-routes to review
+    * before the label feeds sampling or filtering decisions. */
+  def embOutliers(e: DataFrame): DataFrame =
+    embCentroidAffinity(e).filter(col("dot") < lit(0L))
+
   /** Occupancy-safe random-hyperplane LSH search ([[LshBuckets]]):
     * adaptive plane count (planes = 0 → log₂(n/targetOccupancy), so
     * bucket occupancy — and with it per-query candidate cost AND the

@@ -256,6 +256,41 @@ class KnnSpec extends SparkSpec {
     assert(eval == direct)
   }
 
+  test("embCentroidAffinity: aligned mass scores 1.0, an inverted vector " +
+      "flags as an outlier, zero vectors are fenced") {
+    import spark.implicits._
+    val v = Seq(0.5, -0.25, 0.125, 1.0)
+    val planted = Seq(
+      (1L, 0, v), (2L, 0, v), (3L, 0, v),          // aligned label-0 mass
+      (4L, 0, v.map(-_)),                           // inverted → outlier
+      (5L, 1, Seq(0.3, 0.3, -0.6, 0.0)),            // singleton label
+      (6L, 1, Seq(0.0, 0.0, 0.0, 0.0))              // zero vector → fenced
+    ).toDF("vec_id", "label", "v")
+    val aff = Knn.embCentroidAffinity(planted).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("dot"), r.getAs[Double]("score"))).toMap
+    assert(aff.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // centroid of label 0 = 2·qv (3 copies + 1 inverted): copies score
+    // exactly 1.0, the inverted copy exactly -1.0
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(aff(id)._1 > 0L && aff(id)._2 == 1.0, aff.toString) }
+    assert(aff(4L)._1 < 0L && aff(4L)._2 == -1.0, aff.toString)
+    // a singleton label is its own centroid
+    assert(aff(5L)._2 == 1.0, aff.toString)
+    // the outlier slice is exactly the dot < 0 filter
+    val out = Knn.embOutliers(planted).collect().map(_.getAs[Long]("vec_id"))
+    assert(out.toSet == Set(4L))
+  }
+
+  test("embCentroidAffinity covers the corpus with bounded scores") {
+    val aff = Knn.embCentroidAffinity(e).cache()
+    assert(aff.count() == e.count()) // no zero vectors in the corpus
+    assert(aff.filter(col("score") < -1.0 || col("score") > 1.0).count() == 0)
+    // sign coherence: the integer membership key agrees with the score
+    assert(aff.filter(col("dot") < 0L && col("score") > 0.0).count() == 0)
+    assert(aff.filter(col("dot") > 0L && col("score") < 0.0).count() == 0)
+  }
+
   test("embDriftQuantized: every label covered, cosine bounded, degenerate fenced") {
     import spark.implicits._
     val rows = Knn.embDriftQuantized(e).collect()
