@@ -284,4 +284,46 @@ object StreamOps {
         sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
         max(col("lateness_us")).as("max_lateness_us"))
   }
+
+  /** Consumer-group LAG monitor — the operational query every deployment
+    * of an offset-cursor log (ConsumeSpace's resumable
+    * `(ts, segment, sequence)` cursor, `api/messages.go:146-159`) runs
+    * continuously: per (consumer group, space), how many entries sit
+    * strictly after the group's committed cursor and how far behind the
+    * head it is in event time. Demo cursors are SYNTHESIZED as pure
+    * integer functions of each space's time bounds (group g of
+    * `nGroups` committed at tmin + (tmax−tmin)·g div (nGroups+1) —
+    * multiply before divide, the shared-IEEE-chain discipline, though
+    * here everything stays in exact BIGINT), so the oracle derives the
+    * identical cursors; a real deployment feeds its committed-offset
+    * table as `cursors` through [[consumerLagFrom]]. Shuffles: one
+    * per-space bounds agg, then the fact stream meets the tiny
+    * (groups × spaces) cursor table in a BROADCAST join feeding one
+    * map-side-combinable conditional count — the fact table never
+    * shuffles on anything but the (grp, space) agg key. */
+  def consumerLag(named: DataFrame, nGroups: Int = 3): DataFrame = {
+    require(nGroups >= 1, s"bad nGroups=$nGroups")
+    val spark = named.sparkSession
+    val bounds = named.groupBy(col("space"))
+      .agg(min(col("ts_us")).as("tmin"), max(col("ts_us")).as("tmax"))
+    val cursors = bounds.crossJoin(
+        spark.range(1, nGroups + 1).toDF("grp"))
+      .select(col("grp"), col("space"),
+        (col("tmin") + expr(s"(tmax - tmin) * grp div ${nGroups + 1}"))
+          .as("cursor_ts_us"),
+        col("tmax"))
+    consumerLagFrom(named, cursors)
+  }
+
+  /** [[consumerLag]] over an explicit committed-cursor table
+    * (grp, space, cursor_ts_us, tmax-per-space). */
+  def consumerLagFrom(named: DataFrame, cursors: DataFrame): DataFrame =
+    named.select(col("space"), col("ts_us"))
+      .join(broadcast(cursors), Seq("space"))
+      .groupBy(col("grp"), col("space"), col("cursor_ts_us"), col("tmax"))
+      .agg(sum(when(col("ts_us") > col("cursor_ts_us"), 1L).otherwise(0L))
+        .as("n_behind"))
+      .select(col("grp"), col("space"), col("cursor_ts_us"),
+        col("n_behind"), (col("tmax") - col("cursor_ts_us"))
+          .as("time_lag_us"))
 }

@@ -71,6 +71,12 @@ object CoreQueries {
           EventLog.entries(s, d), batchSize = 10), batchSize = 10)),
     "sk_watermark_audit" -> ((s, d) =>
       StreamOps.watermarkAudit(EventLog.named(s, d), TOL_5M_US)),
+    // consumer-group lag monitor: per (group, space) entries behind the
+    // committed cursor + event-time distance to head; demo cursors are
+    // exact-integer functions of each space's time bounds, so the
+    // oracle derives them identically
+    "sk_consumer_lag" -> ((s, d) =>
+      StreamOps.consumerLag(EventLog.named(s, d))),
     // ── B. event sourcing ─────────────────────────────────────────────
     "es_replay_state" -> ((s, d) =>
       EventSourcing.replayState(
@@ -321,6 +327,27 @@ object CoreQueries {
                   AND ts_us < hwm_us - $TOL_5M_US THEN hwm_us - ts_us
                   ELSE 0 END) AS max_lateness_us
       FROM lat GROUP BY space""",
+
+    // cursors derived from exact-BIGINT space bounds (multiply before
+    // divide); lag counts are conditional integer sums
+    "sk_consumer_lag" -> s"""
+      WITH ev AS (
+        SELECT event_type AS space, epoch_us(ts) AS ts_us FROM events),
+      b AS (
+        SELECT space, min(ts_us) AS tmin, max(ts_us) AS tmax
+        FROM ev GROUP BY 1),
+      c AS (
+        SELECT g.grp, b.space,
+               b.tmin + ((b.tmax - b.tmin) * g.grp) // 4 AS cursor_ts_us,
+               b.tmax
+        FROM b CROSS JOIN
+          (SELECT unnest(generate_series(1, 3)) AS grp) g)
+      SELECT c.grp, c.space, c.cursor_ts_us,
+             CAST(sum(CASE WHEN e.ts_us > c.cursor_ts_us THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_behind,
+             c.tmax - c.cursor_ts_us AS time_lag_us
+      FROM ev e JOIN c ON e.space = c.space
+      GROUP BY 1, 2, 3, c.tmax""",
 
     "es_replay_state" -> s"""$E
       SELECT space, segment, count(*) AS n_events,

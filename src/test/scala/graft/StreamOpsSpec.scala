@@ -214,4 +214,28 @@ class StreamOpsSpec extends SparkSpec {
         s"$space p90 approx=$a90 exact=$p90")
     }
   }
+
+  test("consumerLag: synthetic cursors land on exact quarters; counts are " +
+      "strict-after; explicit cursor tables ride the same rollup") {
+    import spark.implicits._
+    // 101 entries at ts 0..100 µs → bounds (0, 100); groups 1..3 commit
+    // at 25/50/75
+    val named = (0L to 100L).map(ts => ("s", ts)).toDF("space", "ts_us")
+    val out = StreamOps.consumerLag(named, nGroups = 3).collect()
+      .map(r => r.getAs[Long]("grp") ->
+        (r.getAs[Long]("cursor_ts_us"), r.getAs[Long]("n_behind"),
+          r.getAs[Long]("time_lag_us"))).toMap
+    assert(out == Map(
+      1L -> ((25L, 75L, 75L)),
+      2L -> ((50L, 50L, 50L)),
+      3L -> ((75L, 25L, 25L))))
+    // a fully-caught-up explicit cursor reports zero lag; a cursor at
+    // the epoch sees everything after it
+    val cursors = Seq((9L, "s", 100L, 100L), (10L, "s", -1L, 100L))
+      .toDF("grp", "space", "cursor_ts_us", "tmax")
+    val explicit = StreamOps.consumerLagFrom(named, cursors).collect()
+      .map(r => r.getAs[Long]("grp") ->
+        (r.getAs[Long]("n_behind"), r.getAs[Long]("time_lag_us"))).toMap
+    assert(explicit == Map(9L -> ((0L, 0L)), 10L -> ((101L, 101L))))
+  }
 }
