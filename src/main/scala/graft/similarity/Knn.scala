@@ -331,6 +331,16 @@ object Knn {
         col("pick.cnt").as("n_votes"),
         col("n_neighbors"))
 
+  /** The frozen labeled-slice code table
+    * [[graft.streaming.Streaming.labelPropStream]] serves from:
+    * (vec_id, label, qv, qnrm) of labeled vectors with positive norms —
+    * the bounded serving artifact (curated labeled sets are small by
+    * construction; the writeBpeModel persisted-model posture). */
+  def labeledCodes(e: DataFrame, labeledSixteenths: Int = 12): DataFrame =
+    quantize(e).filter(col("qnrm") > lit(0.0))
+      .filter(isLabeled(labeledSixteenths))
+      .select(col("vec_id"), col("label"), col("qv"), col("qnrm"))
+
   /** Propagation-quality confusion rollup over the docs the operator
     * actually labels — the sign-off view (the domain_classifier_eval
     * discipline): (true, predicted, count). The diagonal mass is the

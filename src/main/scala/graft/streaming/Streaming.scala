@@ -792,4 +792,117 @@ object Streaming {
           }
       }
   }
+
+  /** Streaming CRAWL DIFF — the live front of
+    * [[graft.text.CrawlDiff.diff]]: every ARRIVING current-crawl
+    * document is classified against the FROZEN previous snapshot
+    * (`added` / `changed` / `unchanged`) the moment it lands, so the
+    * re-process queue (added ∪ changed) fills during the crawl instead
+    * of after it. Entirely STATELESS (append mode): digest is the same
+    * md5(text) expression as batch, classification is a stream-static
+    * LEFT join against the previous snapshot's (doc_id, digest) table —
+    * broadcast here; at 100 TB the static side is the bucketed snapshot
+    * and the join is the same key equijoin the batch diff runs.
+    * `removed` is structurally unobservable live (it's the absence of
+    * an arrival — only the end-of-crawl batch diff can emit it), which
+    * is exactly how the spec frames convergence: stream rows == batch
+    * diff minus its removed rows. */
+  def crawlDiffStream(spark: SparkSession, docStream: DataFrame,
+      oldSnapshotTable: String): DataFrame = {
+    val old = spark.table(oldSnapshotTable)
+      .select(col("doc_id"), col("digest").as("o_digest"))
+    docStream.select(col("doc_id"), col("lang"),
+        md5(col("text")).as("n_digest"))
+      .join(broadcast(old), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("o_digest").isNull, "added")
+          .when(col("o_digest") =!= col("n_digest"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("lang"))
+  }
+
+  /** Streaming LABEL PROPAGATION — the live dual of
+    * [[graft.similarity.Knn.labelPropagation]] in the shape an ingest
+    * fleet runs it: every ARRIVING unlabeled vector is scored against
+    * the FROZEN labeled code set and emits the IDENTICAL
+    * (vec_id, true_label, pred_label, n_votes, n_neighbors) row as the
+    * batch operator. Entirely STATELESS (append mode, no state store):
+    * a vector's entire vote tally is a pure function of that one
+    * vector against the frozen labeled slice, so the rollup needs no
+    * cross-batch state — unlike doc_similar's pair emission this dual
+    * emits the FINISHED per-vector decision. One-definition argument:
+    * the closure calls the SAME kernel entry points the batch
+    * expressions compile to ([[graft.functions.QuantizeInt8.encode]],
+    * [[graft.functions.ByteDot.dot]]), the score is the identical
+    * floor-half-up IEEE chain, labeled-slice membership is MD5 of the
+    * same `id:lbl` string, and the winner is the same (count desc,
+    * label asc) integer order — so emits are independent of
+    * micro-batching and the spec's stream==batch row equality is
+    * exact. SCALE HONESTY (the mediaNearDupStream framing): the
+    * labeled codes ship as a bounded broadcast closure constant, which
+    * fits the CURATED labeled sets label propagation actually serves
+    * (human-labeled seed corpora — small by construction); a
+    * corpus-scale labeled side swaps to the persisted IVF probe
+    * ([[graft.similarity.Knn.labelPropagationIvf]]) as a batch job. */
+  def labelPropStream(spark: SparkSession, embStream: DataFrame,
+      labeledCodesTable: String, labeledSixteenths: Int = 12,
+      tau: Double = 0.3): DataFrame = {
+    import spark.implicits._
+    require(labeledSixteenths >= 1 && labeledSixteenths <= 15,
+      s"labeledSixteenths must be in [1, 15], got $labeledSixteenths")
+    require(tau > 0.0, s"bad tau=$tau")
+    val boundary = labeledSixteenths.toHexString.charAt(0)
+    val labeled: Array[(Long, Int, Array[Byte], Double)] =
+      spark.table(labeledCodesTable)
+        .select(col("vec_id"), col("label"), col("qv"), col("qnrm"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1),
+          r.getSeq[Byte](2).toArray, r.getDouble(3)))
+    val bc = spark.sparkContext.broadcast(labeled)
+    embStream.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Int, Seq[Double])]
+      .flatMap { case (id, trueLabel, v) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"$id:lbl".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (hex.charAt(0) < boundary || v == null) Iterator.empty
+        else {
+          val qv = graft.functions.QuantizeInt8.encode(
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(
+              v.toArray))
+          val q2 = graft.functions.ByteDot.dot(qv, qv)
+          if (q2 <= 0L) Iterator.empty
+          else {
+            val unrm = math.sqrt(q2.toDouble)
+            // (label, votes) tally over the frozen labeled set
+            val votes = scala.collection.mutable.LongMap.empty[Long]
+            var neighbors = 0L
+            bc.value.foreach { case (_, lab, lqvBytes, lnrm) =>
+              val dot = graft.functions.ByteDot.dot(
+                new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                  lqvBytes), qv)
+              val score =
+                math.floor(dot.toDouble * 10000.0 / (lnrm * unrm) + 0.5) /
+                  10000.0
+              if (score >= tau) {
+                neighbors += 1L
+                votes.update(lab.toLong, votes.getOrElse(lab.toLong, 0L) + 1L)
+              }
+            }
+            if (neighbors == 0L) Iterator.empty
+            else {
+              // winner = (count desc, label asc) — the batch max_by order
+              val (predLabel, nVotes) = votes.iterator.reduce[(Long, Long)] {
+                case (a @ (la, ca), b @ (lb, cb)) =>
+                  if (cb > ca || (cb == ca && lb < la)) b else a
+              }
+              Iterator.single(
+                (id, trueLabel, predLabel.toInt, nVotes, neighbors))
+            }
+          }
+        }
+      }
+      .toDF("vec_id", "true_label", "pred_label", "n_votes", "n_neighbors")
+  }
 }

@@ -257,6 +257,55 @@ class StreamingSpec extends SparkSpec {
       s"stream ${got.size} vs batch ${want.size}")
   }
 
+  test("streaming crawl diff equals the batch diff minus its removed rows") {
+    import graft.text.{CrawlDiff, TextOps}
+    val docs = TextOps.docs(spark, SF)
+    // freeze the previous snapshot (the serving artifact)
+    val old = CrawlDiff.syntheticOld(docs)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(old.collect().toSeq.asJava, old.schema)
+      .createOrReplaceTempView("old_snapshot")
+    // the current crawl arrives as a stream: the ':new'-present docs
+    val cur = docs.filter(substring(md5(concat_ws(":",
+      col("doc_id").cast("string"), lit("new"))), 1, 1) < "e")
+    val dir = Files.createTempDirectory("graft_crawl_stream").toString
+    cur.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(cur.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    runToCompletion(Streaming.crawlDiffStream(spark, stream,
+      "old_snapshot"), "crawl_diff_stream", "append")
+    val got = spark.table("crawl_diff_stream").collect().map(_.toSeq).toSet
+    // removed = the absence of an arrival — only the batch diff sees it
+    val want = CrawlDiff.diff(old, CrawlDiff.syntheticCurrent(docs))
+      .filter(col("status") =!= "removed").collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want,
+      s"stream ${got.size} vs batch ${want.size}")
+    assert(Set("added", "changed", "unchanged").subsetOf(
+      got.map(_(1).asInstanceOf[String])))
+  }
+
+  test("streaming label propagation emits the batch rows exactly") {
+    import graft.similarity.Knn
+    val e = Knn.emb(spark, SF)
+    val codes = Knn.labeledCodes(e)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(codes.collect().toSeq.asJava, codes.schema)
+      .createOrReplaceTempView("labeled_codes")
+    // the raw embedding table arrives as a stream (labeled rows are
+    // skipped in-closure by the same md5 rule)
+    val raw = spark.read.parquet(s"$SF/embeddings.parquet")
+    val dir = Files.createTempDirectory("graft_lblprop_stream").toString
+    raw.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    runToCompletion(Streaming.labelPropStream(spark, stream,
+      "labeled_codes"), "lblprop_stream", "append")
+    val got = spark.table("lblprop_stream").collect().map(_.toSeq).toSet
+    val want = Knn.labelPropagation(e).collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want,
+      s"stream ${got.size} vs batch ${want.size}")
+  }
+
   test("streaming media decode rollup converges to batch featureStats") {
     import graft.multimodal.Multimodal
     val media = Multimodal.synthesize(graft.text.TextOps.docs(spark, SF))
