@@ -40,7 +40,7 @@ object PipelineQueries {
   /** The chunk-grid derivation shared VERBATIM by chunk_assign and
     * chunk_dedup's derived table (the reportBlock one-definition
     * discipline): a grid-formulation drift can only break one place. */
-  private val ChunkAssignSql = """
+  private def chunkGridSql(pred: String) = s"""
       SELECT doc_id, chunk_idx,
              chunk_idx * 32 AS start_word,
              CAST(least(32, n_words - chunk_idx * 32) AS BIGINT)
@@ -56,8 +56,15 @@ object PipelineQueries {
                  list_filter(string_split(text, ' '), x -> x <> '') AS words,
                  CAST(len(list_filter(string_split(text, ' '),
                    x -> x <> '')) AS BIGINT) AS n_words
-          FROM documents)
+          FROM documents WHERE ($pred))
         WHERE n_words > 0)"""
+
+  private val ChunkAssignSql = chunkGridSql("TRUE")
+
+  /** The crawl-shard membership rule shared by chunk_dedup_incremental's
+    * engine call and oracle: ~3/16 of docs form the arriving shard. */
+  private val ShardPredSql =
+    "substring(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 1) < '3'"
 
   /** The crawl-diff derivation shared verbatim by crawl_diff and
     * crawl_diff_report's derived table. */
@@ -778,6 +785,22 @@ object PipelineQueries {
     // lexicographic-min (doc_id, chunk_idx) rule, so intra-doc repeats
     // dedup too; per-doc survival accounting
     "chunk_dedup" -> ((s, d) => graft.text.Chunks.chunkDedup(docs(s, d))),
+    // incremental chunk dedup: a ~3/16 md5-drawn shard probes the
+    // PERSISTED corpus chunk-digest index (bucketed by digest — no
+    // corpus-side Exchange) and reports seen-vs-novel mass per doc; the
+    // digest round trip is transparent, so the oracle reproduces the
+    // whole persisted pipeline relationally
+    "chunk_dedup_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      val (tbl, path) = runScopedTable(s, d, "graft_chunk_index")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val isShard = expr(
+        "substring(md5(concat_ws(':', cast(doc_id as string), 'shard')), " +
+          "1, 1) < '3'")
+      val dd = docs(s, d)
+      graft.text.Chunks.writeChunkIndex(dd.filter(!isShard), tbl, path)
+      graft.text.Chunks.chunkDedupIncremental(s, tbl, dd.filter(isShard))
+    }),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
     "repetition_stats" -> ((s, d) => TextOps.repetitionStats(docs(s, d))),
     "lm_score" -> ((s, d) => TextOps.lmScore(docs(s, d))),
@@ -1589,6 +1612,24 @@ object PipelineQueries {
     // 1-based inclusive, clamped at the list end exactly like Spark's
     // slice), chunk_words = least(W, remainder)
     "chunk_assign" -> ChunkAssignSql,
+
+    // corpus index = distinct chunk digests of the non-shard slice; the
+    // shard's chunks left-join it — membership arithmetic both engines
+    // derive identically
+    "chunk_dedup_incremental" -> s"""
+      WITH corpus AS (${chunkGridSql(s"NOT ($ShardPredSql)")}),
+      idx AS (SELECT DISTINCT chunk_digest FROM corpus),
+      shard AS (${chunkGridSql(ShardPredSql)})
+      SELECT s.doc_id,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN i.chunk_digest IS NOT NULL THEN 1 ELSE 0
+               END) AS BIGINT) AS n_seen,
+             CAST(sum(CASE WHEN i.chunk_digest IS NULL THEN 1 ELSE 0
+               END) AS BIGINT) AS n_new,
+             CAST(sum(CASE WHEN i.chunk_digest IS NULL THEN s.chunk_words
+               ELSE 0 END) AS BIGINT) AS words_new
+      FROM shard s LEFT JOIN idx i ON s.chunk_digest = i.chunk_digest
+      GROUP BY 1""",
 
     // corpus-wide keeper election per chunk digest: lexicographic min of
     // (doc_id, chunk_idx) — computed as min doc_id per digest, then min

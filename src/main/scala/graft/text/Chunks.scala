@@ -54,6 +54,56 @@ object Chunks {
           .as("chunk_digest"))
   }
 
+  /** Persist the corpus's chunk-digest KEEPER index as a bucketed
+    * external table (bucketBy digest — the writeAnchorIndex posture,
+    * extending the persisted-index story to chunk dedup): one row per
+    * distinct chunk content with its elected keeper, so a rolling crawl
+    * can probe "have we seen this passage" without re-chunking the
+    * corpus. Build = the chunkDedup keeper election (one digest agg);
+    * probe = [[chunkDedupIncremental]]. */
+  def writeChunkIndex(d: DataFrame, tableName: String, path: String,
+      width: Int = 32, buckets: Int = 8): Unit =
+    chunkAssign(d, width)
+      .groupBy(col("chunk_digest"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("keeper"))
+      .select(col("chunk_digest"), col("keeper.doc_id").as("keeper_doc"),
+        col("keeper.chunk_idx").as("keeper_idx"))
+      .repartition(col("chunk_digest"))
+      .write
+      .option("path", path)
+      .bucketBy(buckets, "chunk_digest")
+      .sortBy("chunk_digest")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(tableName)
+
+  /** Incremental chunk dedup — the rolling-crawl shape (the
+    * dedup_incremental posture at passage granularity): a NEW shard's
+    * chunks probe the PERSISTED corpus index in one digest equijoin
+    * (index side pre-bucketed — no corpus-side Exchange; only the shard
+    * shuffles) and each shard doc reports how much of its content the
+    * corpus has already seen vs the novel mass it adds — the number an
+    * ingest gate thresholds before admitting a crawl batch. `seen`
+    * means present in the CORPUS index only; intra-shard repetition is
+    * the shard's own [[chunkDedup]] run (each pass keeps one concern).
+    * The digest round trip is transparent (exact md5 equality, no caps,
+    * no approximation boundary), so the oracle reproduces the whole
+    * persisted pipeline relationally. */
+  def chunkDedupIncremental(spark: org.apache.spark.sql.SparkSession,
+      tableName: String, newDocs: DataFrame, width: Int = 32): DataFrame = {
+    val idx = spark.table(tableName)
+      .select(col("chunk_digest"), col("keeper_doc"))
+    chunkAssign(newDocs, width)
+      .join(idx, Seq("chunk_digest"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("keeper_doc").isNotNull, 1L).otherwise(0L))
+          .as("n_seen"),
+        sum(when(col("keeper_doc").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("keeper_doc").isNull, col("chunk_words"))
+          .otherwise(0L)).as("words_new"))
+  }
+
   /** Per-document survival accounting under corpus-wide chunk-keeper
     * election: a chunk survives iff it IS the lexicographically smallest
     * (doc_id, chunk_idx) holding its digest. Output per doc with ≥ 1

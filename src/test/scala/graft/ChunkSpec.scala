@@ -68,6 +68,31 @@ class ChunkSpec extends SparkSpec {
     assert(out(3L) == ((1L, 1L, 0L, 3L)))
   }
 
+  test("chunkDedupIncremental: shard probes the persisted index; seen " +
+      "means in-corpus only; the bucketed index side never shuffles") {
+    val a = (1 to 32).map(i => s"w$i").mkString(" ")
+    val b = (1 to 32).map(i => s"x$i").mkString(" ")
+    val corpus = df(1L -> s"$a $b", 2L -> a)
+    // shard doc 10 = a known window + novel tail; doc 11 repeats a novel
+    // window twice (intra-shard repetition is NOT "seen" — the corpus
+    // index is the only reference)
+    val nov = (1 to 32).map(i => s"n$i").mkString(" ")
+    val shard = df(10L -> s"$a fresh words", 11L -> s"$nov $nov")
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft_chunk_idx").toString
+    spark.sql("DROP TABLE IF EXISTS chunk_idx_t")
+    Chunks.writeChunkIndex(corpus, "chunk_idx_t", dir)
+    val out = Chunks.chunkDedupIncremental(spark, "chunk_idx_t", shard)
+    val rows = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_seen"),
+        r.getAs[Long]("n_new"), r.getAs[Long]("words_new"))).toMap
+    assert(rows(10L) == ((2L, 1L, 1L, 2L)), rows.toString)
+    assert(rows(11L) == ((2L, 0L, 2L, 64L)), rows.toString)
+    // plan fences: bucketed index scan, no Exchange on the index side
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("Bucketed: true"), p)
+  }
+
   test("chunkDedup: clean corpus keeps everything; empty docs drop out") {
     val d = df(1L -> "a b c", 2L -> "d e f", 3L -> "", 4L -> "   ")
     val out = Chunks.chunkDedup(d, width = 2).collect()
