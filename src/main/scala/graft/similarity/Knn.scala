@@ -454,17 +454,10 @@ object Knn {
     * emb_drift shape), nothing pairwise. Same per-label long-overflow
     * bound as emb_drift (n ≲ 3·10⁶ vectors per label per batch). */
   def embCentroidAffinity(e: DataFrame): DataFrame = {
-    val q = quantize(e)
-      .withColumn("q2",
-        graft.functions.ByteDot(col("qv"), col("qv")).cast("long"))
-      .filter(col("q2") > lit(0L))
-      .select(col("vec_id"), col("label"), col("q2"), col("qv"))
-    val codes = q.select(col("vec_id"), col("label"), col("q2"),
-      posexplode(col("qv")).as(Seq("pos", "code")))
+    val codes = explodedCodes(e)
       // feeds the centroid agg AND the scoring join — one materialization
       .localCheckpoint(true)
-    val cent = codes.groupBy(col("label"), col("pos"))
-      .agg(sum(col("code").cast("long")).as("s"))
+    val cent = centroidSumsFrom(codes)
       .localCheckpoint(true) // 2 consumers: the norm rollup + the dot join
     val snrm = cent.groupBy(col("label"))
       .agg(sum(col("s") * col("s")).as("s2"))
@@ -478,6 +471,28 @@ object Knn {
           (sqrt(col("q2").cast("double")) * sqrt(col("s2").cast("double")))
           + lit(0.5)).cast("double") / lit(10000.0)).as("score"))
   }
+
+  /** Exploded positive-norm codes — one definition feeding the affinity
+    * operator and the frozen [[centroidSums]] artifact. */
+  private def explodedCodes(e: DataFrame): DataFrame =
+    quantize(e)
+      .withColumn("q2",
+        graft.functions.ByteDot(col("qv"), col("qv")).cast("long"))
+      .filter(col("q2") > lit(0L))
+      .select(col("vec_id"), col("label"), col("q2"),
+        posexplode(col("qv")).as(Seq("pos", "code")))
+
+  private def centroidSumsFrom(codes: DataFrame): DataFrame =
+    codes.groupBy(col("label"), col("pos"))
+      .agg(sum(col("code").cast("long")).as("s"))
+
+  /** The frozen per-label centroid code sums
+    * ([[graft.streaming.Streaming.embOutlierStream]]'s serving
+    * artifact): labels × dims exact BIGINT rows — bounded by the label
+    * set at ANY corpus size, the anomalyStream broadcast-baseline
+    * posture. */
+  def centroidSums(e: DataFrame): DataFrame =
+    centroidSumsFrom(explodedCodes(e))
 
   /** The flagged tail of [[embCentroidAffinity]]: vectors pointing AWAY
     * from their own label's centroid (dot < 0 — an INTEGER membership

@@ -905,4 +905,73 @@ object Streaming {
       }
       .toDF("vec_id", "true_label", "pred_label", "n_votes", "n_neighbors")
   }
+
+  /** Streaming EMBEDDING-OUTLIER gate — the live dual of
+    * [[graft.similarity.Knn.embOutliers]]: every ARRIVING labeled
+    * vector is scored against the FROZEN per-label centroid code sums
+    * ([[graft.similarity.Knn.centroidSums]] materialized to a table)
+    * and flagged THE MOMENT it lands if it points away from its own
+    * label's centroid (dot < 0 — the batch integer membership
+    * predicate), emitting the identical (vec_id, label, dot, score)
+    * row. Stateless append mode; the artifact is labels × dims exact
+    * BIGINT rows — bounded by the label set at ANY corpus size (the
+    * anomalyStream broadcast-baseline posture, with the batch affinity
+    * pass as the artifact refresh). One-definition argument: codes via
+    * [[graft.functions.QuantizeInt8.encode]], q2 via
+    * [[graft.functions.ByteDot.dot]], the centroid dot an exact
+    * integer sum (order-free ⟹ the closure's ascending loop ≡ the
+    * batch hash agg), the score the identical floor-half-up IEEE
+    * chain — so emits are a pure function of the vector and the spec's
+    * stream==batch row equality is exact. Vectors with zero-norm codes
+    * or an unknown/degenerate label pass silently (no row — the batch
+    * integer fences). */
+  def embOutlierStream(spark: SparkSession, embStream: DataFrame,
+      centroidTable: String): DataFrame = {
+    import spark.implicits._
+    val sums: Map[Int, Array[Long]] = spark.table(centroidTable)
+      .select(col("label"), col("pos"), col("s"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (lab, rows) =>
+        val dims = rows.map(_.getInt(1)).max + 1
+        val a = new Array[Long](dims)
+        rows.foreach(r => a(r.getInt(1)) = r.getLong(2))
+        lab -> a
+      }
+    val bc = spark.sparkContext.broadcast(
+      sums.map { case (lab, a) =>
+        lab -> ((a, a.foldLeft(0L)((acc, x) => acc + x * x)))
+      })
+    embStream.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Int, Seq[Double])]
+      .flatMap { case (id, label, v) =>
+        val entry = if (v == null) None else bc.value.get(label)
+        entry match {
+          case Some((s, s2)) if s2 > 0L =>
+            val qv = graft.functions.QuantizeInt8.encode(
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                v.toArray))
+            val q2 = graft.functions.ByteDot.dot(qv, qv)
+            if (q2 <= 0L || qv.numElements() != s.length) Iterator.empty
+            else {
+              var dot = 0L
+              var i = 0
+              while (i < s.length) {
+                dot += qv.getByte(i).toLong * s(i); i += 1
+              }
+              if (dot >= 0L) Iterator.empty
+              else {
+                val score =
+                  math.floor(dot.toDouble * 10000.0 /
+                    (math.sqrt(q2.toDouble) * math.sqrt(s2.toDouble)) +
+                    0.5) / 10000.0
+                Iterator.single((id, label, dot, score))
+              }
+            }
+          case _ => Iterator.empty
+        }
+      }
+      .toDF("vec_id", "label", "dot", "score")
+  }
 }

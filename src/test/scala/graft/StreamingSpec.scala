@@ -306,6 +306,26 @@ class StreamingSpec extends SparkSpec {
       s"stream ${got.size} vs batch ${want.size}")
   }
 
+  test("streaming embedding-outlier gate emits the batch outlier rows exactly") {
+    import graft.similarity.Knn
+    val e = Knn.emb(spark, SF)
+    val sums = Knn.centroidSums(e)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(sums.collect().toSeq.asJava, sums.schema)
+      .createOrReplaceTempView("centroid_sums")
+    val raw = spark.read.parquet(s"$SF/embeddings.parquet")
+    val dir = Files.createTempDirectory("graft_emb_out_stream").toString
+    raw.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    runToCompletion(Streaming.embOutlierStream(spark, stream,
+      "centroid_sums"), "emb_out_stream", "append")
+    val got = spark.table("emb_out_stream").collect().map(_.toSeq).toSet
+    val want = Knn.embOutliers(e).collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want,
+      s"stream ${got.size} vs batch ${want.size}")
+  }
+
   test("streaming media decode rollup converges to batch featureStats") {
     import graft.multimodal.Multimodal
     val media = Multimodal.synthesize(graft.text.TextOps.docs(spark, SF))
