@@ -164,6 +164,56 @@ object Dedup {
       .withColumn("simhash", SimHash64(col("hs")))
       .select(col("doc_id"), col("simhash"))
 
+  /** Dedup-QUALITY recall audit (the knn_recall_audit discipline applied
+    * to text near-dup): one row comparing [[minHashPairs]]'s emitted
+    * pairs against the EXACT shingle-Jaccard ≥ τ pair set at the same
+    * τ and shingle definition — the number that decides band/hash-count
+    * tuning and cap sizing, because band-recall loss is silent in the
+    * LSH output itself. `n_hits` is MEASURED (an inner join, not an
+    * assumed subset), so a drift between the LSH verify's formula and
+    * the exact baseline would surface as n_hits < n_lsh rather than
+    * hide; DedupSpec asserts n_hits == n_lsh (emitted pairs are
+    * verified-exact by construction) and total recall at τ=1.0
+    * (identical shingle sets hash identically in every band). The exact
+    * side is the brute baseline role — an audit job at audit scope, not
+    * a production path (it shares the inverted-index shape of
+    * [[jaccardPairs]] over the SAME xxhash64 shingle space the LSH
+    * verify intersects, so the two sides can't diverge on tokenization
+    * or hashing). recall = floor-half-up milli; an empty exact set
+    * audits as 1000 (nothing to recall). */
+  def dedupRecallAudit(d: DataFrame, shingleK: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, tau: Double = 0.5,
+      maxOccupancy: Long = 8192L): DataFrame = {
+    val sh = shingleSets(d, shingleK).localCheckpoint(true)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+    val exact = inv.as("a").join(inv.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("doc1"), col("n").as("n1")),
+        "doc1")
+      .join(sizes.select(col("doc_id").as("doc2"), col("n").as("n2")),
+        "doc2")
+      .withColumn("jaccard", round(col("n_common") /
+        (col("n1") + col("n2") - col("n_common")), 4))
+      .filter(col("jaccard") >= tau)
+      .select("doc1", "doc2")
+      .localCheckpoint(true) // feeds the count + the hit join
+    val lsh = minHashPairs(d, shingleK, numHashes, bands, tau,
+      maxOccupancy).select("doc1", "doc2").localCheckpoint(true)
+    val ce = exact.agg(count(lit(1)).as("n_exact_pairs"))
+    val cl = lsh.agg(count(lit(1)).as("n_lsh_pairs"))
+    val ch = lsh.join(exact, Seq("doc1", "doc2"))
+      .agg(count(lit(1)).as("n_hits"))
+    ce.crossJoin(broadcast(cl)).crossJoin(broadcast(ch))
+      .select(col("n_exact_pairs"), col("n_lsh_pairs"), col("n_hits"),
+        when(col("n_exact_pairs") > 0L,
+          floor(col("n_hits").cast("double") * lit(1000.0) /
+            col("n_exact_pairs").cast("double") + lit(0.5)).cast("long"))
+          .otherwise(1000L).as("recall_milli"))
+  }
+
   /** Near-dup pairs via 4×16-bit simhash bands. Each band has a fixed
     * 65,536-bucket key space (the §5-documented ceiling), so a band
     * bucket's occupancy grows with the corpus — `maxOccupancy` caps it:

@@ -315,6 +315,43 @@ object StreamOps {
     consumerLagFrom(named, cursors)
   }
 
+  /** Retention/TTL planning audit — the sizing pass run before an
+    * expiry job (the read-side companion of `EventLogWriter.compact`):
+    * per space, the entry count and payload byte mass that a
+    * TTL-at-the-cutoff policy would expire vs keep, plus the span
+    * actually covered. The demo cutoff is an exact-BIGINT quantile of
+    * each space's own time range (keep the newest quarter:
+    * tmin + (tmax−tmin)·keepNum div keepDen — multiply before divide),
+    * so the oracle derives it identically; a real deployment passes a
+    * wall-clock cutoff per space. One bounds agg + one
+    * map-side-combinable conditional rollup — two linear passes, no
+    * joins wider than the #spaces bounds broadcast. */
+  def retentionAudit(named: DataFrame, keepNum: Int = 3,
+      keepDen: Int = 4): DataFrame = {
+    require(keepDen >= 1 && keepNum >= 0 && keepNum <= keepDen,
+      s"bad keep fraction $keepNum/$keepDen")
+    val bounds = named.groupBy(col("space"))
+      .agg(min(col("ts_us")).as("tmin"), max(col("ts_us")).as("tmax"))
+      .select(col("space"),
+        (col("tmin") + expr(s"(tmax - tmin) * $keepNum div $keepDen"))
+          .as("cutoff_ts_us"))
+    named.select(col("space"), col("ts_us"),
+        length(col("payload")).cast("long").as("pbytes"))
+      .join(broadcast(bounds), Seq("space"))
+      .groupBy(col("space"), col("cutoff_ts_us"))
+      .agg(
+        sum(when(col("ts_us") < col("cutoff_ts_us"), 1L).otherwise(0L))
+          .as("n_expired"),
+        sum(when(col("ts_us") < col("cutoff_ts_us"), col("pbytes"))
+          .otherwise(0L)).as("bytes_expired"),
+        sum(when(col("ts_us") >= col("cutoff_ts_us"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("ts_us") >= col("cutoff_ts_us"), col("pbytes"))
+          .otherwise(0L)).as("bytes_kept"))
+      .select(col("space"), col("cutoff_ts_us"), col("n_expired"),
+        col("bytes_expired"), col("n_kept"), col("bytes_kept"))
+  }
+
   /** [[consumerLag]] over an explicit committed-cursor table
     * (grp, space, cursor_ts_us, tmax-per-space). */
   def consumerLagFrom(named: DataFrame, cursors: DataFrame): DataFrame =

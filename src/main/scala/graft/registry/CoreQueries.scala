@@ -77,6 +77,11 @@ object CoreQueries {
     // oracle derives them identically
     "sk_consumer_lag" -> ((s, d) =>
       StreamOps.consumerLag(EventLog.named(s, d))),
+    // TTL sizing audit (the compact companion): per space, entries +
+    // payload bytes a keep-newest-quarter policy would expire vs keep;
+    // cutoff = exact-BIGINT quantile of the space's own range
+    "sk_retention_audit" -> ((s, d) =>
+      StreamOps.retentionAudit(EventLog.named(s, d))),
     // ── B. event sourcing ─────────────────────────────────────────────
     "es_replay_state" -> ((s, d) =>
       EventSourcing.replayState(
@@ -348,6 +353,28 @@ object CoreQueries {
              c.tmax - c.cursor_ts_us AS time_lag_us
       FROM ev e JOIN c ON e.space = c.space
       GROUP BY 1, 2, 3, c.tmax""",
+
+    "sk_retention_audit" -> s"""
+      WITH ev AS (
+        SELECT event_type AS space, epoch_us(ts) AS ts_us,
+               CAST(length(props) AS BIGINT) AS pbytes
+        FROM events),
+      b AS (
+        SELECT space,
+               min(ts_us) + ((max(ts_us) - min(ts_us)) * 3) // 4
+                 AS cutoff_ts_us
+        FROM ev GROUP BY 1)
+      SELECT e.space, b.cutoff_ts_us,
+             CAST(sum(CASE WHEN e.ts_us < b.cutoff_ts_us THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_expired,
+             CAST(sum(CASE WHEN e.ts_us < b.cutoff_ts_us THEN e.pbytes
+               ELSE 0 END) AS BIGINT) AS bytes_expired,
+             CAST(sum(CASE WHEN e.ts_us >= b.cutoff_ts_us THEN 1 ELSE 0
+               END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN e.ts_us >= b.cutoff_ts_us THEN e.pbytes
+               ELSE 0 END) AS BIGINT) AS bytes_kept
+      FROM ev e JOIN b ON e.space = b.space
+      GROUP BY 1, 2""",
 
     "es_replay_state" -> s"""$E
       SELECT space, segment, count(*) AS n_events,

@@ -377,6 +377,11 @@ object PipelineQueries {
     // max (band, sig) occupancy; rows-only (minhash signatures aren't
     // ANSI-expressible), DedupSpec asserts the cap fires on a planted
     // near-clone mass and stays silent on the normal corpus
+    // dedup-quality recall audit: LSH pairs vs the exact shingle-Jaccard
+    // baseline at the same τ — rows-only (the LSH side is banded);
+    // DedupSpec proves hit consistency + τ=1.0 total recall
+    "dedup_recall_audit" -> ((s, d) =>
+      Dedup.dedupRecallAudit(docs(s, d))),
     "minhash_band_audit" -> ((s, d) =>
       Dedup.minHashBandAudit(docs(s, d))),
     "dedup_char_ngram" -> ((s, d) => Dedup.charNGramPairs(docs(s, d))),

@@ -232,6 +232,33 @@ class DedupSpec extends SparkSpec {
       Map(1L -> 1L, 4L -> 1L, 9L -> 1L, 2L -> 2L, 5L -> 2L))
   }
 
+  test("dedup recall audit: hits equal LSH pairs; total recall at τ=1.0") {
+    import spark.implicits._
+    // real corpus at the registry τ: every LSH-emitted pair is
+    // verified-exact, so hits == lsh and recall ≤ 1000 by construction
+    val aud = Dedup.dedupRecallAudit(
+      graft.text.TextOps.docs(spark, SF)).collect().head
+    assert(aud.getAs[Long]("n_hits") == aud.getAs[Long]("n_lsh_pairs"), aud)
+    assert(aud.getAs[Long]("n_lsh_pairs") <= aud.getAs[Long]("n_exact_pairs"))
+    assert(aud.getAs[Long]("recall_milli") <= 1000L)
+    // exact clones: identical shingle sets hash identically in every
+    // band → recall exactly 1000
+    val clones = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "en", "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "en", "completely different words about catalyst and shuffles"))
+      .toDF("doc_id", "lang", "text")
+    val c = Dedup.dedupRecallAudit(clones, tau = 1.0).collect().head
+    assert(c.getAs[Long]("n_exact_pairs") == 1L, c)
+    assert(c.getAs[Long]("recall_milli") == 1000L, c)
+    // no qualifying pairs → nothing to recall → 1000 (not a 0/0)
+    val lone = Seq((1L, "en", "just one tiny document here today"))
+      .toDF("doc_id", "lang", "text")
+    val l = Dedup.dedupRecallAudit(lone).collect().head
+    assert(l.getAs[Long]("n_exact_pairs") == 0L &&
+      l.getAs[Long]("recall_milli") == 1000L, l)
+  }
+
   test("substring pairs: shared run >= k+w-1 chars is guaranteed; disjoint text is not paired") {
     import spark.implicits._
     // shared run of 70 chars (> guarantee length 40+25-1 = 64), embedded
