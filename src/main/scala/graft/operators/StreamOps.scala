@@ -301,18 +301,22 @@ object StreamOps {
     * (groups × spaces) cursor table in a BROADCAST join feeding one
     * map-side-combinable conditional count — the fact table never
     * shuffles on anything but the (grp, space) agg key. */
-  def consumerLag(named: DataFrame, nGroups: Int = 3): DataFrame = {
+  def consumerLag(named: DataFrame, nGroups: Int = 3): DataFrame =
+    consumerLagFrom(named, consumerCursors(named, nGroups))
+
+  /** The synthesized committed-cursor table (grp, space, cursor_ts_us,
+    * tmax) — exposed so the streaming dual can freeze it as its serving
+    * artifact. */
+  def consumerCursors(named: DataFrame, nGroups: Int = 3): DataFrame = {
     require(nGroups >= 1, s"bad nGroups=$nGroups")
     val spark = named.sparkSession
     val bounds = named.groupBy(col("space"))
       .agg(min(col("ts_us")).as("tmin"), max(col("ts_us")).as("tmax"))
-    val cursors = bounds.crossJoin(
-        spark.range(1, nGroups + 1).toDF("grp"))
+    bounds.crossJoin(spark.range(1, nGroups + 1).toDF("grp"))
       .select(col("grp"), col("space"),
         (col("tmin") + expr(s"(tmax - tmin) * grp div ${nGroups + 1}"))
           .as("cursor_ts_us"),
         col("tmax"))
-    consumerLagFrom(named, cursors)
   }
 
   /** Retention/TTL planning audit — the sizing pass run before an

@@ -906,6 +906,30 @@ object Streaming {
       .toDF("vec_id", "true_label", "pred_label", "n_votes", "n_neighbors")
   }
 
+  /** Streaming CONSUMER-LAG monitor — the live dual of
+    * [[graft.operators.StreamOps.consumerLag]]: arriving entries fold
+    * into a running per-(group, space) behind-count against the FROZEN
+    * committed-cursor table ([[graft.operators.StreamOps
+    * .consumerCursors]] or a real committed-offset feed), the number an
+    * operations dashboard polls between cursor refreshes. The cursor
+    * side is a broadcast stream-static equijoin (tiny — groups ×
+    * spaces); the running count is ONE streaming aggregation whose
+    * state is one row per (group, space) — bounded by the cursor table,
+    * never the log (update mode re-emits moved counters, the peek
+    * convention); the conditional sum is the IDENTICAL integer
+    * expression as batch, so the last emit per key converges to the
+    * batch operator exactly (StreamingSpec). */
+  def consumerLagStream(spark: SparkSession, entryStream: DataFrame,
+      cursorTable: String): DataFrame =
+    entryStream.select(col("space"), col("ts_us"))
+      .join(broadcast(spark.table(cursorTable)), Seq("space"))
+      .groupBy(col("grp"), col("space"), col("cursor_ts_us"), col("tmax"))
+      .agg(sum(when(col("ts_us") > col("cursor_ts_us"), 1L).otherwise(0L))
+        .as("n_behind"))
+      .select(col("grp"), col("space"), col("cursor_ts_us"),
+        col("n_behind"),
+        (col("tmax") - col("cursor_ts_us")).as("time_lag_us"))
+
   /** Streaming EMBEDDING-OUTLIER gate — the live dual of
     * [[graft.similarity.Knn.embOutliers]]: every ARRIVING labeled
     * vector is scored against the FROZEN per-label centroid code sums

@@ -326,6 +326,22 @@ class StreamingSpec extends SparkSpec {
       s"stream ${got.size} vs batch ${want.size}")
   }
 
+  test("streaming consumer lag converges to the batch lag monitor") {
+    val named = EventLog.named(spark, SF)
+    val cursors = StreamOps.consumerCursors(named)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(cursors.collect().toSeq.asJava, cursors.schema)
+      .createOrReplaceTempView("lag_cursors")
+    val stream = Streaming.readEntryStream(spark, streamDir,
+      maxFilesPerTrigger = 2)
+    runToCompletion(Streaming.consumerLagStream(spark, stream,
+      "lag_cursors"), "lag_stream", "complete")
+    val got = spark.table("lag_stream").collect().map(_.toSeq).toSet
+    val want = StreamOps.consumerLag(named).collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want,
+      s"stream ${got.size} vs batch ${want.size}")
+  }
+
   test("streaming media decode rollup converges to batch featureStats") {
     import graft.multimodal.Multimodal
     val media = Multimodal.synthesize(graft.text.TextOps.docs(spark, SF))
