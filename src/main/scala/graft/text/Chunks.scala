@@ -111,7 +111,12 @@ object Chunks {
     * the per-doc signal a curation pass thresholds on (a doc whose
     * chunks all lose is pure boilerplate already seen elsewhere). */
   def chunkDedup(d: DataFrame, width: Int = 32): DataFrame = {
-    val chunks = chunkAssign(d, width)
+    // the grid derivation (split + per-chunk md5) feeds TWO consumers
+    // (the keeper election and the survival join) — materialize the
+    // compact chunk table once instead of re-chunking the corpus per
+    // consumer (the minhash banded-table pattern; §5's eager-
+    // intermediates note covers the cluster-scale persist swap)
+    val chunks = chunkAssign(d, width).localCheckpoint(true)
     val keepers = chunks.groupBy(col("chunk_digest"))
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("keeper"))
     chunks.join(keepers, Seq("chunk_digest"))

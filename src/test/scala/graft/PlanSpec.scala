@@ -310,6 +310,17 @@ class PlanSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("chunk_dedup chunks the corpus once; no window machinery anywhere") {
+    val df = graft.text.Chunks.chunkDedup(
+      graft.text.TextOps.docs(spark, SF))
+    val p = plan(df)
+    // both consumers (keeper election + survival join) read the
+    // checkpointed chunk table — zero parquet scans in the final plan
+    assert(!p.contains("Scan parquet"), p)
+    // keeper election is an agg (min of struct), never a corpus window
+    assert(!p.contains("Window"), p)
+  }
+
   test("emb_drift_quantized scans the corpus once; the dim join is broadcast") {
     val df = graft.similarity.Knn.embDriftQuantized(
       graft.similarity.Knn.emb(spark, SF))
