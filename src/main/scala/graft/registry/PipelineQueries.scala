@@ -66,6 +66,24 @@ object PipelineQueries {
   private val ShardPredSql =
     "substring(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 1) < '3'"
 
+  /** The per-source exact-dedup savings rollup, shared verbatim by
+    * dedup_report and source_scorecard's derived table (the reportBlock
+    * discipline). */
+  private val DedupReportSql = """
+      WITH g AS (
+        SELECT source, md5(lower(trim(text))) AS digest,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+               CAST(arg_min(length(text), doc_id) AS BIGINT) AS kept_chars
+        FROM documents GROUP BY 1, 2)
+      SELECT source,
+             CAST(sum(n) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_uniq,
+             CAST(sum(n - 1) AS BIGINT) AS n_dup,
+             CAST(sum(sum_chars) AS BIGINT) AS chars_total,
+             CAST(sum(sum_chars - kept_chars) AS BIGINT) AS chars_saved
+      FROM g GROUP BY source"""
+
   /** The crawl-diff derivation shared verbatim by crawl_diff and
     * crawl_diff_report's derived table. */
   private val CrawlDiffSql = """
@@ -419,6 +437,10 @@ object PipelineQueries {
     // per-source exact-dedup savings rollup (the audit discipline at
     // report level): docs / distinct contents / dup count / chars saved
     "dedup_report" -> ((s, d) => Dedup.dedupReport(docs(s, d))),
+    // per-source release scorecard: dedup savings + exact-integer
+    // quality moments + token mass in one governance view; oracle
+    // embeds DedupReportSql verbatim
+    "source_scorecard" -> ((s, d) => TextOps.sourceScorecard(docs(s, d))),
     // right-to-be-forgotten propagation: opted-out sources leave their
     // near-dup clusters and keepers are re-elected among survivors
     // (cluster ids stay those of the full run — membership filtered,
@@ -1082,20 +1104,46 @@ object PipelineQueries {
                  AS n_members
         FROM mem) WHERE rn = 1""",
 
-    "dedup_report" -> """
-      WITH g AS (
-        SELECT source, md5(lower(trim(text))) AS digest,
-               CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(length(text)) AS BIGINT) AS sum_chars,
-               CAST(arg_min(length(text), doc_id) AS BIGINT) AS kept_chars
-        FROM documents GROUP BY 1, 2)
-      SELECT source,
-             CAST(sum(n) AS BIGINT) AS n_docs,
-             CAST(count(*) AS BIGINT) AS n_uniq,
-             CAST(sum(n - 1) AS BIGINT) AS n_dup,
-             CAST(sum(sum_chars) AS BIGINT) AS chars_total,
-             CAST(sum(sum_chars - kept_chars) AS BIGINT) AS chars_saved
-      FROM g GROUP BY source""",
+    "dedup_report" -> DedupReportSql,
+
+    // per-source release scorecard: the dedup_report block VERBATIM
+    // joined with exact-integer quality moments (q4 quarters) — mean
+    // quality as ONE floor-half-up expression over exact integers
+    "source_scorecard" -> s"""
+      WITH rep AS ($DedupReportSql),
+      t AS (
+        SELECT doc_id, source, text,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents),
+      m AS (
+        SELECT doc_id, source,
+               len(toks) AS n_tokens,
+               round(len(list_filter(toks,
+                 x -> x IN ('a', 'value', 'data', 'key', 'the')))
+                 / len(toks), 4) AS stop_ratio,
+               round(len(list_distinct(toks)) / len(toks), 4) AS uniq_ratio,
+               round(length(replace(text, ' ', '')) / len(toks), 4)
+                 AS avg_token_len
+        FROM t),
+      q4 AS (
+        SELECT source, n_tokens, CAST(round((
+               (CASE WHEN n_tokens BETWEEN 30 AND 500 THEN 0.25 ELSE 0 END) +
+               (CASE WHEN stop_ratio BETWEEN 0.02 AND 0.5 THEN 0.25 ELSE 0 END) +
+               (CASE WHEN uniq_ratio >= 0.2 THEN 0.25 ELSE 0 END) +
+               (CASE WHEN avg_token_len BETWEEN 2.0 AND 10.0 THEN 0.25
+                     ELSE 0 END)) * 4, 0) AS BIGINT) AS q4
+        FROM m),
+      q AS (
+        SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+               CAST(sum(q4) AS BIGINT) AS sum_q4,
+               CAST(count(*) AS BIGINT) AS nq
+        FROM q4 GROUP BY 1)
+      SELECT rep.source, rep.n_docs, rep.n_uniq, rep.n_dup,
+             rep.chars_total, rep.chars_saved, q.tokens_total,
+             CAST(floor(CAST(q.sum_q4 AS DOUBLE) * 250.0::DOUBLE /
+               CAST(q.nq AS DOUBLE) + 0.5::DOUBLE) AS BIGINT)
+               AS mean_quality_milli
+      FROM rep JOIN q ON rep.source = q.source""",
 
     // same de/0.85 recursive closure as dedup_keeper_quality, with the
     // keeper re-election over the surviving (non-opted-out) members

@@ -78,6 +78,32 @@ object TextOps {
     qualityScored(d).select("doc_id", "n_tokens", "stop_ratio",
       "uniq_ratio", "avg_token_len", "quality_score")
 
+  /** Per-source RELEASE SCORECARD — the one-table-per-source view a
+    * data-governance review reads before weighting sources: the
+    * dedup_report savings columns joined with exact-integer quality
+    * moments (q4 quarters, the quality_drift contract) and the raw
+    * token mass. Mean quality is ONE floor-half-up milli expression
+    * over exact integers (sum_q4·250/n — no float round anywhere), so
+    * the whole row sits under the hash gate; the oracle embeds the
+    * dedup_report SQL verbatim (the reportBlock discipline), so the
+    * scorecard can only drift from its members by the join itself.
+    * Two map-side-combinable corpus aggs + one #sources join. */
+  def sourceScorecard(d: DataFrame): DataFrame = {
+    val rep = graft.dedup.Dedup.dedupReport(d)
+    val q = qualityScored(d)
+      .select(col("source"), col("n_tokens"),
+        round(col("quality_score") * 4, 0).cast("long").as("q4"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).cast("long").as("tokens_total"),
+        sum(col("q4")).as("sum_q4"), count(lit(1)).as("nq"))
+    rep.join(q, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_uniq"), col("n_dup"),
+        col("chars_total"), col("chars_saved"), col("tokens_total"),
+        floor(col("sum_q4").cast("double") * lit(250.0) /
+          col("nq").cast("double") + lit(0.5)).cast("long")
+          .as("mean_quality_milli"))
+  }
+
   /** Per-source quality drift — the data-quality monitor a curation
     * pipeline tracks per crawl batch: each source's mean quality scored
     * against the corpus distribution as

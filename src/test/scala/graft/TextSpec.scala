@@ -1074,4 +1074,33 @@ class TextSpec extends SparkSpec {
     assert(b.getAs[Long]("tokens_kept") == 0 &&
       b.getAs[Double]("yield_frac") == 0.0)
   }
+
+  test("source scorecard agrees with its member operators") {
+    val card = TextOps.sourceScorecard(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val rep = graft.dedup.Dedup.dedupReport(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(card.keySet == rep.keySet)
+    card.foreach { case (src, c) =>
+      val r = rep(src)
+      Seq("n_docs", "n_uniq", "n_dup", "chars_total", "chars_saved")
+        .foreach(col => assert(c.getAs[Long](col) == r.getAs[Long](col),
+          s"$src $col"))
+      val mq = c.getAs[Long]("mean_quality_milli")
+      assert(mq >= 0L && mq <= 1000L, s"$src mq=$mq")
+      assert(c.getAs[Long]("tokens_total") > 0L)
+    }
+    // milli mean reproduces from the per-doc quality quarters
+    val q = TextOps.quality(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source")
+      .agg(sum(round(col("quality_score") * 4, 0).cast("long")).as("s4"),
+        count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("source") ->
+        math.floor(r.getAs[Long]("s4").toDouble * 250.0 /
+          r.getAs[Long]("n").toDouble + 0.5).toLong).toMap
+    card.foreach { case (src, c) =>
+      assert(c.getAs[Long]("mean_quality_milli") == q(src), src)
+    }
+  }
 }
