@@ -441,6 +441,10 @@ object PipelineQueries {
     // quality moments + token mass in one governance view; oracle
     // embeds DedupReportSql verbatim
     "source_scorecard" -> ((s, d) => TextOps.sourceScorecard(docs(s, d))),
+    // cross-table referential integrity: the precondition the
+    // embedding-dependent operators silently assume, as one audited row
+    "pipeline_integrity" -> ((s, d) => TextOps.pipelineIntegrity(
+      docs(s, d), Knn.emb(s, d))),
     // right-to-be-forgotten propagation: opted-out sources leave their
     // near-dup clusters and keepers are re-elected among survivors
     // (cluster ids stay those of the full run — membership filtered,
@@ -2201,6 +2205,20 @@ object PipelineQueries {
     // sort first in a DESC rank)
     // quantize chain + integer scoring shared with knn_quantized; split
     // membership is the split_assign md5-nibble rule on vec_id
+    "pipeline_integrity" -> """
+      SELECT CAST(count(d.doc_id) AS BIGINT) AS n_docs,
+             CAST(count(e.vec_id) AS BIGINT) AS n_vecs,
+             CAST(sum(CASE WHEN d.doc_id IS NOT NULL
+                  AND e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_matched,
+             CAST(sum(CASE WHEN e.vec_id IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_doc_only,
+             CAST(sum(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_vec_only
+      FROM (SELECT doc_id FROM documents) d
+      FULL OUTER JOIN (SELECT vec_id FROM embeddings) e
+        ON d.doc_id = e.vec_id""",
+
     "emb_centroid_affinity" -> EmbAffinitySql,
 
     "emb_outliers" -> s"""

@@ -104,6 +104,29 @@ object TextOps {
           .as("mean_quality_milli"))
   }
 
+  /** Cross-table referential-integrity audit — the precondition check
+    * the embedding-dependent operators (semantic dedup, contamination,
+    * label propagation) silently assume: every document has exactly one
+    * vector and no vector dangles. One row: matched mass + each side's
+    * orphans (doc without vector = not yet embedded — the re-embed
+    * queue; vector without doc = leaked past a purge — the delete
+    * queue). One full-outer key equijoin into a single agg; with both
+    * tables bucketed by id the join is Exchange-free (the crawl_diff
+    * posture). */
+  def pipelineIntegrity(d: DataFrame, e: DataFrame): DataFrame = {
+    val dd = d.select(col("doc_id")).withColumn("has_doc", lit(1L))
+    val ee = e.select(col("vec_id").as("doc_id"))
+      .withColumn("has_vec", lit(1L))
+    dd.join(ee, Seq("doc_id"), "full_outer")
+      .agg(
+        sum(coalesce(col("has_doc"), lit(0L))).as("n_docs"),
+        sum(coalesce(col("has_vec"), lit(0L))).as("n_vecs"),
+        sum(when(col("has_doc").isNotNull && col("has_vec").isNotNull, 1L)
+          .otherwise(0L)).as("n_matched"),
+        sum(when(col("has_vec").isNull, 1L).otherwise(0L)).as("n_doc_only"),
+        sum(when(col("has_doc").isNull, 1L).otherwise(0L)).as("n_vec_only"))
+  }
+
   /** Per-source quality drift — the data-quality monitor a curation
     * pipeline tracks per crawl batch: each source's mean quality scored
     * against the corpus distribution as

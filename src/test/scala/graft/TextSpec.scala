@@ -1075,6 +1075,23 @@ class TextSpec extends SparkSpec {
       b.getAs[Double]("yield_frac") == 0.0)
   }
 
+  test("pipeline integrity counts matches and both orphan directions") {
+    import spark.implicits._
+    val d = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val e = Seq((2L, 0), (3L, 1), (9L, 2)).toDF("vec_id", "label")
+    val r = TextOps.pipelineIntegrity(d, e).collect().head
+    assert(r.getAs[Long]("n_docs") == 3L && r.getAs[Long]("n_vecs") == 3L)
+    assert(r.getAs[Long]("n_matched") == 2L)
+    assert(r.getAs[Long]("n_doc_only") == 1L) // doc 1 not embedded
+    assert(r.getAs[Long]("n_vec_only") == 1L) // vec 9 dangles
+    // the real corpus is fully aligned by construction
+    val full = TextOps.pipelineIntegrity(docs,
+      graft.similarity.Knn.emb(spark, SF)).collect().head
+    assert(full.getAs[Long]("n_doc_only") == 0L &&
+      full.getAs[Long]("n_vec_only") == 0L)
+    assert(full.getAs[Long]("n_matched") == full.getAs[Long]("n_docs"))
+  }
+
   test("source scorecard agrees with its member operators") {
     val card = TextOps.sourceScorecard(docs).collect()
       .map(r => r.getAs[String]("source") -> r).toMap
