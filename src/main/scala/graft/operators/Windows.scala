@@ -110,6 +110,43 @@ object Windows {
     out
   }
 
+  /** First-order TRANSITION MATRIX over user journeys — the Markov
+    * generalization of [[funnel]] (a funnel checks ONE ordered path;
+    * the matrix measures every adjacent space→space step at once):
+    * for each segment's full timeline ordered by (ts_us, event_id),
+    * count adjacent (from_space, to_space) pairs and the row-share of
+    * each outgoing edge — the empirical transition probability a
+    * journey model / next-event predictor trains on, and the drift
+    * signal an on-call dashboard watches (a purchase→error edge
+    * appearing is a release regression).
+    *
+    * Numeric contract: counts are exact integers and the displayed
+    * row-share is an INTEGER half-up milli — `(2·n·1000 + tot) div
+    * (2·tot)` — so there is no floating point anywhere in the operator
+    * and engines cannot drift (the bm25 integer-half-up discipline,
+    * with even the division eliminated).
+    *
+    * Scale: the only per-event work is one `lag` window partitioned by
+    * segment — hash-distributed across executors, each task sorting
+    * only its own segments' rows (never a global sort; in the
+    * production bucketed-by-(segment, sequence) layout of
+    * [[graft.sources.EventLog]] even that sort is free). Everything
+    * downstream is |spaces|²-sized: the matrix agg map-side-combines
+    * per partition, and the row-total join broadcasts. */
+  def eventTransitions(named: DataFrame): DataFrame = {
+    val w = Window.partitionBy("segment").orderBy("ts_us", "event_id")
+    val mat = named
+      .select(col("segment"), col("space"), col("ts_us"), col("event_id"))
+      .withColumn("from_space", lag(col("space"), 1).over(w))
+      .filter(col("from_space").isNotNull)
+      .groupBy(col("from_space"), col("space").as("to_space"))
+      .agg(count(lit(1)).as("n"))
+    val tot = mat.groupBy(col("from_space")).agg(sum(col("n")).as("tot"))
+    mat.join(broadcast(tot), "from_space")
+      .select(col("from_space"), col("to_space"), col("n"),
+        expr("(2 * n * 1000 + tot) div (2 * tot)").as("share_milli"))
+  }
+
   /** Cohort retention matrix — the activation-analytics dual of
     * [[funnel]]: each segment (user) belongs to the cohort of its first
     * active day; output counts, per (cohort_day, day_offset), the

@@ -135,6 +135,11 @@ object CoreQueries {
     // cohort-of-first-day retention matrix
     "cohort_retention" -> ((s, d) =>
       Windows.cohortRetention(EventLog.named(s, d))),
+    // first-order journey transition matrix (the Markov dual of the
+    // funnel): adjacent space->space steps per segment timeline, with
+    // an all-integer half-up milli row share
+    "event_transitions" -> ((s, d) =>
+      Windows.eventTransitions(EventLog.named(s, d))),
     // cross-stream co-movement + per-bucket anomaly monitoring: exact
     // integer moments, one engine-stable double expression at the end
     "space_correlation" -> ((s, d) =>
@@ -530,6 +535,25 @@ object CoreQueries {
       UNION ALL
       SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT)
       FROM s3""",
+
+    // same lag-per-segment adjacency; share is the identical all-integer
+    // half-up milli expression (// == div for positive operands)
+    "event_transitions" -> s"""$E,
+      steps AS (
+        SELECT segment, space, ts_us, event_id,
+               lag(space) OVER (PARTITION BY segment
+                                ORDER BY ts_us, event_id) AS from_space
+        FROM entries),
+      mat AS (
+        SELECT from_space, space AS to_space,
+               CAST(count(*) AS BIGINT) AS n
+        FROM steps WHERE from_space IS NOT NULL GROUP BY 1, 2),
+      tot AS (
+        SELECT from_space, CAST(sum(n) AS BIGINT) AS tot
+        FROM mat GROUP BY 1)
+      SELECT m.from_space, m.to_space, m.n,
+             (2 * m.n * 1000 + t.tot) // (2 * t.tot) AS share_milli
+      FROM mat m JOIN tot t USING (from_space)""",
 
     // same cohort chain: distinct active days → first day per segment →
     // (cohort, offset) rollup; integer day index via floor division

@@ -122,6 +122,28 @@ class StreamOpsSpec extends SparkSpec {
     assert(got(1L)._2 >= got(2L)._2 && got(2L)._2 >= got(3L)._2)
   }
 
+  test("eventTransitions: per-segment adjacency, all-integer half-up shares") {
+    import spark.implicits._
+    import graft.operators.Windows
+    // u1 walks a→b→a→c with a ts tie at 20 broken by event_id (b at id 2
+    // precedes a at id 3); u2 walks a→c. Edges: from a → {b:1, c:2}
+    // (tot 3), from b → {a:1} (tot 1).
+    val named = Seq(
+      ("a", "u1", 10L, 1L), ("b", "u1", 20L, 2L),
+      ("a", "u1", 20L, 3L), ("c", "u1", 30L, 4L),
+      ("a", "u2", 10L, 5L), ("c", "u2", 20L, 6L),
+    ).toDF("space", "segment", "ts_us", "event_id")
+    val got = Windows.eventTransitions(named).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // 1/3 → 333 (floor-half-up), 2/3 → 667 (the half-up direction),
+    // 1/1 → 1000 — pure integer (2·n·1000 + tot) div (2·tot)
+    assert(got == Map(
+      ("a", "b") -> ((1L, 333L)),
+      ("a", "c") -> ((2L, 667L)),
+      ("b", "a") -> ((1L, 1000L))))
+  }
+
   test("stateDiff and topMovers: change-only rows, deterministic tie-break cut") {
     import spark.implicits._
     import graft.operators.EventSourcing
