@@ -111,7 +111,11 @@ object PipelineQueries {
     * exact BIGINT centroid sums / dots (DuckDB sums in HUGEINT — every
     * aggregate cast back to BIGINT so both engines present identical
     * integers), integer q2/s2 fences, one floor-half-up display. */
-  private val EmbAffinitySql = """
+  /** Shared quantized-code CTE chain (codes → per-label centroid sums →
+    * norms → per-vector dots) — the DuckDB dual of Knn.explodedCodes/
+    * centroidSumsFrom, reused verbatim by the affinity and
+    * cluster-quality oracles so a formulation drift breaks ONE place. */
+  private val EmbCodeCtes = """
       WITH base AS (
         SELECT vec_id, label,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -146,12 +150,54 @@ object PipelineQueries {
         SELECT e.vec_id, e.label, e.q2,
                CAST(sum(CAST(e.code AS BIGINT) * c.s) AS BIGINT) AS dot
         FROM expl e JOIN cent c ON e.label = c.label AND e.pos = c.pos
-        GROUP BY 1, 2, 3)
+        GROUP BY 1, 2, 3)"""
+
+  private val EmbAffinitySql = s"""$EmbCodeCtes
       SELECT d.vec_id, d.label, d.dot,
              CAST(floor(CAST(d.dot AS DOUBLE) * 10000.0::DOUBLE /
                (sqrt(CAST(d.q2 AS DOUBLE)) * sqrt(CAST(s.s2 AS DOUBLE))) +
                0.5::DOUBLE) AS DOUBLE) / 10000.0::DOUBLE AS score
       FROM dots d JOIN sn s ON d.label = s.label"""
+
+  /** Cluster-quality oracle: the identical integer e4 score chain kept
+    * as BIGINT (label mean = exact sum ÷ n), centroid-pair cosines over
+    * the cent table, nearest-other as a window (engine: max_by). */
+  private val EmbClusterQualitySql = s"""$EmbCodeCtes,
+      aff AS (
+        SELECT d.label,
+               CAST(floor(CAST(d.dot AS DOUBLE) * 10000.0::DOUBLE /
+                 (sqrt(CAST(d.q2 AS DOUBLE)) * sqrt(CAST(s.s2 AS DOUBLE))) +
+                 0.5::DOUBLE) AS BIGINT) AS score_e4
+        FROM dots d JOIN sn s ON d.label = s.label),
+      coh AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(sum(score_e4) AS BIGINT) AS sum_e4
+        FROM aff GROUP BY 1),
+      pairdot AS (
+        SELECT a.label AS label, b.label AS other_label,
+               CAST(sum(a.s * b.s) AS BIGINT) AS dot
+        FROM cent a JOIN cent b ON a.pos = b.pos AND a.label <> b.label
+        GROUP BY 1, 2),
+      sepscore AS (
+        SELECT p.label, p.other_label,
+               CAST(floor(CAST(p.dot AS DOUBLE) * 10000.0::DOUBLE /
+                 (sqrt(CAST(sa.s2 AS DOUBLE)) * sqrt(CAST(sb.s2 AS DOUBLE)))
+                 + 0.5::DOUBLE) AS BIGINT) AS cos_e4
+        FROM pairdot p JOIN sn sa ON p.label = sa.label
+                       JOIN sn sb ON p.other_label = sb.label),
+      sep AS (
+        SELECT label, other_label AS nearest_label, cos_e4 AS sep_e4
+        FROM (SELECT *, row_number() OVER (PARTITION BY label
+                ORDER BY cos_e4 DESC, other_label ASC) AS rn
+              FROM sepscore)
+        WHERE rn = 1)
+      SELECT CAST(c.label AS BIGINT) AS label, c.n_vecs,
+             CAST(floor(CAST(c.sum_e4 AS DOUBLE) /
+               CAST(c.n_vecs AS DOUBLE) + 0.5::DOUBLE) AS DOUBLE) /
+               10000.0::DOUBLE AS cohesion,
+             CAST(s.nearest_label AS BIGINT) AS nearest_label,
+             CAST(s.sep_e4 AS DOUBLE) / 10000.0::DOUBLE AS separation
+      FROM coh c JOIN sep s ON c.label = s.label"""
 
   /** The per-vector label-propagation derivation shared verbatim by
     * knn_label_prop and its eval rollup: the knn_quantized code chain
@@ -716,6 +762,11 @@ object PipelineQueries {
     // vectors pointing away from their own label's centroid, the
     // likely-mislabeled / out-of-distribution review queue
     "emb_outliers" -> ((s, d) => Knn.embOutliers(Knn.emb(s, d))),
+    // per-label silhouette-shaped audit: cohesion (exact integer-e4
+    // mean affinity) vs separation (nearest other centroid via integer
+    // argmax; oracle formulates the argmax as a window)
+    "emb_cluster_quality" -> ((s, d) =>
+      Knn.embClusterQuality(Knn.emb(s, d))),
     // semi-supervised label propagation: unlabeled vectors adopt the
     // majority label among τ-near labeled neighbors — quantized integer
     // scoring chain + integer votes + (count desc, label asc) winner,
@@ -2220,6 +2271,7 @@ object PipelineQueries {
         ON d.doc_id = e.vec_id""",
 
     "emb_centroid_affinity" -> EmbAffinitySql,
+    "emb_cluster_quality" -> EmbClusterQualitySql,
 
     "emb_outliers" -> s"""
       WITH aff AS ($EmbAffinitySql)

@@ -502,6 +502,71 @@ object Knn {
   def embOutliers(e: DataFrame): DataFrame =
     embCentroidAffinity(e).filter(col("dot") < lit(0L))
 
+  /** Per-label CLUSTER-QUALITY audit — the silhouette-shaped rollup of
+    * [[embCentroidAffinity]]: for every label, its COHESION (mean
+    * per-vector affinity to the own-label centroid) next to its
+    * SEPARATION (cosine to the nearest OTHER centroid, with that
+    * label's id) — the one-row-per-label dashboard that says whether a
+    * labeling/clustering is worth feeding to sampling or filtering
+    * decisions (cohesion ≈ separation means two labels collapsed; a
+    * cohesion drop flags label noise). Rides the quantized integer
+    * contract end to end: per-vector scores are kept as the INTEGER e4
+    * floor-half-up value so the label mean is an exact BIGINT sum ÷ n
+    * (never a float sum — summation order can't drift engines);
+    * centroid-pair cosines come from exact Σ s_a·s_b over the
+    * labels×dims sums; nearest = max_by over (cos_e4, −label) — an
+    * integer argmax with a deterministic tie toward the smaller label
+    * id, formulated as a window in the oracle (two-formulation
+    * strengthening, the LabelPropSql precedent).
+    *
+    * Scale: per-vector work is the affinity chain (one (label,dim) agg
+    * + a broadcast centroid join); everything pairwise happens on the
+    * labels×dims table — |labels|²·dims products, corpus-independent.
+    * Same per-label long-overflow bound as emb_drift (n ≲ 3·10⁶
+    * vectors per label per audited batch; scope the input, not the
+    * math, at 100 TB). */
+  def embClusterQuality(e: DataFrame): DataFrame = {
+    val codes = explodedCodes(e)
+      .localCheckpoint(true) // 2 consumers: centroid agg + scoring join
+    val cent = centroidSumsFrom(codes)
+      .localCheckpoint(true) // 3 consumers: norms, vector dots, pair dots
+    val snrm = cent.groupBy(col("label"))
+      .agg(sum(col("s") * col("s")).as("s2"))
+      .filter(col("s2") > lit(0L))
+    val scoreE4 = codes.join(broadcast(cent), Seq("label", "pos"))
+      .groupBy(col("vec_id"), col("label"), col("q2"))
+      .agg(sum(col("code").cast("long") * col("s")).as("dot"))
+      .join(broadcast(snrm), "label")
+      .select(col("label"),
+        floor(col("dot").cast("double") * lit(10000.0) /
+          (sqrt(col("q2").cast("double")) * sqrt(col("s2").cast("double")))
+          + lit(0.5)).cast("long").as("score_e4"))
+    val coh = scoreE4.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("score_e4")).as("sum_e4"))
+    val sep = cent.as("a").join(cent.as("b"),
+        col("a.pos") === col("b.pos") && col("a.label") =!= col("b.label"))
+      .groupBy(col("a.label").as("label"), col("b.label").as("other_label"))
+      .agg(sum(col("a.s") * col("b.s")).as("dot"))
+      .join(snrm, "label")
+      .join(broadcast(snrm.select(col("label").as("other_label"),
+        col("s2").as("o2"))), "other_label")
+      .withColumn("cos_e4",
+        floor(col("dot").cast("double") * lit(10000.0) /
+          (sqrt(col("s2").cast("double")) * sqrt(col("o2").cast("double")))
+          + lit(0.5)).cast("long"))
+      .groupBy(col("label"))
+      .agg(max_by(col("other_label"),
+          struct(col("cos_e4"), (-col("other_label")).as("neg")))
+          .as("nearest_label"),
+        max(col("cos_e4")).as("sep_e4"))
+    coh.join(sep, "label")
+      .select(col("label").cast("long").as("label"), col("n_vecs"),
+        (floor(col("sum_e4").cast("double") / col("n_vecs").cast("double")
+          + lit(0.5)).cast("double") / lit(10000.0)).as("cohesion"),
+        col("nearest_label").cast("long").as("nearest_label"),
+        (col("sep_e4").cast("double") / lit(10000.0)).as("separation"))
+  }
+
   /** Occupancy-safe random-hyperplane LSH search ([[LshBuckets]]):
     * adaptive plane count (planes = 0 → log₂(n/targetOccupancy), so
     * bucket occupancy — and with it per-query candidate cost AND the

@@ -282,6 +282,31 @@ class KnnSpec extends SparkSpec {
     assert(out.toSet == Set(4L))
   }
 
+  test("embClusterQuality: collapsed labels read separation 1.0 toward " +
+      "each other, opposed labels read -1.0, cohesion is the mean affinity") {
+    import spark.implicits._
+    val v = Seq(0.5, -0.25, 0.125, 1.0)
+    val planted = Seq(
+      (1L, 0, v), (2L, 0, v),             // tight label-0 cluster
+      (3L, 1, v), (4L, 1, v),             // label 1 COLLAPSED onto label 0
+      (5L, 2, v.map(-_)), (6L, 2, v.map(-_)) // label 2 opposed
+    ).toDF("vec_id", "label", "v")
+    val q = Knn.embClusterQuality(planted).collect()
+      .map(r => r.getAs[Long]("label") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Double]("cohesion"),
+          r.getAs[Long]("nearest_label"), r.getAs[Double]("separation")))
+      .toMap
+    assert(q.keySet == Set(0L, 1L, 2L))
+    // every cluster is internally perfect
+    q.values.foreach { case (n, coh, _, _) => assert(n == 2L && coh == 1.0) }
+    // collapse is visible: 0 and 1 are each other's nearest at cos 1.0
+    assert(q(0L)._3 == 1L && q(0L)._4 == 1.0)
+    assert(q(1L)._3 == 0L && q(1L)._4 == 1.0)
+    // 2 points away from both; its nearest tie (both at -1.0) breaks
+    // toward the smaller label id
+    assert(q(2L)._3 == 0L && q(2L)._4 == -1.0)
+  }
+
   test("embCentroidAffinity covers the corpus with bounded scores") {
     val aff = Knn.embCentroidAffinity(e).cache()
     assert(aff.count() == e.count()) // no zero vectors in the corpus
