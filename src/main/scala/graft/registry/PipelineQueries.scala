@@ -649,6 +649,12 @@ object PipelineQueries {
     // prefix + all-integer per-doc decision (the scale formulation of
     // a corpus-wide ntile)
     "curriculum_assign" -> ((s, d) => TextOps.curriculumAssign(docs(s, d))),
+    // per-source token-budget selection: quality-first group-granular
+    // admission over the (source, q4, hex4) grid — zero corpus sort,
+    // all-integer membership, hard budget ceiling
+    "budget_cut" -> ((s, d) => TextOps.budgetCut(docs(s, d), BudgetTokens)),
+    // offered-vs-kept accounting + integer half-up milli utilization
+    "budget_audit" -> ((s, d) => TextOps.budgetAudit(docs(s, d), BudgetTokens)),
     // novelty signal: fraction of a doc's distinct word 5-grams whose
     // first corpus occurrence (min doc_id) is this doc
     "doc_novelty" -> ((s, d) => TextOps.docNovelty(docs(s, d))),
@@ -830,6 +836,9 @@ object PipelineQueries {
     // output provably identical to the naive full groupBy (the oracle)
     "heavy_hitters" -> ((s, d) => TextOps.heavyHitters(docs(s, d), k = 100)),
     // per-source mean-quality drift z (the crawl-batch quality monitor)
+    // per-lang collocation dictionary: adjacent-bigram PMI over exact
+    // left/right marginals, snapped ln, integer-stable membership
+    "word_assoc" -> ((s, d) => TextOps.wordAssoc(docs(s, d))),
     "quality_drift" -> ((s, d) => TextOps.qualityDrift(docs(s, d))),
     "pipeline_curate" -> ((s, d) =>
       TextOps.curate(docs(s, d), minQuality = 0.5)),
@@ -989,6 +998,68 @@ object PipelineQueries {
     "mm_transcode_candidates" -> ((s, d) => Multimodal.transcodeCandidates(
       Multimodal.synthesizeWithTranscodes(docs(s, d)))),
   )
+
+  /** Shared quarter-score CTE chain (tokens → surface ratios → q4, with
+    * source and n_tokens carried for the budget family) — the DuckDB
+    * dual of TextOps.scoredQ4Full, reused verbatim by curriculum_assign
+    * and the budget_cut family so a q4 formulation drift breaks ONE
+    * place. Defined before [[oracleBase]] (object vals initialize in
+    * declaration order). */
+  private val Q4Ctes = """
+      WITH t AS (
+        SELECT doc_id, source, text,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents),
+      m AS (
+        SELECT doc_id, source,
+               len(toks) AS n_tokens,
+               round(len(list_filter(toks,
+                 x -> x IN ('a', 'value', 'data', 'key', 'the')))
+                 / len(toks), 4) AS stop_ratio,
+               round(len(list_distinct(toks)) / len(toks), 4) AS uniq_ratio,
+               round(length(replace(text, ' ', '')) / len(toks), 4)
+                 AS avg_token_len
+        FROM t),
+      q AS (
+        SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tok,
+               CAST(round((
+               (CASE WHEN n_tokens BETWEEN 30 AND 500 THEN 0.25 ELSE 0 END) +
+               (CASE WHEN stop_ratio BETWEEN 0.02 AND 0.5 THEN 0.25 ELSE 0 END) +
+               (CASE WHEN uniq_ratio >= 0.2 THEN 0.25 ELSE 0 END) +
+               (CASE WHEN avg_token_len BETWEEN 2.0 AND 10.0 THEN 0.25
+                     ELSE 0 END)) * 4, 0) AS BIGINT) AS q4
+        FROM m)"""
+
+  /** The per-source token budget — one constant interpolated into the
+    * oracle AND passed to the engine, chosen so the admission decision
+    * is non-trivial at BOTH gate scales (sf0.01 sources carry ~1.3–1.6k
+    * tokens → ~55% kept; sf0.1 ~10× → a sharp cut). */
+  private val BudgetTokens = 800L
+
+  /** The budget_cut derivation (grid prefix + group-fits decision),
+    * named because budget_audit embeds it verbatim (the reportBlock
+    * discipline). */
+  private val BudgetCutSql = s"""$Q4Ctes,
+      b AS (
+        SELECT doc_id, source, n_tok, q4,
+               substr(md5(concat_ws(':', CAST(doc_id AS VARCHAR),
+                 'budget')), 1, 4) AS hex4
+        FROM q),
+      grid AS (
+        SELECT source, q4, hex4, CAST(sum(n_tok) AS BIGINT) AS g_tok
+        FROM b GROUP BY 1, 2, 3),
+      pref AS (
+        SELECT source, q4, hex4, g_tok,
+               CAST(coalesce(sum(g_tok) OVER (PARTITION BY source
+                 ORDER BY q4 DESC, hex4 ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_before
+        FROM grid)
+      SELECT b.doc_id, b.source, b.q4, b.n_tok,
+             CAST(CASE WHEN p.cum_before + p.g_tok <= $BudgetTokens
+                       THEN 1 ELSE 0 END AS BIGINT) AS kept
+      FROM b JOIN pref p ON b.source = p.source AND b.q4 = p.q4
+                        AND b.hex4 = p.hex4"""
 
   /** Sequence-packing layout (the `pack_assign` oracle), named because
     * the pack audit embeds it verbatim. Defined before [[oracleBase]]
@@ -1689,6 +1760,45 @@ object PipelineQueries {
       SELECT word, count(*) AS cnt FROM w GROUP BY word
       ORDER BY cnt DESC, word LIMIT 50""",
 
+    // same bigram distribution: 1-based list indexing over
+    // generate_series, exact marginals from the count table, the
+    // identical multiply-before-divide + 1e-6-snapped ln, and both
+    // memberships on integers (support count, snapped pmi sign)
+    "word_assoc" -> """
+      WITH toks AS (
+        SELECT lang,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                 AS t
+        FROM documents),
+      pairs AS (
+        SELECT lang, t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT lang, t,
+                     unnest(generate_series(1, len(t) - 1)) AS i
+              FROM toks WHERE len(t) >= 2)),
+      cnt AS (
+        SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+        FROM pairs GROUP BY 1, 2, 3),
+      l AS (SELECT lang, w1, CAST(sum(n_pair) AS BIGINT) AS cx
+            FROM cnt GROUP BY 1, 2),
+      r AS (SELECT lang, w2, CAST(sum(n_pair) AS BIGINT) AS cy
+            FROM cnt GROUP BY 1, 2),
+      tot AS (SELECT lang, CAST(sum(n_pair) AS BIGINT) AS n
+              FROM cnt GROUP BY 1),
+      scored AS (
+        SELECT c.lang, c.w1, c.w2, c.n_pair, l.cx, r.cy,
+               CAST(round(ln((CAST(c.n_pair AS DOUBLE) *
+                 CAST(t.n AS DOUBLE)) / (CAST(l.cx AS DOUBLE) *
+                 CAST(r.cy AS DOUBLE))) * 1000000.0::DOUBLE, 0)
+                 AS BIGINT) AS pmi_micro
+        FROM cnt c
+        JOIN l ON c.lang = l.lang AND c.w1 = l.w1
+        JOIN r ON c.lang = r.lang AND c.w2 = r.w2
+        JOIN tot t ON c.lang = t.lang
+        WHERE c.n_pair >= 5)
+      SELECT lang, w1, w2, n_pair, cx, cy,
+             CAST(pmi_micro AS DOUBLE) / 1000000.0::DOUBLE AS pmi
+      FROM scored WHERE pmi_micro > 0""",
+
     // the naive query the MG-pruned pass must equal exactly: integer
     // threshold cnt*k > n_total, no FP anywhere
     "heavy_hitters" -> """
@@ -1938,29 +2048,24 @@ object PipelineQueries {
     // formulation verbatim; the per-doc phase is a sum of integer CASE
     // indicators over the grid-prefix boundaries (// = DuckDB integer
     // division, mirroring Spark's div); no doubles anywhere
-    "curriculum_assign" -> s"""
-      WITH t AS (
-        SELECT doc_id, text,
-               list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        FROM documents),
-      m AS (
-        SELECT doc_id,
-               len(toks) AS n_tokens,
-               round(len(list_filter(toks,
-                 x -> x IN ('a', 'value', 'data', 'key', 'the')))
-                 / len(toks), 4) AS stop_ratio,
-               round(len(list_distinct(toks)) / len(toks), 4) AS uniq_ratio,
-               round(length(replace(text, ' ', '')) / len(toks), 4)
-                 AS avg_token_len
-        FROM t),
-      q AS (
-        SELECT doc_id, CAST(round((
-               (CASE WHEN n_tokens BETWEEN 30 AND 500 THEN 0.25 ELSE 0 END) +
-               (CASE WHEN stop_ratio BETWEEN 0.02 AND 0.5 THEN 0.25 ELSE 0 END) +
-               (CASE WHEN uniq_ratio >= 0.2 THEN 0.25 ELSE 0 END) +
-               (CASE WHEN avg_token_len BETWEEN 2.0 AND 10.0 THEN 0.25
-                     ELSE 0 END)) * 4, 0) AS BIGINT) AS q4
-        FROM m),
+    "budget_cut" -> BudgetCutSql,
+
+    // composition-only rollup: the member derivation embedded verbatim
+    "budget_audit" -> s"""
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(kept) AS BIGINT) AS n_kept,
+             CAST(sum(n_tok) AS BIGINT) AS tok_total,
+             CAST(sum(CASE WHEN kept = 1 THEN n_tok ELSE 0 END)
+               AS BIGINT) AS tok_kept,
+             CAST($BudgetTokens AS BIGINT) AS budget,
+             (2 * CAST(sum(CASE WHEN kept = 1 THEN n_tok ELSE 0 END)
+               AS BIGINT) * 1000 + $BudgetTokens) //
+               (2 * $BudgetTokens) AS util_milli
+      FROM ($BudgetCutSql) c
+      GROUP BY source""",
+
+    "curriculum_assign" -> s"""$Q4Ctes,
       grid AS (
         SELECT q4, CAST(count(*) AS BIGINT) AS cnt FROM q GROUP BY 1),
       pref AS (

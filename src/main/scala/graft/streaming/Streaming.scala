@@ -628,6 +628,26 @@ object Streaming {
       graft.text.TextOps.scoredQ4(docStream),
       spark.table(boundariesTable), nPhases, salt)
 
+  /** Streaming BUDGET GATE — the ingest-time face of
+    * [[graft.text.TextOps.budgetCut]]: each arriving doc is scored by
+    * the stateless budgetScored expressions (quality quarters + the
+    * md5 draw — streams unchanged) and admitted/declined against the
+    * FROZEN per-(source, q4, hex4) decision table
+    * ([[graft.text.TextOps.budgetDecisions]], grid-bounded at any
+    * corpus size, broadcast here) via the SAME applyBudget equijoin —
+    * one definition, so the emitted (doc_id, source, q4, n_tok, kept)
+    * row is identical to batch. Entirely STATELESS (append mode, pure
+    * expressions + a stream-static join); a doc whose (q4, hex4) group
+    * never occurred in the frozen corpus gets no row (inner-join
+    * membership — the rebuild-the-decisions monitoring signal, the
+    * curriculumStream convention). Spec proves stream == batch row
+    * equality EXACTLY over the replayed corpus. */
+  def budgetGateStream(spark: SparkSession, docStream: DataFrame,
+      decisionsTable: String, salt: String = "budget"): DataFrame =
+    graft.text.TextOps.applyBudget(
+      graft.text.TextOps.budgetScored(docStream, salt),
+      broadcast(spark.table(decisionsTable)))
+
   case class MgState(words: Seq[String], counts: Seq[Long], n_seen: Long)
   case class MgRow(shard: Int, word: String, mg_count: Long, n_seen: Long)
 

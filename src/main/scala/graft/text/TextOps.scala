@@ -230,6 +230,62 @@ object TextOps {
       .orderBy(col("cnt").desc, col("word"))
       .limit(k)
 
+  /** Collocation extraction — the per-language PMI DICTIONARY of
+    * adjacent word pairs (the "new york" / "machine learning" detector
+    * a tokenizer-merging or phrase-mining pass consumes): every bigram
+    * with corpus support ≥ `minCount` and positive pointwise mutual
+    * information over the lang's bigram distribution. Marginals are the
+    * LEFT/RIGHT bigram marginals (Σ marginals = n exactly, so PMI is
+    * well-formed over the pair distribution) and derive from the bigram
+    * count table itself — the corpus is tokenized ONCE.
+    *
+    * Numeric contract: counts are exact integers; the score is
+    * pmi = ln(n_pair·n / (cx·cy)) with the products taken as doubles
+    * MULTIPLY-BEFORE-DIVIDE (identical IEEE order both engines) and the
+    * one transcendental snapped to the 1e-6 grid (the bm25 idf
+    * discipline); BOTH membership predicates are integer-stable —
+    * support ≥ minCount on an exact count, pmi_micro > 0 on the SNAPPED
+    * integer — so row membership can't flip on an engine libm ulp.
+    *
+    * Scale: the bigram explode is linear (zip_with over two slices —
+    * bound lambda vars, so the toks alias is never re-derived per
+    * element); the (lang, w1, w2) agg map-side-combines; marginals and
+    * lang totals are three re-aggs of the ONE checkpointed count table
+    * (never a second corpus pass); the scored join touches only
+    * support-filtered pairs. No sort, no window, no top-k cut — the
+    * thresholded dictionary IS the artifact; consumers sort their
+    * slice. */
+  def wordAssoc(d: DataFrame, minCount: Long = 5L): DataFrame = {
+    val pairs = lowerToks(d)
+      .select(col("lang"), col("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("lang"), explode(expr(
+        """zip_with(slice(toks, 1, size(toks) - 1),
+                    slice(toks, 2, size(toks) - 1),
+                    (a, b) -> struct(a AS w1, b AS w2))""")).as("p"))
+      .select(col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cnt = pairs.groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .localCheckpoint(true) // 4 consumers: marginals ×2, totals, main
+    val left = cnt.groupBy(col("lang"), col("w1"))
+      .agg(sum(col("n_pair")).as("cx"))
+    val right = cnt.groupBy(col("lang"), col("w2"))
+      .agg(sum(col("n_pair")).as("cy"))
+    val tot = cnt.groupBy(col("lang")).agg(sum(col("n_pair")).as("n"))
+    cnt.filter(col("n_pair") >= lit(minCount))
+      .join(left, Seq("lang", "w1"))
+      .join(right, Seq("lang", "w2"))
+      .join(broadcast(tot), "lang")
+      .withColumn("pmi_micro",
+        round(log((col("n_pair").cast("double") * col("n").cast("double")) /
+          (col("cx").cast("double") * col("cy").cast("double"))) *
+          lit(1000000.0), 0).cast("long"))
+      .filter(col("pmi_micro") > lit(0L))
+      .select(col("lang"), col("w1"), col("w2"), col("n_pair"), col("cx"),
+        col("cy"),
+        (col("pmi_micro").cast("double") / lit(1000000.0)).as("pmi"))
+  }
+
   /** Exact corpus heavy hitters with a sketch-pruned shuffle: the tokens
     * whose corpus frequency strictly exceeds n_tokens/k.
     *
@@ -797,7 +853,14 @@ object TextOps {
     * applies to a STREAM of documents unchanged (one definition with
     * the boundary build). */
   private[graft] def scoredQ4(d: DataFrame): DataFrame =
-    qualityScored(d).select(col("doc_id"),
+    scoredQ4Full(d).select("doc_id", "q4")
+
+  /** Quarter-score plus the columns the budget family needs (source,
+    * token count) — the ONE q4 definition behind curriculum_assign,
+    * budget_cut, and both streaming duals; unused columns prune. */
+  private[graft] def scoredQ4Full(d: DataFrame): DataFrame =
+    qualityScored(d).select(col("doc_id"), col("source"),
+      col("n_tokens").as("n_tok"),
       round(col("quality_score") * 4, 0).cast("long").as("q4"))
 
   /** The frozen distribution artifact: per score-grid row, its count,
@@ -836,6 +899,95 @@ object TextOps {
       .withColumn("phase", expr(terms.mkString(" + ")).cast("long"))
       .select("doc_id", "q4", "phase")
   }
+
+  /** Token-BUDGET data selection — keep the highest-quality slice of
+    * each source under a hard per-source token budget (the "select the
+    * best N tokens" step of a data-constrained training run, the
+    * quality-filtered cousin of published select-then-train recipes):
+    * docs are consumed in (q4 desc, hex4 asc) order — quality first,
+    * ties spread by the 16-bit md5 draw — and a doc is kept iff its
+    * whole (q4, hex4) GROUP still fits the remaining budget.
+    * Group-granular admission makes membership a pure integer function
+    * of the group prefix sums (no within-group ordering ever needed);
+    * the budget is a HARD ceiling and the undershoot is at most one
+    * group's tokens (corpus/(9·65536) of a source — negligible).
+    *
+    * Scale (the curriculum_assign zero-sort argument, extended to token
+    * mass): the corpus is touched by two stateless passes (score+hash,
+    * decide); the only window runs over the (source, q4, hex4) GRID,
+    * whose size is CORPUS-INDEPENDENT (≤ sources·9·65536 rows — it
+    * saturates, never grows with docs). The decision join is a
+    * co-partitioned equijoin against that bounded grid (AQE broadcasts
+    * it while small); nothing sorts doc rows, nothing is pairwise.
+    * EVERYTHING is integer arithmetic — no doubles anywhere, so
+    * membership can't drift between engines or partitionings. */
+  def budgetCut(d: DataFrame, budget: Long = 2000L,
+      salt: String = "budget"): DataFrame = {
+    val scored = budgetScored(d, salt)
+      // feeds the grid agg AND the decision join — one materialization
+      .localCheckpoint(true)
+    applyBudget(scored, decisionsFrom(scored, budget))
+  }
+
+  /** Per-doc (q4, hex4) scoring + draw — stateless expressions only, so
+    * it applies to a STREAM of documents unchanged (one definition with
+    * the decision build; the scoredQ4 posture). */
+  private[graft] def budgetScored(d: DataFrame, salt: String): DataFrame =
+    scoredQ4Full(d)
+      .withColumn("hex4", substring(md5(concat_ws(":",
+        col("doc_id").cast("string"), lit(salt))), 1, 4))
+
+  /** The frozen budget-decision artifact: one `kept` flag per realized
+    * (source, q4, hex4) group — grid-bounded (≤ sources·9·65536 rows at
+    * ANY corpus size), the serving-side table
+    * [[graft.streaming.Streaming.budgetGateStream]] joins against. */
+  def budgetDecisions(d: DataFrame, budget: Long = 2000L,
+      salt: String = "budget"): DataFrame =
+    decisionsFrom(budgetScored(d, salt), budget)
+
+  private def decisionsFrom(scored: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val grid = scored.groupBy(col("source"), col("q4"), col("hex4"))
+      .agg(sum(col("n_tok")).as("g_tok"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("q4").desc, col("hex4").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grid
+      .withColumn("cum_before",
+        coalesce(sum(col("g_tok")).over(w), lit(0L)))
+      .withColumn("kept",
+        (col("cum_before") + col("g_tok") <= lit(budget)).cast("long"))
+      .select("source", "q4", "hex4", "kept")
+  }
+
+  /** The admission join — a stateless equijoin against a (frozen)
+    * decision table, shared verbatim by the batch operator and the
+    * streaming gate (the assignPhases posture). */
+  private[graft] def applyBudget(scored: DataFrame,
+      decisions: DataFrame): DataFrame =
+    scored.join(decisions, Seq("source", "q4", "hex4"))
+      .select("doc_id", "source", "q4", "n_tok", "kept")
+
+  /** Per-source accounting for [[budgetCut]] (the pack_audit
+    * discipline): docs and tokens offered vs kept, the configured
+    * budget, and the realized utilization as an ALL-INTEGER half-up
+    * milli — low utilization means the boundary group was large
+    * (consider a finer draw), kept == offered means the budget is slack
+    * and selection is a no-op. */
+  def budgetAudit(d: DataFrame, budget: Long = 2000L,
+      salt: String = "budget"): DataFrame =
+    budgetCut(d, budget, salt)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_kept"),
+        sum(col("n_tok")).as("tok_total"),
+        sum(when(col("kept") === 1L, col("n_tok")).otherwise(0L))
+          .as("tok_kept"))
+      .withColumn("budget", lit(budget))
+      .withColumn("util_milli",
+        expr("(2 * tok_kept * 1000 + budget) div (2 * budget)"))
 
   /** Per-source packing audit for [[packAssign]] (the mix_audit
     * discipline): docs, packs, token mass, docs LONGER than the context

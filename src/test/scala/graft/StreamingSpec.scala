@@ -257,6 +257,28 @@ class StreamingSpec extends SparkSpec {
       s"stream ${got.size} vs batch ${want.size}")
   }
 
+  test("streaming budget gate equals the batch cut exactly") {
+    val docs = graft.text.TextOps.docs(spark, SF)
+    // freeze the decision artifact (grid-sized)
+    val dec = graft.text.TextOps.budgetDecisions(docs, 800L)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(dec.collect().toSeq.asJava, dec.schema)
+      .createOrReplaceTempView("budget_dec")
+    val dir = Files.createTempDirectory("graft_budget_stream").toString
+    docs.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    runToCompletion(Streaming.budgetGateStream(spark, stream,
+      "budget_dec"), "budget_stream", "append")
+    val got = spark.table("budget_stream").collect().map(_.toSeq).toSet
+    val want = graft.text.TextOps.budgetCut(docs, 800L)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want,
+      s"stream ${got.size} vs batch ${want.size}")
+    // the gate actually declines something at this budget
+    assert(want.exists(_.last == 0L) && want.exists(_.last == 1L))
+  }
+
   test("streaming crawl diff equals the batch diff minus its removed rows") {
     import graft.text.{CrawlDiff, TextOps}
     val docs = TextOps.docs(spark, SF)

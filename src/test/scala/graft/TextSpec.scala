@@ -47,6 +47,32 @@ class TextSpec extends SparkSpec {
       .exists(_.getString(0) == "hot"))
   }
 
+  test("wordAssoc: hand-computed PMI on the micro grid; independence " +
+      "(pmi 0) and sub-threshold support are excluded") {
+    import spark.implicits._
+    // lang x bigrams: (p,q)×2 (q,p)×1 (q,r)×1 (r,r)×1, n=5 →
+    // pmi(p,q)=pmi(q,p)=pmi(r,r)=ln(2.5), pmi(q,r)=ln(1.25);
+    // lang y: (s,s)×3 with cx=cy=n → ratio 1 → snapped pmi 0 → excluded
+    val d = Seq(
+      (1L, "p q p q r r", "x", "s0"),
+      (2L, "s s s s", "y", "s0"),
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = TextOps.wordAssoc(d, minCount = 1L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    val ln25 = math.round(math.log(2.5) * 1e6).toDouble / 1e6
+    val ln125 = math.round(math.log(1.25) * 1e6).toDouble / 1e6
+    assert(got == Map(
+      ("x", "p", "q") -> ((2L, 2L, 2L, ln25)),
+      ("x", "q", "p") -> ((1L, 2L, 1L, ln25)),
+      ("x", "q", "r") -> ((1L, 2L, 2L, ln125)),
+      ("x", "r", "r") -> ((1L, 1L, 2L, ln25))), got.toString)
+    // support threshold: minCount 2 keeps only the (p,q) pair
+    val cut = TextOps.wordAssoc(d, minCount = 2L).collect()
+    assert(cut.map(r => (r.getString(1), r.getString(2))).toSet ==
+      Set(("p", "q")))
+  }
+
   test("qualityDrift: a uniformly bad source scores negative, a good one positive") {
     import spark.implicits._
     val good = "the value data key " * 20 // 80 tokens, stopword-heavy mix
@@ -80,6 +106,40 @@ class TextSpec extends SparkSpec {
     assert(got(2L) == (0L, got(1L)._2, 0.0))
     assert(got(3L)._3 == 1.0)
     assert(got(4L)._1 > 0L && got(4L)._1 < got(4L)._2)
+  }
+
+  test("budgetCut: hard ceiling, tight prefix-closed admission, " +
+      "repartition-invariant membership") {
+    import org.apache.spark.sql.functions._
+    val B = 800L
+    val cut = TextOps.budgetCut(docs, B).cache()
+    // recompute the draw to audit group structure (hex4 is internal)
+    val g = cut.withColumn("hex4", substring(md5(concat_ws(":",
+        col("doc_id").cast("string"), lit("budget"))), 1, 4))
+      .groupBy("source", "q4", "hex4")
+      .agg(sum("n_tok").as("g_tok"),
+        min("kept").as("kmin"), max("kept").as("kmax"))
+      .collect()
+    // admission is group-uniform
+    g.foreach(r => assert(r.getLong(4) == r.getLong(5), r.toString))
+    g.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (-r.getLong(1), r.getString(2)))
+      val flags = ordered.map(_.getLong(4))
+      // kept groups form a PREFIX of the (q4 desc, hex4) order
+      assert(!flags.sliding(2).exists(p => p.length == 2 &&
+        p(0) == 0L && p(1) == 1L))
+      val keptTok = ordered.filter(_.getLong(4) == 1L).map(_.getLong(3)).sum
+      assert(keptTok <= B) // hard ceiling
+      // tightness: the first dropped group would not have fit
+      ordered.find(_.getLong(4) == 0L).foreach { first =>
+        assert(keptTok + first.getLong(3) > B)
+      }
+    }
+    // membership is a pure function of the corpus, not its partitioning
+    val again = TextOps.budgetCut(docs.repartition(7, col("doc_id")), B)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val base = cut.collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(again == base)
   }
 
   test("pack_assign: packs are contiguous, start at 0 per source, and respect the budget") {
