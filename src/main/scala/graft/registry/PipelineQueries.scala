@@ -839,6 +839,9 @@ object PipelineQueries {
     // per-lang collocation dictionary: adjacent-bigram PMI over exact
     // left/right marginals, snapped ln, integer-stable membership
     "word_assoc" -> ((s, d) => TextOps.wordAssoc(docs(s, d))),
+    // per-doc collocation hit density vs the word_assoc dictionary:
+    // multiset counts + integer half-up milli ratio
+    "phrase_density" -> ((s, d) => TextOps.phraseDensity(docs(s, d))),
     "quality_drift" -> ((s, d) => TextOps.qualityDrift(docs(s, d))),
     "pipeline_curate" -> ((s, d) =>
       TextOps.curate(docs(s, d), minQuality = 0.5)),
@@ -1060,6 +1063,43 @@ object PipelineQueries {
                        THEN 1 ELSE 0 END AS BIGINT) AS kept
       FROM b JOIN pref p ON b.source = p.source AND b.q4 = p.q4
                         AND b.hex4 = p.hex4"""
+
+  /** The word_assoc derivation, named because phrase_density embeds
+    * it verbatim as its dictionary (the reportBlock discipline). */
+  private val WordAssocSql = """
+      WITH toks AS (
+        SELECT lang,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                 AS t
+        FROM documents),
+      pairs AS (
+        SELECT lang, t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT lang, t,
+                     unnest(generate_series(1, len(t) - 1)) AS i
+              FROM toks WHERE len(t) >= 2)),
+      cnt AS (
+        SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+        FROM pairs GROUP BY 1, 2, 3),
+      l AS (SELECT lang, w1, CAST(sum(n_pair) AS BIGINT) AS cx
+            FROM cnt GROUP BY 1, 2),
+      r AS (SELECT lang, w2, CAST(sum(n_pair) AS BIGINT) AS cy
+            FROM cnt GROUP BY 1, 2),
+      tot AS (SELECT lang, CAST(sum(n_pair) AS BIGINT) AS n
+              FROM cnt GROUP BY 1),
+      scored AS (
+        SELECT c.lang, c.w1, c.w2, c.n_pair, l.cx, r.cy,
+               CAST(round(ln((CAST(c.n_pair AS DOUBLE) *
+                 CAST(t.n AS DOUBLE)) / (CAST(l.cx AS DOUBLE) *
+                 CAST(r.cy AS DOUBLE))) * 1000000.0::DOUBLE, 0)
+                 AS BIGINT) AS pmi_micro
+        FROM cnt c
+        JOIN l ON c.lang = l.lang AND c.w1 = l.w1
+        JOIN r ON c.lang = r.lang AND c.w2 = r.w2
+        JOIN tot t ON c.lang = t.lang
+        WHERE c.n_pair >= 5)
+      SELECT lang, w1, w2, n_pair, cx, cy,
+             CAST(pmi_micro AS DOUBLE) / 1000000.0::DOUBLE AS pmi
+      FROM scored WHERE pmi_micro > 0"""
 
   /** Sequence-packing layout (the `pack_assign` oracle), named because
     * the pack audit embeds it verbatim. Defined before [[oracleBase]]
@@ -1764,40 +1804,31 @@ object PipelineQueries {
     // generate_series, exact marginals from the count table, the
     // identical multiply-before-divide + 1e-6-snapped ln, and both
     // memberships on integers (support count, snapped pmi sign)
-    "word_assoc" -> """
+    "word_assoc" -> WordAssocSql,
+
+    // per-doc multiset hits against the dictionary embedded verbatim;
+    // identical integer half-up milli; < 2-token docs emit no row
+    "phrase_density" -> s"""
       WITH toks AS (
-        SELECT lang,
+        SELECT doc_id, lang,
                list_filter(string_split(lower(text), ' '), x -> x <> '')
                  AS t
         FROM documents),
       pairs AS (
-        SELECT lang, t[i] AS w1, t[i + 1] AS w2
-        FROM (SELECT lang, t,
+        SELECT doc_id, lang, t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT doc_id, lang, t,
                      unnest(generate_series(1, len(t) - 1)) AS i
-              FROM toks WHERE len(t) >= 2)),
-      cnt AS (
-        SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS n_pair
-        FROM pairs GROUP BY 1, 2, 3),
-      l AS (SELECT lang, w1, CAST(sum(n_pair) AS BIGINT) AS cx
-            FROM cnt GROUP BY 1, 2),
-      r AS (SELECT lang, w2, CAST(sum(n_pair) AS BIGINT) AS cy
-            FROM cnt GROUP BY 1, 2),
-      tot AS (SELECT lang, CAST(sum(n_pair) AS BIGINT) AS n
-              FROM cnt GROUP BY 1),
-      scored AS (
-        SELECT c.lang, c.w1, c.w2, c.n_pair, l.cx, r.cy,
-               CAST(round(ln((CAST(c.n_pair AS DOUBLE) *
-                 CAST(t.n AS DOUBLE)) / (CAST(l.cx AS DOUBLE) *
-                 CAST(r.cy AS DOUBLE))) * 1000000.0::DOUBLE, 0)
-                 AS BIGINT) AS pmi_micro
-        FROM cnt c
-        JOIN l ON c.lang = l.lang AND c.w1 = l.w1
-        JOIN r ON c.lang = r.lang AND c.w2 = r.w2
-        JOIN tot t ON c.lang = t.lang
-        WHERE c.n_pair >= 5)
-      SELECT lang, w1, w2, n_pair, cx, cy,
-             CAST(pmi_micro AS DOUBLE) / 1000000.0::DOUBLE AS pmi
-      FROM scored WHERE pmi_micro > 0""",
+              FROM toks WHERE len(t) >= 2))
+      SELECT p.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(CASE WHEN d.w1 IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_phrase,
+             (2 * CAST(sum(CASE WHEN d.w1 IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) * 1000 + CAST(count(*) AS BIGINT)) //
+               (2 * CAST(count(*) AS BIGINT)) AS phrase_milli
+      FROM pairs p LEFT JOIN ($WordAssocSql) d
+        ON p.lang = d.lang AND p.w1 = d.w1 AND p.w2 = d.w2
+      GROUP BY 1""",
 
     // the naive query the MG-pruned pass must equal exactly: integer
     // threshold cnt*k > n_total, no FP anywhere

@@ -648,6 +648,40 @@ object Streaming {
       graft.text.TextOps.budgetScored(docStream, salt),
       broadcast(spark.table(decisionsTable)))
 
+  /** Streaming PHRASE-DENSITY tagger — the live dual of
+    * [[graft.text.TextOps.phraseDensity]]: each arriving doc is scored
+    * against the FROZEN collocation dictionary the moment it lands,
+    * emitting the identical (doc_id, n_bigrams, n_phrase, phrase_milli)
+    * row as batch. The whole tally is a pure function of ONE arriving
+    * row against the frozen artifact (a doc's bigrams never cross
+    * rows), so no state store exists: the dictionary ships as a
+    * ':'-joined key ARRAY closure constant (bounded — the support
+    * threshold scales with corpus mass, the wordAssoc scale argument)
+    * and the count is a per-row filter/size expression over the SAME
+    * zip_with bigram chain as batch (one definition; the ':' key is
+    * unambiguous because corpus tokens are whitespace-split and the
+    * spec proves exact batch equality). Stateless append mode; docs
+    * with < 2 tokens emit no row, as in batch. */
+  def phraseDensityStream(spark: SparkSession, docStream: DataFrame,
+      dictTable: String): DataFrame = {
+    val dictKeys = spark.table(dictTable)
+      .select(concat_ws(":", col("lang"), col("w1"), col("w2")).as("k"))
+      .collect().map(_.getString(0)).sorted
+    graft.text.TextOps.lowerToks(docStream)
+      .filter(size(col("toks")) >= 2)
+      .withColumn("bgs", expr(
+        """zip_with(slice(toks, 1, size(toks) - 1),
+                    slice(toks, 2, size(toks) - 1),
+                    (a, b) -> concat(lang, ':', a, ':', b))"""))
+      .select(col("doc_id"),
+        size(col("bgs")).cast("long").as("n_bigrams"),
+        size(filter(col("bgs"),
+          b => array_contains(lit(dictKeys), b))).cast("long")
+          .as("n_phrase"))
+      .withColumn("phrase_milli",
+        expr("(2 * n_phrase * 1000 + n_bigrams) div (2 * n_bigrams)"))
+  }
+
   case class MgState(words: Seq[String], counts: Seq[Long], n_seen: Long)
   case class MgRow(shard: Int, word: String, mg_count: Long, n_seen: Long)
 

@@ -256,15 +256,7 @@ object TextOps {
     * thresholded dictionary IS the artifact; consumers sort their
     * slice. */
   def wordAssoc(d: DataFrame, minCount: Long = 5L): DataFrame = {
-    val pairs = lowerToks(d)
-      .select(col("lang"), col("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("lang"), explode(expr(
-        """zip_with(slice(toks, 1, size(toks) - 1),
-                    slice(toks, 2, size(toks) - 1),
-                    (a, b) -> struct(a AS w1, b AS w2))""")).as("p"))
-      .select(col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val cnt = pairs.groupBy(col("lang"), col("w1"), col("w2"))
+    val cnt = bigramPairs(d).groupBy(col("lang"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("n_pair"))
       .localCheckpoint(true) // 4 consumers: marginals ×2, totals, main
     val left = cnt.groupBy(col("lang"), col("w1"))
@@ -284,6 +276,53 @@ object TextOps {
       .select(col("lang"), col("w1"), col("w2"), col("n_pair"), col("cx"),
         col("cy"),
         (col("pmi_micro").cast("double") / lit(1000000.0)).as("pmi"))
+  }
+
+  /** Exploded adjacent word bigrams, one row per (doc, position) — the
+    * ONE pair definition behind [[wordAssoc]] and [[phraseDensity]]
+    * (and, as an expression via [[bigramKeysExpr]], their streaming
+    * dual). zip_with over two slices: bound lambda vars, so the toks
+    * alias is never re-derived per element (the documented
+    * sibling-alias O(n²) inlining trap). */
+  private[graft] def bigramPairs(d: DataFrame): DataFrame =
+    lowerToks(d)
+      .select(col("doc_id"), col("lang"), col("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """zip_with(slice(toks, 1, size(toks) - 1),
+                    slice(toks, 2, size(toks) - 1),
+                    (a, b) -> struct(a AS w1, b AS w2))""")).as("p"))
+      .select(col("doc_id"), col("lang"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+
+  /** Per-document PHRASE DENSITY against the [[wordAssoc]] collocation
+    * dictionary — the signal a phrase-aware tokenizer or a
+    * formulaic-text filter thresholds on (a doc whose adjacent pairs
+    * are mostly dictionary collocations is boilerplate-like; one with
+    * none is unidiomatic): for every doc with at least one bigram, the
+    * bigram count, the count of bigrams that are dictionary entries
+    * (multiset — repeats count), and their ratio as the ALL-INTEGER
+    * half-up milli. Integer end to end; docs with < 2 tokens have no
+    * bigram distribution and emit no row (an integer membership rule).
+    *
+    * Scale: one bigram explode (linear), one equijoin against the
+    * support-thresholded dictionary — bounded because minCount should
+    * scale with corpus mass (support n/10⁶-ish keeps the dict
+    * broadcastable; a looser threshold degrades the hint to a shuffle
+    * equijoin, never a cross product), one per-doc agg. The dictionary
+    * build re-runs [[wordAssoc]]; pass a precomputed/persisted dict
+    * frame to score against a frozen artifact. */
+  def phraseDensity(d: DataFrame, minCount: Long = 5L,
+      dict: Option[DataFrame] = None): DataFrame = {
+    val dictDf = dict.getOrElse(wordAssoc(d, minCount))
+      .select(col("lang"), col("w1"), col("w2"), lit(1L).as("hit"))
+    bigramPairs(d)
+      .join(broadcast(dictDf), Seq("lang", "w1", "w2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_phrase"))
+      .withColumn("phrase_milli",
+        expr("(2 * n_phrase * 1000 + n_bigrams) div (2 * n_bigrams)"))
   }
 
   /** Exact corpus heavy hitters with a sketch-pruned shuffle: the tokens

@@ -279,6 +279,28 @@ class StreamingSpec extends SparkSpec {
     assert(want.exists(_.last == 0L) && want.exists(_.last == 1L))
   }
 
+  test("streaming phrase density equals the batch tagger exactly") {
+    val docs = graft.text.TextOps.docs(spark, SF)
+    // freeze the collocation dictionary (the serving artifact)
+    val dict = graft.text.TextOps.wordAssoc(docs)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(dict.collect().toSeq.asJava, dict.schema)
+      .createOrReplaceTempView("colloc_dict")
+    val dir = Files.createTempDirectory("graft_phrase_stream").toString
+    docs.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    runToCompletion(Streaming.phraseDensityStream(spark, stream,
+      "colloc_dict"), "phrase_stream", "append")
+    val got = spark.table("phrase_stream").collect().map(_.toSeq).toSet
+    val want = graft.text.TextOps.phraseDensity(docs)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want,
+      s"stream ${got.size} vs batch ${want.size}")
+    // the tagger separates docs (not all densities equal)
+    assert(want.map(_.last).size > 1)
+  }
+
   test("streaming crawl diff equals the batch diff minus its removed rows") {
     import graft.text.{CrawlDiff, TextOps}
     val docs = TextOps.docs(spark, SF)

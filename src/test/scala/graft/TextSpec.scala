@@ -71,6 +71,14 @@ class TextSpec extends SparkSpec {
     val cut = TextOps.wordAssoc(d, minCount = 2L).collect()
     assert(cut.map(r => (r.getString(1), r.getString(2))).toSet ==
       Set(("p", "q")))
+    // phrase density against that dictionary: doc 1 has 5 bigrams of
+    // which (p,q) hits TWICE (multiset counting), 2/5 → 400 milli;
+    // doc 2's (s,s) is in no dictionary (pmi 0) → density 0
+    val pd = TextOps.phraseDensity(d, minCount = 2L).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(pd == Map(1L -> ((5L, 2L, 400L)), 2L -> ((3L, 0L, 0L))),
+      pd.toString)
   }
 
   test("qualityDrift: a uniformly bad source scores negative, a good one positive") {
