@@ -147,6 +147,35 @@ object Windows {
         expr("(2 * n * 1000 + tot) div (2 * tot)").as("share_milli"))
   }
 
+  /** Out-edge ENTROPY per space over the [[eventTransitions]] matrix —
+    * the journey-predictability monitor (entropy ≈ 0 means the next
+    * step after this space is deterministic — a funnel; high entropy
+    * means a branching hub; an entropy JUMP on an untouched release is
+    * a routing regression). Composes over the matrix operator (one
+    * definition; eagerly checkpointed — it is corpus-priced work
+    * feeding two consumers here, the totals agg and the term join).
+    *
+    * Numeric contract: p = n/tot is one exact-BIGINT division; each
+    * −p·ln(p) term is snapped to the 1e-6 grid as an INTEGER micro
+    * (the bm25 ln discipline — ln is the one libm call and the snap
+    * absorbs engine ulps) and the entropy is the exact integer term
+    * sum ÷ 1e6, so summation order can't drift engines. Everything
+    * downstream of the matrix is |spaces|²-sized. */
+  def journeyEntropy(named: DataFrame): DataFrame = {
+    val m = eventTransitions(named).localCheckpoint(true)
+    val tot = m.groupBy(col("from_space"))
+      .agg(sum(col("n")).as("tot"), count(lit(1)).as("n_out"))
+    val p = col("n").cast("double") / col("tot").cast("double")
+    m.join(broadcast(tot), "from_space")
+      .withColumn("term_micro",
+        round(p * log(p) * lit(-1000000.0), 0).cast("long"))
+      .groupBy(col("from_space"))
+      .agg(max(col("n_out")).as("n_out"), max(col("tot")).as("tot"),
+        sum(col("term_micro")).as("h_micro"))
+      .select(col("from_space"), col("n_out"), col("tot"),
+        (col("h_micro").cast("double") / lit(1000000.0)).as("entropy"))
+  }
+
   /** Cohort retention matrix — the activation-analytics dual of
     * [[funnel]]: each segment (user) belongs to the cohort of its first
     * active day; output counts, per (cohort_day, day_offset), the

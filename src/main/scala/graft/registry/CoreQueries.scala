@@ -140,6 +140,10 @@ object CoreQueries {
     // an all-integer half-up milli row share
     "event_transitions" -> ((s, d) =>
       Windows.eventTransitions(EventLog.named(s, d))),
+    // out-edge entropy per space over the matrix: the journey-
+    // predictability monitor (0 = funnel, high = branching hub)
+    "journey_entropy" -> ((s, d) =>
+      Windows.journeyEntropy(EventLog.named(s, d))),
     // cross-stream co-movement + per-bucket anomaly monitoring: exact
     // integer moments, one engine-stable double expression at the end
     "space_correlation" -> ((s, d) =>
@@ -195,6 +199,26 @@ object CoreQueries {
   )
 
   private val E = EventLog.CTE
+
+  /** The event_transitions derivation, named because journey_entropy
+    * embeds it verbatim (the reportBlock discipline). */
+  private val ETransSql = s"""$E,
+      steps AS (
+        SELECT segment, space, ts_us, event_id,
+               lag(space) OVER (PARTITION BY segment
+                                ORDER BY ts_us, event_id) AS from_space
+        FROM entries),
+      mat AS (
+        SELECT from_space, space AS to_space,
+               CAST(count(*) AS BIGINT) AS n
+        FROM steps WHERE from_space IS NOT NULL GROUP BY 1, 2),
+      tot AS (
+        SELECT from_space, CAST(sum(n) AS BIGINT) AS tot
+        FROM mat GROUP BY 1)
+      SELECT m.from_space, m.to_space, m.n,
+             (2 * m.n * 1000 + t.tot) // (2 * t.tot) AS share_milli
+      FROM mat m JOIN tot t USING (from_space)"""
+
 
   val oracle: Map[String, String] = Map(
     "sk_consume_segment" -> s"""$E
@@ -538,22 +562,25 @@ object CoreQueries {
 
     // same lag-per-segment adjacency; share is the identical all-integer
     // half-up milli expression (// == div for positive operands)
-    "event_transitions" -> s"""$E,
-      steps AS (
-        SELECT segment, space, ts_us, event_id,
-               lag(space) OVER (PARTITION BY segment
-                                ORDER BY ts_us, event_id) AS from_space
-        FROM entries),
-      mat AS (
-        SELECT from_space, space AS to_space,
-               CAST(count(*) AS BIGINT) AS n
-        FROM steps WHERE from_space IS NOT NULL GROUP BY 1, 2),
-      tot AS (
-        SELECT from_space, CAST(sum(n) AS BIGINT) AS tot
-        FROM mat GROUP BY 1)
-      SELECT m.from_space, m.to_space, m.n,
-             (2 * m.n * 1000 + t.tot) // (2 * t.tot) AS share_milli
-      FROM mat m JOIN tot t USING (from_space)""",
+    // same lag-per-segment adjacency; share is the identical all-integer
+    // half-up milli expression (// == div for positive operands)
+    "event_transitions" -> ETransSql,
+
+    // matrix embedded verbatim; per-term 1e-6 ln snap as INTEGER micro,
+    // entropy = exact integer term sum / 1e6
+    "journey_entropy" -> s"""
+      WITH m AS (SELECT from_space, to_space, n FROM ($ETransSql) x),
+      t AS (
+        SELECT from_space, CAST(sum(n) AS BIGINT) AS tot,
+               CAST(count(*) AS BIGINT) AS n_out
+        FROM m GROUP BY 1)
+      SELECT m.from_space, t.n_out, t.tot,
+             CAST(CAST(sum(CAST(round(CAST(m.n AS DOUBLE) /
+               CAST(t.tot AS DOUBLE) * ln(CAST(m.n AS DOUBLE) /
+               CAST(t.tot AS DOUBLE)) * -1000000.0::DOUBLE, 0) AS BIGINT))
+               AS BIGINT) AS DOUBLE) / 1000000.0::DOUBLE AS entropy
+      FROM m JOIN t ON m.from_space = t.from_space
+      GROUP BY 1, 2, 3""",
 
     // same cohort chain: distinct active days → first day per segment →
     // (cohort, offset) rollup; integer day index via floor division

@@ -753,6 +753,57 @@ object Streaming {
   /** Incremental eskit replay: fold per-aggregate state across
     * micro-batches, emitting the updated snapshot each time — the
     * streaming dual of EventSourcing.replayState. */
+  case class TransEvent(space: String, segment: String, ts_us: Long,
+      event_id: Long)
+  case class TransState(last_space: String, last_ts_us: Long,
+      last_event_id: Long)
+  case class TransEdge(segment: String, from_space: String,
+      to_space: String, ts_us: Long, event_id: Long)
+
+  /** Streaming JOURNEY-STEP emitter — the live front of
+    * [[graft.operators.Windows.eventTransitions]]: every arriving entry
+    * is paired with its segment's PREVIOUS entry the moment it lands,
+    * emitting one (segment, from_space, to_space) edge event — the
+    * next-event-model feature stream / live funnel-step feed whose
+    * downstream (from, to) count rollup equals the batch matrix's `n`
+    * exactly once the log has replayed. State is ONE small row per
+    * segment (the last entry's space/ts/id — the es_fold posture,
+    * bounded by the segment population, never the event count).
+    *
+    * Ordering contract: within a micro-batch a segment's arrivals are
+    * folded in (ts_us, event_id) order (sorted in the closure); ACROSS
+    * batches the stream is consumed in produce order — in the streamkit
+    * model a segment's entries ARRIVE in sequence order (the
+    * ConsumeSegment contract), so adjacency is arrival adjacency. A
+    * late cross-batch straggler would mis-edge exactly as it would in
+    * any log-ordered consumer; the batch matrix over the settled log is
+    * the reconciliation pass (spec replays ts-ordered chunks and proves
+    * edge-multiset equality with batch). */
+  def eventTransitionsStream(spark: SparkSession, entryStream: DataFrame)
+      : Dataset[TransEdge] = {
+    import spark.implicits._
+    entryStream
+      .select(col("space"), col("segment"), col("ts_us"), col("event_id"))
+      .as[TransEvent]
+      .groupByKey(_.segment)
+      .flatMapGroupsWithState[TransState, TransEdge](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (segment, events, state: GroupState[TransState]) =>
+          val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[TransEdge]
+          var prev = state.getOption
+          sorted.foreach { e =>
+            prev.foreach { p =>
+              out += TransEdge(segment, p.last_space, e.space,
+                e.ts_us, e.event_id)
+            }
+            prev = Some(TransState(e.space, e.ts_us, e.event_id))
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
   def esFold(spark: SparkSession, entryStream: DataFrame)
       : Dataset[AggSnapshot] = {
     import spark.implicits._

@@ -144,6 +144,26 @@ class StreamOpsSpec extends SparkSpec {
       ("b", "a") -> ((1L, 1000L))))
   }
 
+  test("journeyEntropy: a 50/50 hub reads ln2 on the micro grid, " +
+      "deterministic hops read zero") {
+    import spark.implicits._
+    import graft.operators.Windows
+    // one walk a,b,a,c,a,b,a,c → from a: {b:2, c:2} (the hub), from b:
+    // {a:2}, from c: {a:1} (the final c has no outgoing edge)
+    val seqSpaces = Seq("a", "b", "a", "c", "a", "b", "a", "c")
+    val named = seqSpaces.zipWithIndex.map { case (sp, i) =>
+      (sp, "u1", (i + 1).toLong, (i + 1).toLong)
+    }.toDF("space", "segment", "ts_us", "event_id")
+    val got = Windows.journeyEntropy(named).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // per-term micro snap: round(0.5·ln 0.5·−1e6) = 346574, twice
+    assert(got == Map(
+      "a" -> ((2L, 4L, 0.693148)),
+      "b" -> ((1L, 2L, 0.0)),
+      "c" -> ((1L, 1L, 0.0))), got.toString)
+  }
+
   test("stateDiff and topMovers: change-only rows, deterministic tie-break cut") {
     import spark.implicits._
     import graft.operators.EventSourcing

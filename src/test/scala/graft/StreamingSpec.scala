@@ -617,6 +617,37 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming journey edges roll up to the batch transition matrix") {
+    import graft.operators.Windows
+    val named = EventLog.named(spark, SF)
+    // replay the log in PRODUCE order: four ts-ordered chunks written
+    // with strictly increasing mtimes (FileStreamSource drains oldest
+    // first), so cross-batch arrival adjacency is log adjacency
+    val ordered = named.orderBy("ts_us", "event_id").collect()
+    val dir = Files.createTempDirectory("graft_trans_stream").toString
+    import scala.jdk.CollectionConverters._
+    val chunk = (ordered.length + 3) / 4
+    ordered.grouped(chunk).zipWithIndex.foreach { case (rows, i) =>
+      spark.createDataFrame(rows.toSeq.asJava, named.schema)
+        .coalesce(1).write.mode("append").parquet(dir)
+      // one mtime tick per chunk; coarse granularity paranoia
+      if (i < 3) Thread.sleep(1100)
+    }
+    val stream = spark.readStream.schema(named.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    runToCompletion(Streaming.eventTransitionsStream(spark, stream).toDF(),
+      "trans_stream", "append")
+    val got = spark.table("trans_stream")
+      .groupBy("from_space", "to_space").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val want = Windows.eventTransitions(named)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(want.nonEmpty && got == want,
+      s"stream ${got.size} edges vs batch ${want.size}")
+  }
+
   test("incremental es fold converges to batch replay state") {
     import spark.implicits._
     val stream = Streaming.readEntryStream(spark, streamDir,
