@@ -179,6 +179,33 @@ object StreamOps {
         min(col("ts_us")).as("min_ts_us"),
         max(col("ts_us")).as("max_ts_us"))
 
+  /** Hot-SEGMENT skew audit — the partition-health dashboard of a
+    * store operator (one segment absorbing a space's traffic is the
+    * scale hazard every keyed system watches for: it caps consumer
+    * parallelism and pins one task at 100 TB): per space, the segment
+    * population, total entries, the hottest segment with its count,
+    * and the max/mean ratio as the ALL-INTEGER half-up milli
+    * `(2·hot·n_segments·1000 + tot) div (2·tot)` — 1000 means
+    * perfectly even, n_segments·1000 means one segment owns the space.
+    * Two map-side-combinable hash aggs and nothing else; the hottest
+    * segment is a min_by over (−count, segment) — deterministic tie
+    * toward the smaller id, formulated as a window in the oracle (the
+    * two-formulation strengthening). */
+  def segmentSkew(named: DataFrame): DataFrame =
+    named.groupBy(col("space"), col("segment"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("space"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(col("c")).as("n_entries"),
+        min_by(col("segment"),
+          struct((-col("c")).as("negc"), col("segment")))
+          .as("hot_segment"),
+        max(col("c")).as("hot_entries"))
+      .withColumn("skew_milli",
+        expr("(2 * hot_entries * n_segments * 1000 + n_entries) div " +
+          "(2 * n_entries)"))
+
   /** Produce-contract audit (`pkg/eskit/store.go:79-104`): per segment,
     * verify the sequence stream is exactly 1..N with no gaps or
     * duplicates — the batch dual of ErrSequenceMismatch detection. */

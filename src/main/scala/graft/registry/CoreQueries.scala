@@ -77,6 +77,10 @@ object CoreQueries {
     // oracle derives them identically
     "sk_consumer_lag" -> ((s, d) =>
       StreamOps.consumerLag(EventLog.named(s, d))),
+    // hot-segment skew audit: two hash aggs, min_by hottest segment,
+    // all-integer half-up milli max/mean ratio
+    "sk_segment_skew" -> ((s, d) =>
+      StreamOps.segmentSkew(EventLog.named(s, d))),
     // TTL sizing audit (the compact companion): per space, entries +
     // payload bytes a keep-newest-quarter policy would expire vs keep;
     // cutoff = exact-BIGINT quantile of the space's own range
@@ -382,6 +386,28 @@ object CoreQueries {
              c.tmax - c.cursor_ts_us AS time_lag_us
       FROM ev e JOIN c ON e.space = c.space
       GROUP BY 1, 2, 3, c.tmax""",
+
+    // same two-level rollup; hottest segment as a window (engine:
+    // min_by on (−count, segment)); identical integer milli expression
+    "sk_segment_skew" -> s"""$E,
+      c AS (
+        SELECT space, segment, CAST(count(*) AS BIGINT) AS c
+        FROM entries GROUP BY 1, 2),
+      agg AS (
+        SELECT space, CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(sum(c) AS BIGINT) AS n_entries,
+               CAST(max(c) AS BIGINT) AS hot_entries
+        FROM c GROUP BY 1),
+      hot AS (
+        SELECT space, segment AS hot_segment
+        FROM (SELECT *, row_number() OVER (PARTITION BY space
+                ORDER BY c DESC, segment ASC) AS rn FROM c)
+        WHERE rn = 1)
+      SELECT a.space, a.n_segments, a.n_entries, h.hot_segment,
+             a.hot_entries,
+             (2 * a.hot_entries * a.n_segments * 1000 + a.n_entries) //
+               (2 * a.n_entries) AS skew_milli
+      FROM agg a JOIN hot h ON a.space = h.space""",
 
     "sk_retention_audit" -> s"""
       WITH ev AS (

@@ -773,6 +773,11 @@ object PipelineQueries {
     // argmax; oracle formulates the argmax as a window)
     "emb_cluster_quality" -> ((s, d) =>
       Knn.embClusterQuality(Knn.emb(s, d))),
+    // nearest-centroid classifier eval: WHICH labels absorb each
+    // other's mass (off-diagonal = the relabel queue); all-centroid
+    // integer scoring, max_by argmax vs the oracle's window
+    "centroid_confusion" -> ((s, d) =>
+      Knn.centroidConfusion(Knn.emb(s, d))),
     // semi-supervised label propagation: unlabeled vectors adopt the
     // majority label among τ-near labeled neighbors — quantized integer
     // scoring chain + integer votes + (count desc, label asc) winner,
@@ -2408,6 +2413,30 @@ object PipelineQueries {
 
     "emb_centroid_affinity" -> EmbAffinitySql,
     "emb_cluster_quality" -> EmbClusterQualitySql,
+    // all-centroid scoring (no label equality in the dot join), the
+    // identical floor-half-up e4 integer, window argmax (engine: max_by)
+    "centroid_confusion" -> s"""$EmbCodeCtes,
+      alldots AS (
+        SELECT e.vec_id, e.label, e.q2, c.label AS cand,
+               CAST(sum(CAST(e.code AS BIGINT) * c.s) AS BIGINT) AS dot
+        FROM expl e JOIN cent c ON e.pos = c.pos
+        GROUP BY 1, 2, 3, 4),
+      cscored AS (
+        SELECT a.vec_id, a.label, a.cand,
+               CAST(floor(CAST(a.dot AS DOUBLE) * 10000.0::DOUBLE /
+                 (sqrt(CAST(a.q2 AS DOUBLE)) * sqrt(CAST(s.s2 AS DOUBLE)))
+                 + 0.5::DOUBLE) AS BIGINT) AS score_e4
+        FROM alldots a JOIN sn s ON a.cand = s.label),
+      assigned AS (
+        SELECT vec_id, label, cand AS assigned
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY score_e4 DESC, cand ASC) AS rn
+              FROM cscored)
+        WHERE rn = 1)
+      SELECT CAST(label AS BIGINT) AS label,
+             CAST(assigned AS BIGINT) AS assigned,
+             CAST(count(*) AS BIGINT) AS n
+      FROM assigned GROUP BY 1, 2""",
 
     "emb_outliers" -> s"""
       WITH aff AS ($EmbAffinitySql)

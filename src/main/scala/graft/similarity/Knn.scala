@@ -472,6 +472,51 @@ object Knn {
           + lit(0.5)).cast("double") / lit(10000.0)).as("score"))
   }
 
+  /** Nearest-centroid CONFUSION matrix — the centroid-classifier
+    * evaluation of a labeling ([[embClusterQuality]] says WHETHER labels
+    * collapse; this says WHICH labels absorb each other's mass): every
+    * vector is assigned to its nearest centroid over ALL labels (own
+    * included) by the quantized integer cosine, and the (true, assigned)
+    * counts are the confusion matrix — the off-diagonal rows are the
+    * label-merge/relabel queue. Same integer contract as the affinity
+    * chain: exact BIGINT all-pairs dots, score as the floor-half-up e4
+    * INTEGER, argmax = max_by over (score_e4, −cand) with the tie
+    * toward the smaller label id (the voteRollup total-order
+    * discipline; the oracle formulates it as a window).
+    *
+    * Scale: the all-centroid scoring is n·dims·|labels| partials — the
+    * brute eval pass, priced for eval batches (scope the input); the
+    * centroid side is broadcast (labels×dims, corpus-independent).
+    * Same per-label long-overflow bound as emb_drift. */
+  def centroidConfusion(e: DataFrame): DataFrame = {
+    val codes = explodedCodes(e)
+      .localCheckpoint(true) // feeds the centroid agg AND all-pairs dots
+    val cent = centroidSumsFrom(codes)
+      .localCheckpoint(true) // 2 consumers: norm rollup + scoring join
+    val snrm = cent.groupBy(col("label"))
+      .agg(sum(col("s") * col("s")).as("s2"))
+      .filter(col("s2") > lit(0L))
+    val dots = codes
+      .join(broadcast(cent.select(col("label").as("cand"), col("pos"),
+        col("s"))), "pos")
+      .groupBy(col("vec_id"), col("label"), col("q2"), col("cand"))
+      .agg(sum(col("code").cast("long") * col("s")).as("dot"))
+    dots
+      .join(broadcast(snrm.select(col("label").as("cand"),
+        col("s2"))), "cand")
+      .withColumn("score_e4",
+        floor(col("dot").cast("double") * lit(10000.0) /
+          (sqrt(col("q2").cast("double")) * sqrt(col("s2").cast("double")))
+          + lit(0.5)).cast("long"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max_by(col("cand"),
+        struct(col("score_e4"), (-col("cand")).as("neg"))).as("assigned"))
+      .groupBy(col("label"), col("assigned"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("label").cast("long").as("label"),
+        col("assigned").cast("long").as("assigned"), col("n"))
+  }
+
   /** Exploded positive-norm codes — one definition feeding the affinity
     * operator and the frozen [[centroidSums]] artifact. */
   private def explodedCodes(e: DataFrame): DataFrame =

@@ -307,6 +307,24 @@ class KnnSpec extends SparkSpec {
     assert(q(2L)._3 == 0L && q(2L)._4 == -1.0)
   }
 
+  test("centroidConfusion: a collapsed label's mass is absorbed by the " +
+      "smaller id on the exact tie; opposed labels stay diagonal") {
+    import spark.implicits._
+    val v = Seq(0.5, -0.25, 0.125, 1.0)
+    val planted = Seq(
+      (1L, 0, v), (2L, 0, v),
+      (3L, 1, v), (4L, 1, v),              // collapsed onto label 0
+      (5L, 2, v.map(-_)), (6L, 2, v.map(-_))
+    ).toDF("vec_id", "label", "v")
+    val got = Knn.centroidConfusion(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // centroids 0 and 1 are identical → every 0/1 vector ties at
+    // score 1.0 and the tie breaks toward label 0: label 1's mass is
+    // absorbed (the off-diagonal relabel signal); label 2 stays put
+    assert(got == Map((0L, 0L) -> 2L, (1L, 0L) -> 2L, (2L, 2L) -> 2L),
+      got.toString)
+  }
+
   test("embCentroidAffinity covers the corpus with bounded scores") {
     val aff = Knn.embCentroidAffinity(e).cache()
     assert(aff.count() == e.count()) // no zero vectors in the corpus

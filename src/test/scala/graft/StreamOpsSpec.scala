@@ -144,6 +144,23 @@ class StreamOpsSpec extends SparkSpec {
       ("b", "a") -> ((1L, 1000L))))
   }
 
+  test("segmentSkew: hot segment with deterministic tie, integer milli ratio") {
+    import spark.implicits._
+    // x: u1 owns 3 of 4 entries → skew 3·2·1000/4 = 1500;
+    // y: exact 2/2 tie → hot breaks to the smaller id, skew 1000
+    val named = Seq(
+      ("x", "u1"), ("x", "u1"), ("x", "u1"), ("x", "u2"),
+      ("y", "u2"), ("y", "u2"), ("y", "u1"), ("y", "u1"),
+    ).zipWithIndex.map { case ((sp, sg), i) => (sp, sg, i.toLong, i.toLong) }
+      .toDF("space", "segment", "ts_us", "event_id")
+    val got = StreamOps.segmentSkew(named).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == Map(
+      "x" -> ((2L, 4L, "u1", 3L, 1500L)),
+      "y" -> ((2L, 4L, "u1", 2L, 1000L))), got.toString)
+  }
+
   test("journeyEntropy: a 50/50 hub reads ln2 on the micro grid, " +
       "deterministic hops read zero") {
     import spark.implicits._
