@@ -147,6 +147,34 @@ object Windows {
         expr("(2 * n * 1000 + tot) div (2 * tot)").as("share_milli"))
   }
 
+  /** INTER-ARRIVAL cadence monitor — per space, the distribution of
+    * gaps between a segment's consecutive entries (the heartbeat
+    * signal: a `max_gap` spike is an outage/stall window, a `mean_gap`
+    * drift is load change; gaps are WITHIN-segment so cross-user
+    * interleaving never fakes a cadence). ALL-INTEGER output: exact
+    * gap count/sum/max in µs and the mean as the integer half-up
+    * `(2·sum + n) div (2·n)` — no doubles anywhere (variance is
+    * deliberately absent: Σd² overflows BIGINT at month-scale µs gaps;
+    * the mean/max pair is the operational signal).
+    *
+    * Scale: one `lag` window hash-partitioned by (space, segment) —
+    * the eventTransitions window argument (each task sorts only its
+    * own segments; free in the bucketed production layout) — then one
+    * map-side-combinable agg to |spaces| rows. */
+  def interarrivalStats(named: DataFrame): DataFrame = {
+    val w = Window.partitionBy("space", "segment").orderBy("ts_us", "event_id")
+    named
+      .select(col("space"), col("segment"), col("ts_us"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .withColumn("d", col("ts_us") - col("prev_ts"))
+      .groupBy(col("space"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("d")).as("sum_gap_us"),
+        max(col("d")).as("max_gap_us"))
+      .withColumn("mean_gap_us",
+        expr("(2 * sum_gap_us + n_gaps) div (2 * n_gaps)"))
+  }
+
   /** Out-edge ENTROPY per space over the [[eventTransitions]] matrix —
     * the journey-predictability monitor (entropy ≈ 0 means the next
     * step after this space is deterministic — a funnel; high entropy

@@ -148,6 +148,10 @@ object CoreQueries {
     // predictability monitor (0 = funnel, high = branching hub)
     "journey_entropy" -> ((s, d) =>
       Windows.journeyEntropy(EventLog.named(s, d))),
+    // per-space heartbeat: within-segment gap count/sum/max + integer
+    // half-up mean, no doubles anywhere
+    "interarrival_stats" -> ((s, d) =>
+      Windows.interarrivalStats(EventLog.named(s, d))),
     // cross-stream co-movement + per-bucket anomaly monitoring: exact
     // integer moments, one engine-stable double expression at the end
     "space_correlation" -> ((s, d) =>
@@ -591,6 +595,20 @@ object CoreQueries {
     // same lag-per-segment adjacency; share is the identical all-integer
     // half-up milli expression (// == div for positive operands)
     "event_transitions" -> ETransSql,
+
+    // same within-segment lag; identical integer half-up mean
+    "interarrival_stats" -> s"""$E,
+      g AS (
+        SELECT space,
+               ts_us - lag(ts_us) OVER (PARTITION BY space, segment
+                 ORDER BY ts_us, event_id) AS d
+        FROM entries)
+      SELECT space, CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(d) AS BIGINT) AS sum_gap_us,
+             CAST(max(d) AS BIGINT) AS max_gap_us,
+             (2 * CAST(sum(d) AS BIGINT) + CAST(count(*) AS BIGINT)) //
+               (2 * CAST(count(*) AS BIGINT)) AS mean_gap_us
+      FROM g WHERE d IS NOT NULL GROUP BY 1""",
 
     // matrix embedded verbatim; per-term 1e-6 ln snap as INTEGER micro,
     // entropy = exact integer term sum / 1e6

@@ -144,6 +144,23 @@ class StreamOpsSpec extends SparkSpec {
       ("b", "a") -> ((1L, 1000L))))
   }
 
+  test("interarrivalStats: within-segment gaps only, integer half-up mean") {
+    import spark.implicits._
+    import graft.operators.Windows
+    // u1 gaps in x: 10, 5; u2 gap in x: 2 → n=3, sum=17, max=10,
+    // mean = (34+3) div 6 = 6 (17/3 = 5.67 half-up); cross-segment
+    // interleaving (u2 at ts 12 between u1's events) must not create
+    // a gap
+    val named = Seq(
+      ("x", "u1", 10L, 1L), ("x", "u2", 12L, 2L), ("x", "u1", 20L, 3L),
+      ("x", "u1", 25L, 4L), ("x", "u2", 14L, 5L),
+    ).toDF("space", "segment", "ts_us", "event_id")
+    val got = Windows.interarrivalStats(named).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map("x" -> ((3L, 17L, 10L, 6L))), got.toString)
+  }
+
   test("segmentSkew: hot segment with deterministic tie, integer milli ratio") {
     import spark.implicits._
     // x: u1 owns 3 of 4 entries → skew 3·2·1000/4 = 1500;
