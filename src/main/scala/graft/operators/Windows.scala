@@ -134,17 +134,88 @@ object Windows {
     * downstream is |spaces|²-sized: the matrix agg map-side-combines
     * per partition, and the row-total join broadcasts. */
   def eventTransitions(named: DataFrame): DataFrame = {
-    val w = Window.partitionBy("segment").orderBy("ts_us", "event_id")
-    val mat = named
-      .select(col("segment"), col("space"), col("ts_us"), col("event_id"))
-      .withColumn("from_space", lag(col("space"), 1).over(w))
-      .filter(col("from_space").isNotNull)
-      .groupBy(col("from_space"), col("space").as("to_space"))
+    val mat = edgeEvents(named)
+      .groupBy(col("from_space"), col("to_space"))
       .agg(count(lit(1)).as("n"))
     val tot = mat.groupBy(col("from_space")).agg(sum(col("n")).as("tot"))
     mat.join(broadcast(tot), "from_space")
       .select(col("from_space"), col("to_space"), col("n"),
         expr("(2 * n * 1000 + tot) div (2 * tot)").as("share_milli"))
+  }
+
+  /** Per-arrival journey edges — the ONE adjacency definition behind
+    * [[eventTransitions]] and [[transitionDrift]] (the streaming dual
+    * re-expresses it as arrival adjacency). An edge carries its
+    * ARRIVING event's timestamp, so downstream era attribution is by
+    * when the step completed. */
+  private[graft] def edgeEvents(named: DataFrame): DataFrame = {
+    val w = Window.partitionBy("segment").orderBy("ts_us", "event_id")
+    named
+      .select(col("segment"), col("space"), col("ts_us"), col("event_id"))
+      .withColumn("from_space", lag(col("space"), 1).over(w))
+      .filter(col("from_space").isNotNull)
+      .select(col("segment"), col("from_space"),
+        col("space").as("to_space"), col("ts_us"), col("event_id"))
+  }
+
+  /** Transition-matrix DRIFT — the release-regression detector over
+    * [[eventTransitions]]: split the log at the midpoint of its time
+    * range (old era vs new era, an edge belonging to the era its
+    * arriving event lands in) and flag every (from, to) edge whose
+    * outgoing SHARE moved by more than `tauMilli` thousandths — a
+    * purchase→error edge appearing, a checkout step losing mass. The
+    * membership predicate is the ALL-INTEGER cross-multiplication
+    * |n_old·tot_new − n_new·tot_old| · 1000 > τ · tot_old · tot_new
+    * (never a float share compare), with absent edges as true zeros; a
+    * from-space absent from one era has no baseline and is never
+    * flagged (tot = 0 zeroes both sides). Displayed shares are the
+    * usual integer half-up milli.
+    *
+    * Scale: one corpus-priced edge pass (the segment-keyed lag window),
+    * then everything is ≤ 2·|spaces|²-sized (the per-era count table is
+    * eagerly checkpointed — it feeds tots and both era slices).
+    * Integer range: the cross products need n·tot < 2⁶³/1000 — scope
+    * the monitored window to ≲ 10⁸ transitions per (space, era) (the
+    * emb_drift posture: scope the input, not the math). */
+  def transitionDrift(named: DataFrame, tauMilli: Long = 5L): DataFrame = {
+    require(tauMilli >= 1 && tauMilli <= 1000, s"bad tauMilli=$tauMilli")
+    val bounds = named.agg(min(col("ts_us")).as("tmin"),
+      max(col("ts_us")).as("tmax"))
+    val cnt = edgeEvents(named)
+      .crossJoin(broadcast(bounds))
+      .withColumn("era",
+        when(col("ts_us") * 2 <= col("tmin") + col("tmax"), lit("old"))
+          .otherwise(lit("new")))
+      .groupBy(col("era"), col("from_space"), col("to_space"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // matrix-sized; feeds tots + both era slices
+    val tots = cnt.groupBy(col("era"), col("from_space"))
+      .agg(sum(col("n")).as("tot"))
+    val edges = cnt.filter(col("era") === "old")
+      .select(col("from_space"), col("to_space"), col("n").as("n_old"))
+      .join(cnt.filter(col("era") === "new")
+        .select(col("from_space"), col("to_space"), col("n").as("n_new")),
+        Seq("from_space", "to_space"), "full_outer")
+      .na.fill(0L, Seq("n_old", "n_new"))
+    edges
+      .join(broadcast(tots.filter(col("era") === "old")
+        .select(col("from_space"), col("tot").as("tot_old"))),
+        Seq("from_space"), "left")
+      .join(broadcast(tots.filter(col("era") === "new")
+        .select(col("from_space"), col("tot").as("tot_new"))),
+        Seq("from_space"), "left")
+      .na.fill(0L, Seq("tot_old", "tot_new"))
+      .filter(abs(col("n_old") * col("tot_new") -
+        col("n_new") * col("tot_old")) * lit(1000L) >
+        lit(tauMilli) * col("tot_old") * col("tot_new"))
+      .select(col("from_space"), col("to_space"), col("n_old"),
+        col("n_new"), col("tot_old"), col("tot_new"),
+        expr("CASE WHEN tot_old > 0 THEN " +
+          "(2 * n_old * 1000 + tot_old) div (2 * tot_old) " +
+          "ELSE CAST(0 AS BIGINT) END").as("share_old_milli"),
+        expr("CASE WHEN tot_new > 0 THEN " +
+          "(2 * n_new * 1000 + tot_new) div (2 * tot_new) " +
+          "ELSE CAST(0 AS BIGINT) END").as("share_new_milli"))
   }
 
   /** INTER-ARRIVAL cadence monitor — per space, the distribution of

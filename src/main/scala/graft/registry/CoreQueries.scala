@@ -152,6 +152,10 @@ object CoreQueries {
     // half-up mean, no doubles anywhere
     "interarrival_stats" -> ((s, d) =>
       Windows.interarrivalStats(EventLog.named(s, d))),
+    // era-over-era matrix drift: all-integer cross-multiplied share
+    // predicate, absent edges as true zeros
+    "transition_drift" -> ((s, d) =>
+      Windows.transitionDrift(EventLog.named(s, d))),
     // cross-stream co-movement + per-bucket anomaly monitoring: exact
     // integer moments, one engine-stable double expression at the end
     "space_correlation" -> ((s, d) =>
@@ -595,6 +599,54 @@ object CoreQueries {
     // same lag-per-segment adjacency; share is the identical all-integer
     // half-up milli expression (// == div for positive operands)
     "event_transitions" -> ETransSql,
+
+    // same adjacency + midpoint era split; identical integer
+    // cross-multiplication predicate and half-up milli displays
+    "transition_drift" -> s"""$E,
+      steps AS (
+        SELECT segment, space, ts_us, event_id,
+               lag(space) OVER (PARTITION BY segment
+                                ORDER BY ts_us, event_id) AS from_space
+        FROM entries),
+      b AS (SELECT min(ts_us) AS tmin, max(ts_us) AS tmax FROM entries),
+      cnt AS (
+        SELECT CASE WHEN s.ts_us * 2 <= b.tmin + b.tmax
+                    THEN 'old' ELSE 'new' END AS era,
+               s.from_space, s.space AS to_space,
+               CAST(count(*) AS BIGINT) AS n
+        FROM steps s CROSS JOIN b
+        WHERE s.from_space IS NOT NULL
+        GROUP BY 1, 2, 3),
+      tots AS (SELECT era, from_space, CAST(sum(n) AS BIGINT) AS tot
+               FROM cnt GROUP BY 1, 2),
+      edges AS (
+        SELECT coalesce(o.from_space, nn.from_space) AS from_space,
+               coalesce(o.to_space, nn.to_space) AS to_space,
+               coalesce(o.n, CAST(0 AS BIGINT)) AS n_old,
+               coalesce(nn.n, CAST(0 AS BIGINT)) AS n_new
+        FROM (SELECT from_space, to_space, n FROM cnt WHERE era = 'old') o
+        FULL OUTER JOIN
+             (SELECT from_space, to_space, n FROM cnt WHERE era = 'new') nn
+          ON o.from_space = nn.from_space AND o.to_space = nn.to_space),
+      j AS (
+        SELECT e.from_space, e.to_space, e.n_old, e.n_new,
+               coalesce(t1.tot, CAST(0 AS BIGINT)) AS tot_old,
+               coalesce(t2.tot, CAST(0 AS BIGINT)) AS tot_new
+        FROM edges e
+        LEFT JOIN (SELECT from_space, tot FROM tots WHERE era = 'old') t1
+          ON e.from_space = t1.from_space
+        LEFT JOIN (SELECT from_space, tot FROM tots WHERE era = 'new') t2
+          ON e.from_space = t2.from_space)
+      SELECT from_space, to_space, n_old, n_new, tot_old, tot_new,
+             CASE WHEN tot_old > 0
+                  THEN (2 * n_old * 1000 + tot_old) // (2 * tot_old)
+                  ELSE CAST(0 AS BIGINT) END AS share_old_milli,
+             CASE WHEN tot_new > 0
+                  THEN (2 * n_new * 1000 + tot_new) // (2 * tot_new)
+                  ELSE CAST(0 AS BIGINT) END AS share_new_milli
+      FROM j
+      WHERE abs(n_old * tot_new - n_new * tot_old) * 1000 >
+            5 * tot_old * tot_new""",
 
     // same within-segment lag; identical integer half-up mean
     "interarrival_stats" -> s"""$E,

@@ -345,4 +345,53 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
     assert(!p.contains("Sort "), p)
   }
+
+  test("budget_cut windows run over the aggregated grid only, never doc rows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val docs = graft.text.TextOps.docs(spark, SF)
+    val wins = graft.text.TextOps.budgetCut(docs, 800L)
+      .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    // the §5 claim: the only sort is over the corpus-independent
+    // (source, q4, hex4) grid — each window's input must be an
+    // aggregate, never the per-doc stream
+    wins.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        s"window over unaggregated doc rows:\n$w")
+    }
+  }
+
+  test("journey/cadence windows are keyed (segment-parallel), never global") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import graft.operators.Windows
+    val named = EventLog.named(spark, SF)
+    Seq(Windows.eventTransitions(named),
+        Windows.interarrivalStats(named)).foreach { df =>
+      val wins = df.queryExecution.optimizedPlan
+        .collect { case w: LWindow => w }
+      assert(wins.nonEmpty)
+      // an empty partitionSpec is a single-task whole-log sort
+      wins.foreach(w => assert(w.partitionSpec.nonEmpty, w.toString))
+    }
+  }
+
+  test("phrase_density broadcasts the dictionary; no cartesian anywhere") {
+    val p = plan(graft.text.TextOps.phraseDensity(
+      graft.text.TextOps.docs(spark, SF)))
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("label diagnostics argmax by aggregation: no window machinery") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val e = graft.similarity.Knn.emb(spark, SF)
+    Seq(graft.similarity.Knn.embClusterQuality(e),
+        graft.similarity.Knn.centroidConfusion(e)).foreach { df =>
+      assert(df.queryExecution.optimizedPlan
+        .collect { case w: LWindow => w }.isEmpty)
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
 }

@@ -144,6 +144,30 @@ class StreamOpsSpec extends SparkSpec {
       ("b", "a") -> ((1L, 1000L))))
   }
 
+  test("transitionDrift: a rerouted edge flags in both directions, stable " +
+      "edges and baseline-free spaces stay silent") {
+    import spark.implicits._
+    import graft.operators.Windows
+    // old era (ts ≤ mid): u1 walks a,b,a,b → a→b×2, b→a×1; new era:
+    // a,c,a,c → a→c×2, c→a×1, plus the boundary edge b→a arriving new
+    val named = Seq(
+      ("a", 1L), ("b", 2L), ("a", 3L), ("b", 4L),
+      ("a", 101L), ("c", 102L), ("a", 103L), ("c", 104L),
+    ).zipWithIndex.map { case ((sp, ts), i) =>
+      (sp, "u1", ts, (i + 1).toLong)
+    }.toDF("space", "segment", "ts_us", "event_id")
+    val got = Windows.transitionDrift(named).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))).toMap
+    // a→b collapsed (1000 → 0) and a→c appeared (0 → 1000); b→a is
+    // stable (1/1 both eras); c→a has no old baseline (tot_old = 0) →
+    // never flagged
+    assert(got == Map(
+      ("a", "b") -> ((2L, 0L, 2L, 2L, 1000L, 0L)),
+      ("a", "c") -> ((0L, 2L, 2L, 2L, 0L, 1000L))), got.toString)
+  }
+
   test("interarrivalStats: within-segment gaps only, integer half-up mean") {
     import spark.implicits._
     import graft.operators.Windows
