@@ -23,7 +23,8 @@ object Bench {
       "text_search_indexed", "token_count_bpe_persisted",
       "contamination_semantic_ivf", "contamination_semantic_ivf_audit",
       "contamination_report_ivf", "domain_classifier_persisted",
-      "knn_recall_audit_quantized", "knn_label_prop_ivf")
+      "knn_recall_audit_quantized", "knn_label_prop_ivf",
+      "doc_similar_persisted")
 
   private def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()

@@ -1,7 +1,7 @@
 package graft.registry
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat_ws, lit, md5, substring}
 import graft.text.TextOps
 import graft.dedup.Dedup
 import graft.similarity.Knn
@@ -935,6 +935,20 @@ object PipelineQueries {
     // the same SQL as doc_similar_topk (row-identical pair sources)
     "doc_similar_topk_prefix" -> ((s, d) =>
       TextOps.docSimilarTopKFrom(TextOps.docSimilarPrefix(docs(s, d)))),
+    // more-like-this over the PERSISTED vector index: a query slice
+    // vectorized against the frozen vocab, scored against the stored
+    // corpus vectors — zero corpus tokenization at probe time; oracle
+    // = the inverted-index pair formulation restricted to slice
+    // endpoints, served directed
+    "doc_similar_persisted" -> ((s, d) => {
+      val (tbl, path) = runScopedTable(s, d, "graft_doc_vec")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"DROP TABLE IF EXISTS ${tbl}_vocab")
+      TextOps.writeDocVectorIndex(docs(s, d), tbl, path)
+      TextOps.docSimilarPersisted(s, docs(s, d), tbl, s"${tbl}_vocab",
+        substring(md5(concat_ws(":", col("doc_id").cast("string"),
+          lit("mlt"))), 1, 1) < "4")
+    }),
     // BM25 against the PERSISTED bucketed postings index (build once,
     // probe per query — the search-serving shape, completing the
     // persisted-index trilogy with knn_ivf_persisted and
@@ -1790,6 +1804,19 @@ object PipelineQueries {
     // checks both derivations)
     "doc_similar" -> DocSimilarOracleSql,
     "doc_similar_prefix" -> DocSimilarOracleSql,
+    // the pair formulation restricted to slice endpoints, served
+    // DIRECTED to each in-slice endpoint (both-in-slice pairs → two
+    // rows); the md5-nibble slice is the identical expression
+    "doc_similar_persisted" -> s"""
+      SELECT lang, doc1 AS doc_id, doc2 AS similar_id, score
+      FROM ($DocSimilarOracleSql) p
+      WHERE substr(md5(concat_ws(':', CAST(doc1 AS VARCHAR), 'mlt')),
+        1, 1) < '4'
+      UNION ALL
+      SELECT lang, doc2 AS doc_id, doc1 AS similar_id, score
+      FROM ($DocSimilarOracleSql) p
+      WHERE substr(md5(concat_ws(':', CAST(doc2 AS VARCHAR), 'mlt')),
+        1, 1) < '4'""",
     // serving cut over the same pair list: symmetrize + row_number on
     // the grid score with the similar_id tie-break; shared verbatim by
     // doc_similar_topk_prefix (the pair sources are row-identical by

@@ -1849,6 +1849,63 @@ object TextOps {
       .saveAsTable(tableName)
   }
 
+  /** Batch MORE-LIKE-THIS over the persisted index — the serving-side
+    * face of [[docSimilar]] (the text_search_indexed posture applied to
+    * the vector space): a QUERY SLICE of documents is vectorized
+    * against the FROZEN vocabulary table (tf agg + a broadcast vocab
+    * join + the IDENTICAL xxhash64/sort_array/weight expressions the
+    * index build ran — one definition, so an indexed document's probe
+    * vector is bit-identical to its stored vector) and scored against
+    * the PERSISTED corpus vectors with the same SparseDotCounts +
+    * floor-half-up chain, emitting each query's above-τ neighbors
+    * DIRECTED to the query endpoint. Result equals the doc_similar
+    * pair set restricted to slice endpoints (both-in-slice pairs serve
+    * both directions) — the oracle derives exactly that from the
+    * inverted-index formulation.
+    *
+    * Scale: the corpus is touched ZERO times — the tokenize pass runs
+    * over the query slice only, the vocab join is broadcast (the vocab
+    * is the bounded model artifact), and the scoring join reads the
+    * persisted vectors. The lang-blocked scoring join prices each
+    * query batch at |slice|·|corpus|/|langs| kernel calls — the brute
+    * serving cost; a τ-bounded candidate feed swaps in via
+    * docSimilarPrefix's posting logic when batches grow (the
+    * dedup_clusters_lsh pair-source-swap argument). */
+  def docSimilarPersisted(spark: SparkSession, d: DataFrame,
+      vecTable: String, vocabTable: String, queryPred: Column,
+      tau: Double = 0.9): DataFrame = {
+    require(tau > 0.0, s"bad tau=$tau")
+    val vocab = spark.table(vocabTable)
+      .select(col("lang"), col("term"), col("idf_milli"))
+    val tf = withToks(
+        d.filter(queryPred).withColumn("text", lower(col("text"))))
+      .select(col("doc_id"), col("lang"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("lang"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val q = tf.join(broadcast(vocab), Seq("lang", "term"))
+      .withColumn("w", col("tf") * col("idf_milli"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sort_array(collect_list(struct(
+          xxhash64(col("lang"), col("term")).as("k"),
+          col("w").as("w")))).as("kw"),
+        sum(col("w") * col("w")).as("n2"))
+      .filter(col("n2") > lit(0L))
+      .select(col("doc_id"), col("lang"), col("n2"),
+        expr("transform(kw, s -> s.k)").as("ks"),
+        expr("transform(kw, s -> s.w)").as("ws"))
+    val corpus = spark.table(vecTable)
+      .select(col("doc_id").as("similar_id"), col("lang"),
+        col("n2").as("cn2"), col("ks").as("cks"), col("ws").as("cws"))
+    q.join(corpus, Seq("lang"))
+      .filter(col("doc_id") =!= col("similar_id"))
+      .withColumn("dc", graft.functions.SparseDotCounts(
+        col("ks"), col("ws"), col("cks"), col("cws")))
+      .withColumn("score", quantizedCosine(
+        col("dc").getItem(0), col("n2"), col("cn2")))
+      .filter(col("score") >= tau)
+      .select(col("lang"), col("doc_id"), col("similar_id"), col("score"))
+  }
+
   /** The 100 TB path for [[docSimilar]], with a PROVABLY IDENTICAL
     * result — prefix filtering (the AllPairs/PPJoin bound, Bayardo,
     * Ma & Srikant WWW'07, specialized to cosine): process each doc's

@@ -342,6 +342,38 @@ class TextSpec extends SparkSpec {
     assert(again == rows)
   }
 
+  test("doc_similar_persisted: probe equals the directed slice of " +
+      "doc_similar") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(s"$SF/documents.parquet")
+    val tbl = "graft_doc_vec_spec"
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), tbl).toString
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_vocab")
+    TextOps.writeDocVectorIndex(d, tbl, path)
+    val pred = substring(md5(concat_ws(":",
+      col("doc_id").cast("string"), lit("mlt"))), 1, 1) < "4"
+    val got = TextOps.docSimilarPersisted(spark, d, tbl, s"${tbl}_vocab",
+      pred)
+    val gotSet = got.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // the engine-vs-engine cross-derivation: the corpus-side pair set
+    // restricted to slice endpoints, served directed
+    val inSlice = d.filter(pred).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val want = TextOps.docSimilar(d).collect().flatMap { r =>
+      val (lang, a, b, s) =
+        (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getAs[Double]("score"))
+      Seq((lang, a, b, s)).filter(_ => inSlice(a)) ++
+        Seq((lang, b, a, s)).filter(_ => inSlice(b))
+    }.toSet
+    assert(want.nonEmpty && gotSet == want,
+      s"probe ${gotSet.size} vs slice ${want.size}")
+  }
+
   test("text_search_indexed: persisted probe equals ad-hoc bm25; bucketed scan, pushed filter") {
     val d = spark.read.parquet(s"$SF/documents.parquet")
     val terms = Seq("vector", "stream", "window", "hash")
