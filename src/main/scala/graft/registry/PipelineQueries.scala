@@ -645,6 +645,8 @@ object PipelineQueries {
     "pack_assign" -> ((s, d) => TextOps.packAssign(docs(s, d))),
     // per-source fill/oversize accounting over the pack layout
     "pack_audit" -> ((s, d) => TextOps.packAudit(docs(s, d))),
+    // reproducibility receipt: md5 over each pack's ascending doc ids
+    "pack_manifest" -> ((s, d) => TextOps.packManifest(docs(s, d))),
     // global quality-ordered phase cuts with ZERO sort: grid-histogram
     // prefix + all-integer per-doc decision (the scale formulation of
     // a corpus-wide ntile)
@@ -655,6 +657,9 @@ object PipelineQueries {
     "budget_cut" -> ((s, d) => TextOps.budgetCut(docs(s, d), BudgetTokens)),
     // offered-vs-kept accounting + integer half-up milli utilization
     "budget_audit" -> ((s, d) => TextOps.budgetAudit(docs(s, d), BudgetTokens)),
+    // the raw -> dedup -> budget release funnel per source
+    "selection_report" -> ((s, d) =>
+      TextOps.selectionReport(docs(s, d), BudgetTokens)),
     // novelty signal: fraction of a doc's distinct word 5-grams whose
     // first corpus occurrence (min doc_id) is this doc
     "doc_novelty" -> ((s, d) => TextOps.docNovelty(docs(s, d))),
@@ -1027,11 +1032,11 @@ object PipelineQueries {
     * and the budget_cut family so a q4 formulation drift breaks ONE
     * place. Defined before [[oracleBase]] (object vals initialize in
     * declaration order). */
-  private val Q4Ctes = """
+  private def q4CtesFrom(rel: String) = s"""
       WITH t AS (
         SELECT doc_id, source, text,
                list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        FROM documents),
+        FROM $rel),
       m AS (
         SELECT doc_id, source,
                len(toks) AS n_tokens,
@@ -1052,6 +1057,8 @@ object PipelineQueries {
                      ELSE 0 END)) * 4, 0) AS BIGINT) AS q4
         FROM m)"""
 
+  private val Q4Ctes = q4CtesFrom("documents")
+
   /** The per-source token budget — one constant interpolated into the
     * oracle AND passed to the engine, chosen so the admission decision
     * is non-trivial at BOTH gate scales (sf0.01 sources carry ~1.3–1.6k
@@ -1061,7 +1068,7 @@ object PipelineQueries {
   /** The budget_cut derivation (grid prefix + group-fits decision),
     * named because budget_audit embeds it verbatim (the reportBlock
     * discipline). */
-  private val BudgetCutSql = s"""$Q4Ctes,
+  private def budgetCutSqlFrom(rel: String) = s"""${q4CtesFrom(rel)},
       b AS (
         SELECT doc_id, source, n_tok, q4,
                substr(md5(concat_ws(':', CAST(doc_id AS VARCHAR),
@@ -1082,6 +1089,14 @@ object PipelineQueries {
                        THEN 1 ELSE 0 END AS BIGINT) AS kept
       FROM b JOIN pref p ON b.source = p.source AND b.q4 = p.q4
                         AND b.hex4 = p.hex4"""
+
+  private val BudgetCutSql = budgetCutSqlFrom("documents")
+
+  /** Global exact-dedup keeper corpus (the Dedup.exact election rule:
+    * min doc_id per digest, corpus-wide) as an embeddable relation. */
+  private val KeeperRel = """(SELECT d2.* FROM documents d2 JOIN
+      (SELECT min(doc_id) AS doc_id FROM documents
+       GROUP BY md5(lower(trim(text)))) kk USING (doc_id))"""
 
   /** The word_assoc derivation, named because phrase_density embeds
     * it verbatim as its dictionary (the reportBlock discipline). */
@@ -2128,6 +2143,27 @@ object PipelineQueries {
       FROM ($BudgetCutSql) c
       GROUP BY source""",
 
+    // funnel oracle: raw mass + the budget derivation over the KEEPER
+    // relation embedded verbatim (dedup before selection)
+    "selection_report" -> s"""
+      WITH raw AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_raw,
+               CAST(sum(len(list_filter(string_split(text, ' '),
+                 x -> x <> ''))) AS BIGINT) AS tok_raw
+        FROM documents GROUP BY 1),
+      sel AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_dedup,
+               CAST(sum(n_tok) AS BIGINT) AS tok_dedup,
+               CAST(sum(kept) AS BIGINT) AS n_sel,
+               CAST(sum(CASE WHEN kept = 1 THEN n_tok ELSE 0 END)
+                 AS BIGINT) AS tok_sel
+        FROM (${budgetCutSqlFrom(KeeperRel)}) c GROUP BY 1)
+      SELECT raw.source, raw.n_raw, raw.tok_raw, sel.n_dedup,
+             sel.tok_dedup, sel.n_sel, sel.tok_sel,
+             (2 * sel.tok_sel * 1000 + raw.tok_raw) //
+               (2 * raw.tok_raw) AS sel_milli
+      FROM raw JOIN sel ON raw.source = sel.source""",
+
     "curriculum_assign" -> s"""$Q4Ctes,
       grid AS (
         SELECT q4, CAST(count(*) AS BIGINT) AS cnt FROM q GROUP BY 1),
@@ -2155,6 +2191,14 @@ object PipelineQueries {
 
     // per-source fill/oversize accounting over the pack layout
     // (PackAssignSql verbatim); one floor-half-up expression
+    // ordered string_agg == engine's sorted-collect concat
+    "pack_manifest" -> s"""
+      SELECT source, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tok_total,
+             md5(string_agg(CAST(doc_id AS VARCHAR), ':'
+               ORDER BY doc_id)) AS manifest_md5
+      FROM ($PackAssignSql) p GROUP BY 1, 2""",
+
     "pack_audit" -> s"""
       WITH p AS ($PackAssignSql)
       SELECT source,

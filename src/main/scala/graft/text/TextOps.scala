@@ -104,6 +104,37 @@ object TextOps {
           .as("mean_quality_milli"))
   }
 
+  /** The raw → dedup → budget SELECTION FUNNEL per source — the release
+    * accounting a data-constrained training run signs off on: offered
+    * docs/tokens, the mass surviving GLOBAL exact dedup (the
+    * [[graft.dedup.Dedup.exact]] keeper election — min doc_id per
+    * digest corpus-wide, the token_yield attribution), and the mass the
+    * per-source token budget finally admits ([[budgetCut]] over the
+    * KEEPER corpus — dedup before selection, the pipeline order), with
+    * the end-to-end yield as the ALL-INTEGER half-up milli
+    * tok_sel/tok_raw. Oracle embeds the budget derivation over the
+    * keeper relation verbatim (the reportBlock discipline), so a
+    * member-formulation drift breaks one place. Costs: one digest agg,
+    * one keeper equijoin, the budgetCut passes, two stratum aggs. */
+  def selectionReport(d: DataFrame, budget: Long = 800L): DataFrame = {
+    val keepers = d.join(
+      graft.dedup.Dedup.exact(d).select(col("keeper").as("doc_id")),
+      "doc_id")
+    val sel = budgetCut(keepers, budget)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_dedup"), sum(col("n_tok")).as("tok_dedup"),
+        sum(col("kept")).as("n_sel"),
+        sum(when(col("kept") === 1L, col("n_tok")).otherwise(0L))
+          .as("tok_sel"))
+    val raw = withToks(d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(size(col("toks")).cast("long")).as("tok_raw"))
+    raw.join(sel, "source")
+      .withColumn("sel_milli",
+        expr("(2 * tok_sel * 1000 + tok_raw) div (2 * tok_raw)"))
+  }
+
   /** Cross-table referential-integrity audit — the precondition check
     * the embedding-dependent operators (semantic dedup, contamination,
     * label propagation) silently assume: every document has exactly one
@@ -1027,6 +1058,24 @@ object TextOps {
       .withColumn("budget", lit(budget))
       .withColumn("util_milli",
         expr("(2 * tok_kept * 1000 + budget) div (2 * budget)"))
+
+  /** Deterministic PACK MANIFEST — the reproducibility receipt of the
+    * [[packAssign]] layout (data lineage for a training run: two
+    * builds of the same corpus must produce byte-identical pack
+    * contents, and THIS is the check): per (source, pack), the doc
+    * count, token mass, and an md5 over the ':'-joined ASCENDING doc
+    * ids — a pure function of the pack's id SET, so any reorder,
+    * loss, or intrusion flips the digest. Engine sorts the collected
+    * ids (bounded per pack by the token budget — never corpus-sized
+    * state); the oracle is DuckDB's ordered string_agg over the
+    * embedded pack derivation. */
+  def packManifest(d: DataFrame, budget: Long = 256L): DataFrame =
+    packAssign(d, budget)
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok_total"),
+        expr("md5(concat_ws(':', transform(sort_array(" +
+          "collect_list(doc_id)), x -> cast(x AS string))))")
+          .as("manifest_md5"))
 
   /** Per-source packing audit for [[packAssign]] (the mix_audit
     * discipline): docs, packs, token mass, docs LONGER than the context

@@ -150,6 +150,49 @@ class TextSpec extends SparkSpec {
     assert(again == base)
   }
 
+  test("selectionReport: duplicates drop before the budget, funnel is monotone") {
+    import spark.implicits._
+    // s0: A and B are byte-identical (B loses the election), C distinct
+    val d = Seq(
+      (1L, "alpha beta gamma delta", "x", "s0"),
+      (2L, "alpha beta gamma delta", "x", "s0"),
+      (3L, "epsilon zeta eta theta iota", "x", "s0"),
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = TextOps.selectionReport(d, budget = 100L).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (nRaw, tokRaw) = (row.getAs[Long]("n_raw"), row.getAs[Long]("tok_raw"))
+    val (nDedup, tokDedup) =
+      (row.getAs[Long]("n_dedup"), row.getAs[Long]("tok_dedup"))
+    val (nSel, tokSel) = (row.getAs[Long]("n_sel"), row.getAs[Long]("tok_sel"))
+    assert(nRaw == 3L && tokRaw == 13L)
+    // the duplicate left BEFORE selection; the slack budget keeps all
+    assert(nDedup == 2L && tokDedup == 9L)
+    assert(nSel == 2L && tokSel == 9L)
+    assert(row.getAs[Long]("sel_milli") ==
+      (2 * 9 * 1000 + 13) / (2 * 13)) // 692
+    // funnel monotone under a tight budget too
+    val tight = TextOps.selectionReport(d, budget = 5L).collect().head
+    assert(tight.getAs[Long]("tok_sel") <= 5L &&
+      tight.getAs[Long]("tok_sel") <= tight.getAs[Long]("tok_dedup"))
+  }
+
+  test("packManifest: digest is a pure function of pack membership") {
+    import org.apache.spark.sql.functions._
+    def m(df: org.apache.spark.sql.DataFrame) =
+      TextOps.packManifest(df).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    val base = m(docs)
+    assert(base.nonEmpty)
+    // partitioning never changes a receipt
+    assert(m(docs.repartition(7, col("doc_id"))) == base)
+    // dropping one doc flips its pack's digest
+    val d0 = docs.orderBy("doc_id").select("doc_id").head().getLong(0)
+    val without = m(docs.filter(col("doc_id") =!= d0))
+    assert(without != base)
+  }
+
   test("pack_assign: packs are contiguous, start at 0 per source, and respect the budget") {
     val budget = 256L
     val rows = TextOps.packAssign(docs, budget).collect()
