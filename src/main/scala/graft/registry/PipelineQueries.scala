@@ -879,6 +879,11 @@ object PipelineQueries {
     "crawl_diff_report" -> ((s, d) => graft.text.CrawlDiff.report(
       graft.text.CrawlDiff.syntheticOld(docs(s, d)),
       graft.text.CrawlDiff.syntheticCurrent(docs(s, d)))),
+    // the crawl-scheduler feed: added/changed ranked by integer
+    // quality-first priority
+    "recrawl_priority" -> ((s, d) => graft.text.CrawlDiff.recrawlPriority(
+      graft.text.CrawlDiff.syntheticOld(docs(s, d)),
+      graft.text.CrawlDiff.syntheticCurrent(docs(s, d)), docs(s, d))),
     // deterministic passage chunking: non-overlapping 32-word windows
     // with a content digest per window (the RAG / training-loader cut
     // between whole-doc dedup and substring anchors); pure integer grid
@@ -1896,6 +1901,16 @@ object PipelineQueries {
     // functions the engine uses (pure functions of doc_id); presence is
     // read off the digest columns (non-null by construction)
     "crawl_diff" -> CrawlDiffSql,
+
+    // diff + per-doc q4 embedded verbatim; identical integer priority
+    "recrawl_priority" -> s"""
+      SELECT dq.doc_id, dq.lang, dq.status, q.q4,
+             q.q4 * 2 + CASE WHEN dq.status = 'added'
+                             THEN 1 ELSE 0 END AS priority
+      FROM ($CrawlDiffSql) dq
+      JOIN (${q4CtesFrom("documents")} SELECT doc_id, q4 FROM q) q
+        ON dq.doc_id = q.doc_id
+      WHERE dq.status IN ('added', 'changed')""",
 
     "crawl_diff_report" -> s"""
       WITH diff AS ($CrawlDiffSql)

@@ -70,4 +70,22 @@ object CrawlDiff {
   def report(old: DataFrame, cur: DataFrame): DataFrame =
     diff(old, cur).groupBy(col("status"), col("lang"))
       .agg(count(lit(1)).as("n_docs"))
+
+  /** RE-PROCESS queue with PRIORITY — the crawl-scheduler feed over the
+    * [[diff]]: added/changed docs (the work) ranked by an ALL-INTEGER
+    * priority `q4·2 + (added ? 1 : 0)` — quality first (high-value
+    * pages re-process ahead of boilerplate), new content edging changed
+    * content at equal quality. q4 is a pure per-doc function of the
+    * CURRENT text ([[TextOps.scoredQ4]] — corpus-independent bands), so
+    * the oracle derives the identical integer from the full table;
+    * `removed` never enters (no current text to process). One diff
+    * pass + one doc_id equijoin; no floats anywhere. */
+  def recrawlPriority(old: DataFrame, cur: DataFrame,
+      texts: DataFrame): DataFrame =
+    diff(old, cur)
+      .filter(col("status").isin("added", "changed"))
+      .join(TextOps.scoredQ4(texts), "doc_id")
+      .withColumn("priority", col("q4") * lit(2L) +
+        when(col("status") === "added", 1L).otherwise(0L))
+      .select("doc_id", "lang", "status", "q4", "priority")
 }

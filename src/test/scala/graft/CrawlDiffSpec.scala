@@ -20,6 +20,32 @@ class CrawlDiffSpec extends SparkSpec {
       3L -> ("added", "fr"), 4L -> ("unchanged", "fr")))
   }
 
+  test("recrawlPriority: only added/changed enter; integer priority " +
+      "ranks quality first, added above changed on ties") {
+    val old = Seq((1L, "en", "A"), (2L, "en", "B"), (4L, "en", "D"))
+      .toDF("doc_id", "lang", "digest")
+    val cur = Seq((2L, "en", "B2"), (3L, "en", "C"), (4L, "en", "D"))
+      .toDF("doc_id", "lang", "digest")
+    // texts chosen so every doc lands in the same quality bands
+    // (short word soup → the same q4), making the tiebreak visible
+    val texts = Seq(
+      (2L, "alpha beta gamma", "en", "s0"),
+      (3L, "delta epsilon zeta", "en", "s0"),
+      (4L, "eta theta iota", "en", "s0"),
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = CrawlDiff.recrawlPriority(old, cur, texts).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("status"), r.getAs[Long]("q4"),
+          r.getAs[Long]("priority"))).toMap
+    // 1 removed and 4 unchanged never enter the queue
+    assert(out.keySet == Set(2L, 3L))
+    val (st2, q2v, p2) = out(2L)
+    val (st3, q3v, p3) = out(3L)
+    assert(st2 == "changed" && st3 == "added")
+    assert(q2v == q3v) // same bands by construction
+    assert(p2 == q2v * 2 && p3 == q3v * 2 + 1) // added edges the tie
+  }
+
   test("synthetic snapshots: statuses partition the id universe correctly") {
     val d = TextOps.docs(spark, SF)
     val old = CrawlDiff.syntheticOld(d)
