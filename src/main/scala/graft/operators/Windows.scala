@@ -110,6 +110,35 @@ object Windows {
     out
   }
 
+  /** Step-CONVERSION accounting over [[funnel]] — the rates view an
+    * analytics consumer actually reads (counts say how many reached a
+    * step; rates say WHERE the drop is): per step, the reaching-segment
+    * count, the conversion from the previous step, and the overall
+    * conversion from step 1 — both as ALL-INTEGER half-up milli (step 1
+    * converts at 1000 by definition; a zero upstream yields 0, never a
+    * division error). The oracle embeds the funnel SQL verbatim (the
+    * reportBlock discipline). Everything past the funnel is
+    * steps-sized; the funnel itself is checkpointed (three consumers:
+    * the rows, the lag join, the step-1 anchor). */
+  def funnelRates(named: DataFrame, steps: Seq[String]): DataFrame = {
+    val f = funnel(named, steps).localCheckpoint(true)
+    val prev = f.select((col("step") + lit(1L)).as("step"),
+      col("n_segments").as("n_prev"))
+    val first = f.filter(col("step") === lit(1L))
+      .select(col("n_segments").as("n_first"))
+    f.join(prev, Seq("step"), "left")
+      .crossJoin(broadcast(first))
+      .select(col("step"), col("space"), col("n_segments"),
+        when(col("n_prev").isNull, lit(1000L))
+          .when(col("n_prev") === 0L, lit(0L))
+          .otherwise(expr(
+            "(2 * n_segments * 1000 + n_prev) div (2 * n_prev)"))
+          .as("conv_milli"),
+        when(col("n_first") > 0L, expr(
+            "(2 * n_segments * 1000 + n_first) div (2 * n_first)"))
+          .otherwise(lit(0L)).as("overall_milli"))
+  }
+
   /** First-order TRANSITION MATRIX over user journeys — the Markov
     * generalization of [[funnel]] (a funnel checks ONE ordered path;
     * the matrix measures every adjacent space→space step at once):

@@ -136,6 +136,10 @@ object CoreQueries {
     // event strictly after its first qualifying step-(k-1) event
     "event_funnel" -> ((s, d) =>
       Windows.funnel(EventLog.named(s, d), Seq("view", "click", "purchase"))),
+    // the rates view over the funnel: integer half-up conversion from
+    // the previous step and from step 1
+    "funnel_rates" -> ((s, d) => Windows.funnelRates(
+      EventLog.named(s, d), Seq("view", "click", "purchase"))),
     // cohort-of-first-day retention matrix
     "cohort_retention" -> ((s, d) =>
       Windows.cohortRetention(EventLog.named(s, d))),
@@ -214,6 +218,25 @@ object CoreQueries {
 
   /** The event_transitions derivation, named because journey_entropy
     * embeds it verbatim (the reportBlock discipline). */
+  /** The event_funnel derivation, named because funnel_rates embeds it
+    * verbatim (the reportBlock discipline). */
+  private val FunnelSql = s"""$E,
+      s1 AS (SELECT segment, min(ts_us) AS t FROM entries
+             WHERE space = 'view' GROUP BY 1),
+      s2 AS (SELECT e.segment, min(e.ts_us) AS t
+             FROM entries e JOIN s1 ON e.segment = s1.segment
+             WHERE e.space = 'click' AND e.ts_us > s1.t GROUP BY 1),
+      s3 AS (SELECT e.segment, min(e.ts_us) AS t
+             FROM entries e JOIN s2 ON e.segment = s2.segment
+             WHERE e.space = 'purchase' AND e.ts_us > s2.t GROUP BY 1)
+      SELECT CAST(1 AS BIGINT) AS step, 'view' AS space,
+             CAST(count(*) AS BIGINT) AS n_segments FROM s1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'click', CAST(count(*) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT)
+      FROM s3"""
+
   private val ETransSql = s"""$E,
       steps AS (
         SELECT segment, space, ts_us, event_id,
@@ -577,22 +600,22 @@ object CoreQueries {
 
     // the same strictly-after chain as Windows.funnel: per segment,
     // t_k = min event time of step k after t_{k-1}
-    "event_funnel" -> s"""$E,
-      s1 AS (SELECT segment, min(ts_us) AS t FROM entries
-             WHERE space = 'view' GROUP BY 1),
-      s2 AS (SELECT e.segment, min(e.ts_us) AS t
-             FROM entries e JOIN s1 ON e.segment = s1.segment
-             WHERE e.space = 'click' AND e.ts_us > s1.t GROUP BY 1),
-      s3 AS (SELECT e.segment, min(e.ts_us) AS t
-             FROM entries e JOIN s2 ON e.segment = s2.segment
-             WHERE e.space = 'purchase' AND e.ts_us > s2.t GROUP BY 1)
-      SELECT CAST(1 AS BIGINT) AS step, 'view' AS space,
-             CAST(count(*) AS BIGINT) AS n_segments FROM s1
-      UNION ALL
-      SELECT CAST(2 AS BIGINT), 'click', CAST(count(*) AS BIGINT) FROM s2
-      UNION ALL
-      SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT)
-      FROM s3""",
+    "event_funnel" -> FunnelSql,
+
+    // funnel embedded verbatim; integer half-up conv/overall milli
+    "funnel_rates" -> s"""
+      SELECT f.step, f.space, f.n_segments,
+             CAST(CASE WHEN p.n_segments IS NULL THEN 1000
+                  WHEN p.n_segments = 0 THEN 0
+                  ELSE (2 * f.n_segments * 1000 + p.n_segments) //
+                       (2 * p.n_segments) END AS BIGINT) AS conv_milli,
+             CAST(CASE WHEN fst.n > 0
+                  THEN (2 * f.n_segments * 1000 + fst.n) // (2 * fst.n)
+                  ELSE 0 END AS BIGINT) AS overall_milli
+      FROM ($FunnelSql) f
+      LEFT JOIN ($FunnelSql) p ON f.step = p.step + 1
+      CROSS JOIN (SELECT n_segments AS n FROM ($FunnelSql)
+                  WHERE step = 1) fst""",
 
     // same lag-per-segment adjacency; share is the identical all-integer
     // half-up milli expression (// == div for positive operands)

@@ -120,6 +120,16 @@ class StreamOpsSpec extends SparkSpec {
       3L -> (("purchase", 1L))))
     // funnel counts can never grow with depth
     assert(got(1L)._2 >= got(2L)._2 && got(2L)._2 >= got(3L)._2)
+    // the rates view on the same plant: 4 → 3 → 1 segments gives
+    // step-over-step 1000/750/333 and overall 1000/750/250, all via
+    // the integer half-up milli
+    val rates = Windows.funnelRates(named, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(rates == Map(
+      1L -> ((4L, 1000L, 1000L)),
+      2L -> ((3L, 750L, 750L)),
+      3L -> ((1L, 333L, 250L))), rates.toString)
   }
 
   test("eventTransitions: per-segment adjacency, all-integer half-up shares") {
