@@ -753,6 +753,49 @@ object Streaming {
   /** Incremental eskit replay: fold per-aggregate state across
     * micro-batches, emitting the updated snapshot each time — the
     * streaming dual of EventSourcing.replayState. */
+  case class FunnelState(step: Int, t: Long)
+  case class FunnelReach(segment: String, step: Long, space: String,
+      ts_us: Long)
+
+  /** Streaming FUNNEL — the live dual of
+    * [[graft.operators.Windows.funnel]]: each segment's progress
+    * through the ordered step list is tracked as ONE small state row
+    * (current step + the qualifying timestamp), and the moment an
+    * arriving entry advances a segment it emits a (segment, step)
+    * reach event — the live conversion dashboard fills DURING the
+    * campaign instead of at the nightly batch. Under in-order arrival
+    * (the ConsumeSegment contract, the eventTransitionsStream
+    * argument) the greedy forward fold equals the batch strictly-after
+    * min chain: the first qualifying arrival IS the minimum, so the
+    * per-step reach counts converge exactly to batch `event_funnel`
+    * (spec replays ts-ordered chunks and proves it). State is bounded
+    * by the segment population; a segment that completes the funnel
+    * stops updating. */
+  def funnelStream(spark: SparkSession, entryStream: DataFrame,
+      steps: Seq[String]): Dataset[FunnelReach] = {
+    import spark.implicits._
+    require(steps.size >= 2, s"funnel needs >= 2 steps, got ${steps.size}")
+    entryStream
+      .select(col("space"), col("segment"), col("ts_us"), col("event_id"))
+      .as[TransEvent]
+      .groupByKey(_.segment)
+      .flatMapGroupsWithState[FunnelState, FunnelReach](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (segment, events, state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelReach]
+          events.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            if (st.step < steps.length && e.space == steps(st.step) &&
+                (st.step == 0 || e.ts_us > st.t)) {
+              st = FunnelState(st.step + 1, e.ts_us)
+              out += FunnelReach(segment, st.step.toLong, e.space, e.ts_us)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class TransEvent(space: String, segment: String, ts_us: Long,
       event_id: Long)
   case class TransState(last_space: String, last_ts_us: Long,

@@ -617,14 +617,14 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
-  test("streaming journey edges roll up to the batch transition matrix") {
-    import graft.operators.Windows
-    val named = EventLog.named(spark, SF)
-    // replay the log in PRODUCE order: four ts-ordered chunks written
-    // with strictly increasing mtimes (FileStreamSource drains oldest
-    // first), so cross-batch arrival adjacency is log adjacency
+  /** Write `named` as four ts-ordered chunks with strictly increasing
+    * mtimes (FileStreamSource drains oldest first), so a replay's
+    * cross-batch arrival order is log produce order — the harness for
+    * order-sensitive stateful duals. */
+  private def orderedReplayDir(named: org.apache.spark.sql.DataFrame,
+      prefix: String): String = {
     val ordered = named.orderBy("ts_us", "event_id").collect()
-    val dir = Files.createTempDirectory("graft_trans_stream").toString
+    val dir = Files.createTempDirectory(prefix).toString
     import scala.jdk.CollectionConverters._
     val chunk = (ordered.length + 3) / 4
     ordered.grouped(chunk).zipWithIndex.foreach { case (rows, i) =>
@@ -633,6 +633,36 @@ class StreamingSpec extends SparkSpec {
       // one mtime tick per chunk; coarse granularity paranoia
       if (i < 3) Thread.sleep(1100)
     }
+    dir
+  }
+
+  test("streaming funnel reaches converge to the batch funnel counts") {
+    import graft.operators.Windows
+    val named = EventLog.named(spark, SF)
+    val steps = Seq("view", "click", "purchase")
+    val dir = orderedReplayDir(named, "graft_funnel_stream")
+    val stream = spark.readStream.schema(named.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    runToCompletion(Streaming.funnelStream(spark, stream, steps).toDF(),
+      "funnel_stream", "append")
+    val got = spark.table("funnel_stream")
+      .groupBy("step").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Windows.funnel(named, steps)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(want.nonEmpty && got == want,
+      s"stream $got vs batch $want")
+    // a segment advances at most once per step
+    val perSegStep = spark.table("funnel_stream")
+      .groupBy("segment", "step").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1L).count()
+    assert(perSegStep == 0L)
+  }
+
+  test("streaming journey edges roll up to the batch transition matrix") {
+    import graft.operators.Windows
+    val named = EventLog.named(spark, SF)
+    val dir = orderedReplayDir(named, "graft_trans_stream")
     val stream = spark.readStream.schema(named.schema)
       .option("maxFilesPerTrigger", 1).parquet(dir)
     runToCompletion(Streaming.eventTransitionsStream(spark, stream).toDF(),
