@@ -206,6 +206,34 @@ object StreamOps {
         expr("(2 * hot_entries * n_segments * 1000 + n_entries) div " +
           "(2 * n_entries)"))
 
+  /** STALE-SEGMENT audit — the dead-aggregate / dormant-consumer
+    * detector (a segment that stopped producing is a churned user, a
+    * finished aggregate, or a wedged producer — either way the serving
+    * layer wants the list priced): per space, segments whose LAST entry
+    * predates the newest quarter of the space's own time range
+    * (cutoff = tmax − (tmax−tmin) div 4 — exact integer µs, the
+    * retentionAudit self-scaling posture, no wall-clock dependence so
+    * the oracle derives the identical cutoff). Output per space:
+    * segment population, stale count, and the integer half-up milli
+    * share. One corpus agg to segment-sized rows (eagerly checkpointed
+    * — it feeds the bounds re-agg AND the rollup, never a second
+    * corpus scan), then everything is |segments|-sized. */
+  def staleSegments(named: DataFrame): DataFrame = {
+    val seg = named.groupBy(col("space"), col("segment"))
+      .agg(min(col("ts_us")).as("first_ts"), max(col("ts_us")).as("last_ts"))
+      .localCheckpoint(true)
+    val bounds = seg.groupBy(col("space"))
+      .agg(min(col("first_ts")).as("tmin"), max(col("last_ts")).as("tmax"))
+    seg.join(broadcast(bounds), "space")
+      .withColumn("stale",
+        expr("CASE WHEN last_ts < tmax - ((tmax - tmin) div 4) " +
+          "THEN 1 ELSE 0 END").cast("long"))
+      .groupBy(col("space"))
+      .agg(count(lit(1)).as("n_segments"), sum(col("stale")).as("n_stale"))
+      .withColumn("stale_milli",
+        expr("(2 * n_stale * 1000 + n_segments) div (2 * n_segments)"))
+  }
+
   /** Produce-contract audit (`pkg/eskit/store.go:79-104`): per segment,
     * verify the sequence stream is exactly 1..N with no gaps or
     * duplicates — the batch dual of ErrSequenceMismatch detection. */

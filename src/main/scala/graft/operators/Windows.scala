@@ -52,6 +52,25 @@ object Windows {
         round(sum(col("value")), 2).as("sum_value"))
   }
 
+  /** Per-space SESSION rollup over [[sessionize]] — the dashboard
+    * numbers (how long do sessions run, how much happens inside one):
+    * session count, total events, mean duration as the integer half-up
+    * µs `(2·Σlen + n) div (2·n)` and mean events-per-session as the
+    * integer half-up milli — ALL-INTEGER, no doubles anywhere. The
+    * oracle embeds the session derivation verbatim (the reportBlock
+    * discipline); everything past sessionize is |spaces|-sized. */
+  def sessionStats(entries: DataFrame, gapUs: Long): DataFrame =
+    sessionize(entries, gapUs)
+      .groupBy(col("space"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("end_us") - col("start_us")).as("len_sum"))
+      .select(col("space"), col("n_sessions"), col("n_events"),
+        expr("(2 * len_sum + n_sessions) div (2 * n_sessions)")
+          .as("mean_len_us"),
+        expr("(2 * n_events * 1000 + n_sessions) div (2 * n_sessions)")
+          .as("mean_events_milli"))
+
   /** Exact value quantiles per space. Exact `percentile` is the oracle
     * baseline; at 100 TB swap in `approx_percentile` (t-digest-style
     * mergeable sketch, map-side combinable) — same call shape, bounded

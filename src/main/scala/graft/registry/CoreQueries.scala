@@ -81,6 +81,10 @@ object CoreQueries {
     // all-integer half-up milli max/mean ratio
     "sk_segment_skew" -> ((s, d) =>
       StreamOps.segmentSkew(EventLog.named(s, d))),
+    // stale-segment audit: last entry predates the newest quarter of
+    // the space's own range — integer cutoff, integer milli share
+    "sk_stale_segments" -> ((s, d) =>
+      StreamOps.staleSegments(EventLog.named(s, d))),
     // TTL sizing audit (the compact companion): per space, entries +
     // payload bytes a keep-newest-quarter policy would expire vs keep;
     // cutoff = exact-BIGINT quantile of the space's own range
@@ -128,6 +132,10 @@ object CoreQueries {
       Windows.hopping(EventLog.named(s, d), SIX_H_US, slides = 2)),
     "win_session" -> ((s, d) =>
       Windows.sessionize(EventLog.entries(s, d), GAP_30M_US)),
+    // per-space session rollup: count, total events, integer half-up
+    // mean duration and mean events-per-session milli
+    "session_stats" -> ((s, d) =>
+      Windows.sessionStats(EventLog.entries(s, d), GAP_30M_US)),
     "win_running" -> ((s, d) =>
       Windows.running(EventLog.entries(s, d, Some("click")), "click")),
     "value_quantiles" -> ((s, d) =>
@@ -220,6 +228,28 @@ object CoreQueries {
     * embeds it verbatim (the reportBlock discipline). */
   /** The event_funnel derivation, named because funnel_rates embeds it
     * verbatim (the reportBlock discipline). */
+  /** The win_session derivation, named because session_stats embeds it
+    * verbatim (the reportBlock discipline). */
+  private val SessionSql = s"""$E,
+      flagged AS (
+        SELECT space, segment, ts_us, event_id, value,
+               CASE WHEN lag(ts_us) OVER w IS NULL
+                    OR ts_us - lag(ts_us) OVER w > $GAP_30M_US
+                    THEN 1 ELSE 0 END AS new_session
+        FROM entries
+        WINDOW w AS (PARTITION BY space, segment ORDER BY ts_us, event_id)),
+      sessions AS (
+        SELECT space, segment, ts_us, value,
+               CAST(sum(new_session) OVER (PARTITION BY space, segment
+                 ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_id
+        FROM flagged)
+      SELECT space, segment, session_id,
+             min(ts_us) AS start_us, max(ts_us) AS end_us,
+             count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM sessions GROUP BY 1, 2, 3"""
+
   private val FunnelSql = s"""$E,
       s1 AS (SELECT segment, min(ts_us) AS t FROM entries
              WHERE space = 'view' GROUP BY 1),
@@ -440,6 +470,26 @@ object CoreQueries {
                (2 * a.n_entries) AS skew_milli
       FROM agg a JOIN hot h ON a.space = h.space""",
 
+    // identical integer cutoff and milli share over the same rollup
+    "sk_stale_segments" -> s"""$E,
+      seg AS (
+        SELECT space, segment, min(ts_us) AS first_ts,
+               max(ts_us) AS last_ts
+        FROM entries GROUP BY 1, 2),
+      b AS (
+        SELECT space, min(first_ts) AS tmin, max(last_ts) AS tmax
+        FROM seg GROUP BY 1)
+      SELECT s.space, CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(sum(CASE WHEN s.last_ts <
+               b.tmax - ((b.tmax - b.tmin) // 4) THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_stale,
+             (2 * CAST(sum(CASE WHEN s.last_ts <
+               b.tmax - ((b.tmax - b.tmin) // 4) THEN 1 ELSE 0 END)
+               AS BIGINT) * 1000 + CAST(count(*) AS BIGINT)) //
+               (2 * CAST(count(*) AS BIGINT)) AS stale_milli
+      FROM seg s JOIN b ON s.space = b.space
+      GROUP BY 1""",
+
     "sk_retention_audit" -> s"""
       WITH ev AS (
         SELECT event_type AS space, epoch_us(ts) AS ts_us,
@@ -566,25 +616,19 @@ object CoreQueries {
              count(*) AS n, round(sum(value), 2) AS sum_value
       FROM events CROSS JOIN h GROUP BY 1, 2""",
 
-    "win_session" -> s"""$E,
-      flagged AS (
-        SELECT space, segment, ts_us, event_id, value,
-               CASE WHEN lag(ts_us) OVER w IS NULL
-                    OR ts_us - lag(ts_us) OVER w > $GAP_30M_US
-                    THEN 1 ELSE 0 END AS new_session
-        FROM entries
-        WINDOW w AS (PARTITION BY space, segment ORDER BY ts_us, event_id)),
-      sessions AS (
-        SELECT space, segment, ts_us, value,
-               CAST(sum(new_session) OVER (PARTITION BY space, segment
-                 ORDER BY ts_us, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS BIGINT) AS session_id
-        FROM flagged)
-      SELECT space, segment, session_id,
-             min(ts_us) AS start_us, max(ts_us) AS end_us,
-             count(*) AS n_events, round(sum(value), 2) AS sum_value
-      FROM sessions GROUP BY 1, 2, 3""",
+"win_session" -> SessionSql,
+
+    // sessions embedded verbatim; all-integer duration/size rollup
+    "session_stats" -> s"""
+      SELECT space, CAST(count(*) AS BIGINT) AS n_sessions,
+             CAST(sum(n_events) AS BIGINT) AS n_events,
+             (2 * CAST(sum(end_us - start_us) AS BIGINT) +
+              CAST(count(*) AS BIGINT)) //
+              (2 * CAST(count(*) AS BIGINT)) AS mean_len_us,
+             (2 * CAST(sum(n_events) AS BIGINT) * 1000 +
+              CAST(count(*) AS BIGINT)) //
+              (2 * CAST(count(*) AS BIGINT)) AS mean_events_milli
+      FROM ($SessionSql) x GROUP BY 1""",
 
     "win_running" -> s"""$E
       SELECT space, segment, sequence, value,

@@ -195,6 +195,33 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == Map("x" -> ((3L, 17L, 10L, 6L))), got.toString)
   }
 
+  test("staleSegments: quarter-range cutoff, integer milli share") {
+    import spark.implicits._
+    // x spans ts 0..100 → cutoff 75: u2 (last 10) is stale, u1 is not
+    val named = Seq(
+      ("x", "u1", 0L, 1L), ("x", "u1", 100L, 2L), ("x", "u2", 10L, 3L),
+    ).toDF("space", "segment", "ts_us", "event_id")
+    val got = StreamOps.staleSegments(named).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map("x" -> ((2L, 1L, 500L))), got.toString)
+  }
+
+  test("sessionStats: integer mean duration and events-per-session") {
+    import spark.implicits._
+    import graft.operators.Windows
+    // u1 in x: session [0,10] (2 events) then, past the 30µs gap, a
+    // singleton at 100 → 2 sessions, 3 events, mean len 5, 1500 milli
+    val entries = Seq(
+      ("x", "u1", 0L, 1L, 1.0), ("x", "u1", 10L, 2L, 1.0),
+      ("x", "u1", 100L, 3L, 1.0),
+    ).toDF("space", "segment", "ts_us", "event_id", "value")
+    val got = Windows.sessionStats(entries, gapUs = 30L).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map("x" -> ((2L, 3L, 5L, 1500L))), got.toString)
+  }
+
   test("segmentSkew: hot segment with deterministic tie, integer milli ratio") {
     import spark.implicits._
     // x: u1 owns 3 of 4 entries → skew 3·2·1000/4 = 1500;
