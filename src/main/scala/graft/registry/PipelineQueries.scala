@@ -783,6 +783,9 @@ object PipelineQueries {
     // integer scoring, max_by argmax vs the oracle's window
     "centroid_confusion" -> ((s, d) =>
       Knn.centroidConfusion(Knn.emb(s, d))),
+    // dead/collapsed-dimension detector: exact per-dim code moments +
+    // the integer zero-variance predicate
+    "emb_dim_stats" -> ((s, d) => Knn.embDimStats(Knn.emb(s, d))),
     // semi-supervised label propagation: unlabeled vectors adopt the
     // majority label among τ-near labeled neighbors — quantized integer
     // scoring chain + integer votes + (count desc, label asc) winner,
@@ -2499,6 +2502,18 @@ object PipelineQueries {
 
     "emb_centroid_affinity" -> EmbAffinitySql,
     "emb_cluster_quality" -> EmbClusterQualitySql,
+    // the expl slice grouped by position; identical integer predicate
+    "emb_dim_stats" -> s"""$EmbCodeCtes,
+      dim AS (
+        SELECT pos, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(code AS BIGINT)) AS BIGINT) AS s,
+               CAST(sum(CAST(code AS BIGINT) * CAST(code AS BIGINT))
+                 AS BIGINT) AS s2
+        FROM expl GROUP BY 1)
+      SELECT CAST(pos - 1 AS BIGINT) AS pos, n, s, s2,
+             CAST(CASE WHEN n * s2 - s * s = 0 THEN 1 ELSE 0 END
+               AS BIGINT) AS dead
+      FROM dim""",
     // all-centroid scoring (no label equality in the dot join), the
     // identical floor-half-up e4 integer, window argmax (engine: max_by)
     "centroid_confusion" -> s"""$EmbCodeCtes,

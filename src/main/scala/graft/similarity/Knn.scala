@@ -517,6 +517,30 @@ object Knn {
         col("assigned").cast("long").as("assigned"), col("n"))
   }
 
+  /** Per-DIMENSION code moments — the dead/collapsed-feature detector
+    * of an embedding pipeline (a dimension whose codes never vary
+    * carries zero information: an upstream projection bug, a clipped
+    * activation, or a stale encoder — any of which silently wastes
+    * index bytes and flattens cosines): for every position, the exact
+    * BIGINT count/sum/sum-of-squares over the int8 codes of all
+    * positive-norm vectors (the [[explodedCodes]] slice — one
+    * definition with the centroid machinery), plus the `dead` flag as
+    * the INTEGER zero-variance predicate n·Σc² − (Σc)² == 0 (never a
+    * float compare; catches constants at any level, not just zeros).
+    * One (dim)-group hash agg — dims rows out; same per-dim
+    * long-overflow bound as emb_drift (n ≲ 3·10⁶ per audited batch). */
+  def embDimStats(e: DataFrame): DataFrame =
+    explodedCodes(e)
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("code").cast("long")).as("s"),
+        sum(col("code").cast("long") * col("code").cast("long")).as("s2"))
+      .withColumn("dead",
+        (col("n") * col("s2") - col("s") * col("s") === lit(0L))
+          .cast("long"))
+      .select(col("pos").cast("long").as("pos"), col("n"), col("s"),
+        col("s2"), col("dead"))
+
   /** Exploded positive-norm codes — one definition feeding the affinity
     * operator and the frozen [[centroidSums]] artifact. */
   private def explodedCodes(e: DataFrame): DataFrame =

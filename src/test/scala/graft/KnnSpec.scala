@@ -325,6 +325,28 @@ class KnnSpec extends SparkSpec {
       got.toString)
   }
 
+  test("embDimStats: a constant dimension flags dead (at any level), " +
+      "varying dims do not") {
+    import spark.implicits._
+    // dim 0 varies, dim 1 is constant 1.0 (dead but nonzero), dim 2 is
+    // constant 0 (dead); scaling leaves codes = round(127·v/max|v|)
+    val planted = Seq(
+      (1L, 0, Seq(1.0, 1.0, 0.0)),
+      (2L, 0, Seq(-1.0, 1.0, 0.0)),
+      (3L, 1, Seq(0.5, 1.0, 0.0))
+    ).toDF("vec_id", "label", "v")
+    val got = Knn.embDimStats(planted).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4)))
+      .toMap
+    assert(got.keySet == Set(0L, 1L, 2L))
+    // dim 0: codes 127, -127, 64 (0.5·127/1.0 rounds half-up) → varies
+    assert(got(0L) == ((3L, 64L, 0L)), got.toString)
+    // dim 1: every vector codes 127 → constant nonzero = dead
+    assert(got(1L) == ((3L, 381L, 1L)), got.toString)
+    // dim 2: all-zero codes = dead
+    assert(got(2L) == ((3L, 0L, 1L)), got.toString)
+  }
+
   test("embCentroidAffinity covers the corpus with bounded scores") {
     val aff = Knn.embCentroidAffinity(e).cache()
     assert(aff.count() == e.count()) // no zero vectors in the corpus
