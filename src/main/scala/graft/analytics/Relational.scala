@@ -69,6 +69,31 @@ object Relational {
       .limit(10)
   }
 
+  /** Top parts by lifetime revenue, with the JOIN-AFTER-CUT plan shape
+    * that survives scale: revenue aggregates over lineitem alone (one
+    * map-side-combinable hash agg on l_partkey), the top-k cut is a
+    * TakeOrdered on the ROUNDED revenue with a partkey tie-break (the
+    * es_top_movers total-order discipline — never a global sort, and
+    * the cut can't flip on an engine FP ulp), and only the k SURVIVING
+    * ids join `part` for their names — a broadcast of k rows against
+    * the part scan, where joining part BEFORE the cut would shuffle
+    * the whole dimension for rows that are about to be discarded. */
+  def partRevenueTopK(spark: SparkSession, dir: String,
+      k: Int = 20): DataFrame = {
+    val top = t(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("l_partkey"))
+      .limit(k)
+    t(spark, dir, "part")
+      .join(broadcast(top), col("p_partkey") === col("l_partkey"))
+      .select(col("p_partkey").as("partkey"), col("p_name"),
+        col("revenue"), col("n_lines"))
+  }
+
   /** TPC-H Q5-style local-supplier revenue per nation within one region. */
   def q5Region(spark: SparkSession, dir: String): DataFrame = {
     val region = t(spark, dir, "region").filter(col("r_name") === "AMERICA")

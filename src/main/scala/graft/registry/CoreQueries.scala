@@ -202,6 +202,9 @@ object CoreQueries {
     // ── D. relational ─────────────────────────────────────────────────
     "q1_pricing" -> ((s, d) => Relational.q1Pricing(s, d)),
     "q3_topk" -> ((s, d) => Relational.q3TopK(s, d)),
+    // join-after-cut top parts: agg lineitem alone, TakeOrdered on the
+    // rounded revenue + partkey tie-break, THEN name the k survivors
+    "part_revenue_topk" -> ((s, d) => Relational.partRevenueTopK(s, d)),
     "q5_region" -> ((s, d) => Relational.q5Region(s, d)),
     "top_customers_per_nation" -> ((s, d) =>
       Relational.topCustomersPerNation(s, d)),
@@ -861,6 +864,17 @@ object CoreQueries {
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       GROUP BY l_returnflag, l_linestatus""",
+
+    "part_revenue_topk" -> """
+      WITH rev AS (
+        SELECT l_partkey,
+               round(CAST(sum(l_extendedprice * (1 - l_discount))
+                 AS DOUBLE), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem GROUP BY 1
+        ORDER BY revenue DESC, l_partkey LIMIT 20)
+      SELECT p.p_partkey AS partkey, p.p_name, r.revenue, r.n_lines
+      FROM rev r JOIN part p ON p.p_partkey = r.l_partkey""",
 
     "q3_topk" -> """
       SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,

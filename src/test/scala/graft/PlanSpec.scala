@@ -383,6 +383,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("part_revenue_topk cuts before naming: TakeOrdered, then the " +
+      "k survivors broadcast against part") {
+    val p = plan(graft.analytics.Relational.partRevenueTopK(spark, SF))
+    // the cut is a bounded top-k heap, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the name join broadcasts the k-row cut side
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("label diagnostics argmax by aggregation: no window machinery") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val e = graft.similarity.Knn.emb(spark, SF)
