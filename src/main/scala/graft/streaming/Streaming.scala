@@ -847,6 +847,45 @@ object Streaming {
       }
   }
 
+  case class GapState(last_ts: Long, last_id: Long)
+  case class GapRow(space: String, segment: String, ts_us: Long, gap_us: Long)
+
+  /** Streaming INTER-ARRIVAL gaps — the live front of
+    * [[graft.operators.Windows.interarrivalStats]]: each arriving entry
+    * emits its gap to the segment's previous entry the moment it lands
+    * (the raw heartbeat feed an alerting layer thresholds directly —
+    * one oversized gap is visible immediately, not at the nightly
+    * rollup). State is one (ts, id) pair per (space, segment) — the
+    * eventTransitionsStream posture, bounded by the segment population.
+    * Under in-order arrival (the ConsumeSegment contract; within-batch
+    * arrivals sorted in the closure) the emitted gap multiset equals
+    * the batch lag exactly, so the per-space count/sum/max rollup
+    * converges to `interarrival_stats` (spec-proven over ts-ordered
+    * replay). */
+  def interarrivalStream(spark: SparkSession, entryStream: DataFrame)
+      : Dataset[GapRow] = {
+    import spark.implicits._
+    entryStream
+      .select(col("space"), col("segment"), col("ts_us"), col("event_id"))
+      .as[TransEvent]
+      .groupByKey(e => (e.space, e.segment))
+      .flatMapGroupsWithState[GapState, GapRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((space, segment), events, state: GroupState[GapState]) =>
+          val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[GapRow]
+          var prev = state.getOption
+          sorted.foreach { e =>
+            prev.foreach { p =>
+              out += GapRow(space, segment, e.ts_us, e.ts_us - p.last_ts)
+            }
+            prev = Some(GapState(e.ts_us, e.event_id))
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
   def esFold(spark: SparkSession, entryStream: DataFrame)
       : Dataset[AggSnapshot] = {
     import spark.implicits._

@@ -659,6 +659,25 @@ class StreamingSpec extends SparkSpec {
     assert(perSegStep == 0L)
   }
 
+  test("streaming inter-arrival gaps roll up to the batch cadence stats") {
+    import graft.operators.Windows
+    val named = EventLog.named(spark, SF)
+    val dir = orderedReplayDir(named, "graft_gap_stream")
+    val stream = spark.readStream.schema(named.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    runToCompletion(Streaming.interarrivalStream(spark, stream).toDF(),
+      "gap_stream", "append")
+    val got = spark.table("gap_stream")
+      .groupBy("space")
+      .agg(count(lit(1)).as("n_gaps"), sum("gap_us").as("sum_gap_us"),
+        max("gap_us").as("max_gap_us"))
+      .withColumn("mean_gap_us",
+        expr("(2 * sum_gap_us + n_gaps) div (2 * n_gaps)"))
+      .collect().map(_.toSeq).toSet
+    val want = Windows.interarrivalStats(named).collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want, s"stream $got vs batch $want")
+  }
+
   test("streaming journey edges roll up to the batch transition matrix") {
     import graft.operators.Windows
     val named = EventLog.named(spark, SF)
