@@ -178,6 +178,18 @@ class StreamOpsSpec extends SparkSpec {
       ("a", "c") -> ((0L, 2L, 2L, 2L, 0L, 1000L))), got.toString)
   }
 
+  test("transitionDrift: the flag set is anti-monotone in tau") {
+    import graft.operators.Windows
+    val named = EventLog.named(spark, SF)
+    def flagged(tau: Long) = Windows.transitionDrift(named, tau)
+      .select("from_space", "to_space").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val f2 = flagged(2L); val f5 = flagged(5L); val f20 = flagged(20L)
+    assert(f2.nonEmpty && f20.subsetOf(f5) && f5.subsetOf(f2))
+    // the default threshold separates (neither everything nor nothing)
+    assert(f5.size < f2.size)
+  }
+
   test("interarrivalStats: within-segment gaps only, integer half-up mean") {
     import spark.implicits._
     import graft.operators.Windows

