@@ -1008,6 +1008,36 @@ object Streaming {
         col("lang"))
   }
 
+  /** Streaming RECRAWL PRIORITY — the live front of
+    * [[graft.text.CrawlDiff.recrawlPriority]]: every arriving
+    * current-crawl doc is classified against the FROZEN previous
+    * snapshot AND quality-scored the moment it lands, so the
+    * re-process queue fills DURING the crawl already ranked (the
+    * crawlDiffStream classification + the one-definition
+    * [[graft.text.TextOps.q4Expr]] quarter score + the identical
+    * integer priority — all stateless expressions over ONE arriving
+    * row plus a broadcast stream-static snapshot join; append mode, no
+    * state store). `removed` is structurally unobservable live (the
+    * crawlDiffStream argument); spec proves the emitted rows equal the
+    * batch queue exactly over the replayed crawl. */
+  def recrawlPriorityStream(spark: SparkSession, docStream: DataFrame,
+      oldSnapshotTable: String): DataFrame = {
+    val old = spark.table(oldSnapshotTable)
+      .select(col("doc_id"), col("digest").as("o_digest"))
+    graft.text.TextOps.qualityScored(docStream)
+      .withColumn("q4", graft.text.TextOps.q4Expr)
+      .withColumn("n_digest", md5(col("text")))
+      .join(broadcast(old), Seq("doc_id"), "left_outer")
+      .withColumn("status",
+        when(col("o_digest").isNull, "added")
+          .when(col("o_digest") =!= col("n_digest"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("status").isin("added", "changed"))
+      .withColumn("priority", col("q4") * lit(2L) +
+        when(col("status") === "added", 1L).otherwise(0L))
+      .select("doc_id", "lang", "status", "q4", "priority")
+  }
+
   /** Streaming LABEL PROPAGATION — the live dual of
     * [[graft.similarity.Knn.labelPropagation]] in the shape an ingest
     * fleet runs it: every ARRIVING unlabeled vector is scored against

@@ -930,8 +930,12 @@ object TextOps {
     * budget_cut, and both streaming duals; unused columns prune. */
   private[graft] def scoredQ4Full(d: DataFrame): DataFrame =
     qualityScored(d).select(col("doc_id"), col("source"),
-      col("n_tokens").as("n_tok"),
-      round(col("quality_score") * 4, 0).cast("long").as("q4"))
+      col("n_tokens").as("n_tok"), q4Expr.as("q4"))
+
+  /** The ONE quarter-score expression (shared by the batch scorers and
+    * the streaming recrawl-priority dual). */
+  private[graft] def q4Expr: org.apache.spark.sql.Column =
+    round(col("quality_score") * 4, 0).cast("long")
 
   /** The frozen distribution artifact: per score-grid row, its count,
     * the mass strictly above it, and the corpus total — everything the

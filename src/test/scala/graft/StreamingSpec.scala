@@ -301,6 +301,33 @@ class StreamingSpec extends SparkSpec {
     assert(want.map(_.last).size > 1)
   }
 
+  test("streaming recrawl priority equals the batch queue exactly") {
+    import graft.text.{CrawlDiff, TextOps}
+    val docs = TextOps.docs(spark, SF)
+    val old = CrawlDiff.syntheticOld(docs)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(old.collect().toSeq.asJava, old.schema)
+      .createOrReplaceTempView("old_snapshot_rp")
+    // the current crawl arrives as a stream (the ':new' slice keeps its
+    // original text, so digests and q4 match the batch derivation)
+    val cur = docs.filter(substring(md5(concat_ws(":",
+      col("doc_id").cast("string"), lit("new"))), 1, 1) < "e")
+    val dir = Files.createTempDirectory("graft_rp_stream").toString
+    cur.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(cur.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    runToCompletion(Streaming.recrawlPriorityStream(spark, stream,
+      "old_snapshot_rp"), "rp_stream", "append")
+    val got = spark.table("rp_stream").collect().map(_.toSeq).toSet
+    val want = CrawlDiff.recrawlPriority(old,
+        CrawlDiff.syntheticCurrent(docs), docs)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want,
+      s"stream ${got.size} vs batch ${want.size}")
+    // the live queue is already ranked: both statuses present
+    assert(got.map(_(2)).size == 2)
+  }
+
   test("streaming crawl diff equals the batch diff minus its removed rows") {
     import graft.text.{CrawlDiff, TextOps}
     val docs = TextOps.docs(spark, SF)
