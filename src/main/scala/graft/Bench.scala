@@ -123,14 +123,27 @@ object Bench {
     // output, so a long queries map must never push metric/value/total off
     // the end — anything truncated is the front of the line
     val line = s"""{"queries":$qs,"warm":$warm,"phases":$phases,"failed":$failedJson,"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total)}}"""
-    // also write the line to a file: sbt prints its own [success] trailer
-    // after stdout, so a driver capturing the tail of the process output
-    // can't reliably parse the stdout line
+    // SUMMARY-FIRST line (r13 verdict): a bounded capture of this output
+    // — head or tail — must always contain the signal. The full line's
+    // headline fields already survive a TAIL capture; this compact,
+    // self-contained summary (totals, failures, warm medians) survives a
+    // HEAD capture and gives a reader the round verdict without parsing
+    // the 171-entry maps. It is a complete JSON object on its own line.
+    val warmSecs = warmResults.filter(_._3).map(_._2).sorted
+    val warmMedian =
+      if (warmSecs.isEmpty) 0.0
+      else warmSecs((warmSecs.size - 1) / 2)
+    val summary = s"""{"summary":true,"metric":"total","unit":"sec","value":${fmt(total)},"sf":"$sfDir","n_queries":${results.size},"n_ok":${results.count(_._4)},"failed":$failedJson,"warm_n":${warmSecs.size},"warm_median_sec":${fmt(warmMedian)}}"""
+    // also write both lines to a file: sbt prints its own [success]
+    // trailer after stdout, so a driver capturing the tail of the process
+    // output can't reliably parse the stdout lines
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: java.io.IOException => () } // stdout line still stands
-    spark2.sparkContext.setLogLevel("ERROR") // nothing may print after the metric line
+      (summary + "\n" + line + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: java.io.IOException => () } // stdout lines still stand
+    spark2.sparkContext.setLogLevel("ERROR") // nothing may print after the metric lines
+    println(summary)
     println(line)
     spark2.stop()
   }

@@ -99,7 +99,8 @@ object Dedup {
     * [[minHashBandAudit]] is the registered accounting row. */
   def minHashPairs(d: DataFrame, shingleK: Int = 3, numHashes: Int = 64,
       bands: Int = 16, tau: Double = 0.5,
-      maxOccupancy: Long = 8192L): DataFrame = {
+      maxOccupancy: Long = 8192L,
+      atScaleVerify: Option[Boolean] = None): DataFrame = {
     val sh = shingleSets(d, shingleK)
     // `banded` feeds three consumers (the occupancy agg, the semi-join
     // probe, both sides of the candidate self-join) — materialize the
@@ -117,21 +118,14 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .dropDuplicates("doc1", "doc2")
-    // the verify sides recompute the lazy shingle pass (~3× total with
-    // the banding pass) — MEASURED r11: semi-join-pruning the recompute
-    // to candidate ids (2 checkpoints + distinct + slice passes) was a
+    // the default verify recomputes the lazy shingle pass (~3× total
+    // with the banding pass) — MEASURED r11: semi-join-pruning it was a
     // bench REGRESSION at sf0.1 (warm 1.44→2.18 s; char-ngram sibling
-    // 1.96→3.02) — the fixed cost of the extra materializations exceeds
-    // two corpus kernel passes until the corpus is far larger; revisit
-    // only with a corpus-size switch (cf. the r3 sorted-kernel dead end)
-    cand
-      .join(sh.select(col("doc_id").as("doc1"), col("sh").as("s1")), "doc1")
-      .join(sh.select(col("doc_id").as("doc2"), col("sh").as("s2")), "doc2")
-      .withColumn("n_common", size(array_intersect(col("s1"), col("s2"))))
-      .withColumn("jaccard", round(col("n_common") /
-        (size(col("s1")) + size(col("s2")) - col("n_common")), 4))
-      .filter(col("jaccard") >= tau)
-      .select("doc1", "doc2", "n_common", "jaccard")
+    // 1.96→3.02): the fixed cost of the extra materializations exceeds
+    // two corpus kernel passes until candidates ≪ corpus. Since r16
+    // that 100 TB shape EXISTS behind the corpus-size switch
+    // ([[verifiedJaccard]]) instead of only in prose.
+    verifiedJaccard(cand, sh, tau, verifyAtScale(d, atScaleVerify))
   }
 
   /** Drop accounting for [[minHashPairs]]'s band-bucket cap (the
@@ -263,13 +257,119 @@ object Dedup {
     * vectors, threshold on the ROUNDED score so engine summation order
     * can't flip inclusion. Pair generation is a broadcast-nested-loop at
     * test scale; the scale path buckets by LSH first (graft.similarity). */
+  /** Corpus-size threshold past which the banded near-dup VERIFY stages
+    * ([[minHashPairs]] / [[charNGramPairs]]) switch to their 100 TB
+    * shape (r13 verdict #5: the two measured dead ends — the r11
+    * semi-join verify pruning and the r3 sorted-kernel verify — now
+    * exist in code behind this switch instead of only in prose). Far
+    * above any locally testable scale BY DESIGN: both shapes were
+    * measured REGRESSIONS at sf0.1 (r11: pruning's extra
+    * materializations cost more than two full-corpus kernel passes;
+    * r3: the per-doc sort dominates when candidates ≈ O(docs)), and
+    * both flip sign when candidates ≪ corpus — the regime this
+    * threshold gates. */
+  private[graft] val VerifyAtScaleDocs = 10000000L
+
+  /** Auto-resolve the verify shape: explicit wins; otherwise
+    * file-backed corpora consult the JVM-memoized corpus size (the
+    * LshBuckets.corpusSize posture — one cheap parquet-stat count per
+    * (files, key) per JVM, shared across the sibling dedup queries; the
+    * cached value is a threshold signal, so a filtered caller sharing
+    * the same files reuses it) and in-memory test corpora stay on the
+    * small shape. */
+  private def verifyAtScale(d: DataFrame,
+      explicit: Option[Boolean]): Boolean =
+    explicit.getOrElse(
+      d.inputFiles.nonEmpty && graft.similarity.LshBuckets.corpusSize(
+        d, "dedup:verify-at-scale") > VerifyAtScaleDocs)
+
+  /** The exact-Jaccard VERIFY stage shared by [[minHashPairs]] and
+    * [[charNGramPairs]], in both shapes:
+    *
+    *  - '''small''' (default at every locally testable scale): join the
+    *    lazily recomputed full shingle table to both pair sides and
+    *    `array_intersect` per pair — MEASURED fastest up to sf0.1
+    *    (r11/r3 dead-end notes);
+    *  - '''atScale''': checkpoint the candidates, semi-join-prune the
+    *    shingle recompute to candidate ids, sort each kept doc's hash
+    *    set ONCE, and count intersections with the codegen'd
+    *    [[graft.functions.SortedIntersectCount]] two-pointer kernel —
+    *    the shape that wins when candidates ≪ corpus (a full-corpus
+    *    recompute is two extra 100 TB kernel passes there, and the
+    *    per-doc sort amortizes over every pair the doc appears in).
+    *
+    * Row-identical by construction (sorting a distinct set changes
+    * nothing the intersect count sees) — DedupSpec asserts both shapes
+    * emit the same rows. */
+  private def verifiedJaccard(cand: DataFrame, sh: DataFrame, tau: Double,
+      atScale: Boolean): DataFrame = {
+    val (pairs, side) =
+      if (!atScale) (cand, sh)
+      else {
+        val c = cand.localCheckpoint(true)
+        val ids = c.select(col("doc1").as("doc_id"))
+          .union(c.select(col("doc2").as("doc_id"))).distinct()
+        val shv = sh.join(ids, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), array_sort(col("sh")).as("sh"))
+          .localCheckpoint(true)
+        (c, shv)
+      }
+    val joined = pairs
+      .join(side.select(col("doc_id").as("doc1"), col("sh").as("s1")),
+        "doc1")
+      .join(side.select(col("doc_id").as("doc2"), col("sh").as("s2")),
+        "doc2")
+    val withCommon =
+      if (!atScale)
+        joined.withColumn("n_common",
+          size(array_intersect(col("s1"), col("s2"))))
+      else
+        joined.withColumn("n_common",
+          graft.functions.SortedIntersectCount(col("s1"), col("s2"))
+            .cast("int"))
+    withCommon
+      .withColumn("jaccard", round(col("n_common") /
+        (size(col("s1")) + size(col("s2")) - col("n_common")), 4))
+      .filter(col("jaccard") >= tau)
+      .select("doc1", "doc2", "n_common", "jaccard")
+  }
+
+  /** Hard scope ceiling for [[contamination]] — the one brute baseline
+    * whose degenerate case is not merely slow but SUPER-LINEAR on stop
+    * words (every common word joins train×test postings with no df cap),
+    * so unlike the other declared baselines it gets an outright fence
+    * (r13 verdict #4: the LshBuckets.corpusSize posture, applied as a
+    * guard instead of a sizing input). */
+  private[graft] val MaxBaselineDocs = 1000000L
+
+  /** Fails fast when a declared small-scope BASELINE is handed a corpus
+    * it was never meant for. File-backed corpora memoize their count per
+    * (files, op) per JVM via [[graft.similarity.LshBuckets.corpusSize]]
+    * — sibling registry queries over the same parquet pay one scan;
+    * in-memory test corpora are counted directly, never memoized (no
+    * file token to invalidate on). */
+  private def requireBaselineScope(d: DataFrame, op: String,
+      alt: String): Unit = {
+    val n =
+      if (d.inputFiles.isEmpty) d.count()
+      else graft.similarity.LshBuckets.corpusSize(d, s"baseline:$op")
+    require(n <= MaxBaselineDocs,
+      s"$op is the small-scope BASELINE formulation (uncapped " +
+        s"all-common-words candidate join): corpus has $n docs > " +
+        s"$MaxBaselineDocs — use $alt, the df-capped scale path")
+  }
+
   /** Decontamination: detect benchmark/test leakage into a training
     * split — cross-split near-duplicate pairs by word-set Jaccard via the
     * same inverted-index candidate join as [[jaccardPairs]], but only
     * across the split boundary. At 100 TB the test side is tiny, so the
     * inverted index of the TEST split is built and the train side streams
-    * against it. */
+    * against it. BASELINE-ONLY: no df cap fences the word join, so a
+    * stop word joins every train posting with every test posting —
+    * [[requireBaselineScope]] hard-stops past [[MaxBaselineDocs]] docs;
+    * [[contaminationAtScale]] is the capped production path. */
   def contamination(d: DataFrame, split: DataFrame, tau: Double): DataFrame = {
+    requireBaselineScope(d, "Dedup.contamination", "contaminationAtScale")
     val withSplit = d.join(split.select("doc_id", "split"), "doc_id")
       .select(col("doc_id"), col("split"),
         array_distinct(expr(toksExpr)).as("wset"))
@@ -476,7 +576,8 @@ object Dedup {
     * corpus n-grams — the knob that keeps the candidate join linear at
     * 100 TB. */
   def charNGramPairs(d: DataFrame, n: Int = 5, tau: Double = 0.7,
-      sampleMod: Int = 8, maxDf: Int = 50): DataFrame = {
+      sampleMod: Int = 8, maxDf: Int = 50,
+      atScaleVerify: Option[Boolean] = None): DataFrame = {
     val sh = d.select(col("doc_id"),
       array_distinct(CharNGramHashes(lower(col("text")), n)).as("sh"))
     val inv = sh.select(col("doc_id"),
@@ -491,17 +592,10 @@ object Dedup {
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .dropDuplicates("doc1", "doc2")
-    // lazy verify recompute kept deliberately — see the minHashPairs
-    // measured-regression note (r11): candidate-pruning it lost to the
-    // materialization overhead at every tested scale
-    cand
-      .join(sh.select(col("doc_id").as("doc1"), col("sh").as("s1")), "doc1")
-      .join(sh.select(col("doc_id").as("doc2"), col("sh").as("s2")), "doc2")
-      .withColumn("n_common", size(array_intersect(col("s1"), col("s2"))))
-      .withColumn("jaccard", round(col("n_common") /
-        (size(col("s1")) + size(col("s2")) - col("n_common")), 4))
-      .filter(col("jaccard") >= tau)
-      .select("doc1", "doc2", "n_common", "jaccard")
+    // lazy verify recompute kept as the default — see the minHashPairs
+    // measured-regression note (r11); the candidate-pruned sorted-kernel
+    // shape exists behind the same corpus-size switch since r16
+    verifiedJaccard(cand, sh, tau, verifyAtScale(d, atScaleVerify))
   }
 
   /** Exact-substring duplicate pairs (the ExactSubstr recipe of
@@ -780,14 +874,42 @@ object Dedup {
       .localCheckpoint(true)
     val rare = anchors.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("h")
-    anchors.join(rare, "h")
-      .repartition(col("h"))
-      .write
-      .option("path", path)
-      .bucketBy(buckets, "h")
-      .sortBy("h")
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .saveAsTable(tableName)
+    // staged rebuild (Staged.commit): the live index serves while the
+    // new generation builds; promote is a catalog rename
+    graft.sources.Staged.commit(d.sparkSession, tableName, path) {
+      (tbl, p) =>
+        anchors.join(rare, "h")
+          .repartition(col("h"))
+          .write
+          .option("path", p)
+          .bucketBy(buckets, "h")
+          .sortBy("h")
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .saveAsTable(tbl)
+    }
+  }
+
+  /** Probe the PERSISTED anchor index with a batch of NEW documents —
+    * the exact per-doc check [[graft.streaming.Streaming
+    * .contaminationStream]] runs per arrival, as ONE stream-static
+    * equijoin against the bucketed index (no shard-side df cap: every
+    * arriving doc is checked in full, the live-gate semantics —
+    * [[incrementalSubstringPairs]] adds the cap for the bulk-shard
+    * variant). Same kernel explode, same codepoint length gate, same
+    * count rollup as [[contaminationSubstring]]'s train side, so the
+    * probe over a replayed corpus equals the batch check row-for-row
+    * (StreamingSpec). The index side arrives pre-bucketed on `h` —
+    * zero corpus-side Exchange; only the probe batch shuffles. */
+  def anchorProbe(spark: SparkSession, tableName: String,
+      docs: DataFrame, k: Int = 40, w: Int = 25): DataFrame = {
+    require(k >= 1 && w >= 1, s"bad params k=$k w=$w")
+    docs.filter(length(col("text")) >= k)
+      .select(col("doc_id").as("train_doc"),
+        explode(WinnowedAnchors(col("text"), k, w)).as("h"))
+      .join(spark.table(tableName)
+        .select(col("doc_id").as("test_doc"), col("h")), "h")
+      .groupBy("train_doc", "test_doc")
+      .agg(count(lit(1)).as("n_anchors"))
   }
 
   /** Incremental substring dedup — the shape a rolling crawl actually

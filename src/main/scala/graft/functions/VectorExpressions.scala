@@ -93,6 +93,59 @@ object ByteDot {
     Bridge.column(ByteDot(Bridge.expression(a), Bridge.expression(b)))
 }
 
+/** Intersection count of two SORTED-ASCENDING distinct `array<long>`
+  * sets in one two-pointer pass — the r3 "sorted-kernel verify" shape,
+  * resurrected (r13 verdict #5) behind [[graft.dedup.Dedup]]'s
+  * corpus-size switch: at locally testable scales the per-doc
+  * `array_sort` this kernel requires was MEASURED to cost more than the
+  * per-pair `array_intersect` it replaces (r3 dead-end note — when
+  * candidates ≈ O(docs) the sort of big shingle arrays dominates), but
+  * on a candidate-pruned verify side (candidates ≪ corpus, the 100 TB
+  * regime) each doc is sorted once and every pair it appears in pays a
+  * primitive-long merge with no per-pair set allocation. Count-equal to
+  * `size(array_intersect(a, b))` on distinct inputs (spec-asserted). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.count(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedIntersectCount.count($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+  /** Called from generated code. Both arrays must be ascending long
+    * arrays with distinct elements. */
+  def count(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var c = 0L
+    var i = 0
+    var j = 0
+    while (i < na && j < nb) {
+      val xa = a.getLong(i)
+      val xb = b.getLong(j)
+      if (xa == xb) { c += 1L; i += 1; j += 1 }
+      else if (xa < xb) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  def apply(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectCount(Bridge.expression(a),
+      Bridge.expression(b)))
+}
+
 /** Sparse dot product + intersection count over two sparse vectors in
   * PARALLEL-ARRAY layout: (aKeys, aW, bKeys, bW), keys ascending,
   * all `array<long>`. One two-pointer merge per pair over primitive

@@ -223,11 +223,16 @@ object Multimodal {
     * writeAnchorIndex posture for media). */
   def writeMediaBucketIndex(media: DataFrame, tableName: String,
       path: String, maxOccupancy: Long = 512L): Unit =
-    cappedBucketKeys(media, maxOccupancy)
-      .write
-      .option("path", path)
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .saveAsTable(tableName)
+    // staged rebuild (Staged.commit): the live index serves while the
+    // new generation builds; promote is a catalog rename
+    graft.sources.Staged.commit(media.sparkSession, tableName, path) {
+      (tbl, p) =>
+        cappedBucketKeys(media, maxOccupancy)
+          .write
+          .option("path", p)
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .saveAsTable(tbl)
+    }
 
   /** Near-dup media dedup — the second media pass of a crawl pipeline
     * (exact [[exactDedup]] catches byte-identical copies; this catches

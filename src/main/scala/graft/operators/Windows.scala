@@ -302,25 +302,32 @@ object Windows {
     * definition; eagerly checkpointed — it is corpus-priced work
     * feeding two consumers here, the totals agg and the term join).
     *
-    * Numeric contract: p = n/tot is one exact-BIGINT division; each
-    * −p·ln(p) term is snapped to the 1e-6 grid as an INTEGER micro
-    * (the bm25 ln discipline — ln is the one libm call and the snap
-    * absorbs engine ulps) and the entropy is the exact integer term
-    * sum ÷ 1e6, so summation order can't drift engines. Everything
-    * downstream of the matrix is |spaces|²-sized. */
+    * Numeric contract (r13 ADVICE: snap the TRANSCENDENTAL, not the
+    * composed term — the domain_classifier/bm25 discipline): p = n/tot
+    * is ONE double division over exact integers (IEEE-identical both
+    * engines), ln(p) alone is snapped to the 1e-6 grid as an INTEGER
+    * micro — so a libm ulp is absorbed before anything composes with
+    * it — and the entropy is the exact BIGINT sum Σ n·ln_micro(p)
+    * divided once: −Σ / (tot·10⁶), a single double expression over
+    * exact integers. Summation order can't drift engines; the n·ln
+    * products stay in BIGINT for tot ≲ 10¹¹ per from_space (ANSI
+    * raises loudly past it, never wraps — scope the era, the
+    * emb_drift contract). Everything downstream of the matrix is
+    * |spaces|²-sized. */
   def journeyEntropy(named: DataFrame): DataFrame = {
     val m = eventTransitions(named).localCheckpoint(true)
     val tot = m.groupBy(col("from_space"))
       .agg(sum(col("n")).as("tot"), count(lit(1)).as("n_out"))
     val p = col("n").cast("double") / col("tot").cast("double")
     m.join(broadcast(tot), "from_space")
-      .withColumn("term_micro",
-        round(p * log(p) * lit(-1000000.0), 0).cast("long"))
+      .withColumn("ln_micro",
+        round(log(p) * lit(1000000.0), 0).cast("long"))
       .groupBy(col("from_space"))
       .agg(max(col("n_out")).as("n_out"), max(col("tot")).as("tot"),
-        sum(col("term_micro")).as("h_micro"))
+        sum(col("n") * col("ln_micro")).as("h_sum"))
       .select(col("from_space"), col("n_out"), col("tot"),
-        (col("h_micro").cast("double") / lit(1000000.0)).as("entropy"))
+        ((-col("h_sum")).cast("double") /
+          (col("tot").cast("double") * lit(1000000.0))).as("entropy"))
   }
 
   /** Cohort retention matrix — the activation-analytics dual of

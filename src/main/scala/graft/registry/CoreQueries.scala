@@ -227,10 +227,6 @@ object CoreQueries {
 
   private val E = EventLog.CTE
 
-  /** The event_transitions derivation, named because journey_entropy
-    * embeds it verbatim (the reportBlock discipline). */
-  /** The event_funnel derivation, named because funnel_rates embeds it
-    * verbatim (the reportBlock discipline). */
   /** The win_session derivation, named because session_stats embeds it
     * verbatim (the reportBlock discipline). */
   private val SessionSql = s"""$E,
@@ -253,6 +249,8 @@ object CoreQueries {
              count(*) AS n_events, round(sum(value), 2) AS sum_value
       FROM sessions GROUP BY 1, 2, 3"""
 
+  /** The event_funnel derivation, named because funnel_rates embeds it
+    * verbatim (the reportBlock discipline). */
   private val FunnelSql = s"""$E,
       s1 AS (SELECT segment, min(ts_us) AS t FROM entries
              WHERE space = 'view' GROUP BY 1),
@@ -270,6 +268,8 @@ object CoreQueries {
       SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT)
       FROM s3"""
 
+  /** The event_transitions derivation, named because journey_entropy
+    * embeds it verbatim (the reportBlock discipline). */
   private val ETransSql = s"""$E,
       steps AS (
         SELECT segment, space, ts_us, event_id,
@@ -619,7 +619,7 @@ object CoreQueries {
              count(*) AS n, round(sum(value), 2) AS sum_value
       FROM events CROSS JOIN h GROUP BY 1, 2""",
 
-"win_session" -> SessionSql,
+    "win_session" -> SessionSql,
 
     // sessions embedded verbatim; all-integer duration/size rollup
     "session_stats" -> s"""
@@ -664,8 +664,6 @@ object CoreQueries {
       CROSS JOIN (SELECT n_segments AS n FROM ($FunnelSql)
                   WHERE step = 1) fst""",
 
-    // same lag-per-segment adjacency; share is the identical all-integer
-    // half-up milli expression (// == div for positive operands)
     // same lag-per-segment adjacency; share is the identical all-integer
     // half-up milli expression (// == div for positive operands)
     "event_transitions" -> ETransSql,
@@ -732,8 +730,9 @@ object CoreQueries {
                (2 * CAST(count(*) AS BIGINT)) AS mean_gap_us
       FROM g WHERE d IS NOT NULL GROUP BY 1""",
 
-    // matrix embedded verbatim; per-term 1e-6 ln snap as INTEGER micro,
-    // entropy = exact integer term sum / 1e6
+    // matrix embedded verbatim; ln ALONE snapped to the 1e-6 grid
+    // before composing (r13 ADVICE), entropy = −Σ n·ln_micro / (tot·1e6)
+    // — one double expression over exact BIGINTs
     "journey_entropy" -> s"""
       WITH m AS (SELECT from_space, to_space, n FROM ($ETransSql) x),
       t AS (
@@ -741,10 +740,10 @@ object CoreQueries {
                CAST(count(*) AS BIGINT) AS n_out
         FROM m GROUP BY 1)
       SELECT m.from_space, t.n_out, t.tot,
-             CAST(CAST(sum(CAST(round(CAST(m.n AS DOUBLE) /
-               CAST(t.tot AS DOUBLE) * ln(CAST(m.n AS DOUBLE) /
-               CAST(t.tot AS DOUBLE)) * -1000000.0::DOUBLE, 0) AS BIGINT))
-               AS BIGINT) AS DOUBLE) / 1000000.0::DOUBLE AS entropy
+             CAST(-CAST(sum(m.n * CAST(round(ln(CAST(m.n AS DOUBLE) /
+               CAST(t.tot AS DOUBLE)) * 1000000.0::DOUBLE, 0) AS BIGINT))
+               AS BIGINT) AS DOUBLE) /
+               (CAST(t.tot AS DOUBLE) * 1000000.0::DOUBLE) AS entropy
       FROM m JOIN t ON m.from_space = t.from_space
       GROUP BY 1, 2, 3""",
 

@@ -1138,10 +1138,14 @@ object PipelineQueries {
         JOIN l ON c.lang = l.lang AND c.w1 = l.w1
         JOIN r ON c.lang = r.lang AND c.w2 = r.w2
         JOIN tot t ON c.lang = t.lang
-        WHERE c.n_pair >= 5)
+        WHERE c.n_pair >= 5
+          -- membership = the EXACT integer cross-multiplication
+          -- (engine: DECIMAL(38,0)); the snapped ln is display-only
+          AND CAST(c.n_pair AS HUGEINT) * t.n >
+              CAST(l.cx AS HUGEINT) * r.cy)
       SELECT lang, w1, w2, n_pair, cx, cy,
              CAST(pmi_micro AS DOUBLE) / 1000000.0::DOUBLE AS pmi
-      FROM scored WHERE pmi_micro > 0"""
+      FROM scored"""
 
   /** Sequence-packing layout (the `pack_assign` oracle), named because
     * the pack audit embeds it verbatim. Defined before [[oracleBase]]
@@ -1857,8 +1861,9 @@ object PipelineQueries {
 
     // same bigram distribution: 1-based list indexing over
     // generate_series, exact marginals from the count table, the
-    // identical multiply-before-divide + 1e-6-snapped ln, and both
-    // memberships on integers (support count, snapped pmi sign)
+    // identical multiply-before-divide + 1e-6-snapped ln (display
+    // only), and both memberships EXACT-INTEGER (support count,
+    // HUGEINT/DECIMAL cross-multiplied positivity)
     "word_assoc" -> WordAssocSql,
 
     // per-doc multiset hits against the dictionary embedded verbatim;

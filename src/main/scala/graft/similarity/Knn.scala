@@ -410,8 +410,11 @@ object Knn {
     * the DuckDB oracle sums in HUGEINT then casts (a gate mismatch at
     * best, a silent wrong answer in rows-only use) — the monitor is a
     * per-crawl-batch pass by design; scope the input, not the math, at
-    * 100 TB. */
-  def embDriftQuantized(e: DataFrame): DataFrame = {
+    * 100 TB — and since r14 the bound is ENFORCED, not documented: the
+    * plan carries [[momentGuard]] on the exact vector count, so an
+    * over-bound batch raises a named error instead of wrapping. */
+  def embDriftQuantized(e: DataFrame,
+      maxVecs: Long = MaxMomentVecs): DataFrame = {
     val codes = quantize(e)
       .select(col("label"), posexplode(col("qv")).as(Seq("pos", "code")))
     val byLabel = codes.groupBy(col("label"), col("pos"))
@@ -422,20 +425,50 @@ object Knn {
       // and re-quantized twice (PlanSpec pins zero parquet scans in the
       // final plan)
       .localCheckpoint(true)
-    val corpus = byLabel.groupBy(col("pos")).agg(sum(col("s")).as("c"))
+    // n_tot (exact corpus count — counts cannot wrap) rides along so the
+    // c2 bound can be CHECKED where c2 is consumed: c2 ≤ 64·(127·n_tot)²
+    // and every other moment is smaller, so one guard on n_tot covers
+    // dot, s2 and c2 alike
+    val corpus = byLabel.groupBy(col("pos"))
+      .agg(sum(col("s")).as("c"), sum(col("n_vecs")).as("n_tot"))
     byLabel.join(broadcast(corpus), "pos")
       .groupBy(col("label"))
       .agg(max(col("n_vecs")).as("n_vecs"), // identical across dims
+        max(col("n_tot")).as("n_tot"),      // identical across dims
         sum(col("s") * col("c")).as("dot"),
         sum(col("s") * col("s")).as("s2"),
         sum(col("c") * col("c")).as("c2"))
       .filter(col("s2") > lit(0L) && col("c2") > lit(0L))
       .select(col("label").cast("long").as("label"),
-        col("n_vecs"),
+        (col("n_vecs") + momentGuard(col("n_tot"), maxVecs)).as("n_vecs"),
         (floor(col("dot").cast("double") * lit(10000.0) /
           (sqrt(col("s2").cast("double")) * sqrt(col("c2").cast("double")))
           + lit(0.5)).cast("double") / lit(10000.0)).as("centroid_cos"))
   }
+
+  /** The documented long-overflow ceiling of the integer moment family
+    * (emb_drift and its four siblings): with dims = 64 and |code| ≤ 127,
+    * the largest aggregate is Σ_pos s² ≤ 64·(127·n)², which stays under
+    * 2⁶³ only for n ≲ 3·10⁶ vectors per monitored scope. */
+  private[graft] val MaxMomentVecs = 3000000L
+
+  /** The ENFORCED face of [[MaxMomentVecs]] (r13 verdict: a bound that
+    * lives in a comment wraps silently; one that lives in the plan fails
+    * loudly): evaluates to an integer 0 while `n` is within bound and
+    * RAISES past it. Callers fold it into a kept output column
+    * (`x + momentGuard(...)`) so column pruning can never drop the
+    * check; adding integer 0 leaves the column's value — and with it
+    * every oracle — untouched. `n` must be an exact COUNT (counts cannot
+    * wrap), never a sum that might already have overflowed. */
+  private def momentGuard(n: Column, maxVecs: Long): Column =
+    coalesce(
+      assert_true(n <= lit(maxVecs),
+        concat(lit("embedding-moment overflow fence: "), n.cast("string"),
+          lit(s" vectors in one monitored scope exceed $maxVecs — the " +
+            "exact BIGINT moment sums (up to 64·(127·n)²) would wrap " +
+            "silently; scope the input batch (the emb_drift contract) " +
+            "instead of widening the math"))).cast("long"),
+      lit(0L))
 
   /** Per-vector centroid AFFINITY in the quantized space — the
     * prototype-affinity signal of published data-pruning work (rank
@@ -452,21 +485,25 @@ object Knn {
     * threshold on. Shuffles: one (label, dim)-group agg, one broadcast
     * centroid join re-agged per vector (n·dims partials — the
     * emb_drift shape), nothing pairwise. Same per-label long-overflow
-    * bound as emb_drift (n ≲ 3·10⁶ vectors per label per batch). */
-  def embCentroidAffinity(e: DataFrame): DataFrame = {
+    * bound as emb_drift — ENFORCED per label by [[momentGuard]] on the
+    * exact count riding the centroid sums. */
+  def embCentroidAffinity(e: DataFrame,
+      maxVecs: Long = MaxMomentVecs): DataFrame = {
     val codes = explodedCodes(e)
       // feeds the centroid agg AND the scoring join — one materialization
       .localCheckpoint(true)
-    val cent = centroidSumsFrom(codes)
+    val cent = centroidSumsCounted(codes)
       .localCheckpoint(true) // 2 consumers: the norm rollup + the dot join
     val snrm = cent.groupBy(col("label"))
-      .agg(sum(col("s") * col("s")).as("s2"))
+      .agg(sum(col("s") * col("s")).as("s2"), max(col("nl")).as("nl"))
       .filter(col("s2") > lit(0L))
-    codes.join(broadcast(cent), Seq("label", "pos"))
+    codes.join(broadcast(cent.select("label", "pos", "s")),
+        Seq("label", "pos"))
       .groupBy(col("vec_id"), col("label"), col("q2"))
       .agg(sum(col("code").cast("long") * col("s")).as("dot"))
       .join(broadcast(snrm), "label")
-      .select(col("vec_id"), col("label"), col("dot"),
+      .select(col("vec_id"), col("label"),
+        (col("dot") + momentGuard(col("nl"), maxVecs)).as("dot"),
         (floor(col("dot").cast("double") * lit(10000.0) /
           (sqrt(col("q2").cast("double")) * sqrt(col("s2").cast("double")))
           + lit(0.5)).cast("double") / lit(10000.0)).as("score"))
@@ -487,14 +524,17 @@ object Knn {
     * Scale: the all-centroid scoring is n·dims·|labels| partials — the
     * brute eval pass, priced for eval batches (scope the input); the
     * centroid side is broadcast (labels×dims, corpus-independent).
-    * Same per-label long-overflow bound as emb_drift. */
-  def centroidConfusion(e: DataFrame): DataFrame = {
+    * Same per-label long-overflow bound as emb_drift — ENFORCED per
+    * candidate label by [[momentGuard]] folded into the integer rank
+    * key. */
+  def centroidConfusion(e: DataFrame,
+      maxVecs: Long = MaxMomentVecs): DataFrame = {
     val codes = explodedCodes(e)
       .localCheckpoint(true) // feeds the centroid agg AND all-pairs dots
-    val cent = centroidSumsFrom(codes)
+    val cent = centroidSumsCounted(codes)
       .localCheckpoint(true) // 2 consumers: norm rollup + scoring join
     val snrm = cent.groupBy(col("label"))
-      .agg(sum(col("s") * col("s")).as("s2"))
+      .agg(sum(col("s") * col("s")).as("s2"), max(col("nl")).as("nl"))
       .filter(col("s2") > lit(0L))
     val dots = codes
       .join(broadcast(cent.select(col("label").as("cand"), col("pos"),
@@ -502,12 +542,12 @@ object Knn {
       .groupBy(col("vec_id"), col("label"), col("q2"), col("cand"))
       .agg(sum(col("code").cast("long") * col("s")).as("dot"))
     dots
-      .join(broadcast(snrm.select(col("label").as("cand"),
-        col("s2"))), "cand")
+      .join(broadcast(snrm.select(col("label").as("cand"), col("s2"),
+        col("nl"))), "cand")
       .withColumn("score_e4",
         floor(col("dot").cast("double") * lit(10000.0) /
           (sqrt(col("q2").cast("double")) * sqrt(col("s2").cast("double")))
-          + lit(0.5)).cast("long"))
+          + lit(0.5)).cast("long") + momentGuard(col("nl"), maxVecs))
       .groupBy(col("vec_id"), col("label"))
       .agg(max_by(col("cand"),
         struct(col("score_e4"), (-col("cand")).as("neg"))).as("assigned"))
@@ -528,8 +568,11 @@ object Knn {
     * the INTEGER zero-variance predicate n·Σc² − (Σc)² == 0 (never a
     * float compare; catches constants at any level, not just zeros).
     * One (dim)-group hash agg — dims rows out; same per-dim
-    * long-overflow bound as emb_drift (n ≲ 3·10⁶ per audited batch). */
-  def embDimStats(e: DataFrame): DataFrame =
+    * long-overflow bound as emb_drift (conservative here — the n·Σc²
+    * predicate is the first to wrap, at n ≈ 2·10⁷), ENFORCED by
+    * [[momentGuard]] on the exact per-dim count. */
+  def embDimStats(e: DataFrame,
+      maxVecs: Long = MaxMomentVecs): DataFrame =
     explodedCodes(e)
       .groupBy(col("pos"))
       .agg(count(lit(1)).as("n"),
@@ -538,7 +581,8 @@ object Knn {
       .withColumn("dead",
         (col("n") * col("s2") - col("s") * col("s") === lit(0L))
           .cast("long"))
-      .select(col("pos").cast("long").as("pos"), col("n"), col("s"),
+      .select(col("pos").cast("long").as("pos"),
+        (col("n") + momentGuard(col("n"), maxVecs)).as("n"), col("s"),
         col("s2"), col("dead"))
 
   /** Exploded positive-norm codes — one definition feeding the affinity
@@ -552,8 +596,16 @@ object Knn {
         posexplode(col("qv")).as(Seq("pos", "code")))
 
   private def centroidSumsFrom(codes: DataFrame): DataFrame =
+    centroidSumsCounted(codes).select("label", "pos", "s")
+
+  /** [[centroidSumsFrom]] plus the exact per-label vector count `nl` —
+    * the value [[momentGuard]] checks (a count cannot wrap, a sum that
+    * already overflowed can). `nl` is identical across a label's dims:
+    * every positive-norm vector contributes one row per position. */
+  private def centroidSumsCounted(codes: DataFrame): DataFrame =
     codes.groupBy(col("label"), col("pos"))
-      .agg(sum(col("code").cast("long")).as("s"))
+      .agg(sum(col("code").cast("long")).as("s"),
+        count(lit(1)).as("nl"))
 
   /** The frozen per-label centroid code sums
     * ([[graft.streaming.Streaming.embOutlierStream]]'s serving
@@ -568,8 +620,9 @@ object Knn {
     * predicate, no float compare anywhere) — the likely-mislabeled /
     * out-of-distribution queue a labeling pipeline re-routes to review
     * before the label feeds sampling or filtering decisions. */
-  def embOutliers(e: DataFrame): DataFrame =
-    embCentroidAffinity(e).filter(col("dot") < lit(0L))
+  def embOutliers(e: DataFrame,
+      maxVecs: Long = MaxMomentVecs): DataFrame =
+    embCentroidAffinity(e, maxVecs).filter(col("dot") < lit(0L))
 
   /** Per-label CLUSTER-QUALITY audit — the silhouette-shaped rollup of
     * [[embCentroidAffinity]]: for every label, its COHESION (mean
@@ -593,23 +646,27 @@ object Knn {
     * labels×dims table — |labels|²·dims products, corpus-independent.
     * Same per-label long-overflow bound as emb_drift (n ≲ 3·10⁶
     * vectors per label per audited batch; scope the input, not the
-    * math, at 100 TB). */
-  def embClusterQuality(e: DataFrame): DataFrame = {
+    * math, at 100 TB) — ENFORCED per label by [[momentGuard]] on the
+    * exact count riding the centroid sums. */
+  def embClusterQuality(e: DataFrame,
+      maxVecs: Long = MaxMomentVecs): DataFrame = {
     val codes = explodedCodes(e)
       .localCheckpoint(true) // 2 consumers: centroid agg + scoring join
-    val cent = centroidSumsFrom(codes)
+    val cent = centroidSumsCounted(codes)
       .localCheckpoint(true) // 3 consumers: norms, vector dots, pair dots
     val snrm = cent.groupBy(col("label"))
-      .agg(sum(col("s") * col("s")).as("s2"))
+      .agg(sum(col("s") * col("s")).as("s2"), max(col("nl")).as("nl"))
       .filter(col("s2") > lit(0L))
-    val scoreE4 = codes.join(broadcast(cent), Seq("label", "pos"))
+    val scoreE4 = codes
+      .join(broadcast(cent.select("label", "pos", "s")), Seq("label", "pos"))
       .groupBy(col("vec_id"), col("label"), col("q2"))
       .agg(sum(col("code").cast("long") * col("s")).as("dot"))
       .join(broadcast(snrm), "label")
       .select(col("label"),
-        floor(col("dot").cast("double") * lit(10000.0) /
+        (floor(col("dot").cast("double") * lit(10000.0) /
           (sqrt(col("q2").cast("double")) * sqrt(col("s2").cast("double")))
-          + lit(0.5)).cast("long").as("score_e4"))
+          + lit(0.5)).cast("long") +
+          momentGuard(col("nl"), maxVecs)).as("score_e4"))
     val coh = scoreE4.groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("score_e4")).as("sum_e4"))
     val sep = cent.as("a").join(cent.as("b"),
@@ -890,14 +947,19 @@ object Knn {
       base.crossJoin(broadcast(withCnrm2(centroids))).withColumn("d", sqDist),
       Seq("v", "nrm"))
       .select(col("vec_id"), col("v"), col("nrm"), col("c_id"))
-    assigned
-      .repartition(col("c_id"))
-      .write
-      .option("path", path)
-      .bucketBy(buckets, "c_id")
-      .sortBy("c_id")
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .saveAsTable(tableName)
+    // staged rebuild (Staged.commit): the live index serves while the
+    // new generation builds; promote is a catalog rename
+    graft.sources.Staged.commit(e.sparkSession, tableName, path) {
+      (tbl, p) =>
+        assigned
+          .repartition(col("c_id"))
+          .write
+          .option("path", p)
+          .bucketBy(buckets, "c_id")
+          .sortBy("c_id")
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .saveAsTable(tbl)
+    }
     centroids
   }
 
@@ -920,14 +982,19 @@ object Knn {
       base.crossJoin(broadcast(withCnrm2(centroids))).withColumn("d", sqDist),
       Seq("qv", "qnrm"))
       .select(col("vec_id"), col("qv"), col("qnrm"), col("c_id"))
-    assigned
-      .repartition(col("c_id"))
-      .write
-      .option("path", path)
-      .bucketBy(buckets, "c_id")
-      .sortBy("c_id")
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .saveAsTable(tableName)
+    // staged rebuild (Staged.commit): the live index serves while the
+    // new generation builds; promote is a catalog rename
+    graft.sources.Staged.commit(e.sparkSession, tableName, path) {
+      (tbl, p) =>
+        assigned
+          .repartition(col("c_id"))
+          .write
+          .option("path", p)
+          .bucketBy(buckets, "c_id")
+          .sortBy("c_id")
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .saveAsTable(tbl)
+    }
     centroids
   }
 

@@ -63,18 +63,23 @@ object Chunks {
     * probe = [[chunkDedupIncremental]]. */
   def writeChunkIndex(d: DataFrame, tableName: String, path: String,
       width: Int = 32, buckets: Int = 8): Unit =
-    chunkAssign(d, width)
-      .groupBy(col("chunk_digest"))
-      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("keeper"))
-      .select(col("chunk_digest"), col("keeper.doc_id").as("keeper_doc"),
-        col("keeper.chunk_idx").as("keeper_idx"))
-      .repartition(col("chunk_digest"))
-      .write
-      .option("path", path)
-      .bucketBy(buckets, "chunk_digest")
-      .sortBy("chunk_digest")
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .saveAsTable(tableName)
+    // staged rebuild (Staged.commit): the live index serves while the
+    // new generation builds; promote is a catalog rename
+    graft.sources.Staged.commit(d.sparkSession, tableName, path) {
+      (tbl, p) =>
+        chunkAssign(d, width)
+          .groupBy(col("chunk_digest"))
+          .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("keeper"))
+          .select(col("chunk_digest"), col("keeper.doc_id").as("keeper_doc"),
+            col("keeper.chunk_idx").as("keeper_idx"))
+          .repartition(col("chunk_digest"))
+          .write
+          .option("path", p)
+          .bucketBy(buckets, "chunk_digest")
+          .sortBy("chunk_digest")
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .saveAsTable(tbl)
+    }
 
   /** Incremental chunk dedup — the rolling-crawl shape (the
     * dedup_incremental posture at passage granularity): a NEW shard's

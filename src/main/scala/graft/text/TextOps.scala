@@ -274,9 +274,11 @@ object TextOps {
     * pmi = ln(n_pair·n / (cx·cy)) with the products taken as doubles
     * MULTIPLY-BEFORE-DIVIDE (identical IEEE order both engines) and the
     * one transcendental snapped to the 1e-6 grid (the bm25 idf
-    * discipline); BOTH membership predicates are integer-stable —
-    * support ≥ minCount on an exact count, pmi_micro > 0 on the SNAPPED
-    * integer — so row membership can't flip on an engine libm ulp.
+    * discipline); BOTH membership predicates are EXACT-INTEGER —
+    * support ≥ minCount on an exact count, positivity as the
+    * cross-multiplication n_pair·n > cx·cy in DECIMAL(38,0)/HUGEINT
+    * (r13 ADVICE: the snapped ln is display-only; membership can never
+    * sit one libm ulp from a rounding boundary).
     *
     * Scale: the bigram explode is linear (zip_with over two slices —
     * bound lambda vars, so the toks alias is never re-derived per
@@ -299,11 +301,19 @@ object TextOps {
       .join(left, Seq("lang", "w1"))
       .join(right, Seq("lang", "w2"))
       .join(broadcast(tot), "lang")
+      // membership is the EXACT integer cross-multiplication
+      // (pmi > 0 ⟺ n_pair·n > cx·cy — the transition_drift predicate
+      // discipline, r13 ADVICE: the snapped ln stays a DISPLAY value
+      // and can never decide row membership on a libm boundary draw).
+      // DECIMAL(38,0) products: exact at any corpus size (BIGINT pairs
+      // would wrap past ~3·10⁹ total bigrams); the oracle mirrors with
+      // HUGEINT.
+      .filter(col("n_pair").cast("decimal(38,0)") * col("n") >
+        col("cx").cast("decimal(38,0)") * col("cy"))
       .withColumn("pmi_micro",
         round(log((col("n_pair").cast("double") * col("n").cast("double")) /
           (col("cx").cast("double") * col("cy").cast("double"))) *
           lit(1000000.0), 0).cast("long"))
-      .filter(col("pmi_micro") > lit(0L))
       .select(col("lang"), col("w1"), col("w2"), col("n_pair"), col("cx"),
         col("cy"),
         (col("pmi_micro").cast("double") / lit(1000000.0)).as("pmi"))
@@ -777,14 +787,19 @@ object TextOps {
   def writeDomainModel(d: DataFrame, tableName: String, path: String,
       refSource: String = "src0", minDf: Int = 2,
       buckets: Int = 8): Unit = {
-    domainModel(d, refSource, minDf)
-      .repartition(col("term"))
-      .write
-      .option("path", path)
-      .bucketBy(buckets, "term")
-      .sortBy("term")
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .saveAsTable(tableName)
+    // staged rebuild (Staged.commit): the live model serves while the
+    // new generation trains; promote is a catalog rename
+    graft.sources.Staged.commit(d.sparkSession, tableName, path) {
+      (tbl, p) =>
+        domainModel(d, refSource, minDf)
+          .repartition(col("term"))
+          .write
+          .option("path", p)
+          .bucketBy(buckets, "term")
+          .sortBy("term")
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .saveAsTable(tbl)
+    }
   }
 
   /** Score a corpus against the PERSISTED model ([[writeDomainModel]])
@@ -983,8 +998,17 @@ object TextOps {
     * whole (q4, hex4) GROUP still fits the remaining budget.
     * Group-granular admission makes membership a pure integer function
     * of the group prefix sums (no within-group ordering ever needed);
-    * the budget is a HARD ceiling and the undershoot is at most one
-    * group's tokens (corpus/(9·65536) of a source — negligible).
+    * the budget is a HARD ceiling. The admission rule, stated exactly:
+    * a group is kept iff the cumulative mass of ALL prior groups in
+    * (q4 desc, hex4 asc) order — rejected ones included — plus its own
+    * still fits, so the kept set is the maximal PREFIX of that order
+    * whose cumulative mass fits (not a best-fit packing: a later small
+    * group that would still fit after a non-fitting one is rejected
+    * too). With near-uniform group sizes — the corpus/(9·65536)-per-
+    * group regime this grid produces — the undershoot is bounded by
+    * about one group's tokens; heavily skewed group sizes can leave
+    * more on the table, which `budget_audit`'s utilization row
+    * surfaces.
     *
     * Scale (the curriculum_assign zero-sort argument, extended to token
     * mass): the corpus is touched by two stateless passes (score+hash,
@@ -1394,21 +1418,28 @@ object TextOps {
     val spark = d.sparkSession
     import spark.implicits._
     val (vocab, merges) = bpeTrain(d, numMerges, maxVocab)
-    vocab.select(col("word"), col("freq"), col("n_bpe"))
-      .repartition(col("word"))
-      .write
-      .option("path", path)
-      .bucketBy(buckets, "word")
-      .sortBy("word")
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .saveAsTable(tableName)
-    merges.zipWithIndex
-      .map { case ((a, b), i) => (i.toLong, a, b) }
-      .toDF("merge_rank", "left", "right")
-      .write
-      .option("path", s"${path}_merges")
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .saveAsTable(s"${tableName}_merges")
+    // staged rebuilds (Staged.commit), merge list first, MAIN vocab
+    // table last — the vocab promote is the commit point probes key on
+    graft.sources.Staged.commit(spark, s"${tableName}_merges",
+        s"${path}_merges") { (tbl, p) =>
+      merges.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("merge_rank", "left", "right")
+        .write
+        .option("path", p)
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .saveAsTable(tbl)
+    }
+    graft.sources.Staged.commit(spark, tableName, path) { (tbl, p) =>
+      vocab.select(col("word"), col("freq"), col("n_bpe"))
+        .repartition(col("word"))
+        .write
+        .option("path", p)
+        .bucketBy(buckets, "word")
+        .sortBy("word")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .saveAsTable(tbl)
+    }
   }
 
   /** Per-source BPE token budget against the PERSISTED model
@@ -1561,22 +1592,29 @@ object TextOps {
       .withColumn("dl", size(col("toks")).cast("long"))
       // feeds the stats row AND the postings write — one tokenize pass
       .localCheckpoint(true)
-    withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .write
-      .option("path", s"${path}_stats")
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .saveAsTable(s"${tableName}_stats")
-    withDl
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
-      .repartition(col("term"))
-      .write
-      .option("path", path)
-      .bucketBy(buckets, "term")
-      .sortBy("term")
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .saveAsTable(tableName)
+    // staged rebuilds (Staged.commit), side table first, MAIN table
+    // last — the main promote is the commit point probes key on
+    graft.sources.Staged.commit(spark, s"${tableName}_stats",
+        s"${path}_stats") { (tbl, p) =>
+      withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .write
+        .option("path", p)
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .saveAsTable(tbl)
+    }
+    graft.sources.Staged.commit(spark, tableName, path) { (tbl, p) =>
+      withDl
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .groupBy(col("term"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+        .repartition(col("term"))
+        .write
+        .option("path", p)
+        .bucketBy(buckets, "term")
+        .sortBy("term")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .saveAsTable(tbl)
+    }
   }
 
   /** BM25 against the PERSISTED postings index ([[writeTextIndex]]) —
@@ -1889,17 +1927,25 @@ object TextOps {
       minDf: Long = 2L, maxDfTenths: Int = 9): Unit = {
     // feeds the vocab distinct AND the vector agg — one tokenize pass
     val w = docWeights(d, minDf, maxDfTenths).localCheckpoint(true)
-    w.select(col("lang"), col("term"), col("idf_milli")).distinct()
-      .write
-      .option("path", s"${path}_vocab")
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .saveAsTable(s"${tableName}_vocab")
-    docVectors(w)
-      .select(col("doc_id"), col("lang"), col("n2"), col("ks"), col("ws"))
-      .write
-      .option("path", path)
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .saveAsTable(tableName)
+    val spark = d.sparkSession
+    // staged rebuilds (Staged.commit), vocab first, MAIN vector table
+    // last — the vector promote is the commit point probes key on
+    graft.sources.Staged.commit(spark, s"${tableName}_vocab",
+        s"${path}_vocab") { (tbl, p) =>
+      w.select(col("lang"), col("term"), col("idf_milli")).distinct()
+        .write
+        .option("path", p)
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .saveAsTable(tbl)
+    }
+    graft.sources.Staged.commit(spark, tableName, path) { (tbl, p) =>
+      docVectors(w)
+        .select(col("doc_id"), col("lang"), col("n2"), col("ks"), col("ws"))
+        .write
+        .option("path", p)
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .saveAsTable(tbl)
+    }
   }
 
   /** Batch MORE-LIKE-THIS over the persisted index — the serving-side

@@ -31,6 +31,32 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("the at-scale verify shape is row-identical to the default, minhash and char-ngram") {
+    // r13 verdict #5: the 100 TB verify configuration (candidate-pruned
+    // recompute + per-doc sort + SortedIntersectCount kernel) must emit
+    // EXACTLY the rows of the measured-fastest local shape — sorting a
+    // distinct hash set changes nothing the intersect count sees. Use
+    // the sf corpus so real near-dup structure exercises both shapes.
+    val docs = graft.text.TextOps.docs(spark, SF)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val mhSmall = rows(Dedup.minHashPairs(docs,
+      atScaleVerify = Some(false)))
+    val mhScale = rows(Dedup.minHashPairs(docs,
+      atScaleVerify = Some(true)))
+    assert(mhSmall.nonEmpty && mhSmall == mhScale,
+      s"minhash ${mhSmall.size} vs ${mhScale.size}")
+    val cnSmall = rows(Dedup.charNGramPairs(docs,
+      atScaleVerify = Some(false)))
+    val cnScale = rows(Dedup.charNGramPairs(docs,
+      atScaleVerify = Some(true)))
+    assert(cnSmall.nonEmpty && cnSmall == cnScale,
+      s"char-ngram ${cnSmall.size} vs ${cnScale.size}")
+    // the auto default on this (small, file-backed) corpus is the
+    // small shape: registered behavior unchanged
+    assert(rows(Dedup.minHashPairs(docs)) == mhSmall)
+  }
+
   test("minhash estimated jaccard equals exact shingle jaccard (verified pairs)") {
     // verification step recomputes exact jaccard from full shingle sets,
     // so any reported pair must match a direct computation
@@ -141,6 +167,26 @@ class DedupSpec extends SparkSpec {
       .collect().map(key).toMap
     assert(scoped.nonEmpty)
     assert(atScale == scoped)
+  }
+
+  test("contamination baseline scope is FENCED: an over-bound corpus fails a named require") {
+    // r13 verdict #4: the uncapped all-common-words join is the one
+    // brute baseline whose degenerate case is super-linear on stop
+    // words — past MaxBaselineDocs it must hard-stop, naming the
+    // capped path, before any join is planned
+    import spark.implicits._
+    val big = spark.range(Dedup.MaxBaselineDocs + 1)
+      .select(col("id").as("doc_id"), lit("en").as("lang"),
+        lit("some words").as("text"))
+    val split = Seq((0L, "train")).toDF("doc_id", "split")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.contamination(big, split, tau = 0.9)
+    }
+    assert(ex.getMessage.contains("BASELINE") &&
+      ex.getMessage.contains("contaminationAtScale"), ex.getMessage)
+    // in-scope corpora are untouched (the oracle-checked default path)
+    val small = big.limit(4)
+    Dedup.contamination(small, split, tau = 0.9) // must not raise
   }
 
   test("keeper by quality picks the best-quality member, doc_id breaks rounded ties") {

@@ -237,4 +237,173 @@ class KernelPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("sorted_intersect_count matches a set-intersection reference; empty/disjoint/identical") {
+    import graft.functions.SortedIntersectCount
+    def arr(xs: Seq[Long]) = new GenericArrayData(xs.map(x => x: Any))
+    (1 to 200).foreach { _ =>
+      val a = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong)
+        .distinct.sorted
+      val b = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong)
+        .distinct.sorted
+      val got = SortedIntersectCount.count(arr(a), arr(b))
+      assert(got == (a.toSet & b.toSet).size.toLong, s"$a vs $b")
+    }
+    assert(SortedIntersectCount.count(arr(Nil), arr(Nil)) == 0L)
+    assert(SortedIntersectCount.count(arr(Seq(1L, 2L)), arr(Nil)) == 0L)
+    assert(SortedIntersectCount.count(
+      arr(Seq(1L, 3L)), arr(Seq(2L, 4L))) == 0L)
+    assert(SortedIntersectCount.count(
+      arr(Seq(Long.MinValue, 0L, Long.MaxValue)),
+      arr(Seq(Long.MinValue, 0L, Long.MaxValue))) == 3L)
+  }
+
+  // ── adversarial inputs for the text kernels (r13 verdict #7: the
+  // MediaCodec hostile-truncation discipline applied to text) ─────────
+  private val AstralS = "𝕊" // U+1D54A, a 4-byte UTF-8 char
+  private val Hostile = Seq(
+    "",                               // empty
+    "a",                              // 1 char vs k-char windows
+    AstralS,                          // lone astral char
+    AstralS * 50,                     // astral run longer than k
+    "ab" + AstralS + "cd" + AstralS,  // mixed BMP/astral
+    "\uD800",                         // unpaired HIGH surrogate
+    "\uDC00",                         // unpaired LOW surrogate
+    "x\uD800y\uDC00z",                // surrogate halves inside text
+    "\u0000\u0001\t\n ",            // control chars
+    "é" * 60,                         // 2-byte UTF-8 run
+    "字" * 60)                        // 3-byte UTF-8 run
+
+  /** Printable escape for clue messages — raw lone surrogates in a
+    * test-failure string crash sbt's output encoder. */
+  private def esc(s: String): String =
+    s.map(c => if (c >= 32 && c < 127) c.toString
+      else f"\\u${c.toInt}%04x").mkString
+
+  test("char_bigrams survives hostile inputs: length law over UTF-16 units") {
+    Hostile.foreach { raw =>
+      // the kernel sees the UTF8String round-trip of the input — the
+      // engine's real view: Spark strings are UTF-8, so an unpaired
+      // surrogate half arrives REPLACED ('?'), never as a raw half
+      val s = UTF8String.fromString(raw).toString
+      val arr = graft.functions.CharBigrams.bigrams(UTF8String.fromString(raw))
+      // contract: one packed int per adjacent UTF-16 unit pair (the
+      // same units both engines' length() of a bigram slice sees)
+      assert(arr.numElements() == math.max(s.length - 1, 0), esc(raw))
+      var i = 0
+      while (i < arr.numElements()) {
+        val c = arr.getInt(i)
+        assert((c >>> 16) == s.charAt(i).toInt &&
+          (c & 0xffff) == s.charAt(i + 1).toInt, s"${esc(raw)} @$i")
+        i += 1
+      }
+    }
+  }
+
+  test("char_ngram_hashes survives hostile inputs: count law, determinism") {
+    Hostile.foreach { raw =>
+      val s = UTF8String.fromString(raw).toString // the engine's view
+      Seq(1, 3, 5).foreach { n =>
+        val h1 = graft.functions.CharNGramHashes.hashes(
+          UTF8String.fromString(raw), n)
+        val h2 = graft.functions.CharNGramHashes.hashes(
+          UTF8String.fromString(raw), n)
+        assert(h1.numElements() == math.max(s.length - n + 1, 0),
+          s"${esc(raw)} n=$n")
+        assert(h1.toLongArray.toSeq == h2.toLongArray.toSeq)
+      }
+    }
+  }
+
+  test("winnowed_anchors survives hostile inputs: codepoint windows, brute parity") {
+    def brute(s: String, k: Int, w: Int): Set[String] = {
+      // the SQL-substr semantics the ascii brute-parity test pins: k
+      // CODEPOINT windows, md5 of the window bytes, min per w-hash run
+      // with trailing runs truncated at the end (one run per start)
+      val m = s.codePointCount(0, s.length)
+      if (m < k) return Set.empty
+      val offs = Array.iterate(0, m + 1)(p =>
+        p + Character.charCount(s.codePointAt(p)))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val n = m - k + 1
+      val hs = (0 until n).map { i =>
+        md.reset()
+        md.digest(s.substring(offs(i), offs(i + k)).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }
+      (0 until n).map(i => hs.slice(i, math.min(i + w, n)).min).toSet
+    }
+    Hostile.foreach { raw =>
+      val s = UTF8String.fromString(raw).toString // the engine's view
+      Seq((3, 2), (5, 4), (40, 25)).foreach { case (k, w) =>
+        val got = {
+          val a = graft.functions.WinnowedAnchors.anchors(
+            UTF8String.fromString(raw), k, w)
+          (0 until a.numElements()).map(a.getUTF8String(_).toString).toSet
+        }
+        assert(got == brute(s, k, w), s"${esc(raw)} k=$k w=$w")
+      }
+    }
+  }
+
+  test("quantize_int8 survives hostile magnitudes: float-range extremes stay in [-127, 127]") {
+    val cases = Seq(
+      Array(3.4e38, -3.4e38, 1.0, 0.0),      // float max magnitudes
+      Array(1.4e-45, -1.4e-45),              // float subnormal range
+      Array(-0.0, 0.0),                      // signed zeros → all-zero
+      Array(1e-300, 1e-310, 5e-324))         // double subnormals
+    cases.foreach { v =>
+      val q = graft.functions.QuantizeInt8.encode(
+        new GenericArrayData(v.map(x => x: Any)))
+      assert(q.numElements() == v.length)
+      (0 until q.numElements()).foreach { i =>
+        val c = q.getByte(i)
+        assert(c >= -127 && c <= 127, s"${v.toSeq} -> code $c @$i")
+      }
+      // the max-magnitude element always codes to ±127
+      val mx = v.map(math.abs).max
+      if (mx > 0.0) {
+        val im = v.indexWhere(x => math.abs(x) == mx)
+        assert(math.abs(q.getByte(im).toInt) == 127, v.toSeq.toString)
+      }
+    }
+  }
+
+  test("embedding-moment overflow bound is ENFORCED: over-bound batches raise in every moment operator") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val K = graft.similarity.Knn
+    // 8 vectors over 2 labels (4 each), non-degenerate codes
+    val e = (1 to 8).map(i =>
+        (i.toLong, i % 2, Seq(0.1 * i, 0.25, -0.4 * i)))
+      .toDF("vec_id", "label", "v")
+      .localCheckpoint(true)
+    def hasFence(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(
+        _.contains("overflow fence")) || hasFence(t.getCause))
+    val ops: Seq[(String, Long => org.apache.spark.sql.DataFrame)] = Seq(
+      ("emb_drift_quantized", m => K.embDriftQuantized(e, maxVecs = m)),
+      ("emb_centroid_affinity", m => K.embCentroidAffinity(e, maxVecs = m)),
+      ("emb_outliers", m => K.embOutliers(e, maxVecs = m)),
+      ("centroid_confusion", m => K.centroidConfusion(e, maxVecs = m)),
+      ("emb_dim_stats", m => K.embDimStats(e, maxVecs = m)),
+      ("emb_cluster_quality", m => K.embClusterQuality(e, maxVecs = m)))
+    ops.foreach { case (name, f) =>
+      // planted over-bound batch: the documented bound, enforced — the
+      // plan must RAISE the named fence, never wrap silently
+      val ex = intercept[Exception] { f(3L).collect() }
+      assert(hasFence(ex), s"$name: expected the overflow fence, got $ex")
+      // within bound: the guard is invisible (adds integer 0) — the
+      // plan must complete without raising (emb_outliers' flagged tail
+      // is legitimately empty on this well-behaved batch)
+      val n = f(8L).count()
+      assert(n > 0 || name == "emb_outliers",
+        s"$name: in-bound batch must still produce rows")
+    }
+    // the in-bound guard leaves values untouched vs the default bound
+    val a = K.embDriftQuantized(e).collect().map(_.toSeq).toSet
+    val b = K.embDriftQuantized(e, maxVecs = 8L).collect()
+      .map(_.toSeq).toSet
+    assert(a == b)
+  }
 }

@@ -264,9 +264,12 @@ class StreamOpsSpec extends SparkSpec {
     val got = Windows.journeyEntropy(named).collect()
       .map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
-    // per-term micro snap: round(0.5·ln 0.5·−1e6) = 346574, twice
+    // ln snapped BEFORE composing (r16): ln_micro(0.5) =
+    // round(ln 0.5 · 1e6) = −693147; H = −(2·−693147 + 2·−693147) /
+    // (4·10⁶) = 0.693147 — the snapped-ln form lands ON ln 2's own
+    // 1e-6 grid point (the old composed-term snap read 0.693148)
     assert(got == Map(
-      "a" -> ((2L, 4L, 0.693148)),
+      "a" -> ((2L, 4L, 0.693147)),
       "b" -> ((1L, 2L, 0.0)),
       "c" -> ((1L, 1L, 0.0))), got.toString)
   }

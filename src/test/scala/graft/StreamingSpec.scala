@@ -781,4 +781,101 @@ class StreamingSpec extends SparkSpec {
       .agg(max(col("c")).as("mx")).head.getLong(0)
     assert(perEmit <= 3L, s"emit exceeded k: $perEmit")
   }
+
+  test("stream-static more-like-this probe (foreachBatch) converges to batch doc_similar") {
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+    spark.sql("DROP TABLE IF EXISTS mlt2_vec")
+    spark.sql("DROP TABLE IF EXISTS mlt2_vec_vocab")
+    val idx = Files.createTempDirectory("graft_mlt2_idx").toString + "/v"
+    graft.text.TextOps.writeDocVectorIndex(docs, "mlt2_vec", idx)
+    val dir = Files.createTempDirectory("graft_mlt2_stream").toString
+    docs.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val buf =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Double)]
+    val q = Streaming.runDocSimilarProbe(spark, stream,
+        "mlt2_vec", "mlt2_vec_vocab") { b =>
+      val rows = b.collect().map(r => (r.getAs[String]("lang"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("similar_id"),
+        r.getAs[Double]("score")))
+      buf.synchronized { buf ++= rows }
+    }
+    q.processAllAvailable(); q.stop()
+    val got = buf.map { case (l, a, b2, s) =>
+      (l, math.min(a, b2), math.max(a, b2), s) }.toSet
+    val want = graft.text.TextOps.docSimilar(docs).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc1"),
+        r.getAs[Long]("doc2"), r.getAs[Double]("score"))).toSet
+    assert(want.nonEmpty && got == want,
+      s"probe ${got.size} vs batch ${want.size}")
+    // every undirected pair served to BOTH endpoints, exactly once
+    assert(buf.size == 2 * want.size)
+  }
+
+  test("stream-static decontamination probe (foreachBatch) converges and scans the bucketed index") {
+    val docs = graft.text.TextOps.docs(spark, SF)
+    val split = graft.text.TextOps.splitAssign(docs, 13)
+    spark.sql("DROP TABLE IF EXISTS contam_probe_idx")
+    val idxPath = Files.createTempDirectory("graft_contam_pidx")
+      .toString + "/v"
+    graft.dedup.Dedup.writeAnchorIndex(
+      docs.join(split.filter(col("split") === "test").select("doc_id"),
+        "doc_id"),
+      "contam_probe_idx", idxPath)
+    val train = docs.join(
+      split.filter(col("split") === "train").select("doc_id"), "doc_id")
+    // the static side of the probe is the BUCKETED index scan — the
+    // plan fence the r13 verdict asked for next to the convergence
+    val batchProbe = graft.dedup.Dedup.anchorProbe(spark,
+      "contam_probe_idx", train)
+    val p = batchProbe.queryExecution.executedPlan.toString
+    assert(p.contains("Bucketed: true"), p)
+    val dir = Files.createTempDirectory("graft_contam_probe_s").toString
+    train.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(train.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = Streaming.runContaminationProbe(spark, stream,
+        "contam_probe_idx") { b =>
+      val rows = b.collect().map(_.toSeq)
+      buf.synchronized { buf ++= rows }
+    }
+    q.processAllAvailable(); q.stop()
+    val got = buf.toSet
+    val want = graft.dedup.Dedup.contaminationSubstring(docs, split)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty, "no cross-split contamination in the corpus")
+    assert(got == want, s"probe ${got.size} vs batch ${want.size}")
+  }
+
+  test("frozen-artifact bounds are ENFORCED: an over-bound artifact fails a named require") {
+    val docs = spark.read.parquet(s"$SF/documents.parquet").limit(30)
+    spark.sql("DROP TABLE IF EXISTS bound_vec")
+    spark.sql("DROP TABLE IF EXISTS bound_vec_vocab")
+    val idx = Files.createTempDirectory("graft_bound_idx").toString + "/v"
+    graft.text.TextOps.writeDocVectorIndex(docs, "bound_vec", idx)
+    spark.sql("DROP TABLE IF EXISTS bound_anchor")
+    val aPath = Files.createTempDirectory("graft_bound_a").toString + "/v"
+    graft.dedup.Dedup.writeAnchorIndex(docs, "bound_anchor", aPath)
+    val dir = Files.createTempDirectory("graft_bound_stream").toString
+    docs.write.mode("overwrite").parquet(dir)
+    def stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    // the require fires at plan-build time, before any query starts
+    val e1 = intercept[IllegalArgumentException] {
+      Streaming.docSimilarStream(spark, stream, "bound_vec",
+        "bound_vec_vocab", maxArtifactRows = 1L)
+    }
+    assert(e1.getMessage.contains("frozen artifact"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Streaming.contaminationStream(spark, stream, "bound_anchor",
+        maxArtifactRows = 1L)
+    }
+    assert(e2.getMessage.contains("frozen artifact"), e2.getMessage)
+    // in-bound: both streams still build (no behavioral change)
+    Streaming.docSimilarStream(spark, stream, "bound_vec",
+      "bound_vec_vocab")
+    Streaming.contaminationStream(spark, stream, "bound_anchor")
+  }
 }
