@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+/** Hostility sweep over the WHOLE registry (r16, extending the r13
+  * verdict's adversarial-input ask from kernels to operators): every
+  * `SparkEntry.queries` lambda runs against an EMPTY mirror of the
+  * testdata — identical schemas, zero rows, the day-one state of every
+  * real deployment and the state any partition filter can reproduce.
+  *
+  * The contract: an operator over an empty corpus either returns a
+  * (possibly empty) result or fails a NAMED require
+  * (IllegalArgumentException anywhere in the cause chain) — never an
+  * NPE, a NoSuchElementException from a driver-side head on nothing, a
+  * divide-by-zero, or an ANSI overflow. An operator that can only fail
+  * arbitrarily on empty input would fail the same way on a filtered-
+  * to-empty slice of a 100 TB corpus. */
+class EmptyInputSpec extends SparkSpec {
+
+  /** Empty mirror of the testdata tables: same schemas, zero rows. */
+  lazy val emptyDir: String = {
+    // the raw events read needs the nanos escape hatch on nanos-era
+    // data; the rewritten empty copy is micros either way and
+    // EventLog.tsUs dispatches on the loaded type
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = Files.createTempDirectory("graft_empty_sf").toString
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$SF/$t.parquet").limit(0)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  private def causes(t: Throwable): List[Throwable] =
+    if (t == null) Nil else t :: causes(t.getCause)
+
+  test("every registry query is empty-input safe: empty result or a named require") {
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    var ok = 0
+    var abstained = 0
+    var i = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        fn(spark, emptyDir).count()
+        ok += 1
+      } catch {
+        case e: Throwable =>
+          // a named require anywhere in the chain is an acceptable
+          // empty-corpus answer ("this operator needs data, and says
+          // so"); anything else is a latent crash
+          if (causes(e).exists(_.isInstanceOf[IllegalArgumentException]))
+            abstained += 1
+          else
+            failures += s"$name: ${causes(e).map(c =>
+              c.getClass.getSimpleName + ": " +
+                Option(c.getMessage).getOrElse("").linesIterator
+                  .take(1).mkString.take(160)).mkString(" <- ")}"
+      }
+      i += 1
+      if (i % 20 == 0) {
+        // the Bench release posture: checkpoint blocks from 171 runs
+        // in one JVM otherwise accumulate into end-of-sweep heap
+        // pressure
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = false))
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} empty-input crashes:\n" + failures.mkString("\n"))
+    // coverage accounting: every registry row was exercised, and the
+    // overwhelming majority must RUN on empty input (a registry where
+    // most operators abstain would gut the sweep's value silently)
+    assert(ok + abstained == SparkEntry.queries.size)
+    assert(ok >= SparkEntry.queries.size * 9 / 10,
+      s"only $ok/${SparkEntry.queries.size} ran to an empty result " +
+        s"($abstained abstained via require)")
+  }
+}
