@@ -661,6 +661,9 @@ object Dedup {
     import graft.similarity.LshBuckets
     val e = emb.select(col("vec_id"), col("v").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(DotProduct(col("v"), col("v"))))
+      // the Knn.finiteNorm fence: degenerate vectors have no cosine
+      // direction and (under Spark 4 ANSI) a zero divisor kills the job
+      .filter(graft.similarity.Knn.finiteNorm(col("nrm")))
     // planes = 0 → derive from corpus size so expected occupancy tracks
     // targetOccupancy at ANY scale; callers that already know the
     // cardinality (table metadata, LshBuckets.corpusSize) pass `n` so a
@@ -702,9 +705,11 @@ object Dedup {
 
   def embeddingPairs(emb: DataFrame, tau: Double): DataFrame = {
     // norms computed once per vector (not per pair); the pair loop is the
-    // native DotProduct kernel — no per-pair array allocation
+    // native DotProduct kernel — no per-pair array allocation; the
+    // finiteNorm fence mirrors the oracle's squared-norm predicate
     val e = emb.select(col("vec_id"), col("v").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(DotProduct(col("v"), col("v"))))
+      .filter(graft.similarity.Knn.finiteNorm(col("nrm")))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos_sim",
         round(DotProduct(col("a.v"), col("b.v")) /

@@ -1050,9 +1050,9 @@ object PipelineQueries {
                len(toks) AS n_tokens,
                round(len(list_filter(toks,
                  x -> x IN ('a', 'value', 'data', 'key', 'the')))
-                 / len(toks), 4) AS stop_ratio,
-               round(len(list_distinct(toks)) / len(toks), 4) AS uniq_ratio,
-               round(length(replace(text, ' ', '')) / len(toks), 4)
+                 / nullif(len(toks), 0), 4) AS stop_ratio,
+               round(len(list_distinct(toks)) / nullif(len(toks), 0), 4) AS uniq_ratio,
+               round(length(replace(text, ' ', '')) / nullif(len(toks), 0), 4)
                  AS avg_token_len
         FROM t),
       q AS (
@@ -1292,9 +1292,9 @@ object PipelineQueries {
                len(toks) AS n_tokens,
                round(len(list_filter(toks,
                  x -> x IN ('a', 'value', 'data', 'key', 'the')))
-                 / len(toks), 4) AS stop_ratio,
-               round(len(list_distinct(toks)) / len(toks), 4) AS uniq_ratio,
-               round(length(replace(text, ' ', '')) / len(toks), 4)
+                 / nullif(len(toks), 0), 4) AS stop_ratio,
+               round(len(list_distinct(toks)) / nullif(len(toks), 0), 4) AS uniq_ratio,
+               round(length(replace(text, ' ', '')) / nullif(len(toks), 0), 4)
                  AS avg_token_len
         FROM t),
       q AS (
@@ -1332,9 +1332,9 @@ object PipelineQueries {
                len(toks) AS n_tokens,
                round(len(list_filter(toks,
                  x -> x IN ('a', 'value', 'data', 'key', 'the')))
-                 / len(toks), 4) AS stop_ratio,
-               round(len(list_distinct(toks)) / len(toks), 4) AS uniq_ratio,
-               round(length(replace(text, ' ', '')) / len(toks), 4)
+                 / nullif(len(toks), 0), 4) AS stop_ratio,
+               round(len(list_distinct(toks)) / nullif(len(toks), 0), 4) AS uniq_ratio,
+               round(length(replace(text, ' ', '')) / nullif(len(toks), 0), 4)
                  AS avg_token_len
         FROM t),
       q4 AS (
@@ -1557,14 +1557,26 @@ object PipelineQueries {
       SELECT min(vec_id) AS keeper, count(*) AS n_copies
       FROM embeddings GROUP BY embedding::DOUBLE[]""",
 
+    // the finiteNorm fence mirrored on the squared norms: > 0 excludes
+    // zero vectors, < infinity excludes Inf-poisoned ones, and NaN fails
+    // the < infinity side in BOTH engines (each orders NaN greatest)
     "dedup_embedding" -> """
       SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2,
              round(list_cosine_similarity(a.embedding::DOUBLE[],
                b.embedding::DOUBLE[]), 4) AS cos_sim
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+      WHERE list_dot_product(a.embedding::DOUBLE[],
+              a.embedding::DOUBLE[]) > 0
+        AND list_dot_product(a.embedding::DOUBLE[],
+              a.embedding::DOUBLE[]) < 'infinity'::DOUBLE
+        AND list_dot_product(b.embedding::DOUBLE[],
+              b.embedding::DOUBLE[]) > 0
+        AND list_dot_product(b.embedding::DOUBLE[],
+              b.embedding::DOUBLE[]) < 'infinity'::DOUBLE
+        AND round(list_cosine_similarity(a.embedding::DOUBLE[],
               b.embedding::DOUBLE[]), 4) >= 0.4""",
 
+    // same finiteNorm fence as dedup_embedding, on both join sides
     "knn_brute" -> """
       SELECT query_id, neighbor_id, score, rnk FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1575,7 +1587,15 @@ object PipelineQueries {
                    c.embedding::DOUBLE[]), 4) DESC, c.vec_id) AS BIGINT)
                  AS rnk
         FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-        WHERE q.vec_id < 5)
+        WHERE q.vec_id < 5
+          AND list_dot_product(q.embedding::DOUBLE[],
+                q.embedding::DOUBLE[]) > 0
+          AND list_dot_product(q.embedding::DOUBLE[],
+                q.embedding::DOUBLE[]) < 'infinity'::DOUBLE
+          AND list_dot_product(c.embedding::DOUBLE[],
+                c.embedding::DOUBLE[]) > 0
+          AND list_dot_product(c.embedding::DOUBLE[],
+                c.embedding::DOUBLE[]) < 'infinity'::DOUBLE)
       WHERE rnk <= 10""",
 
     "text_stats" -> """
@@ -1587,8 +1607,8 @@ object PipelineQueries {
              length(text) AS n_chars,
              len(toks) AS n_tokens,
              len(list_distinct(toks)) AS n_uniq_tokens,
-             round(len(list_distinct(toks)) / len(toks), 4) AS uniq_ratio,
-             round(length(replace(text, ' ', '')) / len(toks), 4)
+             round(len(list_distinct(toks)) / nullif(len(toks), 0), 4) AS uniq_ratio,
+             round(length(replace(text, ' ', '')) / nullif(len(toks), 0), 4)
                AS avg_token_len
       FROM t""",
 
@@ -1602,9 +1622,9 @@ object PipelineQueries {
                len(toks) AS n_tokens,
                round(len(list_filter(toks,
                  x -> x IN ('a', 'value', 'data', 'key', 'the')))
-                 / len(toks), 4) AS stop_ratio,
-               round(len(list_distinct(toks)) / len(toks), 4) AS uniq_ratio,
-               round(length(replace(text, ' ', '')) / len(toks), 4)
+                 / nullif(len(toks), 0), 4) AS stop_ratio,
+               round(len(list_distinct(toks)) / nullif(len(toks), 0), 4) AS uniq_ratio,
+               round(length(replace(text, ' ', '')) / nullif(len(toks), 0), 4)
                  AS avg_token_len
         FROM t)
       SELECT doc_id, n_tokens, stop_ratio, uniq_ratio, avg_token_len,
@@ -1629,9 +1649,9 @@ object PipelineQueries {
                len(toks) AS n_tokens,
                round(len(list_filter(toks,
                  x -> x IN ('a', 'value', 'data', 'key', 'the')))
-                 / len(toks), 4) AS stop_ratio,
-               round(len(list_distinct(toks)) / len(toks), 4) AS uniq_ratio,
-               round(length(replace(text, ' ', '')) / len(toks), 4)
+                 / nullif(len(toks), 0), 4) AS stop_ratio,
+               round(len(list_distinct(toks)) / nullif(len(toks), 0), 4) AS uniq_ratio,
+               round(length(replace(text, ' ', '')) / nullif(len(toks), 0), 4)
                  AS avg_token_len
         FROM t),
       q4 AS (
@@ -1681,9 +1701,9 @@ object PipelineQueries {
                len(toks) AS n_tokens,
                round(len(list_filter(toks,
                  x -> x IN ('a', 'value', 'data', 'key', 'the')))
-                 / len(toks), 4) AS stop_ratio,
-               round(len(list_distinct(toks)) / len(toks), 4) AS uniq_ratio,
-               round(length(replace(text, ' ', '')) / len(toks), 4)
+                 / nullif(len(toks), 0), 4) AS stop_ratio,
+               round(len(list_distinct(toks)) / nullif(len(toks), 0), 4) AS uniq_ratio,
+               round(length(replace(text, ' ', '')) / nullif(len(toks), 0), 4)
                  AS avg_token_len
         FROM t),
       q AS (

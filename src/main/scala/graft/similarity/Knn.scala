@@ -26,6 +26,20 @@ object Knn {
     round(DotProduct(col("q.v"), col("c.v")) /
       (col("q.nrm") * col("c.nrm")), 4)
 
+  /** Degenerate-vector fence for the FLOAT cosine paths — the
+    * bruteQuantized zero-code posture, generalized by the
+    * hostile-corpus sweep (r16): a zero vector has no cosine direction
+    * (0/0 — under Spark 4 ANSI the zero divisor outright KILLS the job,
+    * and where it doesn't, both engines sort the NaN above every real
+    * score, so one degenerate corpus row would head EVERY query's
+    * top-k); a NaN- or Inf-poisoned vector turns every score it touches
+    * NaN. `nrm > 0 AND nrm < Infinity` excludes all three, identically
+    * in Spark and DuckDB (both order NaN greatest, so it fails both
+    * compares) — the oracle-checked float path carries the same
+    * predicate in SQL. */
+  private[graft] def finiteNorm(nrm: Column): Column =
+    nrm > lit(0.0) && nrm < lit(Double.PositiveInfinity)
+
   private def ranked(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))
@@ -36,9 +50,10 @@ object Knn {
 
   /** Exact top-k cosine neighbors for each query vector. */
   def brute(e: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    val q = e.filter(queryPred).select(col("vec_id").as("query_id"),
+    val fe = e.filter(finiteNorm(col("nrm")))
+    val q = fe.filter(queryPred).select(col("vec_id").as("query_id"),
       col("v"), col("nrm"))
-    val scored = q.as("q").join(e.as("c"),
+    val scored = q.as("q").join(fe.as("c"),
         col("query_id") =!= col("c.vec_id"))
       .withColumn("score", cosine)
       .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
@@ -707,14 +722,15 @@ object Knn {
   def lsh(e: DataFrame, queryPred: Column, k: Int,
       planes: Int = 0, tables: Int = 4, targetOccupancy: Long = 128L,
       maxOccupancy: Long = 4096L, n: Long = -1L): DataFrame = {
+    val fe = e.filter(finiteNorm(col("nrm")))
     // `n` = known corpus cardinality (metadata / LshBuckets.corpusSize):
     // skips the sizing count scan; -1 → unknown, count here (0 is a real
     // empty-corpus cardinality and is honored, not re-counted)
     val p = if (planes > 0) planes
       else LshBuckets.adaptivePlanes(
-        if (n >= 0L) n else e.count(), targetOccupancy)
-    val m = LshBuckets.members(e, p, tables, maxOccupancy)
-    val qm = m.join(e.filter(queryPred).select(col("vec_id")), "vec_id")
+        if (n >= 0L) n else fe.count(), targetOccupancy)
+    val m = LshBuckets.members(fe, p, tables, maxOccupancy)
+    val qm = m.join(fe.filter(queryPred).select(col("vec_id")), "vec_id")
       .withColumnRenamed("vec_id", "query_id")
     val cand = qm.as("q").join(m.as("c"),
         col("q.tbl") === col("c.tbl") &&
@@ -724,9 +740,9 @@ object Knn {
       .select(col("query_id"), col("c.vec_id").as("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
     val scored = cand
-      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      .join(fe.select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm")), "query_id")
-      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
+      .join(fe.select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
         col("nrm").as("nnrm")), "neighbor_id")
       .withColumn("score",
         round(DotProduct(col("qv"), col("nv")) /
@@ -941,7 +957,9 @@ object Knn {
     * (tiny — persist alongside, or recompute probes from it). */
   def writeIvfIndex(e: DataFrame, tableName: String, path: String,
       nlist: Int = 10, buckets: Int = 8): DataFrame = {
-    val base = e.localCheckpoint(true)
+    // degenerate vectors never enter the index: they are unsearchable
+    // under cosine (the finiteNorm rationale)
+    val base = e.filter(finiteNorm(col("nrm"))).localCheckpoint(true)
     val centroids = kmeansCentroids(base, nlist)
     val assigned = assignNearest(
       base.crossJoin(broadcast(withCnrm2(centroids))).withColumn("d", sqDist),
@@ -1037,7 +1055,7 @@ object Knn {
       centroids: DataFrame, queries: DataFrame, k: Int,
       nprobe: Int = 2): DataFrame = {
     val probeW = Window.partitionBy("query_id").orderBy(col("d"), col("c_id"))
-    val probes = queries
+    val probes = queries.filter(finiteNorm(col("nrm")))
       .select(col("vec_id").as("query_id"), col("v"), col("nrm"))
       .crossJoin(broadcast(withCnrm2(centroids)))
       .withColumn("d", sqDist)
@@ -1117,8 +1135,9 @@ object Knn {
       nprobe: Int = 2, nlist: Int = 10): DataFrame = {
     // materialize the (id, v, nrm) base once: the k-means rounds, the
     // corpus assignment, and the query probes otherwise each re-scan the
-    // source and re-derive norms — five scans collapse to one
-    val base = e.localCheckpoint(true)
+    // source and re-derive norms — five scans collapse to one; the
+    // finiteNorm fence keeps degenerate vectors out of the float path
+    val base = e.filter(finiteNorm(col("nrm"))).localCheckpoint(true)
     val centroids = kmeansCentroids(base, nlist)
     // assign every vector to its nearest centroid: broadcast centroids,
     // min_by agg (partial combine) — no vec_id shuffle+sort

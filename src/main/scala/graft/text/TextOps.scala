@@ -32,17 +32,23 @@ object TextOps {
   private[graft] def lowerToks(d: DataFrame): DataFrame =
     withToks(d.withColumn("text", lower(col("text"))))
 
-  /** Per-document surface statistics. */
+  /** Per-document surface statistics. Ratio divisors go through
+    * nullif: a zero-token doc (null/empty/whitespace text — one
+    * malformed shard row at 100 TB) gets NULL ratios instead of an
+    * ANSI DIVIDE_BY_ZERO that kills the whole job (Spark 4 ANSI throws
+    * on a zero divisor even when the result type is double; found by
+    * the HostileCorpusSpec sweep). The oracle divides through the same
+    * nullif. */
   def stats(d: DataFrame): DataFrame =
     withToks(d).select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars"),
       size(col("toks")).cast("long").as("n_tokens"),
       size(array_distinct(col("toks"))).cast("long").as("n_uniq_tokens"),
-      round(size(array_distinct(col("toks"))) / size(col("toks")), 4)
-        .as("uniq_ratio"),
-      round(length(regexp_replace(col("text"), " ", "")) / size(col("toks")), 4)
-        .as("avg_token_len"))
+      round(size(array_distinct(col("toks"))) /
+        nullif(size(col("toks")), lit(0)), 4).as("uniq_ratio"),
+      round(length(regexp_replace(col("text"), " ", "")) /
+        nullif(size(col("toks")), lit(0)), 4).as("avg_token_len"))
 
   private val StopWords = Seq("a", "value", "data", "key", "the")
 
@@ -55,14 +61,19 @@ object TextOps {
     val stopList = StopWords.map(w => s"'$w'").mkString(", ")
     withToks(d)
       .withColumn("n_tokens", size(col("toks")).cast("long"))
+      // nullif divisors (the stats rationale): a zero-token doc scores
+      // NULL ratios → every band predicate is false → quality 0.00,
+      // instead of an ANSI DIVIDE_BY_ZERO killing the curation run on
+      // its first malformed row
       .withColumn("stop_ratio",
         round(expr(s"size(filter(toks, x -> x IN ($stopList)))") /
-          col("n_tokens"), 4))
+          nullif(col("n_tokens"), lit(0L)), 4))
       .withColumn("uniq_ratio",
-        round(size(array_distinct(col("toks"))) / col("n_tokens"), 4))
+        round(size(array_distinct(col("toks"))) /
+          nullif(col("n_tokens"), lit(0L)), 4))
       .withColumn("avg_token_len",
         round(length(regexp_replace(col("text"), " ", "")) /
-          col("n_tokens"), 4))
+          nullif(col("n_tokens"), lit(0L)), 4))
       .withColumn("quality_score", round(
         when(col("n_tokens").between(30, 500), 0.25).otherwise(0.0) +
         when(col("stop_ratio").between(0.02, 0.5), 0.25).otherwise(0.0) +

@@ -42,7 +42,10 @@ class EmptyInputSpec extends SparkSpec {
     var i = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        fn(spark, emptyDir).count()
+        // toRdd, not count(): count() lets the optimizer PRUNE every
+        // projection, silently skipping the expressions under test —
+        // the final plan's own output columns must all evaluate
+        fn(spark, emptyDir).queryExecution.toRdd.count()
         ok += 1
       } catch {
         case e: Throwable =>

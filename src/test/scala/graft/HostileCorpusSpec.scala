@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** The planted-hostile-rows companion of [[EmptyInputSpec]]: every
+  * registry query runs against a testdata mirror whose `documents` /
+  * `embeddings` tables carry the payload pathologies a real crawl
+  * delivers — NULL and empty text, NULL lang/source, astral (4-byte
+  * UTF-8) and unpaired-surrogate text, 1-char docs, NULL / empty /
+  * all-zero / NaN / ±Infinity embeddings. Keys stay valid (ids are the
+  * ingest layer's contract); payloads are the operators' problem.
+  *
+  * Contract (the EmptyInputSpec discipline): a result — hostile rows
+  * may legitimately be dropped, grouped under NULL, or scored as
+  * degenerate — or a NAMED require; never an NPE, a
+  * NoSuchElementException, or an unhandled ANSI error. An operator that
+  * crashes on one null text here would take down a 100 TB curation run
+  * on its first malformed shard. */
+class HostileCorpusSpec extends SparkSpec {
+
+  lazy val hostileDir: String = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = Files.createTempDirectory("graft_hostile_sf").toString
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events").foreach { t =>
+      spark.read.parquet(s"$SF/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val hostileDocs = Seq(
+      (maxId + 1L, null.asInstanceOf[String], "en", "src0"),
+      (maxId + 2L, "", "en", "src0"),
+      (maxId + 3L, "ok text", null.asInstanceOf[String], "src0"),
+      (maxId + 4L, "ok text", "en", null.asInstanceOf[String]),
+      (maxId + 5L, "𝕊" * 80, "en", "src1"), // astral run
+      (maxId + 6L, "x\uD800y\uDC00z", "en", "src1"),   // lone surrogates
+      (maxId + 7L, "a", "en", "src1"),                 // 1-char doc
+      (maxId + 8L, " \t\n ", "en", "src1"))            // whitespace-only
+    import spark.implicits._
+    val extraCols = docs.columns.toSet --
+      Set("doc_id", "text", "lang", "source")
+    var extra = hostileDocs.toDF("doc_id", "text", "lang", "source")
+    // null-fill whatever other columns the generator shipped
+    extraCols.foreach { c =>
+      extra = extra.withColumn(c, lit(null).cast(docs.schema(c).dataType))
+    }
+    docs.unionByName(extra.select(docs.columns.map(col): _*))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$SF/embeddings.parquet")
+    val maxVid = emb.agg(max(col("vec_id"))).head.getLong(0)
+    val dims = emb.select(size(col("embedding"))).head.getInt(0)
+    val hostileVecs = Seq(
+      (maxVid + 1L, null.asInstanceOf[Seq[Float]], 0),
+      (maxVid + 2L, Seq.empty[Float], 0),
+      (maxVid + 3L, Seq.fill(dims)(0.0f), 1),              // zero vector
+      (maxVid + 4L, Seq.fill(dims)(Float.NaN), 1),         // NaN vector
+      (maxVid + 5L, Seq.tabulate(dims)(i =>
+        if (i == 0) Float.PositiveInfinity else 1.0f), 2), // Inf spike
+      (maxVid + 6L, Seq.fill(dims)(Float.MaxValue), 2))    // magnitude max
+    val extraVecCols = emb.columns.toSet --
+      Set("vec_id", "embedding", "label")
+    var extraV = hostileVecs.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    extraVecCols.foreach { c =>
+      extraV = extraV.withColumn(c, lit(null).cast(emb.schema(c).dataType))
+    }
+    emb.unionByName(extraV.select(emb.columns.map(col): _*))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def causes(t: Throwable): List[Throwable] =
+    if (t == null) Nil else t :: causes(t.getCause)
+
+  test("every registry query survives a corpus with hostile payload rows") {
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    var ok = 0
+    var abstained = 0
+    var i = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        // toRdd, not count() — count() lets column pruning skip the
+        // very expressions under test (the EmptyInputSpec note)
+        fn(spark, hostileDir).queryExecution.toRdd.count()
+        ok += 1
+      } catch {
+        case e: Throwable =>
+          if (causes(e).exists(_.isInstanceOf[IllegalArgumentException]))
+            abstained += 1
+          else
+            failures += s"$name: ${causes(e).map(c =>
+              c.getClass.getSimpleName + ": " +
+                Option(c.getMessage).getOrElse("").linesIterator
+                  .take(1).mkString.take(160)).mkString(" <- ")}"
+      }
+      i += 1
+      if (i % 20 == 0) {
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = false))
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} hostile-payload crashes:\n" +
+        failures.mkString("\n"))
+    assert(ok + abstained == SparkEntry.queries.size)
+    assert(ok >= SparkEntry.queries.size * 9 / 10,
+      s"only $ok/${SparkEntry.queries.size} ran on the hostile corpus " +
+        s"($abstained abstained via require)")
+  }
+}
