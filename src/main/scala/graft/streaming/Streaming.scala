@@ -330,10 +330,14 @@ object Streaming {
           val sums = prev.sums.clone()
           var n = prev.n
           events.foreach { e =>
-            val m = math.min(e.qv.length, dims)
-            var i = 0
-            while (i < m) { sums(i) += e.qv(i).toLong; i += 1 }
-            n += 1L
+            // a null embedding quantizes to a null code vector and the
+            // batch posexplode drops it — it must not count here either
+            if (e.qv != null) {
+              val m = math.min(e.qv.length, dims)
+              var i = 0
+              while (i < m) { sums(i) += e.qv(i).toLong; i += 1 }
+              n += 1L
+            }
           }
           state.update(DriftState(sums, n))
           var dot = 0L
@@ -402,10 +406,14 @@ object Streaming {
       .map { case (id, lang, toks) =>
         // per-doc tf over the doc's OWN tokens (bounded per row, no
         // streaming aggregation), gated by the frozen in-band vocab;
-        // integer weights and n2 are order-free sums
+        // integer weights and n2 are order-free sums. A null-text doc
+        // arrives with toks == null (split(null) is null, and batch
+        // explode drops it) — treat as tokenless so the n2 > 0 fence
+        // drops it here too, matching batch row-for-row
         val m = bc.value
+        val ts = if (toks == null) Seq.empty[String] else toks
         val tf = scala.collection.mutable.HashMap.empty[String, Long]
-        toks.foreach(t => tf.update(t, tf.getOrElse(t, 0L) + 1L))
+        ts.foreach(t => tf.update(t, tf.getOrElse(t, 0L) + 1L))
         val terms = Seq.newBuilder[String]
         val tws = Seq.newBuilder[Long]
         var n2 = 0L
@@ -774,7 +782,9 @@ object Streaming {
       .select(col("doc_id"), col("lang"), col("toks"))
       .as[(Long, String, Seq[String])]
       .flatMap { case (id, lang, toks) =>
-        if (toks.size < 2) Iterator.empty
+        // null toks = null-text doc (the docSimilarStream note): no
+        // bigram distribution, no row — the batch integer membership
+        if (toks == null || toks.size < 2) Iterator.empty
         else {
           val d = bc.value
           val ts = toks.toIndexedSeq

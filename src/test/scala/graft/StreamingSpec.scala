@@ -849,6 +849,92 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"probe ${got.size} vs batch ${want.size}")
   }
 
+  test("closure-based stream duals survive hostile payloads and still converge to batch") {
+    import spark.implicits._
+    // a corpus with the HostileCorpusSpec pathologies planted next to
+    // real docs: the duals whose closures walk per-row token/code
+    // arrays (docSimilar, phraseDensity, embDrift) must neither crash
+    // nor drift from their batch definitions on these rows
+    val base = spark.read.parquet(s"$SF/documents.parquet").limit(60)
+    val maxId = base.agg(max(col("doc_id"))).head.getLong(0)
+    val extraCols = base.columns.toSet -- Set("doc_id", "text", "lang", "source")
+    var hostile = Seq(
+      (maxId + 1L, null.asInstanceOf[String], "en", "src0"),
+      (maxId + 2L, "", "en", "src0"),
+      (maxId + 3L, "ok text", null.asInstanceOf[String], "src0"),
+      (maxId + 4L, "𝕊" * 50, "en", "src1"),
+      (maxId + 5L, "a", "en", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+    extraCols.foreach { c =>
+      hostile = hostile.withColumn(c, lit(null).cast(base.schema(c).dataType))
+    }
+    val docs = base.unionByName(hostile.select(base.columns.map(col): _*))
+      .localCheckpoint(true)
+    // MORE-LIKE-THIS: the closure's toks walk sees null for null text
+    spark.sql("DROP TABLE IF EXISTS mlt_h_vec")
+    spark.sql("DROP TABLE IF EXISTS mlt_h_vec_vocab")
+    val idx = Files.createTempDirectory("graft_mlt_h_idx").toString + "/v"
+    graft.text.TextOps.writeDocVectorIndex(docs, "mlt_h_vec", idx)
+    val dir = Files.createTempDirectory("graft_mlt_h_stream").toString
+    docs.repartition(3).write.mode("overwrite").parquet(dir)
+    def stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    runToCompletion(Streaming.docSimilarStream(spark, stream,
+      "mlt_h_vec", "mlt_h_vec_vocab"), "mlt_h_stream", "append")
+    val gotSim = spark.table("mlt_h_stream").collect()
+      .map(r => (r.getAs[String]("lang"),
+        math.min(r.getAs[Long]("doc_id"), r.getAs[Long]("similar_id")),
+        math.max(r.getAs[Long]("doc_id"), r.getAs[Long]("similar_id")),
+        r.getAs[Double]("score"))).toSet
+    val wantSim = graft.text.TextOps.docSimilar(docs).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc1"),
+        r.getAs[Long]("doc2"), r.getAs[Double]("score"))).toSet
+    assert(gotSim == wantSim, s"sim ${gotSim.size} vs ${wantSim.size}")
+    // PHRASE DENSITY: the bigram walk sees null toks for null text
+    graft.text.TextOps.wordAssoc(docs).createOrReplaceTempView("pd_h_dict")
+    runToCompletion(Streaming.phraseDensityStream(spark, stream,
+      "pd_h_dict"), "pd_h_stream", "append")
+    val gotPd = spark.table("pd_h_stream").collect().map(_.toSeq).toSet
+    val wantPd = graft.text.TextOps.phraseDensity(docs).collect()
+      .map(_.toSeq).toSet
+    assert(gotPd == wantPd, s"pd ${gotPd.size} vs ${wantPd.size}")
+    // EMB DRIFT: null embeddings quantize to null codes — skipped like
+    // the batch posexplode; last emit per label stays bit-identical
+    val embBase = graft.similarity.Knn.emb(spark, SF)
+    val maxVid = embBase.agg(max(col("vec_id"))).head.getLong(0)
+    val emb = embBase.unionByName(Seq(
+        (maxVid + 1L, 0, null.asInstanceOf[Seq[Double]]))
+      .toDF("vec_id", "label", "v")
+      .withColumn("nrm", lit(null).cast("double"))
+      .select(embBase.columns.map(col): _*))
+      .localCheckpoint(true)
+    val embDir = Files.createTempDirectory("graft_drift_h").toString
+    emb.select(col("vec_id"),
+        col("v").cast("array<float>").as("embedding"), col("label"))
+      .repartition(3).write.mode("overwrite").parquet(embDir)
+    val corpusSums = graft.similarity.Knn.quantize(emb)
+      .select(posexplode(col("qv")).as(Seq("pos", "code")))
+      .groupBy(col("pos")).agg(sum(col("code").cast("long")).as("s"))
+      .orderBy("pos").collect().map(_.getLong(1))
+    val estream = Streaming.readEmbeddingStream(spark, embDir,
+      maxFilesPerTrigger = 1)
+    val q = Streaming.embDriftStream(spark, estream, corpusSums)
+      .toDF().writeStream.outputMode("update")
+      .format("memory").queryName("drift_h_stream").start()
+    q.processAllAvailable(); q.stop()
+    val emits = spark.table("drift_h_stream").collect()
+      .map(r => (r.getAs[Long]("label"),
+        (r.getAs[Long]("n_vecs"), r.getAs[Double]("centroid_cos"))))
+    val lastPerLabel = emits.groupBy(_._1).map { case (l, es) =>
+      l -> es.map(_._2).maxBy(_._1) }
+    val wantDrift = graft.similarity.Knn.embDriftQuantized(emb).collect()
+      .map(r => r.getAs[Long]("label") ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Double]("centroid_cos"))))
+      .toMap
+    assert(lastPerLabel == wantDrift,
+      s"drift $lastPerLabel vs $wantDrift")
+  }
+
   test("frozen-artifact bounds are ENFORCED: an over-bound artifact fails a named require") {
     val docs = spark.read.parquet(s"$SF/documents.parquet").limit(30)
     spark.sql("DROP TABLE IF EXISTS bound_vec")
