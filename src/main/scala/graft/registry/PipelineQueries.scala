@@ -491,6 +491,13 @@ object PipelineQueries {
     // embedding-dependent operators silently assume, as one audited row
     "pipeline_integrity" -> ((s, d) => TextOps.pipelineIntegrity(
       docs(s, d), Knn.emb(s, d))),
+    // pre-flight payload health: exact accounting of the mass the r16
+    // hostile-payload fences silently exclude (null/empty/tokenless
+    // text, null lang/source, dup ids) — drops are never silent
+    "corpus_health" -> ((s, d) => TextOps.corpusHealth(docs(s, d))),
+    // the vector-table companion: what finiteNorm / the qnrm fence
+    // exclude (null/empty/zero/NaN-or-Inf vectors) + id/dims invariants
+    "emb_health" -> ((s, d) => Knn.embHealth(Knn.emb(s, d))),
     // right-to-be-forgotten propagation: opted-out sources leave their
     // near-dup clusters and keepers are re-elected among survivors
     // (cluster ids stay those of the full run — membership filtered,
@@ -2524,6 +2531,50 @@ object PipelineQueries {
       FROM (SELECT doc_id FROM documents) d
       FULL OUTER JOIN (SELECT vec_id FROM embeddings) e
         ON d.doc_id = e.vec_id""",
+
+    // identical exact-integer accounting; toksExpr shared verbatim
+    "corpus_health" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_ids,
+             CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_null_text,
+             CAST(sum(CASE WHEN text = '' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_empty_text,
+             CAST(sum(CASE WHEN text IS NOT NULL AND
+               len(list_filter(string_split(text, ' '), x -> x <> '')) = 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_tokenless,
+             CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_null_lang,
+             CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_null_source
+      FROM documents""",
+
+    // squared norm via list_dot_product; NaN/Inf classification is
+    // engine-identical (isnan; = infinity)
+    "emb_health" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(count(DISTINCT vec_id) AS BIGINT) AS n_distinct_ids,
+             CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_null_vec,
+             CAST(sum(CASE WHEN embedding IS NOT NULL
+               AND len(embedding) = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_empty_vec,
+             CAST(sum(CASE WHEN embedding IS NOT NULL
+               AND len(embedding) > 0
+               AND list_dot_product(embedding::DOUBLE[],
+                     embedding::DOUBLE[]) = 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+             CAST(sum(CASE WHEN embedding IS NOT NULL
+               AND (isnan(list_dot_product(embedding::DOUBLE[],
+                      embedding::DOUBLE[]))
+                    OR list_dot_product(embedding::DOUBLE[],
+                         embedding::DOUBLE[]) = 'infinity'::DOUBLE)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+             CAST(min(CASE WHEN embedding IS NOT NULL
+               THEN len(embedding) END) AS BIGINT) AS dims_min,
+             CAST(max(CASE WHEN embedding IS NOT NULL
+               THEN len(embedding) END) AS BIGINT) AS dims_max
+      FROM embeddings""",
 
     "emb_centroid_affinity" -> EmbAffinitySql,
     "emb_cluster_quality" -> EmbClusterQualitySql,

@@ -48,6 +48,36 @@ object Knn {
       .select("query_id", "neighbor_id", "score", "rnk")
   }
 
+  /** Pre-flight EMBEDDING HEALTH audit — the corpus_health companion
+    * for the vector table, accounting exactly what the [[finiteNorm]]
+    * fence and the qnrm > 0 quantized fence silently exclude: null /
+    * empty / all-zero / NaN-or-Inf-poisoned vectors, plus the id and
+    * dimensionality invariants every pairwise operator assumes
+    * (duplicate vec_ids double-count votes; mixed dims crash the dot
+    * kernels). One exact-integer corpus agg under the hash gate; the
+    * squared norm is the [[graft.functions.DotProduct]] kernel over
+    * the raw doubles, mirrored by list_dot_product in the oracle, and
+    * NaN/Inf classification uses isnan/= infinity — identical in both
+    * engines. */
+  def embHealth(e: DataFrame): DataFrame = {
+    val d2 = DotProduct(col("v"), col("v"))
+    e.agg(
+      count(lit(1)).as("n_vecs"),
+      countDistinct(col("vec_id")).as("n_distinct_ids"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null_vec"),
+      sum(when(col("v").isNotNull && size(col("v")) === 0, 1L)
+        .otherwise(0L)).as("n_empty_vec"),
+      sum(when(col("v").isNotNull && size(col("v")) > 0 &&
+          d2 === lit(0.0), 1L).otherwise(0L)).as("n_zero_norm"),
+      sum(when(col("v").isNotNull &&
+          (isnan(d2) || d2 === lit(Double.PositiveInfinity)), 1L)
+        .otherwise(0L)).as("n_nonfinite"),
+      min(when(col("v").isNotNull, size(col("v")))).cast("long")
+        .as("dims_min"),
+      max(when(col("v").isNotNull, size(col("v")))).cast("long")
+        .as("dims_max"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector. */
   def brute(e: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val fe = e.filter(finiteNorm(col("nrm")))

@@ -169,6 +169,31 @@ object TextOps {
         sum(when(col("has_doc").isNull, 1L).otherwise(0L)).as("n_vec_only"))
   }
 
+  /** Pre-flight CORPUS HEALTH audit — the "drops are never silent"
+    * doctrine applied to the r16 hostile-payload fences: the quality
+    * chain silently scores zero-token docs 0.00 and the tokenizing
+    * operators silently drop null-text rows, so this ONE row accounts
+    * for exactly the mass those definitions exclude (null/empty/
+    * tokenless text, null lang/source, duplicate ids) — the gate a
+    * pipeline thresholds BEFORE admitting a crawl shard, and the
+    * number that explains a row-count delta after it. One map-side-
+    * combinable corpus agg; every count is an exact integer, so the
+    * whole row sits under the hash gate. `n_empty_text` ⊆
+    * `n_tokenless` (a whitespace-only doc that still splits into a
+    * token — e.g. a lone tab — is NOT tokenless: the toksExpr
+    * definition, shared verbatim with the oracle). */
+  def corpusHealth(d: DataFrame): DataFrame =
+    withToks(d).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("doc_id")).as("n_distinct_ids"),
+      sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_null_text"),
+      sum(when(col("text") === "", 1L).otherwise(0L)).as("n_empty_text"),
+      sum(when(col("text").isNotNull && size(col("toks")) === 0, 1L)
+        .otherwise(0L)).as("n_tokenless"),
+      sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_null_lang"),
+      sum(when(col("source").isNull, 1L).otherwise(0L))
+        .as("n_null_source"))
+
   /** Per-source quality drift — the data-quality monitor a curation
     * pipeline tracks per crawl batch: each source's mean quality scored
     * against the corpus distribution as

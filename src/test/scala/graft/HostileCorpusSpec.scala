@@ -110,4 +110,38 @@ class HostileCorpusSpec extends SparkSpec {
       s"only $ok/${SparkEntry.queries.size} ran on the hostile corpus " +
         s"($abstained abstained via require)")
   }
+
+  test("health audits account EXACTLY for the planted hostile mass") {
+    // drops are never silent: corpus_health / emb_health must report
+    // precisely the pathology deltas this spec planted
+    def row(df: org.apache.spark.sql.DataFrame) = df.collect().head
+    def d(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row,
+        c: String) = b.getAs[Long](c) - a.getAs[Long](c)
+    val bd = row(graft.text.TextOps.corpusHealth(
+      spark.read.parquet(s"$SF/documents.parquet")))
+    val hd = row(graft.text.TextOps.corpusHealth(
+      spark.read.parquet(s"$hostileDir/documents.parquet")))
+    assert(d(bd, hd, "n_docs") == 8L && d(bd, hd, "n_distinct_ids") == 8L)
+    assert(d(bd, hd, "n_null_text") == 1L)
+    assert(d(bd, hd, "n_empty_text") == 1L)
+    // tokenless = the empty doc only: the whitespace-only doc still
+    // splits into one "\t\n" token under the space-only toksExpr, and
+    // the null-text doc is excluded by the text-not-null condition
+    assert(d(bd, hd, "n_tokenless") == 1L)
+    assert(d(bd, hd, "n_null_lang") == 1L)
+    assert(d(bd, hd, "n_null_source") == 1L)
+    val be = row(graft.similarity.Knn.embHealth(
+      graft.similarity.Knn.emb(spark, SF)))
+    val he = row(graft.similarity.Knn.embHealth(
+      graft.similarity.Knn.emb(spark, hostileDir)))
+    assert(d(be, he, "n_vecs") == 6L && d(be, he, "n_distinct_ids") == 6L)
+    assert(d(be, he, "n_null_vec") == 1L)
+    assert(d(be, he, "n_empty_vec") == 1L)
+    assert(d(be, he, "n_zero_norm") == 1L)
+    // NaN vector + the Inf spike; the Float.MaxValue vector is finite
+    // (64·(3.4e38)² ≈ 7.4e78 fits a double) and counts nowhere
+    assert(d(be, he, "n_nonfinite") == 2L)
+    assert(he.getAs[Long]("dims_min") == 0L) // the empty vector
+    assert(he.getAs[Long]("dims_max") == be.getAs[Long]("dims_max"))
+  }
 }
