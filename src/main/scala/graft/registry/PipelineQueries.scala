@@ -852,6 +852,18 @@ object PipelineQueries {
     // classifier-quality rollup: (true lang, predicted lang, count)
     "lang_id_confusion" -> ((s, d) => TextOps.langIdConfusion(docs(s, d))),
     "vocab_topk" -> ((s, d) => TextOps.vocabTopK(docs(s, d), k = 50)),
+    // per-source lexical health: types/hapax/TTR + dominant token via
+    // min_by argmax (oracle runs the window formulation)
+    "vocab_audit" -> ((s, d) => TextOps.vocabAudit(docs(s, d))),
+    // cross-source vocabulary redundancy: shared vs exclusive types and
+    // token mass, one checkpointed (source, word) pass
+    "vocab_overlap" -> ((s, d) => TextOps.vocabOverlap(docs(s, d))),
+    // OOV drift audit: test-split token/type mass not covered by the
+    // df-banded train-split vocabulary (the splitAssign split verbatim)
+    "vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(docs(s, d))),
+    // context-window sizing sweep: fit/split/chunks/padding/utilization
+    // per (source, W) over a candidate window grid
+    "context_fit" -> ((s, d) => TextOps.contextFit(docs(s, d))),
     // exact tokens above corpus-freq n/k; Misra–Gries-pruned shuffle,
     // output provably identical to the naive full groupBy (the oracle)
     "heavy_hitters" -> ((s, d) => TextOps.heavyHitters(docs(s, d), k = 100)),
@@ -1885,6 +1897,135 @@ object PipelineQueries {
         FROM documents)
       SELECT word, count(*) AS cnt FROM w GROUP BY word
       ORDER BY cnt DESC, word LIMIT 50""",
+
+    // two-formulation top token: the engine runs the min_by argmax, the
+    // oracle the row_number window; every ratio the identical integer
+    // half-up milli over exact BIGINTs (divisors structurally >= 1)
+    "vocab_audit" -> """
+      WITH w AS (
+        SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+          x -> x <> '')) AS word
+        FROM documents),
+      wc AS (
+        SELECT source, word, CAST(count(*) AS BIGINT) AS cnt
+        FROM w GROUP BY 1, 2),
+      agg AS (
+        SELECT source,
+               CAST(sum(cnt) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_hapax
+        FROM wc GROUP BY 1),
+      top AS (
+        SELECT source, word AS top_word, cnt AS top_cnt
+        FROM (SELECT source, word, cnt,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY cnt DESC, word) AS rn
+              FROM wc) WHERE rn = 1)
+      SELECT a.source, a.n_tokens, a.n_types, a.n_hapax,
+             (2 * a.n_types * 1000 + a.n_tokens) // (2 * a.n_tokens)
+               AS ttr_milli,
+             (2 * a.n_hapax * 1000 + a.n_types) // (2 * a.n_types)
+               AS hapax_milli,
+             t.top_word, t.top_cnt,
+             (2 * t.top_cnt * 1000 + a.n_tokens) // (2 * a.n_tokens)
+               AS top_milli
+      FROM agg a JOIN top t USING (source)""",
+
+    // identical relational shape: (source, word) counts, per-word
+    // source-df, shared = df >= 2; integer half-up milli shares
+    "vocab_overlap" -> """
+      WITH w AS (
+        SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+          x -> x <> '')) AS word
+        FROM documents),
+      wc AS (
+        SELECT source, word, CAST(count(*) AS BIGINT) AS cnt
+        FROM w GROUP BY 1, 2),
+      wsrc AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS n_src
+        FROM wc GROUP BY 1)
+      SELECT wc.source,
+             CAST(count(*) AS BIGINT) AS types_total,
+             CAST(sum(CASE WHEN n_src >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS types_shared,
+             CAST(count(*) AS BIGINT)
+               - CAST(sum(CASE WHEN n_src >= 2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS types_exclusive,
+             CAST(sum(cnt) AS BIGINT) AS tokens_total,
+             CAST(sum(CASE WHEN n_src >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+               AS tokens_shared,
+             (2 * CAST(sum(CASE WHEN n_src >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) * 1000 + CAST(count(*) AS BIGINT))
+               // (2 * CAST(count(*) AS BIGINT)) AS shared_types_milli,
+             (2 * CAST(sum(CASE WHEN n_src >= 2 THEN cnt ELSE 0 END)
+                AS BIGINT) * 1000 + CAST(sum(cnt) AS BIGINT))
+               // (2 * CAST(sum(cnt) AS BIGINT)) AS shared_mass_milli
+      FROM wc JOIN wsrc USING (word)
+      GROUP BY 1""",
+
+    // the splitAssign md5-nibble predicate verbatim; vocabulary =
+    // train-split words with doc-frequency >= 2; OOV shares as the
+    // identical integer half-up milli
+    "vocab_coverage" -> """
+      WITH toks AS (
+        SELECT doc_id, source,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                    < 'd' THEN 'train' ELSE 'test' END AS split,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                 AS t
+        FROM documents),
+      vocab AS (
+        SELECT word FROM (
+          SELECT DISTINCT doc_id, unnest(t) AS word
+          FROM toks WHERE split = 'train')
+        GROUP BY word HAVING count(*) >= 2),
+      probe AS (
+        SELECT source, word, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT source, unnest(t) AS word
+              FROM toks WHERE split = 'test')
+        GROUP BY 1, 2)
+      SELECT p.source,
+             CAST(sum(p.cnt) AS BIGINT) AS tokens_total,
+             CAST(sum(CASE WHEN v.word IS NULL THEN p.cnt ELSE 0 END)
+               AS BIGINT) AS tokens_oov,
+             (2 * CAST(sum(CASE WHEN v.word IS NULL THEN p.cnt ELSE 0 END)
+                AS BIGINT) * 1000 + CAST(sum(p.cnt) AS BIGINT))
+               // (2 * CAST(sum(p.cnt) AS BIGINT)) AS oov_mass_milli,
+             CAST(count(*) AS BIGINT) AS types_total,
+             CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS types_oov,
+             (2 * CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) * 1000 + CAST(count(*) AS BIGINT))
+               // (2 * CAST(count(*) AS BIGINT)) AS oov_types_milli
+      FROM probe p LEFT JOIN vocab v ON p.word = v.word
+      GROUP BY 1""",
+
+    // same grid cross join over per-doc token counts; ceiling division
+    // as (nt + w - 1) // w over non-negative BIGINTs; utilization's
+    // divisor through nullif on BOTH sides (all-empty source => NULL)
+    "context_fit" -> """
+      WITH nt AS (
+        SELECT source,
+               CAST(len(list_filter(string_split(text, ' '),
+                 x -> x <> '')) AS BIGINT) AS nt
+        FROM documents),
+      g AS (SELECT CAST(unnest([64, 256, 1024, 4096]) AS BIGINT) AS w),
+      a AS (
+        SELECT source, w,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN nt <= w THEN 1 ELSE 0 END) AS BIGINT)
+                 AS docs_fit,
+               CAST(sum(nt) AS BIGINT) AS tokens_total,
+               CAST(sum((nt + w - 1) // w) AS BIGINT) AS n_chunks
+        FROM nt CROSS JOIN g GROUP BY 1, 2)
+      SELECT source, w, n_docs, docs_fit,
+             n_docs - docs_fit AS docs_split,
+             tokens_total, n_chunks,
+             n_chunks * w - tokens_total AS pad_tokens,
+             (2 * tokens_total * 1000 + nullif(n_chunks * w, 0))
+               // (2 * nullif(n_chunks * w, 0)) AS util_milli
+      FROM a""",
 
     // same bigram distribution: 1-based list indexing over
     // generate_series, exact marginals from the count table, the

@@ -297,6 +297,171 @@ object TextOps {
       .orderBy(col("cnt").desc, col("word"))
       .limit(k)
 
+  /** Per-source LEXICAL HEALTH audit (r17) — the vocabulary-shape
+    * scorecard a curation review reads next to [[sourceScorecard]]:
+    * token mass, type count, hapax count (types seen once — the
+    * misspelling/noise signal), type-token ratio and hapax share as
+    * integer half-up milli, and the dominant token with its mass share
+    * (a top token owning a large share flags boilerplate or a
+    * degenerate extractor). ALL-INTEGER output: every ratio is the
+    * `(2·x·1000 + d) div (2·d)` half-up over exact BIGINTs, so the row
+    * sits under the hash gate with no float round anywhere; divisors
+    * are structurally ≥ 1 (a source appears only if it produced a
+    * token). Dominant token via the argmax discipline — `min_by` on
+    * (−cnt, word) with a deterministic lexicographic tie, never a
+    * window (the oracle runs the row_number formulation:
+    * two-formulation cross-check). Scale: one corpus explode into a
+    * map-side-combinable (source, word) agg; everything downstream is
+    * vocabulary-sized, the final agg is |sources|-sized. */
+  def vocabAudit(d: DataFrame): DataFrame =
+    lowerToks(d)
+      .select(col("source"), explode(col("toks")).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        min_by(col("word"),
+          struct((-col("cnt")).as("neg_cnt"), col("word").as("w")))
+          .as("top_word"),
+        max(col("cnt")).as("top_cnt"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        col("n_hapax"),
+        expr("(2 * n_types * 1000 + n_tokens) div (2 * n_tokens)")
+          .as("ttr_milli"),
+        expr("(2 * n_hapax * 1000 + n_types) div (2 * n_types)")
+          .as("hapax_milli"),
+        col("top_word"), col("top_cnt"),
+        expr("(2 * top_cnt * 1000 + n_tokens) div (2 * n_tokens)")
+          .as("top_milli"))
+
+  /** Cross-source VOCABULARY REDUNDANCY matrix-in-one-pass (r17) — the
+    * lexical dual of `source_overlap` (that one counts shared byte
+    * digests; this one measures how much of each source's vocabulary
+    * and token mass lives on words ANOTHER source also has — a source
+    * whose mass is almost entirely shared adds domain-vocabulary
+    * nothing and is a down-weighting candidate before mixing). Per
+    * source: distinct types, types shared with ≥ 1 other source,
+    * exclusive types, and the shared share of both types and token
+    * mass as integer half-up milli — all exact BIGINTs, hash-gate
+    * safe. Scale: ONE corpus explode compressed into the (source,
+    * word) count table (eagerly checkpointed — it feeds the per-word
+    * source-df table AND the probe join, so the corpus is scanned
+    * once); the join and both aggs are vocabulary-sized, never
+    * corpus-sized, and the word-keyed shuffle is shared between the
+    * df agg and the join. */
+  def vocabOverlap(d: DataFrame): DataFrame = {
+    val wc = lowerToks(d)
+      .select(col("source"), explode(col("toks")).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // 2 consumers: per-word df + the probe join
+    val wsrc = wc.groupBy(col("word")).agg(count(lit(1)).as("n_src"))
+    wc.join(wsrc, Seq("word"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("types_total"),
+        sum(when(col("n_src") >= 2L, 1L).otherwise(0L))
+          .as("types_shared"),
+        sum(col("cnt")).as("tokens_total"),
+        sum(when(col("n_src") >= 2L, col("cnt")).otherwise(0L))
+          .as("tokens_shared"))
+      .select(col("source"), col("types_total"), col("types_shared"),
+        (col("types_total") - col("types_shared")).as("types_exclusive"),
+        col("tokens_total"), col("tokens_shared"),
+        expr("(2 * types_shared * 1000 + types_total)" +
+          " div (2 * types_total)").as("shared_types_milli"),
+        expr("(2 * tokens_shared * 1000 + tokens_total)" +
+          " div (2 * tokens_total)").as("shared_mass_milli"))
+  }
+
+  /** CONTEXT-WINDOW PLANNING grid (r17) — the sizing table a training
+    * run reads before choosing a sequence length: for each candidate
+    * window W, per source: docs that fit whole, docs that must split,
+    * the exact chunk count under per-doc chunking (Σ ⌈n_tokens/W⌉ —
+    * integer ceiling division, zero-token docs contribute zero
+    * chunks), the padding tokens that chunking wastes
+    * (chunks·W − tokens), and utilization as integer half-up milli.
+    * Complements the pack family: `pack_assign` packs documents into a
+    * CHOSEN budget; this op is the upstream sweep that chooses it.
+    * ALL-INTEGER except nothing — even utilization is the half-up
+    * milli over exact BIGINTs; the divisor goes through nullif so a
+    * source of only empty docs yields NULL utilization instead of an
+    * ANSI DIVIDE_BY_ZERO (the hostile-sweep contract). Scale: one
+    * corpus pass computing per-doc token counts, a |grid|-way explode
+    * of COUNTS (not text), one map-side-combinable (source, W) agg —
+    * output is |sources|·|grid| rows. */
+  def contextFit(d: DataFrame,
+      windows: Seq[Int] = Seq(64, 256, 1024, 4096)): DataFrame = {
+    require(windows.nonEmpty && windows.forall(_ > 0),
+      s"context windows must be positive, got $windows")
+    val wArr = array(windows.map(w => lit(w.toLong)): _*)
+    withToks(d)
+      .select(col("source"), size(col("toks")).cast("long").as("nt"))
+      .select(col("source"), col("nt"), explode(wArr).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("nt") <= col("w"), 1L).otherwise(0L)).as("docs_fit"),
+        sum(col("nt")).as("tokens_total"),
+        sum(expr("(nt + w - 1) div w")).as("n_chunks"))
+      .select(col("source"), col("w"), col("n_docs"), col("docs_fit"),
+        (col("n_docs") - col("docs_fit")).as("docs_split"),
+        col("tokens_total"), col("n_chunks"),
+        (col("n_chunks") * col("w") - col("tokens_total"))
+          .as("pad_tokens"),
+        expr("(2 * tokens_total * 1000 + nullif(n_chunks * w, 0))" +
+          " div (2 * nullif(n_chunks * w, 0))").as("util_milli"))
+  }
+
+  /** Out-of-vocabulary AUDIT against a df-banded baseline vocabulary
+    * (r17) — the ingest drift monitor: the train split (the
+    * [[splitAssign]] md5-nibble split, embedded verbatim in the
+    * oracle) defines a vocabulary of words with document frequency
+    * ≥ `minDf` (the df-banding posture — banding bounds the vocabulary
+    * and drops the hapax noise that would make every typo "known");
+    * the test split then scores per source: token mass and distinct
+    * types not covered by that vocabulary, both shares as integer
+    * half-up milli. An OOV spike on a new crawl batch = a new domain,
+    * language, or extractor regression — the signal that triggers
+    * re-training the tokenizer or quarantining the source. Scale: the
+    * df table is one distinct + agg over the train split's exploded
+    * tokens (map-side combinable); the probe compresses the test split
+    * to (source, word) counts BEFORE the vocab equijoin, so the join
+    * carries vocabulary-sized keys, never raw tokens; final agg is
+    * |sources|-sized. Divisors are structurally ≥ 1 (a probe source
+    * appears only if it produced a token). */
+  def vocabCoverage(d: DataFrame, minDf: Long = 2L,
+      trainSixteenths: Int = 13): DataFrame = {
+    val toks = lowerToks(d).withColumn("split", splitExpr(trainSixteenths))
+    val vocab = toks.filter(col("split") === "train")
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+      .distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("word"), lit(1L).as("known"))
+    toks.filter(col("split") === "test")
+      .select(col("source"), explode(col("toks")).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(vocab, Seq("word"), "left")
+      .groupBy(col("source"))
+      .agg(
+        sum(col("cnt")).as("tokens_total"),
+        sum(when(col("known").isNull, col("cnt")).otherwise(0L))
+          .as("tokens_oov"),
+        count(lit(1)).as("types_total"),
+        sum(when(col("known").isNull, 1L).otherwise(0L)).as("types_oov"))
+      .select(col("source"), col("tokens_total"), col("tokens_oov"),
+        expr("(2 * tokens_oov * 1000 + tokens_total)" +
+          " div (2 * tokens_total)").as("oov_mass_milli"),
+        col("types_total"), col("types_oov"),
+        expr("(2 * types_oov * 1000 + types_total)" +
+          " div (2 * types_total)").as("oov_types_milli"))
+  }
+
   /** Collocation extraction — the per-language PMI DICTIONARY of
     * adjacent word pairs (the "new york" / "machine learning" detector
     * a tokenizer-merging or phrase-mining pass consumes): every bigram
@@ -484,15 +649,22 @@ object TextOps {
     * runs, engines, partitionings, and re-ingests — the property a
     * training pipeline needs to avoid split leakage. trainFrac is in
     * sixteenths (e.g. 13 → ~81% train). */
-  def splitAssign(d: DataFrame, trainSixteenths: Int): DataFrame = {
+  def splitAssign(d: DataFrame, trainSixteenths: Int): DataFrame =
+    d.select(col("doc_id"), col("lang"), col("source"),
+      splitExpr(trainSixteenths).as("split"))
+
+  /** ONE definition of the md5-nibble train/test split for every
+    * consumer ([[splitAssign]], [[vocabCoverage]]) — the oracles embed
+    * the identical predicate verbatim, so sharing the expression is
+    * what keeps a future boundary change from silently diverging the
+    * split across operators. */
+  private[text] def splitExpr(trainSixteenths: Int): Column = {
     // single hex nibble compare — 16 would need a two-char boundary that
     // breaks the lexicographic comparison
     require(trainSixteenths >= 1 && trainSixteenths <= 15,
       s"trainSixteenths must be in [1, 15], got $trainSixteenths")
-    val boundary = trainSixteenths.toHexString
-    d.select(col("doc_id"), col("lang"), col("source"),
-      when(substring(md5(col("doc_id").cast("string")), 1, 1) < boundary,
-        "train").otherwise("test").as("split"))
+    when(substring(md5(col("doc_id").cast("string")), 1, 1) <
+      trainSixteenths.toHexString, "train").otherwise("test")
   }
 
   /** Seeded stratified sample: `fraction` per language stratum, as a pure

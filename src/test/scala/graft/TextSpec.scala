@@ -1300,4 +1300,126 @@ class TextSpec extends SparkSpec {
       assert(c.getAs[Long]("mean_quality_milli") == q(src), src)
     }
   }
+
+  test("vocabAudit: hand-computed types/hapax/TTR and the argmax " +
+      "top token with a deterministic tie") {
+    import spark.implicits._
+    // s0: tokens = a a b c  → n_tokens 4, types {a,b,c} = 3, hapax {b,c}
+    //   = 2, ttr = half-up(3000/4) = 750, hapax = half-up(2000/3) = 667,
+    //   top = a (cnt 2), top_milli = half-up(2000/4) = 500
+    // s1: b b a a → a and b tie at 2; lexicographic tie → top = a;
+    //   types 2, hapax 0, ttr 500, top_milli 500
+    val d = Seq(
+      (1L, "a a b", "en", "s0"), (2L, "c", "en", "s0"),
+      (3L, "b b a a", "en", "s1")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = TextOps.vocabAudit(d).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val s0 = got("s0")
+    assert(s0.getAs[Long]("n_tokens") == 4L)
+    assert(s0.getAs[Long]("n_types") == 3L)
+    assert(s0.getAs[Long]("n_hapax") == 2L)
+    assert(s0.getAs[Long]("ttr_milli") == 750L)
+    assert(s0.getAs[Long]("hapax_milli") == 667L)
+    assert(s0.getAs[String]("top_word") == "a")
+    assert(s0.getAs[Long]("top_cnt") == 2L)
+    assert(s0.getAs[Long]("top_milli") == 500L)
+    val s1 = got("s1")
+    assert(s1.getAs[String]("top_word") == "a") // tie at 2 → lexicographic
+    assert(s1.getAs[Long]("ttr_milli") == 500L)
+    assert(s1.getAs[Long]("n_hapax") == 0L)
+  }
+
+  test("vocabOverlap: planted shared vs exclusive words across sources") {
+    import spark.implicits._
+    // shared word x lives in both sources; y only in s0, z only in s1.
+    // s0: tokens x x y → types 2, shared types 1 (x), mass 3, shared
+    //   mass 2 → shared_types_milli 500, shared_mass_milli 667
+    // s1: x z z z → types 2, shared 1, mass 4, shared mass 1 →
+    //   milli 500 / 250
+    val d = Seq(
+      (1L, "x x y", "en", "s0"), (2L, "x z z z", "en", "s1")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = TextOps.vocabOverlap(d).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val s0 = got("s0")
+    assert(s0.getAs[Long]("types_total") == 2L)
+    assert(s0.getAs[Long]("types_shared") == 1L)
+    assert(s0.getAs[Long]("types_exclusive") == 1L)
+    assert(s0.getAs[Long]("tokens_total") == 3L)
+    assert(s0.getAs[Long]("tokens_shared") == 2L)
+    assert(s0.getAs[Long]("shared_types_milli") == 500L)
+    assert(s0.getAs[Long]("shared_mass_milli") == 667L)
+    val s1 = got("s1")
+    assert(s1.getAs[Long]("tokens_shared") == 1L)
+    assert(s1.getAs[Long]("shared_mass_milli") == 250L)
+  }
+
+  test("contextFit: ceiling chunks, padding and half-up utilization; " +
+      "zero-token docs contribute zero chunks") {
+    import spark.implicits._
+    // w = 4 over docs of 3, 5 and 0 tokens:
+    //   fits: 3 and 0 (nt <= 4) → docs_fit 2, docs_split 1
+    //   chunks: ceil(3/4)=1, ceil(5/4)=2, 0 → 3; tokens 8
+    //   pad = 3·4 − 8 = 4; util = half-up(8000/12) = 667
+    val d = Seq(
+      (1L, "t t t", "en", "s0"), (2L, "t t t t t", "en", "s0"),
+      (3L, "", "en", "s0")
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = TextOps.contextFit(d, windows = Seq(4)).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("w") == 4L)
+    assert(row.getAs[Long]("n_docs") == 3L)
+    assert(row.getAs[Long]("docs_fit") == 2L)
+    assert(row.getAs[Long]("docs_split") == 1L)
+    assert(row.getAs[Long]("tokens_total") == 8L)
+    assert(row.getAs[Long]("n_chunks") == 3L)
+    assert(row.getAs[Long]("pad_tokens") == 4L)
+    assert(row.getAs[Long]("util_milli") == 667L)
+    // all-empty source: zero divisor → NULL utilization, never a raise
+    val empty = Seq((9L, "", "en", "sX"), (10L, " ", "en", "sX"))
+      .toDF("doc_id", "text", "lang", "source")
+    val e = TextOps.contextFit(empty, windows = Seq(4)).collect().head
+    assert(e.getAs[Long]("n_chunks") == 0L)
+    assert(e.isNullAt(e.fieldIndex("util_milli")))
+    intercept[IllegalArgumentException] {
+      TextOps.contextFit(d, windows = Seq.empty)
+    }
+  }
+
+  test("vocabCoverage: df-banded train vocabulary, hand-checked OOV " +
+      "mass on planted splits") {
+    import spark.implicits._
+    // reproduce the md5-nibble split driver-side to plant ids per split
+    def split(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.charAt(0) < 'd') "train" else "test"
+    }
+    val trainIds = (1L to 200L).filter(split(_) == "train").take(3)
+    val testIds = (1L to 200L).filter(split(_) == "test").take(2)
+    // vocab (df >= 2 over train docs): "known" in 2 docs; "once" df 1
+    // (OOV despite being seen in train); "zz" never seen
+    val train = Seq(
+      (trainIds(0), "known once", "en", "s0"),
+      (trainIds(1), "known known", "en", "s0"), // within-doc dup: df 1
+      (trainIds(2), "known", "en", "s0"))
+    // probe: tokens known×2 once zz → oov mass 2/4 = 500 milli,
+    // types {known, once, zz}: oov {once, zz} → 667 milli
+    val test = Seq(
+      (testIds(0), "known once zz", "en", "s0"),
+      (testIds(1), "known", "en", "s0"))
+    val d = (train ++ test).toDF("doc_id", "text", "lang", "source")
+    val r = TextOps.vocabCoverage(d).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("tokens_total") == 4L)
+    assert(row.getAs[Long]("tokens_oov") == 2L)
+    assert(row.getAs[Long]("oov_mass_milli") == 500L)
+    assert(row.getAs[Long]("types_total") == 3L)
+    assert(row.getAs[Long]("types_oov") == 2L)
+    assert(row.getAs[Long]("oov_types_milli") == 667L)
+  }
 }
