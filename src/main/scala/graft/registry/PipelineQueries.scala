@@ -248,6 +248,63 @@ object PipelineQueries {
              cnt AS n_votes, n_neighbors
       FROM ranked WHERE rn = 1"""
 
+  /** The triplet_mine derivation, named because triplet_stats embeds
+    * it verbatim as its derived table (the reportBlock discipline).
+    * Two-formulation cross-check: the engine mines pos/neg via
+    * struct-min aggregates; this oracle runs the row_number window
+    * formulation over the identical integer e4 scores. */
+  private val TripletSql = """
+      WITH base AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      m AS (
+        SELECT vec_id, label, v,
+               list_aggregate(list_transform(v, x -> abs(x)), 'max') AS mx
+        FROM base),
+      codes AS (
+        SELECT vec_id, label,
+               list_transform(v, x -> floor(
+                 CASE WHEN mx = 0.0::DOUBLE THEN 0.0::DOUBLE
+                      ELSE x * 127.0::DOUBLE / mx END
+                 + 0.5::DOUBLE)) AS qv
+        FROM m),
+      nz AS (
+        SELECT vec_id, label, qv, sqrt(list_dot_product(qv, qv)) AS qnrm
+        FROM codes WHERE list_dot_product(qv, qv) > 0),
+      scored AS (
+        SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+               c.vec_id AS cand_id, (c.label = a.label) AS same,
+               CAST(floor(list_dot_product(a.qv, c.qv) * 10000.0::DOUBLE /
+                 (a.qnrm * c.qnrm) + 0.5::DOUBLE) AS BIGINT) AS score_e4
+        FROM nz a JOIN nz c
+          ON a.vec_id % 25 = 0 AND c.vec_id % 25 <> 0),
+      agg AS (
+        SELECT anchor_id, anchor_label,
+               CAST(sum(CASE WHEN same THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pos,
+               CAST(sum(CASE WHEN same THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_neg
+        FROM scored GROUP BY 1, 2),
+      pos AS (
+        SELECT anchor_id, cand_id AS pos_id, score_e4 AS pos_e4 FROM (
+          SELECT anchor_id, cand_id, score_e4,
+                 row_number() OVER (PARTITION BY anchor_id
+                   ORDER BY score_e4 ASC, cand_id) AS rn
+          FROM scored WHERE same) WHERE rn = 1),
+      neg AS (
+        SELECT anchor_id, cand_id AS neg_id, score_e4 AS neg_e4 FROM (
+          SELECT anchor_id, cand_id, score_e4,
+                 row_number() OVER (PARTITION BY anchor_id
+                   ORDER BY score_e4 DESC, cand_id) AS rn
+          FROM scored WHERE NOT same) WHERE rn = 1)
+      SELECT g.anchor_id, g.anchor_label, g.n_pos, g.n_neg,
+             p.pos_id, p.pos_e4, n.neg_id, n.neg_e4,
+             p.pos_e4 - n.neg_e4 AS margin_e4,
+             CAST(CASE WHEN p.pos_e4 - n.neg_e4 < 500 THEN 1 ELSE 0 END
+               AS BIGINT) AS is_hard
+      FROM agg g JOIN pos p USING (anchor_id) JOIN neg n USING (anchor_id)"""
+
   /** The engine-side lexical/substring methods shared by
     * contamination_report and contamination_report_ivf — one definition
     * so the two reports can only differ in their semantic pair source. */
@@ -810,6 +867,23 @@ object PipelineQueries {
     "knn_label_prop_ivf" -> ((s, d) => {
       val (tbl, path) = runScopedTable(s, d, "graft_label_prop_ivf")
       Knn.labelPropagationIvf(s, Knn.emb(s, d), tbl, path)
+    }),
+    // contrastive-curation mining: per anchor (vec_id % 25 slice) the
+    // hardest same-label positive and hardest different-label negative
+    // from the non-anchor pool — knn_quantized integer e4 scores,
+    // struct-min argmin/argmax with deterministic ties (oracle runs the
+    // row_number formulation), integer margin + is_hard flag
+    "triplet_mine" -> ((s, d) => Knn.tripletMine(Knn.emb(s, d))),
+    // per-label triplet sign-off: hard share (half-up milli) + exact
+    // margin sum/min/max; oracle embeds the triplet SQL verbatim
+    "triplet_stats" -> ((s, d) => Knn.tripletStats(Knn.emb(s, d))),
+    // the 100 TB path: non-anchor pool persisted as the bucketed
+    // quantized IVF code index, anchors probe nprobe lists, identical
+    // rollup; rows-only (probe recall is k-means-assignment-dependent —
+    // KnnSpec proves row-identity to brute at nprobe = nlist)
+    "triplet_mine_ivf" -> ((s, d) => {
+      val (tbl, path) = runScopedTable(s, d, "graft_triplet_ivf")
+      Knn.tripletMineIvf(s, Knn.emb(s, d), tbl, path)
     }),
     "emb_clusters" -> ((s, d) => Knn.clusterStats(Knn.emb(s, d))),
     // per-label quantized-centroid drift vs the corpus centroid (the
@@ -2766,6 +2840,26 @@ object PipelineQueries {
       WITH pred AS ($LabelPropSql)
       SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n_vecs
       FROM pred GROUP BY 1, 2""",
+
+    "triplet_mine" -> TripletSql,
+
+    // the triplet derivation embedded verbatim; margin sums can be
+    // negative, so the rollup emits exact sum/min/max and only the
+    // non-negative hard share goes through the half-up integer milli
+    // (integer div truncates toward zero in Spark but floors in DuckDB
+    // — never divide a possibly-negative integer)
+    "triplet_stats" -> s"""
+      WITH t AS ($TripletSql)
+      SELECT anchor_label,
+             CAST(count(*) AS BIGINT) AS n_anchors,
+             CAST(sum(is_hard) AS BIGINT) AS n_hard,
+             CAST(sum(margin_e4) AS BIGINT) AS margin_sum_e4,
+             min(margin_e4) AS margin_min_e4,
+             max(margin_e4) AS margin_max_e4,
+             (2 * CAST(sum(is_hard) AS BIGINT) * 1000 +
+               CAST(count(*) AS BIGINT)) //
+               (2 * CAST(count(*) AS BIGINT)) AS hard_milli
+      FROM t GROUP BY 1""",
 
     "contamination_semantic" -> """
       WITH base AS (

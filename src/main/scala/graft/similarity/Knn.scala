@@ -433,6 +433,146 @@ object Knn {
       .select(col("vec_id"), col("true_label"), col("lab_vec"),
         col("lab_label"), col("score"))
 
+  /** Hard-TRIPLET MINING over the quantized embedding space (r17) —
+    * the contrastive-training curation pass that turns a labeled
+    * corpus into (anchor, hardest positive, hardest negative) rows:
+    * for each anchor in a deterministic `vec_id % anchorMod` slice,
+    * the SAME-label pool vector with the LOWEST cosine (the pair the
+    * model most needs to pull together) and the DIFFERENT-label pool
+    * vector with the HIGHEST cosine (the impostor it most needs to
+    * push apart), plus the margin between them and an `is_hard` flag
+    * (margin below `marginE4` = the triplet sits in the active-loss
+    * region — the rows a curriculum actually trains on). The pool is
+    * the NON-anchor complement (the query-batch-vs-corpus framing the
+    * IVF sibling needs; self-exclusion falls out for free).
+    *
+    * Oracle-EXACT end to end: scoring is the knn_quantized integer
+    * chain kept as the raw e4 integer (floor-half-up of the exact
+    * ByteDot — never a float round), argmin/argmax are struct-min
+    * aggregates on (score_e4, cand_id) / (−score_e4, cand_id) — total
+    * integer orders with deterministic lexicographic ties, never a
+    * window (the DuckDB oracle runs the row_number formulation:
+    * two-formulation cross-check) — and membership is integer (an
+    * anchor missing either a same-label or a different-label pool
+    * vector emits no row: the "abstain" a pipeline routes around).
+    * The margin is a difference of exact integers, so `is_hard` can
+    * never sit one ulp from the threshold.
+    *
+    * Scale: this brute anchors×pool join is the sanctioned baseline
+    * (the knn_brute posture — anchors are a bounded sample); the
+    * 100 TB path is [[tripletMineIvf]], which mines the identical
+    * rollup from persisted-IVF probe candidates. */
+  def tripletMine(e: DataFrame, anchorMod: Long = 25L,
+      marginE4: Long = 500L): DataFrame = {
+    require(anchorMod >= 2L, s"anchorMod must be >= 2, got $anchorMod")
+    val qe = quantize(e).filter(col("qnrm") > lit(0.0))
+      .select(col("vec_id"), col("label"), col("qv"), col("qnrm"))
+    val isAnchor = col("vec_id") % lit(anchorMod) === lit(0L)
+    val a = qe.filter(isAnchor)
+      .select(col("vec_id").as("anchor_id"),
+        col("label").as("anchor_label"),
+        col("qv").as("aqv"), col("qnrm").as("anrm"))
+    val pool = qe.filter(!isAnchor)
+    val scored = a.join(pool.as("c"), col("anchor_id") =!= col("c.vec_id"))
+      .select(col("anchor_id"), col("anchor_label"),
+        col("c.vec_id").as("cand_id"),
+        (col("c.label") === col("anchor_label")).as("same"),
+        floor(graft.functions.ByteDot(col("aqv"), col("qv")).cast("double")
+            * lit(10000.0) / (col("anrm") * col("qnrm")) + lit(0.5))
+          .cast("long").as("score_e4"))
+    tripletRollup(scored, marginE4)
+  }
+
+  /** Triplet mining over the PERSISTED quantized IVF index — the
+    * 100 TB path (the labelPropagationIvf posture, the one shared
+    * [[probeScoredBy]] definition): the non-anchor pool is written as
+    * the bucketed code index, anchors probe their `nprobe` nearest
+    * lists, candidates are scored with the identical integer chain and
+    * fed to the SAME rollup. With nprobe = nlist the probe is
+    * exhaustive and the output is row-identical to [[tripletMine]]
+    * (KnnSpec asserts it); with a pruned probe the mined positive can
+    * only be ≥ and the negative ≤ the brute choice in score — the
+    * recall trade nprobe tunes. Rows-only (probe recall depends on the
+    * seeded k-means assignment). Labels ride two thin key equijoins
+    * (the index stores codes only). */
+  def tripletMineIvf(spark: SparkSession, e: DataFrame,
+      tableName: String, path: String, anchorMod: Long = 25L,
+      marginE4: Long = 500L, nlist: Int = 10, buckets: Int = 8,
+      nprobe: Int = 2): DataFrame = {
+    require(anchorMod >= 2L, s"anchorMod must be >= 2, got $anchorMod")
+    val isAnchor = col("vec_id") % lit(anchorMod) === lit(0L)
+    val scored = probeScoredBy(spark, e, tableName, path, !isAnchor,
+      nlist, buckets, nprobe)
+      // recover the exact e4 integer from the displayed 4-decimal
+      // score: n/1e4 → ×1e4 can be one ulp off, floor(+0.5) repairs it
+      .select(col("probe_vec").as("anchor_id"),
+        col("vec_id").as("cand_id"),
+        floor(col("score") * lit(10000.0) + lit(0.5)).cast("long")
+          .as("score_e4"))
+      .join(e.select(col("vec_id").as("anchor_id"),
+        col("label").as("anchor_label")), Seq("anchor_id"))
+      .join(e.select(col("vec_id").as("cand_id"),
+        col("label").as("cand_label")), Seq("cand_id"))
+      .select(col("anchor_id"), col("anchor_label"), col("cand_id"),
+        (col("cand_label") === col("anchor_label")).as("same"),
+        col("score_e4"))
+    tripletRollup(scored, marginE4)
+  }
+
+  /** Shared (anchor, cand, same, score_e4) → triplet rollup for
+    * [[tripletMine]] and [[tripletMineIvf]] — ONE definition so the
+    * argmin/argmax and membership semantics cannot drift between the
+    * brute baseline and the IVF path. */
+  private def tripletRollup(scored: DataFrame,
+      marginE4: Long): DataFrame =
+    scored.groupBy(col("anchor_id"), col("anchor_label"))
+      .agg(
+        sum(when(col("same"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("same"), 0L).otherwise(1L)).as("n_neg"),
+        // hardest positive: min (score, id) over same-label candidates
+        min(when(col("same"),
+          struct(col("score_e4"), col("cand_id")))).as("pos_s"),
+        // hardest negative: min (−score, id) = max score, tie → min id
+        min(when(!col("same"),
+          struct((-col("score_e4")).as("nscore_e4"), col("cand_id"))))
+          .as("neg_s"))
+      .filter(col("n_pos") > 0L && col("n_neg") > 0L)
+      .select(col("anchor_id"), col("anchor_label"),
+        col("n_pos"), col("n_neg"),
+        col("pos_s.cand_id").as("pos_id"),
+        col("pos_s.score_e4").as("pos_e4"),
+        col("neg_s.cand_id").as("neg_id"),
+        (-col("neg_s.nscore_e4")).as("neg_e4"))
+      .withColumn("margin_e4", col("pos_e4") - col("neg_e4"))
+      .withColumn("is_hard",
+        when(col("margin_e4") < lit(marginE4), 1L).otherwise(0L))
+
+  /** Per-label TRIPLET HEALTH rollup over [[tripletMine]] — the
+    * sign-off view a contrastive-curation run reads (the
+    * lsh_bucket_audit discipline): anchors mined, hard triplets and
+    * their share (integer half-up milli — n_anchors ≥ 1 by
+    * construction), and the exact margin sum / min / max per label. A
+    * label whose margins collapse (negative sum, hard share near
+    * 1000) is one whose classes the embedding space cannot separate —
+    * the signal that gates training on propagated labels. All columns
+    * are exact integers over the already-integer triplet rows; NO mean
+    * column by design: margin sums can be negative, and integer `div`
+    * truncates toward zero in Spark but floors in DuckDB — the
+    * negative-division trap this repo avoids by emitting the sum and
+    * count instead. */
+  def tripletStats(e: DataFrame, anchorMod: Long = 25L,
+      marginE4: Long = 500L): DataFrame =
+    tripletMine(e, anchorMod, marginE4)
+      .groupBy(col("anchor_label"))
+      .agg(
+        count(lit(1)).as("n_anchors"),
+        sum(col("is_hard")).as("n_hard"),
+        sum(col("margin_e4")).as("margin_sum_e4"),
+        min(col("margin_e4")).as("margin_min_e4"),
+        max(col("margin_e4")).as("margin_max_e4"))
+      .withColumn("hard_milli",
+        expr("(2 * n_hard * 1000 + n_anchors) div (2 * n_anchors)"))
+
   /** Per-label embedding DRIFT monitor in the quantized space — the
     * embedding dual of `quality_drift`: for each label (source /
     * crawl-batch id), the cosine between the label's int8-centroid-sum

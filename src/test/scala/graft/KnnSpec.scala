@@ -621,4 +621,81 @@ class KnnSpec extends SparkSpec {
     assert(full.getAs[Long]("recall_milli") == 1000L, full.toString)
     assert(full.getAs[Long]("n_probes") == 5L)
   }
+
+  test("tripletMine: hand-planted hardest positive/negative, abstain " +
+      "without a same-label pool vector, zero vectors fenced") {
+    import spark.implicits._
+    // anchor 0 (0 % 25 == 0), label 1, axis-aligned; pool:
+    //   1 L1 near-parallel, 2 L1 orthogonal (hardest positive, e4 = 0),
+    //   3 L2 impostor near the anchor (hardest negative), 4 L2 far,
+    //   5 L1 zero vector (qnrm = 0 — fenced, never mined even though
+    //     its NaN score would otherwise pollute the argmin)
+    // anchor 25, label 3: NO label-3 pool vector → abstains (no row)
+    val planted = Seq(
+      (0L, 1, Seq(1.0, 0.0, 0.0, 0.0)),
+      (25L, 3, Seq(0.0, 0.0, 0.0, 1.0)),
+      (1L, 1, Seq(1.0, 0.1, 0.0, 0.0)),
+      (2L, 1, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, 2, Seq(1.0, 0.05, 0.0, 0.0)),
+      (4L, 2, Seq(0.0, 0.0, 1.0, 0.0)),
+      (5L, 1, Seq(0.0, 0.0, 0.0, 0.0))
+    ).toDF("vec_id", "label", "v")
+      .withColumn("nrm",
+        sqrt(graft.functions.DotProduct(col("v"), col("v"))))
+    val rows = Knn.tripletMine(planted, anchorMod = 25L, marginE4 = 500L)
+      .collect()
+    assert(rows.length == 1, rows.mkString(", "))
+    val r = rows(0)
+    assert(r.getAs[Long]("anchor_id") == 0L)
+    assert(r.getAs[Int]("anchor_label") == 1)
+    assert(r.getAs[Long]("n_pos") == 2L) // ids 1, 2 (zero vec 5 fenced)
+    assert(r.getAs[Long]("n_neg") == 2L) // ids 3, 4
+    assert(r.getAs[Long]("pos_id") == 2L, r.toString)
+    assert(r.getAs[Long]("pos_e4") == 0L, r.toString)
+    assert(r.getAs[Long]("neg_id") == 3L, r.toString)
+    assert(r.getAs[Long]("neg_e4") > 9900L, r.toString)
+    assert(r.getAs[Long]("margin_e4") ==
+      r.getAs[Long]("pos_e4") - r.getAs[Long]("neg_e4"))
+    assert(r.getAs[Long]("is_hard") == 1L) // margin deeply negative
+  }
+
+  test("tripletMineIvf at nprobe = nlist is row-identical to brute; " +
+      "stats rollup equals a groupBy over the per-anchor rows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val planted = (0L to 60L).map(id => (id, (id % 5).toInt,
+      Seq.fill(8)(rnd.nextDouble() - 0.5)))
+      .toDF("vec_id", "label", "v")
+      .withColumn("nrm",
+        sqrt(graft.functions.DotProduct(col("v"), col("v"))))
+    val brute = Knn.tripletMine(planted, anchorMod = 25L).collect()
+      .map(_.toSeq).toSet
+    assert(brute.nonEmpty)
+    spark.sql("DROP TABLE IF EXISTS triplet_ivf_spec")
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft_triplet_ivf").toString
+    // probing every list makes the candidate set the full pool: the
+    // shared rollup then reproduces brute bit-for-bit
+    val ivf = Knn.tripletMineIvf(spark, planted, "triplet_ivf_spec", dir,
+      anchorMod = 25L, nlist = 4, buckets = 2, nprobe = 4).collect()
+      .map(_.toSeq).toSet
+    assert(ivf == brute,
+      s"ivf≠brute: only-ivf=${(ivf -- brute).take(3)} " +
+        s"only-brute=${(brute -- ivf).take(3)}")
+    // stats = one integer groupBy over the mined rows
+    val mined = Knn.tripletMine(planted, anchorMod = 25L).collect()
+    val byLabel = mined.groupBy(_.getAs[Int]("anchor_label"))
+    Knn.tripletStats(planted, anchorMod = 25L).collect().foreach { s =>
+      val g = byLabel(s.getAs[Int]("anchor_label"))
+      assert(s.getAs[Long]("n_anchors") == g.length.toLong)
+      assert(s.getAs[Long]("n_hard") ==
+        g.map(_.getAs[Long]("is_hard")).sum)
+      val margins = g.map(_.getAs[Long]("margin_e4"))
+      assert(s.getAs[Long]("margin_sum_e4") == margins.sum)
+      assert(s.getAs[Long]("margin_min_e4") == margins.min)
+      assert(s.getAs[Long]("margin_max_e4") == margins.max)
+      val (h, n) = (s.getAs[Long]("n_hard"), s.getAs[Long]("n_anchors"))
+      assert(s.getAs[Long]("hard_milli") == (2 * h * 1000 + n) / (2 * n))
+    }
+  }
 }
