@@ -248,6 +248,49 @@ object PipelineQueries {
              cnt AS n_votes, n_neighbors
       FROM ranked WHERE rn = 1"""
 
+  /** The tokenize + split + df-banded-vocabulary CTEs shared by the
+    * vocab_coverage family (in-plan, persisted, and the per-doc
+    * tagger) — ONE derivation so a split or band change cannot
+    * silently diverge the three. */
+  private val VocabCtes = """
+      WITH toks AS (
+        SELECT doc_id, source,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                    < 'd' THEN 'train' ELSE 'test' END AS split,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                 AS t
+        FROM documents),
+      vocab AS (
+        SELECT word FROM (
+          SELECT DISTINCT doc_id, unnest(t) AS word
+          FROM toks WHERE split = 'train')
+        GROUP BY word HAVING count(*) >= 2)"""
+
+  /** The vocab_coverage rollup, shared VERBATIM with
+    * vocab_coverage_persisted (the persisted probe is
+    * result-identical — TextSpec proves row parity). */
+  private val VocabCoverageSql = s"""$VocabCtes,
+      probe AS (
+        SELECT source, word, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT source, unnest(t) AS word
+              FROM toks WHERE split = 'test')
+        GROUP BY 1, 2)
+      SELECT p.source,
+             CAST(sum(p.cnt) AS BIGINT) AS tokens_total,
+             CAST(sum(CASE WHEN v.word IS NULL THEN p.cnt ELSE 0 END)
+               AS BIGINT) AS tokens_oov,
+             (2 * CAST(sum(CASE WHEN v.word IS NULL THEN p.cnt ELSE 0 END)
+                AS BIGINT) * 1000 + CAST(sum(p.cnt) AS BIGINT))
+               // (2 * CAST(sum(p.cnt) AS BIGINT)) AS oov_mass_milli,
+             CAST(count(*) AS BIGINT) AS types_total,
+             CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS types_oov,
+             (2 * CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) * 1000 + CAST(count(*) AS BIGINT))
+               // (2 * CAST(count(*) AS BIGINT)) AS oov_types_milli
+      FROM probe p LEFT JOIN vocab v ON p.word = v.word
+      GROUP BY 1"""
+
   /** The triplet_mine derivation, named because triplet_stats embeds
     * it verbatim as its derived table (the reportBlock discipline).
     * Two-formulation cross-check: the engine mines pos/neg via
@@ -935,6 +978,25 @@ object PipelineQueries {
     // OOV drift audit: test-split token/type mass not covered by the
     // df-banded train-split vocabulary (the splitAssign split verbatim)
     "vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(docs(s, d))),
+    // freeze-once/score-per-batch: the df-banded train vocabulary as a
+    // persisted bucketed table (Staged rebuild), probed by the SAME
+    // rollup — round-trip transparent to the result (shares the
+    // vocab_coverage oracle verbatim; the dedup_incremental posture)
+    "vocab_coverage_persisted" -> ((s, d) => {
+      val (tbl, path) = runScopedTable(s, d, "graft_vocab_idx")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      TextOps.writeVocabIndex(docs(s, d), tbl, path)
+      TextOps.vocabCoverageIndexed(s, tbl, docs(s, d))
+    }),
+    // per-doc OOV tagger against the frozen vocab — the batch scorer
+    // the live OOV monitor replays per micro-batch; token masses are
+    // per-doc additive, which is what makes the stream dual exact
+    "oov_tag" -> ((s, d) => {
+      val (tbl, path) = runScopedTable(s, d, "graft_vocab_tag")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      TextOps.writeVocabIndex(docs(s, d), tbl, path)
+      TextOps.oovTag(s, tbl, docs(s, d))
+    }),
     // context-window sizing sweep: fit/split/chunks/padding/utilization
     // per (source, W) over a candidate window grid
     "context_fit" -> ((s, d) => TextOps.contextFit(docs(s, d))),
@@ -2041,39 +2103,27 @@ object PipelineQueries {
     // the splitAssign md5-nibble predicate verbatim; vocabulary =
     // train-split words with doc-frequency >= 2; OOV shares as the
     // identical integer half-up milli
-    "vocab_coverage" -> """
-      WITH toks AS (
-        SELECT doc_id, source,
-               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-                    < 'd' THEN 'train' ELSE 'test' END AS split,
-               list_filter(string_split(lower(text), ' '), x -> x <> '')
-                 AS t
-        FROM documents),
-      vocab AS (
-        SELECT word FROM (
-          SELECT DISTINCT doc_id, unnest(t) AS word
-          FROM toks WHERE split = 'train')
-        GROUP BY word HAVING count(*) >= 2),
+    "vocab_coverage" -> VocabCoverageSql,
+
+    // the persisted probe is result-identical (same split rule, same
+    // df band, same rollup — TextSpec proves row parity), so the
+    // freeze-once hop keeps the vocab_coverage oracle VERBATIM
+    "vocab_coverage_persisted" -> VocabCoverageSql,
+
+    // per-doc tagger over ALL docs against the same df-banded train
+    // vocabulary; empty docs emit no row (explode/unnest of an empty
+    // token list) in both engines
+    "oov_tag" -> s"""$VocabCtes,
       probe AS (
-        SELECT source, word, CAST(count(*) AS BIGINT) AS cnt
-        FROM (SELECT source, unnest(t) AS word
-              FROM toks WHERE split = 'test')
-        GROUP BY 1, 2)
-      SELECT p.source,
+        SELECT doc_id, source, word, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT doc_id, source, unnest(t) AS word FROM toks)
+        GROUP BY 1, 2, 3)
+      SELECT p.doc_id, p.source,
              CAST(sum(p.cnt) AS BIGINT) AS tokens_total,
              CAST(sum(CASE WHEN v.word IS NULL THEN p.cnt ELSE 0 END)
-               AS BIGINT) AS tokens_oov,
-             (2 * CAST(sum(CASE WHEN v.word IS NULL THEN p.cnt ELSE 0 END)
-                AS BIGINT) * 1000 + CAST(sum(p.cnt) AS BIGINT))
-               // (2 * CAST(sum(p.cnt) AS BIGINT)) AS oov_mass_milli,
-             CAST(count(*) AS BIGINT) AS types_total,
-             CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
-               AS BIGINT) AS types_oov,
-             (2 * CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
-                AS BIGINT) * 1000 + CAST(count(*) AS BIGINT))
-               // (2 * CAST(count(*) AS BIGINT)) AS oov_types_milli
+               AS BIGINT) AS tokens_oov
       FROM probe p LEFT JOIN vocab v ON p.word = v.word
-      GROUP BY 1""",
+      GROUP BY 1, 2""",
 
     // same grid cross join over per-doc token counts; ceiling division
     // as (nt + w - 1) // w over non-negative BIGINTs; utilization's

@@ -560,6 +560,31 @@ object Streaming {
     docStream.writeStream.foreachBatch(perBatch).start()
   }
 
+  /** Live OOV monitoring against the PERSISTED df-banded vocabulary
+    * ([[graft.text.TextOps.writeVocabIndex]]) — the ingest-drift
+    * monitor in its serving shape (the runDocSimilarProbe posture):
+    * every micro-batch runs the batch per-doc tagger
+    * [[graft.text.TextOps.oovTag]] verbatim — the probe compresses the
+    * batch to per-doc (word, cnt) rows, equijoins the bucketed vocab
+    * with zero index-side Exchange, and emits one (doc_id, source,
+    * tokens_total, tokens_oov) row per arriving document. A doc's
+    * tokens all live in its own row and token masses are ADDITIVE
+    * across docs, so per-micro-batch semantics are EXACT: the emitted
+    * rows over any replay partition sum per source to the batch
+    * [[graft.text.TextOps.vocabCoverageIndexed]] totals
+    * (StreamingSpec proves convergence). An OOV-mass spike on arrival
+    * is the earliest signal of a new domain, language, or extractor
+    * regression — upstream of every quality gate that assumes a known
+    * vocabulary. */
+  def runOovProbe(spark: SparkSession, docStream: DataFrame,
+      vocabTable: String)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => sink(graft.text.TextOps.oovTag(
+        spark, vocabTable, batch.toDF()))
+    docStream.writeStream.foreachBatch(perBatch).start()
+  }
+
   /** Streaming quality-filter scoring — the apply side of the trained
     * NB domain classifier ([[graft.text.TextOps.writeDomainModel]]) in
     * the shape a crawl-filtering fleet runs it: every ARRIVING document

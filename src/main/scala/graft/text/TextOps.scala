@@ -434,19 +434,35 @@ object TextOps {
     * |sources|-sized. Divisors are structurally ≥ 1 (a probe source
     * appears only if it produced a token). */
   def vocabCoverage(d: DataFrame, minDf: Long = 2L,
-      trainSixteenths: Int = 13): DataFrame = {
-    val toks = lowerToks(d).withColumn("split", splitExpr(trainSixteenths))
-    val vocab = toks.filter(col("split") === "train")
+      trainSixteenths: Int = 13): DataFrame =
+    oovRollup(
+      lowerToks(d).filter(splitExpr(trainSixteenths) === "test"),
+      dfBandedVocab(d, minDf, trainSixteenths))
+
+  /** The df-banded train-split vocabulary — ONE derivation shared by
+    * [[vocabCoverage]] (in-plan) and [[writeVocabIndex]] (persisted),
+    * so the two paths cannot drift: distinct (doc, word) over the
+    * train split, document frequency ≥ `minDf`. */
+  private def dfBandedVocab(d: DataFrame, minDf: Long,
+      trainSixteenths: Int): DataFrame =
+    lowerToks(d).filter(splitExpr(trainSixteenths) === "train")
       .select(col("doc_id"), explode(col("toks")).as("word"))
       .distinct()
       .groupBy(col("word")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
-      .select(col("word"), lit(1L).as("known"))
-    toks.filter(col("split") === "test")
+
+  /** The OOV per-source rollup shared by [[vocabCoverage]] and
+    * [[vocabCoverageIndexed]] — the probe compresses to (source, word)
+    * counts BEFORE the vocab equijoin, so the join carries
+    * vocabulary-sized keys, never raw tokens. */
+  private def oovRollup(probeToks: DataFrame,
+      vocab: DataFrame): DataFrame =
+    probeToks
       .select(col("source"), explode(col("toks")).as("word"))
       .groupBy(col("source"), col("word"))
       .agg(count(lit(1)).as("cnt"))
-      .join(vocab, Seq("word"), "left")
+      .join(vocab.select(col("word"), lit(1L).as("known")),
+        Seq("word"), "left")
       .groupBy(col("source"))
       .agg(
         sum(col("cnt")).as("tokens_total"),
@@ -460,7 +476,71 @@ object TextOps {
         col("types_total"), col("types_oov"),
         expr("(2 * types_oov * 1000 + types_total)" +
           " div (2 * types_total)").as("oov_types_milli"))
-  }
+
+  /** Persist the df-banded train-split vocabulary as a bucketed
+    * external table (r17) — the SEVENTH persisted-index family
+    * (postings / IVF vectors / anchors / BPE model / NB model /
+    * chunk grid / doc vectors came before): a real ingest pipeline
+    * freezes the vocabulary once per reference crawl and scores every
+    * incoming batch against the frozen artifact instead of re-deriving
+    * it per query. Bucketed by `word` (the probe join's key — a vocab
+    * beyond broadcast budget still joins with no index-side Exchange);
+    * rebuilds ride [[graft.sources.Staged]] tmp→aside→promote, so a
+    * crash mid-rebuild self-recovers and the live table serves
+    * throughout. */
+  def writeVocabIndex(d: DataFrame, tableName: String, path: String,
+      minDf: Long = 2L, trainSixteenths: Int = 13,
+      buckets: Int = 8): Unit =
+    graft.sources.Staged.commit(d.sparkSession, tableName, path) {
+      (tbl, p) =>
+        dfBandedVocab(d, minDf, trainSixteenths)
+          .repartition(col("word"))
+          .write
+          .option("path", p)
+          .bucketBy(buckets, "word")
+          .sortBy("word")
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .saveAsTable(tbl)
+    }
+
+  /** OOV audit against the PERSISTED vocabulary ([[writeVocabIndex]])
+    * — result-identical to [[vocabCoverage]] when the table was
+    * written from the same corpus and parameters (same split rule,
+    * same df band, same rollup — TextSpec proves row parity), so the
+    * freeze-once/score-per-batch hop is transparent to the result and
+    * the operator keeps the vocab_coverage ORACLE verbatim. */
+  def vocabCoverageIndexed(spark: SparkSession, tableName: String,
+      d: DataFrame, trainSixteenths: Int = 13): DataFrame =
+    oovRollup(
+      lowerToks(d).filter(splitExpr(trainSixteenths) === "test"),
+      spark.table(tableName))
+
+  /** Per-document OOV TAGGER against the persisted vocabulary (r17) —
+    * the row-granular dual of [[vocabCoverageIndexed]] and the batch
+    * scorer [[graft.streaming.Streaming]]'s live OOV monitor replays
+    * per micro-batch: every document (the WHOLE corpus — a tagger
+    * scores everything arriving, not a split) gets its exact token
+    * mass and OOV mass against the frozen vocab. Token masses are
+    * per-doc ADDITIVE (unlike type counts, which dedup across docs —
+    * deliberately absent here), so any partition of the corpus into
+    * batches sums to the same per-source totals: the property that
+    * makes the streaming dual converge exactly. Scale: the corpus
+    * compresses to per-doc (word, cnt) rows before the bucketed-vocab
+    * equijoin; output is one row per document. */
+  def oovTag(spark: SparkSession, tableName: String,
+      d: DataFrame): DataFrame =
+    lowerToks(d)
+      .select(col("doc_id"), col("source"),
+        explode(col("toks")).as("word"))
+      .groupBy(col("doc_id"), col("source"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(spark.table(tableName).select(col("word"),
+        lit(1L).as("known")), Seq("word"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        sum(col("cnt")).as("tokens_total"),
+        sum(when(col("known").isNull, col("cnt")).otherwise(0L))
+          .as("tokens_oov"))
 
   /** Collocation extraction — the per-language PMI DICTIONARY of
     * adjacent word pairs (the "new york" / "machine learning" detector

@@ -849,6 +849,37 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"probe ${got.size} vs batch ${want.size}")
   }
 
+  test("live OOV probe (foreachBatch) converges to batch oovTag and " +
+      "scans the bucketed vocab") {
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+    spark.sql("DROP TABLE IF EXISTS oov_vocab_idx")
+    val idxPath = Files.createTempDirectory("graft_oov_idx")
+      .toString + "/v"
+    graft.text.TextOps.writeVocabIndex(docs, "oov_vocab_idx", idxPath)
+    // the static side of the probe is the BUCKETED vocab scan (the
+    // contamination-probe plan-fence discipline)
+    val batch = graft.text.TextOps.oovTag(spark, "oov_vocab_idx", docs)
+    val p = batch.queryExecution.executedPlan.toString
+    assert(p.contains("Bucketed: true"), p)
+    val dir = Files.createTempDirectory("graft_oov_stream").toString
+    docs.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = Streaming.runOovProbe(spark, stream, "oov_vocab_idx") { b =>
+      val rows = b.collect().map(_.toSeq)
+      buf.synchronized { buf ++= rows }
+    }
+    q.processAllAvailable(); q.stop()
+    // per-doc decisions are a pure function of one row against the
+    // frozen vocab, so ANY replay partition emits the batch row set
+    val got = buf.toSet
+    val want = batch.collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want,
+      s"probe ${got.size} vs batch ${want.size}")
+    assert(buf.size == want.size) // each doc emitted exactly once
+  }
+
   test("closure-based stream duals survive hostile payloads and still converge to batch") {
     import spark.implicits._
     // a corpus with the HostileCorpusSpec pathologies planted next to

@@ -1388,6 +1388,41 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("vocabCoverageIndexed: persisted-vocab probe is row-identical " +
+      "to the in-plan derivation; oovTag masses sum to its totals") {
+    spark.sql("DROP TABLE IF EXISTS vocab_idx_spec")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_vocab_idx_spec").toString + "/v"
+    TextOps.writeVocabIndex(docs, "vocab_idx_spec", path)
+    val direct = TextOps.vocabCoverage(docs).collect()
+      .map(_.toSeq).toSet
+    val probed = TextOps.vocabCoverageIndexed(spark, "vocab_idx_spec",
+      docs).collect().map(_.toSeq).toSet
+    assert(direct.nonEmpty && probed == direct,
+      s"probe ${probed.size} vs direct ${direct.size}")
+    // the per-doc tagger's ADDITIVE masses: summing its test-split rows
+    // per source reproduces the coverage audit's token columns exactly
+    val tagged = TextOps.oovTag(spark, "vocab_idx_spec", docs)
+    val split = TextOps.splitAssign(docs, 13)
+      .select(col("doc_id"), col("split"))
+    val summed = tagged.join(split, Seq("doc_id"))
+      .filter(col("split") === "test")
+      .groupBy(col("source"))
+      .agg(sum(col("tokens_total")).as("tokens_total"),
+        sum(col("tokens_oov")).as("tokens_oov"))
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("tokens_total"), r.getAs[Long]("tokens_oov")))
+      .toMap
+    val cov = TextOps.vocabCoverage(docs).collect()
+    assert(cov.nonEmpty)
+    cov.foreach { r =>
+      val (t, o) = summed(r.getAs[String]("source"))
+      assert(r.getAs[Long]("tokens_total") == t, r.toString)
+      assert(r.getAs[Long]("tokens_oov") == o, r.toString)
+    }
+  }
+
   test("vocabCoverage: df-banded train vocabulary, hand-checked OOV " +
       "mass on planted splits") {
     import spark.implicits._
