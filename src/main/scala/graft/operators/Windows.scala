@@ -330,6 +330,55 @@ object Windows {
           (col("tot").cast("double") * lit(1000000.0))).as("entropy"))
   }
 
+  /** First/last-TOUCH attribution per segment (r17) — the entry/exit
+    * analysis of the journey family ([[eventTransitions]] shows the
+    * edges; this shows where each user's journey STARTS and ENDS, the
+    * view an acquisition/conversion review reads): per segment, the
+    * first- and last-touch space, their timestamps and single-event
+    * values (raw row values, never a float sum — a single double is
+    * engine-identical and hash-safe), plus exact event and space
+    * counts. Argmin/argmax via ONE struct-min/max each over the
+    * (ts_us, event_id) total order (event_id is unique, so the order
+    * is total and the trailing payload fields can never be compared) —
+    * the min_by doctrine, never a window; the oracle runs the
+    * row_number formulation (two-formulation cross-check). Scale: one
+    * map-side-combinable hash agg over the log, shuffled on the
+    * natural segment key; no window means no per-partition sort and
+    * per-group state is O(1), so segment skew cannot spill. */
+  def attribution(named: DataFrame): DataFrame =
+    named.groupBy(col("segment"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("space")).as("n_spaces"),
+        min(struct(col("ts_us"), col("event_id"), col("space"),
+          col("value"))).as("f"),
+        max(struct(col("ts_us"), col("event_id"), col("space"),
+          col("value"))).as("l"))
+      .select(col("segment"), col("n_events"), col("n_spaces"),
+        col("f.space").as("first_space"),
+        col("f.ts_us").as("first_ts_us"),
+        col("f.value").as("first_value"),
+        col("l.space").as("last_space"),
+        col("l.ts_us").as("last_ts_us"),
+        col("l.value").as("last_value"))
+
+  /** The (first_space → last_space) ENTRY/EXIT matrix over
+    * [[attribution]] — which front doors lead to which exits, with
+    * single-touch journeys on the diagonal: segment counts plus the
+    * exact mean journey length as an integer half-up milli (n_events
+    * sums are exact BIGINTs; the cell's segment count is ≥ 1 by
+    * construction). |spaces|²-sized output from one agg over the
+    * segment-sized attribution table; the oracle embeds the
+    * attribution SQL verbatim (the reportBlock discipline). */
+  def attributionMatrix(named: DataFrame): DataFrame =
+    attribution(named)
+      .groupBy(col("first_space"), col("last_space"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(col("n_events")).as("n_events"))
+      .withColumn("mean_len_milli",
+        expr("(2 * n_events * 1000 + n_segments) div (2 * n_segments)"))
+
   /** Cohort retention matrix — the activation-analytics dual of
     * [[funnel]]: each segment (user) belongs to the cohort of its first
     * active day; output counts, per (cohort_day, day_offset), the

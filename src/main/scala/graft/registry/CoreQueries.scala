@@ -164,6 +164,15 @@ object CoreQueries {
     // half-up mean, no doubles anywhere
     "interarrival_stats" -> ((s, d) =>
       Windows.interarrivalStats(EventLog.named(s, d))),
+    // first/last-touch attribution per segment: entry/exit space +
+    // single-event values via one struct-min/max over the (ts_us,
+    // event_id) total order — never a window (oracle runs row_number)
+    "touch_attribution" -> ((s, d) =>
+      Windows.attribution(EventLog.named(s, d))),
+    // the (first_space, last_space) entry/exit matrix over attribution;
+    // oracle embeds the attribution SQL verbatim
+    "touch_matrix" -> ((s, d) =>
+      Windows.attributionMatrix(EventLog.named(s, d))),
     // era-over-era matrix drift: all-integer cross-multiplied share
     // predicate, absent edges as true zeros
     "transition_drift" -> ((s, d) =>
@@ -226,6 +235,29 @@ object CoreQueries {
   )
 
   private val E = EventLog.CTE
+
+  /** The touch_attribution derivation, named because touch_matrix
+    * embeds it verbatim (the reportBlock discipline). */
+  private val AttributionSql = s"""$E,
+      ranked AS (
+        SELECT segment, space, ts_us, value,
+               row_number() OVER (PARTITION BY segment
+                 ORDER BY ts_us, event_id) AS rna,
+               row_number() OVER (PARTITION BY segment
+                 ORDER BY ts_us DESC, event_id DESC) AS rnd
+        FROM entries),
+      agg AS (
+        SELECT segment, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT space) AS BIGINT) AS n_spaces
+        FROM entries GROUP BY 1)
+      SELECT a.segment, a.n_events, a.n_spaces,
+             f.space AS first_space, f.ts_us AS first_ts_us,
+             f.value AS first_value,
+             l.space AS last_space, l.ts_us AS last_ts_us,
+             l.value AS last_value
+      FROM agg a
+      JOIN (SELECT * FROM ranked WHERE rna = 1) f USING (segment)
+      JOIN (SELECT * FROM ranked WHERE rnd = 1) l USING (segment)"""
 
   /** The win_session derivation, named because session_stats embeds it
     * verbatim (the reportBlock discipline). */
@@ -729,6 +761,23 @@ object CoreQueries {
              (2 * CAST(sum(d) AS BIGINT) + CAST(count(*) AS BIGINT)) //
                (2 * CAST(count(*) AS BIGINT)) AS mean_gap_us
       FROM g WHERE d IS NOT NULL GROUP BY 1""",
+
+    // two-formulation attribution: engine runs struct-min/max over the
+    // (ts_us, event_id) total order, the oracle the row_number windows;
+    // first/last values are raw single-event doubles (never a sum)
+    "touch_attribution" -> AttributionSql,
+
+    // the attribution derivation embedded verbatim; mean journey length
+    // as the integer half-up milli over exact BIGINTs
+    "touch_matrix" -> s"""
+      WITH a AS ($AttributionSql)
+      SELECT first_space, last_space,
+             CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(sum(n_events) AS BIGINT) AS n_events,
+             (2 * CAST(sum(n_events) AS BIGINT) * 1000 +
+               CAST(count(*) AS BIGINT)) //
+               (2 * CAST(count(*) AS BIGINT)) AS mean_len_milli
+      FROM a GROUP BY 1, 2""",
 
     // matrix embedded verbatim; ln ALONE snapped to the 1e-6 grid
     // before composing (r13 ADVICE), entropy = −Σ n·ln_micro / (tot·1e6)

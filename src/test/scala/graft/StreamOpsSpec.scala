@@ -154,6 +154,46 @@ class StreamOpsSpec extends SparkSpec {
       ("b", "a") -> ((1L, 1000L))))
   }
 
+  test("attribution: first/last touch with event_id tie-break; matrix " +
+      "rolls up entry/exit pairs with integer milli mean length") {
+    import spark.implicits._
+    import graft.operators.Windows
+    // u1 walks a→b/a(tie at 20, id order)→c; u2 is a single-touch c
+    // (matrix diagonal); u3 has BOTH touches on a ts tie at 10 — the
+    // unique event_id decides first = b (id 6), last = a (id 7)
+    val named = Seq(
+      ("a", "u1", 10L, 1L, 5.0), ("b", "u1", 20L, 2L, 1.5),
+      ("a", "u1", 20L, 3L, 2.5), ("c", "u1", 30L, 4L, 0.25),
+      ("c", "u2", 10L, 5L, 1.0),
+      ("b", "u3", 10L, 6L, 2.0), ("a", "u3", 10L, 7L, 3.0),
+    ).toDF("space", "segment", "ts_us", "event_id", "value")
+    val got = Windows.attribution(named).collect()
+      .map(r => r.getAs[String]("segment") -> r).toMap
+    val u1 = got("u1")
+    assert(u1.getAs[Long]("n_events") == 4L)
+    assert(u1.getAs[Long]("n_spaces") == 3L)
+    assert(u1.getAs[String]("first_space") == "a")
+    assert(u1.getAs[Long]("first_ts_us") == 10L)
+    assert(u1.getAs[Double]("first_value") == 5.0)
+    assert(u1.getAs[String]("last_space") == "c")
+    assert(u1.getAs[Double]("last_value") == 0.25)
+    val u2 = got("u2")
+    assert(u2.getAs[String]("first_space") == "c" &&
+      u2.getAs[String]("last_space") == "c")
+    val u3 = got("u3")
+    assert(u3.getAs[String]("first_space") == "b", u3.toString)
+    assert(u3.getAs[String]("last_space") == "a", u3.toString)
+    val m = Windows.attributionMatrix(named).collect()
+      .map(r => (r.getAs[String]("first_space"),
+        r.getAs[String]("last_space")) ->
+        (r.getAs[Long]("n_segments"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("mean_len_milli"))).toMap
+    assert(m == Map(
+      ("a", "c") -> ((1L, 4L, 4000L)),
+      ("c", "c") -> ((1L, 1L, 1000L)),
+      ("b", "a") -> ((1L, 2L, 2000L))))
+  }
+
   test("transitionDrift: a rerouted edge flags in both directions, stable " +
       "edges and baseline-free spaces stay silent") {
     import spark.implicits._
