@@ -24,7 +24,8 @@ object Bench {
       "contamination_semantic_ivf", "contamination_semantic_ivf_audit",
       "contamination_report_ivf", "domain_classifier_persisted",
       "knn_recall_audit_quantized", "knn_label_prop_ivf",
-      "doc_similar_persisted")
+      "doc_similar_persisted", "triplet_mine_ivf",
+      "vocab_coverage_persisted", "oov_tag")
 
   private def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()

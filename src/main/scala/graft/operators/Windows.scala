@@ -342,9 +342,14 @@ object Windows {
     * is total and the trailing payload fields can never be compared) —
     * the min_by doctrine, never a window; the oracle runs the
     * row_number formulation (two-formulation cross-check). Scale: one
-    * map-side-combinable hash agg over the log, shuffled on the
-    * natural segment key; no window means no per-partition sort and
-    * per-group state is O(1), so segment skew cannot spill. */
+    * map-side-combinable agg over the log — the combine ships ONE row
+    * per segment per input partition, where the window formulation
+    * would shuffle EVERY raw event on segment and then sort each
+    * segment's event list; per-group state is O(1), so segment skew
+    * cannot spill. (A struct min/max buffer is not fixed-width, so
+    * Spark plans SortAggregate — the sort is partition-local CPU over
+    * already-combined rows, not a per-key sort of the log; PlanSpec
+    * pins the no-Window, partial-before-Exchange shape.) */
   def attribution(named: DataFrame): DataFrame =
     named.groupBy(col("segment"))
       .agg(

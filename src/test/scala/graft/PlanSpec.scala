@@ -346,6 +346,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Sort "), p)
   }
 
+  test("touch_attribution: map-side-combined aggregate, never a window") {
+    val named = graft.sources.EventLog.named(spark, SF)
+    val p = plan(graft.operators.Windows.attribution(named))
+    // the scale claim: the struct-min/max agg combines BEFORE the
+    // shuffle (one row per segment per partition crosses the wire),
+    // where the row_number window formulation would shuffle every raw
+    // event on segment and sort each segment's event list; the
+    // SortAggregate's partition-local sort over already-combined rows
+    // is the accepted price of a struct buffer
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_min"), p)
+    // the partial agg must appear BELOW the segment Exchange
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(segment")
+    assert(exchangeIdx >= 0, p)
+    assert(p.indexOf("partial_min", exchangeIdx) >= 0, p)
+  }
+
   test("budget_cut windows run over the aggregated grid only, never doc rows") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val docs = graft.text.TextOps.docs(spark, SF)
