@@ -767,6 +767,14 @@ object PipelineQueries {
     // the raw -> dedup -> budget release funnel per source
     "selection_report" -> ((s, d) =>
       TextOps.selectionReport(docs(s, d), BudgetTokens)),
+    // per-source RELATIVE quality gate: keep the top keepMilli‰ of
+    // each source — whole quarters above the boundary, the boundary
+    // quarter sub-split by the salted md5 draw at the exact ceil
+    // threshold; all-integer decision over the corpus-independent
+    // (source, q4) grid
+    "quality_cut" -> ((s, d) => TextOps.qualityCut(docs(s, d))),
+    // target-vs-realized accounting; oracle embeds the cut verbatim
+    "quality_cut_audit" -> ((s, d) => TextOps.qualityCutAudit(docs(s, d))),
     // novelty signal: fraction of a doc's distinct word 5-grams whose
     // first corpus occurrence (min doc_id) is this doc
     "doc_novelty" -> ((s, d) => TextOps.docNovelty(docs(s, d))),
@@ -1254,6 +1262,51 @@ object PipelineQueries {
                         AND b.hex4 = p.hex4"""
 
   private val BudgetCutSql = budgetCutSqlFrom("documents")
+
+  /** quality_cut's keep fraction in milli — interpolated into the
+    * oracle AND passed as the engine default. */
+  private val KeepMilli = 400L
+
+  /** The quality_cut derivation (per-source quarter prefix + boundary
+    * sub-split at the exact ceil threshold), named because
+    * quality_cut_audit embeds it verbatim (the reportBlock
+    * discipline). CASE branch ORDER mirrors the engine's when-chain
+    * exactly: the ceil division only ever evaluates on a positive
+    * deficit strictly under cnt, so integer-division sign semantics
+    * never differ between engines. */
+  private val QualityCutSql = s"""$Q4Ctes,
+      b AS (
+        SELECT doc_id, source, q4,
+               substr(md5(concat_ws(':', CAST(doc_id AS VARCHAR),
+                 'qcut')), 1, 4) AS hex4
+        FROM q),
+      grid AS (
+        SELECT source, q4, CAST(count(*) AS BIGINT) AS cnt
+        FROM b GROUP BY 1, 2),
+      pref AS (
+        SELECT source, q4, cnt,
+               CAST(coalesce(sum(cnt) OVER (PARTITION BY source
+                 ORDER BY q4 DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_before
+        FROM grid),
+      tot AS (
+        SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs
+        FROM grid GROUP BY 1),
+      dec AS (
+        SELECT p.source, p.q4, p.cnt,
+               (t.n_docs * $KeepMilli) // 1000 - p.cum_before AS deficit
+        FROM pref p JOIN tot t USING (source))
+      SELECT b.doc_id, b.source, b.q4,
+             CAST(CASE
+               WHEN d.deficit <= 0 THEN 0
+               WHEN d.deficit >= d.cnt THEN 1
+               WHEN ((d.deficit * 65536 + d.cnt - 1) // d.cnt) >= 65536
+                 THEN 1
+               WHEN b.hex4 < printf('%04x',
+                 (d.deficit * 65536 + d.cnt - 1) // d.cnt) THEN 1
+               ELSE 0 END AS BIGINT) AS kept
+      FROM b JOIN dec d ON b.source = d.source AND b.q4 = d.q4"""
 
   /** Global exact-dedup keeper corpus (the Dedup.exact election rule:
     * min doc_id per digest, corpus-wide) as an embeddable relation. */
@@ -2442,6 +2495,21 @@ object PipelineQueries {
     // indicators over the grid-prefix boundaries (// = DuckDB integer
     // division, mirroring Spark's div); no doubles anywhere
     "budget_cut" -> BudgetCutSql,
+
+    "quality_cut" -> QualityCutSql,
+
+    // the cut embedded verbatim; integer target + half-up milli share
+    "quality_cut_audit" -> s"""
+      WITH c AS ($QualityCutSql)
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             (CAST(count(*) AS BIGINT) * $KeepMilli) // 1000
+               AS target_keep,
+             CAST(sum(kept) AS BIGINT) AS n_kept,
+             (2 * CAST(sum(kept) AS BIGINT) * 1000 +
+               CAST(count(*) AS BIGINT)) //
+               (2 * CAST(count(*) AS BIGINT)) AS kept_milli
+      FROM c GROUP BY 1""",
 
     // composition-only rollup: the member derivation embedded verbatim
     "budget_audit" -> s"""

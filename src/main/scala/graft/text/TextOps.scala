@@ -1277,6 +1277,73 @@ object TextOps {
       .select("doc_id", "q4", "phase")
   }
 
+  /** Per-source RELATIVE quality gate (r17) — "keep the top X‰ of
+    * each source by quality", the per-source percentile cut a curation
+    * run applies when absolute quality thresholds would empty weak
+    * sources and barely touch strong ones (the complement of
+    * [[budgetCut]]'s absolute token ceiling): every doc gets a kept
+    * 0/1 decision; whole quarters above the per-source boundary are
+    * kept, below dropped, and the BOUNDARY quarter is sub-split
+    * doc-granularly by the salted 16-bit md5 draw at the exact ceil
+    * threshold (the [[assignPhases]] machinery, re-derived per
+    * source), so the realized kept count tracks target = (n_docs ·
+    * keepMilli) div 1000 to md5-uniformity precision instead of a
+    * whole quarter. All-integer decision (grid counts, prefix sums,
+    * one ceil division, a 4-hex-char compare); the tp ≥ 65536 branch
+    * keeps the whole group rather than comparing against the 5-char
+    * '10000' (the format_string trap). Deterministic pure function of
+    * the (doc_id, source, q4) set — partition- and engine-stable.
+    *
+    * Scale: the corpus is touched by two stateless passes (score+hash,
+    * decide); the only window runs over the (source, q4) GRID —
+    * ≤ 5·|sources| rows, corpus-independent — eagerly checkpointed for
+    * its two consumers; the decision join is a broadcast equijoin
+    * against that grid. */
+  def qualityCut(d: DataFrame, keepMilli: Long = 400L): DataFrame = {
+    require(keepMilli >= 1L && keepMilli <= 999L,
+      s"keepMilli must be in [1, 999], got $keepMilli")
+    val scored = scoredQ4Full(d)
+      .withColumn("hex4", substring(md5(concat_ws(":",
+        col("doc_id").cast("string"), lit("qcut"))), 1, 4))
+    val grid = scored.groupBy(col("source"), col("q4"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // 2 consumers: prefix + per-source total
+    val w = Window.partitionBy("source").orderBy(col("q4").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pref = grid.withColumn("cum_before",
+      coalesce(sum(col("cnt")).over(w), lit(0L)))
+    val tot = grid.groupBy(col("source")).agg(sum(col("cnt")).as("n_docs"))
+    val dec = pref.join(tot, "source")
+      .withColumn("deficit",
+        expr(s"(n_docs * $keepMilli) div 1000") - col("cum_before"))
+      .withColumn("tp",
+        expr("(deficit * 65536 + cnt - 1) div cnt"))
+      .select("source", "q4", "cnt", "deficit", "tp")
+    scored.join(broadcast(dec), Seq("source", "q4"))
+      .withColumn("kept",
+        when(col("deficit") <= 0L, 0L)
+          .when(col("deficit") >= col("cnt"), 1L)
+          .when(col("tp") >= 65536L, 1L)
+          .when(col("hex4") < format_string("%04x", col("tp")), 1L)
+          .otherwise(0L))
+      .select("doc_id", "source", "q4", "kept")
+  }
+
+  /** Per-source accounting for [[qualityCut]] (the lsh_bucket_audit
+    * discipline): docs, integer target, realized kept count and its
+    * half-up milli share — the target-vs-realized delta is the
+    * md5-uniformity slack a pipeline alerts on. Oracle embeds the cut
+    * SQL verbatim. */
+  def qualityCutAudit(d: DataFrame, keepMilli: Long = 400L): DataFrame =
+    qualityCut(d, keepMilli)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"))
+      .select(col("source"), col("n_docs"),
+        expr(s"(n_docs * $keepMilli) div 1000").as("target_keep"),
+        col("n_kept"),
+        expr("(2 * n_kept * 1000 + n_docs) div (2 * n_docs)")
+          .as("kept_milli"))
+
   /** Token-BUDGET data selection — keep the highest-quality slice of
     * each source under a hard per-source token budget (the "select the
     * best N tokens" step of a data-constrained training run, the

@@ -1388,6 +1388,47 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("qualityCut: boundary sub-split matches the md5 rule exactly on " +
+      "a single-group corpus; real corpus keeps whole bands above the " +
+      "boundary") {
+    import spark.implicits._
+    def hex4(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:qcut".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+    // every doc scores the identical q4 → ONE group per source: the
+    // decision is pure boundary sub-split at tp = ceil(target·2^16/n)
+    val planted = (0L until 50L).map(id =>
+      (id, "x y z", "en", if (id < 30) "s0" else "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextOps.qualityCut(planted, keepMilli = 400L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("kept")).toMap
+    assert(got.size == 50)
+    def expectKept(ids: Seq[Long]): Map[Long, Long] = {
+      val n = ids.length.toLong
+      val target = n * 400L / 1000L
+      val tp = (target * 65536L + n - 1L) / n
+      val bound = "%04x".format(tp)
+      ids.map(id => id -> (if (hex4(id) < bound) 1L else 0L)).toMap
+    }
+    val want = expectKept(0L until 30L) ++ expectKept(30L until 50L)
+    assert(got == want, s"diff=${got.toSet -- want.toSet}")
+    // real corpus: per source at most ONE mixed quarter; every quarter
+    // above it fully kept, below fully dropped (band monotonicity)
+    val rows = TextOps.qualityCut(docs).collect()
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val byQ = rs.groupBy(_.getAs[Long]("q4")).toSeq.sortBy(-_._1)
+      val states = byQ.map { case (q, g) =>
+        val k = g.count(_.getAs[Long]("kept") == 1L)
+        (q, if (k == g.length) "all" else if (k == 0) "none" else "mixed")
+      }
+      assert(states.count(_._2 == "mixed") <= 1, s"$src: $states")
+      // once a band is not fully kept, no lower band keeps anything
+      val afterBreak = states.dropWhile(_._2 == "all").drop(1)
+      assert(afterBreak.forall(_._2 == "none"), s"$src: $states")
+    }
+  }
+
   test("vocabCoverageIndexed: persisted-vocab probe is row-identical " +
       "to the in-plan derivation; oovTag masses sum to its totals") {
     spark.sql("DROP TABLE IF EXISTS vocab_idx_spec")
