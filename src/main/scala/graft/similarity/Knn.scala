@@ -501,17 +501,49 @@ object Knn {
       nprobe: Int = 2): DataFrame = {
     require(anchorMod >= 2L, s"anchorMod must be >= 2, got $anchorMod")
     val isAnchor = col("vec_id") % lit(anchorMod) === lit(0L)
-    val scored = probeScoredBy(spark, e, tableName, path, !isAnchor,
-      nlist, buckets, nprobe)
-      // recover the exact e4 integer from the displayed 4-decimal
-      // score: n/1e4 → ×1e4 can be one ulp off, floor(+0.5) repairs it
-      .select(col("probe_vec").as("anchor_id"),
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    val centroids = writeIvfIndexQuantized(e.filter(!isAnchor), tableName,
+      path, nlist, buckets)
+    tripletProbe(spark, tableName, centroids,
+      e.select(col("vec_id"), col("label")), e.filter(isAnchor),
+      marginE4, nprobe)
+  }
+
+  /** The probe-only half of [[tripletMineIvf]] — mine triplets for a
+    * QUERY batch against an ALREADY-BUILT quantized index (the
+    * searchIvfIndexQuantized posture): anchors rank the float centroid
+    * table for their nprobe nearest lists, meet the bucketed code
+    * lists in a c_id equijoin, score with the integer e4 chain, pick
+    * up candidate labels through one thin key equijoin, and feed the
+    * SAME [[tripletRollup]]. Separated from the build so the live
+    * miner ([[graft.streaming.Streaming]]'s triplet probe) can replay
+    * it per micro-batch against the frozen artifacts — each anchor's
+    * triplet is a pure function of its own row against the index, so
+    * per-batch semantics are exact. */
+  def tripletProbe(spark: SparkSession, tableName: String,
+      centroids: DataFrame, labels: DataFrame, queries: DataFrame,
+      marginE4: Long = 500L, nprobe: Int = 2): DataFrame = {
+    val probeW = Window.partitionBy("anchor_id")
+      .orderBy(col("d"), col("c_id"))
+    val probes = quantize(queries).filter(col("qnrm") > lit(0.0))
+      .select(col("vec_id").as("anchor_id"),
+        col("label").as("anchor_label"), col("v"), col("nrm"),
+        col("qv").as("sqv"), col("qnrm").as("snrm"))
+      .crossJoin(broadcast(withCnrm2(centroids)))
+      .withColumn("d", sqDist)
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("anchor_id"), col("anchor_label"), col("sqv"),
+        col("snrm"), col("c_id"))
+    val scored = probes
+      .join(spark.table(tableName).filter(col("qnrm") > lit(0.0)),
+        Seq("c_id"))
+      .select(col("anchor_id"), col("anchor_label"),
         col("vec_id").as("cand_id"),
-        floor(col("score") * lit(10000.0) + lit(0.5)).cast("long")
-          .as("score_e4"))
-      .join(e.select(col("vec_id").as("anchor_id"),
-        col("label").as("anchor_label")), Seq("anchor_id"))
-      .join(e.select(col("vec_id").as("cand_id"),
+        floor(graft.functions.ByteDot(col("qv"), col("sqv")).cast("double")
+            * lit(10000.0) / (col("qnrm") * col("snrm")) + lit(0.5))
+          .cast("long").as("score_e4"))
+      .join(labels.select(col("vec_id").as("cand_id"),
         col("label").as("cand_label")), Seq("cand_id"))
       .select(col("anchor_id"), col("anchor_label"), col("cand_id"),
         (col("cand_label") === col("anchor_label")).as("same"),

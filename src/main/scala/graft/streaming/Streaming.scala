@@ -585,6 +585,30 @@ object Streaming {
     docStream.writeStream.foreachBatch(perBatch).start()
   }
 
+  /** LIVE hard-triplet mining — contrastive curation running DURING
+    * embedding ingest (the runDocSimilarProbe posture): every arriving
+    * labeled vector is an anchor; each micro-batch replays the batch
+    * probe [[graft.similarity.Knn.tripletProbe]] VERBATIM against the
+    * frozen quantized IVF index, the frozen float centroid table, and
+    * the frozen label map, emitting the same per-anchor (hardest
+    * positive, hardest negative, margin, is_hard) row the batch miner
+    * produces. An anchor's triplet is a pure function of its own row
+    * against the frozen artifacts (anchors never interact), so
+    * per-micro-batch semantics are EXACT and any replay partition
+    * emits the batch row set (StreamingSpec proves set equality). The
+    * is_hard emits are what feed a curriculum buffer while the crawl
+    * is still running. */
+  def runTripletProbe(spark: SparkSession, vecStream: DataFrame,
+      indexTable: String, centroidsTable: String, labelsTable: String,
+      marginE4: Long = 500L, nprobe: Int = 2)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => sink(graft.similarity.Knn.tripletProbe(spark,
+        indexTable, spark.table(centroidsTable),
+        spark.table(labelsTable), batch.toDF(), marginE4, nprobe))
+    vecStream.writeStream.foreachBatch(perBatch).start()
+  }
+
   /** Streaming quality-filter scoring — the apply side of the trained
     * NB domain classifier ([[graft.text.TextOps.writeDomainModel]]) in
     * the shape a crawl-filtering fleet runs it: every ARRIVING document
@@ -771,6 +795,22 @@ object Streaming {
       decisionsTable: String, salt: String = "budget"): DataFrame =
     graft.text.TextOps.applyBudget(
       graft.text.TextOps.budgetScored(docStream, salt),
+      broadcast(spark.table(decisionsTable)))
+
+  /** Streaming QUALITY GATE — the live front of
+    * [[graft.text.TextOps.qualityCut]] (the budgetGateStream posture):
+    * each arriving doc is scored (the SAME stateless qualityCutScored
+    * pass) and admitted against the FROZEN per-source decision grid
+    * via the SAME applyQualityGate join — kept is a pure integer
+    * function of (doc_id, source, q4) and the frozen grid, so the
+    * emitted rows over any replay partition equal the batch cut
+    * row-for-row (spec-proven). The grid is ≤ 5·|sources| rows
+    * (corpus-independent), broadcast per the one-definition
+    * discipline; stateless append mode. */
+  def qualityGateStream(spark: SparkSession, docStream: DataFrame,
+      decisionsTable: String): DataFrame =
+    graft.text.TextOps.applyQualityGate(
+      graft.text.TextOps.qualityCutScored(docStream),
       broadcast(spark.table(decisionsTable)))
 
   /** Streaming PHRASE-DENSITY tagger — the live dual of

@@ -1299,13 +1299,26 @@ object TextOps {
     * ≤ 5·|sources| rows, corpus-independent — eagerly checkpointed for
     * its two consumers; the decision join is a broadcast equijoin
     * against that grid. */
-  def qualityCut(d: DataFrame, keepMilli: Long = 400L): DataFrame = {
-    require(keepMilli >= 1L && keepMilli <= 999L,
-      s"keepMilli must be in [1, 999], got $keepMilli")
-    val scored = scoredQ4Full(d)
+  def qualityCut(d: DataFrame, keepMilli: Long = 400L): DataFrame =
+    applyQualityGate(qualityCutScored(d),
+      broadcast(qualityDecisions(d, keepMilli)))
+
+  /** The per-row score+hash pass — stateless pure expressions only, so
+    * it applies to a STREAM of documents unchanged (the budgetScored
+    * convention; one definition with the decision build). */
+  private[graft] def qualityCutScored(d: DataFrame): DataFrame =
+    scoredQ4Full(d)
       .withColumn("hex4", substring(md5(concat_ws(":",
         col("doc_id").cast("string"), lit("qcut"))), 1, 4))
-    val grid = scored.groupBy(col("source"), col("q4"))
+
+  /** The frozen per-source decision grid ((source, q4) → cnt, deficit,
+    * ceil threshold) — the artifact a live gate scores against (the
+    * budgetDecisions posture): ≤ 5·|sources| rows, corpus-independent,
+    * checkpointed once for its prefix and total consumers. */
+  def qualityDecisions(d: DataFrame, keepMilli: Long = 400L): DataFrame = {
+    require(keepMilli >= 1L && keepMilli <= 999L,
+      s"keepMilli must be in [1, 999], got $keepMilli")
+    val grid = qualityCutScored(d).groupBy(col("source"), col("q4"))
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true) // 2 consumers: prefix + per-source total
     val w = Window.partitionBy("source").orderBy(col("q4").desc)
@@ -1313,13 +1326,22 @@ object TextOps {
     val pref = grid.withColumn("cum_before",
       coalesce(sum(col("cnt")).over(w), lit(0L)))
     val tot = grid.groupBy(col("source")).agg(sum(col("cnt")).as("n_docs"))
-    val dec = pref.join(tot, "source")
+    pref.join(tot, "source")
       .withColumn("deficit",
         expr(s"(n_docs * $keepMilli) div 1000") - col("cum_before"))
       .withColumn("tp",
         expr("(deficit * 65536 + cnt - 1) div cnt"))
       .select("source", "q4", "cnt", "deficit", "tp")
-    scored.join(broadcast(dec), Seq("source", "q4"))
+  }
+
+  /** The gate decision — a stateless equijoin + when-chain against a
+    * (frozen) decision grid, shared verbatim by the batch operator and
+    * the streaming gate (the applyBudget posture). Branch order is
+    * load-bearing: the ceil threshold only ever decides on a positive
+    * deficit strictly under cnt (the oracle mirrors the CASE order). */
+  private[graft] def applyQualityGate(scored: DataFrame,
+      decisions: DataFrame): DataFrame =
+    scored.join(decisions, Seq("source", "q4"))
       .withColumn("kept",
         when(col("deficit") <= 0L, 0L)
           .when(col("deficit") >= col("cnt"), 1L)
@@ -1327,7 +1349,6 @@ object TextOps {
           .when(col("hex4") < format_string("%04x", col("tp")), 1L)
           .otherwise(0L))
       .select("doc_id", "source", "q4", "kept")
-  }
 
   /** Per-source accounting for [[qualityCut]] (the lsh_bucket_audit
     * discipline): docs, integer target, realized kept count and its

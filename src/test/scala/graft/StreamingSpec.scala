@@ -279,6 +279,28 @@ class StreamingSpec extends SparkSpec {
     assert(want.exists(_.last == 0L) && want.exists(_.last == 1L))
   }
 
+  test("streaming quality gate equals the batch cut exactly") {
+    val docs = graft.text.TextOps.docs(spark, SF)
+    // freeze the per-source decision grid (corpus-independent size)
+    val dec = graft.text.TextOps.qualityDecisions(docs, 400L)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(dec.collect().toSeq.asJava, dec.schema)
+      .createOrReplaceTempView("qcut_dec")
+    val dir = Files.createTempDirectory("graft_qcut_stream").toString
+    docs.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    runToCompletion(Streaming.qualityGateStream(spark, stream,
+      "qcut_dec"), "qcut_stream", "append")
+    val got = spark.table("qcut_stream").collect().map(_.toSeq).toSet
+    val want = graft.text.TextOps.qualityCut(docs, 400L)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want,
+      s"stream ${got.size} vs batch ${want.size}")
+    // the gate actually splits at this keep fraction
+    assert(want.exists(_.last == 0L) && want.exists(_.last == 1L))
+  }
+
   test("streaming phrase density equals the batch tagger exactly") {
     val docs = graft.text.TextOps.docs(spark, SF)
     // freeze the collocation dictionary (the serving artifact)
@@ -847,6 +869,49 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(want.nonEmpty, "no cross-split contamination in the corpus")
     assert(got == want, s"probe ${got.size} vs batch ${want.size}")
+  }
+
+  test("live triplet probe (foreachBatch) equals the batch miner over " +
+      "the frozen index") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val planted = (0L to 60L).map(id => (id, (id % 5).toInt,
+      Seq.fill(8)(rnd.nextDouble() - 0.5)))
+      .toDF("vec_id", "label", "v")
+      .withColumn("nrm",
+        sqrt(graft.functions.DotProduct(col("v"), col("v"))))
+    val isAnchor = col("vec_id") % 25L === 0L
+    spark.sql("DROP TABLE IF EXISTS triplet_probe_idx")
+    val idxPath = Files.createTempDirectory("graft_triplet_pidx")
+      .toString + "/v"
+    val centroids = graft.similarity.Knn.writeIvfIndexQuantized(
+      planted.filter(!isAnchor), "triplet_probe_idx", idxPath,
+      nlist = 4, buckets = 2)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(centroids.collect().toSeq.asJava,
+      centroids.schema).createOrReplaceTempView("triplet_cents")
+    planted.select("vec_id", "label")
+      .createOrReplaceTempView("triplet_labels")
+    val anchors = planted.filter(isAnchor)
+    val dir = Files.createTempDirectory("graft_triplet_stream").toString
+    anchors.repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(anchors.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = Streaming.runTripletProbe(spark, stream, "triplet_probe_idx",
+        "triplet_cents", "triplet_labels", nprobe = 4) { b =>
+      val rows = b.collect().map(_.toSeq)
+      buf.synchronized { buf ++= rows }
+    }
+    q.processAllAvailable(); q.stop()
+    val got = buf.toSet
+    val want = graft.similarity.Knn.tripletProbe(spark,
+        "triplet_probe_idx", spark.table("triplet_cents"),
+        spark.table("triplet_labels"), anchors, nprobe = 4)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want,
+      s"probe ${got.size} vs batch ${want.size}")
+    assert(buf.size == want.size) // each anchor mined exactly once
   }
 
   test("live OOV probe (foreachBatch) converges to batch oovTag and " +
