@@ -494,12 +494,12 @@ object PipelineQueries {
         FROM sym)
       WHERE rnk <= 5"""
 
-  private val Bm25OracleSql = """
+  private def bm25SqlFrom(rel: String) = s"""
       WITH t AS (
         SELECT doc_id,
                list_filter(string_split(lower(text), ' '), x -> x <> '')
                  AS toks
-        FROM documents),
+        FROM $rel),
       dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
       sc AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
                     CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
@@ -529,6 +529,28 @@ object PipelineQueries {
              CAST((CAST(sum(micro) AS BIGINT) + 50) // 100 AS DOUBLE) /
                10000.0::DOUBLE AS score
       FROM contrib GROUP BY doc_id"""
+
+  private val Bm25OracleSql = bm25SqlFrom("documents")
+
+  /** The chunk-corpus relation (one row per (doc, chunk) with the
+    * composite id doc_id·2²⁰ + chunk_idx and the chunk's own text) —
+    * the chunkCorpus derivation as an embeddable relation, so
+    * chunk_search instantiates the SAME bm25 SQL over it (the
+    * parameterized-CTE discipline). */
+  private val ChunkCorpusRel = """(
+      SELECT doc_id * 1048576 + chunk_idx AS doc_id,
+             array_to_string(list_slice(words,
+               chunk_idx * 32 + 1, chunk_idx * 32 + 32), ' ') AS text
+      FROM (
+        SELECT doc_id, words, n_words,
+               unnest(generate_series(0, (n_words - 1) // 32)) AS chunk_idx
+        FROM (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS words,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   x -> x <> '')) AS BIGINT) AS n_words
+          FROM documents)
+        WHERE n_words > 0))"""
 
   val queries: Map[String, Q] = Map(
     // ── E. dedup ──────────────────────────────────────────────────────
@@ -1055,6 +1077,13 @@ object PipelineQueries {
     // between whole-doc dedup and substring anchors); pure integer grid
     // + md5 arithmetic, so chunk identity is engine-exact
     "chunk_assign" -> ((s, d) => graft.text.Chunks.chunkAssign(docs(s, d))),
+    // passage-granular BM25: the chunk-corpus relation fed to the SAME
+    // bm25 scorer verbatim (per-chunk length normalization — a long doc
+    // can't drown its one matching passage); composite id decoded back
+    // to (doc_id, chunk_idx); oracle = the bm25 SQL instantiated over
+    // the chunk relation
+    "chunk_search" -> ((s, d) => graft.text.Chunks.chunkSearch(
+      docs(s, d), Seq("vector", "stream", "window", "hash"))),
     // chunk-granular dedup (the C4 repeated-lines recipe on the window
     // grid): one keeper per distinct window content corpus-wide — the
     // lexicographic-min (doc_id, chunk_idx) rule, so intra-doc repeats
@@ -2014,6 +2043,15 @@ object PipelineQueries {
     // contributions rounded to integer micro-units BEFORE the per-doc
     // sum so the sum is exact integer arithmetic
     "text_search_bm25" -> Bm25OracleSql,
+
+    // the bm25 SQL over the chunk relation; the outer select decodes
+    // the composite id with one div/mod (pure integer, both engines)
+    "chunk_search" -> s"""
+      WITH b AS (${bm25SqlFrom(ChunkCorpusRel)})
+      SELECT doc_id // 1048576 AS doc_id,
+             doc_id % 1048576 AS chunk_idx,
+             n_terms_matched, score
+      FROM b""",
     // the persisted-index probe is result-identical to the ad-hoc BM25
     // (df/tf/dl round-trip the index exactly) — same oracle
     "text_search_indexed" -> Bm25OracleSql,

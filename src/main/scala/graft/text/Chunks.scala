@@ -81,6 +81,70 @@ object Chunks {
           .saveAsTable(tbl)
     }
 
+  /** The maximum chunks one document may hold under the composite
+    * chunk id ([[chunkCorpus]]): 2²⁰ chunks × width-32 words ≈ 33M
+    * words per doc — far past any real document; the bound is ENFORCED
+    * in-plan (the momentGuard posture), never silently wrapped. */
+  private[graft] val MaxChunksPerDoc = 1L << 20
+
+  /** One row per (doc, chunk) carrying the chunk's TEXT and a single
+    * composite id `doc_id · 2²⁰ + chunk_idx` (r17) — the relation that
+    * lets any doc-keyed text operator run at PASSAGE granularity
+    * unchanged (chunk_search feeds it to the BM25 scorer verbatim).
+    * The composite id is a pure integer function both engines compute
+    * identically and decode with one div/mod; the 2²⁰ bound carries an
+    * in-plan assert (a doc over ~33M words raises a named error
+    * instead of colliding ids). Chunk text re-splits to exactly its
+    * own word window (words are ' '-split, so slice + ' '-join round
+    * trips). Stateless per-row pass, fan-out ∝ corpus words / width. */
+  def chunkCorpus(d: DataFrame, width: Int = 32): DataFrame = {
+    require(width >= 1, s"bad width=$width")
+    val w = lit(width.toLong)
+    val guard = coalesce(
+      assert_true(col("chunk_idx") < lit(MaxChunksPerDoc),
+        concat(lit("composite chunk-id fence: chunk_idx "),
+          col("chunk_idx").cast("string"),
+          lit(s" reaches $MaxChunksPerDoc — the doc_id·2^20 + idx id " +
+            "would collide across docs; raise the width or widen the " +
+            "id instead of letting ids alias"))).cast("long"),
+      lit(0L))
+    d.select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x != '')").as("words"))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .filter(col("n_words") > 0L)
+      .select(col("doc_id"), col("words"),
+        explode(sequence(lit(0L), expr(s"(n_words - 1) div ${width}L")))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("doc_id") * lit(MaxChunksPerDoc) + col("chunk_idx") + guard)
+          .as("chunk_id"),
+        concat_ws(" ", slice(col("words"),
+          (col("chunk_idx") * w + 1L).cast("int"), lit(width)))
+          .as("text"))
+  }
+
+  /** PASSAGE-granular BM25 retrieval (r17) — the actual RAG/eval
+    * retrieval unit (document-level search returns a 10k-word doc when
+    * the query matched one paragraph; serving wants the chunk): the
+    * [[chunkCorpus]] relation feeds [[graft.text.TextOps.bm25Search]]
+    * VERBATIM — same idf snap, same integer-micro summation, same
+    * half-up display — so chunk scores are exactly what the doc scorer
+    * would emit on a corpus of chunk-documents, and the oracle is the
+    * bm25 SQL instantiated over the chunk relation (the parameterized
+    * q4/budget-CTE discipline). Output decodes the composite id back
+    * to (doc_id, chunk_idx). Per-chunk dl is the chunk's OWN length,
+    * so long docs no longer drown a matching passage in their length
+    * normalization — the retrieval argument for chunking. */
+  def chunkSearch(d: DataFrame, terms: Seq[String],
+      width: Int = 32): DataFrame =
+    graft.text.TextOps.bm25Search(
+        chunkCorpus(d, width).select(col("chunk_id").as("doc_id"),
+          col("text")), terms)
+      .select(
+        expr(s"doc_id div ${MaxChunksPerDoc}L").as("doc_id"),
+        expr(s"doc_id % ${MaxChunksPerDoc}L").as("chunk_idx"),
+        col("n_terms_matched"), col("score"))
+
   /** Incremental chunk dedup — the rolling-crawl shape (the
     * dedup_incremental posture at passage granularity): a NEW shard's
     * chunks probe the PERSISTED corpus index in one digest equijoin

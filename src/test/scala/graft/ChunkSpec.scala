@@ -93,6 +93,36 @@ class ChunkSpec extends SparkSpec {
     assert(p.contains("Bucketed: true"), p)
   }
 
+  test("chunkSearch: the matching passage wins its doc; scores equal " +
+      "bm25 over the chunk corpus; composite ids decode") {
+    // doc 1: 64 filler words then "needle" in the THIRD window — only
+    // chunk 2 may match; doc 2: no needle — absent entirely
+    val filler = Seq.fill(64)("pad").mkString(" ")
+    val d = df(
+      (1L, s"$filler needle tail tail"),
+      (2L, "pad pad pad pad"))
+    val hits = Chunks.chunkSearch(d, Seq("needle")).collect()
+    assert(hits.length == 1, hits.mkString(", "))
+    assert(hits(0).getAs[Long]("doc_id") == 1L)
+    assert(hits(0).getAs[Long]("chunk_idx") == 2L)
+    assert(hits(0).getAs[Long]("n_terms_matched") == 1L)
+    // equality with the doc scorer over the explicit chunk corpus: the
+    // hop through the composite id is transparent to the score
+    val docs = TextOps.docs(spark, SF)
+    val viaChunks = Chunks.chunkSearch(docs,
+      Seq("vector", "stream", "window", "hash")).collect()
+      .map(r => (r.getAs[Long]("doc_id") * Chunks.MaxChunksPerDoc +
+        r.getAs[Long]("chunk_idx"), r.getAs[Long]("n_terms_matched"),
+        r.getAs[Double]("score"))).toSet
+    val direct = TextOps.bm25Search(
+        Chunks.chunkCorpus(docs).select(col("chunk_id").as("doc_id"),
+          col("text")), Seq("vector", "stream", "window", "hash"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_terms_matched"), r.getAs[Double]("score"))).toSet
+    assert(direct.nonEmpty && viaChunks == direct)
+  }
+
   test("chunkDedup: clean corpus keeps everything; empty docs drop out") {
     val d = df(1L -> "a b c", 2L -> "d e f", 3L -> "", 4L -> "   ")
     val out = Chunks.chunkDedup(d, width = 2).collect()
