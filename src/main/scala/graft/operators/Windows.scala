@@ -266,6 +266,67 @@ object Windows {
           "ELSE CAST(0 AS BIGINT) END").as("share_new_milli"))
   }
 
+  /** Era-over-era VALUE-DISTRIBUTION drift per space (r17) — the
+    * payload dual of [[transitionDrift]] (that one catches journeys
+    * rerouting; this catches the measured VALUES shifting — a fee
+    * change, a sensor recalibration, a unit regression — while volume
+    * and routes look normal): the log splits at the midpoint of its
+    * time range (the one era definition, shared), values bucket into
+    * exact integer bins (floor — engine-identical on any double), and
+    * every (space, bin) whose within-space share moved more than τ
+    * milli is flagged via the ALL-INTEGER cross-multiplication — never
+    * a float share compare; absent bins are true zeros. Hostile-value
+    * fence mirrored in the oracle: null/NaN/±Inf/|v| ≥ 1e15 rows are
+    * excluded BEFORE the bin cast (ANSI casts of NaN/overflow kill the
+    * job; the corpus_health posture — the fence is visible, not
+    * silent, via the n columns). Scale: one map-side-combinable
+    * (era, space, bin) agg — bin cardinality is data-bounded, the
+    * checkpointed count table feeds tots + both era slices; everything
+    * downstream is matrix-sized. */
+  def valueDrift(named: DataFrame, tauMilli: Long = 5L): DataFrame = {
+    require(tauMilli >= 1 && tauMilli <= 1000, s"bad tauMilli=$tauMilli")
+    val bounds = named.agg(min(col("ts_us")).as("tmin"),
+      max(col("ts_us")).as("tmax"))
+    val cnt = named
+      .filter(col("value").isNotNull && !isnan(col("value")) &&
+        abs(col("value")) < lit(1e15))
+      .crossJoin(broadcast(bounds))
+      .withColumn("era",
+        when(col("ts_us") * 2 <= col("tmin") + col("tmax"), lit("old"))
+          .otherwise(lit("new")))
+      .withColumn("bin", floor(col("value")).cast("long"))
+      .groupBy(col("era"), col("space"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // matrix-sized; feeds tots + both era slices
+    val tots = cnt.groupBy(col("era"), col("space"))
+      .agg(sum(col("n")).as("tot"))
+    val bins = cnt.filter(col("era") === "old")
+      .select(col("space"), col("bin"), col("n").as("n_old"))
+      .join(cnt.filter(col("era") === "new")
+        .select(col("space"), col("bin"), col("n").as("n_new")),
+        Seq("space", "bin"), "full_outer")
+      .na.fill(0L, Seq("n_old", "n_new"))
+    bins
+      .join(broadcast(tots.filter(col("era") === "old")
+        .select(col("space"), col("tot").as("tot_old"))),
+        Seq("space"), "left")
+      .join(broadcast(tots.filter(col("era") === "new")
+        .select(col("space"), col("tot").as("tot_new"))),
+        Seq("space"), "left")
+      .na.fill(0L, Seq("tot_old", "tot_new"))
+      .filter(abs(col("n_old") * col("tot_new") -
+        col("n_new") * col("tot_old")) * lit(1000L) >
+        lit(tauMilli) * col("tot_old") * col("tot_new"))
+      .select(col("space"), col("bin"), col("n_old"), col("n_new"),
+        col("tot_old"), col("tot_new"),
+        expr("CASE WHEN tot_old > 0 THEN " +
+          "(2 * n_old * 1000 + tot_old) div (2 * tot_old) " +
+          "ELSE CAST(0 AS BIGINT) END").as("share_old_milli"),
+        expr("CASE WHEN tot_new > 0 THEN " +
+          "(2 * n_new * 1000 + tot_new) div (2 * tot_new) " +
+          "ELSE CAST(0 AS BIGINT) END").as("share_new_milli"))
+  }
+
   /** INTER-ARRIVAL cadence monitor — per space, the distribution of
     * gaps between a segment's consecutive entries (the heartbeat
     * signal: a `max_gap` spike is an outage/stall window, a `mean_gap`

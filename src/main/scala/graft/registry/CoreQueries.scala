@@ -177,6 +177,11 @@ object CoreQueries {
     // predicate, absent edges as true zeros
     "transition_drift" -> ((s, d) =>
       Windows.transitionDrift(EventLog.named(s, d))),
+    // the payload dual: era-over-era VALUE-distribution drift per
+    // space — floor-binned values, identical integer flag machinery;
+    // null/NaN/Inf/huge values fenced before the ANSI bin cast
+    "value_drift" -> ((s, d) =>
+      Windows.valueDrift(EventLog.named(s, d))),
     // cross-stream co-movement + per-bucket anomaly monitoring: exact
     // integer moments, one engine-stable double expression at the end
     "space_correlation" -> ((s, d) =>
@@ -761,6 +766,50 @@ object CoreQueries {
              (2 * CAST(sum(d) AS BIGINT) + CAST(count(*) AS BIGINT)) //
                (2 * CAST(count(*) AS BIGINT)) AS mean_gap_us
       FROM g WHERE d IS NOT NULL GROUP BY 1""",
+
+    // same era split, same integer flag machinery over (space, bin);
+    // the hostile-value fence mirrored verbatim before the bin cast
+    "value_drift" -> s"""$E,
+      b AS (SELECT min(ts_us) AS tmin, max(ts_us) AS tmax FROM entries),
+      cnt AS (
+        SELECT CASE WHEN e.ts_us * 2 <= b.tmin + b.tmax
+                    THEN 'old' ELSE 'new' END AS era,
+               e.space, CAST(floor(e.value) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n
+        FROM entries e CROSS JOIN b
+        WHERE e.value IS NOT NULL AND NOT isnan(e.value)
+          AND abs(e.value) < 1e15
+        GROUP BY 1, 2, 3),
+      tots AS (SELECT era, space, CAST(sum(n) AS BIGINT) AS tot
+               FROM cnt GROUP BY 1, 2),
+      bins AS (
+        SELECT coalesce(o.space, nn.space) AS space,
+               coalesce(o.bin, nn.bin) AS bin,
+               coalesce(o.n, CAST(0 AS BIGINT)) AS n_old,
+               coalesce(nn.n, CAST(0 AS BIGINT)) AS n_new
+        FROM (SELECT space, bin, n FROM cnt WHERE era = 'old') o
+        FULL OUTER JOIN
+             (SELECT space, bin, n FROM cnt WHERE era = 'new') nn
+          ON o.space = nn.space AND o.bin = nn.bin),
+      j AS (
+        SELECT e.space, e.bin, e.n_old, e.n_new,
+               coalesce(t1.tot, CAST(0 AS BIGINT)) AS tot_old,
+               coalesce(t2.tot, CAST(0 AS BIGINT)) AS tot_new
+        FROM bins e
+        LEFT JOIN (SELECT space, tot FROM tots WHERE era = 'old') t1
+          ON e.space = t1.space
+        LEFT JOIN (SELECT space, tot FROM tots WHERE era = 'new') t2
+          ON e.space = t2.space)
+      SELECT space, bin, n_old, n_new, tot_old, tot_new,
+             CASE WHEN tot_old > 0
+                  THEN (2 * n_old * 1000 + tot_old) // (2 * tot_old)
+                  ELSE CAST(0 AS BIGINT) END AS share_old_milli,
+             CASE WHEN tot_new > 0
+                  THEN (2 * n_new * 1000 + tot_new) // (2 * tot_new)
+                  ELSE CAST(0 AS BIGINT) END AS share_new_milli
+      FROM j
+      WHERE abs(n_old * tot_new - n_new * tot_old) * 1000 >
+            5 * tot_old * tot_new""",
 
     // two-formulation attribution: engine runs struct-min/max over the
     // (ts_us, event_id) total order, the oracle the row_number windows;

@@ -230,6 +230,31 @@ class StreamOpsSpec extends SparkSpec {
     assert(f5.size < f2.size)
   }
 
+  test("valueDrift: a shifted value bin flags in both directions; " +
+      "hostile values are fenced, not fatal") {
+    import spark.implicits._
+    import graft.operators.Windows
+    // space a: old era all values in bin 1, new era all in bin 5 — both
+    // bins must flag (share 1000 → 0 and 0 → 1000); space b: stable bin
+    // 2 both eras — silent; one NaN and one Inf row must be fenced (the
+    // ANSI bin cast would otherwise kill the job), not change counts
+    val named = (
+      (1L to 4L).map(i => ("a", s"u$i", i * 10L, i, 1.5)) ++
+      (1L to 4L).map(i => ("a", s"u$i", 1000L + i * 10L, 100L + i, 5.5)) ++
+      Seq(("b", "u1", 10L, 200L, 2.5), ("b", "u1", 1010L, 201L, 2.5),
+        ("b", "u2", 20L, 202L, Double.NaN),
+        ("b", "u2", 1020L, 203L, Double.PositiveInfinity))
+    ).map { case (sp, sg, ts, id, v) => (sp, sg, ts, id.toLong, v) }
+      .toDF("space", "segment", "ts_us", "event_id", "value")
+    val got = Windows.valueDrift(named).collect()
+      .map(r => (r.getAs[String]("space"), r.getAs[Long]("bin")) ->
+        (r.getAs[Long]("share_old_milli"), r.getAs[Long]("share_new_milli")))
+      .toMap
+    assert(got == Map(
+      ("a", 1L) -> ((1000L, 0L)),
+      ("a", 5L) -> ((0L, 1000L))), got.toString)
+  }
+
   test("interarrivalStats: within-segment gaps only, integer half-up mean") {
     import spark.implicits._
     import graft.operators.Windows
