@@ -230,6 +230,24 @@ class StreamOpsSpec extends SparkSpec {
     assert(f5.size < f2.size)
   }
 
+  test("attributionMatrix conserves segments and event mass from the " +
+      "per-segment rows on the real log") {
+    import graft.operators.Windows
+    val named = graft.sources.EventLog.named(spark, SF)
+    val attr = Windows.attribution(named).collect()
+    val m = Windows.attributionMatrix(named).collect()
+    assert(attr.nonEmpty && m.nonEmpty)
+    assert(m.map(_.getAs[Long]("n_segments")).sum == attr.length.toLong)
+    assert(m.map(_.getAs[Long]("n_events")).sum ==
+      attr.map(_.getAs[Long]("n_events")).sum)
+    // every segment's journey is bracketed: first ts <= last ts
+    attr.foreach { r =>
+      assert(r.getAs[Long]("first_ts_us") <= r.getAs[Long]("last_ts_us"))
+      assert(r.getAs[Long]("n_spaces") >= 1L &&
+        r.getAs[Long]("n_spaces") <= r.getAs[Long]("n_events"))
+    }
+  }
+
   test("valueDrift: a shifted value bin flags in both directions; " +
       "hostile values are fenced, not fatal") {
     import spark.implicits._

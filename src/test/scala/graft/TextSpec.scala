@@ -153,6 +153,64 @@ class TextSpec extends SparkSpec {
     assert(k800.size < k5000.size)
   }
 
+  test("qualityCut: admission is monotone in the keep fraction; " +
+      "audit is consistent with the cut") {
+    def kept(m: Long) = TextOps.qualityCut(docs, m)
+      .filter(col("kept") === 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // target = (n·keep) div 1000 grows with keepMilli, cum_before is
+    // fixed per group, so deficit — and with it the ceil threshold —
+    // only grows: the kept set must be inclusion-monotone
+    val k200 = kept(200L); val k400 = kept(400L); val k800 = kept(800L)
+    assert(k200.nonEmpty && k200.subsetOf(k400) && k400.subsetOf(k800))
+    assert(k400.size < k800.size)
+    // audit columns are a pure rollup of the cut rows
+    val byCut = TextOps.qualityCut(docs, 400L).collect()
+      .groupBy(_.getAs[String]("source"))
+    TextOps.qualityCutAudit(docs, 400L).collect().foreach { a =>
+      val g = byCut(a.getAs[String]("source"))
+      assert(a.getAs[Long]("n_docs") == g.length.toLong)
+      assert(a.getAs[Long]("n_kept") ==
+        g.count(_.getAs[Long]("kept") == 1L).toLong)
+      assert(a.getAs[Long]("target_keep") ==
+        g.length.toLong * 400L / 1000L)
+    }
+  }
+
+  test("vocabCoverage: OOV mass is monotone in the df band and in the " +
+      "train fraction's direction") {
+    def oov(minDf: Long) = TextOps.vocabCoverage(docs, minDf = minDf)
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("tokens_oov"), r.getAs[Long]("tokens_total")))
+      .toMap
+    // a tighter band (higher minDf) can only SHRINK the vocabulary, so
+    // per-source OOV mass is non-decreasing; totals are band-invariant
+    val d2 = oov(2L); val d3 = oov(3L); val d5 = oov(5L)
+    assert(d2.nonEmpty)
+    d2.keys.foreach { s =>
+      assert(d2(s)._2 == d3(s)._2 && d3(s)._2 == d5(s)._2, s)
+      assert(d2(s)._1 <= d3(s)._1 && d3(s)._1 <= d5(s)._1, s)
+    }
+    // strictness needs a word straddling the band — plant one: "rare"
+    // has train df exactly 2 (known at minDf=2, OOV at minDf=3)
+    import spark.implicits._
+    def split(id: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.charAt(0) < 'd') "train" else "test"
+    }
+    val tr = (1L to 200L).filter(split(_) == "train").take(2)
+    val te = (1L to 200L).filter(split(_) == "test").take(1)
+    val planted = Seq(
+      (tr(0), "rare", "en", "s0"), (tr(1), "rare rare", "en", "s0"),
+      (te(0), "rare", "en", "s0")).toDF("doc_id", "text", "lang", "source")
+    def plantedOov(m: Long) = TextOps.vocabCoverage(planted, minDf = m)
+      .collect().head.getAs[Long]("tokens_oov")
+    assert(plantedOov(2L) == 0L && plantedOov(3L) == 1L)
+  }
+
   test("budgetCut: hard ceiling, tight prefix-closed admission, " +
       "repartition-invariant membership") {
     import org.apache.spark.sql.functions._
