@@ -23,10 +23,41 @@ class HostileCorpusSpec extends SparkSpec {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = Files.createTempDirectory("graft_hostile_sf").toString
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events").foreach { t =>
+      "lineitem").foreach { t =>
       spark.read.parquet(s"$SF/$t.parquet")
         .write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
+    // hostile EVENT payloads (r17 — the docs/embeddings pathologies
+    // extended to the log): null/NaN/±Inf values, null/empty/astral
+    // spaces, a null segment, malformed/null props JSON, and a null
+    // timestamp — keyed with fresh unique event_ids so sequence
+    // derivation stays well-defined
+    val ev = spark.read.parquet(s"$SF/events.parquet")
+    val maxEid = ev.agg(max(col("event_id"))).head.getLong(0)
+    import spark.implicits._
+    val someTs = java.time.LocalDateTime.of(2025, 1, 1, 0, 0, 0)
+    val hostileEvents = Seq(
+      (maxEid + 1L, someTs, 1L, "click", Double.NaN, """{"k": 1}"""),
+      (maxEid + 2L, someTs, 1L, "click", Double.PositiveInfinity, "{"),
+      (maxEid + 3L, someTs, 2L, null.asInstanceOf[String], 1.0, null
+        .asInstanceOf[String]),
+      (maxEid + 4L, someTs, 3L, "", -1e308, """{"k": null}"""),
+      (maxEid + 5L, someTs, 4L, "𝕊pace", 0.0, """not json"""),
+      (maxEid + 6L, null.asInstanceOf[java.time.LocalDateTime], 5L,
+        "click", 2.0, """{"k": 2}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast(ev.schema("ts").dataType))
+      .withColumn("user_id",
+        when(col("event_id") === maxEid + 5L,
+          lit(null).cast("long")).otherwise(col("user_id")))
+    val extraEvCols = ev.columns.toSet --
+      Set("event_id", "ts", "user_id", "event_type", "value", "props")
+    var extraE = hostileEvents
+    extraEvCols.foreach { c =>
+      extraE = extraE.withColumn(c, lit(null).cast(ev.schema(c).dataType))
+    }
+    ev.unionByName(extraE.select(ev.columns.map(col): _*))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val docs = spark.read.parquet(s"$SF/documents.parquet")
     val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
     val hostileDocs = Seq(
