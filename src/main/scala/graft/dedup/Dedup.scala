@@ -506,6 +506,24 @@ object Dedup {
     * converges in a handful of rounds; each round is two shuffles on the
     * edge list — the standard large-graph CC-by-join pattern. Output:
     * (doc_id, cluster) where cluster = min doc_id of the component. */
+  /** DUPLICATION-PROFILE histogram over a cluster assignment (r17) —
+    * the shape-of-redundancy view a curation review reads next to
+    * `dedup_report`'s mass totals: per cluster size k, how many
+    * non-trivial duplicate clusters exist and how many docs they bind
+    * (a corpus whose mass sits in a few size-1000 clusters has a
+    * mirror/boilerplate problem; many size-2 clusters is ordinary
+    * crawl overlap — the distinction decides whether dedup needs a
+    * DF-cap intervention or is routine). The cluster frame is a
+    * PARAMETER (the contaminationReport pair-source discipline), so
+    * any cluster producer — exact Jaccard, LSH, substring — feeds the
+    * same rollup; the oracle embeds the dedup_clusters SQL verbatim.
+    * Scale: two map-side-combinable hash aggs over the cluster-sized
+    * assignment; output is bounded by the distinct size count. */
+  def clusterHistogram(clusters: DataFrame): DataFrame =
+    clusters.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+
   def dedupClusters(pairs: DataFrame, maxRounds: Int = 8): DataFrame = {
     require(maxRounds >= 2 && maxRounds % 2 == 0,
       s"maxRounds must be a positive multiple of 2, got $maxRounds")

@@ -291,6 +291,37 @@ object PipelineQueries {
       FROM probe p LEFT JOIN vocab v ON p.word = v.word
       GROUP BY 1"""
 
+  /** The dedup_clusters derivation, named because dedup_cluster_hist
+    * embeds it verbatim (the reportBlock discipline). */
+  private val DedupClustersSql = """
+      WITH RECURSIVE de AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split(lower(text), ' '),
+                 x -> x <> '')) AS w
+        FROM documents WHERE lang = 'de'),
+      sz AS (SELECT doc_id, len(w) AS n FROM de),
+      inv AS (SELECT doc_id, unnest(w) AS word FROM de),
+      cand AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM inv a JOIN inv b
+          ON a.word = b.word AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT doc1, doc2
+        FROM cand
+        JOIN sz s1 ON doc1 = s1.doc_id
+        JOIN sz s2 ON doc2 = s2.doc_id
+        WHERE round(n_common / (s1.n + s2.n - n_common), 4) >= 0.85),
+      edges AS (
+        SELECT doc1 AS a, doc2 AS b FROM pairs
+        UNION SELECT doc2, doc1 FROM pairs),
+      reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+      SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a"""
+
   /** The triplet_mine derivation, named because triplet_stats embeds
     * it verbatim as its derived table (the reportBlock discipline).
     * Two-formulation cross-check: the engine mines pos/neg via
@@ -573,6 +604,12 @@ object PipelineQueries {
     "dedup_char_ngram" -> ((s, d) => Dedup.charNGramPairs(docs(s, d))),
     "dedup_clusters" -> ((s, d) =>
       Dedup.dedupClusters(Dedup.jaccardPairs(docs(s, d), "de", 0.85))),
+    // duplication-profile histogram: per cluster size, how many
+    // non-trivial clusters and how many docs they bind — the
+    // mirror-vs-ordinary-overlap distinction; cluster frame is a
+    // parameter, oracle embeds the cluster SQL verbatim
+    "dedup_cluster_hist" -> ((s, d) => Dedup.clusterHistogram(
+      Dedup.dedupClusters(Dedup.jaccardPairs(docs(s, d), "de", 0.85)))),
     // the 100 TB composition end-to-end: banded MinHash candidate pairs
     // (linear-cost discovery) → connected components — what a production
     // dedup pass actually runs; rows-only (banding isn't ANSI-
@@ -1434,34 +1471,17 @@ object PipelineQueries {
     // closure (components are tiny, so the closure is cheap in the
     // oracle); cluster = min reachable doc_id, exactly the fixpoint the
     // Spark-side min-label propagation converges to
-    "dedup_clusters" -> """
-      WITH RECURSIVE de AS (
-        SELECT doc_id,
-               list_distinct(list_filter(string_split(lower(text), ' '),
-                 x -> x <> '')) AS w
-        FROM documents WHERE lang = 'de'),
-      sz AS (SELECT doc_id, len(w) AS n FROM de),
-      inv AS (SELECT doc_id, unnest(w) AS word FROM de),
-      cand AS (
-        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-               CAST(count(*) AS BIGINT) AS n_common
-        FROM inv a JOIN inv b
-          ON a.word = b.word AND a.doc_id < b.doc_id
-        GROUP BY 1, 2),
-      pairs AS (
-        SELECT doc1, doc2
-        FROM cand
-        JOIN sz s1 ON doc1 = s1.doc_id
-        JOIN sz s2 ON doc2 = s2.doc_id
-        WHERE round(n_common / (s1.n + s2.n - n_common), 4) >= 0.85),
-      edges AS (
-        SELECT doc1 AS a, doc2 AS b FROM pairs
-        UNION SELECT doc2, doc1 FROM pairs),
-      reach(a, b) AS (
-        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
-        UNION
-        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-      SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a""",
+    "dedup_clusters" -> DedupClustersSql,
+
+    // the cluster derivation embedded verbatim; two exact-integer aggs
+    "dedup_cluster_hist" -> s"""
+      WITH c AS ($DedupClustersSql)
+      SELECT cluster_size,
+             CAST(count(*) AS BIGINT) AS n_clusters,
+             CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+      FROM (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+            FROM c GROUP BY 1)
+      GROUP BY 1""",
 
     // mirrors Dedup.substringPairs exactly: md5 per 40-char window,
     // winnow = min over each run of 25 consecutive window hashes

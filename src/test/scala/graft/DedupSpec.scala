@@ -534,4 +534,28 @@ class DedupSpec extends SparkSpec {
     val empty = Seq("").toDF("t").select(PolyHash64(col("t"))).head.getLong(0)
     assert(empty == 7L)
   }
+
+  test("clusterHistogram: planted cluster shapes bin exactly; rollup " +
+      "consistent with the assignment") {
+    // planted corpus: {1, 2, 4} one near-dup cluster, 3 unpaired → one
+    // size-3 cluster, no size-1 bins (singletons have no pairs)
+    val clusters = Dedup.dedupClusters(
+      Dedup.jaccardPairs(plantedDocs, "en", 0.8))
+    val hist = Dedup.clusterHistogram(clusters).collect()
+    assert(hist.length == 1, hist.mkString(", "))
+    assert(hist(0).getAs[Long]("cluster_size") == 3L)
+    assert(hist(0).getAs[Long]("n_clusters") == 1L)
+    assert(hist(0).getAs[Long]("n_docs") == 3L)
+    // consistency on the real corpus: histogram == a Scala rollup
+    val real = Dedup.dedupClusters(
+      Dedup.jaccardPairs(graft.text.TextOps.docs(spark, SF), "de", 0.85))
+      .collect().groupBy(_.getAs[Long]("cluster")).values
+      .groupBy(_.size).map { case (k, cs) => (k.toLong, cs.size.toLong) }
+    val got = Dedup.clusterHistogram(Dedup.dedupClusters(
+      Dedup.jaccardPairs(graft.text.TextOps.docs(spark, SF), "de", 0.85)))
+      .collect()
+      .map(r => r.getAs[Long]("cluster_size") ->
+        r.getAs[Long]("n_clusters")).toMap
+    assert(got == real, s"$got vs $real")
+  }
 }
