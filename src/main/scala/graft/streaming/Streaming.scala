@@ -813,6 +813,33 @@ object Streaming {
       graft.text.TextOps.qualityCutScored(docStream),
       broadcast(spark.table(decisionsTable)))
 
+  /** Live DSIR importance gate — the ingest-time face of
+    * [[graft.text.Dsir.dsirSelect]] (the runDocSimilarProbe posture,
+    * not a stateless expression join: the per-doc weight needs the
+    * doc's feature explode + one per-doc agg, which foreachBatch runs
+    * as a BATCH per micro-batch): every arriving doc is scored by the
+    * batch [[graft.text.Dsir.dsirWeights]] VERBATIM against the FROZEN
+    * ≤ 4096-row bucket model, then admitted/declined by the SAME
+    * applyDsirGate when-chain against the FROZEN decision grid. A
+    * doc's features all live in its own row, so per-micro-batch
+    * semantics are EXACT and the emitted (doc_id, g, kept) rows over
+    * any replay partition equal the batch selection row-for-row
+    * (StreamingSpec proves convergence). Both frozen artifacts are
+    * corpus-independent-bounded (model ≤ 4096 rows by construction;
+    * grid < 2·10⁵ rows by the λ range) and broadcast per batch. */
+  def runDsirGate(spark: SparkSession, docStream: DataFrame,
+      modelTable: String, decisionsTable: String)(
+      sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => sink(graft.text.Dsir.applyDsirGate(
+        graft.text.Dsir.dsirWeights(batch.toDF(),
+            model = Some(spark.table(modelTable)))
+          .withColumn("hex4", graft.text.Dsir.hex4Col),
+        broadcast(spark.table(decisionsTable))))
+    docStream.writeStream.foreachBatch(perBatch).start()
+  }
+
   /** Streaming PHRASE-DENSITY tagger — the live dual of
     * [[graft.text.TextOps.phraseDensity]]: each arriving doc is scored
     * against the FROZEN collocation dictionary the moment it lands,

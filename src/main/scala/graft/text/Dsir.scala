@@ -1,0 +1,233 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data Selection with Importance Resampling (DSIR, Xie et al. 2023,
+  * arXiv:2302.03169): score every raw document by how target-like its
+  * HASHED n-gram distribution is, then keep the highest-importance
+  * slice. The published recipe — hash word unigrams+bigrams into a
+  * fixed bucket space, fit bag-of-buckets models on the target and raw
+  * corpora, weight = Σ_features log(p_target/p_raw) — maps exactly onto
+  * this repo's closed-form-trainer doctrine (the
+  * [[TextOps.domainClassifier]] ladder): every moment is an exact
+  * integer, the ONE transcendental per bucket is milli-snapped before
+  * any composition, per-doc scores are exact BIGINT dot products, and
+  * selection membership is a pure integer predicate.
+  *
+  * What distinguishes DSIR from `domain_classifier` (raw-term NB
+  * log-odds): the feature space is the FIXED 4096-bucket hash of
+  * unigrams AND bigrams — corpus-INDEPENDENT model size by
+  * construction (the published method's point: at 100 TB the model is
+  * still ≤ 4096 rows, no df-banding needed), bigram features capture
+  * phrase-level domain signal, and the output is a global
+  * top-keepMilli‰ SELECTION over the raw pool rather than a per-doc
+  * class decision.
+  *
+  * Numeric contract: bucket = first 3 hex chars of md5(feature) —
+  * engine-identical, no hex→int conversion anywhere (the
+  * format_string-trap lesson: hex STRINGS compare fine, numeric
+  * conversions differ). λ_milli(b) = half-up milli of
+  * ln((c_t+1)·(R+v) / ((c_r+1)·(T+v))) with the products taken as
+  * doubles multiply-before-divide (identical IEEE chain both engines;
+  * exact-integer inputs, so the ln argument is bit-identical — the
+  * domainModel precedent). Per-doc weight_milli = Σ_b n_b·λ_milli(b)
+  * is an exact BIGINT. The selection grid value
+  * g = (w_milli + n_feats·10⁵) div n_feats is a POSITIVE-shifted mean:
+  * |λ_milli| < 10⁵ outright (λ_milli ≤ 1000·ln(R+v) and R < 2⁶³ rows
+  * ⇒ |λ_milli| < 45 000), so the numerator is strictly positive and
+  * integer division is floor == truncation — identical in Spark (`div`)
+  * and DuckDB (`//`), whose semantics DIVERGE on negative dividends.
+  *
+  * Scale: ONE feature explode over the corpus feeds model AND scores
+  * (the wordAssoc tokenize-once discipline — the per-(doc, bucket)
+  * count table is eagerly checkpointed for its two consumers); the
+  * model is ≤ 4096 rows (broadcast), the decision grid is bounded by
+  * the λ range (< 2·10⁵ rows, corpus-independent — its window never
+  * touches doc rows), and the gate is a broadcast equijoin. Nothing
+  * pairwise, nothing sorts the corpus. */
+object Dsir {
+
+  /** 16³ buckets: the bucket key IS the 3-hex-char md5 prefix. */
+  val BucketHexChars = 3
+
+  /** Positive shift for the grid division (strictly dominates any
+    * reachable |λ_milli| — see the numeric contract above). */
+  val GridOffset = 100000L
+
+  /** One row per feature OCCURRENCE: (doc_id, source, b). Features are
+    * lowercased whitespace unigrams plus adjacent bigrams joined with
+    * one space (disjoint from unigrams — tokens never contain ' ').
+    * zip_with over two bound slices (the bigramPairs discipline: the
+    * sibling-alias O(n²) inlining trap). Null/empty text → null/empty
+    * feats → no rows (no evidence, no row — the hostile-sweep
+    * contract). */
+  private[graft] def featBuckets(d: DataFrame): DataFrame =
+    TextOps.lowerToks(d)
+      .select(col("doc_id"), col("source"), col("toks"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        // greatest(·, 0): a 0/1-token doc must still contribute its
+        // unigrams — a raw size-1 slice length is NEGATIVE there and
+        // Spark's slice throws under ANSI (hostile-sweep contract)
+        """concat(toks,
+                  zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),
+                           slice(toks, 2, greatest(size(toks) - 1, 0)),
+                           (a, b) -> concat(a, ' ', b)))""")).as("feat"))
+      .select(col("doc_id"), col("source"),
+        substring(md5(col("feat")), 1, BucketHexChars).as("b"))
+
+  /** Per-(doc, bucket) occurrence counts — the ONE tokenization pass
+    * everything else derives from. Callers that consume it more than
+    * once checkpoint it (multi-consumer intermediate discipline). */
+  private def docBucketCounts(d: DataFrame): DataFrame =
+    featBuckets(d)
+      .groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Model counts + milli-snapped log ratio from a (doc, bucket) count
+    * table. Target = the reference source's docs (the domainClassifier
+    * refSource convention: the small trusted slice whose distribution
+    * the selection should match); raw = the whole pool (target
+    * included — deterministic, and c_t ≤ c_r by construction so
+    * λ ≤ ln((R+v)/(T+v))). One map-side-combinable agg + a broadcast
+    * one-row total; ≤ 4096 output rows at ANY corpus size. */
+  private def modelFrom(dc: DataFrame, refSource: String): DataFrame = {
+    val cnt = dc.groupBy(col("b"))
+      .agg(
+        sum(when(col("source") === refSource, col("n"))
+          .otherwise(0L)).as("c_t"),
+        sum(col("n")).as("c_r"))
+    val tot = cnt.groupBy().agg(
+      sum(col("c_t")).as("t_total"),
+      sum(col("c_r")).as("r_total"),
+      count(lit(1)).as("v_size"))
+    cnt.crossJoin(broadcast(tot))
+      .withColumn("lam_milli",
+        floor(log(
+          (col("c_t") + 1L).cast("double") *
+            (col("r_total") + col("v_size")).cast("double") /
+            ((col("c_r") + 1L).cast("double") *
+              (col("t_total") + col("v_size")).cast("double"))) *
+          lit(1000.0) + lit(0.5)).cast("long"))
+      .select("b", "c_t", "c_r", "lam_milli")
+  }
+
+  /** The trained importance model as a standalone artifact (what the
+    * streaming gate freezes). */
+  def dsirModel(d: DataFrame, refSource: String = "src0"): DataFrame =
+    modelFrom(docBucketCounts(d), refSource)
+
+  private def weightsFrom(dc: DataFrame, lam: DataFrame): DataFrame =
+    dc.join(broadcast(lam.select(col("b"), col("lam_milli"))), "b")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).as("n_feats"),
+        sum(col("n") * col("lam_milli")).as("w_milli"))
+      .withColumn("g",
+        expr(s"(w_milli + n_feats * $GridOffset) div n_feats"))
+
+  /** Per-doc importance weights: (doc_id, n_feats, w_milli, g). Docs
+    * with zero features (null/empty text) have no evidence and no row —
+    * an integer membership rule. When no frozen model is passed, the
+    * model trains on the same (checkpointed) bucket-count pass that
+    * scores. */
+  def dsirWeights(d: DataFrame, refSource: String = "src0",
+      model: Option[DataFrame] = None): DataFrame =
+    model match {
+      case Some(m) => weightsFrom(docBucketCounts(d), m)
+      case None =>
+        // 2 consumers of the explode+agg pass: model counts + scoring
+        val dc = docBucketCounts(d).localCheckpoint(true)
+        weightsFrom(dc, modelFrom(dc, refSource))
+    }
+
+  /** The frozen GLOBAL decision grid (g → cnt, deficit, tp) from a
+    * weights table: the qualityDecisions machinery with the partition
+    * key collapsed — DSIR selects from the raw pool globally (matching
+    * the target distribution is a corpus-level goal; per-source floors
+    * are quality_cut's job). The single-partition window is over the
+    * BOUNDED grid only (< 2·10⁵ rows outright, realistically a few
+    * hundred — never doc rows). */
+  private def decisionsFrom(wts: DataFrame, keepMilli: Long): DataFrame = {
+    require(keepMilli >= 1L && keepMilli <= 999L,
+      s"keepMilli must be in [1, 999], got $keepMilli")
+    val grid = wts.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // 2 consumers: prefix + total
+    val w = Window.orderBy(col("g").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pref = grid.withColumn("cum_before",
+      coalesce(sum(col("cnt")).over(w), lit(0L)))
+    val tot = grid.groupBy().agg(sum(col("cnt")).as("n_docs"))
+    pref.crossJoin(broadcast(tot))
+      .withColumn("deficit",
+        expr(s"(n_docs * $keepMilli) div 1000") - col("cum_before"))
+      .withColumn("tp",
+        expr("(deficit * 65536 + cnt - 1) div cnt"))
+      .select("g", "cnt", "deficit", "tp")
+  }
+
+  /** The frozen decision grid as a standalone artifact (what the
+    * streaming gate scores against, next to the model). */
+  def dsirDecisions(d: DataFrame, refSource: String = "src0",
+      keepMilli: Long = 250L): DataFrame =
+    decisionsFrom(dsirWeights(d, refSource), keepMilli)
+
+  /** The gate decision — stateless equijoin + when-chain against a
+    * (frozen) decision grid, shared verbatim by [[dsirSelect]] and the
+    * streaming gate (the applyQualityGate posture; branch order is
+    * load-bearing, the oracle mirrors the CASE order). `scored` must
+    * carry (doc_id, g, hex4). */
+  private[graft] def applyDsirGate(scored: DataFrame,
+      decisions: DataFrame): DataFrame =
+    scored.join(decisions, Seq("g"))
+      .withColumn("kept",
+        when(col("deficit") <= 0L, 0L)
+          .when(col("deficit") >= col("cnt"), 1L)
+          .when(col("tp") >= 65536L, 1L)
+          .when(col("hex4") < format_string("%04x", col("tp")), 1L)
+          .otherwise(0L))
+      .select("doc_id", "g", "kept")
+
+  /** The salted 16-bit sub-split draw — one definition for batch and
+    * stream (pure per-row expression over doc_id). */
+  private[graft] def hex4Col: Column =
+    substring(md5(concat_ws(":",
+      col("doc_id").cast("string"), lit("dsir"))), 1, 4)
+
+  /** Importance SELECTION: keep the top keepMilli‰ of the scored pool
+    * by (g desc, salted hex4 asc) — whole grid groups above the global
+    * boundary kept, below dropped, the boundary group sub-split
+    * doc-granularly at the exact ceil threshold. Deterministic pure
+    * function of the (doc_id, corpus) pair; all-integer membership. */
+  def dsirSelect(d: DataFrame, refSource: String = "src0",
+      keepMilli: Long = 250L): DataFrame = {
+    // 2 consumers of the scored pass: decision grid + gate input
+    val wts = dsirWeights(d, refSource).localCheckpoint(true)
+    applyDsirGate(wts.withColumn("hex4", hex4Col),
+      broadcast(decisionsFrom(wts, keepMilli)))
+  }
+
+  /** Per-source accounting for [[dsirSelect]] (the lsh_bucket_audit
+    * discipline): scored docs, selected count, the realized half-up
+    * milli share, and the exact summed weight — the "which sources
+    * does the target distribution favor" view a mixture planner reads
+    * next to mix_plan. Oracle embeds the select SQL verbatim. */
+  def dsirAudit(d: DataFrame, refSource: String = "src0",
+      keepMilli: Long = 250L): DataFrame = {
+    // 3 consumers of the scored pass: grid, gate input, weight sums
+    val wts = dsirWeights(d, refSource).localCheckpoint(true)
+    val sel = applyDsirGate(wts.withColumn("hex4", hex4Col),
+      broadcast(decisionsFrom(wts, keepMilli)))
+    sel.join(wts.select(col("doc_id"), col("w_milli")), "doc_id")
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_sel"),
+        sum(col("w_milli")).as("sum_w_milli"))
+      .withColumn("sel_milli",
+        expr("(2 * n_sel * 1000 + n_docs) div (2 * n_docs)"))
+      .select("source", "n_docs", "n_sel", "sel_milli", "sum_w_milli")
+  }
+}

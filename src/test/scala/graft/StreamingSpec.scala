@@ -301,6 +301,40 @@ class StreamingSpec extends SparkSpec {
     assert(want.exists(_.last == 0L) && want.exists(_.last == 1L))
   }
 
+  test("live DSIR gate (foreachBatch) converges to batch dsirSelect") {
+    val docs = graft.text.TextOps.docs(spark, SF)
+    // freeze the two serving artifacts: the ≤ 4096-row bucket model
+    // and the bounded decision grid
+    import scala.jdk.CollectionConverters._
+    val model = graft.text.Dsir.dsirModel(docs)
+    spark.createDataFrame(model.collect().toSeq.asJava, model.schema)
+      .createOrReplaceTempView("dsir_model")
+    val dec = graft.text.Dsir.dsirDecisions(docs)
+    spark.createDataFrame(dec.collect().toSeq.asJava, dec.schema)
+      .createOrReplaceTempView("dsir_dec")
+    val dir = Files.createTempDirectory("graft_dsir_stream").toString
+    docs.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = Streaming.runDsirGate(spark, stream, "dsir_model",
+        "dsir_dec") { b =>
+      val rows = b.collect().map(_.toSeq)
+      buf.synchronized { buf ++= rows }
+    }
+    q.processAllAvailable(); q.stop()
+    // a doc's features all live in its own row, so any replay
+    // partition emits the batch selection row-for-row
+    val got = buf.toSet
+    val want = graft.text.Dsir.dsirSelect(docs)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want,
+      s"stream ${got.size} vs batch ${want.size}")
+    assert(buf.size == want.size) // each doc decided exactly once
+    // the gate actually splits at this keep fraction
+    assert(want.exists(_.last == 0L) && want.exists(_.last == 1L))
+  }
+
   test("streaming phrase density equals the batch tagger exactly") {
     val docs = graft.text.TextOps.docs(spark, SF)
     // freeze the collocation dictionary (the serving artifact)

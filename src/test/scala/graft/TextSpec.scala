@@ -1487,6 +1487,64 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("dsir: target-like docs out-weight raw-like docs, grid is " +
+      "positive-bounded, selection keeps monotone bands, zero-feature " +
+      "docs emit no row") {
+    import spark.implicits._
+    import graft.text.Dsir
+    // target source s0 speaks 'alpha'-family tokens; the raw pool
+    // speaks 'noise'-family. Two probe docs in the raw pool: one
+    // written in the target's dialect, one in the raw dialect — DSIR
+    // must rank the dialect-matching probe strictly higher.
+    val target = (0L until 20L).map(i =>
+      (i, "alpha beta gamma alpha beta", "en", "s0"))
+    val rawish = (20L until 60L).map(i =>
+      (i, s"noise$i junk$i filler$i noise$i", "en", "s1"))
+    val probes = Seq(
+      (100L, "alpha beta gamma alpha", "en", "s1"),   // target-like
+      (101L, "noise21 junk22 filler23 noise24", "en", "s1"), // raw-like
+      (102L, "", "en", "s1"),                          // zero features
+      (103L, null.asInstanceOf[String], "en", "s1"))   // hostile null
+    val planted = (target ++ rawish ++ probes)
+      .toDF("doc_id", "text", "lang", "source")
+    val w = Dsir.dsirWeights(planted, refSource = "s0").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("w_milli"), r.getAs[Long]("n_feats"),
+          r.getAs[Long]("g"))).toMap
+    // membership: no evidence, no row
+    assert(!w.contains(102L) && !w.contains(103L))
+    // dialect ordering on the shifted-mean grid (length-fair compare)
+    assert(w(100L)._3 > w(101L)._3,
+      s"target-like g=${w(100L)._3} raw-like g=${w(101L)._3}")
+    // the positive-shift bound that makes div == // across engines
+    w.values.foreach { case (wm, nf, g) =>
+      assert(g > 0L && g < 2L * Dsir.GridOffset)
+      assert(wm + nf * Dsir.GridOffset > 0L)
+    }
+    // selection on the real corpus: at most one mixed g-band; above it
+    // all kept, below none (the qualityCut band-monotonicity law,
+    // global partition)
+    val sel = Dsir.dsirSelect(docs).collect()
+    val byG = sel.groupBy(_.getAs[Long]("g")).toSeq.sortBy(-_._1)
+    val states = byG.map { case (g, rows) =>
+      val k = rows.count(_.getAs[Long]("kept") == 1L)
+      (g, if (k == rows.length) "all" else if (k == 0) "none" else "mixed")
+    }
+    assert(states.count(_._2 == "mixed") <= 1, states.toString)
+    val afterBreak = states.dropWhile(_._2 == "all").drop(1)
+    assert(afterBreak.forall(_._2 == "none"), states.toString)
+    // realized kept count is within one boundary group of the target
+    val n = sel.length.toLong
+    val kept = sel.count(_.getAs[Long]("kept") == 1L).toLong
+    val boundary = byG.collectFirst {
+      case (g, rows) if states.find(_._1 == g).exists(_._2 == "mixed") =>
+        rows.length.toLong
+    }.getOrElse(0L)
+    val tgt = n * 250L / 1000L
+    assert(math.abs(kept - tgt) <= math.max(boundary, 1L),
+      s"kept=$kept target=$tgt boundary=$boundary")
+  }
+
   test("vocabCoverageIndexed: persisted-vocab probe is row-identical " +
       "to the in-plan derivation; oovTag masses sum to its totals") {
     spark.sql("DROP TABLE IF EXISTS vocab_idx_spec")
