@@ -826,6 +826,20 @@ object PipelineQueries {
     // the raw -> dedup -> budget release funnel per source
     "selection_report" -> ((s, d) =>
       TextOps.selectionReport(docs(s, d), BudgetTokens)),
+    // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    // bucket counts against a target-vs-raw log-ratio model — exact
+    // BIGINT dot product over milli-snapped per-bucket ratios; the
+    // model is ≤ 4096 rows at ANY corpus size (the published method's
+    // scale property)
+    "dsir_weights" -> ((s, d) => graft.text.Dsir.dsirWeights(docs(s, d))),
+    // global top-keepMilli‰ importance selection over the bounded
+    // shifted-mean grid + salted md5 boundary sub-split (the
+    // quality_cut machinery with the partition key collapsed)
+    "dsir_select" -> ((s, d) => graft.text.Dsir.dsirSelect(docs(s, d))),
+    // per-source realized selection shares + exact summed weights (the
+    // "which sources does the target favor" view); oracle embeds the
+    // select SQL verbatim
+    "dsir_audit" -> ((s, d) => graft.text.Dsir.dsirAudit(docs(s, d))),
     // per-source RELATIVE quality gate: keep the top keepMilli‰ of
     // each source — whole quarters above the boundary, the boundary
     // quarter sub-split by the salted md5 draw at the exact ceil
@@ -1077,6 +1091,21 @@ object PipelineQueries {
     // per-doc collocation hit density vs the word_assoc dictionary:
     // multiset counts + integer half-up milli ratio
     "phrase_density" -> ((s, d) => TextOps.phraseDensity(docs(s, d))),
+    // boilerplate SPAN detection (the CCNet frequent-line recipe at
+    // token-shingle granularity): the global high-DF k-gram template
+    // dictionary — human-readable (literal spans, no hashing), exact
+    // distinct-doc counts
+    "boilerplate_spans" -> ((s, d) =>
+      graft.text.Boilerplate.boilerplateSpans(docs(s, d))),
+    // per-doc template tagging against the dictionary: gram positions,
+    // template positions, half-up milli ratio — the strip/down-weight
+    // signal upstream of near-dup scoring
+    "boilerplate_tag" -> ((s, d) =>
+      graft.text.Boilerplate.boilerplateTag(docs(s, d))),
+    // per-source template-mass accounting + global dictionary size;
+    // oracle embeds the tag derivation verbatim
+    "boilerplate_audit" -> ((s, d) =>
+      graft.text.Boilerplate.boilerplateAudit(docs(s, d))),
     "quality_drift" -> ((s, d) => TextOps.qualityDrift(docs(s, d))),
     "pipeline_curate" -> ((s, d) =>
       TextOps.curate(docs(s, d), minQuality = 0.5)),
@@ -1340,6 +1369,127 @@ object PipelineQueries {
     * exactly: the ceil division only ever evaluates on a positive
     * deficit strictly under cnt, so integer-division sign semantics
     * never differ between engines. */
+  /** DSIR keep share — non-trivial at both gate scales (a quarter of
+    * the scored pool). */
+  private val DsirKeepMilli = 250L
+
+  /** The DSIR weight derivation (hashed unigram+bigram buckets →
+    * milli-snapped target/raw log ratios → exact BIGINT per-doc dot
+    * product → positive-shifted mean grid) as shared CTEs —
+    * dsir_select and dsir_audit embed it verbatim (the reportBlock
+    * one-definition discipline). Mirrors graft.text.Dsir bit for bit:
+    * the ln argument is a multiply-before-divide double chain over
+    * exact integers, and the grid division's numerator is strictly
+    * positive so `//` (truncation) == Spark `div`. */
+  private val DsirCtes = """
+      WITH dtoks AS (
+        SELECT doc_id, source,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                 AS toks
+        FROM documents),
+      dfeats AS (
+        SELECT doc_id, source, unnest(toks) AS feat FROM dtoks
+        UNION ALL
+        SELECT doc_id, source, toks[i] || ' ' || toks[i + 1] AS feat
+        FROM (SELECT doc_id, source, toks,
+                     unnest(generate_series(1, len(toks) - 1)) AS i
+              FROM dtoks WHERE len(toks) >= 2)),
+      ddc AS (
+        SELECT doc_id, source, substr(md5(feat), 1, 3) AS b,
+               CAST(count(*) AS BIGINT) AS n
+        FROM dfeats GROUP BY 1, 2, 3),
+      dcnt AS (
+        SELECT b,
+               CAST(sum(CASE WHEN source = 'src0' THEN n ELSE 0 END)
+                 AS BIGINT) AS c_t,
+               CAST(sum(n) AS BIGINT) AS c_r
+        FROM ddc GROUP BY 1),
+      dtot AS (
+        SELECT CAST(sum(c_t) AS BIGINT) AS t_total,
+               CAST(sum(c_r) AS BIGINT) AS r_total,
+               CAST(count(*) AS BIGINT) AS v_size
+        FROM dcnt),
+      dlam AS (
+        SELECT b,
+               CAST(floor(ln(
+                 (CAST(c_t + 1 AS DOUBLE) *
+                  CAST(r_total + v_size AS DOUBLE)) /
+                 (CAST(c_r + 1 AS DOUBLE) *
+                  CAST(t_total + v_size AS DOUBLE))) * 1000.0 + 0.5)
+                 AS BIGINT) AS lam_milli
+        FROM dcnt, dtot),
+      dwg AS (
+        SELECT doc_id,
+               CAST(sum(n) AS BIGINT) AS n_feats,
+               CAST(sum(n * lam_milli) AS BIGINT) AS w_milli,
+               (CAST(sum(n * lam_milli) AS BIGINT) +
+                CAST(sum(n) AS BIGINT) * 100000) //
+                 CAST(sum(n) AS BIGINT) AS g
+        FROM ddc JOIN dlam USING (b) GROUP BY 1)"""
+
+  /** Boilerplate-span derivation (5-token gram positions → global
+    * df ≥ 2 dictionary → per-doc tag) as shared CTEs — all three
+    * boilerplate oracles embed it verbatim (reportBlock discipline).
+    * DuckDB's 1-based inclusive list slice toks[i:i+4] over
+    * generate_series(1, len-4) mirrors Spark's 0-based
+    * sequence(0, size-5) indexed concat_ws exactly. */
+  private val BoilerplateCtes = """
+      WITH btoks AS (
+        SELECT doc_id, source,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                 AS toks
+        FROM documents),
+      bgrams AS (
+        SELECT doc_id, source, array_to_string(toks[i:i+4], ' ') AS gram
+        FROM (SELECT doc_id, source, toks,
+                     unnest(generate_series(1, len(toks) - 4)) AS i
+              FROM btoks WHERE len(toks) >= 5)),
+      bdict AS (
+        SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM bgrams GROUP BY 1
+        HAVING count(DISTINCT doc_id) >= 2),
+      btag AS (
+        SELECT bg.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN bd.gram IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS bp_grams
+        FROM bgrams bg LEFT JOIN bdict bd USING (gram)
+        GROUP BY 1)"""
+
+  /** The DSIR selection (global top-DsirKeepMilli‰ over the grid with
+    * the exact-ceil md5 boundary sub-split) — the QualityCutSql CASE
+    * chain with the partition key collapsed. */
+  private val DsirSelectSql = s"""$DsirCtes,
+      dsb AS (
+        SELECT doc_id, g,
+               substr(md5(concat_ws(':', CAST(doc_id AS VARCHAR),
+                 'dsir')), 1, 4) AS hex4
+        FROM dwg),
+      dsgrid AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS cnt FROM dsb GROUP BY 1),
+      dspref AS (
+        SELECT g, cnt,
+               CAST(coalesce(sum(cnt) OVER (ORDER BY g DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_before
+        FROM dsgrid),
+      dstot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_docs FROM dsgrid),
+      dsdec AS (
+        SELECT p.g, p.cnt,
+               (t.n_docs * $DsirKeepMilli) // 1000 - p.cum_before
+                 AS deficit
+        FROM dspref p, dstot t)
+      SELECT dsb.doc_id, dsb.g,
+             CAST(CASE
+               WHEN d.deficit <= 0 THEN 0
+               WHEN d.deficit >= d.cnt THEN 1
+               WHEN ((d.deficit * 65536 + d.cnt - 1) // d.cnt) >= 65536
+                 THEN 1
+               WHEN dsb.hex4 < printf('%04x',
+                 (d.deficit * 65536 + d.cnt - 1) // d.cnt) THEN 1
+               ELSE 0 END AS BIGINT) AS kept
+      FROM dsb JOIN dsdec d ON dsb.g = d.g"""
+
   private val QualityCutSql = s"""$Q4Ctes,
       b AS (
         SELECT doc_id, source, q4,
@@ -2293,6 +2443,35 @@ object PipelineQueries {
         ON p.lang = d.lang AND p.w1 = d.w1 AND p.w2 = d.w2
       GROUP BY 1""",
 
+    // boilerplate spans: literal space-joined 5-token windows (1-based
+    // list slice == Spark's 0-based indexed concat_ws), exact
+    // distinct-doc df, dictionary = df >= 2
+    "boilerplate_spans" -> s"""$BoilerplateCtes
+      SELECT gram, df FROM bdict""",
+
+    // per-doc multiset template hits against the dictionary embedded
+    // verbatim; identical integer half-up milli; < 5-token docs emit
+    // no row
+    "boilerplate_tag" -> s"""$BoilerplateCtes
+      SELECT doc_id, n_grams, bp_grams,
+             (2 * bp_grams * 1000 + n_grams) // (2 * n_grams) AS bp_milli
+      FROM btag""",
+
+    // composition-only rollup over the tag + the dictionary size
+    "boilerplate_audit" -> s"""$BoilerplateCtes
+      SELECT doc.source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN bp_grams > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS docs_flagged,
+             CAST(sum(n_grams) AS BIGINT) AS grams_total,
+             CAST(sum(bp_grams) AS BIGINT) AS grams_bp,
+             (2 * CAST(sum(bp_grams) AS BIGINT) * 1000 +
+               CAST(sum(n_grams) AS BIGINT)) //
+               (2 * CAST(sum(n_grams) AS BIGINT)) AS bp_milli,
+             (SELECT CAST(count(*) AS BIGINT) FROM bdict) AS dict_grams
+      FROM btag JOIN documents doc USING (doc_id)
+      GROUP BY 1""",
+
     // the naive query the MG-pruned pass must equal exactly: integer
     // threshold cnt*k > n_total, no FP anywhere
     "heavy_hitters" -> """
@@ -2568,6 +2747,26 @@ object PipelineQueries {
                CAST(count(*) AS BIGINT)) //
                (2 * CAST(count(*) AS BIGINT)) AS kept_milli
       FROM c GROUP BY 1""",
+
+    "dsir_weights" -> s"""$DsirCtes
+      SELECT doc_id, n_feats, w_milli, g FROM dwg""",
+
+    "dsir_select" -> DsirSelectSql,
+
+    // composition-only rollup: selection AND weights embedded verbatim
+    "dsir_audit" -> s"""
+      WITH sel AS ($DsirSelectSql)
+      SELECT doc.source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(sel.kept) AS BIGINT) AS n_sel,
+             (2 * CAST(sum(sel.kept) AS BIGINT) * 1000 +
+               CAST(count(*) AS BIGINT)) //
+               (2 * CAST(count(*) AS BIGINT)) AS sel_milli,
+             CAST(sum(w.w_milli) AS BIGINT) AS sum_w_milli
+      FROM sel
+      JOIN ($DsirCtes SELECT doc_id, w_milli FROM dwg) w USING (doc_id)
+      JOIN documents doc USING (doc_id)
+      GROUP BY 1""",
 
     // composition-only rollup: the member derivation embedded verbatim
     "budget_audit" -> s"""

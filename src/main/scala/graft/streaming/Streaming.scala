@@ -813,6 +813,28 @@ object Streaming {
       graft.text.TextOps.qualityCutScored(docStream),
       broadcast(spark.table(decisionsTable)))
 
+  /** Live boilerplate tagging against the FROZEN template dictionary
+    * ([[graft.text.Boilerplate.boilerplateSpans]]) — the ingest-time
+    * face of the template-mass monitor (the runDocSimilarProbe
+    * foreachBatch posture): every micro-batch runs the batch
+    * [[graft.text.Boilerplate.boilerplateTag]] VERBATIM with the
+    * frozen dictionary, emitting the identical (doc_id, n_grams,
+    * bp_grams, bp_milli) row per arriving doc. A doc's gram positions
+    * all live in its own row, so per-micro-batch semantics are EXACT
+    * and any replay partition emits the batch tag row-for-row
+    * (StreamingSpec proves convergence). A template-mass spike on
+    * arrival flags a new mirror or extractor regression before the
+    * near-dup pass pays for it. */
+  def runBoilerplateTag(spark: SparkSession, docStream: DataFrame,
+      dictTable: String, k: Int = graft.text.Boilerplate.DefaultK)(
+      sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => sink(graft.text.Boilerplate.boilerplateTag(
+        batch.toDF(), k, dict = Some(spark.table(dictTable))))
+    docStream.writeStream.foreachBatch(perBatch).start()
+  }
+
   /** Live DSIR importance gate — the ingest-time face of
     * [[graft.text.Dsir.dsirSelect]] (the runDocSimilarProbe posture,
     * not a stateless expression join: the per-doc weight needs the

@@ -301,6 +301,35 @@ class StreamingSpec extends SparkSpec {
     assert(want.exists(_.last == 0L) && want.exists(_.last == 1L))
   }
 
+  test("live boilerplate tagger (foreachBatch) converges to batch tag") {
+    val docs = graft.text.TextOps.docs(spark, SF)
+    // freeze the template dictionary (the serving artifact)
+    import scala.jdk.CollectionConverters._
+    val dict = graft.text.Boilerplate.boilerplateSpans(docs)
+    spark.createDataFrame(dict.collect().toSeq.asJava, dict.schema)
+      .createOrReplaceTempView("bp_dict")
+    val dir = Files.createTempDirectory("graft_bp_stream").toString
+    docs.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = Streaming.runBoilerplateTag(spark, stream, "bp_dict") { b =>
+      val rows = b.collect().map(_.toSeq)
+      buf.synchronized { buf ++= rows }
+    }
+    q.processAllAvailable(); q.stop()
+    // a doc's gram positions all live in its own row — any replay
+    // partition emits the batch tag row-for-row
+    val got = buf.toSet
+    val want = graft.text.Boilerplate.boilerplateTag(docs)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want,
+      s"stream ${got.size} vs batch ${want.size}")
+    assert(buf.size == want.size) // each doc tagged exactly once
+    // the dictionary actually tags something on this corpus
+    assert(want.exists(_(2).asInstanceOf[Long] > 0L))
+  }
+
   test("live DSIR gate (foreachBatch) converges to batch dsirSelect") {
     val docs = graft.text.TextOps.docs(spark, SF)
     // freeze the two serving artifacts: the ≤ 4096-row bucket model

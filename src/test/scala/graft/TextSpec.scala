@@ -1487,6 +1487,50 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("boilerplate: planted template spans land in the dictionary " +
+      "with exact df, the tag counts positions as a multiset, short " +
+      "docs emit no row, audit conserves mass") {
+    import spark.implicits._
+    import graft.text.Boilerplate
+    // 'the quick brown fox jumps' is the planted 5-token template,
+    // shared by docs 1-3 (doc 3 repeats it — multiset positions);
+    // docs 10-12 are unique noise; doc 20 is too short to have a gram
+    val planted = Seq(
+      (1L, "the quick brown fox jumps over x1", "en", "s0"),
+      (2L, "y2 the quick brown fox jumps", "en", "s0"),
+      (3L, "the quick brown fox jumps the quick brown fox jumps", "en", "s1"),
+      (10L, "aa bb cc dd ee ff gg", "en", "s1"),
+      (11L, "hh ii jj kk ll mm nn", "en", "s1"),
+      (12L, "oo pp qq rr ss tt uu", "en", "s1"),
+      (20L, "too short here", "en", "s0"),
+      (21L, null.asInstanceOf[String], "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val dict = Boilerplate.boilerplateSpans(planted).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("df")).toMap
+    // every dictionary entry contains the planted template's tokens
+    // (windows overlapping the repeat in doc 3 only pair with doc 3
+    // itself → df 1 → excluded); the core span has df 3
+    assert(dict("the quick brown fox jumps") == 3L, dict.toString)
+    assert(dict.keys.forall(_.split(' ').toSet.subsetOf(
+      Set("the", "quick", "brown", "fox", "jumps"))), dict.toString)
+    val tag = Boilerplate.boilerplateTag(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("bp_grams"))).toMap
+    assert(!tag.contains(20L) && !tag.contains(21L)) // no gram, no row
+    assert(tag(1L) == (3L, 1L)) // 7 tokens → 3 windows, 1 template hit
+    // doc 3: 10 tokens → 6 windows; positions 0 and 5 are the exact
+    // template; 1-4 bridge the repeat — dictionary membership decides
+    val (n3, b3) = tag(3L)
+    assert(n3 == 6L && b3 >= 2L, s"doc3 $n3/$b3")
+    assert(tag(10L)._2 == 0L) // noise docs carry no template mass
+    // audit conservation: per-source sums equal the tag sums
+    val audit = Boilerplate.boilerplateAudit(planted).collect()
+    val totBp = audit.map(_.getAs[Long]("grams_bp")).sum
+    assert(totBp == tag.values.map(_._2).sum)
+    audit.foreach(r =>
+      assert(r.getAs[Long]("dict_grams") == dict.size.toLong))
+  }
+
   test("dsir: target-like docs out-weight raw-like docs, grid is " +
       "positive-bounded, selection keeps monotone bands, zero-feature " +
       "docs emit no row") {
