@@ -191,6 +191,57 @@ object StreamOps {
     * segment is a min_by over (−count, segment) — deterministic tie
     * toward the smaller id, formulated as a window in the oracle (the
     * two-formulation strengthening). */
+  /** Consumer-group REBALANCE planner — the assignment a scaling
+    * coordinator hands to `workers` parallel consumers of a space
+    * (streamkit serves segments to subscribers; when one consumer
+    * can't keep up, the segment set must split across a group):
+    * segments rank within their space by load desc (segment asc
+    * tiebreak — deterministic), worker = (rank−1) mod workers. Sorted
+    * round-robin striping is the SQL-expressible LPT approximation:
+    * consecutive heavy segments land on different workers, and the
+    * max-load excess over ideal is bounded by one segment's load per
+    * stripe. The plan is a pure function of the settled log —
+    * engine-reproducible, so the oracle derives the identical
+    * assignment.
+    *
+    * Scale: one corpus agg to segment-sized rows, then the ONLY
+    * window runs over the segment table partitioned by space —
+    * segment-sized, never event-sized (the planner must order
+    * segments by load; that sort is the operator's essential work,
+    * and it never touches raw entries). */
+  def rebalancePlan(named: DataFrame, workers: Int = 4): DataFrame = {
+    require(workers >= 1, s"workers must be >= 1, got $workers")
+    val seg = named.groupBy(col("space"), col("segment"))
+      .agg(count(lit(1)).as("n_entries"))
+    val w = Window.partitionBy("space")
+      .orderBy(col("n_entries").desc, col("segment"))
+    seg.withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("worker", (col("rnk") - 1L) % lit(workers.toLong))
+  }
+
+  /** Realized-imbalance accounting for [[rebalancePlan]] (the
+    * lsh_bucket_audit discipline): per space, the worker population,
+    * heaviest/lightest worker loads, and max-over-ideal as the
+    * all-integer half-up milli (ideal = total/workers_used, so
+    * imb = max·workers_used/total — 1000 is perfect balance). The
+    * group is healthy while imb_milli stays near 1000; a hot segment
+    * bigger than ideal shows up here BEFORE the consumer group pages.
+    * Oracle embeds the plan derivation verbatim. */
+  def rebalanceAudit(named: DataFrame, workers: Int = 4): DataFrame =
+    rebalancePlan(named, workers)
+      .groupBy(col("space"), col("worker"))
+      .agg(count(lit(1)).as("segs"), sum(col("n_entries")).as("load"))
+      .groupBy(col("space"))
+      .agg(
+        sum(col("segs")).as("n_segments"),
+        sum(col("load")).as("n_entries"),
+        count(lit(1)).as("workers_used"),
+        max(col("load")).as("max_load"),
+        min(col("load")).as("min_load"))
+      .withColumn("imb_milli",
+        expr("(2 * max_load * workers_used * 1000 + n_entries) div " +
+          "(2 * n_entries)"))
+
   def segmentSkew(named: DataFrame): DataFrame =
     named.groupBy(col("space"), col("segment"))
       .agg(count(lit(1)).as("c"))

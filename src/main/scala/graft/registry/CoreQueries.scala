@@ -81,6 +81,16 @@ object CoreQueries {
     // all-integer half-up milli max/mean ratio
     "sk_segment_skew" -> ((s, d) =>
       StreamOps.segmentSkew(EventLog.named(s, d))),
+    // consumer-group rebalance planner: segments ranked by load within
+    // their space, striped round-robin across workers (the
+    // SQL-expressible LPT approximation); the only window runs over
+    // segment-sized rows
+    "sk_rebalance_plan" -> ((s, d) =>
+      StreamOps.rebalancePlan(EventLog.named(s, d))),
+    // realized imbalance per space: max worker load over ideal as the
+    // integer half-up milli; oracle embeds the plan verbatim
+    "sk_rebalance_audit" -> ((s, d) =>
+      StreamOps.rebalanceAudit(EventLog.named(s, d))),
     // stale-segment audit: last entry predates the newest quarter of
     // the space's own range — integer cutoff, integer milli share
     "sk_stale_segments" -> ((s, d) =>
@@ -240,6 +250,23 @@ object CoreQueries {
   )
 
   private val E = EventLog.CTE
+
+  /** Rebalance-plan derivation (per-segment loads → load-desc rank →
+    * round-robin stripe) — sk_rebalance_audit embeds it verbatim (the
+    * reportBlock discipline). */
+  private val RebalancePlanCtes = s"""$E,
+      seg AS (
+        SELECT space, segment, CAST(count(*) AS BIGINT) AS n_entries
+        FROM entries GROUP BY 1, 2),
+      plan AS (
+        SELECT space, segment, n_entries,
+               CAST(row_number() OVER (PARTITION BY space
+                 ORDER BY n_entries DESC, segment ASC) AS BIGINT) AS rnk
+        FROM seg)"""
+
+  private val RebalancePlanSql = s"""$RebalancePlanCtes
+      SELECT space, segment, n_entries, rnk, (rnk - 1) % 4 AS worker
+      FROM plan"""
 
   /** The touch_attribution derivation, named because touch_matrix
     * embeds it verbatim (the reportBlock discipline). */
@@ -509,6 +536,28 @@ object CoreQueries {
              (2 * a.hot_entries * a.n_segments * 1000 + a.n_entries) //
                (2 * a.n_entries) AS skew_milli
       FROM agg a JOIN hot h ON a.space = h.space""",
+
+    // identical rank + stripe arithmetic; window over segment-sized
+    // rows only
+    "sk_rebalance_plan" -> RebalancePlanSql,
+
+    // the plan embedded verbatim; all-integer max-over-ideal milli
+    "sk_rebalance_audit" -> s"""$RebalancePlanCtes,
+      wl AS (
+        SELECT space, (rnk - 1) % 4 AS worker,
+               CAST(count(*) AS BIGINT) AS segs,
+               CAST(sum(n_entries) AS BIGINT) AS wload
+        FROM plan GROUP BY 1, 2)
+      SELECT space,
+             CAST(sum(segs) AS BIGINT) AS n_segments,
+             CAST(sum(wload) AS BIGINT) AS n_entries,
+             CAST(count(*) AS BIGINT) AS workers_used,
+             CAST(max(wload) AS BIGINT) AS max_load,
+             CAST(min(wload) AS BIGINT) AS min_load,
+             (2 * CAST(max(wload) AS BIGINT) * CAST(count(*) AS BIGINT)
+               * 1000 + CAST(sum(wload) AS BIGINT)) //
+               (2 * CAST(sum(wload) AS BIGINT)) AS imb_milli
+      FROM wl GROUP BY 1""",
 
     // identical integer cutoff and milli share over the same rollup
     "sk_stale_segments" -> s"""$E,

@@ -273,6 +273,50 @@ class StreamOpsSpec extends SparkSpec {
       ("a", 5L) -> ((0L, 1000L))), got.toString)
   }
 
+  test("rebalancePlan: exactly-once assignment, round-robin counts, " +
+      "heaviest segments spread first; audit consistent with the plan") {
+    val named = EventLog.named(spark, SF)
+    val plan = StreamOps.rebalancePlan(named, workers = 4).collect()
+    val bySpace = plan.groupBy(_.getAs[String]("space"))
+    bySpace.foreach { case (sp, rows) =>
+      // every segment assigned exactly once
+      assert(rows.map(_.getAs[String]("segment")).distinct.length ==
+        rows.length, sp)
+      // stripe arithmetic: worker = (rnk-1) % 4, ranks are 1..n
+      val rnks = rows.map(_.getAs[Long]("rnk")).sorted
+      assert(rnks.toSeq == (1L to rows.length.toLong), sp)
+      rows.foreach(r => assert(r.getAs[Long]("worker") ==
+        (r.getAs[Long]("rnk") - 1L) % 4L, sp))
+      // round-robin: per-worker segment counts differ by at most one
+      val cnts = rows.groupBy(_.getAs[Long]("worker")).values
+        .map(_.length).toSeq
+      assert(cnts.max - cnts.min <= 1, s"$sp $cnts")
+      // the top-4 heaviest segments land on 4 distinct workers
+      val top = rows.sortBy(r =>
+        (-r.getAs[Long]("n_entries"), r.getAs[String]("segment"))).take(4)
+      assert(top.map(_.getAs[Long]("worker")).distinct.length ==
+        math.min(4, rows.length), sp)
+    }
+    // audit recomputed from the plan rows exactly
+    val audit = StreamOps.rebalanceAudit(named, workers = 4).collect()
+      .map(r => r.getAs[String]("space") -> r).toMap
+    bySpace.foreach { case (sp, rows) =>
+      val loads = rows.groupBy(_.getAs[Long]("worker"))
+        .map { case (_, g) => g.map(_.getAs[Long]("n_entries")).sum }
+      val a = audit(sp)
+      assert(a.getAs[Long]("n_segments") == rows.length.toLong)
+      assert(a.getAs[Long]("workers_used") == loads.size.toLong)
+      assert(a.getAs[Long]("max_load") == loads.max)
+      assert(a.getAs[Long]("min_load") == loads.min)
+      val tot = loads.sum
+      assert(a.getAs[Long]("imb_milli") ==
+        (2L * loads.max * loads.size * 1000L + tot) / (2L * tot))
+      // striping keeps the realized imbalance sane: the heaviest
+      // worker carries less than two ideal shares on this log
+      assert(a.getAs[Long]("imb_milli") < 2000L, s"$sp $a")
+    }
+  }
+
   test("interarrivalStats: within-segment gaps only, integer half-up mean") {
     import spark.implicits._
     import graft.operators.Windows
