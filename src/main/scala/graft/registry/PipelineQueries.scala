@@ -1128,6 +1128,21 @@ object PipelineQueries {
     "crawl_diff" -> ((s, d) => graft.text.CrawlDiff.diff(
       graft.text.CrawlDiff.syntheticOld(docs(s, d)),
       graft.text.CrawlDiff.syntheticCurrent(docs(s, d)))),
+    // hashed-feature distribution drift between two crawl eras (the
+    // value_drift monitor on the DSIR bucket space): flagged buckets
+    // via exact DECIMAL(38,0)/HUGEINT share cross-multiplication;
+    // monitor table bounded at 16^3 rows at any corpus size. Era
+    // membership is a pure md5-nibble function of doc_id (the
+    // crawl_diff synthetic-snapshot discipline), so the oracle derives
+    // identical eras. Display micros are BIGINT-safe while a single
+    // bucket's mass stays under 4.6e12 occurrences (half the corpus in
+    // one of 4096 buckets — unreachable under the md5 hash)
+    "feature_drift" -> ((s, d) => {
+      val dd = docs(s, d)
+      val isOld = substring(md5(concat_ws(":",
+        col("doc_id").cast("string"), lit("era"))), 1, 1) < "c"
+      graft.text.Dsir.featureDrift(dd.filter(isOld), dd.filter(!isOld))
+    }),
     // the refresh report: counts per (status, lang) — oracle embeds the
     // diff SQL verbatim (the reportBlock one-definition discipline)
     "crawl_diff_report" -> ((s, d) => graft.text.CrawlDiff.report(
@@ -2750,6 +2765,50 @@ object PipelineQueries {
 
     "dsir_weights" -> s"""$DsirCtes
       SELECT doc_id, n_feats, w_milli, g FROM dwg""",
+
+    // same feature/bucket derivation split by the md5-nibble era draw;
+    // the flag is the HUGEINT share cross-multiplication, shares are
+    // half-up integer micros (display only)
+    "feature_drift" -> """
+      WITH ftoks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                 AS toks,
+               substr(md5(concat_ws(':', CAST(doc_id AS VARCHAR),
+                 'era')), 1, 1) < 'c' AS is_old
+        FROM documents),
+      ffeats AS (
+        SELECT doc_id, is_old, unnest(toks) AS feat FROM ftoks
+        UNION ALL
+        SELECT doc_id, is_old, toks[i] || ' ' || toks[i + 1] AS feat
+        FROM (SELECT doc_id, is_old, toks,
+                     unnest(generate_series(1, len(toks) - 1)) AS i
+              FROM ftoks WHERE len(toks) >= 2)),
+      fbk AS (
+        SELECT is_old, substr(md5(feat), 1, 3) AS b,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ffeats GROUP BY 1, 2),
+      fp AS (
+        SELECT b,
+               CAST(sum(CASE WHEN is_old THEN n ELSE 0 END)
+                 AS BIGINT) AS n_old,
+               CAST(sum(CASE WHEN NOT is_old THEN n ELSE 0 END)
+                 AS BIGINT) AS n_new
+        FROM fbk GROUP BY 1),
+      ft AS (
+        SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+               CAST(sum(n_new) AS BIGINT) AS t_new FROM fp)
+      SELECT b, n_old, n_new, t_old, t_new,
+             CASE WHEN t_old > 0 THEN
+               (2 * n_old * 1000000 + t_old) // (2 * t_old)
+               ELSE CAST(0 AS BIGINT) END AS share_old_micro,
+             CASE WHEN t_new > 0 THEN
+               (2 * n_new * 1000000 + t_new) // (2 * t_new)
+               ELSE CAST(0 AS BIGINT) END AS share_new_micro
+      FROM fp, ft
+      WHERE abs(CAST(n_old AS HUGEINT) * t_new -
+                CAST(n_new AS HUGEINT) * t_old) * 1000000 >
+            500 * CAST(t_old AS HUGEINT) * t_new""",
 
     "dsir_select" -> DsirSelectSql,
 

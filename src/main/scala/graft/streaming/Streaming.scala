@@ -835,6 +835,34 @@ object Streaming {
     docStream.writeStream.foreachBatch(perBatch).start()
   }
 
+  /** LIVE hashed-feature drift monitor — the streaming face of
+    * [[graft.text.Dsir.featureDrift]]: arriving docs explode into
+    * hashed features and feed a COMPLETE-mode streaming aggregation
+    * whose state is the per-bucket count table — BOUNDED at 16³ rows
+    * at any corpus size (the DSIR model-size argument: this is a
+    * stateful stream whose state cannot grow), so complete mode is
+    * safe by construction. Every trigger delivers the full updated
+    * count table; the per-trigger foreachBatch then runs the SAME
+    * [[graft.text.Dsir.driftFrom]] decision VERBATIM against the
+    * FROZEN old-era profile (≤ 4096 rows) — the monitor re-evaluates
+    * ALL buckets each trigger because the flag depends on the global
+    * totals, which one bucket's arrival shifts for every other bucket
+    * (why this dual cannot be per-row stateless). After full replay
+    * the emitted flag table equals the batch featureDrift exactly
+    * (StreamingSpec proves it). */
+  def runFeatureDriftMonitor(spark: SparkSession, docStream: DataFrame,
+      oldProfileTable: String, tauMicro: Long = 500L)(
+      sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val newCounts = graft.text.Dsir.featBuckets(docStream)
+      .groupBy(col("b")).agg(count(lit(1)).as("n_new"))
+    val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => sink(graft.text.Dsir.driftFrom(
+        spark.table(oldProfileTable), batch.toDF(), tauMicro))
+    newCounts.writeStream.outputMode("complete")
+      .foreachBatch(perBatch).start()
+  }
+
   /** Live DSIR importance gate — the ingest-time face of
     * [[graft.text.Dsir.dsirSelect]] (the runDocSimilarProbe posture,
     * not a stateless expression join: the per-doc weight needs the

@@ -208,6 +208,64 @@ object Dsir {
       broadcast(decisionsFrom(wts, keepMilli)))
   }
 
+  /** Hashed-FEATURE distribution drift between two crawl eras — the
+    * [[graft.operators.Windows.valueDrift]] monitor lifted onto the
+    * DSIR bucket space: per bucket, the old-vs-new feature-mass shares,
+    * flagged when the absolute share shift exceeds tauMicro per-million
+    * of total feature mass. This is the text-side early-warning dual of
+    * the payload monitor: a new domain, language, or extractor
+    * regression shifts hashed-feature mass long before any quality
+    * gate's aggregate moves, and the monitor table is bounded at 16³
+    * rows at ANY corpus size (the DSIR model-size argument).
+    *
+    * The flag is the EXACT integer cross-multiplication
+    * |n_old·t_new − n_new·t_old|·10⁶ > τ·t_old·t_new taken in
+    * DECIMAL(38,0) (BIGINT wraps near t ≈ 10¹³ features — the
+    * word_assoc posture; oracle mirrors with HUGEINT); shares are
+    * half-up integer micros, display-only. Scale: one linear feature
+    * explode per era, one (era, bucket) hash agg, everything after is
+    * ≤ 4096-row arithmetic. */
+  def featureDrift(oldD: DataFrame, newD: DataFrame,
+      tauMicro: Long = 500L): DataFrame =
+    driftFrom(bucketMass(oldD, "n_old"), bucketMass(newD, "n_new"),
+      tauMicro)
+
+  /** Per-bucket feature mass of one era — the frozen "old profile"
+    * artifact the live monitor compares against (≤ 4096 rows). */
+  def bucketMass(d: DataFrame, as: String = "n"): DataFrame =
+    featBuckets(d).groupBy(col("b")).agg(count(lit(1)).as(as))
+
+  /** The drift decision from two (bucket, mass) tables — shared
+    * VERBATIM by [[featureDrift]] and the live monitor
+    * ([[graft.streaming.Streaming.runFeatureDriftMonitor]]), the
+    * one-definition discipline. Inputs must carry (b, n_old) and
+    * (b, n_new). */
+  private[graft] def driftFrom(oldCounts: DataFrame, newCounts: DataFrame,
+      tauMicro: Long = 500L): DataFrame = {
+    require(tauMicro >= 1L && tauMicro <= 1000000L,
+      s"tauMicro must be in [1, 1e6], got $tauMicro")
+    val joined = oldCounts
+      .join(newCounts, Seq("b"), "full_outer")
+      .na.fill(0L, Seq("n_old", "n_new"))
+      .localCheckpoint(true) // ≤ 4096 rows; feeds totals + the flag scan
+    val tots = joined.groupBy().agg(
+      sum(col("n_old")).as("t_old"), sum(col("n_new")).as("t_new"))
+    joined.crossJoin(broadcast(tots))
+      .filter(
+        abs(col("n_old").cast("decimal(38,0)") * col("t_new") -
+          col("n_new").cast("decimal(38,0)") * col("t_old")) *
+          lit(1000000L) >
+        lit(tauMicro) * col("t_old").cast("decimal(38,0)") * col("t_new"))
+      .select(col("b"), col("n_old"), col("n_new"), col("t_old"),
+        col("t_new"),
+        expr("CASE WHEN t_old > 0 THEN " +
+          "(2 * n_old * 1000000 + t_old) div (2 * t_old) " +
+          "ELSE CAST(0 AS BIGINT) END").as("share_old_micro"),
+        expr("CASE WHEN t_new > 0 THEN " +
+          "(2 * n_new * 1000000 + t_new) div (2 * t_new) " +
+          "ELSE CAST(0 AS BIGINT) END").as("share_new_micro"))
+  }
+
   /** Per-source accounting for [[dsirSelect]] (the lsh_bucket_audit
     * discipline): scored docs, selected count, the realized half-up
     * milli share, and the exact summed weight — the "which sources

@@ -301,6 +301,34 @@ class StreamingSpec extends SparkSpec {
     assert(want.exists(_.last == 0L) && want.exists(_.last == 1L))
   }
 
+  test("live feature-drift monitor converges to batch featureDrift " +
+      "over the replayed new era") {
+    import graft.text.Dsir
+    val docs = graft.text.TextOps.docs(spark, SF)
+    val isOld = substring(md5(concat_ws(":",
+      col("doc_id").cast("string"), lit("era"))), 1, 1) < "c"
+    val oldD = docs.filter(isOld)
+    val newD = docs.filter(!isOld)
+    // freeze the old-era bucket profile (the serving artifact)
+    import scala.jdk.CollectionConverters._
+    val prof = Dsir.bucketMass(oldD, "n_old")
+    spark.createDataFrame(prof.collect().toSeq.asJava, prof.schema)
+      .createOrReplaceTempView("fd_old_profile")
+    val dir = Files.createTempDirectory("graft_fd_stream").toString
+    newD.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(newD.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    // complete-mode agg: keep only the LAST trigger's flag table
+    @volatile var last: Array[Seq[Any]] = Array.empty
+    val q = Streaming.runFeatureDriftMonitor(spark, stream,
+      "fd_old_profile") { b => last = b.collect().map(_.toSeq) }
+    q.processAllAvailable(); q.stop()
+    val want = Dsir.featureDrift(oldD, newD).collect().map(_.toSeq).toSet
+    assert(want.nonEmpty, "monitor must flag something at gate scale")
+    assert(last.toSet == want,
+      s"stream ${last.length} vs batch ${want.size}")
+  }
+
   test("live boilerplate tagger (foreachBatch) converges to batch tag") {
     val docs = graft.text.TextOps.docs(spark, SF)
     // freeze the template dictionary (the serving artifact)

@@ -1531,6 +1531,37 @@ class TextSpec extends SparkSpec {
       assert(r.getAs[Long]("dict_grams") == dict.size.toLong))
   }
 
+  test("featureDrift: identical eras flag nothing; a planted token " +
+      "burst flags its bucket in the right direction") {
+    import spark.implicits._
+    import graft.text.Dsir
+    val base = (0L until 40L).map(i =>
+      (i, "alpha beta gamma delta", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    // identical distributions → every cross-multiplied diff is 0
+    assert(Dsir.featureDrift(base, base).collect().isEmpty)
+    // the new era gains a concentrated burst of one unseen token
+    val burst = (100L until 120L).map(i =>
+      (i, "driftword driftword driftword driftword", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val flagged = Dsir.featureDrift(base, base.union(burst)).collect()
+    assert(flagged.nonEmpty)
+    // every flagged bucket must move toward the era that gained mass
+    // in it; the burst bucket itself is flagged with zero old share
+    flagged.foreach { r =>
+      val up = r.getAs[Long]("share_new_micro") !=
+        r.getAs[Long]("share_old_micro")
+      assert(up, r.toString)
+    }
+    val burstBucket = java.security.MessageDigest.getInstance("MD5")
+      .digest("driftword".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(3)
+    val hit = flagged.find(_.getAs[String]("b") == burstBucket)
+    assert(hit.isDefined, flagged.map(_.getString(0)).mkString(","))
+    assert(hit.get.getAs[Long]("n_old") == 0L &&
+      hit.get.getAs[Long]("n_new") >= 80L)
+  }
+
   test("dsir: target-like docs out-weight raw-like docs, grid is " +
       "positive-bounded, selection keeps monotone bands, zero-feature " +
       "docs emit no row") {
