@@ -400,6 +400,67 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("dsir_select: windows run over the aggregated grid only, the " +
+      "model and gate joins broadcast, no cartesian") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    import org.apache.spark.sql.execution.LogicalRDD
+    val docs = graft.text.TextOps.docs(spark, SF)
+    val sel = graft.text.Dsir.dsirSelect(docs)
+    val wins = sel.queryExecution.optimizedPlan
+      .collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    // the one window (decision-grid prefix) must sit over the bounded
+    // grid — either a visible aggregate or the eagerly-checkpointed
+    // grid RDD (lineage truncated at the checkpoint), never the
+    // per-doc weight stream (which reaches the window only via that
+    // grid agg)
+    wins.foreach { w =>
+      val overGrid = w.child.collectFirst {
+        case a: Aggregate => a
+        case r: LogicalRDD => r
+      }.nonEmpty
+      assert(overGrid, s"window over unaggregated rows:\n$w")
+      // the checkpointed grid carries exactly the (g, cnt) pair —
+      // doc-stream columns would show here if the window ever moved
+      assert(w.child.output.map(_.name).toSet == Set("g", "cnt"),
+        w.child.output.toString)
+    }
+    val p = plan(sel)
+    assert(p.contains("BroadcastExchange"), p)
+    // the one-row totals crossJoin rides a broadcast nested loop (the
+    // contamination_semantic-fence shape); a true cartesian never
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("boilerplate_tag broadcasts the dictionary; feature_drift " +
+      "broadcasts totals; no cartesian in either") {
+    val docs = graft.text.TextOps.docs(spark, SF)
+    val pTag = plan(graft.text.Boilerplate.boilerplateTag(docs))
+    assert(pTag.contains("BroadcastExchange"), pTag)
+    assert(!pTag.contains("CartesianProduct"), pTag)
+    val isOld = substring(md5(concat_ws(":",
+      col("doc_id").cast("string"), lit("era"))), 1, 1) < "c"
+    val pDrift = plan(graft.text.Dsir.featureDrift(
+      docs.filter(isOld), docs.filter(!isOld)))
+    assert(pDrift.contains("BroadcastExchange"), pDrift)
+    // totals ride the broadcast nested loop (one-row side); never a
+    // true cartesian
+    assert(!pDrift.contains("CartesianProduct"), pDrift)
+  }
+
+  test("rebalance plan: the only window runs over the segment rollup, " +
+      "keyed by space") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val wins = StreamOps.rebalancePlan(EventLog.named(spark, SF))
+      .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, w.toString) // space-keyed
+      assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        s"window over raw entries:\n$w") // segment-sized input
+    }
+  }
+
   test("part_revenue_topk cuts before naming: TakeOrdered, then the " +
       "k survivors broadcast against part") {
     val p = plan(graft.analytics.Relational.partRevenueTopK(spark, SF))
