@@ -931,6 +931,18 @@ object PipelineQueries {
       Knn.searchIvfIndex(s, tbl, centroids,
         e.filter(col("vec_id") < 5), k = 10)
     }),
+    // list-balance audit over the persisted quantized index (the
+    // rebalance_audit discipline on inverted lists): max-over-ideal
+    // milli — the probe-tail-latency / rebuild-after-drift signal; one
+    // bucketed-scan hash agg, rows-only (seeded k-means assignment),
+    // KnnSpec proves conservation vs the index and the imbalance bound
+    "ivf_balance_audit" -> ((s, d) => {
+      val e = Knn.emb(s, d)
+      val (tbl, path) = runScopedTable(s, d, "graft_ivf_balance")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      Knn.writeIvfIndexQuantized(e, tbl, path, nlist = 10, buckets = 8)
+      Knn.ivfBalanceAudit(s, tbl)
+    }),
     // the int8 codes COMPOSED into the persisted IVF index (the
     // IVF-PQ-shaped production layout): float-space centroid training
     // and assignment offline, but the bucketed inverted lists store

@@ -1273,6 +1273,29 @@ object Knn {
     ranked(scored, k)
   }
 
+  /** IVF LIST-BALANCE audit over a PERSISTED index table (the
+    * rebalanceAudit discipline applied to inverted lists): list
+    * population, total vectors, heaviest/lightest lists, and
+    * max-over-ideal as the all-integer half-up milli (1000 = perfectly
+    * balanced lists). Probe latency is gated by the heaviest probed
+    * list — an imbalance creep after corpus drift is the "rebuild the
+    * index" signal, invisible in search results until tail latency
+    * pages. One hash agg over the bucketed index scan (zero Exchange:
+    * the table is bucketed by c_id, the agg key) to ≤ nlist rows.
+    * rows-only: the list assignment is seeded k-means. */
+  def ivfBalanceAudit(spark: SparkSession, tableName: String): DataFrame =
+    spark.table(tableName)
+      .groupBy(col("c_id")).agg(count(lit(1)).as("list_size"))
+      .groupBy()
+      .agg(
+        count(lit(1)).as("n_lists"),
+        sum(col("list_size")).as("n_vectors"),
+        max(col("list_size")).as("max_list"),
+        min(col("list_size")).as("min_list"))
+      .withColumn("imb_milli",
+        expr("(2 * max_list * n_lists * 1000 + n_vectors) div " +
+          "(2 * n_vectors)"))
+
   /** IVF: k-means centroids ([[kmeansCentroids]]; at scale trained once
     * offline), every vector joins its nearest centroid's inverted list;
     * queries probe the `nprobe` nearest lists. */

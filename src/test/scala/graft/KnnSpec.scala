@@ -510,6 +510,33 @@ class KnnSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("ivfBalanceAudit: conserves the index population, bounds follow " +
+      "the list distribution, bucketed scan with no Exchange") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfb_idx").toString
+    spark.sql("DROP TABLE IF EXISTS ivfb_idx")
+    graft.similarity.Knn.writeIvfIndexQuantized(
+      e, "ivfb_idx", dir, nlist = 10, buckets = 4)
+    val audit = graft.similarity.Knn.ivfBalanceAudit(spark, "ivfb_idx")
+    // the agg key IS the bucketing key: the scan must need no Exchange
+    // below the partial aggregate (one bucketed read, combine in place)
+    val p = audit.queryExecution.executedPlan.toString
+    assert(p.contains("Bucketed: true"), p)
+    val r = audit.collect().head
+    val lists = spark.table("ivfb_idx").groupBy("c_id").count()
+      .collect().map(_.getLong(1))
+    assert(r.getAs[Long]("n_lists") == lists.length.toLong)
+    assert(r.getAs[Long]("n_vectors") == lists.sum)
+    assert(r.getAs[Long]("max_list") == lists.max)
+    assert(r.getAs[Long]("min_list") == lists.min)
+    // max-over-ideal is >= 1000 by construction, == 1000 only when
+    // perfectly balanced
+    val imb = r.getAs[Long]("imb_milli")
+    assert(imb >= 1000L, imb.toString)
+    assert(imb == (2L * lists.max * lists.length * 1000L + lists.sum) /
+      (2L * lists.sum))
+  }
+
   test("semantic dedup: planted duplicate groups collapse; coverage is total") {
     import spark.implicits._
     import graft.functions.DotProduct
