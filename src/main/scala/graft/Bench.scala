@@ -25,7 +25,8 @@ object Bench {
       "contamination_report_ivf", "domain_classifier_persisted",
       "knn_recall_audit_quantized", "knn_label_prop_ivf",
       "doc_similar_persisted", "triplet_mine_ivf",
-      "vocab_coverage_persisted", "oov_tag", "ivf_balance_audit")
+      "vocab_coverage_persisted", "oov_tag", "ivf_balance_audit",
+      "lm_score_persisted")
 
   private def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()

@@ -1202,6 +1202,16 @@ object PipelineQueries {
     "repetition_stats" -> ((s, d) => TextOps.repetitionStats(docs(s, d))),
     "lm_score" -> ((s, d) => TextOps.lmScore(docs(s, d))),
     "lm_score_bigram" -> ((s, d) => TextOps.lmScoreBigram(docs(s, d))),
+    // the EIGHTH persisted-index family: the bigram LM frozen as a
+    // (w1, w2, c2, c1) table bucketed by w1 — probe equijoin with zero
+    // model-side Exchange; round-trip transparent, shares the
+    // lm_score_bigram oracle verbatim
+    "lm_score_persisted" -> ((s, d) => {
+      val (tbl, path) = runScopedTable(s, d, "graft_lm_model")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      TextOps.writeLmIndex(docs(s, d), tbl, path)
+      TextOps.lmScoreIndexed(s, tbl, docs(s, d))
+    }),
     // BM25 ranked keyword retrieval; per-term contributions rounded to
     // integer micro-units before the per-doc sum so summation order
     // can't flip the rounded score (oracle repeats the identical IEEE
@@ -1637,6 +1647,30 @@ object PipelineQueries {
              CAST(count(*) AS BIGINT) AS n_anchors
       FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2"""
+
+  /** The bigram-LM score SQL — shared verbatim by lm_score_bigram and
+    * the persisted-model probe (round-trip transparency is the claim
+    * the shared oracle checks). */
+  private val LmBigramSql = """
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                 AS toks
+        FROM documents),
+      b AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, len(toks) - 1),
+                 i -> toks[i + 1])) AS w1,
+               unnest(list_transform(range(0, len(toks) - 1),
+                 i -> toks[i + 2])) AS w2
+        FROM t WHERE len(toks) >= 2),
+      c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2),
+      c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1)
+      SELECT doc_id, count(*) AS n_transitions,
+             round(avg(ln(c2) - ln(c1)), 4) AS avg_logp,
+             round(exp(-avg(ln(c2) - ln(c1))), 2) AS perplexity
+      FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+      GROUP BY doc_id"""
 
   private val oracleBase: Map[String, String] = Map(
     "dedup_exact" -> """
@@ -2213,28 +2247,14 @@ object PipelineQueries {
     // bigram LM trained on the scored corpus → every transition
     // in-vocabulary, oracle exact; DuckDB's lockstep multi-unnest pairs
     // the shifted token lists positionally (lists are 1-indexed)
-    "lm_score_bigram" -> """
-      WITH t AS (
-        SELECT doc_id,
-               list_filter(string_split(lower(text), ' '), x -> x <> '')
-                 AS toks
-        FROM documents),
-      b AS (
-        SELECT doc_id,
-               unnest(list_transform(range(0, len(toks) - 1),
-                 i -> toks[i + 1])) AS w1,
-               unnest(list_transform(range(0, len(toks) - 1),
-                 i -> toks[i + 2])) AS w2
-        FROM t WHERE len(toks) >= 2),
-      c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2),
-      c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1)
-      SELECT doc_id, count(*) AS n_transitions,
-             round(avg(ln(c2) - ln(c1)), 4) AS avg_logp,
-             round(exp(-avg(ln(c2) - ln(c1))), 2) AS perplexity
-      FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
-      GROUP BY doc_id""",
+    "lm_score_bigram" -> LmBigramSql,
 
-    // the IDENTICAL IEEE expression as TextOps.bm25Search: idf+1
+    // the persisted-model probe is round-trip transparent (same
+    // counts, same log(c2)-log(c1) doubles), so it keeps the oracle
+    // verbatim — the vocab_coverage_persisted posture
+    "lm_score_persisted" -> LmBigramSql,
+
+        // the IDENTICAL IEEE expression as TextOps.bm25Search: idf+1
     // variant, avgdl left as the sub-expression sum_dl/n_docs (exact
     // BIGINTs divided the same way in both engines), and per-term
     // contributions rounded to integer micro-units BEFORE the per-doc

@@ -1851,21 +1851,26 @@ object TextOps {
     * out). Counts join by plain shuffle joins on the bigram/context
     * keys — the bigram table of a web corpus is far beyond broadcast
     * budget; AQE upgrades when it isn't. */
-  def lmScoreBigram(d: DataFrame): DataFrame = {
-    val toks = withToks(d.withColumn("text", lower(col("text"))))
+  /** Exploded (doc_id, w1, w2) transition rows — the ONE bigram-LM
+    * derivation shared by the in-session trainer+scorer
+    * ([[lmScoreBigram]]), the index writer ([[writeLmIndex]]) and the
+    * persisted probe ([[lmScoreIndexed]]). */
+  private def lmBigrams(d: DataFrame): DataFrame =
+    withToks(d.withColumn("text", lower(col("text"))))
       .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), col("toks"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  def lmScoreBigram(d: DataFrame): DataFrame = {
     // the exploded transition table feeds TWO consumers (the count agg
     // and the probe side of the scoring join) and the count table feeds
     // two more (the scoring join and the context rollup) — materialize
     // each once or the tokenize+explode pass re-runs per consumer (the
     // multi-consumer lesson; at cluster scale the same reuse is
     // persist(MEMORY_AND_DISK): the table is 3 slim columns, sharded)
-    val bigrams = toks.select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks) - 2), " +
-          "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .localCheckpoint(true)
+    val bigrams = lmBigrams(d).localCheckpoint(true)
     val c2 = bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c2"))
       .localCheckpoint(true)
@@ -1882,6 +1887,55 @@ object TextOps {
         round(avg(col("logp")), 4).as("avg_logp"),
         round(exp(-avg(col("logp"))), 2).as("perplexity"))
   }
+
+  /** Persist the bigram LANGUAGE MODEL — the EIGHTH persisted-index
+    * family: one (w1, w2, c2, c1) row per observed transition with its
+    * context total pre-joined, written bucketed by `w1` (the probe
+    * join's leading key — HashPartitioning(w1) satisfies the
+    * (w1, w2) clustered distribution, so the probe equijoin reads the
+    * model with ZERO index-side Exchange; TextSpec asserts the
+    * bucketed scan). Train-once/score-per-crawl: the model is
+    * vocabulary²-bounded (in practice transition-sparse), the Staged
+    * rebuild serves the live generation while the next builds. */
+  def writeLmIndex(d: DataFrame, tableName: String, path: String,
+      buckets: Int = 8): Unit = {
+    val c2 = lmBigrams(d).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true) // 2 consumers: context rollup + model rows
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    graft.sources.Staged.commit(d.sparkSession, tableName, path) {
+      (tbl, p) =>
+        c2.join(c1, Seq("w1"))
+          .repartition(col("w1"))
+          .write
+          .option("path", p)
+          .bucketBy(buckets, "w1")
+          .sortBy("w1", "w2")
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .saveAsTable(tbl)
+    }
+  }
+
+  /** Score documents against the PERSISTED bigram LM
+    * ([[writeLmIndex]]) — result-identical to [[lmScoreBigram]] when
+    * the model was written from the same corpus (same counts, same
+    * log(c2)−log(c1) doubles — TextSpec proves row parity), so the
+    * freeze-once/score-per-batch hop is transparent and the operator
+    * keeps the lm_score_bigram ORACLE verbatim (the
+    * vocabCoverageIndexed posture). Probe docs tokenize once; only
+    * model-KNOWN transitions score (inner membership — an unseen
+    * transition in a live batch is the rebuild signal, the
+    * stream-gate convention). */
+  def lmScoreIndexed(spark: SparkSession, tableName: String,
+      d: DataFrame): DataFrame =
+    lmBigrams(d)
+      .join(spark.table(tableName), Seq("w1", "w2"))
+      .select(col("doc_id"), (log(col("c2")) - log(col("c1"))).as("logp"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_transitions"),
+        round(avg(col("logp")), 4).as("avg_logp"),
+        round(exp(-avg(col("logp"))), 2).as("perplexity"))
 
   /** Polynomial rolling-hash fingerprint per document (custom codegen'd
     * Catalyst expression graft.functions.PolyHash64). */

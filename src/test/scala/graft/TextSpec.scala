@@ -1531,6 +1531,22 @@ class TextSpec extends SparkSpec {
       assert(r.getAs[Long]("dict_grams") == dict.size.toLong))
   }
 
+  test("lmScoreIndexed: persisted-model probe is row-identical to the " +
+      "in-session scorer and scans the bucketed model") {
+    spark.sql("DROP TABLE IF EXISTS lm_idx_spec")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_lm_idx_spec").toString + "/m"
+    TextOps.writeLmIndex(docs, "lm_idx_spec", path)
+    val probe = TextOps.lmScoreIndexed(spark, "lm_idx_spec", docs)
+    // the model side must arrive pre-bucketed (w1 leads the join key)
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.contains("Bucketed: true"), p)
+    val got = probe.collect().map(_.toSeq).toSet
+    val want = TextOps.lmScoreBigram(docs).collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want,
+      s"probe ${got.size} vs in-session ${want.size}")
+  }
+
   test("featureDrift: identical eras flag nothing; a planted token " +
       "burst flags its bucket in the right direction") {
     import spark.implicits._
