@@ -813,6 +813,26 @@ object Streaming {
       graft.text.TextOps.qualityCutScored(docStream),
       broadcast(spark.table(decisionsTable)))
 
+  /** Live PERPLEXITY scoring against the persisted bigram LM
+    * ([[graft.text.TextOps.writeLmIndex]]) — the ingest-time gibberish
+    * monitor (the runDocSimilarProbe foreachBatch posture): every
+    * micro-batch runs the batch [[graft.text.TextOps.lmScoreIndexed]]
+    * VERBATIM against the frozen model table, emitting the identical
+    * (doc_id, n_transitions, avg_logp, perplexity) row per arriving
+    * doc. A doc's transitions all live in its own row, so
+    * per-micro-batch semantics are EXACT (StreamingSpec proves
+    * convergence). A perplexity spike on arrival flags machine
+    * gibberish, encoding damage, or an unfamiliar domain before any
+    * quality gate trained on in-distribution text sees it. */
+  def runLmScoreProbe(spark: SparkSession, docStream: DataFrame,
+      modelTable: String)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => sink(graft.text.TextOps.lmScoreIndexed(
+        spark, modelTable, batch.toDF()))
+    docStream.writeStream.foreachBatch(perBatch).start()
+  }
+
   /** Live boilerplate tagging against the FROZEN template dictionary
     * ([[graft.text.Boilerplate.boilerplateSpans]]) — the ingest-time
     * face of the template-mass monitor (the runDocSimilarProbe

@@ -301,6 +301,35 @@ class StreamingSpec extends SparkSpec {
     assert(want.exists(_.last == 0L) && want.exists(_.last == 1L))
   }
 
+  test("live perplexity probe (foreachBatch) converges to batch " +
+      "lmScoreIndexed over the frozen model") {
+    val docs = graft.text.TextOps.docs(spark, SF)
+    spark.sql("DROP TABLE IF EXISTS lm_stream_idx")
+    val idxPath = Files.createTempDirectory("graft_lm_stream_idx")
+      .toString + "/m"
+    graft.text.TextOps.writeLmIndex(docs, "lm_stream_idx", idxPath)
+    val batch = graft.text.TextOps.lmScoreIndexed(
+      spark, "lm_stream_idx", docs)
+    val dir = Files.createTempDirectory("graft_lm_stream").toString
+    docs.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = Streaming.runLmScoreProbe(spark, stream, "lm_stream_idx") {
+      b =>
+        val rows = b.collect().map(_.toSeq)
+        buf.synchronized { buf ++= rows }
+    }
+    q.processAllAvailable(); q.stop()
+    // a doc's transitions all live in its own row — any replay
+    // partition emits the batch score row-for-row
+    val got = buf.toSet
+    val want = batch.collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want,
+      s"probe ${got.size} vs batch ${want.size}")
+    assert(buf.size == want.size) // each doc scored exactly once
+  }
+
   test("live feature-drift monitor converges to batch featureDrift " +
       "over the replayed new era") {
     import graft.text.Dsir
