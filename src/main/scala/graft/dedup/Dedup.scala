@@ -464,6 +464,43 @@ object Dedup {
       max(col("df")).as("max_df"))
   }
 
+  /** Candidate-join COST PLAN for the winnowed-anchor path (r18) — the
+    * df HISTOGRAM with exact pair arithmetic: one row per distinct
+    * document frequency with the anchor count, total postings, whether
+    * the df-cap keeps that stratum, and the candidate pairs the stratum
+    * would generate (df·(df−1)/2 per anchor). Read BEFORE running
+    * [[substringPairs]] at a new scale: the kept strata's `cand_pairs`
+    * sum is the join's exact output bound, and the dropped strata's sum
+    * is what the boilerplate cap SAVED — the "predict the blowup before
+    * paying for it" planning view, the per-stratum refinement of
+    * [[substringAnchorAudit]]'s one-row totals.
+    *
+    * Numeric contract: df, n_anchors, postings are exact BIGINTs;
+    * `cand_pairs` is a DOUBLE on purpose — at 100 TB a dropped
+    * boilerplate stratum's df·(df−1)/2·n_anchors overflows BIGINT near
+    * df ≈ 3·10⁹ (the quantity is a COST ESTIMATE, not a row count to
+    * conserve), and the parenthesized product of exact-integer-valued
+    * doubles is one IEEE chain — bit-identical both engines (each
+    * factor < 2⁵³). `kept` is an all-integer predicate (2 ≤ df ≤
+    * maxDf, the [[substringPairs]] join membership exactly). Scale:
+    * one kernel pass + two hash aggs; output bounded by the number of
+    * DISTINCT df values (≪ √postings in practice). */
+  def anchorCostPlan(d: DataFrame, k: Int = 40, w: Int = 25,
+      maxDf: Int = 50): DataFrame = {
+    require(k >= 1 && w >= 1 && maxDf >= 1, s"bad params k=$k w=$w maxDf=$maxDf")
+    d.filter(length(col("text")) >= k)
+      .select(col("doc_id"),
+        explode(WinnowedAnchors(col("text"), k, w)).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .groupBy("df").agg(count(lit(1)).as("n_anchors"))
+      .select(col("df"), col("n_anchors"),
+        (col("df") * col("n_anchors")).as("postings"),
+        when(col("df") >= 2L && col("df") <= maxDf, 1L).otherwise(0L)
+          .as("kept"),
+        ((col("n_anchors").cast("double") * col("df").cast("double")) *
+          (col("df") - 1L).cast("double") / lit(2.0)).as("cand_pairs"))
+  }
+
   /** Substring-level decontamination: train docs sharing a VERBATIM
     * character run (≥ k+w-1 chars guaranteed, see [[substringPairs]])
     * with any test doc — the n-gram-overlap decontamination method of

@@ -630,6 +630,10 @@ object PipelineQueries {
     // discipline): postings kept/dropped by the boilerplate df-cap
     "substring_anchor_audit" -> ((s, d) =>
       Dedup.substringAnchorAudit(docs(s, d))),
+    // candidate-join cost plan: the anchor-df histogram with exact
+    // per-stratum pair arithmetic — the kept strata bound the join's
+    // output, the dropped strata are what the cap saved
+    "anchor_cost_plan" -> ((s, d) => Dedup.anchorCostPlan(docs(s, d))),
     // quality-aware keeper selection: within each near-dup cluster keep
     // the highest-quality member (rounded-score tie → lowest doc_id) —
     // the production alternative to keep-lowest-id
@@ -840,6 +844,12 @@ object PipelineQueries {
     // "which sources does the target favor" view); oracle embeds the
     // select SQL verbatim
     "dsir_audit" -> ((s, d) => graft.text.Dsir.dsirAudit(docs(s, d))),
+    // smoothed KL(source ‖ corpus) over the hashed feature space: the
+    // distributional-redundancy view next to vocab_overlap (lexical);
+    // kl over ALL corpus buckets (smoothing mass on absent buckets),
+    // positive-shifted half-up milli, in-plan overflow fence
+    "source_divergence" -> ((s, d) =>
+      graft.text.Dsir.sourceDivergence(docs(s, d))),
     // per-source RELATIVE quality gate: keep the top keepMilli‰ of
     // each source — whole quarters above the boundary, the boundary
     // quarter sub-split by the salted md5 draw at the exact ceil
@@ -1043,6 +1053,15 @@ object PipelineQueries {
     "text_stats" -> ((s, d) => TextOps.stats(docs(s, d))),
     "text_quality" -> ((s, d) => TextOps.quality(docs(s, d))),
     "token_count" -> ((s, d) => TextOps.tokenCountBySource(docs(s, d))),
+    // tokenizer-sizing fertility table: BPE-ish tokens per whitespace
+    // word and chars per subword token, half-up integer millis per
+    // (lang, source) cell
+    "tok_fertility" -> ((s, d) =>
+      graft.text.TextProfile.tokFertility(docs(s, d))),
+    // char-class entropy junk detector: per-doc class counts, snapped-ln
+    // entropy, integer-predicate junk flag
+    "char_entropy" -> ((s, d) =>
+      graft.text.TextProfile.charEntropy(docs(s, d))),
     // REAL trained-merge-table BPE token accounting; rows-only (the
     // iterative merge training isn't ANSI-expressible — TextSpec proves
     // the segmentation invariants and known merges on a planted corpus)
@@ -1626,7 +1645,11 @@ object PipelineQueries {
   /** Winnowed-anchor substring pairs (the `dedup_substring` oracle),
     * named because the near-dup source-overlap rollup embeds it
     * verbatim. */
-  private val DedupSubstringSql = """
+  /** The winnowed-anchor derivation (positions → window-min md5 →
+    * distinct per-doc anchors → document frequency) as a shared CTE
+    * prefix: the pair oracle AND the cost-plan oracle embed it verbatim
+    * (reportBlock discipline — a formulation drift breaks one place). */
+  private val WinnowedAnchorCtes = """
       WITH pos AS (
         SELECT doc_id, unnest(generate_series(1, length(text) - 39)) AS i,
                text
@@ -1639,7 +1662,9 @@ object PipelineQueries {
           ROWS BETWEEN CURRENT ROW AND 24 FOLLOWING) AS h
         FROM hashed),
       anchors AS (SELECT DISTINCT doc_id, h FROM winmin),
-      freq AS (SELECT h, count(*) AS c FROM anchors GROUP BY h),
+      freq AS (SELECT h, count(*) AS c FROM anchors GROUP BY h)"""
+
+  private val DedupSubstringSql = s"""$WinnowedAnchorCtes,
       kept AS (
         SELECT a.doc_id, a.h FROM anchors a
         JOIN freq f USING (h) WHERE f.c <= 50)
@@ -1701,6 +1726,18 @@ object PipelineQueries {
     // prune in the Spark path is result-identical (singleton anchors
     // can't form a pair) so the oracle omits it.
     "dedup_substring" -> DedupSubstringSql,
+
+    // the anchor derivation verbatim, then the df histogram; cand_pairs
+    // is the parenthesized exact-integer-valued double chain
+    "anchor_cost_plan" -> s"""$WinnowedAnchorCtes
+      SELECT CAST(c AS BIGINT) AS df,
+             CAST(count(*) AS BIGINT) AS n_anchors,
+             CAST(c * count(*) AS BIGINT) AS postings,
+             CAST(CASE WHEN c BETWEEN 2 AND 50 THEN 1 ELSE 0 END
+               AS BIGINT) AS kept,
+             (CAST(count(*) AS DOUBLE) * CAST(c AS DOUBLE)) *
+               CAST(c - 1 AS DOUBLE) / 2.0 AS cand_pairs
+      FROM freq GROUP BY c""",
 
     // near-dup mirror matrix: the substring pair SQL embedded VERBATIM
     // (the reportBlock discipline), rolled up to normalized source
@@ -2079,6 +2116,81 @@ object PipelineQueries {
              round(length(replace(text, ' ', '')) / nullif(len(toks), 0), 4)
                AS avg_token_len
       FROM t""",
+
+    // same BPE-ish regex as token_count; both ratios all-integer
+    // half-up millis ((2a·1000 + b) // (2b)), CASE-guarded divisors
+    "tok_fertility" -> """
+      WITH t AS (
+        SELECT lang, source,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS BIGINT) AS ws,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe,
+               CAST(length(replace(text, ' ', '')) AS BIGINT) AS nsp
+        FROM documents),
+      g AS (
+        SELECT lang, source, count(*) AS n_docs,
+               CAST(sum(ws) AS BIGINT) AS ws_tokens,
+               CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+               CAST(sum(nsp) AS BIGINT) AS nsp_chars
+        FROM t GROUP BY 1, 2)
+      SELECT lang, source, n_docs, ws_tokens, bpe_tokens, nsp_chars,
+             CASE WHEN ws_tokens > 0 THEN
+               (2 * bpe_tokens * 1000 + ws_tokens) // (2 * ws_tokens)
+             END AS fert_milli,
+             CASE WHEN bpe_tokens > 0 THEN
+               (2 * nsp_chars * 1000 + bpe_tokens) // (2 * bpe_tokens)
+             END AS chars_per_bpe_milli
+      FROM g""",
+
+    // five exact class counts via length-difference; ln(c/n) snapped to
+    // the micro grid (floor(·1e6 + 0.5)) BEFORE composing; entropy is
+    // ONE division of exact integers; junk is an integer predicate
+    "char_entropy" -> """
+      WITH c AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(text) -
+                 length(regexp_replace(text, '[a-z]', '', 'g'))
+                 AS BIGINT) AS c_lower,
+               CAST(length(text) -
+                 length(regexp_replace(text, '[A-Z]', '', 'g'))
+                 AS BIGINT) AS c_upper,
+               CAST(length(text) -
+                 length(regexp_replace(text, '[0-9]', '', 'g'))
+                 AS BIGINT) AS c_digit,
+               CAST(length(text) -
+                 length(regexp_replace(text, ' ', '', 'g'))
+                 AS BIGINT) AS c_space
+        FROM documents WHERE length(text) > 0),
+      k AS (
+        SELECT *, n_chars - c_lower - c_upper - c_digit - c_space
+                 AS c_other
+        FROM c),
+      h AS (
+        SELECT *,
+          (CASE WHEN c_lower > 0 THEN c_lower * CAST(floor(ln(
+             CAST(c_lower AS DOUBLE) / CAST(n_chars AS DOUBLE))
+             * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END) +
+          (CASE WHEN c_upper > 0 THEN c_upper * CAST(floor(ln(
+             CAST(c_upper AS DOUBLE) / CAST(n_chars AS DOUBLE))
+             * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END) +
+          (CASE WHEN c_digit > 0 THEN c_digit * CAST(floor(ln(
+             CAST(c_digit AS DOUBLE) / CAST(n_chars AS DOUBLE))
+             * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END) +
+          (CASE WHEN c_space > 0 THEN c_space * CAST(floor(ln(
+             CAST(c_space AS DOUBLE) / CAST(n_chars AS DOUBLE))
+             * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END) +
+          (CASE WHEN c_other > 0 THEN c_other * CAST(floor(ln(
+             CAST(c_other AS DOUBLE) / CAST(n_chars AS DOUBLE))
+             * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END) AS h_sum
+        FROM k)
+      SELECT doc_id, n_chars, c_lower, c_upper, c_digit, c_space,
+             c_other,
+             CAST(-h_sum AS DOUBLE) /
+               (CAST(n_chars AS DOUBLE) * 1000000.0) AS entropy,
+             CAST(CASE WHEN -h_sum < 800000 * n_chars THEN 1 ELSE 0 END
+               AS BIGINT) AS junk
+      FROM h""",
 
     "text_quality" -> """
       WITH t AS (
@@ -2797,6 +2909,49 @@ object PipelineQueries {
 
     "dsir_weights" -> s"""$DsirCtes
       SELECT doc_id, n_feats, w_milli, g FROM dwg""",
+
+    // same feature/bucket derivation (ddc), then the smoothed-KL
+    // ladder: full |sources|×V grid, milli-snapped per-bucket log
+    // ratio, exact BIGINT kl sum, positive-shifted half-up kl_milli
+    // (shift 50000 strictly dominates |λ_milli| < 45000), one-division
+    // kl_nats
+    "source_divergence" -> s"""$DsirCtes,
+      s_sb AS (
+        SELECT source, b, CAST(sum(n) AS BIGINT) AS c_s
+        FROM ddc GROUP BY 1, 2),
+      s_cc AS (
+        SELECT b, CAST(sum(c_s) AS BIGINT) AS c_c FROM s_sb GROUP BY 1),
+      s_tot AS (
+        SELECT CAST(sum(c_c) AS BIGINT) AS t_c,
+               CAST(count(*) AS BIGINT) AS v
+        FROM s_cc),
+      s_st AS (
+        SELECT source, CAST(sum(c_s) AS BIGINT) AS t_s
+        FROM s_sb GROUP BY 1),
+      s_grid AS (
+        SELECT st.source, st.t_s, cc.b, cc.c_c,
+               coalesce(sb.c_s, 0) AS c_s, t.t_c, t.v
+        FROM s_st st CROSS JOIN s_cc cc CROSS JOIN s_tot t
+        LEFT JOIN s_sb sb ON sb.source = st.source AND sb.b = cc.b),
+      s_lam AS (
+        SELECT source, t_s, v,
+               (c_s + 1) * CAST(floor(ln(
+                 (CAST(c_s + 1 AS DOUBLE) * CAST(t_c + v AS DOUBLE)) /
+                 (CAST(c_c + 1 AS DOUBLE) * CAST(t_s + v AS DOUBLE)))
+                 * 1000.0 + 0.5) AS BIGINT) AS term
+        FROM s_grid),
+      s_kl AS (
+        SELECT source, CAST(max(t_s) AS BIGINT) AS t_s,
+               CAST(max(v) AS BIGINT) AS n_buckets,
+               CAST(sum(term) AS BIGINT) AS kl_sum_milli
+        FROM s_lam GROUP BY source)
+      SELECT source, t_s, n_buckets, kl_sum_milli,
+             (2 * (kl_sum_milli + (t_s + n_buckets) * 50000)
+               + (t_s + n_buckets)) // (2 * (t_s + n_buckets))
+               - 50000 AS kl_milli,
+             CAST(kl_sum_milli AS DOUBLE) /
+               (CAST(t_s + n_buckets AS DOUBLE) * 1000.0) AS kl_nats
+      FROM s_kl""",
 
     // same feature/bucket derivation split by the md5-nibble era draw;
     // the flag is the HUGEINT share cross-multiplication, shares are

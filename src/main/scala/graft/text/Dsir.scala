@@ -266,6 +266,85 @@ object Dsir {
           "ELSE CAST(0 AS BIGINT) END").as("share_new_micro"))
   }
 
+  /** Per-source DISTRIBUTIONAL divergence from the corpus — smoothed
+    * KL(source ‖ corpus) over the hashed feature space: the
+    * "which sources are distributionally redundant vs distinct" view a
+    * mixture planner reads next to `vocab_overlap` (lexical overlap)
+    * and `mix_plan` (mass weights). A source with near-zero divergence
+    * adds no distributional diversity; a high-divergence source is
+    * either a genuinely distinct domain or an extractor regression —
+    * `feature_drift` tells the two apart era-over-era.
+    *
+    * Numeric contract (the dsir_weights ladder verbatim): all counts
+    * exact integers; per (source, bucket), the ONE transcendental
+    * ln((c_s+1)(T_c+V)/((c_c+1)(T_s+V))) is milli-snapped with the
+    * multiply-before-divide double chain over exact-integer inputs
+    * (bit-identical arg both engines); kl_sum_milli = Σ_b (c_s+1)·λ_b
+    * is an exact BIGINT because the sum runs over ALL V corpus buckets
+    * (absent buckets contribute their smoothing mass — true zeros
+    * widen the sum, the moment doctrine), so Σ(c_s+1) = T_s+V exactly;
+    * kl_milli is the POSITIVE-SHIFTED half-up integer division
+    * (|λ_milli| < ln(2⁶³)·1000 < 45 000 outright, so shifting by
+    * 50 000·D makes the dividend strictly positive — div == floor ==
+    * truncation in both engines); kl_nats is one IEEE chain over exact
+    * integers, display-only. Overflow: the shifted dividend wraps past
+    * D ≈ 4.8·10¹³ smoothed features per source — enforced in-plan by
+    * the assert fence (the momentGuard posture), not a comment.
+    *
+    * Scale: one feature explode (shared shape with dsirWeights), one
+    * (source, bucket) hash agg, then EVERYTHING downstream is
+    * (|sources| × 4096)-row arithmetic — corpus-independent by the
+    * same construction that bounds the DSIR model. */
+  def sourceDivergence(d: DataFrame): DataFrame = {
+    val MaxSmoothed = 48000000000000L // 4.8e13: 1.9e5·D must fit BIGINT
+    // (source, b) counts: feeds the corpus profile AND the grid join
+    val sb = docBucketCounts(d)
+      .groupBy(col("source"), col("b"))
+      .agg(sum(col("n")).as("c_s"))
+      .localCheckpoint(true)
+    val corpus = sb.groupBy(col("b")).agg(sum(col("c_s")).as("c_c"))
+      .localCheckpoint(true) // ≤ 4096 rows; feeds totals + the grid
+    val tot = corpus.groupBy().agg(
+      sum(col("c_c")).as("t_c"), count(lit(1)).as("v"))
+    val st = sb.groupBy(col("source")).agg(sum(col("c_s")).as("t_s"))
+    // full |sources| × V grid: smoothing gives absent buckets real mass
+    val grid = st.crossJoin(broadcast(corpus)).crossJoin(broadcast(tot))
+      .join(sb, Seq("source", "b"), "left")
+      .na.fill(0L, Seq("c_s"))
+      .withColumn("lam_milli",
+        floor(log(
+          (col("c_s") + 1L).cast("double") *
+            (col("t_c") + col("v")).cast("double") /
+            ((col("c_c") + 1L).cast("double") *
+              (col("t_s") + col("v")).cast("double"))) *
+          lit(1000.0) + lit(0.5)).cast("long"))
+    grid.groupBy(col("source"))
+      .agg(
+        max(col("t_s")).as("t_s"),
+        max(col("v")).as("n_buckets"),
+        sum((col("c_s") + 1L) * col("lam_milli")).as("kl_sum_milli"))
+      // the overflow fence folds into a KEPT column so pruning can't
+      // drop it (the momentGuard posture); it checks the COUNT-derived
+      // D, never a sum that may already have wrapped
+      .withColumn("kl_milli",
+        expr(s"""(2 * (kl_sum_milli + (t_s + n_buckets) * 50000)
+                  + (t_s + n_buckets)) div (2 * (t_s + n_buckets))
+                 - 50000""") +
+          coalesce(assert_true(col("t_s") + col("n_buckets") <=
+              lit(MaxSmoothed),
+            concat(lit("source-divergence overflow fence: "),
+              (col("t_s") + col("n_buckets")).cast("string"),
+              lit(s" smoothed features in one source exceed " +
+                s"$MaxSmoothed — the shifted kl dividend would wrap; " +
+                "scope the source or shard the divergence run")))
+            .cast("long"), lit(0L)))
+      .select(col("source"), col("t_s"), col("n_buckets"),
+        col("kl_sum_milli"), col("kl_milli"),
+        (col("kl_sum_milli").cast("double") /
+          ((col("t_s") + col("n_buckets")).cast("double") * lit(1000.0)))
+          .as("kl_nats"))
+  }
+
   /** Per-source accounting for [[dsirSelect]] (the lsh_bucket_audit
     * discipline): scored docs, selected count, the realized half-up
     * milli share, and the exact summed weight — the "which sources

@@ -558,4 +558,32 @@ class DedupSpec extends SparkSpec {
         r.getAs[Long]("n_clusters")).toMap
     assert(got == real, s"$got vs $real")
   }
+
+  test("anchorCostPlan: conserves the audit totals and the kept strata " +
+      "predict the realized pair join exactly") {
+    val d = graft.text.TextOps.docs(spark, SF)
+    val plan = Dedup.anchorCostPlan(d).collect()
+    val audit = Dedup.substringAnchorAudit(d).collect().head
+    // stratum sums must equal the one-row audit's corpus totals
+    assert(plan.map(_.getAs[Long]("postings")).sum ==
+      audit.getAs[Long]("n_anchor_postings"))
+    assert(plan.map(_.getAs[Long]("n_anchors")).sum ==
+      audit.getAs[Long]("n_distinct_anchors"))
+    assert(plan.map(_.getAs[Long]("df")).max ==
+      audit.getAs[Long]("max_df"))
+    // the kept strata's cand_pairs is EXACTLY the pair join's total
+    // shared-anchor mass: each kept anchor at df d contributes
+    // d(d-1)/2 (doc1, doc2, anchor) evidences = Σ n_anchors over pairs
+    val predicted = plan.filter(_.getAs[Long]("kept") == 1L)
+      .map(_.getAs[Double]("cand_pairs")).sum
+    val realized = Dedup.substringPairs(d).agg(
+      sum(col("n_anchors"))).collect().head.getLong(0)
+    assert(predicted == realized.toDouble,
+      s"predicted $predicted vs realized $realized")
+    // df = 1 strata predict zero pairs and are never kept
+    plan.filter(_.getAs[Long]("df") == 1L).foreach { r =>
+      assert(r.getAs[Double]("cand_pairs") == 0.0)
+      assert(r.getAs[Long]("kept") == 0L)
+    }
+  }
 }

@@ -1705,4 +1705,100 @@ class TextSpec extends SparkSpec {
     assert(row.getAs[Long]("types_oov") == 2L)
     assert(row.getAs[Long]("oov_types_milli") == 667L)
   }
+
+  test("sourceDivergence: distribution-identical sources sit near zero " +
+      "and a disjoint-vocabulary source diverges strictly more") {
+    import spark.implicits._
+    // two sources with IDENTICAL token distributions (same doc text) →
+    // each is distributionally the corpus itself → λ ≈ 0 per bucket;
+    // a third source with a disjoint vocabulary must rank strictly
+    // above both (its mass sits in buckets the corpus profile charges)
+    val base = "alpha beta gamma delta epsilon zeta"
+    val d = Seq(
+      (1L, base, "en", "sA"), (2L, base, "en", "sA"),
+      (3L, base, "en", "sB"), (4L, base, "en", "sB"),
+      (5L, "qq ww ee rr tt yy uu ii oo pp", "en", "sC"),
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = graft.text.Dsir.sourceDivergence(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.size == 3)
+    // symmetry: sA and sB are interchangeable → identical rows
+    assert(got("sA").getAs[Long]("kl_sum_milli") ==
+      got("sB").getAs[Long]("kl_sum_milli"))
+    assert(got("sA").getAs[Long]("kl_milli") ==
+      got("sB").getAs[Long]("kl_milli"))
+    // near-zero for the corpus-like sources (hand-computed: 4 milli),
+    // strictly higher for sC (hand-computed: 280 milli — 70×)
+    assert(math.abs(got("sA").getAs[Long]("kl_milli")) <= 100L,
+      s"corpus-like source kl ${got("sA").getAs[Long]("kl_milli")}")
+    assert(got("sC").getAs[Long]("kl_milli") >
+      got("sA").getAs[Long]("kl_milli") + 200L,
+      s"disjoint source must diverge: ${got("sC").getAs[Long]("kl_milli")}")
+    // n_buckets is the ONE corpus vocabulary size, equal on every row
+    assert(got.values.map(_.getAs[Long]("n_buckets")).toSet.size == 1)
+    // kl_nats is the kl_sum/(D·1000) division exactly
+    val r = got("sC")
+    val dd = r.getAs[Long]("t_s") + r.getAs[Long]("n_buckets")
+    assert(r.getAs[Double]("kl_nats") ==
+      r.getAs[Long]("kl_sum_milli").toDouble / (dd.toDouble * 1000.0))
+  }
+
+  test("tokFertility: hand-computed millis on a planted cell; " +
+      "empty-text cell yields NULL ratios") {
+    import spark.implicits._
+    // cell (en, s0): "ab cd." → ws 2, bpe 3 ([ab][cd][.]), nsp 5
+    //                "x1"    → ws 1, bpe 2 ([x][1]),      nsp 2
+    // totals ws 3, bpe 5, nsp 7 → fert = 5/3 → 1667, cpb = 7/5 → 1400
+    val d = Seq(
+      (1L, "ab cd.", "en", "s0"),
+      (2L, "x1", "en", "s0"),
+      (3L, "", "de", "s0"), // zero-token cell: CASE guards both ratios
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = graft.text.TextProfile.tokFertility(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val en = got(("en", "s0"))
+    assert(en.getAs[Long]("ws_tokens") == 3L)
+    assert(en.getAs[Long]("bpe_tokens") == 5L)
+    assert(en.getAs[Long]("nsp_chars") == 7L)
+    assert(en.getAs[Long]("fert_milli") == 1667L)
+    assert(en.getAs[Long]("chars_per_bpe_milli") == 1400L)
+    val de = got(("de", "s0"))
+    assert(de.isNullAt(de.fieldIndex("fert_milli")))
+    assert(de.isNullAt(de.fieldIndex("chars_per_bpe_milli")))
+  }
+
+  test("charEntropy: single-class doc scores 0 and flags junk; " +
+      "balanced classes score ln(k); counts conserve") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "00000000", "en", "s0"),           // one class → H = 0 → junk
+      (2L, "ab AB 01 cd EF 23", "en", "s0"),  // 4 classes
+      (3L, "", "en", "s0"),                   // zero-length → no row
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = graft.text.TextProfile.charEntropy(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!got.contains(3L), "zero-length doc must emit no row")
+    val junk = got(1L)
+    assert(junk.getAs[Double]("entropy") == 0.0)
+    assert(junk.getAs[Long]("junk") == 1L)
+    val mixed = got(2L)
+    // 17 chars: 6 lower, 4 upper? — recount: "ab AB 01 cd EF 23":
+    // lower a,b,c,d = 4; upper A,B,E,F = 4; digit 0,1,2,3 = 4; space 5
+    assert(mixed.getAs[Long]("c_lower") == 4L)
+    assert(mixed.getAs[Long]("c_upper") == 4L)
+    assert(mixed.getAs[Long]("c_digit") == 4L)
+    assert(mixed.getAs[Long]("c_space") == 5L)
+    assert(mixed.getAs[Long]("c_other") == 0L)
+    val n = mixed.getAs[Long]("n_chars")
+    assert(n == 17L)
+    // near-uniform 4-way mix: entropy close to ln(4) ≈ 1.386, not junk
+    val h = mixed.getAs[Double]("entropy")
+    assert(h > 1.3 && h < 1.45, s"entropy $h")
+    assert(mixed.getAs[Long]("junk") == 0L)
+    // class counts conserve on the real corpus (full-projection force)
+    val real = graft.text.TextProfile.charEntropy(docs)
+    val bad = real.filter(col("c_lower") + col("c_upper") +
+      col("c_digit") + col("c_space") + col("c_other") =!= col("n_chars"))
+    assert(bad.count() == 0L)
+  }
 }
