@@ -133,6 +133,41 @@ object EventSourcing {
         coalesce(col("i_payload"), col("s_payload")).as("last_payload"))
   }
 
+  /** SNAPSHOT-CADENCE planner (r18) — the cold-load cost model of the
+    * snapshot-then-suffix read path ([[replayFromSnapshot]], reference
+    * `pkg/eskit/store.go:33-46`): under a "snapshot every `everyN`
+    * events" policy, a cold aggregate load pays ONE snapshot read plus
+    * its post-snapshot suffix, so per (space, segment) this emits the
+    * exact integer accounting — snapshots the policy has taken
+    * (`snaps_taken` = n div everyN), the suffix a cold load replays
+    * today (`since_snap` = n mod everyN), and the `due` decision once
+    * the suffix passes `dueAfter` (an all-integer predicate; the
+    * operational alert that an aggregate's next load is getting
+    * expensive). The planner view a store operator reads before sizing
+    * snapshot cadence: segments with large `since_snap` are exactly the
+    * ones whose next cold load pays.
+    *
+    * Scale: ONE map-side-combinable hash agg over the log — the same
+    * shape as [[replayState]]; everything downstream is per-segment
+    * integer arithmetic, so the planner costs one log scan at any
+    * scale. */
+  def snapshotPlan(entries: DataFrame, everyN: Long = 16L,
+      dueAfter: Long = 8L): DataFrame = {
+    require(everyN >= 1L && dueAfter >= 0L,
+      s"bad policy everyN=$everyN dueAfter=$dueAfter")
+    entries
+      .groupBy(col("space"), col("segment"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(col("sequence")).as("last_sequence"))
+      .select(col("space"), col("segment"), col("n_events"),
+        col("last_sequence"),
+        expr(s"n_events div $everyN").as("snaps_taken"),
+        expr(s"n_events % $everyN").as("since_snap"),
+        when(expr(s"n_events % $everyN") >= dueAfter, 1L).otherwise(0L)
+          .as("due"))
+  }
+
   /** Envelope decode (`pkg/eskit/store.go:42-46`: payloads are JSON
     * envelopes unmarshalled on replay): parse the JSON payload and fold
     * a typed field per aggregate — the "domain event" projection path. */

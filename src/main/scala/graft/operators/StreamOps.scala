@@ -462,6 +462,44 @@ object StreamOps {
         col("bytes_expired"), col("n_kept"), col("bytes_kept"))
   }
 
+  /** KEY-COMPACTION planner (r18) — the "would log compaction help this
+    * space" sizing view next to [[retentionAudit]]'s TTL one: under
+    * keep-latest-per-key compaction (the classic compacted-topic
+    * contract; key = segment, order = the per-segment `sequence`
+    * ordinal, so the survivor is exact and deterministic), per space —
+    * entries and payload bytes today, the live set after compaction
+    * (one entry per segment), the exact reclaim, and the half-up
+    * integer reclaim share. A space with high `reclaim_milli` is
+    * state-like (compaction pays for itself); near zero it is
+    * event-like (compaction reads everything to reclaim nothing).
+    *
+    * Scale: one (space, segment) hash agg (map-side combinable; the
+    * last-payload pick is max_by over the per-segment sequence — never
+    * a window over the log), then a space-sized rollup. All-integer
+    * outputs. */
+  def compactPlan(entries: DataFrame): DataFrame =
+    entries
+      .select(col("space"), col("segment"), col("sequence"),
+        length(col("payload")).cast("long").as("pbytes"))
+      .groupBy(col("space"), col("segment"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("pbytes")).as("bytes_sum"),
+        max_by(col("pbytes"), col("sequence")).as("last_pbytes"))
+      .groupBy(col("space"))
+      .agg(
+        sum(col("n")).as("n_entries"),
+        count(lit(1)).as("n_segments"),
+        sum(col("bytes_sum")).as("bytes_total"),
+        sum(col("last_pbytes")).as("bytes_live"))
+      .select(col("space"), col("n_entries"), col("n_segments"),
+        col("bytes_total"), col("bytes_live"),
+        (col("bytes_total") - col("bytes_live")).as("bytes_reclaimed"),
+        expr("""CASE WHEN bytes_total > 0 THEN
+                  (2 * (bytes_total - bytes_live) * 1000 + bytes_total)
+                    div (2 * bytes_total)
+                END""").as("reclaim_milli"))
+
   /** [[consumerLag]] over an explicit committed-cursor table
     * (grp, space, cursor_ts_us, tmax-per-space). */
   def consumerLagFrom(named: DataFrame, cursors: DataFrame): DataFrame =

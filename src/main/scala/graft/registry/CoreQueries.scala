@@ -100,6 +100,11 @@ object CoreQueries {
     // cutoff = exact-BIGINT quantile of the space's own range
     "sk_retention_audit" -> ((s, d) =>
       StreamOps.retentionAudit(EventLog.named(s, d))),
+    // key-compaction planner: exact per-space reclaim under
+    // keep-latest-per-segment compaction (survivor via the sequence
+    // ordinal — deterministic), half-up integer reclaim share
+    "sk_compact_plan" -> ((s, d) =>
+      StreamOps.compactPlan(EventLog.entries(s, d))),
     // ── B. event sourcing ─────────────────────────────────────────────
     "es_replay_state" -> ((s, d) =>
       EventSourcing.replayState(
@@ -115,6 +120,10 @@ object CoreQueries {
         EventSourcing.snapshot(e, "purchase", atSequence = 20L),
         e, "purchase")
     }),
+    // snapshot-cadence planner: under a snapshot-every-N policy, the
+    // exact per-aggregate cold-load suffix and the integer due decision
+    "es_snapshot_plan" -> ((s, d) =>
+      EventSourcing.snapshotPlan(EventLog.entries(s, d))),
     "es_as_of_time" -> ((s, d) =>
       EventSourcing.stateAsOf(EventLog.entries(s, d, Some("purchase")),
         "purchase", T_2024_01_15)),
@@ -601,6 +610,29 @@ object CoreQueries {
       FROM ev e JOIN b ON e.space = b.space
       GROUP BY 1, 2""",
 
+    // per-segment survivor via max_by over the sequence ordinal, then
+    // the space rollup; reclaim share is the half-up integer milli
+    "sk_compact_plan" -> s"""$E,
+      seg AS (
+        SELECT space, segment, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(length(payload)) AS BIGINT) AS bytes_sum,
+               CAST(max_by(length(payload), sequence) AS BIGINT)
+                 AS last_pbytes
+        FROM entries GROUP BY 1, 2)
+      SELECT space, CAST(sum(n) AS BIGINT) AS n_entries,
+             count(*) AS n_segments,
+             CAST(sum(bytes_sum) AS BIGINT) AS bytes_total,
+             CAST(sum(last_pbytes) AS BIGINT) AS bytes_live,
+             CAST(sum(bytes_sum) - sum(last_pbytes) AS BIGINT)
+               AS bytes_reclaimed,
+             CASE WHEN CAST(sum(bytes_sum) AS BIGINT) > 0 THEN
+               (2 * (CAST(sum(bytes_sum) AS BIGINT) -
+                     CAST(sum(last_pbytes) AS BIGINT)) * 1000 +
+                CAST(sum(bytes_sum) AS BIGINT))
+                 // (2 * CAST(sum(bytes_sum) AS BIGINT))
+             END AS reclaim_milli
+      FROM seg GROUP BY 1""",
+
     "es_replay_state" -> s"""$E
       SELECT space, segment, count(*) AS n_events,
              round(sum(value), 2) AS balance,
@@ -625,6 +657,15 @@ object CoreQueries {
              max_by(ts_us, sequence) AS last_ts_us,
              max_by(payload, sequence) AS last_payload
       FROM entries WHERE space = 'purchase' GROUP BY 1, 2""",
+
+    "es_snapshot_plan" -> s"""$E
+      SELECT space, segment, count(*) AS n_events,
+             max(sequence) AS last_sequence,
+             count(*) // 16 AS snaps_taken,
+             count(*) % 16 AS since_snap,
+             CAST(CASE WHEN count(*) % 16 >= 8 THEN 1 ELSE 0 END
+               AS BIGINT) AS due
+      FROM entries GROUP BY 1, 2""",
 
     "es_as_of_time" -> s"""$E
       SELECT space, segment, count(*) AS n_events,

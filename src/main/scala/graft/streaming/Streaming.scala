@@ -215,6 +215,21 @@ object Streaming {
       .withColumn("digest", md5(lower(trim(col("text")))))
       .dropDuplicates("digest")
 
+  /** Live char-class entropy gate — the ingest-time face of
+    * `char_entropy`: [[graft.text.TextProfile.charEntropy]] is a PURE
+    * per-row expression map (exact class counts, micro-snapped ln,
+    * integer junk predicate — zero state, zero aggregation), so the
+    * batch definition applies to the stream VERBATIM and per-row
+    * semantics are exact by construction: any replay partition emits
+    * the batch row for each doc, byte for byte. This is the cheapest
+    * gate in the ingest chain — it runs BEFORE tokenization and drops
+    * binary junk / encoding damage before any stateful stage pays for
+    * it (the stream-side ordering mirror of the batch pipeline, where
+    * char_entropy is the cheapest full-corpus pass). */
+  def charEntropyStream(docStream: DataFrame,
+      tauMicroNats: Long = 800000L): DataFrame =
+    graft.text.TextProfile.charEntropy(docStream, tauMicroNats)
+
   /** Live curation stage — the streaming front of the batch curation
     * chain for an INGESTION pipeline: score each arriving document with
     * the batch quality definition (TextOps.qualityScored is a pure

@@ -517,4 +517,33 @@ class StreamOpsSpec extends SparkSpec {
         (r.getAs[Long]("n_behind"), r.getAs[Long]("time_lag_us"))).toMap
     assert(explicit == Map(9L -> ((0L, 0L)), 10L -> ((101L, 101L))))
   }
+
+  test("compactPlan: exact reclaim under keep-latest-per-segment; " +
+      "single-entry segments reclaim nothing") {
+    import spark.implicits._
+    // segment a: payloads of 5, 7, 9 bytes (sequence order — survivor
+    // is the 9); segment b: one 4-byte entry (fully live)
+    val entries = Seq(
+      ("s", "a", 1L, "12345"),
+      ("s", "a", 2L, "1234567"),
+      ("s", "a", 3L, "123456789"),
+      ("s", "b", 1L, "1234"),
+    ).toDF("space", "segment", "sequence", "payload")
+    val got = StreamOps.compactPlan(entries).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_entries") == 4L)
+    assert(r.getAs[Long]("n_segments") == 2L)
+    assert(r.getAs[Long]("bytes_total") == 25L)
+    assert(r.getAs[Long]("bytes_live") == 13L)  // 9 + 4
+    assert(r.getAs[Long]("bytes_reclaimed") == 12L)
+    // half-up milli: 12/25 = 480.0 exactly
+    assert(r.getAs[Long]("reclaim_milli") == 480L)
+    // an all-live space (every segment single-entry) reclaims zero
+    val live = Seq(("t", "x", 1L, "aa"), ("t", "y", 1L, "bb"))
+      .toDF("space", "segment", "sequence", "payload")
+    val lr = StreamOps.compactPlan(live).collect().head
+    assert(lr.getAs[Long]("bytes_reclaimed") == 0L)
+    assert(lr.getAs[Long]("reclaim_milli") == 0L)
+  }
 }

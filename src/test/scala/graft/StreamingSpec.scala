@@ -92,6 +92,27 @@ class StreamingSpec extends SparkSpec {
     assert(got == 50) // the 20 replayed docs are all dropped as dups
   }
 
+  test("streaming char-entropy gate emits the batch rows exactly, " +
+      "including the junk flag, across micro-batches") {
+    val docsDir = Files.createTempDirectory("graft_entropy_stream").toString
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+    docs.repartition(3).write.mode("overwrite").parquet(docsDir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(docsDir)
+    val q = Streaming.charEntropyStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("entropy_stream").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("entropy_stream").collect().map(_.toSeq).toSet
+    val want = graft.text.TextProfile.charEntropy(docs)
+      .collect().map(_.toSeq).toSet
+    assert(got == want) // per-row op: stream == batch byte for byte
+    assert(got.nonEmpty)
+    // exactly-once per doc
+    assert(spark.table("entropy_stream").count() ==
+      spark.table("entropy_stream").select("doc_id").distinct().count())
+  }
+
   test("streaming curate converges to the batch gate + dedup across micro-batches") {
     val docsDir = Files.createTempDirectory("graft_curate_stream").toString
     val docs = spark.read.parquet(s"$SF/documents.parquet")

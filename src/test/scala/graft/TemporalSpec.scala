@@ -56,4 +56,39 @@ class TemporalSpec extends SparkSpec {
     assert(out.count() == n)
     assert(out.select("segment", "sequence").distinct().count() == n)
   }
+
+  test("snapshotPlan: exact div/mod accounting and the due boundary") {
+    import graft.operators.EventSourcing
+    // segment a: 20 events → 1 snap, suffix 4, not due (dueAfter 8);
+    // segment b: 25 events → 1 snap, suffix 9, due;
+    // segment c: 16 events → 2 snaps? no: 16 div 16 = 1, suffix 0
+    val entries = frame((1L to 20L).map(i =>
+      ("s", "a", i, i * 10L, i, 1.0)) ++
+      (1L to 25L).map(i => ("s", "b", i, i * 10L, 100 + i, 1.0)) ++
+      (1L to 16L).map(i => ("s", "c", i, i * 10L, 200 + i, 1.0)))
+    val got = EventSourcing.snapshotPlan(entries, everyN = 16L,
+      dueAfter = 8L).collect().map(r => r.getString(1) -> r).toMap
+    val a = got("a")
+    assert(a.getAs[Long]("snaps_taken") == 1L)
+    assert(a.getAs[Long]("since_snap") == 4L)
+    assert(a.getAs[Long]("due") == 0L)
+    assert(a.getAs[Long]("last_sequence") == 20L)
+    val b = got("b")
+    assert(b.getAs[Long]("snaps_taken") == 1L)
+    assert(b.getAs[Long]("since_snap") == 9L)
+    assert(b.getAs[Long]("due") == 1L)
+    val c = got("c")
+    assert(c.getAs[Long]("snaps_taken") == 1L)
+    assert(c.getAs[Long]("since_snap") == 0L)
+    assert(c.getAs[Long]("due") == 0L)
+    // consistency with the read path: a snapshot at the policy boundary
+    // plus the suffix replays to the same state as a full replay
+    val entriesP = entries.withColumn("payload", lit("{}"))
+    val snap = EventSourcing.snapshot(entriesP, "s",
+      atSequence = 16L) // segment a/b/c boundary snapshot
+    val viaSnap = EventSourcing.replayFromSnapshot(snap, entriesP, "s")
+      .collect().map(r => r.getString(1) ->
+        r.getAs[Long]("n_events")).toMap
+    assert(viaSnap == Map("a" -> 20L, "b" -> 25L, "c" -> 16L))
+  }
 }
