@@ -1062,6 +1062,22 @@ object PipelineQueries {
     // entropy, integer-predicate junk flag
     "char_entropy" -> ((s, d) =>
       graft.text.TextProfile.charEntropy(docs(s, d))),
+    // per-source PII triage: exact email/long-digit match counts (the
+    // text_redact patterns verbatim) + half-up milli share of affected
+    // docs — decides where the redaction rewrite must run
+    "pii_density" -> ((s, d) =>
+      graft.text.TextProfile.piiDensity(docs(s, d))),
+    // quality-gate calibration: per q4 quarter, the exact-dup member
+    // share — does the gate anti-correlate with duplication? q4 and
+    // digest definitions reused verbatim
+    "quality_calibration" -> ((s, d) =>
+      graft.text.TextProfile.qualityCalibration(docs(s, d))),
+    // Zipf rank-frequency fit per lang: top-100 via the bounded
+    // MinKByKey agg (no window/sort — the sample_exact_k doctrine;
+    // the window formulation is the oracle), integer least squares
+    // over milli-snapped ln(rank)/ln(cnt)
+    "zipf_audit" -> ((s, d) =>
+      graft.text.TextProfile.zipfAudit(docs(s, d))),
     // REAL trained-merge-table BPE token accounting; rows-only (the
     // iterative merge training isn't ANSI-expressible — TextSpec proves
     // the segmentation invariants and known merges on a planted corpus)
@@ -2825,6 +2841,89 @@ object PipelineQueries {
       JOIN sz s1 ON train_doc = s1.doc_id
       JOIN sz s2 ON test_doc = s2.doc_id
       WHERE round(n_common / (s1.n + s2.n - n_common), 4) >= 0.9""",
+
+    // the window formulation of the top-100 (the engine runs the
+    // bounded aggregate — two-formulation cross-check); ln snapped to
+    // the milli grid before composing, moments exact BIGINT, slope/r2
+    // single IEEE chains, integer membership guards
+    "zipf_audit" -> """
+      WITH ztk AS (
+        SELECT lang,
+               unnest(list_filter(string_split(lower(text), ' '),
+                 x -> x <> '')) AS tok
+        FROM documents),
+      zc AS (
+        SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
+        FROM ztk GROUP BY 1, 2),
+      zr AS (
+        SELECT lang, cnt,
+               CAST(row_number() OVER (PARTITION BY lang
+                 ORDER BY cnt DESC, tok ASC) AS BIGINT) AS rnk
+        FROM zc),
+      zs AS (
+        SELECT lang,
+               CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000.0 + 0.5)
+                 AS BIGINT) AS x,
+               CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000.0 + 0.5)
+                 AS BIGINT) AS y
+        FROM zr WHERE rnk <= 100),
+      zm AS (
+        SELECT lang, count(*) AS n_top,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM zs GROUP BY 1)
+      SELECT lang, n_top,
+             n_top * sxy - sx * sy AS slope_num,
+             n_top * sxx - sx * sx AS slope_den,
+             CAST(n_top * sxy - sx * sy AS DOUBLE) /
+               CAST(n_top * sxx - sx * sx AS DOUBLE) AS slope,
+             CASE WHEN n_top * syy - sy * sy > 0 THEN
+               (CAST(n_top * sxy - sx * sy AS DOUBLE) *
+                CAST(n_top * sxy - sx * sy AS DOUBLE)) /
+               (CAST(n_top * sxx - sx * sx AS DOUBLE) *
+                CAST(n_top * syy - sy * sy AS DOUBLE))
+             END AS r2
+      FROM zm WHERE n_top * sxx - sx * sx > 0""",
+
+    // the q4 CTE chain + the dedup_exact digest verbatim; dup share is
+    // the half-up integer milli
+    "quality_calibration" -> s"""$Q4Ctes,
+      dgq AS (
+        SELECT doc_id, md5(lower(trim(text))) AS digest FROM documents),
+      dcq AS (SELECT digest, count(*) AS c FROM dgq GROUP BY 1),
+      jq AS (
+        SELECT q.q4, q.n_tok,
+               CASE WHEN dcq.c > 1 THEN 1 ELSE 0 END AS is_dup
+        FROM q JOIN dgq USING (doc_id) JOIN dcq USING (digest))
+      SELECT q4, count(*) AS n_docs,
+             CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+             CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+             (2 * CAST(sum(is_dup) AS BIGINT) * 1000 + count(*))
+               // (2 * count(*)) AS dup_milli
+      FROM jq GROUP BY q4""",
+
+    // the text_redact patterns verbatim; match counts via
+    // regexp_extract_all length (== Spark's no-limit split minus one)
+    "pii_density" -> """
+      WITH h AS (
+        SELECT source,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                 AS BIGINT) AS e_hits,
+               CAST(len(regexp_extract_all(text, '[0-9]{6,}'))
+                 AS BIGINT) AS n_hits
+        FROM documents)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(e_hits) AS BIGINT) AS n_email_hits,
+             CAST(sum(n_hits) AS BIGINT) AS n_num_hits,
+             CAST(sum(CASE WHEN e_hits + n_hits > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS docs_with_pii,
+             (2 * CAST(sum(CASE WHEN e_hits + n_hits > 0 THEN 1 ELSE 0
+                END) AS BIGINT) * 1000 + count(*)) // (2 * count(*))
+               AS pii_docs_milli
+      FROM h GROUP BY source""",
 
     "text_redact" -> """
       SELECT doc_id,

@@ -346,6 +346,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Sort "), p)
   }
 
+  test("zipf_audit runs the bounded top-k aggregate: no window, no sort " +
+      "of the vocabulary") {
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+    val p = plan(graft.text.TextProfile.zipfAudit(docs))
+    // the scale claim: top-100-per-lang via MinKByKey (map-side combine
+    // ships <= k rows per lang per partition), never the row_number
+    // window formulation (a per-lang sort of the whole vocabulary —
+    // that formulation is the DuckDB oracle, not the engine plan)
+    assert(p.contains("min_k_by_key"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Sort "), p)
+  }
+
   test("touch_attribution: map-side-combined aggregate, never a window") {
     val named = graft.sources.EventLog.named(spark, SF)
     val p = plan(graft.operators.Windows.attribution(named))

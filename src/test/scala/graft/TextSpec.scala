@@ -1706,6 +1706,94 @@ class TextSpec extends SparkSpec {
     assert(row.getAs[Long]("oov_types_milli") == 667L)
   }
 
+  test("zipfAudit: hand-computed least squares on planted counts; " +
+      "real corpus slopes are negative") {
+    import spark.implicits._
+    // counts a=4 b=2 c=1 → ranks 1,2,3; milli-snapped ln:
+    // x = (0, 693, 1099), y = (1386, 693, 0)
+    val d = Seq((1L, "a a a a b b c", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = graft.text.TextProfile.zipfAudit(d).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_top") == 3L)
+    // n·Σxy − ΣxΣy = 3·480249 − 1792·2079; n·Σxx − Σx²
+    assert(row.getAs[Long]("slope_num") == -2284821L)
+    assert(row.getAs[Long]("slope_den") == 1852886L)
+    assert(row.getAs[Double]("slope") == -2284821.0 / 1852886.0)
+    val yden = 3L * 2401245L - 2079L * 2079L
+    assert(row.getAs[Double]("r2") ==
+      (-2284821.0 * -2284821.0) / (1852886.0 * yden.toDouble))
+    // a single-distinct-token lang has no rank spread → no row
+    val flat = Seq((1L, "x x x", "de", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    assert(graft.text.TextProfile.zipfAudit(flat).collect().isEmpty)
+    // natural-ish corpus: every lang fits with a NEGATIVE slope
+    val real = graft.text.TextProfile.zipfAudit(docs).collect()
+    assert(real.nonEmpty)
+    real.foreach { l =>
+      assert(l.getAs[Double]("slope") < 0.0,
+        s"${l.getString(0)} slope ${l.getAs[Double]("slope")}")
+    }
+  }
+
+  test("qualityCalibration: planted dup members land in their quarter " +
+      "and totals conserve the corpus") {
+    import spark.implicits._
+    val longText = (1 to 60).map(i => s"tok$i").mkString(" ") // q4 high
+    val d = Seq(
+      (1L, longText, "en", "s0"),           // dup pair, same quarter
+      (2L, longText, "en", "s0"),
+      (3L, longText + " unique", "en", "s0"), // unique, same-ish quarter
+      (4L, "tiny", "en", "s0"),             // low quarter, unique
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = graft.text.TextProfile.qualityCalibration(d).collect()
+    assert(got.map(_.getAs[Long]("n_docs")).sum == 4L)
+    assert(got.map(_.getAs[Long]("n_dup_docs")).sum == 2L)
+    val byQ4 = got.map(r => r.getAs[Long]("q4") -> r).toMap
+    // the dup pair and the unique long doc share the top quarter
+    val top = byQ4(byQ4.keys.max)
+    assert(top.getAs[Long]("n_dup_docs") == 2L)
+    assert(top.getAs[Long]("n_docs") == 3L)
+    assert(top.getAs[Long]("dup_milli") == 667L)
+    // the low quarter has no dups
+    val low = byQ4(byQ4.keys.min)
+    assert(low.getAs[Long]("n_dup_docs") == 0L)
+    assert(low.getAs[Long]("dup_milli") == 0L)
+    // the real corpus conserves too (forces full projection)
+    val real = graft.text.TextProfile.qualityCalibration(docs).collect()
+    assert(real.map(_.getAs[Long]("n_docs")).sum == docs.count())
+  }
+
+  test("piiDensity: exact match counts incl. end-of-string matches and " +
+      "null text; agrees with the redactor's affected set") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail a@b.com and b@c.org here", "en", "s0"), // 2 emails
+      (2L, "num 1234567", "en", "s0"),                   // 1 long digit, at EOS
+      (3L, "clean text only", "en", "s0"),
+      (4L, null.asInstanceOf[String], "en", "s0"),       // null text
+      (5L, "x@y.io 999999", "en", "s1"),                 // both kinds
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = graft.text.TextProfile.piiDensity(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s0 = got("s0")
+    assert(s0.getAs[Long]("n_docs") == 4L)
+    assert(s0.getAs[Long]("n_email_hits") == 2L)
+    assert(s0.getAs[Long]("n_num_hits") == 1L)
+    assert(s0.getAs[Long]("docs_with_pii") == 2L)
+    assert(s0.getAs[Long]("pii_docs_milli") == 500L)
+    val s1 = got("s1")
+    assert(s1.getAs[Long]("n_email_hits") == 1L)
+    assert(s1.getAs[Long]("n_num_hits") == 1L)
+    assert(s1.getAs[Long]("docs_with_pii") == 1L)
+    // consistency with the redactor: a doc is PII-affected iff the
+    // redaction pass changed at least one char (same patterns)
+    val affected = TextOps.redact(d.filter(col("text").isNotNull))
+      .filter(col("chars_redacted") > 0L).count()
+    assert(affected == 3L) // docs 1, 2, 5
+  }
+
   test("sourceDivergence: distribution-identical sources sit near zero " +
       "and a disjoint-vocabulary source diverges strictly more") {
     import spark.implicits._
