@@ -24,6 +24,34 @@ object Windows {
       .groupBy(col("space"), col("window_start_us"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
 
+  /** OHLC bars per (space, tumbling window) — the
+    * open/high/low/close/volume rollup every monitoring and trading
+    * read-model wants from an event stream. Open/close are the RAW
+    * first/last event values by the (ts_us, event_id) total order
+    * (event_id is unique, so the order is total and ties can't make
+    * the pick ambiguous) via ONE struct-min/max each — the min_by
+    * doctrine, never a window over the log (the oracle runs the
+    * row_number formulation — two-formulation cross-check); high/low
+    * are plain min/max over raw doubles. All four are single raw row
+    * values (engine-identical, hash-safe — never a float sum); only
+    * the volume sum is rounded. One map-side-combinable hash agg:
+    * per-group state is O(1), so a hot window cannot spill. */
+  def ohlc(named: DataFrame, widthUs: Long): DataFrame = {
+    require(widthUs >= 1L, s"bad window width $widthUs")
+    named
+      .withColumn("window_start_us", expr(s"ts_us div $widthUs") * widthUs)
+      .groupBy(col("space"), col("window_start_us"))
+      .agg(
+        count(lit(1)).as("n"),
+        min_by(col("value"), struct(col("ts_us"), col("event_id")))
+          .as("open"),
+        max_by(col("value"), struct(col("ts_us"), col("event_id")))
+          .as("close"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+
   /** Hopping window (width = k * slide) via slide-index explode. */
   def hopping(named: DataFrame, slideUs: Long, slides: Int): DataFrame =
     named

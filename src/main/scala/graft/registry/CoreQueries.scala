@@ -147,6 +147,11 @@ object CoreQueries {
     // ── C. windows ────────────────────────────────────────────────────
     "win_tumbling" -> ((s, d) =>
       Windows.tumbling(EventLog.named(s, d), HOUR_US)),
+    // OHLC bars: open/close via struct-min/max over the (ts_us,
+    // event_id) total order (the min_by doctrine — oracle runs the
+    // row_number formulation), high/low raw, volume rounded
+    "win_ohlc" -> ((s, d) =>
+      Windows.ohlc(EventLog.named(s, d), HOUR_US)),
     "win_hopping" -> ((s, d) =>
       Windows.hopping(EventLog.named(s, d), SIX_H_US, slides = 2)),
     "win_session" -> ((s, d) =>
@@ -737,6 +742,29 @@ object CoreQueries {
              (epoch_us(ts) // $HOUR_US) * $HOUR_US AS window_start_us,
              count(*) AS n, round(sum(value), 2) AS sum_value
       FROM events GROUP BY 1, 2""",
+
+    // the row_number formulation of open/close (the engine runs the
+    // struct-min/max aggregate — two-formulation cross-check); the
+    // (ts_us, event_id) order is total, so both picks are exact
+    "win_ohlc" -> s"""
+      WITH w AS (
+        SELECT event_type AS space, epoch_us(ts) AS ts_us, event_id,
+               value,
+               (epoch_us(ts) // $HOUR_US) * $HOUR_US AS window_start_us
+        FROM events),
+      r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY space, window_start_us
+                 ORDER BY ts_us ASC, event_id ASC) AS rna,
+               row_number() OVER (PARTITION BY space, window_start_us
+                 ORDER BY ts_us DESC, event_id DESC) AS rnd
+        FROM w)
+      SELECT space, window_start_us, count(*) AS n,
+             max(CASE WHEN rna = 1 THEN value END) AS open,
+             max(CASE WHEN rnd = 1 THEN value END) AS close,
+             max(value) AS high, min(value) AS low,
+             round(sum(value), 2) AS sum_value
+      FROM r GROUP BY 1, 2""",
 
     "win_hopping" -> s"""
       WITH h AS (SELECT 0 AS k UNION ALL SELECT 1)

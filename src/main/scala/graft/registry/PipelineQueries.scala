@@ -996,6 +996,15 @@ object PipelineQueries {
     // dead/collapsed-dimension detector: exact per-dim code moments +
     // the integer zero-variance predicate
     "emb_dim_stats" -> ((s, d) => Knn.embDimStats(Knn.emb(s, d))),
+    // exact integer Gram over the quantized code space: one row per
+    // dim pair, the raw material of geometry health; in-plan overflow
+    // fence (momentGuard posture)
+    "emb_gram" -> ((s, d) => Knn.embGram(Knn.emb(s, d))),
+    // dominant-eigenvalue share of the Gram (collapse detector):
+    // deterministic fixed-round power iteration over the exact integer
+    // table, driver side is O(dim²) on a require-bounded matrix;
+    // rows-only (eigen isn't ANSI) — spec plants rank-1 vs isotropic
+    "emb_anisotropy" -> ((s, d) => Knn.embAnisotropy(Knn.emb(s, d))),
     // semi-supervised label propagation: unlabeled vectors adopt the
     // majority label among τ-near labeled neighbors — quantized integer
     // scoring chain + integer votes + (count desc, label asc) winner,
@@ -1153,6 +1162,15 @@ object PipelineQueries {
     // oracle embeds the tag derivation verbatim
     "boilerplate_audit" -> ((s, d) =>
       graft.text.Boilerplate.boilerplateAudit(docs(s, d))),
+    // the persisted-dictionary shape (NINTH persisted family): freeze
+    // the template dictionary once (build), tag any batch against the
+    // frozen bucketed table (probe) — result-identical to
+    // boilerplate_tag, so the oracle is kept verbatim
+    "boilerplate_tag_persisted" -> ((s, d) => {
+      val (tbl, path) = runScopedTable(s, d, "graft_bp_index")
+      graft.text.Boilerplate.writeBoilerplateIndex(docs(s, d), tbl, path)
+      graft.text.Boilerplate.boilerplateTagIndexed(s, tbl, docs(s, d))
+    }),
     "quality_drift" -> ((s, d) => TextOps.qualityDrift(docs(s, d))),
     "pipeline_curate" -> ((s, d) =>
       TextOps.curate(docs(s, d), minQuality = 0.5)),
@@ -2632,6 +2650,13 @@ object PipelineQueries {
              (2 * bp_grams * 1000 + n_grams) // (2 * n_grams) AS bp_milli
       FROM btag""",
 
+    // the boilerplate_tag oracle VERBATIM: the persisted round-trip is
+    // transparent to the result (spec proves row parity)
+    "boilerplate_tag_persisted" -> s"""$BoilerplateCtes
+      SELECT doc_id, n_grams, bp_grams,
+             (2 * bp_grams * 1000 + n_grams) // (2 * n_grams) AS bp_milli
+      FROM btag""",
+
     // composition-only rollup over the tag + the dictionary size
     "boilerplate_audit" -> s"""$BoilerplateCtes
       SELECT doc.source,
@@ -3514,6 +3539,22 @@ object PipelineQueries {
     "emb_centroid_affinity" -> EmbAffinitySql,
     "emb_cluster_quality" -> EmbClusterQualitySql,
     // the expl slice grouped by position; identical integer predicate
+    // same quantize chain; the upper-triangle self-join is the oracle
+    // formulation (the engine runs the per-vector flattened outer
+    // product — two-formulation cross-check)
+    "emb_gram" -> s"""$EmbCodeCtes,
+      gexp AS (
+        SELECT vec_id,
+               unnest(generate_series(1, len(qv))) AS p,
+               unnest(qv) AS code
+        FROM codes WHERE len(qv) > 0)
+      SELECT CAST(a.p - 1 AS BIGINT) AS di, CAST(b.p - 1 AS BIGINT) AS dj,
+             count(*) AS n_vecs,
+             CAST(sum(CAST(a.code AS BIGINT) * CAST(b.code AS BIGINT))
+               AS BIGINT) AS g
+      FROM gexp a JOIN gexp b ON a.vec_id = b.vec_id AND a.p <= b.p
+      GROUP BY 1, 2""",
+
     "emb_dim_stats" -> s"""$EmbCodeCtes,
       dim AS (
         SELECT pos, CAST(count(*) AS BIGINT) AS n,

@@ -663,6 +663,101 @@ object Knn {
           + lit(0.5)).cast("double") / lit(10000.0)).as("centroid_cos"))
   }
 
+  /** Exact integer GRAM MATRIX over the quantized code space (r18) —
+    * the raw material of embedding-geometry health checks: one row per
+    * dimension pair (di ≤ dj) with g = Σ_vecs qv[di]·qv[dj], an exact
+    * BIGINT (|code| ≤ 127 ⇒ |term| ≤ 16129, so the sum wraps only past
+    * n ≈ 5.7·10¹⁴ vectors — enforced in-plan by the same momentGuard
+    * posture as the drift family, folded into the kept n_vecs column).
+    * The diagonal is the per-dim second moment ([[embDimStats]] shows
+    * means/dead dims; this adds the CROSS structure), and the
+    * off-diagonal mass is what [[embAnisotropy]] eigen-analyzes.
+    *
+    * Scale: each vector expands to its dim·(dim+1)/2 = 2080 upper-
+    * triangle terms (a FIXED multiplier — linear in corpus size), and
+    * the agg map-side combines onto 2080 keys per partition, so one
+    * row per (pair × partition) crosses the wire. Degenerate vectors
+    * (null/empty/zero/NaN/Inf) quantize to zero codes or empty arrays
+    * and are filtered by the size guard — no evidence, no term. */
+  def embGram(e: DataFrame, maxVecs: Long = MaxGramVecs): DataFrame =
+    quantize(e)
+      .filter(size(col("qv")) > 0)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(qv) - 1), i ->
+             transform(sequence(i, size(qv) - 1), j ->
+               struct(i AS di, j AS dj,
+                 CAST(qv[i] AS BIGINT) * CAST(qv[j] AS BIGINT) AS t))))"""))
+        .as("p"))
+      .select(col("p.di").cast("long").as("di"),
+        col("p.dj").cast("long").as("dj"), col("p.t").as("t"))
+      .groupBy(col("di"), col("dj"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("t")).as("g"))
+      .select(col("di"), col("dj"),
+        (col("n_vecs") + momentGuard(col("n_vecs"), maxVecs)).as("n_vecs"),
+        col("g"))
+
+  /** Gram-sum overflow ceiling: Σ |code_i·code_j| ≤ 127²·n < 2⁶³ ⇒
+    * n < 5.7·10¹⁴ vectors — effectively unreachable, enforced anyway
+    * (the momentGuard doctrine: no implicit bound). */
+  private[graft] val MaxGramVecs = 500000000000000L
+
+  /** Embedding ANISOTROPY audit (r18) — the collapse detector of
+    * published embedding-health work (anisotropic embedding spaces
+    * concentrate in a narrow cone; retrieval and clustering quality
+    * degrade long before any per-dim stat moves): the dominant
+    * eigenvalue share of the quantized Gram matrix, computed
+    * DETERMINISTICALLY from [[embGram]]'s exact integer table —
+    * power iteration with a fixed all-ones start and a fixed 100
+    * rounds over a dim×dim matrix that is BOUNDED (dim ≤ 4096 enforced
+    * below; 64 here), so the driver-side step is O(dim²) arithmetic on
+    * exact inputs, reproducible across runs and partitionings.
+    * `top_eig_share` ≈ 1/dim is isotropic health; → 1 is collapse.
+    * Rows-only (eigendecomposition is not ANSI-expressible; the spec
+    * plants a rank-1 corpus → share ≈ 1 and an isotropic one → share
+    * ≈ 1/dim, and cross-checks the trace against the Gram diagonal
+    * exactly). */
+  def embAnisotropy(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    // the count-then-collect bound (the boundedCollect posture): the
+    // Gram table is dim·(dim+1)/2 rows by construction — a mis-shaped
+    // input fails the require instead of OOMing the driver
+    val gram = embGram(e).localCheckpoint(true) // 2 consumers below
+    val nRows = gram.count()
+    require(nRows <= 4096L * 4097L / 2L,
+      s"emb_gram has $nRows rows — dim too large for the driver-side " +
+        "eigen step; shard the embedding table")
+    val rows = gram.collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(3)))
+    if (rows.isEmpty) {
+      Seq.empty[(Long, Long, Double, Double)]
+        .toDF("dim", "n_vecs", "top_eig_share", "trace")
+    } else {
+      val dim = rows.map(_._2).max + 1
+      val m = Array.ofDim[Double](dim, dim)
+      rows.foreach { case (i, j, g) => m(i)(j) = g.toDouble
+        m(j)(i) = g.toDouble }
+      val trace = (0 until dim).map(i => m(i)(i)).sum
+      var v = Array.fill(dim)(1.0)
+      var lambda = 0.0
+      for (_ <- 1 to 100) {
+        val w = Array.tabulate(dim)(i =>
+          (0 until dim).map(j => m(i)(j) * v(j)).sum)
+        val nrm = math.sqrt(w.map(x => x * x).sum)
+        if (nrm > 0.0) {
+          v = w.map(_ / nrm)
+          lambda = (0 until dim).map(i =>
+            (0 until dim).map(j => v(i) * m(i)(j) * v(j)).sum).sum
+        }
+      }
+      val nVecs = gram.filter(col("di") === 0L && col("dj") === 0L)
+        .collect().headOption.map(_.getLong(2)).getOrElse(0L)
+      Seq((dim.toLong, nVecs,
+        if (trace > 0.0) lambda / trace else 0.0, trace))
+        .toDF("dim", "n_vecs", "top_eig_share", "trace")
+    }
+  }
+
   /** The documented long-overflow ceiling of the integer moment family
     * (emb_drift and its four siblings): with dims = 64 and |code| ≤ 127,
     * the largest aggregate is Σ_pos s² ≤ 64·(127·n)², which stays under

@@ -91,6 +91,55 @@ object Boilerplate {
         expr("(2 * bp_grams * 1000 + n_grams) div (2 * n_grams)"))
   }
 
+  /** Persist the template dictionary as a bucketed external table
+    * (r18) — the NINTH persisted-index family (postings / IVF float +
+    * quantized / anchors / BPE model / NB model / chunk grid /
+    * doc vectors / vocabulary / bigram LM came before): a rolling
+    * crawl freezes the template dictionary once per reference corpus
+    * and tags every incoming batch against the frozen artifact.
+    * Bucketed by `gram` (the tag join's key — a dictionary beyond
+    * broadcast budget still joins with no index-side Exchange);
+    * rebuilds ride [[graft.sources.Staged]] tmp→aside→promote, so a
+    * crash mid-rebuild self-recovers and the live table serves
+    * throughout. The dictionary stays human-readable (literal grams —
+    * it doubles as the template report). */
+  def writeBoilerplateIndex(d: DataFrame, tableName: String,
+      path: String, k: Int = DefaultK, minDf: Long = DefaultMinDf,
+      buckets: Int = 8): Unit =
+    graft.sources.Staged.commit(d.sparkSession, tableName, path) {
+      (tbl, p) =>
+        boilerplateSpans(d, k, minDf)
+          .repartition(col("gram"))
+          .write
+          .option("path", p)
+          .bucketBy(buckets, "gram")
+          .sortBy("gram")
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .saveAsTable(tbl)
+    }
+
+  /** Per-doc tagging against the PERSISTED dictionary
+    * ([[writeBoilerplateIndex]]) — result-identical to
+    * [[boilerplateTag]] when the table was written from the same
+    * corpus and parameters (spec proves row parity), so the
+    * freeze-once/tag-per-batch hop is transparent to the result and
+    * the operator keeps the boilerplate_tag ORACLE verbatim (the
+    * vocab_coverage_persisted posture). No broadcast hint: the
+    * bucketed index side reads with zero Exchange when AQE doesn't
+    * pick a broadcast, which is the 100 TB shape for a dictionary
+    * past broadcast budget. */
+  def boilerplateTagIndexed(spark: org.apache.spark.sql.SparkSession,
+      tableName: String, d: DataFrame, k: Int = DefaultK): DataFrame =
+    grams(d, k)
+      .join(spark.table(tableName)
+        .select(col("gram"), lit(1L).as("hit")), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("bp_grams"))
+      .withColumn("bp_milli",
+        expr("(2 * bp_grams * 1000 + n_grams) div (2 * n_grams)"))
+
   /** Per-source template-mass accounting (the lsh_bucket_audit
     * discipline): taggable docs, docs carrying any template span, gram
     * totals and template mass with the half-up milli share, plus the

@@ -725,4 +725,50 @@ class KnnSpec extends SparkSpec {
       assert(s.getAs[Long]("hard_milli") == (2 * h * 1000 + n) / (2 * n))
     }
   }
+
+  test("embGram: hand-computed integer Gram; zero vectors count but " +
+      "contribute nothing") {
+    import spark.implicits._
+    // codes after quantize: (127, 0), (127, 127), (0, 0)
+    val e = Seq(
+      (1L, 0, Seq(1.0, 0.0)),
+      (2L, 0, Seq(0.5, 0.5)),
+      (3L, 0, Seq(0.0, 0.0)),
+    ).toDF("vec_id", "label", "v")
+    val got = Knn.embGram(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Long]("g"))).toMap
+    assert(got.size == 3) // upper triangle of dim 2
+    assert(got((0L, 0L)) == (3L, 127L * 127 + 127L * 127)) // 32258
+    assert(got((0L, 1L)) == (3L, 127L * 127))              // 16129
+    assert(got((1L, 1L)) == (3L, 127L * 127))
+  }
+
+  test("embAnisotropy: rank-1 corpus collapses to share ~1, isotropic " +
+      "one-hot corpus sits at ~1/dim, trace matches the diagonal") {
+    import spark.implicits._
+    // rank-1: every vector on the same direction
+    val rank1 = (1L to 8L).map(i => (i, 0, Seq(1.0, 1.0, 1.0, 1.0)))
+      .toDF("vec_id", "label", "v")
+    val r1 = Knn.embAnisotropy(rank1).collect().head
+    assert(r1.getAs[Long]("dim") == 4L)
+    assert(r1.getAs[Long]("n_vecs") == 8L)
+    assert(r1.getAs[Double]("top_eig_share") > 0.99,
+      s"rank-1 share ${r1.getAs[Double]("top_eig_share")}")
+    // isotropic: one-hot mass on each axis in turn
+    val iso = (1L to 8L).map(i =>
+      (i, 0, Seq.tabulate(4)(d => if (d == (i % 4).toInt) 1.0 else 0.0)))
+      .toDF("vec_id", "label", "v")
+    val ri = Knn.embAnisotropy(iso).collect().head
+    val share = ri.getAs[Double]("top_eig_share")
+    assert(share > 0.2 && share < 0.3, s"isotropic share $share")
+    // trace is the exact Gram diagonal sum
+    val diag = Knn.embGram(iso).filter(col("di") === col("dj"))
+      .collect().map(_.getAs[Long]("g")).sum
+    assert(ri.getAs[Double]("trace") == diag.toDouble)
+    // empty input emits no row (no evidence)
+    val empty = Seq.empty[(Long, Int, Seq[Double])]
+      .toDF("vec_id", "label", "v")
+    assert(Knn.embAnisotropy(empty).collect().isEmpty)
+  }
 }

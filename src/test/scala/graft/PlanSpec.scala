@@ -359,6 +359,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Sort "), p)
   }
 
+  test("win_ohlc: open/close picked by map-side-combined struct min/max, " +
+      "never a window over the log") {
+    val named = graft.sources.EventLog.named(spark, SF)
+    val p = plan(graft.operators.Windows.ohlc(named, 3600000000L))
+    // same scale claim as touch_attribution: the partial agg combines
+    // below the (space, window) Exchange — one row per window per
+    // partition crosses the wire; the row_number formulation (which
+    // would shuffle and sort every raw event) is the DuckDB oracle
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_min"), p)
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(space")
+    assert(exchangeIdx >= 0, p)
+    assert(p.indexOf("partial_min", exchangeIdx) >= 0, p)
+  }
+
   test("touch_attribution: map-side-combined aggregate, never a window") {
     val named = graft.sources.EventLog.named(spark, SF)
     val p = plan(graft.operators.Windows.attribution(named))

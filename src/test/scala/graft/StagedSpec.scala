@@ -67,7 +67,9 @@ class StagedSpec extends SparkSpec {
     ("ivfq", (t, p) => {
       graft.similarity.Knn.writeIvfIndexQuantized(emb, t, p,
         nlist = 4, buckets = 2); ()
-    }))
+    }),
+    ("boilerplate", (t, p) =>
+      graft.text.Boilerplate.writeBoilerplateIndex(docs, t, p)))
 
   test("crash between drop-live and promote self-recovers, per persisted-index family") {
     families.foreach { case (name, build) =>

@@ -57,6 +57,33 @@ class TemporalSpec extends SparkSpec {
     assert(out.select("segment", "sequence").distinct().count() == n)
   }
 
+  test("ohlc: open/close by the (ts_us, event_id) total order incl. " +
+      "ts ties; high/low raw; windows split correctly") {
+    import graft.operators.Windows
+    val entries = frame(Seq(
+      // window [0, 100): open 5.0 (ts 10), close 1.0 (ts 10 TIE broken
+      // by event_id 3 > 2), high 9.0, low 1.0
+      ("s", "a", 1L, 10L, 1L, 5.0),
+      ("s", "b", 1L, 50L, 4L, 9.0),
+      ("s", "a", 2L, 10L, 2L, 7.0),
+      ("s", "b", 2L, 10L, 3L, 1.0),
+      // window [100, 200): single event — all four equal
+      ("s", "a", 3L, 150L, 5L, 4.0)))
+    val got = Windows.ohlc(entries, 100L).collect()
+      .map(r => r.getAs[Long]("window_start_us") -> r).toMap
+    val w0 = got(0L)
+    assert(w0.getAs[Long]("n") == 4L)
+    assert(w0.getAs[Double]("open") == 5.0)  // event_id 1 at ts 10
+    assert(w0.getAs[Double]("close") == 9.0) // ts 50 is latest
+    assert(w0.getAs[Double]("high") == 9.0)
+    assert(w0.getAs[Double]("low") == 1.0)
+    val w1 = got(100L)
+    assert(w1.getAs[Double]("open") == 4.0)
+    assert(w1.getAs[Double]("close") == 4.0)
+    assert(w1.getAs[Double]("high") == 4.0)
+    assert(w1.getAs[Double]("low") == 4.0)
+  }
+
   test("snapshotPlan: exact div/mod accounting and the due boundary") {
     import graft.operators.EventSourcing
     // segment a: 20 events → 1 snap, suffix 4, not due (dueAfter 8);

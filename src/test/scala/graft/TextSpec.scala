@@ -1531,6 +1531,25 @@ class TextSpec extends SparkSpec {
       assert(r.getAs[Long]("dict_grams") == dict.size.toLong))
   }
 
+  test("boilerplateTagIndexed: persisted-dictionary probe is " +
+      "row-identical to the in-session tagger and scans the bucketed " +
+      "dictionary") {
+    import graft.text.Boilerplate
+    spark.sql("DROP TABLE IF EXISTS bp_idx_spec")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bp_idx_spec").toString + "/d"
+    Boilerplate.writeBoilerplateIndex(docs, "bp_idx_spec", path)
+    val probe = Boilerplate.boilerplateTagIndexed(spark, "bp_idx_spec",
+      docs)
+    // the dictionary side must arrive pre-bucketed (gram is the key)
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.contains("Bucketed: true"), p)
+    val got = probe.collect().map(_.toSeq).toSet
+    val want = Boilerplate.boilerplateTag(docs).collect().map(_.toSeq).toSet
+    assert(got == want) // the freeze-once hop is transparent
+    assert(got.nonEmpty)
+  }
+
   test("lmScoreIndexed: persisted-model probe is row-identical to the " +
       "in-session scorer and scans the bucketed model") {
     spark.sql("DROP TABLE IF EXISTS lm_idx_spec")
