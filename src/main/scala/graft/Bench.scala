@@ -26,7 +26,7 @@ object Bench {
       "knn_recall_audit_quantized", "knn_label_prop_ivf",
       "doc_similar_persisted", "triplet_mine_ivf",
       "vocab_coverage_persisted", "oov_tag", "ivf_balance_audit",
-      "lm_score_persisted")
+      "lm_score_persisted", "boilerplate_tag_persisted")
 
   private def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()

@@ -1218,6 +1218,12 @@ object PipelineQueries {
     "recrawl_priority" -> ((s, d) => graft.text.CrawlDiff.recrawlPriority(
       graft.text.CrawlDiff.syntheticOld(docs(s, d)),
       graft.text.CrawlDiff.syntheticCurrent(docs(s, d)), docs(s, d))),
+    // crawl-day assignment under a fetches-per-day budget: the queue
+    // cut into budget-sized days at (priority, hex4) group granularity
+    // — the budget_cut posture; grid-only window (zero-sort)
+    "recrawl_schedule" -> ((s, d) => graft.text.CrawlDiff.recrawlSchedule(
+      graft.text.CrawlDiff.syntheticOld(docs(s, d)),
+      graft.text.CrawlDiff.syntheticCurrent(docs(s, d)), docs(s, d))),
     // deterministic passage chunking: non-overlapping 32-word windows
     // with a content digest per window (the RAG / training-loader cut
     // between whole-doc dedup and substring anchors); pure integer grid
@@ -1731,7 +1737,19 @@ object PipelineQueries {
       FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
       GROUP BY doc_id"""
 
+    /** The recrawl priority queue, named because recrawl_schedule embeds
+    * it verbatim (the reportBlock discipline). */
+  private val RecrawlPrioritySql = s"""
+      SELECT dq.doc_id, dq.lang, dq.status, q.q4,
+             q.q4 * 2 + CASE WHEN dq.status = 'added'
+                             THEN 1 ELSE 0 END AS priority
+      FROM ($CrawlDiffSql) dq
+      JOIN (${q4CtesFrom("documents")} SELECT doc_id, q4 FROM q) q
+        ON dq.doc_id = q.doc_id
+      WHERE dq.status IN ('added', 'changed')"""
+
   private val oracleBase: Map[String, String] = Map(
+
     "dedup_exact" -> """
       SELECT md5(lower(trim(text))) AS digest,
              min(doc_id) AS keeper, count(*) AS n_copies
@@ -2693,14 +2711,29 @@ object PipelineQueries {
     "crawl_diff" -> CrawlDiffSql,
 
     // diff + per-doc q4 embedded verbatim; identical integer priority
-    "recrawl_priority" -> s"""
-      SELECT dq.doc_id, dq.lang, dq.status, q.q4,
-             q.q4 * 2 + CASE WHEN dq.status = 'added'
-                             THEN 1 ELSE 0 END AS priority
-      FROM ($CrawlDiffSql) dq
-      JOIN (${q4CtesFrom("documents")} SELECT doc_id, q4 FROM q) q
-        ON dq.doc_id = q.doc_id
-      WHERE dq.status IN ('added', 'changed')""",
+    "recrawl_priority" -> RecrawlPrioritySql,
+
+    // the priority queue verbatim, the salted hex4 draw, the bounded
+    // (priority, hex4) grid prefix, group-granular day = cum // budget
+    "recrawl_schedule" -> s"""
+      WITH rpq AS ($RecrawlPrioritySql),
+      rs AS (
+        SELECT *, substr(md5(concat_ws(':', CAST(doc_id AS VARCHAR),
+                 'sched')), 1, 4) AS hex4
+        FROM rpq),
+      rgrid AS (
+        SELECT priority, hex4, CAST(count(*) AS BIGINT) AS cnt
+        FROM rs GROUP BY 1, 2),
+      rpref AS (
+        SELECT priority, hex4,
+               CAST(coalesce(sum(cnt) OVER (
+                 ORDER BY priority DESC, hex4 ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) // 64 AS day
+        FROM rgrid)
+      SELECT rs.doc_id, rs.lang, rs.status, rs.q4, rs.priority, p.day
+      FROM rs JOIN rpref p ON rs.priority = p.priority
+                          AND rs.hex4 = p.hex4""",
 
     "crawl_diff_report" -> s"""
       WITH diff AS ($CrawlDiffSql)

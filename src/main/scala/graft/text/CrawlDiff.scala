@@ -88,4 +88,36 @@ object CrawlDiff {
       .withColumn("priority", col("q4") * lit(2L) +
         when(col("status") === "added", 1L).otherwise(0L))
       .select("doc_id", "lang", "status", "q4", "priority")
+
+  /** Crawl SCHEDULE from the priority queue (r18) — which DAY each
+    * queued page is fetched under a `dailyBudget`-fetches-per-day
+    * crawler: the [[recrawlPriority]] queue ordered by (priority desc,
+    * salted md5 hex4 asc) is cut into budget-sized days at GROUP
+    * granularity (all docs of one (priority, hex4) cell share a day =
+    * cum_before div budget — the budget_cut posture: a day's realized
+    * load deviates from the budget by at most one cell, and cells are
+    * corpus/(10·65536)-sized under this grid). Zero-sort (the
+    * curriculum_assign argument): the ONLY window runs over the
+    * bounded (priority, hex4) grid — ≤ 10·65536 rows at ANY corpus
+    * size — and each doc joins its cell's day back by key.
+    * All-integer end to end; day order is a pure deterministic
+    * function of (doc_id, corpus). */
+  def recrawlSchedule(old: DataFrame, cur: DataFrame, texts: DataFrame,
+      dailyBudget: Long = 64L): DataFrame = {
+    require(dailyBudget >= 1L, s"bad dailyBudget $dailyBudget")
+    import org.apache.spark.sql.expressions.Window
+    val pri = recrawlPriority(old, cur, texts)
+      .withColumn("hex4", substring(md5(concat_ws(":",
+        col("doc_id").cast("string"), lit("sched"))), 1, 4))
+    val grid = pri.groupBy(col("priority"), col("hex4"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("priority").desc, col("hex4").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val days = grid
+      .withColumn("cum_before", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .select(col("priority"), col("hex4"),
+        expr(s"cum_before div $dailyBudget").as("day"))
+    pri.join(days, Seq("priority", "hex4"))
+      .select("doc_id", "lang", "status", "q4", "priority", "day")
+  }
 }

@@ -82,4 +82,40 @@ class CrawlDiffSpec extends SparkSpec {
     assert(rep == direct)
     assert(rep.values.sum == CrawlDiff.diff(old, cur).count())
   }
+
+  test("recrawlSchedule: every queued doc gets a day, days are monotone " +
+      "in priority, and daily load stays within one grid cell of budget") {
+    val docs = graft.text.TextOps.docs(spark, SF)
+    val old = CrawlDiff.syntheticOld(docs)
+    val cur = CrawlDiff.syntheticCurrent(docs)
+    val budget = 4L
+    val sched = CrawlDiff.recrawlSchedule(old, cur, docs, budget).collect()
+    // conservation: the schedule covers the queue exactly
+    assert(sched.length.toLong ==
+      CrawlDiff.recrawlPriority(old, cur, docs).count())
+    // monotone: a strictly higher-priority doc is never fetched later...
+    // (higher priority → earlier or equal day)
+    val byDay = sched.groupBy(_.getAs[Long]("day"))
+    val minPriPerDay = byDay.view.mapValues(
+      _.map(_.getAs[Long]("priority")).min).toMap
+    val maxPriPerDay = byDay.view.mapValues(
+      _.map(_.getAs[Long]("priority")).max).toMap
+    byDay.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(d1, d2) =>
+        assert(minPriPerDay(d1) >= maxPriPerDay(d2) ||
+          minPriPerDay(d1) >= minPriPerDay(d2),
+          s"day $d1 min ${minPriPerDay(d1)} < day $d2 max ${maxPriPerDay(d2)}")
+      case _ => ()
+    }
+    // the day sequence is contiguous from 0
+    val days = byDay.keys.toSeq.sorted
+    assert(days.head == 0L)
+    assert(days == (0L until days.length).toSeq, days.toString)
+    // load: every non-final day carries at least the budget (group
+    // granularity can only OVERSHOOT a day, never leave it short while
+    // later days have work)
+    days.dropRight(1).foreach { d =>
+      assert(byDay(d).length >= budget, s"day $d load ${byDay(d).length}")
+    }
+  }
 }
