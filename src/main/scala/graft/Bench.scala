@@ -145,8 +145,13 @@ object Bench {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: java.io.IOException => () } // stdout lines still stand
     spark2.sparkContext.setLogLevel("ERROR") // nothing may print after the metric lines
+    // summary FIRST **and LAST** (r14 verdict #1: the driver keeps the
+    // TAIL of a bounded capture, so summary-first alone still lost the
+    // headline when the full-maps line scrolled the window; printing it
+    // on both sides makes any head- OR tail-bounded capture parseable)
     println(summary)
     println(line)
+    println(summary)
     spark2.stop()
   }
 }

@@ -966,7 +966,7 @@ object Dedup {
     docs.filter(length(col("text")) >= k)
       .select(col("doc_id").as("train_doc"),
         explode(WinnowedAnchors(col("text"), k, w)).as("h"))
-      .join(spark.table(tableName)
+      .join(graft.sources.Staged.liveTable(spark, tableName)
         .select(col("doc_id").as("test_doc"), col("h")), "h")
       .groupBy("train_doc", "test_doc")
       .agg(count(lit(1)).as("n_anchors"))
@@ -1004,7 +1004,7 @@ object Dedup {
     val rare = shard.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("h")
     shard.join(rare, "h")
-      .join(spark.table(tableName)
+      .join(graft.sources.Staged.liveTable(spark, tableName)
         .select(col("doc_id").as("corpus_doc"), col("h")), "h")
       .groupBy("new_doc", "corpus_doc")
       .agg(count(lit(1)).as("n_anchors"))

@@ -250,9 +250,10 @@ object Windows {
     * Scale: one corpus-priced edge pass (the segment-keyed lag window),
     * then everything is ≤ 2·|spaces|²-sized (the per-era count table is
     * eagerly checkpointed — it feeds tots and both era slices).
-    * Integer range: the cross products need n·tot < 2⁶³/1000 — scope
-    * the monitored window to ≲ 10⁸ transitions per (space, era) (the
-    * emb_drift posture: scope the input, not the math). */
+    * Integer range: the cross products run in DECIMAL(38,0) (plain
+    * BIGINT wraps once n·tot·1000 passes 2⁶³ — about 10⁸ transitions
+    * per (space, era), reachable at the scale this monitor targets;
+    * the Dsir.driftFrom posture, oracle mirrored with HUGEINT). */
   def transitionDrift(named: DataFrame, tauMilli: Long = 5L): DataFrame = {
     require(tauMilli >= 1 && tauMilli <= 1000, s"bad tauMilli=$tauMilli")
     val bounds = named.agg(min(col("ts_us")).as("tmin"),
@@ -281,9 +282,9 @@ object Windows {
         .select(col("from_space"), col("tot").as("tot_new"))),
         Seq("from_space"), "left")
       .na.fill(0L, Seq("tot_old", "tot_new"))
-      .filter(abs(col("n_old") * col("tot_new") -
-        col("n_new") * col("tot_old")) * lit(1000L) >
-        lit(tauMilli) * col("tot_old") * col("tot_new"))
+      .filter(abs(col("n_old").cast("decimal(38,0)") * col("tot_new") -
+        col("n_new").cast("decimal(38,0)") * col("tot_old")) * lit(1000L) >
+        lit(tauMilli) * col("tot_old").cast("decimal(38,0)") * col("tot_new"))
       .select(col("from_space"), col("to_space"), col("n_old"),
         col("n_new"), col("tot_old"), col("tot_new"),
         expr("CASE WHEN tot_old > 0 THEN " +
@@ -342,9 +343,9 @@ object Windows {
         .select(col("space"), col("tot").as("tot_new"))),
         Seq("space"), "left")
       .na.fill(0L, Seq("tot_old", "tot_new"))
-      .filter(abs(col("n_old") * col("tot_new") -
-        col("n_new") * col("tot_old")) * lit(1000L) >
-        lit(tauMilli) * col("tot_old") * col("tot_new"))
+      .filter(abs(col("n_old").cast("decimal(38,0)") * col("tot_new") -
+        col("n_new").cast("decimal(38,0)") * col("tot_old")) * lit(1000L) >
+        lit(tauMilli) * col("tot_old").cast("decimal(38,0)") * col("tot_new"))
       .select(col("space"), col("bin"), col("n_old"), col("n_new"),
         col("tot_old"), col("tot_new"),
         expr("CASE WHEN tot_old > 0 THEN " +

@@ -868,8 +868,9 @@ object CoreQueries {
                   THEN (2 * n_new * 1000 + tot_new) // (2 * tot_new)
                   ELSE CAST(0 AS BIGINT) END AS share_new_milli
       FROM j
-      WHERE abs(n_old * tot_new - n_new * tot_old) * 1000 >
-            5 * tot_old * tot_new""",
+      WHERE abs(CAST(n_old AS HUGEINT) * tot_new -
+                CAST(n_new AS HUGEINT) * tot_old) * 1000 >
+            5 * CAST(tot_old AS HUGEINT) * tot_new""",
 
     // same within-segment lag; identical integer half-up mean
     "interarrival_stats" -> s"""$E,
@@ -926,8 +927,9 @@ object CoreQueries {
                   THEN (2 * n_new * 1000 + tot_new) // (2 * tot_new)
                   ELSE CAST(0 AS BIGINT) END AS share_new_milli
       FROM j
-      WHERE abs(n_old * tot_new - n_new * tot_old) * 1000 >
-            5 * tot_old * tot_new""",
+      WHERE abs(CAST(n_old AS HUGEINT) * tot_new -
+                CAST(n_new AS HUGEINT) * tot_old) * 1000 >
+            5 * CAST(tot_old AS HUGEINT) * tot_new""",
 
     // two-formulation attribution: engine runs struct-min/max over the
     // (ts_us, event_id) total order, the oracle the row_number windows;

@@ -264,7 +264,7 @@ object Knn {
       .filter(col("rn") <= nprobe)
       .select(col("probe_vec"), col("sqv"), col("snrm"), col("c_id"))
     probes
-      .join(spark.table(tableName).filter(col("qnrm") > lit(0.0)),
+      .join(graft.sources.Staged.liveTable(spark, tableName).filter(col("qnrm") > lit(0.0)),
         Seq("c_id"))
       .withColumn("score",
         floor(graft.functions.ByteDot(col("qv"), col("sqv")).cast("double")
@@ -536,7 +536,7 @@ object Knn {
       .select(col("anchor_id"), col("anchor_label"), col("sqv"),
         col("snrm"), col("c_id"))
     val scored = probes
-      .join(spark.table(tableName).filter(col("qnrm") > lit(0.0)),
+      .join(graft.sources.Staged.liveTable(spark, tableName).filter(col("qnrm") > lit(0.0)),
         Seq("c_id"))
       .select(col("anchor_id"), col("anchor_label"),
         col("vec_id").as("cand_id"),
@@ -707,8 +707,13 @@ object Knn {
     * degrade long before any per-dim stat moves): the dominant
     * eigenvalue share of the quantized Gram matrix, computed
     * DETERMINISTICALLY from [[embGram]]'s exact integer table —
-    * power iteration with a fixed all-ones start and a fixed 100
-    * rounds over a dim×dim matrix that is BOUNDED (dim ≤ 4096 enforced
+    * power iteration with a fixed NON-SYMMETRIC start (v(i) = 1 + i;
+    * an all-ones start is orthogonal to the dominant eigenvector of
+    * any anti-correlated rank-1 Gram such as [[1,−1],[−1,1]], which
+    * would report a fully collapsed space as share 0) plus a
+    * rotating-basis restart whenever an iterate lands exactly in the
+    * null space, and a fixed 100 rounds over a dim×dim matrix that is
+    * BOUNDED (dim ≤ 4096 enforced
     * below; 64 here), so the driver-side step is O(dim²) arithmetic on
     * exact inputs, reproducible across runs and partitionings.
     * `top_eig_share` ≈ 1/dim is isotropic health; → 1 is collapse.
@@ -738,8 +743,9 @@ object Knn {
       rows.foreach { case (i, j, g) => m(i)(j) = g.toDouble
         m(j)(i) = g.toDouble }
       val trace = (0 until dim).map(i => m(i)(i)).sum
-      var v = Array.fill(dim)(1.0)
+      var v = Array.tabulate(dim)(i => 1.0 + i)
       var lambda = 0.0
+      var restart = 0
       for (_ <- 1 to 100) {
         val w = Array.tabulate(dim)(i =>
           (0 until dim).map(j => m(i)(j) * v(j)).sum)
@@ -748,6 +754,12 @@ object Knn {
           v = w.map(_ / nrm)
           lambda = (0 until dim).map(i =>
             (0 until dim).map(j => v(i) * m(i)(j) * v(j)).sum).sum
+        } else {
+          // v landed exactly in the null space: restart from the next
+          // basis vector (deterministic; cycles through all of them,
+          // so any non-zero matrix is eventually escaped)
+          v = Array.tabulate(dim)(i => if (i == restart % dim) 1.0 else 0.0)
+          restart += 1
         }
       }
       val nVecs = gram.filter(col("di") === 0L && col("dj") === 0L)
@@ -1334,7 +1346,7 @@ object Knn {
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qv"), col("qnrm"), col("c_id"))
     val scored = probes.as("q")
-      .join(spark.table(tableName).filter(col("qnrm") > lit(0.0)).as("c"),
+      .join(graft.sources.Staged.liveTable(spark, tableName).filter(col("qnrm") > lit(0.0)).as("c"),
         col("q.c_id") === col("c.c_id") &&
           col("query_id") =!= col("c.vec_id"))
       .withColumn("score", quantizedScore)
@@ -1359,7 +1371,7 @@ object Knn {
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("v"), col("nrm"), col("c_id"))
-    val scored = probes.as("q").join(spark.table(tableName).as("c"),
+    val scored = probes.as("q").join(graft.sources.Staged.liveTable(spark, tableName).as("c"),
         col("q.c_id") === col("c.c_id") &&
           col("query_id") =!= col("c.vec_id"))
       .withColumn("score", cosine)
@@ -1379,7 +1391,7 @@ object Knn {
     * the table is bucketed by c_id, the agg key) to ≤ nlist rows.
     * rows-only: the list assignment is seeded k-means. */
   def ivfBalanceAudit(spark: SparkSession, tableName: String): DataFrame =
-    spark.table(tableName)
+    graft.sources.Staged.liveTable(spark, tableName)
       .groupBy(col("c_id")).agg(count(lit(1)).as("list_size"))
       .groupBy()
       .agg(

@@ -73,6 +73,19 @@ object Staged {
     } else false
   }
 
+  /** Probe-side read of a persisted serving artifact: runs [[recover]]
+    * first so a promote that crashed between drop-live and rename
+    * self-heals on the FIRST read rather than staying down until the
+    * next rebuild happens to run (r14 advice — probe paths never
+    * called recover themselves). A healthy table pays one catalog
+    * existence check; a non-staged table is untouched (no stage entry
+    * → recover is a no-op). Every `spark.table` read of a `write*`
+    * artifact in the probe family goes through here. */
+  def liveTable(spark: SparkSession, table: String): org.apache.spark.sql.DataFrame = {
+    recover(spark, table)
+    spark.table(table)
+  }
+
   /** Run `write` (the caller's unchanged saveAsTable build) against the
     * STAGE identifiers, then promote the result to `table`. `write`
     * receives (stageTable, stagePath) and must write an EXTERNAL table

@@ -407,7 +407,7 @@ object Streaming {
     import spark.implicits._
     require(tau > 0.0, s"bad tau=$tau")
     val vocab: Map[(String, String), Long] = boundedCollect(
-        spark.table(vocabTable)
+        graft.sources.Staged.liveTable(spark, vocabTable)
           .select(col("lang"), col("term"), col("idf_milli")),
         vocabTable, maxArtifactRows,
         "re-band the vocabulary or run the stream-static probe " +
@@ -448,7 +448,7 @@ object Streaming {
       .select(col("doc_id"), col("lang"), col("n2"),
         expr("transform(kw, s -> s.k)").as("ks"),
         expr("transform(kw, s -> s.w)").as("ws"))
-    val corpus = spark.table(vecTable)
+    val corpus = graft.sources.Staged.liveTable(spark, vecTable)
       .select(col("doc_id").as("similar_id"), col("lang"),
         col("n2").as("cn2"), col("ks").as("cks"), col("ws").as("cws"))
     entries.join(corpus, Seq("lang"))
@@ -496,7 +496,7 @@ object Streaming {
     import spark.implicits._
     require(k >= 1 && w >= 1, s"bad params k=$k w=$w")
     val idx: Map[String, Array[Long]] = boundedCollect(
-        spark.table(anchorTable).select(col("h"), col("doc_id")),
+        graft.sources.Staged.liveTable(spark, anchorTable).select(col("h"), col("doc_id")),
         anchorTable, maxArtifactRows,
         "scope the test split or run the stream-static probe " +
           "(Streaming.runContaminationProbe) instead")
@@ -619,8 +619,8 @@ object Streaming {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, _) => sink(graft.similarity.Knn.tripletProbe(spark,
-        indexTable, spark.table(centroidsTable),
-        spark.table(labelsTable), batch.toDF(), marginE4, nprobe))
+        indexTable, graft.sources.Staged.liveTable(spark, centroidsTable),
+        graft.sources.Staged.liveTable(spark, labelsTable), batch.toDF(), marginE4, nprobe))
     vecStream.writeStream.foreachBatch(perBatch).start()
   }
 
@@ -642,7 +642,7 @@ object Streaming {
       modelTable: String, maxArtifactRows: Long = 1L << 22): DataFrame = {
     import spark.implicits._
     val model: Map[String, Long] = boundedCollect(
-        spark.table(modelTable).select(col("term"), col("logodds_milli")),
+        graft.sources.Staged.liveTable(spark, modelTable).select(col("term"), col("logodds_milli")),
         modelTable, maxArtifactRows,
         "the df band bounds the model — re-band it or score in batch " +
           "(TextOps.domainScorePersisted, a bucketed-table join)")
@@ -687,7 +687,7 @@ object Streaming {
     // (lang, source) -> (base copies, 16-bit fractional threshold),
     // precomputed once from the frozen plan with the batch expressions
     val plan: Map[(String, String), (Long, Long)] = boundedCollect(
-        spark.table(planTable)
+        graft.sources.Staged.liveTable(spark, planTable)
           .select(col("lang"), col("source"), col("tokens_kept"),
             col("target_tokens")),
         planTable, maxArtifactRows,
@@ -747,7 +747,7 @@ object Streaming {
       indexTable: String, maxArtifactRows: Long = 1L << 22): DataFrame = {
     import spark.implicits._
     val idx: Map[(Int, String), Array[Long]] = boundedCollect(
-        spark.table(indexTable)
+        graft.sources.Staged.liveTable(spark, indexTable)
           .select(col("tbl"), col("bucket"), col("doc_id")),
         indexTable, maxArtifactRows,
         "a full-crawl index checks as the stream-static bucket equijoin " +
@@ -790,7 +790,7 @@ object Streaming {
       salt: String = "curr"): DataFrame =
     graft.text.TextOps.assignPhases(
       graft.text.TextOps.scoredQ4(docStream),
-      spark.table(boundariesTable), nPhases, salt)
+      graft.sources.Staged.liveTable(spark, boundariesTable), nPhases, salt)
 
   /** Streaming BUDGET GATE — the ingest-time face of
     * [[graft.text.TextOps.budgetCut]]: each arriving doc is scored by
@@ -810,7 +810,7 @@ object Streaming {
       decisionsTable: String, salt: String = "budget"): DataFrame =
     graft.text.TextOps.applyBudget(
       graft.text.TextOps.budgetScored(docStream, salt),
-      broadcast(spark.table(decisionsTable)))
+      broadcast(graft.sources.Staged.liveTable(spark, decisionsTable)))
 
   /** Streaming QUALITY GATE — the live front of
     * [[graft.text.TextOps.qualityCut]] (the budgetGateStream posture):
@@ -826,7 +826,7 @@ object Streaming {
       decisionsTable: String): DataFrame =
     graft.text.TextOps.applyQualityGate(
       graft.text.TextOps.qualityCutScored(docStream),
-      broadcast(spark.table(decisionsTable)))
+      broadcast(graft.sources.Staged.liveTable(spark, decisionsTable)))
 
   /** Live PERPLEXITY scoring against the persisted bigram LM
     * ([[graft.text.TextOps.writeLmIndex]]) — the ingest-time gibberish
@@ -866,7 +866,7 @@ object Streaming {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, _) => sink(graft.text.Boilerplate.boilerplateTag(
-        batch.toDF(), k, dict = Some(spark.table(dictTable))))
+        batch.toDF(), k, dict = Some(graft.sources.Staged.liveTable(spark, dictTable))))
     docStream.writeStream.foreachBatch(perBatch).start()
   }
 
@@ -893,7 +893,7 @@ object Streaming {
       .groupBy(col("b")).agg(count(lit(1)).as("n_new"))
     val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, _) => sink(graft.text.Dsir.driftFrom(
-        spark.table(oldProfileTable), batch.toDF(), tauMicro))
+        graft.sources.Staged.liveTable(spark, oldProfileTable), batch.toDF(), tauMicro))
     newCounts.writeStream.outputMode("complete")
       .foreachBatch(perBatch).start()
   }
@@ -919,9 +919,9 @@ object Streaming {
     val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, _) => sink(graft.text.Dsir.applyDsirGate(
         graft.text.Dsir.dsirWeights(batch.toDF(),
-            model = Some(spark.table(modelTable)))
+            model = Some(graft.sources.Staged.liveTable(spark, modelTable)))
           .withColumn("hex4", graft.text.Dsir.hex4Col),
-        broadcast(spark.table(decisionsTable))))
+        broadcast(graft.sources.Staged.liveTable(spark, decisionsTable))))
     docStream.writeStream.foreachBatch(perBatch).start()
   }
 
@@ -948,7 +948,7 @@ object Streaming {
       dictTable: String, maxArtifactRows: Long = 1L << 20): DataFrame = {
     import spark.implicits._
     val dict: Set[(String, String, String)] = boundedCollect(
-        spark.table(dictTable).select(col("lang"), col("w1"), col("w2")),
+        graft.sources.Staged.liveTable(spark, dictTable).select(col("lang"), col("w1"), col("w2")),
         dictTable, maxArtifactRows,
         "raise the collocation support threshold — it is what bounds " +
           "the dictionary at any corpus size")
@@ -1294,7 +1294,7 @@ object Streaming {
     * diff minus its removed rows. */
   def crawlDiffStream(spark: SparkSession, docStream: DataFrame,
       oldSnapshotTable: String): DataFrame = {
-    val old = spark.table(oldSnapshotTable)
+    val old = graft.sources.Staged.liveTable(spark, oldSnapshotTable)
       .select(col("doc_id"), col("digest").as("o_digest"))
     docStream.select(col("doc_id"), col("lang"),
         md5(col("text")).as("n_digest"))
@@ -1320,7 +1320,7 @@ object Streaming {
     * batch queue exactly over the replayed crawl. */
   def recrawlPriorityStream(spark: SparkSession, docStream: DataFrame,
       oldSnapshotTable: String): DataFrame = {
-    val old = spark.table(oldSnapshotTable)
+    val old = graft.sources.Staged.liveTable(spark, oldSnapshotTable)
       .select(col("doc_id"), col("digest").as("o_digest"))
     graft.text.TextOps.qualityScored(docStream)
       .withColumn("q4", graft.text.TextOps.q4Expr)
@@ -1369,7 +1369,7 @@ object Streaming {
     val boundary = labeledSixteenths.toHexString.charAt(0)
     val labeled: Array[(Long, Int, Array[Byte], Double)] =
       boundedCollect(
-        spark.table(labeledCodesTable)
+        graft.sources.Staged.liveTable(spark, labeledCodesTable)
           .select(col("vec_id"), col("label"), col("qv"), col("qnrm")),
         labeledCodesTable, 1L << 20,
         "a corpus-scale labeled side runs Knn.labelPropagationIvf (the " +
@@ -1440,7 +1440,7 @@ object Streaming {
   def consumerLagStream(spark: SparkSession, entryStream: DataFrame,
       cursorTable: String): DataFrame =
     entryStream.select(col("space"), col("ts_us"))
-      .join(broadcast(spark.table(cursorTable)), Seq("space"))
+      .join(broadcast(graft.sources.Staged.liveTable(spark, cursorTable)), Seq("space"))
       .groupBy(col("grp"), col("space"), col("cursor_ts_us"), col("tmax"))
       .agg(sum(when(col("ts_us") > col("cursor_ts_us"), 1L).otherwise(0L))
         .as("n_behind"))
@@ -1471,7 +1471,7 @@ object Streaming {
       centroidTable: String, maxArtifactRows: Long = 1L << 20): DataFrame = {
     import spark.implicits._
     val sums: Map[Int, Array[Long]] = boundedCollect(
-        spark.table(centroidTable).select(col("label"), col("pos"),
+        graft.sources.Staged.liveTable(spark, centroidTable).select(col("label"), col("pos"),
           col("s")),
         centroidTable, maxArtifactRows,
         "the centroid artifact is labels×dims at ANY corpus size — a " +

@@ -131,7 +131,7 @@ object Boilerplate {
   def boilerplateTagIndexed(spark: org.apache.spark.sql.SparkSession,
       tableName: String, d: DataFrame, k: Int = DefaultK): DataFrame =
     grams(d, k)
-      .join(spark.table(tableName)
+      .join(graft.sources.Staged.liveTable(spark, tableName)
         .select(col("gram"), lit(1L).as("hit")), Seq("gram"), "left")
       .groupBy(col("doc_id"))
       .agg(

@@ -159,7 +159,7 @@ object Chunks {
     * persisted pipeline relationally. */
   def chunkDedupIncremental(spark: org.apache.spark.sql.SparkSession,
       tableName: String, newDocs: DataFrame, width: Int = 32): DataFrame = {
-    val idx = spark.table(tableName)
+    val idx = graft.sources.Staged.liveTable(spark, tableName)
       .select(col("chunk_digest"), col("keeper_doc"))
     chunkAssign(newDocs, width)
       .join(idx, Seq("chunk_digest"), "left_outer")

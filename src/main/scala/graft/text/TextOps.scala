@@ -513,7 +513,7 @@ object TextOps {
       d: DataFrame, trainSixteenths: Int = 13): DataFrame =
     oovRollup(
       lowerToks(d).filter(splitExpr(trainSixteenths) === "test"),
-      spark.table(tableName))
+      graft.sources.Staged.liveTable(spark, tableName))
 
   /** Per-document OOV TAGGER against the persisted vocabulary (r17) —
     * the row-granular dual of [[vocabCoverageIndexed]] and the batch
@@ -534,7 +534,7 @@ object TextOps {
         explode(col("toks")).as("word"))
       .groupBy(col("doc_id"), col("source"), col("word"))
       .agg(count(lit(1)).as("cnt"))
-      .join(spark.table(tableName).select(col("word"),
+      .join(graft.sources.Staged.liveTable(spark, tableName).select(col("word"),
         lit(1L).as("known")), Seq("word"), "left")
       .groupBy(col("doc_id"), col("source"))
       .agg(
@@ -1097,7 +1097,7 @@ object TextOps {
   def domainScorePersisted(spark: SparkSession, d: DataFrame,
       tableName: String): DataFrame =
     scoreAgainstModel(docTermTf(d),
-      spark.table(tableName).select("term", "logodds_milli"))
+      graft.sources.Staged.liveTable(spark, tableName).select("term", "logodds_milli"))
 
   /** Source/domain balancing — the data-mixing step before training:
     * every source is Bernoulli-downsampled to at most ≈`cap` expected
@@ -1828,7 +1828,7 @@ object TextOps {
     * doesn't). */
   def tokenCountBpeIndexed(spark: SparkSession, tableName: String,
       d: DataFrame): DataFrame = {
-    val seg = spark.table(tableName).select(col("word"), col("n_bpe"))
+    val seg = graft.sources.Staged.liveTable(spark, tableName).select(col("word"), col("n_bpe"))
     withToks(d.withColumn("text", lower(col("text"))))
       .select(col("doc_id"), col("source"), explode(col("toks")).as("word"))
       .join(seg, Seq("word"), "left")
@@ -1929,7 +1929,7 @@ object TextOps {
   def lmScoreIndexed(spark: SparkSession, tableName: String,
       d: DataFrame): DataFrame =
     lmBigrams(d)
-      .join(spark.table(tableName), Seq("w1", "w2"))
+      .join(graft.sources.Staged.liveTable(spark, tableName), Seq("w1", "w2"))
       .select(col("doc_id"), (log(col("c2")) - log(col("c1"))).as("logp"))
       .groupBy(col("doc_id"))
       .agg(
@@ -2057,9 +2057,9 @@ object TextOps {
   def searchIndex(spark: SparkSession, tableName: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "empty query")
-    val postings = spark.table(tableName)
+    val postings = graft.sources.Staged.liveTable(spark, tableName)
       .filter(col("term").isin(terms: _*))
-    val scalars = spark.table(s"${tableName}_stats")
+    val scalars = graft.sources.Staged.liveTable(spark, s"${tableName}_stats")
     val df = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     postings.join(broadcast(df), "term")
       .crossJoin(broadcast(scalars))
@@ -2404,7 +2404,7 @@ object TextOps {
       vecTable: String, vocabTable: String, queryPred: Column,
       tau: Double = 0.9): DataFrame = {
     require(tau > 0.0, s"bad tau=$tau")
-    val vocab = spark.table(vocabTable)
+    val vocab = graft.sources.Staged.liveTable(spark, vocabTable)
       .select(col("lang"), col("term"), col("idf_milli"))
     val tf = withToks(
         d.filter(queryPred).withColumn("text", lower(col("text"))))
@@ -2422,7 +2422,7 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("n2"),
         expr("transform(kw, s -> s.k)").as("ks"),
         expr("transform(kw, s -> s.w)").as("ws"))
-    val corpus = spark.table(vecTable)
+    val corpus = graft.sources.Staged.liveTable(spark, vecTable)
       .select(col("doc_id").as("similar_id"), col("lang"),
         col("n2").as("cn2"), col("ks").as("cks"), col("ws").as("cws"))
     q.join(corpus, Seq("lang"))

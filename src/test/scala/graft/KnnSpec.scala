@@ -771,4 +771,21 @@ class KnnSpec extends SparkSpec {
       .toDF("vec_id", "label", "v")
     assert(Knn.embAnisotropy(empty).collect().isEmpty)
   }
+
+  test("embAnisotropy: anti-correlated rank-1 corpus (dominant " +
+      "eigenvector orthogonal to all-ones) still reports collapse") {
+    import spark.implicits._
+    // vectors alternate (1,-1) and (-1,1): the Gram is ~[[g,-g],[-g,g]]
+    // whose dominant eigenvector is (1,-1)/√2 — exactly orthogonal to
+    // the old all-ones power-iteration start, which reported this fully
+    // collapsed space as share 0 (r14 advice). The non-symmetric
+    // v(i)=1+i start has a non-zero component on (1,-1).
+    val anti = (1L to 8L).map(i =>
+      if (i % 2 == 0) (i, 0, Seq(1.0, -1.0)) else (i, 0, Seq(-1.0, 1.0)))
+      .toDF("vec_id", "label", "v")
+    val r = Knn.embAnisotropy(anti).collect().head
+    assert(r.getAs[Long]("dim") == 2L)
+    val share = r.getAs[Double]("top_eig_share")
+    assert(share > 0.99, s"anti-correlated rank-1 share $share")
+  }
 }

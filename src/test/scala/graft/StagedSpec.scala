@@ -88,6 +88,26 @@ class StagedSpec extends SparkSpec {
     }
   }
 
+  test("liveTable self-heals a crashed promote at the FIRST probe read " +
+      "(r14 advice: probes never called recover themselves)") {
+    val tbl = "staged_lt_t"
+    val path = freshDir("livetable")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__stage")
+    graft.text.Chunks.writeChunkIndex(docs, tbl, path)
+    val want = checksum(tbl)
+    // crash window: live dropped, complete stage present
+    spark.sql(s"ALTER TABLE $tbl RENAME TO ${tbl}__stage")
+    assert(!spark.catalog.tableExists(tbl))
+    // a probe read through liveTable heals and serves in one call
+    val served = Staged.liveTable(spark, tbl)
+    assert(served.count() > 0)
+    assert(spark.catalog.tableExists(tbl), "liveTable did not heal")
+    assert(checksum(tbl) == want)
+    // healthy table: liveTable is a plain read
+    assert(Staged.liveTable(spark, tbl).count() == served.count())
+  }
+
   test("an abandoned stage next to a live index is inert and overwritten by the next rebuild") {
     val tbl = "staged_orphan_t"
     val path = freshDir("orphan")
