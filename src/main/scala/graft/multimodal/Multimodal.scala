@@ -234,6 +234,27 @@ object Multimodal {
           .saveAsTable(tbl)
     }
 
+  /** Stream-static candidate probe against the PERSISTED bucket index
+    * — the batch scorer [[graft.streaming.Streaming.runMediaNearDupProbe]]
+    * replays per micro-batch (the anchorProbe posture): one
+    * header-decode + band-key pass over the probe batch, one
+    * (tbl, bucket) equijoin against the frozen capped index, one pair
+    * re-agg. A blob's two keys live in its own row, so the per-batch
+    * tally is exact and emitted (doc_id, corpus_doc, n_tables) rows
+    * equal [[graft.streaming.Streaming.mediaNearDupStream]]'s — with
+    * NO driver-resident index, which is what makes a full-crawl
+    * 100 TB index servable (the dedup_incremental swap the closure
+    * variant's scale-honesty note promises). */
+  def mediaBucketProbe(spark: org.apache.spark.sql.SparkSession,
+      tableName: String, media: DataFrame): DataFrame =
+    bucketKeys(media)
+      .join(graft.sources.Staged.liveTable(spark, tableName)
+        .select(col("tbl"), col("bucket"), col("doc_id").as("corpus_doc")),
+        Seq("tbl", "bucket"))
+      .filter(col("corpus_doc") =!= col("doc_id"))
+      .groupBy(col("doc_id"), col("corpus_doc"))
+      .agg(count(lit(1)).as("n_tables"))
+
   /** Near-dup media dedup — the second media pass of a crawl pipeline
     * (exact [[exactDedup]] catches byte-identical copies; this catches
     * the same asset re-encoded, slightly resized, or with metadata

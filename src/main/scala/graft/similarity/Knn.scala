@@ -16,8 +16,14 @@ import graft.functions.DotProduct
 object Knn {
 
   def emb(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id"), col("label"),
+    embOf(spark.read.parquet(s"$dir/embeddings.parquet"))
+
+  /** Normalize a RAW embedding table or stream (vec_id, label,
+    * embedding) to the (v, nrm) shape every operator here consumes —
+    * one definition with [[emb]], reused by the stream-static probes so
+    * their per-batch normalization cannot drift from batch. */
+  def embOf(raw: DataFrame): DataFrame =
+    raw.select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(DotProduct(col("v"), col("v"))))
 
@@ -385,6 +391,56 @@ object Knn {
     quantize(e).filter(col("qnrm") > lit(0.0))
       .filter(isLabeled(labeledSixteenths))
       .select(col("vec_id"), col("label"), col("qv"), col("qnrm"))
+
+  /** The probe-only half of [[labelPropagationIvf]] — propagate labels
+    * for a QUERY batch against an ALREADY-BUILT quantized index of the
+    * labeled slice (the [[tripletProbe]] posture): queries outside the
+    * labeled slice rank the float centroid table for their `nprobe`
+    * nearest lists, meet the bucketed code lists in a c_id equijoin,
+    * score with the identical integer e4 chain, pick up voter labels
+    * through one thin key equijoin, and feed the SAME [[voteRollup]].
+    * Separated from the build so the live propagator
+    * ([[graft.streaming.Streaming.runLabelPropProbe]]) can replay it
+    * per micro-batch against the frozen artifacts — a vector's vote
+    * tally is a pure function of its own row against the index, so
+    * per-batch semantics are exact and NO driver-resident labeled-code
+    * closure exists on the serving path (the corpus-scale labeled side
+    * the closure variant's scale-honesty note routes here). */
+  def labelPropProbe(spark: SparkSession, tableName: String,
+      centroids: DataFrame, labels: DataFrame, queries: DataFrame,
+      labeledSixteenths: Int = 12, tau: Double = 0.3,
+      nprobe: Int = 2): DataFrame = {
+    require(labeledSixteenths >= 1 && labeledSixteenths <= 15,
+      s"labeledSixteenths must be in [1, 15], got $labeledSixteenths")
+    require(tau > 0.0, s"bad tau=$tau")
+    val probeW = Window.partitionBy("probe_vec").orderBy(col("d"), col("c_id"))
+    val probes = quantize(queries.filter(!isLabeled(labeledSixteenths)))
+      .filter(col("qnrm") > lit(0.0))
+      .select(col("vec_id").as("probe_vec"),
+        col("label").as("true_label"), col("v"), col("nrm"),
+        col("qv").as("sqv"), col("qnrm").as("snrm"))
+      .crossJoin(broadcast(withCnrm2(centroids)))
+      .withColumn("d", sqDist)
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("probe_vec"), col("true_label"), col("sqv"),
+        col("snrm"), col("c_id"))
+    val pairs = probes
+      .join(graft.sources.Staged.liveTable(spark, tableName)
+        .filter(col("qnrm") > lit(0.0)), Seq("c_id"))
+      .withColumn("score",
+        floor(graft.functions.ByteDot(col("qv"), col("sqv")).cast("double")
+            * lit(10000.0) / (col("qnrm") * col("snrm")) + lit(0.5))
+          .cast("double") / lit(10000.0))
+      .filter(col("score") >= tau)
+      .select(col("probe_vec").as("vec_id"), col("true_label"),
+        col("vec_id").as("lab_vec"), col("score"))
+      .join(labels.select(col("vec_id").as("lab_vec"),
+        col("label").as("lab_label")), Seq("lab_vec"))
+      .select(col("vec_id"), col("true_label"), col("lab_vec"),
+        col("lab_label"), col("score"))
+    voteRollup(pairs)
+  }
 
   /** Propagation-quality confusion rollup over the docs the operator
     * actually labels — the sign-off view (the domain_classifier_eval
@@ -938,6 +994,52 @@ object Knn {
     * posture. */
   def centroidSums(e: DataFrame): DataFrame =
     centroidSumsFrom(explodedCodes(e))
+
+  /** Stream-static outlier probe against the PERSISTED centroid table
+    * — the batch scorer [[graft.streaming.Streaming.runEmbOutlierProbe]]
+    * replays per micro-batch (the tripletProbe posture): the probe
+    * batch's positive-norm codes meet the frozen (label, pos, s) sums
+    * in a broadcast equijoin, per-vector dots re-agg exactly, and the
+    * dot < 0 INTEGER predicate flags the away-pointing tail — the same
+    * (vec_id, label, dot, score) rows as [[embOutliers]] restricted to
+    * the frozen centroids, with NO driver-resident artifact on the
+    * serving path. Unknown labels and zero/degenerate norms drop via
+    * the same integer fences as the closure variant (inner joins +
+    * the q2/s2 > 0 filters). The frozen s2 rollup runs under ANSI, so
+    * an artifact built from an over-bound batch raises instead of
+    * wrapping (the momentGuard posture; the closure variant's
+    * addExact dual). */
+  def embOutlierProbe(spark: SparkSession, tableName: String,
+      e: DataFrame): DataFrame = {
+    val cent = graft.sources.Staged.liveTable(spark, tableName)
+      .select(col("label"), col("pos"), col("s"))
+    // no checkpoint: the artifact is a labels×dims parquet scan (tiny),
+    // and an eager checkpoint PER MICRO-BATCH would accumulate blocks
+    // over a long-running stream (the release() lesson, inverted)
+    val snrm = cent.groupBy(col("label"))
+      .agg(sum(col("s") * col("s")).as("s2"),
+        (max(col("pos")) + lit(1)).cast("long").as("cent_dims"))
+      .filter(col("s2") > lit(0L))
+    // LEFT join + matched-position accounting replicates the closure
+    // variant's dims check exactly: a vector with positions the
+    // centroid lacks (n_matched < n_dims) or missing positions the
+    // centroid has (n_matched < cent_dims) drops silently, as does an
+    // unknown label (inner snrm join)
+    explodedCodes(e)
+      .join(broadcast(cent), Seq("label", "pos"), "left")
+      .groupBy(col("vec_id"), col("label"), col("q2"))
+      .agg(sum(col("code").cast("long") * coalesce(col("s"), lit(0L)))
+          .as("dot"),
+        count(col("s")).as("n_matched"), count(lit(1)).as("n_dims"))
+      .join(broadcast(snrm), "label")
+      .filter(col("n_matched") === col("n_dims") &&
+        col("n_matched") === col("cent_dims"))
+      .filter(col("dot") < lit(0L))
+      .select(col("vec_id"), col("label"), col("dot"),
+        (floor(col("dot").cast("double") * lit(10000.0) /
+          (sqrt(col("q2").cast("double")) * sqrt(col("s2").cast("double")))
+          + lit(0.5)).cast("double") / lit(10000.0)).as("score"))
+  }
 
   /** The flagged tail of [[embCentroidAffinity]]: vectors pointing AWAY
     * from their own label's centroid (dot < 0 — an INTEGER membership

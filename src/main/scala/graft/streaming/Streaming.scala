@@ -624,6 +624,164 @@ object Streaming {
     vecStream.writeStream.foreachBatch(perBatch).start()
   }
 
+  /** Live quality-filter scoring in its SCALE shape — the stream-static
+    * sibling of [[domainScoreStream]] (the runDocSimilarProbe posture;
+    * r14 verdict #3): every micro-batch runs the batch scorer
+    * [[graft.text.TextOps.domainScorePersisted]] verbatim — per-doc tf
+    * agg + a bucketed-model term equijoin — against the persisted
+    * model TABLE. A doc's score folds over its own tokens only, so
+    * per-batch semantics are EXACT and the emitted rows equal the
+    * closure variant's; no driver-resident model exists at any model
+    * size. */
+  def runDomainScoreProbe(spark: SparkSession, docStream: DataFrame,
+      modelTable: String)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => sink(graft.text.TextOps.domainScorePersisted(
+        spark, batch.toDF(), modelTable))
+    docStream.writeStream.foreachBatch(perBatch).start()
+  }
+
+  /** Live mixture application in its SCALE shape — the stream-static
+    * sibling of [[mixApplyStream]]: every micro-batch runs the batch
+    * decision [[graft.text.TextOps.mixApplyWith]] verbatim against the
+    * frozen plan TABLE (broadcast equijoin — the plan is strata-sized,
+    * but nothing is ever collected to the driver). The copy decision
+    * is a pure per-doc function, so per-batch semantics are EXACT. */
+  def runMixApplyProbe(spark: SparkSession, docStream: DataFrame,
+      planTable: String, seed: Long = 42L)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => sink(graft.text.TextOps.mixApplyWith(batch.toDF(),
+        graft.sources.Staged.liveTable(spark, planTable)
+          .select("lang", "source", "tokens_kept", "target_tokens"),
+        seed))
+    docStream.writeStream.foreachBatch(perBatch).start()
+  }
+
+  /** Live media near-dup checking in its SCALE shape — the
+    * stream-static sibling of [[mediaNearDupStream]], closing that
+    * operator's scale-honesty note in code: every micro-batch runs
+    * [[graft.multimodal.Multimodal.mediaBucketProbe]] — one
+    * header-decode/band-key pass over the batch, one (tbl, bucket)
+    * equijoin against the persisted capped index, one pair re-agg. A
+    * blob's keys live in its own row, so per-batch semantics are
+    * EXACT and a full-crawl index serves with no driver residency. */
+  def runMediaNearDupProbe(spark: SparkSession, mediaStream: DataFrame,
+      indexTable: String)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => sink(graft.multimodal.Multimodal.mediaBucketProbe(
+        spark, indexTable, batch.toDF()))
+    mediaStream.writeStream.foreachBatch(perBatch).start()
+  }
+
+  /** Live embedding-outlier gating in its SCALE shape — the
+    * stream-static sibling of [[embOutlierStream]]: every micro-batch
+    * runs [[graft.similarity.Knn.embOutlierProbe]] — the batch's codes
+    * meet the frozen (label, pos, s) centroid table in a broadcast
+    * equijoin and the dot < 0 integer predicate flags the tail. A
+    * vector's dot folds over its own codes, so per-batch semantics are
+    * EXACT and the emitted rows equal the closure variant's. */
+  def runEmbOutlierProbe(spark: SparkSession, embStream: DataFrame,
+      centroidTable: String)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => sink(graft.similarity.Knn.embOutlierProbe(
+        spark, centroidTable,
+        graft.similarity.Knn.embOf(batch.toDF())))
+    embStream.writeStream.foreachBatch(perBatch).start()
+  }
+
+  /** Live label propagation in its SCALE shape — the stream-static
+    * sibling of [[labelPropStream]], closing that operator's
+    * scale-honesty note in code: every micro-batch runs
+    * [[graft.similarity.Knn.labelPropProbe]] — the probe-only half of
+    * labelPropagationIvf — against the persisted quantized IVF index
+    * of the labeled slice, the frozen float centroid table, and the
+    * frozen label map. A vector's vote tally is a pure function of its
+    * own row against the frozen artifacts, so per-batch semantics are
+    * EXACT; predictions differ from the closure variant only where the
+    * probe pruned a voter (the nprobe recall trade the IVF family
+    * documents). */
+  def runLabelPropProbe(spark: SparkSession, embStream: DataFrame,
+      indexTable: String, centroidsTable: String, labelsTable: String,
+      labeledSixteenths: Int = 12, tau: Double = 0.3, nprobe: Int = 2)(
+      sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => sink(graft.similarity.Knn.labelPropProbe(spark,
+        indexTable,
+        graft.sources.Staged.liveTable(spark, centroidsTable),
+        graft.sources.Staged.liveTable(spark, labelsTable),
+        graft.similarity.Knn.embOf(batch.toDF()),
+        labeledSixteenths, tau, nprobe))
+    embStream.writeStream.foreachBatch(perBatch).start()
+  }
+
+  /** Live exact-k sampling in its SCALE shape — the stream-static
+    * sibling of [[sampleExactKStream]] (that one's state store is
+    * already hard-bounded at k per stratum; THIS one moves the state
+    * out of the stream entirely, into a persisted TABLE that any
+    * consumer can read and any restart resumes from): each micro-batch
+    * unions the frozen pick table with the arriving docs, re-runs the
+    * batch [[graft.text.TextOps.sampleExactK]] aggregate (min-k over
+    * (key, id) is associative: bottom-k(S₁∪S₂) =
+    * bottom-k(bottom-k(S₁)∪S₂), the exact invariant the stream's
+    * eviction loop maintains), carries per-stratum n_seen forward as
+    * exact integer adds, and promotes the new state via
+    * [[graft.sources.Staged]] — crash-safe generations, like every
+    * other persisted serving artifact. `sink` receives the strata the
+    * batch TOUCHED (update-mode semantics, the stream's emit rule). */
+  def runSampleExactKProbe(spark: SparkSession, docStream: DataFrame,
+      stateTable: String, statePath: String, k: Int = 5,
+      salt: String = "strat")(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val b = batch.toDF()
+          .select(col("doc_id"), col("lang"), col("source"))
+          .localCheckpoint(true) // 3 consumers: union, counts, touch set
+        val havePrev = spark.catalog.tableExists(stateTable) ||
+          spark.catalog.tableExists(s"${stateTable}__stage")
+        val prev =
+          if (havePrev) graft.sources.Staged.liveTable(spark, stateTable)
+            .select(col("lang"), col("source"), col("doc_id"),
+              col("n_seen"))
+          else b.limit(0).withColumn("n_seen", lit(0L))
+            .select(col("lang"), col("source"), col("doc_id"),
+              col("n_seen"))
+        // picks over (frozen picks ∪ batch) — the associative merge
+        val picks = graft.text.TextOps.sampleExactK(
+          prev.select(col("doc_id"), col("lang"), col("source"))
+            .union(b.select(col("doc_id"), col("lang"), col("source"))),
+          k, salt)
+        val seen = prev.groupBy(col("lang"), col("source"))
+          .agg(max(col("n_seen")).as("seen_prev"))
+          .join(b.groupBy(col("lang"), col("source"))
+            .agg(count(lit(1)).as("seen_new")),
+            Seq("lang", "source"), "full_outer")
+          .select(col("lang"), col("source"),
+            (coalesce(col("seen_prev"), lit(0L)) +
+              coalesce(col("seen_new"), lit(0L))).as("n_seen"))
+        val next = picks.join(seen, Seq("lang", "source"))
+          .select(col("lang"), col("source"), col("doc_id"),
+            col("sample_rank"), col("n_seen"))
+          .localCheckpoint(true) // consumed by the write AND the sink
+        graft.sources.Staged.commit(spark, stateTable, statePath) {
+          (tbl, p) =>
+            next.write.option("path", p)
+              .mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .saveAsTable(tbl)
+        }
+        sink(next.join(
+          b.select(col("lang"), col("source")).distinct(),
+          Seq("lang", "source"), "left_semi"))
+      }
+    docStream.writeStream.foreachBatch(perBatch).start()
+  }
+
   /** Streaming quality-filter scoring — the apply side of the trained
     * NB domain classifier ([[graft.text.TextOps.writeDomainModel]]) in
     * the shape a crawl-filtering fleet runs it: every ARRIVING document
@@ -644,8 +802,8 @@ object Streaming {
     val model: Map[String, Long] = boundedCollect(
         graft.sources.Staged.liveTable(spark, modelTable).select(col("term"), col("logodds_milli")),
         modelTable, maxArtifactRows,
-        "the df band bounds the model — re-band it or score in batch " +
-          "(TextOps.domainScorePersisted, a bucketed-table join)")
+        "the df band bounds the model — re-band it or run the " +
+          "stream-static probe (Streaming.runDomainScoreProbe) instead")
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val bc = spark.sparkContext.broadcast(model)
     docStream.select(col("doc_id"), col("text"))
@@ -692,7 +850,9 @@ object Streaming {
             col("target_tokens")),
         planTable, maxArtifactRows,
         "a mixture plan is strata-sized by construction — a plan past " +
-          "this bound is a mis-built artifact, not a scale problem")
+          "this bound is a mis-built artifact, not a scale problem; " +
+          "the stream-static probe (Streaming.runMixApplyProbe) has " +
+          "no driver residency at all")
       .map { r =>
         val ratio = r.getLong(3).toDouble / r.getLong(2).toDouble
         val whole = math.floor(ratio)
@@ -750,8 +910,8 @@ object Streaming {
         graft.sources.Staged.liveTable(spark, indexTable)
           .select(col("tbl"), col("bucket"), col("doc_id")),
         indexTable, maxArtifactRows,
-        "a full-crawl index checks as the stream-static bucket equijoin " +
-          "(the dedup_incremental swap), not a closure constant")
+        "a full-crawl index checks as the stream-static probe " +
+          "(Streaming.runMediaNearDupProbe), not a closure constant")
       .groupBy(r => (r.getInt(0), r.getString(1)))
       .map { case (k, rows) => k -> rows.map(_.getLong(2)).sorted }
     val bc = spark.sparkContext.broadcast(idx)
@@ -1372,8 +1532,8 @@ object Streaming {
         graft.sources.Staged.liveTable(spark, labeledCodesTable)
           .select(col("vec_id"), col("label"), col("qv"), col("qnrm")),
         labeledCodesTable, 1L << 20,
-        "a corpus-scale labeled side runs Knn.labelPropagationIvf (the " +
-          "persisted-IVF batch probe), not a closure constant")
+        "a corpus-scale labeled side runs the stream-static probe " +
+          "(Streaming.runLabelPropProbe), not a closure constant")
         .map(r => (r.getLong(0), r.getInt(1),
           r.getSeq[Byte](2).toArray, r.getDouble(3)))
     val bc = spark.sparkContext.broadcast(labeled)
@@ -1475,7 +1635,9 @@ object Streaming {
           col("s")),
         centroidTable, maxArtifactRows,
         "the centroid artifact is labels×dims at ANY corpus size — a " +
-          "table past this bound is a mis-built artifact")
+          "table past this bound is a mis-built artifact; the " +
+          "stream-static probe (Streaming.runEmbOutlierProbe) has no " +
+          "driver residency at all")
       .groupBy(_.getInt(0))
       .map { case (lab, rows) =>
         val dims = rows.map(_.getInt(1)).max + 1

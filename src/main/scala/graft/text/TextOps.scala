@@ -931,9 +931,20 @@ object TextOps {
     * (keeping copies implicit is deliberate: a 3.7-epoch stratum would
     * otherwise quadruple its bytes on disk). */
   def mixApply(d: DataFrame, budget: Option[Long] = None,
+      seed: Long = 42L): DataFrame =
+    mixApplyWith(d,
+      mixPlan(d, budget)
+        .select("lang", "source", "tokens_kept", "target_tokens"),
+      seed)
+
+  /** The decision half of [[mixApply]], parameterized by an
+    * ALREADY-BUILT plan (lang, source, tokens_kept, target_tokens) —
+    * one definition shared with the stream-static probe
+    * ([[graft.streaming.Streaming.runMixApplyProbe]]), which replays it
+    * per micro-batch against the frozen plan TABLE so no driver-side
+    * closure constant exists on the serving path. */
+  def mixApplyWith(d: DataFrame, plan: DataFrame,
       seed: Long = 42L): DataFrame = {
-    val plan = mixPlan(d, budget)
-      .select("lang", "source", "tokens_kept", "target_tokens")
     val ratio = col("target_tokens").cast("double") /
       col("tokens_kept").cast("double")
     d.select(col("doc_id"), col("lang"), col("source"))

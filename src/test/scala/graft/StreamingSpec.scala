@@ -1086,6 +1086,201 @@ class StreamingSpec extends SparkSpec {
     assert(buf.size == want.size) // each doc emitted exactly once
   }
 
+  test("stream-static domain-score probe (foreachBatch) converges to " +
+      "the batch classifier with no driver-resident model") {
+    val docs = graft.text.TextOps.docs(spark, SF)
+    spark.sql("DROP TABLE IF EXISTS dom_probe_model")
+    val path = Files.createTempDirectory("graft_dom_probe_idx")
+      .toString + "/m"
+    graft.text.TextOps.writeDomainModel(docs, "dom_probe_model", path)
+    val dir = Files.createTempDirectory("graft_dom_probe_s").toString
+    docs.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = Streaming.runDomainScoreProbe(spark, stream,
+        "dom_probe_model") { b =>
+      val rows = b.collect().map(_.toSeq)
+      buf.synchronized { buf ++= rows }
+    }
+    q.processAllAvailable(); q.stop()
+    val got = buf.toSet
+    val want = graft.text.TextOps.domainClassifier(docs)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want,
+      s"probe ${got.size} vs batch ${want.size}")
+    assert(buf.size == want.size) // each doc scored exactly once
+  }
+
+  test("stream-static mixture probe (foreachBatch) converges to batch " +
+      "mix_apply against the frozen plan table") {
+    val docs = graft.text.TextOps.docs(spark, SF)
+    graft.text.TextOps.mixPlan(docs)
+      .createOrReplaceTempView("mix_probe_plan")
+    val dir = Files.createTempDirectory("graft_mixa_probe_s").toString
+    docs.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = Streaming.runMixApplyProbe(spark, stream,
+        "mix_probe_plan") { b =>
+      val rows = b.collect().map(_.toSeq)
+      buf.synchronized { buf ++= rows }
+    }
+    q.processAllAvailable(); q.stop()
+    val got = buf.toSet
+    val want = graft.text.TextOps.mixApply(docs)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want,
+      s"probe ${got.size} vs batch ${want.size}")
+  }
+
+  test("stream-static media near-dup probe (foreachBatch) converges to " +
+      "the batch candidate pairs over the persisted index") {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.synthesize(graft.text.TextOps.docs(spark, SF))
+      .localCheckpoint(true)
+    spark.sql("DROP TABLE IF EXISTS mm_probe_idx")
+    val idxPath = Files.createTempDirectory("graft_mm_pidx")
+      .toString + "/v"
+    Multimodal.writeMediaBucketIndex(media, "mm_probe_idx", idxPath)
+    val dir = Files.createTempDirectory("graft_mm_probe_s").toString
+    media.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(media.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = Streaming.runMediaNearDupProbe(spark, stream,
+        "mm_probe_idx") { b =>
+      val rows = b.collect().map(_.toSeq)
+      buf.synchronized { buf ++= rows }
+    }
+    q.processAllAvailable(); q.stop()
+    // replaying the index's own corpus: normalized undirected pairs
+    // equal the batch candidates exactly (the closure-variant contract)
+    val got = buf.map(r => (
+      math.min(r(0).asInstanceOf[Long], r(1).asInstanceOf[Long]),
+      math.max(r(0).asInstanceOf[Long], r(1).asInstanceOf[Long]),
+      r(2).asInstanceOf[Long])).toSet
+    val want = Multimodal.nearDedupCandidates(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty && got == want,
+      s"probe ${got.size} vs batch ${want.size}")
+  }
+
+  test("stream-static embedding-outlier probe (foreachBatch) converges " +
+      "to the batch outlier rows over the persisted centroid table") {
+    import graft.similarity.Knn
+    val e = Knn.emb(spark, SF)
+    val sums = Knn.centroidSums(e)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(sums.collect().toSeq.asJava, sums.schema)
+      .createOrReplaceTempView("centroid_probe_sums")
+    val raw = spark.read.parquet(s"$SF/embeddings.parquet")
+    val dir = Files.createTempDirectory("graft_emb_out_probe_s").toString
+    raw.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = Streaming.runEmbOutlierProbe(spark, stream,
+        "centroid_probe_sums") { b =>
+      val rows = b.collect().map(_.toSeq)
+      buf.synchronized { buf ++= rows }
+    }
+    q.processAllAvailable(); q.stop()
+    val got = buf.toSet
+    val want = Knn.embOutliers(e).collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want,
+      s"probe ${got.size} vs batch ${want.size}")
+    assert(buf.size == want.size) // each outlier flagged exactly once
+  }
+
+  test("stream-static label-prop probe (foreachBatch) with an " +
+      "exhaustive probe equals brute label propagation") {
+    import graft.similarity.Knn
+    val e = Knn.emb(spark, SF).localCheckpoint(true)
+    // the labeled slice by the operator's own md5 rule (a pure
+    // expression, reproduced here to build the index the probe serves)
+    val labeledSlice = e.filter(
+      substring(md5(concat_ws(":", col("vec_id").cast("string"),
+        lit("lbl"))), 1, 1) < lit(12.toHexString))
+    spark.sql("DROP TABLE IF EXISTS lblprop_probe_idx")
+    val idxPath = Files.createTempDirectory("graft_lblprop_pidx")
+      .toString + "/v"
+    val centroids = Knn.writeIvfIndexQuantized(labeledSlice,
+      "lblprop_probe_idx", idxPath, nlist = 4, buckets = 2)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(centroids.collect().toSeq.asJava,
+      centroids.schema).createOrReplaceTempView("lblprop_cents")
+    e.select("vec_id", "label")
+      .createOrReplaceTempView("lblprop_labels")
+    val raw = spark.read.parquet(s"$SF/embeddings.parquet")
+    val dir = Files.createTempDirectory("graft_lblprop_probe_s").toString
+    raw.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    // nprobe == nlist: the probe is exhaustive, so every labeled voter
+    // is scored and the vote rollup equals the brute operator exactly
+    // (the tripletMineIvf equivalence argument)
+    val q = Streaming.runLabelPropProbe(spark, stream,
+        "lblprop_probe_idx", "lblprop_cents", "lblprop_labels",
+        nprobe = 4) { b =>
+      val rows = b.collect().map(_.toSeq)
+      buf.synchronized { buf ++= rows }
+    }
+    q.processAllAvailable(); q.stop()
+    val got = buf.toSet
+    val want = Knn.labelPropagation(e).collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want,
+      s"probe ${got.size} vs batch ${want.size}")
+    assert(buf.size == want.size) // each vector voted on exactly once
+  }
+
+  test("stream-static exact-k sample probe persists its state table " +
+      "and converges to the batch pick set") {
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+    val dir = Files.createTempDirectory("graft_sample_probe_s").toString
+    docs.limit(80).write.mode("overwrite").parquet(dir)
+    docs.limit(30).write.mode("append").parquet(dir)
+    spark.sql("DROP TABLE IF EXISTS sample_probe_state")
+    spark.sql("DROP TABLE IF EXISTS sample_probe_state__stage")
+    val statePath = Files.createTempDirectory("graft_sample_probe_st")
+      .toString + "/s"
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    var emitted = 0L
+    val q = Streaming.runSampleExactKProbe(spark, stream,
+        "sample_probe_state", statePath, k = 3) { b =>
+      val n = b.count()
+      emitted += n
+      // the state bound is the serving claim: never more than k picks
+      // per stratum in any emit
+      val mx = b.groupBy("lang", "source")
+        .agg(count(lit(1)).as("c")).agg(max(col("c")).as("m"))
+        .head.getLong(0)
+      assert(mx <= 3L, s"emit exceeded k: $mx")
+    }
+    q.processAllAvailable(); q.stop()
+    assert(emitted > 0L)
+    // the persisted state table IS the sample: picks equal the batch
+    // operator over the replayed corpus, n_seen is the exact stratum
+    // count (associative bottom-k merge across micro-batches)
+    val replayed = spark.read.parquet(dir)
+    val got = spark.table("sample_probe_state")
+      .select("lang", "source", "doc_id", "sample_rank")
+      .collect().map(_.toSeq).toSet
+    val want = graft.text.TextOps.sampleExactK(replayed, k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want,
+      s"probe ${got.size} vs batch ${want.size}")
+    val seenGot = spark.table("sample_probe_state")
+      .groupBy("lang", "source").agg(max(col("n_seen")).as("n"))
+      .collect().map(_.toSeq).toSet
+    val seenWant = replayed.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n")).collect().map(_.toSeq).toSet
+    assert(seenGot == seenWant)
+  }
+
   test("closure-based stream duals survive hostile payloads and still converge to batch") {
     import spark.implicits._
     // a corpus with the HostileCorpusSpec pathologies planted next to
