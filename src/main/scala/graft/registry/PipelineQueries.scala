@@ -1,7 +1,7 @@
 package graft.registry
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat_ws, lit, md5, substring}
+import org.apache.spark.sql.functions.{col, concat_ws, expr, lit, md5, substring}
 import graft.text.TextOps
 import graft.dedup.Dedup
 import graft.similarity.Knn
@@ -410,12 +410,16 @@ object PipelineQueries {
   /** The doc_similar inverted-index oracle, shared verbatim by
     * doc_similar_prefix (the prefix filter is a sound Cauchy–Schwarz
     * prune, so both derivations produce the identical row set). */
-  private val DocSimilarOracleSql = """
+  /** The inverted-index pair formulation PARAMETERIZED by the source
+    * relation (the bm25SqlFrom / q4-CTE discipline): `doc_similar`
+    * instantiates it over `documents`; `chunk_similar_persisted` over
+    * the chunk-corpus relation — one formulation, two granularities. */
+  private def docSimilarSqlFrom(rel: String, tau: String = "0.9") = s"""
       WITH t AS (
         SELECT doc_id, lang,
                unnest(list_filter(string_split(lower(text), ' '),
                  x -> x <> '')) AS term
-        FROM documents),
+        FROM $rel),
       tf AS (SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS tf
              FROM t GROUP BY 1, 2, 3),
       n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
@@ -448,7 +452,9 @@ object PipelineQueries {
         JOIN norms na ON dots.doc1 = na.doc_id
         JOIN norms nb ON dots.doc2 = nb.doc_id
         WHERE na.n2 > 0 AND nb.n2 > 0)
-      WHERE score >= 0.9"""
+      WHERE score >= $tau"""
+
+  private val DocSimilarOracleSql = docSimilarSqlFrom("documents")
 
   /** bucketKeys reproduced arithmetically — shared by
     * mm_dedup_near_audit (corpus rollup) and mm_dedup_near_candidates
@@ -569,14 +575,14 @@ object PipelineQueries {
     * chunk_search instantiates the SAME bm25 SQL over it (the
     * parameterized-CTE discipline). */
   private val ChunkCorpusRel = """(
-      SELECT doc_id * 1048576 + chunk_idx AS doc_id,
+      SELECT doc_id * 1048576 + chunk_idx AS doc_id, lang,
              array_to_string(list_slice(words,
                chunk_idx * 32 + 1, chunk_idx * 32 + 32), ' ') AS text
       FROM (
-        SELECT doc_id, words, n_words,
+        SELECT doc_id, lang, words, n_words,
                unnest(generate_series(0, (n_words - 1) // 32)) AS chunk_idx
         FROM (
-          SELECT doc_id,
+          SELECT doc_id, lang,
                  list_filter(string_split(text, ' '), x -> x <> '') AS words,
                  CAST(len(list_filter(string_split(text, ' '),
                    x -> x <> '')) AS BIGINT) AS n_words
@@ -1236,6 +1242,37 @@ object PipelineQueries {
     // the chunk relation
     "chunk_search" -> ((s, d) => graft.text.Chunks.chunkSearch(
       docs(s, d), Seq("vector", "stream", "window", "hash"))),
+    // PASSAGE-granular semantic retrieval (r15, r14 verdict #7) — the
+    // semantic sibling of chunk_search, closing the lexical/semantic
+    // asymmetry at chunk granularity: the chunk corpus (chunkDocs — the
+    // composite-id relation) feeds the doc_similar PERSISTED vector
+    // machinery VERBATIM (writeDocVectorIndex + docSimilarPersisted:
+    // banded vocab, integer tf·idf weights, sorted-key merge kernel),
+    // so a query doc's chunks retrieve the corpus passages nearest
+    // each of them with zero corpus re-tokenization at probe time; the
+    // query slice is 2/16 of UNDERLYING docs (all chunks of a sampled
+    // doc probe together — the RAG arrival shape); composite ids
+    // decode back to (doc, chunk) on both sides; oracle = the
+    // inverted-index pair formulation instantiated over the chunk
+    // relation (docSimilarSqlFrom — the parameterized-CTE discipline),
+    // directed to in-slice endpoints
+    "chunk_similar_persisted" -> ((s, d) => {
+      val (tbl, path) = runScopedTable(s, d, "graft_chunk_vec")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"DROP TABLE IF EXISTS ${tbl}_vocab")
+      val cd = graft.text.Chunks.chunkDocs(docs(s, d))
+      TextOps.writeDocVectorIndex(cd, tbl, path)
+      TextOps.docSimilarPersisted(s, cd, tbl, s"${tbl}_vocab",
+          substring(md5(concat_ws(":",
+            expr("CAST(doc_id div 1048576 AS STRING)"), lit("cmlt"))),
+            1, 1) < "2", tau = 0.8)
+        .select(col("lang"),
+          expr("doc_id div 1048576").as("doc_id"),
+          expr("doc_id % 1048576").as("chunk_idx"),
+          expr("similar_id div 1048576").as("similar_doc"),
+          expr("similar_id % 1048576").as("similar_idx"),
+          col("score"))
+    }),
     // chunk-granular dedup (the C4 repeated-lines recipe on the window
     // grid): one keeper per distinct window content corpus-wide — the
     // lexicographic-min (doc_id, chunk_idx) rule, so intra-doc repeats
@@ -2433,6 +2470,28 @@ object PipelineQueries {
              doc_id % 1048576 AS chunk_idx,
              n_terms_matched, score
       FROM b""",
+    // the doc_similar inverted-index formulation instantiated over the
+    // chunk relation (one parameterized SQL, two granularities),
+    // directed to in-slice endpoints — the slice draws on the
+    // UNDERLYING doc id, so a query doc's chunks probe together; the
+    // outer select decodes both composite ids with one div/mod each
+    "chunk_similar_persisted" -> s"""
+      WITH p AS (${docSimilarSqlFrom(ChunkCorpusRel, "0.8")})
+      SELECT lang,
+             doc_id // 1048576 AS doc_id,
+             doc_id % 1048576 AS chunk_idx,
+             similar_id // 1048576 AS similar_doc,
+             similar_id % 1048576 AS similar_idx,
+             score
+      FROM (
+        SELECT lang, doc1 AS doc_id, doc2 AS similar_id, score FROM p
+        WHERE substr(md5(concat_ws(':',
+          CAST(doc1 // 1048576 AS VARCHAR), 'cmlt')), 1, 1) < '2'
+        UNION ALL
+        SELECT lang, doc2 AS doc_id, doc1 AS similar_id, score FROM p
+        WHERE substr(md5(concat_ws(':',
+          CAST(doc2 // 1048576 AS VARCHAR), 'cmlt')), 1, 1) < '2')""",
+
     // the persisted-index probe is result-identical to the ad-hoc BM25
     // (df/tf/dl round-trip the index exactly) — same oracle
     "text_search_indexed" -> Bm25OracleSql,

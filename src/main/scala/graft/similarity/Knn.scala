@@ -776,18 +776,23 @@ object Knn {
     * Rows-only (eigendecomposition is not ANSI-expressible; the spec
     * plants a rank-1 corpus → share ≈ 1 and an isotropic one → share
     * ≈ 1/dim, and cross-checks the trace against the Gram diagonal
-    * exactly). */
+    * exactly).
+    *
+    * Past dim = 4096 the driver matrix would be the bottleneck, so the
+    * dim fence SWITCHES to [[embAnisotropyDistributed]] instead of
+    * raising (r14 verdict #6: the fence is a preference, not a
+    * ceiling) — same start vector, same round count, each round one
+    * broadcast-join + hash agg over the dim²-bounded edge table. */
   def embAnisotropy(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     // the count-then-collect bound (the boundedCollect posture): the
     // Gram table is dim·(dim+1)/2 rows by construction — a mis-shaped
-    // input fails the require instead of OOMing the driver
+    // input switches to the engine path instead of OOMing the driver
     val gram = embGram(e).localCheckpoint(true) // 2 consumers below
     val nRows = gram.count()
-    require(nRows <= 4096L * 4097L / 2L,
-      s"emb_gram has $nRows rows — dim too large for the driver-side " +
-        "eigen step; shard the embedding table")
+    if (nRows > 4096L * 4097L / 2L)
+      return anisotropyDistributed(gram)
     val rows = gram.collect()
       .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(3)))
     if (rows.isEmpty) {
@@ -824,6 +829,82 @@ object Knn {
         if (trace > 0.0) lambda / trace else 0.0, trace))
         .toDF("dim", "n_vecs", "top_eig_share", "trace")
     }
+  }
+
+  /** Engine-side dominant-eigenshare — the distributed face of
+    * [[embAnisotropy]] past the dim ≤ 4096 fence (r14 verdict #6): the
+    * SAME power iteration (v(i) = 1 + i start, 100 rounds, rotating-
+    * basis null-space restart) where each round's matrix-vector
+    * product is ONE broadcast-join + hash agg over the symmetric Gram
+    * EDGE TABLE (≤ dim² rows, corpus-independent) and the only
+    * driver traffic per round is the scalar norm (the bpeTrain O(1)
+    * control-decision discipline). The dim-sized iterate is eagerly
+    * checkpointed every round (the kmeans localCheckpoint discipline —
+    * without it, PLANNING the 100-round lineage is the bottleneck).
+    * Engine hash-agg summation order differs from the driver loop's
+    * ascending-j order, so shares agree to FP tolerance, not bit-exact
+    * — the operator is rows-only either way; KnnSpec proves
+    * engine ≡ driver eigenshare on the planted rank-1 / isotropic /
+    * anti-correlated corpora. */
+  def embAnisotropyDistributed(e: DataFrame): DataFrame =
+    anisotropyDistributed(embGram(e).localCheckpoint(true))
+
+  private def anisotropyDistributed(gram: DataFrame): DataFrame = {
+    val spark = gram.sparkSession
+    import spark.implicits._
+    val scalars = gram.agg(
+      max(col("dj")).as("mx"),
+      sum(when(col("di") === col("dj"), col("g"))
+        .otherwise(lit(0L))).as("trace"),
+      max(when(col("di") === 0L && col("dj") === 0L, col("n_vecs")))
+        .as("n_vecs")).collect().head
+    if (scalars.isNullAt(0)) {
+      return Seq.empty[(Long, Long, Double, Double)]
+        .toDF("dim", "n_vecs", "top_eig_share", "trace")
+    }
+    val dim = scalars.getLong(0) + 1L
+    val trace = scalars.getLong(1).toDouble
+    val nVecs = if (scalars.isNullAt(2)) 0L else scalars.getLong(2)
+    // symmetric edge list (both triangles; the diagonal once)
+    val edges = gram.select(col("di").as("i"), col("dj").as("j"),
+        col("g").cast("double").as("g"))
+      .union(gram.filter(col("di") =!= col("dj"))
+        .select(col("dj").as("i"), col("di").as("j"),
+          col("g").cast("double").as("g")))
+      .localCheckpoint(true) // consumed twice per round, 100 rounds
+    var v = spark.range(dim)
+      .select(col("id").as("j"), (col("id") + 1L).cast("double").as("x"))
+      .localCheckpoint(true)
+    var restart = 0L
+    for (_ <- 1 to 100) {
+      // w = M·v: one broadcast equijoin on j + one hash agg to dim rows
+      val w = edges.join(broadcast(v), Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum(col("g") * col("x")).as("wx"))
+      val nrm2 = w.agg(sum(col("wx") * col("wx"))).collect()
+        .head.getDouble(0)
+      if (nrm2 > 0.0) {
+        val nrm = math.sqrt(nrm2)
+        v = w.select(col("i").as("j"), (col("wx") / lit(nrm)).as("x"))
+          .localCheckpoint(true)
+      } else {
+        v = spark.range(dim)
+          .select(col("id").as("j"),
+            when(col("id") === lit(restart % dim), lit(1.0))
+              .otherwise(lit(0.0)).as("x"))
+          .localCheckpoint(true)
+        restart += 1L
+      }
+    }
+    // λ = vᵀ·M·v over the final normalized iterate
+    val lambda = edges
+      .join(broadcast(v), Seq("j"))
+      .join(broadcast(v.select(col("j").as("i"), col("x").as("xi"))),
+        Seq("i"))
+      .agg(sum(col("g") * col("x") * col("xi"))).collect()
+      .head.getDouble(0)
+    Seq((dim, nVecs, if (trace > 0.0) lambda / trace else 0.0, trace))
+      .toDF("dim", "n_vecs", "top_eig_share", "trace")
   }
 
   /** The documented long-overflow ceiling of the integer moment family

@@ -108,20 +108,35 @@ object Chunks {
             "would collide across docs; raise the width or widen the " +
             "id instead of letting ids alias"))).cast("long"),
       lit(0L))
-    d.select(col("doc_id"),
+    // lang rides along when the input carries it (the doc_similar
+    // family blocks on it); a lang-less relation (chunk_search only
+    // needs text) gets an empty-string block
+    val langCol =
+      if (d.columns.contains("lang")) col("lang") else lit("").as("lang")
+    d.select(col("doc_id"), langCol,
         expr("filter(split(text, ' '), x -> x != '')").as("words"))
       .withColumn("n_words", size(col("words")).cast("long"))
       .filter(col("n_words") > 0L)
-      .select(col("doc_id"), col("words"),
+      .select(col("doc_id"), col("lang"), col("words"),
         explode(sequence(lit(0L), expr(s"(n_words - 1) div ${width}L")))
           .as("chunk_idx"))
-      .select(col("doc_id"), col("chunk_idx"),
+      .select(col("doc_id"), col("lang"), col("chunk_idx"),
         (col("doc_id") * lit(MaxChunksPerDoc) + col("chunk_idx") + guard)
           .as("chunk_id"),
         concat_ws(" ", slice(col("words"),
           (col("chunk_idx") * w + 1L).cast("int"), lit(width)))
           .as("text"))
   }
+
+  /** The chunk corpus AS a document relation — (doc_id = composite
+    * chunk id, lang, text), the shape every doc-keyed text operator
+    * consumes. [[chunkSearch]] is this + the BM25 scorer; r15's
+    * `chunk_similar_persisted` is this + the doc_similar persisted
+    * vector index — the chunk grid composes with the whole doc-keyed
+    * family for free, which is the point of the composite id. */
+  def chunkDocs(d: DataFrame, width: Int = 32): DataFrame =
+    chunkCorpus(d, width)
+      .select(col("chunk_id").as("doc_id"), col("lang"), col("text"))
 
   /** PASSAGE-granular BM25 retrieval (r17) — the actual RAG/eval
     * retrieval unit (document-level search returns a 10k-word doc when

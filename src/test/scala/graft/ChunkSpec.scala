@@ -123,6 +123,79 @@ class ChunkSpec extends SparkSpec {
     assert(direct.nonEmpty && viaChunks == direct)
   }
 
+  test("chunk_similar_persisted: the chunk-granular probe equals the " +
+      "directed slice of docSimilar over the chunk relation, and the " +
+      "composite ids decode to real (doc, chunk) grid positions") {
+    val docs = TextOps.docs(spark, SF)
+    val cd = Chunks.chunkDocs(docs).localCheckpoint(true)
+    val tbl = "graft_chunk_vec_spec"
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), tbl).toString
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_vocab")
+    TextOps.writeDocVectorIndex(cd, tbl, path)
+    val pred = substring(md5(concat_ws(":",
+      expr("CAST(doc_id div 1048576 AS STRING)"), lit("cmlt"))), 1, 1) < "2"
+    val got = TextOps.docSimilarPersisted(spark, cd, tbl,
+        s"${tbl}_vocab", pred, tau = 0.8)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // cross-derivation: the chunk-corpus pair set restricted to
+    // slice endpoints (slice drawn on the UNDERLYING doc), directed
+    val inSlice = cd.filter(pred).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val want = TextOps.docSimilar(cd, tau = 0.8).collect().flatMap { r =>
+      val (lang, a, b, s) =
+        (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getAs[Double]("score"))
+      Seq((lang, a, b, s)).filter(_ => inSlice(a)) ++
+        Seq((lang, b, a, s)).filter(_ => inSlice(b))
+    }.toSet
+    assert(want.nonEmpty && got == want,
+      s"probe ${got.size} vs slice ${want.size}")
+    // every composite id decodes onto the real chunk grid
+    val grid = Chunks.chunkAssign(docs)
+      .select(col("doc_id"), col("chunk_idx")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.foreach { case (_, q, c, _) =>
+      assert(grid((q / Chunks.MaxChunksPerDoc, q % Chunks.MaxChunksPerDoc)))
+      assert(grid((c / Chunks.MaxChunksPerDoc, c % Chunks.MaxChunksPerDoc)))
+    }
+  }
+
+  test("chunk_similar_persisted: a planted shared passage is retrieved " +
+      "cross-doc at full score") {
+    // two docs share one exact 32-word window; a third is unrelated —
+    // the shared window must surface as a score-1.0 cross-doc pair
+    val w = (1 to 32).map(i => s"tok$i").mkString(" ")
+    val noise = (1 to 32).map(i => s"other$i").mkString(" ")
+    val filler = (1 to 32).map(i => s"pad$i").mkString(" ")
+    val d = Seq(
+      (0L, "en", s"$w $noise"), (1L, "en", s"$w $filler"),
+      (2L, "en", s"$noise $filler"), (3L, "en", noise),
+      (4L, "en", filler), (5L, "en", w))
+      .toDF("doc_id", "lang", "text")
+    val cd = Chunks.chunkDocs(d).localCheckpoint(true)
+    val tbl = "graft_chunk_vec_plant"
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), tbl).toString
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_vocab")
+    TextOps.writeDocVectorIndex(cd, tbl, path)
+    // probe everything (pred = true): the planted pair must appear in
+    // both directions
+    val got = TextOps.docSimilarPersisted(spark, cd, tbl,
+        s"${tbl}_vocab", lit(true), tau = 0.8)
+      .collect()
+      .map(r => (r.getLong(1) / Chunks.MaxChunksPerDoc,
+        r.getLong(1) % Chunks.MaxChunksPerDoc,
+        r.getLong(2) / Chunks.MaxChunksPerDoc, r.getDouble(3)))
+    assert(got.exists { case (q, qi, c, s) =>
+      q == 0L && qi == 0L && (c == 1L || c == 5L) && s == 1.0 },
+      s"planted passage not retrieved: ${got.mkString(", ")}")
+  }
+
   test("chunkDedup: clean corpus keeps everything; empty docs drop out") {
     val d = df(1L -> "a b c", 2L -> "d e f", 3L -> "", 4L -> "   ")
     val out = Chunks.chunkDedup(d, width = 2).collect()

@@ -772,6 +772,34 @@ class KnnSpec extends SparkSpec {
     assert(Knn.embAnisotropy(empty).collect().isEmpty)
   }
 
+  test("embAnisotropyDistributed: engine power iteration matches the " +
+      "driver eigenshare on rank-1, isotropic, and anti-correlated " +
+      "corpora (the dim fence is a preference, not a ceiling)") {
+    import spark.implicits._
+    val corpora = Seq(
+      (1L to 8L).map(i => (i, 0, Seq(1.0, 1.0, 1.0, 1.0))),    // rank-1
+      (1L to 8L).map(i =>                                      // isotropic
+        (i, 0, Seq.tabulate(4)(d => if (d == (i % 4).toInt) 1.0 else 0.0))),
+      (1L to 8L).map(i =>                                      // anti-corr
+        if (i % 2 == 0) (i, 0, Seq(1.0, -1.0)) else (i, 0, Seq(-1.0, 1.0))))
+    corpora.foreach { rows =>
+      val e = rows.toDF("vec_id", "label", "v")
+      val drv = Knn.embAnisotropy(e).collect().head
+      val eng = Knn.embAnisotropyDistributed(e).collect().head
+      assert(eng.getAs[Long]("dim") == drv.getAs[Long]("dim"))
+      assert(eng.getAs[Long]("n_vecs") == drv.getAs[Long]("n_vecs"))
+      assert(eng.getAs[Double]("trace") == drv.getAs[Double]("trace"))
+      val ds = drv.getAs[Double]("top_eig_share")
+      val es = eng.getAs[Double]("top_eig_share")
+      assert(math.abs(es - ds) < 1e-9,
+        s"engine share $es vs driver $ds") // hash-agg order ⇒ FP tol
+    }
+    // empty input emits no row on the engine path too
+    val empty = Seq.empty[(Long, Int, Seq[Double])]
+      .toDF("vec_id", "label", "v")
+    assert(Knn.embAnisotropyDistributed(empty).collect().isEmpty)
+  }
+
   test("embAnisotropy: anti-correlated rank-1 corpus (dominant " +
       "eigenvector orthogonal to all-ones) still reports collapse") {
     import spark.implicits._
