@@ -629,7 +629,23 @@ object Dedup {
     * ones with high probability), then exact Jaccard on the full distinct
     * n-gram hash sets. Sampling bounds the index to ~1/sampleMod of
     * corpus n-grams — the knob that keeps the candidate join linear at
-    * 100 TB. */
+    * 100 TB.
+    *
+    * The stop-gram cap is CORPUS-RELATIVE since r15: max(maxDf,
+    * n_docs/100). MEASURED at the 20× mirror-pathology stress corpus
+    * (tools/stress/): with the old absolute cap, replicating the corpus
+    * multiplied every gram's df past 50 and candidate generation
+    * silently lost ALL pairs (27 → 0 rows) — an absolute df cap is a
+    * recall cliff under exactly the duplication the operator hunts. The
+    * relative cap keeps family-specific grams (df scales with the
+    * family) while still dropping corpus-wide boilerplate; at sf0.1
+    * (5000 docs) it equals the old default, so 1× results are
+    * unchanged. Dropped gram mass is ACCOUNTED by
+    * [[charNGramGramAudit]] (the lsh_bucket_audit discipline — this cap
+    * was the one unaccounted drop in the family). The corpus size is
+    * the memoized [[graft.similarity.LshBuckets.corpusSize]] count for
+    * file-backed corpora (one scan per (files, key) per JVM); in-memory
+    * test frames keep the explicit floor (never memoize those). */
   def charNGramPairs(d: DataFrame, n: Int = 5, tau: Double = 0.7,
       sampleMod: Int = 8, maxDf: Int = 50,
       atScaleVerify: Option[Boolean] = None): DataFrame = {
@@ -637,11 +653,12 @@ object Dedup {
       array_distinct(CharNGramHashes(lower(col("text")), n)).as("sh"))
     val inv = sh.select(col("doc_id"),
         explode(expr(s"filter(sh, h -> h % $sampleMod = 0)")).as("g"))
-    // stop-gram cap: grams appearing in more than maxDf docs don't
-    // discriminate and would quadratically blow up the candidate join
-    // (any near-dup pair still shares plenty of rare grams)
+    val cap = charNGramCap(d, maxDf)
+    // stop-gram cap: grams appearing in more docs don't discriminate
+    // and would quadratically blow up the candidate join (any near-dup
+    // pair still shares plenty of rarer grams)
     val rare = inv.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("g")
+      .filter(col("df") <= cap).select("g")
     val pruned = inv.join(broadcast(rare), "g")
     val cand = pruned.as("a").join(pruned.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -651,6 +668,39 @@ object Dedup {
     // measured-regression note (r11); the candidate-pruned sorted-kernel
     // shape exists behind the same corpus-size switch since r16
     verifiedJaccard(cand, sh, tau, verifyAtScale(d, atScaleVerify))
+  }
+
+  /** The corpus-relative stop-gram cap of [[charNGramPairs]]:
+    * max(floor, n_docs/100) for file-backed corpora, the explicit floor
+    * for in-memory frames. */
+  private def charNGramCap(d: DataFrame, maxDf: Int): Long =
+    if (d.inputFiles.isEmpty) maxDf.toLong
+    else math.max(maxDf.toLong, graft.similarity.LshBuckets.corpusSize(
+      d, "dedup:char-ngram-cap") / 100L)
+
+  /** Drop accounting for [[charNGramPairs]]'s stop-gram cap (r15 — the
+    * lsh_bucket_audit discipline, closing the ONE unaccounted drop in
+    * the dedup family, found by the 20× stress run): one row with the
+    * sampled gram-membership mass, the distinct gram count, the
+    * membership mass dropped by the relative cap, the realized max df,
+    * and the cap itself. A `n_dropped_over_cap` approaching
+    * `n_gram_memberships` is the recall-cliff signal (the corpus's gram
+    * space is saturated — raise the cap floor or the sample rate). */
+  def charNGramGramAudit(d: DataFrame, n: Int = 5, sampleMod: Int = 8,
+      maxDf: Int = 50): DataFrame = {
+    val inv = d.select(col("doc_id"),
+        array_distinct(CharNGramHashes(lower(col("text")), n)).as("sh"))
+      .select(col("doc_id"),
+        explode(expr(s"filter(sh, h -> h % $sampleMod = 0)")).as("g"))
+    val cap = charNGramCap(d, maxDf)
+    inv.groupBy("g").agg(count(lit(1)).as("df"))
+      .agg(
+        coalesce(sum(col("df")), lit(0L)).as("n_gram_memberships"),
+        count(lit(1)).as("n_grams"),
+        coalesce(sum(when(col("df") > cap, col("df")).otherwise(0L)),
+          lit(0L)).as("n_dropped_over_cap"),
+        coalesce(max(col("df")), lit(0L)).as("max_df"),
+        lit(cap).as("df_cap"))
   }
 
   /** Exact-substring duplicate pairs (the ExactSubstr recipe of

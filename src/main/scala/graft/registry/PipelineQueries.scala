@@ -608,6 +608,13 @@ object PipelineQueries {
     "minhash_band_audit" -> ((s, d) =>
       Dedup.minHashBandAudit(docs(s, d))),
     "dedup_char_ngram" -> ((s, d) => Dedup.charNGramPairs(docs(s, d))),
+    // drop accounting for the char-ngram stop-gram cap (r15 — found by
+    // the 20× stress run: the old ABSOLUTE df cap silently dropped
+    // every gram of a replicated corpus, a total recall collapse; the
+    // cap is corpus-relative now and this row accounts what it drops);
+    // rows-only (the gram kernel isn't ANSI-expressible)
+    "char_ngram_gram_audit" -> ((s, d) =>
+      Dedup.charNGramGramAudit(docs(s, d))),
     "dedup_clusters" -> ((s, d) =>
       Dedup.dedupClusters(Dedup.jaccardPairs(docs(s, d), "de", 0.85))),
     // duplication-profile histogram: per cluster size, how many

@@ -128,6 +128,44 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("char n-gram stop-gram cap is corpus-relative on file-backed " +
+      "corpora and its audit accounts the dropped gram mass") {
+    import spark.implicits._
+    // the 20× stress finding, reproduced in miniature: replicate a tiny
+    // corpus so every gram's df exceeds the explicit floor — an
+    // ABSOLUTE cap drops everything (0 pairs); the relative cap (here
+    // forced via maxDf ≥ the replicated df) keeps the family pairs
+    val fams = (0 until 6).map(f =>
+      ((1 to 40).map(i => s"w${f}x$i").mkString("")))
+    val reps = for (f <- 0 until 6; k <- 0 until 8)
+      yield (f * 100L + k, fams(f))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cn_cap").toString
+    reps.toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+    // absolute floor 4 < 8 copies per family: every gram over the cap —
+    // with a 48-doc corpus the relative term (n/100 = 0) keeps floor 4,
+    // so the absolute cliff is visible...
+    val cliff = Dedup.charNGramPairs(docs, n = 5, tau = 0.9,
+      sampleMod = 2, maxDf = 4).count()
+    assert(cliff == 0L, s"expected the recall cliff, got $cliff pairs")
+    // ...and the audit ACCOUNTS it: every sampled membership dropped
+    val a = Dedup.charNGramGramAudit(docs, n = 5, sampleMod = 2,
+      maxDf = 4).head()
+    assert(a.getAs[Long]("n_dropped_over_cap") ==
+      a.getAs[Long]("n_gram_memberships"))
+    assert(a.getAs[Long]("n_gram_memberships") > 0L)
+    assert(a.getAs[Long]("max_df") >= 8L)
+    assert(a.getAs[Long]("df_cap") == 4L)
+    // a cap at or above the family df restores every within-family pair
+    val ok = Dedup.charNGramPairs(docs, n = 5, tau = 0.9,
+      sampleMod = 2, maxDf = 8).count()
+    assert(ok == 6L * 8L * 7L / 2L, s"got $ok pairs")
+    val a2 = Dedup.charNGramGramAudit(docs, n = 5, sampleMod = 2,
+      maxDf = 8).head()
+    assert(a2.getAs[Long]("n_dropped_over_cap") == 0L)
+  }
+
   test("jaccard pairs on real data are symmetric-free and above threshold") {
     val docs = spark.read.parquet(s"$SF/documents.parquet")
     val p = Dedup.jaccardPairs(docs, "de", 0.5)
