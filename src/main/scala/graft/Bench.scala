@@ -24,7 +24,8 @@ object Bench {
       "contamination_semantic_ivf", "contamination_semantic_ivf_audit",
       "contamination_report_ivf", "domain_classifier_persisted",
       "knn_recall_audit_quantized", "knn_label_prop_ivf",
-      "doc_similar_persisted", "triplet_mine_ivf",
+      "doc_similar_persisted", "chunk_similar_persisted",
+      "triplet_mine_ivf",
       "vocab_coverage_persisted", "oov_tag", "ivf_balance_audit",
       "lm_score_persisted", "boilerplate_tag_persisted")
 
