@@ -534,3 +534,68 @@ object SimHash64 {
   def apply(c: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(c)))
 }
+
+/** Asymmetric-distance (ADC) score for product-quantized vectors: given
+  * a candidate's PQ code array (m dense codes, one per subspace) and a
+  * query's flattened lookup table (m·ksub doubles, entry `j·ksub + c` =
+  * dot(query subvector j, codebook centroid c of subspace j)), the score
+  * is Σ_j lut[j·ksub + codes[j]] — the classic IVF-ADC inner-product
+  * estimate (Jégou et al., PAMI 2011) in ONE table-lookup loop per pair.
+  * Reference behavior: the engine's ANN surface is approximate top-k
+  * retrieval; this kernel is the 100 TB memory-scale variant — an
+  * m-byte-ish code per vector instead of dim doubles (dim/m compression
+  * beyond int8), with per-pair cost O(m) instead of O(dim).
+  *
+  * Stays in whole-stage codegen via the static call; the loop order is
+  * fixed (subspace 0..m-1), so the double sum is the identical IEEE
+  * sequence on every engine/partitioning — deterministic scores,
+  * deterministic ranks. ksub is inferred as lut.length / codes.length
+  * and the division must be exact; an out-of-range code throws rather
+  * than reading a neighboring subspace's entry (a silent wrong-answer
+  * generator, the composite-id-fence posture). */
+case class PqAdcScore(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_score"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqAdcScore.score(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.PqAdcScore.score($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcScore =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdcScore {
+  /** Called from generated code. codes: array<int> (m dense codes),
+    * lut: array<double> (m·ksub entries, subspace-major). */
+  def score(codes: ArrayData, lut: ArrayData): Double = {
+    val m = codes.numElements()
+    val total = lut.numElements()
+    if (m == 0 || total % m != 0) {
+      throw new IllegalArgumentException(
+        s"pq_adc_score layout mismatch: ${total} LUT entries over $m codes")
+    }
+    val ksub = total / m
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val c = codes.getInt(j)
+      if (c < 0 || c >= ksub) {
+        throw new IllegalArgumentException(
+          s"pq_adc_score code out of range: $c at subspace $j (ksub=$ksub)")
+      }
+      s += lut.getDouble(j * ksub + c)
+      j += 1
+    }
+    s
+  }
+
+  def apply(codes: Column, lut: Column): Column =
+    Bridge.column(PqAdcScore(Bridge.expression(codes),
+      Bridge.expression(lut)))
+}

@@ -356,6 +356,64 @@ object Windows {
           "ELSE CAST(0 AS BIGINT) END").as("share_new_milli"))
   }
 
+  /** DIURNAL-PROFILE drift monitor (r20) — the time-of-day sibling of
+    * [[valueDrift]] (that one watches WHAT arrives; this one watches
+    * WHEN): per space, the hour-of-day share distribution of the old
+    * era vs the new era, flagging hours whose share moved by more than
+    * `tauMilli`. A traffic pattern that shifts its daily peak means a
+    * timezone-mislabeled mirror, a bot/batch-producer onset, or a
+    * geography change in the producer population — none of which any
+    * count or value monitor sees, because totals and values are
+    * unchanged. Same era scaffold (min/max ts midpoint, one broadcast
+    * bounds row), same exact-integer share machinery, same
+    * DECIMAL(38,0) cross-multiplied flag predicate (BIGINT wraps at
+    * ~1e8 events/space — the valueDrift r19 lesson applied from birth);
+    * hour = (ts_us div 3.6e9) mod 24, an all-integer derivation both
+    * engines compute identically. Bin cardinality is FIXED at 24, so
+    * the per-era count table is ≤ 48·|spaces| rows — the flag join is
+    * trivially broadcast at any corpus size. */
+  def diurnalDrift(named: DataFrame, tauMilli: Long = 5L): DataFrame = {
+    require(tauMilli >= 1 && tauMilli <= 1000, s"bad tauMilli=$tauMilli")
+    val bounds = named.agg(min(col("ts_us")).as("tmin"),
+      max(col("ts_us")).as("tmax"))
+    val cnt = named
+      .crossJoin(broadcast(bounds))
+      .withColumn("era",
+        when(col("ts_us") * 2 <= col("tmin") + col("tmax"), lit("old"))
+          .otherwise(lit("new")))
+      .withColumn("hour", expr("(ts_us div 3600000000) % 24"))
+      .groupBy(col("era"), col("space"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // ≤ 48·|spaces| rows; feeds tots + both eras
+    val tots = cnt.groupBy(col("era"), col("space"))
+      .agg(sum(col("n")).as("tot"))
+    val bins = cnt.filter(col("era") === "old")
+      .select(col("space"), col("hour"), col("n").as("n_old"))
+      .join(cnt.filter(col("era") === "new")
+        .select(col("space"), col("hour"), col("n").as("n_new")),
+        Seq("space", "hour"), "full_outer")
+      .na.fill(0L, Seq("n_old", "n_new"))
+    bins
+      .join(broadcast(tots.filter(col("era") === "old")
+        .select(col("space"), col("tot").as("tot_old"))),
+        Seq("space"), "left")
+      .join(broadcast(tots.filter(col("era") === "new")
+        .select(col("space"), col("tot").as("tot_new"))),
+        Seq("space"), "left")
+      .na.fill(0L, Seq("tot_old", "tot_new"))
+      .filter(abs(col("n_old").cast("decimal(38,0)") * col("tot_new") -
+        col("n_new").cast("decimal(38,0)") * col("tot_old")) * lit(1000L) >
+        lit(tauMilli) * col("tot_old").cast("decimal(38,0)") * col("tot_new"))
+      .select(col("space"), col("hour"), col("n_old"), col("n_new"),
+        col("tot_old"), col("tot_new"),
+        expr("CASE WHEN tot_old > 0 THEN " +
+          "(2 * n_old * 1000 + tot_old) div (2 * tot_old) " +
+          "ELSE CAST(0 AS BIGINT) END").as("share_old_milli"),
+        expr("CASE WHEN tot_new > 0 THEN " +
+          "(2 * n_new * 1000 + tot_new) div (2 * tot_new) " +
+          "ELSE CAST(0 AS BIGINT) END").as("share_new_milli"))
+  }
+
   /** INTER-ARRIVAL cadence monitor — per space, the distribution of
     * gaps between a segment's consecutive entries (the heartbeat
     * signal: a `max_gap` spike is an outage/stall window, a `mean_gap`

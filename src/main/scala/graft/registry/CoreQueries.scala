@@ -206,6 +206,11 @@ object CoreQueries {
     // null/NaN/Inf/huge values fenced before the ANSI bin cast
     "value_drift" -> ((s, d) =>
       Windows.valueDrift(EventLog.named(s, d))),
+    // time-of-day mix drift per space (the WHEN sibling of value_drift's
+    // WHAT): fixed 24-bin hour shares, same era scaffold, same
+    // DECIMAL(38,0) cross-multiplied integer flag
+    "diurnal_drift" -> ((s, d) =>
+      Windows.diurnalDrift(EventLog.named(s, d))),
     // cross-stream co-movement + per-bucket anomaly monitoring: exact
     // integer moments, one engine-stable double expression at the end
     "space_correlation" -> ((s, d) =>
@@ -920,6 +925,50 @@ object CoreQueries {
         LEFT JOIN (SELECT space, tot FROM tots WHERE era = 'new') t2
           ON e.space = t2.space)
       SELECT space, bin, n_old, n_new, tot_old, tot_new,
+             CASE WHEN tot_old > 0
+                  THEN (2 * n_old * 1000 + tot_old) // (2 * tot_old)
+                  ELSE CAST(0 AS BIGINT) END AS share_old_milli,
+             CASE WHEN tot_new > 0
+                  THEN (2 * n_new * 1000 + tot_new) // (2 * tot_new)
+                  ELSE CAST(0 AS BIGINT) END AS share_new_milli
+      FROM j
+      WHERE abs(CAST(n_old AS HUGEINT) * tot_new -
+                CAST(n_new AS HUGEINT) * tot_old) * 1000 >
+            5 * CAST(tot_old AS HUGEINT) * tot_new""",
+
+    // the WHEN sibling: identical era split and flag machinery over the
+    // fixed 24-bin hour-of-day grid; hour is the all-integer
+    // (ts_us // 3.6e9) % 24 both engines compute identically
+    "diurnal_drift" -> s"""$E,
+      b AS (SELECT min(ts_us) AS tmin, max(ts_us) AS tmax FROM entries),
+      cnt AS (
+        SELECT CASE WHEN e.ts_us * 2 <= b.tmin + b.tmax
+                    THEN 'old' ELSE 'new' END AS era,
+               e.space, (e.ts_us // 3600000000) % 24 AS hour,
+               CAST(count(*) AS BIGINT) AS n
+        FROM entries e CROSS JOIN b
+        GROUP BY 1, 2, 3),
+      tots AS (SELECT era, space, CAST(sum(n) AS BIGINT) AS tot
+               FROM cnt GROUP BY 1, 2),
+      bins AS (
+        SELECT coalesce(o.space, nn.space) AS space,
+               coalesce(o.hour, nn.hour) AS hour,
+               coalesce(o.n, CAST(0 AS BIGINT)) AS n_old,
+               coalesce(nn.n, CAST(0 AS BIGINT)) AS n_new
+        FROM (SELECT space, hour, n FROM cnt WHERE era = 'old') o
+        FULL OUTER JOIN
+             (SELECT space, hour, n FROM cnt WHERE era = 'new') nn
+          ON o.space = nn.space AND o.hour = nn.hour),
+      j AS (
+        SELECT e.space, e.hour, e.n_old, e.n_new,
+               coalesce(t1.tot, CAST(0 AS BIGINT)) AS tot_old,
+               coalesce(t2.tot, CAST(0 AS BIGINT)) AS tot_new
+        FROM bins e
+        LEFT JOIN (SELECT space, tot FROM tots WHERE era = 'old') t1
+          ON e.space = t1.space
+        LEFT JOIN (SELECT space, tot FROM tots WHERE era = 'new') t2
+          ON e.space = t2.space)
+      SELECT space, hour, n_old, n_new, tot_old, tot_new,
              CASE WHEN tot_old > 0
                   THEN (2 * n_old * 1000 + tot_old) // (2 * tot_old)
                   ELSE CAST(0 AS BIGINT) END AS share_old_milli,

@@ -37,6 +37,24 @@ object PipelineQueries {
     (tbl, path)
   }
 
+  /** The epoch-shuffle receipt derivation shared VERBATIM by
+    * epoch_shuffle and shuffle_balance (the reportBlock one-definition
+    * discipline): md5 order key, 2-hex-char shard, within-shard rank. */
+  private def epochShuffleSql(epoch: Int) = s"""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                 x -> x <> '')) AS BIGINT) AS n_tokens,
+               md5('shuf:$epoch:' || CAST(doc_id AS VARCHAR)) AS k
+        FROM documents),
+      es AS (
+        SELECT doc_id, CAST($epoch AS BIGINT) AS epoch,
+               substr(k, 1, 2) AS shard_hex,
+               CAST(row_number() OVER (PARTITION BY substr(k, 1, 2)
+                 ORDER BY k, doc_id) AS BIGINT) AS pos,
+               n_tokens
+        FROM t)"""
+
   /** The chunk-grid derivation shared VERBATIM by chunk_assign and
     * chunk_dedup's derived table (the reportBlock one-definition
     * discipline): a grid-formulation drift can only break one place. */
@@ -834,6 +852,16 @@ object PipelineQueries {
     // prefix + all-integer per-doc decision (the scale formulation of
     // a corpus-wide ntile)
     "curriculum_assign" -> ((s, d) => TextOps.curriculumAssign(docs(s, d))),
+    // deterministic epoch-shuffle receipts: md5 order key, 2-hex shard,
+    // within-shard rank — reproducible/resumable data-loading order
+    // (the hash gate covers the ENTIRE receipt table)
+    "epoch_shuffle" -> ((s, d) =>
+      graft.text.Shuffle.epochShuffle(docs(s, d), epoch = 1)),
+    // realized shard spread for that plan (docs AND token mass): md5
+    // shards are uniform in expectation, this row is the realized
+    // number a loader reads before trusting level worker finish times
+    "shuffle_balance" -> ((s, d) =>
+      graft.text.Shuffle.shuffleBalance(docs(s, d), epoch = 1)),
     // per-source token-budget selection: quality-first group-granular
     // admission over the (source, q4, hex4) grid — zero corpus sort,
     // all-integer membership, hard budget ceiling
@@ -983,6 +1011,40 @@ object PipelineQueries {
       Knn.searchIvfIndexQuantized(s, tbl, centroids,
         e.filter(col("vec_id") < 5), k = 10)
     }),
+    // the NINTH persisted-index family: IVF-PQ — coarse inverted lists
+    // persisted bucketed by c_id, rows carry m-code PRODUCT-quantized
+    // arrays (dim/m× smaller than int8 — the index that stays
+    // executor-resident at 100 TB), probes score candidates with the
+    // O(m) PqAdcScore table-lookup kernel against a per-query LUT;
+    // rows-only (seeded k-means + PQ encode aren't ANSI-expressible),
+    // PqSpec plants prototype corpora (exact recall at nprobe=nlist),
+    // pins code determinism, and fences the bucketed zero-Exchange plan
+    "knn_pq" -> ((s, d) => {
+      val e = Knn.emb(s, d)
+      val (tbl, path) = runScopedTable(s, d, "graft_ivf_pq")
+      val (coarse, codebook) = Knn.writeIvfPqIndex(e, tbl, path, nlist = 10)
+      Knn.searchIvfPq(s, tbl, coarse, codebook,
+        e.filter(col("vec_id") < 5), k = 10)
+    }),
+    // recall@k of the PQ probe vs float brute on the same probes — the
+    // (m, ksub, nprobe) tuning row; unlike the int8 audit this number
+    // confounds pruning with quantization error BY DESIGN (PQ is lossy):
+    // it is the memory-for-recall exchange rate a pipeline watches
+    "pq_recall_audit" -> ((s, d) => {
+      val (tbl, path) = runScopedTable(s, d, "graft_pq_audit")
+      Knn.pqRecallAudit(s, Knn.emb(s, d), tbl, path,
+        col("vec_id") < 5, k = 10)
+    }),
+    // code-space health per subspace: dead codes (trained, never
+    // assigned — wasted LUT entries), occupancy extremes, imbalance
+    // milli — a collapsed subspace contributes ~zero bits and recall
+    // decays silently while search "works"; the retrain signal
+    "pq_code_balance" -> ((s, d) => {
+      val e = Knn.emb(s, d)
+      val (tbl, path) = runScopedTable(s, d, "graft_pq_balance")
+      val (_, codebook) = Knn.writeIvfPqIndex(e, tbl, path, nlist = 10)
+      Knn.pqCodeBalance(s, tbl, codebook)
+    }),
     // corpus clustering over embeddings (seeded k-means + min_by
     // assignment); rows-only (centroid ids are hash-derived), KnnSpec
     // asserts coverage and determinism
@@ -1125,6 +1187,12 @@ object PipelineQueries {
     // cross-source vocabulary redundancy: shared vs exclusive types and
     // token mass, one checkpointed (source, word) pass
     "vocab_overlap" -> ((s, d) => TextOps.vocabOverlap(docs(s, d))),
+    // marginal vocabulary attribution in the deterministic greedy order
+    // (doc count desc, source asc): every word type belongs to the
+    // FIRST-ranked source containing it — the add/drop decision input
+    // vocab_overlap's symmetric shares can't answer; argmin aggregate
+    // per word (never a vocabulary window), cumulative over |sources|
+    "source_novelty" -> ((s, d) => TextOps.sourceNovelty(docs(s, d))),
     // OOV drift audit: test-split token/type mass not covered by the
     // df-banded train-split vocabulary (the splitAssign split verbatim)
     "vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(docs(s, d))),
@@ -2638,6 +2706,47 @@ object PipelineQueries {
       FROM wc JOIN wsrc USING (word)
       GROUP BY 1""",
 
+    // first-seen attribution under the (n_docs desc, source) greedy
+    // rank; src_rank is UNIQUE per source, so the oracle's min-rank
+    // equijoin equals the engine's min(struct(rank, source)) argmin —
+    // two formulations, one result; cumulative sum over |sources| rows
+    "source_novelty" -> """
+      WITH ranks AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(row_number() OVER (ORDER BY count(*) DESC, source)
+                 AS BIGINT) AS src_rank
+        FROM documents GROUP BY source),
+      w AS (
+        SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+          x -> x <> '')) AS word
+        FROM documents),
+      wc AS (
+        SELECT source, word, CAST(count(*) AS BIGINT) AS cnt
+        FROM w GROUP BY 1, 2),
+      wcr AS (
+        SELECT wc.source, wc.word, wc.cnt, r.src_rank, r.n_docs
+        FROM wc JOIN ranks r ON wc.source = r.source),
+      fs AS (
+        SELECT word, min(src_rank) AS min_rank FROM wcr GROUP BY 1),
+      agg AS (
+        SELECT w.source, w.src_rank, w.n_docs,
+               CAST(count(*) AS BIGINT) AS types_total,
+               CAST(sum(CASE WHEN w.src_rank = f.min_rank THEN 1 ELSE 0
+                 END) AS BIGINT) AS types_new,
+               CAST(sum(w.cnt) AS BIGINT) AS tokens_total,
+               CAST(sum(CASE WHEN w.src_rank = f.min_rank THEN w.cnt
+                 ELSE 0 END) AS BIGINT) AS tokens_new
+        FROM wcr w JOIN fs f ON w.word = f.word
+        GROUP BY 1, 2, 3)
+      SELECT source, src_rank, n_docs, types_total, types_new,
+             tokens_total, tokens_new,
+             (2 * types_new * 1000 + types_total) // (2 * types_total)
+               AS novelty_milli,
+             CAST(sum(types_new) OVER (ORDER BY src_rank
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_types_new
+      FROM agg""",
+
     // the splitAssign md5-nibble predicate verbatim; vocabulary =
     // train-split words with doc-frequency >= 2; OOV shares as the
     // identical integer half-up milli
@@ -3272,6 +3381,38 @@ object PipelineQueries {
              (2 * sel.tok_sel * 1000 + raw.tok_raw) //
                (2 * raw.tok_raw) AS sel_milli
       FROM raw JOIN sel ON raw.source = sel.source""",
+
+    // the shared receipt CTE verbatim (one-definition discipline); the
+    // md5 order key makes the WHOLE receipt table engine-identical
+    "epoch_shuffle" -> s"""${epochShuffleSql(1)}
+      SELECT doc_id, epoch, shard_hex, pos, n_tokens FROM es""",
+
+    // same CTE + the one-row balance rollup; docs divisor guarded (an
+    // empty corpus yields a zero-shard row, not a DIVIDE_BY_ZERO)
+    "shuffle_balance" -> s"""${epochShuffleSql(1)},
+      shard AS (
+        SELECT shard_hex, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS toks
+        FROM es GROUP BY 1)
+      SELECT CAST(1 AS BIGINT) AS epoch,
+             CAST(count(*) AS BIGINT) AS n_shards,
+             CAST(sum(n_docs) AS BIGINT) AS docs_total,
+             CAST(sum(toks) AS BIGINT) AS tokens_total,
+             CAST(max(n_docs) AS BIGINT) AS max_docs,
+             CAST(min(n_docs) AS BIGINT) AS min_docs,
+             CAST(max(toks) AS BIGINT) AS max_tokens,
+             CAST(min(toks) AS BIGINT) AS min_tokens,
+             CASE WHEN CAST(sum(n_docs) AS BIGINT) > 0 THEN
+               (2 * CAST(max(n_docs) AS BIGINT) * CAST(count(*) AS BIGINT)
+                  * 1000 + CAST(sum(n_docs) AS BIGINT))
+                 // (2 * CAST(sum(n_docs) AS BIGINT))
+             ELSE CAST(0 AS BIGINT) END AS doc_imb_milli,
+             CASE WHEN CAST(sum(toks) AS BIGINT) > 0 THEN
+               (2 * CAST(max(toks) AS BIGINT) * CAST(count(*) AS BIGINT)
+                  * 1000 + CAST(sum(toks) AS BIGINT))
+                 // (2 * CAST(sum(toks) AS BIGINT))
+             ELSE CAST(0 AS BIGINT) END AS token_imb_milli
+      FROM shard""",
 
     "curriculum_assign" -> s"""$Q4Ctes,
       grid AS (

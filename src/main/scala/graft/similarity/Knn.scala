@@ -1676,4 +1676,263 @@ object Knn {
         col("score"))
     ranked(scored, k)
   }
+  // ── Product quantization (IVF-PQ — the NINTH persisted-index family) ──
+  //
+  // The memory-scale end of the ANN ladder (SURVEY §2-F): brute → LSH →
+  // IVF → IVF+int8 → IVF-PQ. int8 scalar quantization compresses 8× but
+  // still stores one code PER DIMENSION; product quantization stores one
+  // code per SUBSPACE (m codes for dim dims — dim/m× further), with
+  // scoring against a per-query lookup table (Jégou et al., PAMI 2011:
+  // "Product quantization for nearest neighbor search"). At the 100 TB
+  // design point this is the difference between an embedding index that
+  // fits executor memory and one that cannot: 64-dim float vectors are
+  // 256 B/row, int8 codes 64 B, PQ codes (m=8) ~32 B including ids.
+
+  /** Default PQ geometry: 8 subspaces, 16 centroids each — dim must be
+    * divisible by [[PqSubspaces]] (in-plan fence in [[pqSubvectors]]). */
+  val PqSubspaces = 8
+  val PqCodesPerSub = 16
+
+  /** Slice every unit-normalized vector into `m` equal subvectors:
+    * (vec_id, sub_id ∈ [0,m), sv, sv2 = |sv|²). Normalizing FIRST makes
+    * the additive ADC inner-product estimate approximate the COSINE
+    * directly (Σ_j dot(q_j, c_j) over unit vectors), so PQ scores rank
+    * on the same scale as every other ANN path here. The divisibility
+    * fence raises in-plan (momentGuard posture — a truncating slice
+    * would silently drop trailing dimensions, a wrong-answer
+    * generator); callers pass an eagerly-materialized base so the
+    * normalize lambda cannot have the nrm alias inlined per element
+    * (the r12 hidden-O(dim²) lesson). */
+  private def pqSubvectors(e: DataFrame, m: Int): DataFrame =
+    e.filter(finiteNorm(col("nrm")))
+      .withColumn("u", expr("transform(v, x -> x / nrm)"))
+      .withColumn("dimguard",
+        coalesce(assert_true(size(col("u")) % lit(m) === lit(0),
+          concat(lit("pq: dimensionality "), size(col("u")).cast("string"),
+            lit(s" not divisible by m=$m subspaces — a truncating slice " +
+              "would silently drop trailing dimensions"))).cast("int"),
+          lit(0)))
+      .select(col("vec_id"),
+        posexplode(expr(
+          s"transform(sequence(0, ${m - 1}), s -> " +
+            s"slice(u, (s + dimguard) * (size(u) div $m) + 1, " +
+            s"size(u) div $m))")).as(Seq("sub_id", "sv")))
+      .withColumn("sv2", DotProduct(col("sv"), col("sv")))
+
+  private def pqSubDist: Column =
+    col("sv2") + col("cn2") - lit(2.0) * DotProduct(col("sv"), col("cv"))
+
+  /** Train the m per-subspace codebooks as ONE grouped Lloyd loop: all
+    * m·ksub centroids update in the same distributed jobs, keyed by
+    * (sub_id, c_id) — m separate k-means runs would serialize m driver
+    * loops for no reason. Seeds are the subvectors of the `ksub`
+    * corpus vectors with smallest xxhash64(vec_id) (the kmeansCentroids
+    * discipline: deterministic, no driver randomness, and the SAME seed
+    * rows for every subspace so each subspace starts with exactly ksub
+    * centroids). Empty clusters KEEP their previous centroid
+    * (left-join + coalesce) instead of vanishing — every subspace holds
+    * exactly min(ksub, n) rows at all times, the uniform-layout
+    * invariant the flattened ADC LUT addressing depends on.
+    * Returns (sub_id, c_id, code_idx, cv, cn2) with code_idx a DENSE
+    * 0-based index per subspace (row_number over ≤ m·ksub rows). */
+  def pqCodebook(base: DataFrame, m: Int = PqSubspaces,
+      ksub: Int = PqCodesPerSub, iters: Int = 2): DataFrame = {
+    val subvecs = pqSubvectors(base, m).localCheckpoint(true)
+    val seedIds = base.filter(finiteNorm(col("nrm")))
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h").limit(ksub).select(col("vec_id"), col("h"))
+    var centroids = subvecs.join(seedIds, Seq("vec_id"))
+      .select(col("sub_id"), col("h").as("c_id"), col("sv").as("cv"))
+      .localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val scored = subvecs.join(
+          broadcast(centroids.withColumn("cn2",
+            DotProduct(col("cv"), col("cv")))), Seq("sub_id"))
+        .withColumn("d", pqSubDist)
+      val assigned = scored.groupBy(col("vec_id"), col("sub_id"))
+        .agg(min_by(col("c_id"), struct(col("d"), col("c_id"))).as("c_id"),
+          min_by(col("sv"), struct(col("d"), col("c_id"))).as("sv"))
+      val means = assigned
+        .select(col("sub_id"), col("c_id"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub_id"), col("c_id"), col("pos"))
+        .agg(avg(col("x")).as("cx"))
+        .groupBy(col("sub_id"), col("c_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("ps"))
+        .select(col("sub_id"), col("c_id"),
+          expr("transform(ps, p -> p.cx)").as("mv"))
+      centroids = centroids.join(means, Seq("sub_id", "c_id"), "left")
+        .select(col("sub_id"), col("c_id"),
+          coalesce(col("mv"), col("cv")).as("cv"))
+        .localCheckpoint(true)
+    }
+    val idxW = Window.partitionBy("sub_id").orderBy("c_id")
+    centroids
+      .withColumn("code_idx", (row_number().over(idxW) - lit(1)))
+      .withColumn("cn2", DotProduct(col("cv"), col("cv")))
+  }
+
+  /** Encode every vector as its m-code array (dense code_idx per
+    * subspace, subspace order): one broadcast codebook join + one
+    * min_by assignment per (vec_id, sub_id) + one collect per vector.
+    * Codes are DETERMINISTIC: distance ties break on c_id (the
+    * assignNearest posture), so two builds of the same corpus produce
+    * identical code arrays (spec-pinned). */
+  def pqEncode(base: DataFrame, codebook: DataFrame,
+      m: Int = PqSubspaces): DataFrame =
+    pqSubvectors(base, m)
+      .join(broadcast(codebook), Seq("sub_id"))
+      .withColumn("d", pqSubDist)
+      .groupBy(col("vec_id"), col("sub_id"))
+      .agg(min_by(col("code_idx"), struct(col("d"), col("c_id"))).as("code_idx"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("sub_id"), col("code_idx"))))
+        .as("sc"))
+      .select(col("vec_id"),
+        expr("transform(sc, p -> p.code_idx)").as("codes"))
+
+  /** Build + persist the IVF-PQ index: coarse IVF assignment in float
+    * space (the writeIvfIndex discipline — build accuracy is a
+    * once-per-corpus offline cost), PQ codes per vector in the lists.
+    * The bucketed layout (bucketBy c_id) keeps the probe equijoin free
+    * of index-side Exchange exactly like the other persisted-index
+    * families; [[graft.sources.Staged]] gives the tmp→aside→promote
+    * rebuild with crash self-healing. Returns (coarse centroids,
+    * codebook) — both tiny, both broadcast at probe time. */
+  def writeIvfPqIndex(e: DataFrame, tableName: String, path: String,
+      nlist: Int = 10, m: Int = PqSubspaces, ksub: Int = PqCodesPerSub,
+      buckets: Int = 8): (DataFrame, DataFrame) = {
+    val base = e.filter(finiteNorm(col("nrm"))).localCheckpoint(true)
+    val coarse = kmeansCentroids(base, nlist)
+    val codebook = pqCodebook(base, m, ksub).localCheckpoint(true)
+    val assigned = assignNearest(
+      base.crossJoin(broadcast(withCnrm2(coarse))).withColumn("d", sqDist),
+      Seq.empty)
+      .select(col("vec_id"), col("c_id"))
+    val rows = assigned.join(pqEncode(base, codebook, m), Seq("vec_id"))
+    graft.sources.Staged.commit(e.sparkSession, tableName, path) {
+      (tbl, p) =>
+        rows
+          .repartition(col("c_id"))
+          .write
+          .option("path", p)
+          .bucketBy(buckets, "c_id")
+          .sortBy("c_id")
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .saveAsTable(tbl)
+    }
+    (coarse, codebook)
+  }
+
+  /** Per-query flattened ADC lookup table: (query_id, lut) with
+    * lut[sub_id·ksub_eff + code_idx] = dot(query subvector, centroid) —
+    * the layout [[graft.functions.PqAdcScore]] reads. ksub_eff is the
+    * realized per-subspace codebook size (= min(ksub, corpus size);
+    * UNIFORM across subspaces by the pqCodebook empty-cluster-keep
+    * invariant), inferred by the kernel from lut length / m. Built by
+    * crossing the query subvectors with the broadcast codebook —
+    * |Q|·m·ksub rows, tiny for any probe set. */
+  def pqLut(queries: DataFrame, codebook: DataFrame,
+      m: Int = PqSubspaces): DataFrame = {
+    // ksub_eff per subspace for the flat key; uniform by construction —
+    // computed in-plan (max code_idx + 1) so no driver round-trip
+    val ksubEff = codebook.groupBy(col("sub_id"))
+      .agg((max(col("code_idx")) + lit(1)).as("ksub_eff"))
+    pqSubvectors(queries, m)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(codebook), Seq("sub_id"))
+      .join(broadcast(ksubEff), Seq("sub_id"))
+      .withColumn("k2",
+        col("sub_id").cast("long") * col("ksub_eff").cast("long") +
+          col("code_idx").cast("long"))
+      .withColumn("dotv", DotProduct(col("sv"), col("cv")))
+      .groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct(col("k2"), col("dotv")))).as("kv"))
+      .select(col("query_id"),
+        expr("transform(kv, p -> p.dotv)").as("lut"))
+  }
+
+  /** Search the persisted IVF-PQ index: queries rank the float coarse
+    * centroids for `nprobe` lists (broadcast — tiny), build their ADC
+    * LUTs against the broadcast codebook, then meet the bucketed code
+    * lists in a c_id equijoin and score each candidate with ONE
+    * [[graft.functions.PqAdcScore]] table-lookup pass — O(m) per pair
+    * instead of O(dim), over an index dim/m× smaller than int8 codes.
+    * Scores are deterministic (fixed subspace loop order) and displayed
+    * at floor-half-up 4 decimals like every other score here; ranks
+    * break ties on neighbor_id. */
+  def searchIvfPq(spark: SparkSession, tableName: String,
+      coarse: DataFrame, codebook: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int = 2, m: Int = PqSubspaces): DataFrame = {
+    val q = queries.filter(finiteNorm(col("nrm"))).localCheckpoint(true)
+    val probeW = Window.partitionBy("query_id").orderBy(col("d"), col("c_id"))
+    val probes = q
+      .select(col("vec_id").as("query_id"), col("v"), col("nrm"))
+      .crossJoin(broadcast(withCnrm2(coarse)))
+      .withColumn("d", sqDist)
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("c_id"))
+      .join(pqLut(q, codebook, m), Seq("query_id"))
+    val scored = probes.as("q")
+      .join(graft.sources.Staged.liveTable(spark, tableName).as("c"),
+        col("q.c_id") === col("c.c_id") &&
+          col("query_id") =!= col("c.vec_id"))
+      .withColumn("score",
+        floor(graft.functions.PqAdcScore(col("c.codes"), col("q.lut"))
+          * lit(10000.0) + lit(0.5)).cast("double") / lit(10000.0))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        col("score"))
+    ranked(scored, k)
+  }
+
+  /** [[ivfRecallAudit]] for the PQ path: persisted IVF-PQ probe vs the
+    * float brute baseline on the same probes. Unlike the int8 audit the
+    * number CONFOUNDS list pruning with quantization error by design —
+    * PQ is lossy, and this row is the tuning signal for (m, ksub,
+    * nprobe) together: the number a pipeline watches before trading
+    * index memory for recall. */
+  def pqRecallAudit(spark: SparkSession, e: DataFrame,
+      tableName: String, path: String, queryPred: Column, k: Int,
+      nprobe: Int = 2, nlist: Int = 10, m: Int = PqSubspaces,
+      ksub: Int = PqCodesPerSub): DataFrame = {
+    val (coarse, codebook) = writeIvfPqIndex(e, tableName, path,
+      nlist = nlist, m = m, ksub = ksub)
+    recallAccounting(
+      brute(e, queryPred, k),
+      searchIvfPq(spark, tableName, coarse, codebook,
+        e.filter(queryPred), k, nprobe, m), k)
+  }
+
+  /** PQ CODE-SPACE balance audit over the persisted index (the
+    * ivf_balance_audit discipline one level down): per subspace, codes
+    * in use, dead codes (trained but never assigned — wasted LUT
+    * entries and a retrain signal), occupancy extremes, and
+    * max-over-ideal as the all-integer half-up milli. A collapsed
+    * subspace (one hot code) contributes ~zero bits to the estimate —
+    * recall decays silently while search "works"; this row is where
+    * that shows first. One posexplode (m rows per vector) + one hash
+    * agg to ≤ m·ksub rows, then a per-subspace rollup. */
+  def pqCodeBalance(spark: SparkSession, tableName: String,
+      codebook: DataFrame): DataFrame = {
+    val occ = graft.sources.Staged.liveTable(spark, tableName)
+      .select(posexplode(col("codes")).as(Seq("sub_id", "code_idx")))
+      .groupBy(col("sub_id"), col("code_idx"))
+      .agg(count(lit(1)).as("occ"))
+    val trained = codebook.groupBy(col("sub_id"))
+      .agg(count(lit(1)).as("n_codes_trained"))
+    occ.groupBy(col("sub_id"))
+      .agg(
+        count(lit(1)).as("n_codes_used"),
+        sum(col("occ")).as("n_vectors"),
+        max(col("occ")).as("max_occ"),
+        min(col("occ")).as("min_occ"))
+      .join(broadcast(trained), Seq("sub_id"))
+      .withColumn("n_codes_dead", col("n_codes_trained") - col("n_codes_used"))
+      .withColumn("imb_milli",
+        expr("(2 * max_occ * n_codes_used * 1000 + n_vectors) div " +
+          "(2 * n_vectors)"))
+      .select(col("sub_id"), col("n_codes_trained"), col("n_codes_used"),
+        col("n_codes_dead"), col("n_vectors"), col("max_occ"),
+        col("min_occ"), col("imb_milli"))
+  }
 }

@@ -719,6 +719,31 @@ object Streaming {
     embStream.writeStream.foreachBatch(perBatch).start()
   }
 
+  /** Live ANN retrieval over the persisted IVF-PQ index (the
+    * runDocSimilarProbe posture for the memory-scale vector index):
+    * every micro-batch treats its arriving vectors as queries and runs
+    * [[graft.similarity.Knn.searchIvfPq]] VERBATIM — rank the frozen
+    * coarse centroids, build the per-query ADC lookup tables against
+    * the frozen codebook, meet the bucketed code lists in a c_id
+    * equijoin, score with the O(m) PqAdcScore kernel. A query's top-k
+    * is a pure function of its own row against the frozen artifacts,
+    * so per-batch semantics are EXACT: the emitted rows over any
+    * replay partition equal the batch search over the same query set
+    * (StreamingSpec proves convergence). Nothing is collected to the
+    * driver and no state store exists — the ceiling-free shape. */
+  def runKnnPqProbe(spark: SparkSession, embStream: DataFrame,
+      indexTable: String, coarseTable: String, codebookTable: String,
+      k: Int = 10, nprobe: Int = 2)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => sink(graft.similarity.Knn.searchIvfPq(spark,
+        indexTable,
+        graft.sources.Staged.liveTable(spark, coarseTable),
+        graft.sources.Staged.liveTable(spark, codebookTable),
+        graft.similarity.Knn.embOf(batch.toDF()), k, nprobe))
+    embStream.writeStream.foreachBatch(perBatch).start()
+  }
+
   /** Live exact-k sampling in its SCALE shape — the stream-static
     * sibling of [[sampleExactKStream]] (that one's state store is
     * already hard-bounded at k per stratum; THIS one moves the state

@@ -377,6 +377,61 @@ object TextOps {
           " div (2 * tokens_total)").as("shared_mass_milli"))
   }
 
+  /** MARGINAL VOCABULARY ATTRIBUTION in a fixed greedy order (r20) —
+    * the submodular-coverage question data-mixing actually asks ("if I
+    * add sources biggest-first, what NEW vocabulary does each one
+    * bring?") answered exactly: sources are ranked by (doc count desc,
+    * source asc) — the deterministic greedy order — and every word
+    * type is attributed to the FIRST-ranked source containing it; per
+    * source the row reports its total vs newly-contributed types, the
+    * token mass carried by its new types, novelty as integer half-up
+    * milli, and the running cumulative type count down the greedy
+    * order. A source whose novelty_milli ≈ 0 is lexically redundant
+    * given everything ranked above it — `vocab_overlap` says who
+    * shares; THIS says who was there first under a stated order, which
+    * is the actual add/drop decision input. ALL-integer (hash-gate
+    * safe); attribution = min(struct(rank, source)) per word — the
+    * argmin aggregate, never a window over the vocabulary. Scale: one
+    * corpus explode compressed to the (source, word) count table
+    * (checkpointed — feeds the per-word argmin AND the rollup), then
+    * everything is vocabulary-sized; the cumulative window runs over
+    * |sources| rows. */
+  def sourceNovelty(d: DataFrame): DataFrame = {
+    val ranks = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("src_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_docs").desc, col("source"))).cast("long"))
+    val wc = lowerToks(d)
+      .select(col("source"), explode(col("toks")).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(ranks), Seq("source"))
+      .localCheckpoint(true) // feeds the per-word argmin AND the rollup
+    val firstSeen = wc.groupBy(col("word"))
+      .agg(min(struct(col("src_rank"), col("source"))).as("fs"))
+      .select(col("word"), col("fs.source").as("first_source"))
+    wc.join(firstSeen, Seq("word"))
+      .groupBy(col("source"), col("src_rank"), col("n_docs"))
+      .agg(
+        count(lit(1)).as("types_total"),
+        sum(when(col("first_source") === col("source"), 1L).otherwise(0L))
+          .as("types_new"),
+        sum(col("cnt")).as("tokens_total"),
+        sum(when(col("first_source") === col("source"), col("cnt"))
+          .otherwise(0L)).as("tokens_new"))
+      .withColumn("novelty_milli",
+        expr("(2 * types_new * 1000 + types_total) div (2 * types_total)"))
+      .withColumn("cum_types_new",
+        sum(col("types_new")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("src_rank"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      .select(col("source"), col("src_rank"), col("n_docs"),
+        col("types_total"), col("types_new"), col("tokens_total"),
+        col("tokens_new"), col("novelty_milli"), col("cum_types_new"))
+  }
+
   /** CONTEXT-WINDOW PLANNING grid (r17) — the sizing table a training
     * run reads before choosing a sequence length: for each candidate
     * window W, per source: docs that fit whole, docs that must split,

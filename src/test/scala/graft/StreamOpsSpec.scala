@@ -273,6 +273,31 @@ class StreamOpsSpec extends SparkSpec {
       ("a", 5L) -> ((0L, 1000L))), got.toString)
   }
 
+  test("diurnalDrift: a shifted daily peak flags in both directions; " +
+      "a stable hour profile is silent") {
+    import spark.implicits._
+    import graft.operators.Windows
+    val hourUs = 3600000000L
+    val dayUs = 24L * hourUs
+    // space a: old era all at hour 1, new era (10 days later) all at
+    // hour 5 — both hours must flag (share 1000 → 0 and 0 → 1000);
+    // space b: hour 2 in both eras — silent
+    val named = (
+      (1L to 4L).map(i => ("a", "s", 1L * hourUs + i, i)) ++
+      (1L to 4L).map(i => ("a", "s", 10L * dayUs + 5L * hourUs + i, 100L + i)) ++
+      Seq(("b", "s", 2L * hourUs + 1L, 200L),
+        ("b", "s", 10L * dayUs + 2L * hourUs + 1L, 201L))
+    ).toDF("space", "segment", "ts_us", "event_id")
+      .withColumn("value", lit(1.0))
+    val got = Windows.diurnalDrift(named).collect()
+      .map(r => (r.getAs[String]("space"), r.getAs[Long]("hour")) ->
+        (r.getAs[Long]("share_old_milli"), r.getAs[Long]("share_new_milli")))
+      .toMap
+    assert(got == Map(
+      ("a", 1L) -> ((1000L, 0L)),
+      ("a", 5L) -> ((0L, 1000L))), got.toString)
+  }
+
   test("rebalancePlan: exactly-once assignment, round-robin counts, " +
       "heaviest segments spread first; audit consistent with the plan") {
     val named = EventLog.named(spark, SF)

@@ -1236,6 +1236,45 @@ class StreamingSpec extends SparkSpec {
     assert(buf.size == want.size) // each vector voted on exactly once
   }
 
+  test("stream-static IVF-PQ probe (foreachBatch) converges to the " +
+      "batch PQ search over the persisted index") {
+    import graft.similarity.Knn
+    val e = Knn.emb(spark, SF).localCheckpoint(true)
+    spark.sql("DROP TABLE IF EXISTS pq_probe_idx")
+    val idxPath = Files.createTempDirectory("graft_pq_probe_idx")
+      .toString + "/v"
+    val (coarse, codebook) = Knn.writeIvfPqIndex(e, "pq_probe_idx",
+      idxPath, nlist = 4, buckets = 2)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(coarse.collect().toSeq.asJava, coarse.schema)
+      .createOrReplaceTempView("pq_probe_coarse")
+    spark.createDataFrame(codebook.collect().toSeq.asJava, codebook.schema)
+      .createOrReplaceTempView("pq_probe_codebook")
+    val raw = spark.read.parquet(s"$SF/embeddings.parquet")
+      .filter(col("vec_id") < 40)
+    val dir = Files.createTempDirectory("graft_pq_probe_s").toString
+    raw.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = Streaming.runKnnPqProbe(spark, stream, "pq_probe_idx",
+        "pq_probe_coarse", "pq_probe_codebook", k = 5, nprobe = 2) { b =>
+      val rows = b.collect().map(_.toSeq)
+      buf.synchronized { buf ++= rows }
+    }
+    q.processAllAvailable(); q.stop()
+    val got = buf.toSet
+    // a query's top-k is a pure function of its own row against the
+    // frozen index, so the replayed emission equals the batch search
+    // over the same query set — EXACT, not approximate
+    val want = Knn.searchIvfPq(spark, "pq_probe_idx", coarse, codebook,
+      e.filter(col("vec_id") < 40), k = 5, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want,
+      s"probe ${got.size} vs batch ${want.size}")
+    assert(buf.size == want.size) // each query answered exactly once
+  }
+
   test("stream-static exact-k sample probe persists its state table " +
       "and converges to the batch pick set") {
     val docs = spark.read.parquet(s"$SF/documents.parquet")

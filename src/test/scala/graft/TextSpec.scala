@@ -1413,6 +1413,40 @@ class TextSpec extends SparkSpec {
     assert(s1.getAs[Long]("shared_mass_milli") == 250L)
   }
 
+  test("sourceNovelty: first-seen attribution under the greedy rank; " +
+      "conservation and cumulative monotonicity") {
+    import spark.implicits._
+    // ranks by (docs desc, source): s1 (3 docs), s2 (2), s3 (1).
+    // vocab: s1 {a, b}, s2 {b, c}, s3 {a, c, d} → first seen:
+    //   a→s1, b→s1, c→s2, d→s3 → types_new 2 / 1 / 1, cum 2, 3, 4
+    val d = Seq(
+      (1L, "a b", "en", "s1"), (2L, "a", "en", "s1"), (3L, "b", "en", "s1"),
+      (4L, "b c", "en", "s2"), (5L, "c c", "en", "s2"),
+      (6L, "a c d", "en", "s3")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = TextOps.sourceNovelty(d).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(got("s1").getAs[Long]("src_rank") == 1L)
+    assert(got("s2").getAs[Long]("src_rank") == 2L)
+    assert(got("s3").getAs[Long]("src_rank") == 3L)
+    assert(got("s1").getAs[Long]("types_new") == 2L)
+    assert(got("s2").getAs[Long]("types_new") == 1L)
+    assert(got("s3").getAs[Long]("types_new") == 1L)
+    // tokens_new: s1 carries a×2 + b×2 = 4; s2 its new type c×3 = 3;
+    // s3 only d×1 (a and c were seen above it)
+    assert(got("s1").getAs[Long]("tokens_new") == 4L)
+    assert(got("s2").getAs[Long]("tokens_new") == 3L)
+    assert(got("s3").getAs[Long]("tokens_new") == 1L)
+    assert(got("s3").getAs[Long]("types_total") == 3L)
+    // conservation: Σ types_new == global distinct vocabulary
+    assert(got.values.map(_.getAs[Long]("types_new")).sum == 4L)
+    assert(got("s3").getAs[Long]("cum_types_new") == 4L)
+    // cumulative is monotone down the greedy order
+    val cums = got.values.toSeq.sortBy(_.getAs[Long]("src_rank"))
+      .map(_.getAs[Long]("cum_types_new"))
+    assert(cums == cums.sorted && cums == Seq(2L, 3L, 4L))
+  }
+
   test("contextFit: ceiling chunks, padding and half-up utilization; " +
       "zero-token docs contribute zero chunks") {
     import spark.implicits._
