@@ -33,6 +33,7 @@ object Stress {
     "chunk_dedup", "chunk_dedup_incremental",
     "contamination_substring",
     "contamination_semantic_ivf", "contamination_semantic_ivf_audit",
+    "knn_pq", "pq_code_balance",
     "mm_dedup_near", "mm_dedup_near_audit")
 
   /** Audit rows are grid/occupancy-bounded by construction; the bound is
@@ -41,6 +42,7 @@ object Stress {
     "minhash_band_audit", "char_ngram_gram_audit", "lsh_bucket_audit",
     "semantic_cluster_audit",
     "ivf_balance_audit", "contamination_semantic_ivf_audit",
+    "pq_code_balance",
     "mm_dedup_near_audit")
 
   private def release(spark: SparkSession): Unit = {

@@ -257,6 +257,31 @@ object StreamOps {
         expr("(2 * hot_entries * n_segments * 1000 + n_entries) div " +
           "(2 * n_entries)"))
 
+  /** KEY-CHURN histogram (r20) — the update-frequency DISTRIBUTION
+    * behind [[segmentSkew]]'s single hottest-key number: per space, how
+    * many segments fall in each power-of-two events-per-segment class
+    * (zero-padded labels so lexicographic order IS numeric order). The
+    * compaction/snapshot policy input: a space dominated by
+    * single-event segments wants TTL retention and no snapshots
+    * (nothing ever supersedes), one dominated by 65+ segments wants
+    * aggressive key compaction and snapshot cadence — `sk_compact_plan`
+    * prices WHAT to compact, this prices WHETHER the space's shape
+    * makes compaction worth running at all. ALL-integer; fixed 8-class
+    * ladder (an exact CASE both engines evaluate identically — never a
+    * float log2, whose exact-power boundaries round differently).
+    * Scale: one map-side-combinable (space, segment) agg to
+    * segment-sized rows, then one ≤ 8·|spaces| matrix agg. */
+  def keyChurn(named: DataFrame): DataFrame =
+    named.groupBy(col("space"), col("segment"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("bucket",
+        expr("CASE WHEN c = 1 THEN '001' WHEN c = 2 THEN '002' " +
+          "WHEN c <= 4 THEN '003-004' WHEN c <= 8 THEN '005-008' " +
+          "WHEN c <= 16 THEN '009-016' WHEN c <= 32 THEN '017-032' " +
+          "WHEN c <= 64 THEN '033-064' ELSE '065+' END"))
+      .groupBy(col("space"), col("bucket"))
+      .agg(count(lit(1)).as("n_segments"), sum(col("c")).as("n_entries"))
+
   /** STALE-SEGMENT audit — the dead-aggregate / dormant-consumer
     * detector (a segment that stopped producing is a churned user, a
     * finished aggregate, or a wedged producer — either way the serving

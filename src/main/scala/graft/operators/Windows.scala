@@ -157,6 +157,52 @@ object Windows {
     out
   }
 
+  /** CONVERSION-LATENCY accounting over the [[funnel]] chain (r20) —
+    * rates say WHERE the drop is; this says HOW LONG each surviving
+    * step takes: per step k ≥ 2, the exact integer distribution
+    * (count, sum, max, half-up mean — the interarrival_stats posture;
+    * variance deliberately absent, Σd² overflows BIGINT at month-scale
+    * µs gaps) of t_k − t_{k−1} across converting segments, where t_k
+    * is the segment's FIRST step-k event strictly after its t_{k−1} —
+    * the funnel's own achievement times, reused verbatim so latency
+    * and conversion can never disagree about who converted. A
+    * lengthening view→click gap with stable conversion is a latency
+    * regression in the product path that no rate monitor sees. Steps
+    * with zero converters emit NO row (both engines agree via the
+    * same emptiness filter — never a divide-by-zero). Scale: the same
+    * sequential chain of segment-keyed aggregates as [[funnel]] (each
+    * link checkpointed — it feeds its own stats row AND the next
+    * link), stats rows are steps-sized. */
+  def conversionLatency(named: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, s"funnel needs >= 2 steps, got ${steps.size}")
+    var reached = named.filter(col("space") === steps.head)
+      .groupBy(col("segment")).agg(min(col("ts_us")).as("t"))
+      .localCheckpoint(true)
+    var out: Option[DataFrame] = None
+    steps.zipWithIndex.drop(1).foreach { case (sp, i) =>
+      val nxt = named.filter(col("space") === sp)
+        .select(col("segment"), col("ts_us"))
+        .join(reached, "segment")
+        .filter(col("ts_us") > col("t"))
+        .groupBy(col("segment"))
+        .agg(min(col("ts_us")).as("t2"), min(col("t")).as("tprev"))
+        .localCheckpoint(true)
+      val row = nxt.select((col("t2") - col("tprev")).as("gap"))
+        .groupBy()
+        .agg(count(lit(1)).as("n_converted"),
+          sum(col("gap")).as("sum_gap_us"),
+          max(col("gap")).as("max_gap_us"))
+        .filter(col("n_converted") > 0L)
+        .select(lit((i + 1).toLong).as("step"), lit(sp).as("space"),
+          col("n_converted"), col("sum_gap_us"), col("max_gap_us"),
+          expr("(2 * sum_gap_us + n_converted) div (2 * n_converted)")
+            .as("mean_gap_us"))
+      out = Some(out.map(_.unionByName(row)).getOrElse(row))
+      reached = nxt.select(col("segment"), col("t2").as("t"))
+    }
+    out.get
+  }
+
   /** Step-CONVERSION accounting over [[funnel]] — the rates view an
     * analytics consumer actually reads (counts say how many reached a
     * step; rates say WHERE the drop is): per step, the reaching-segment

@@ -81,6 +81,11 @@ object CoreQueries {
     // all-integer half-up milli max/mean ratio
     "sk_segment_skew" -> ((s, d) =>
       StreamOps.segmentSkew(EventLog.named(s, d))),
+    // update-frequency distribution behind the skew number: power-of-two
+    // events-per-segment classes (exact CASE ladder, never a float
+    // log2) — the is-compaction-worth-it shape signal
+    "sk_key_churn" -> ((s, d) =>
+      StreamOps.keyChurn(EventLog.named(s, d))),
     // consumer-group rebalance planner: segments ranked by load within
     // their space, striped round-robin across workers (the
     // SQL-expressible LPT approximation); the only window runs over
@@ -171,6 +176,11 @@ object CoreQueries {
     // the rates view over the funnel: integer half-up conversion from
     // the previous step and from step 1
     "funnel_rates" -> ((s, d) => Windows.funnelRates(
+      EventLog.named(s, d), Seq("view", "click", "purchase"))),
+    // how long each surviving step takes: exact integer gap stats over
+    // the funnel's own achievement times (latency and conversion can
+    // never disagree about who converted)
+    "conversion_latency" -> ((s, d) => Windows.conversionLatency(
       EventLog.named(s, d), Seq("view", "click", "purchase"))),
     // cohort-of-first-day retention matrix
     "cohort_retention" -> ((s, d) =>
@@ -334,15 +344,22 @@ object CoreQueries {
 
   /** The event_funnel derivation, named because funnel_rates embeds it
     * verbatim (the reportBlock discipline). */
-  private val FunnelSql = s"""$E,
+  /** The funnel achievement-time CTEs, shared VERBATIM by event_funnel,
+    * funnel_rates and conversion_latency (one definition: latency and
+    * conversion can never disagree about who converted). s2/s3 keep the
+    * PREVIOUS step's time alongside their own so the latency view is a
+    * projection, not a re-derivation. */
+  private val FunnelCtes = s"""$E,
       s1 AS (SELECT segment, min(ts_us) AS t FROM entries
              WHERE space = 'view' GROUP BY 1),
-      s2 AS (SELECT e.segment, min(e.ts_us) AS t
+      s2 AS (SELECT e.segment, min(e.ts_us) AS t, min(s1.t) AS tprev
              FROM entries e JOIN s1 ON e.segment = s1.segment
              WHERE e.space = 'click' AND e.ts_us > s1.t GROUP BY 1),
-      s3 AS (SELECT e.segment, min(e.ts_us) AS t
+      s3 AS (SELECT e.segment, min(e.ts_us) AS t, min(s2.t) AS tprev
              FROM entries e JOIN s2 ON e.segment = s2.segment
-             WHERE e.space = 'purchase' AND e.ts_us > s2.t GROUP BY 1)
+             WHERE e.space = 'purchase' AND e.ts_us > s2.t GROUP BY 1)"""
+
+  private val FunnelSql = s"""$FunnelCtes
       SELECT CAST(1 AS BIGINT) AS step, 'view' AS space,
              CAST(count(*) AS BIGINT) AS n_segments FROM s1
       UNION ALL
@@ -555,6 +572,21 @@ object CoreQueries {
              (2 * a.hot_entries * a.n_segments * 1000 + a.n_entries) //
                (2 * a.n_entries) AS skew_milli
       FROM agg a JOIN hot h ON a.space = h.space""",
+
+    // identical CASE ladder (zero-padded labels sort numerically in
+    // both engines); never a float log2
+    "sk_key_churn" -> s"""$E,
+      c AS (
+        SELECT space, segment, CAST(count(*) AS BIGINT) AS c
+        FROM entries GROUP BY 1, 2)
+      SELECT space,
+             CASE WHEN c = 1 THEN '001' WHEN c = 2 THEN '002'
+                  WHEN c <= 4 THEN '003-004' WHEN c <= 8 THEN '005-008'
+                  WHEN c <= 16 THEN '009-016' WHEN c <= 32 THEN '017-032'
+                  WHEN c <= 64 THEN '033-064' ELSE '065+' END AS bucket,
+             CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(sum(c) AS BIGINT) AS n_entries
+      FROM c GROUP BY 1, 2""",
 
     // identical rank + stripe arithmetic; window over segment-sized
     // rows only
@@ -823,6 +855,28 @@ object CoreQueries {
       LEFT JOIN ($FunnelSql) p ON f.step = p.step + 1
       CROSS JOIN (SELECT n_segments AS n FROM ($FunnelSql)
                   WHERE step = 1) fst""",
+
+    // the funnel achievement-time CTEs verbatim; steps with zero
+    // converters emit NO row in both engines (HAVING mirror of the
+    // engine's emptiness filter — never a divide-by-zero)
+    "conversion_latency" -> s"""$FunnelCtes
+      SELECT CAST(2 AS BIGINT) AS step, 'click' AS space,
+             CAST(count(*) AS BIGINT) AS n_converted,
+             CAST(sum(t - tprev) AS BIGINT) AS sum_gap_us,
+             CAST(max(t - tprev) AS BIGINT) AS max_gap_us,
+             (2 * CAST(sum(t - tprev) AS BIGINT) +
+                CAST(count(*) AS BIGINT)) //
+               (2 * CAST(count(*) AS BIGINT)) AS mean_gap_us
+      FROM s2 HAVING count(*) > 0
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'purchase',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(t - tprev) AS BIGINT),
+             CAST(max(t - tprev) AS BIGINT),
+             (2 * CAST(sum(t - tprev) AS BIGINT) +
+                CAST(count(*) AS BIGINT)) //
+               (2 * CAST(count(*) AS BIGINT))
+      FROM s3 HAVING count(*) > 0""",
 
     // same lag-per-segment adjacency; share is the identical all-integer
     // half-up milli expression (// == div for positive operands)

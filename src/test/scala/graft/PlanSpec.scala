@@ -499,6 +499,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("epoch_shuffle: the only window is PARTITIONED by the shard key — " +
+      "never a global sort") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val docs = graft.text.TextOps.docs(spark, SF)
+    val q = graft.text.Shuffle.epochShuffle(docs, epoch = 1)
+    val wins = q.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    // the §5 claim: every window has a non-empty partition spec (each
+    // task sorts corpus/256 rows); an unpartitioned ORDER BY would
+    // serialize the corpus through one task at 100 TB
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, w.toString)
+      assert(w.partitionSpec.exists(_.toString.contains("shard_hex")),
+        w.toString)
+    }
+  }
+
+  test("source_novelty: argmin by aggregation over the vocabulary; windows " +
+      "only over the |sources| rollup") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val docs = graft.text.TextOps.docs(spark, SF)
+    val q = graft.text.TextOps.sourceNovelty(docs)
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct"), p)
+    // first-seen attribution must be the min(struct) AGGREGATE (word
+    // keyed, map-side combinable) — a window over the vocabulary would
+    // shuffle+sort every (source, word) row per word; the only windows
+    // allowed are the source-rank and cumulative ones whose input is
+    // the ≤ |sources| aggregate (they order by n_docs/src_rank)
+    val wins = q.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      val order = w.orderSpec.map(_.toString).mkString(",")
+      assert(order.contains("n_docs") || order.contains("src_rank"),
+        s"unexpected window over: $order")
+    }
+  }
+
   test("label diagnostics argmax by aggregation: no window machinery") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val e = graft.similarity.Knn.emb(spark, SF)

@@ -273,6 +273,35 @@ class StreamOpsSpec extends SparkSpec {
       ("a", 5L) -> ((0L, 1000L))), got.toString)
   }
 
+  test("conversionLatency: exact gap stats over the funnel's own " +
+      "achievement times; zero-converter steps emit no row") {
+    import spark.implicits._
+    import graft.operators.Windows
+    // the funnel-spec plant: step 2 converters are u1 (20−10=10),
+    // u3 (15−10=5), u4 (12−10=2); step 3 converter is u1 (30−20=10).
+    // u2's pre-view click must not contribute a (negative) gap.
+    val named = Seq(
+      ("view", "u1", 10L), ("click", "u1", 20L), ("purchase", "u1", 30L),
+      ("click", "u2", 5L), ("view", "u2", 10L), ("purchase", "u2", 20L),
+      ("view", "u3", 10L), ("click", "u3", 15L),
+      ("click", "u4", 1L), ("view", "u4", 10L), ("click", "u4", 12L),
+    ).toDF("space", "segment", "ts_us")
+    val got = Windows.conversionLatency(named,
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getAs[Long]("step") ->
+        ((r.getAs[Long]("n_converted"), r.getAs[Long]("sum_gap_us"),
+          r.getAs[Long]("max_gap_us"), r.getAs[Long]("mean_gap_us"))))
+      .toMap
+    // step 2: n=3, sum=17, max=10, mean=half-up(17/3)=6; step 3: 10s
+    assert(got == Map(
+      2L -> ((3L, 17L, 10L, 6L)),
+      3L -> ((1L, 10L, 10L, 10L))), got.toString)
+    // a funnel nobody completes emits rows only for reached steps
+    val sparse = Seq(("view", "u1", 10L)).toDF("space", "segment", "ts_us")
+    assert(Windows.conversionLatency(sparse,
+      Seq("view", "click", "purchase")).collect().isEmpty)
+  }
+
   test("diurnalDrift: a shifted daily peak flags in both directions; " +
       "a stable hour profile is silent") {
     import spark.implicits._
