@@ -27,21 +27,48 @@ object Relational {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** TPC-H Q1-style pricing summary over lineitem. */
-  def q1Pricing(spark: SparkSession, dir: String): DataFrame =
+  /** TPC-H Q1 in EXACT integer units (r20 third-scale lesson — see
+    * [[partRevenueTopK]]): quantities, prices, discounts and taxes are
+    * exact integral/centile values, so floor(x·scale + 0.5) is
+    * lossless per row and every aggregate becomes an order-independent
+    * integer sum — round(sum(double)) drew a one-cent divergence at
+    * the 2×-inflated run, and Q1's groups span the WHOLE fact table
+    * (4–6 groups), the worst possible addend count. Sums carry
+    * DECIMAL(38,0) (the charge chain is ~1.2·10¹¹ per row at max
+    * price: BIGINT would wrap near 7.6·10⁷ rows per group — real at
+    * the 100 TB design point); displays are one integral half-up `div`
+    * + one double division each, IEEE-identical in any engine. */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame = {
+    val qty = floor(col("l_quantity") + lit(0.5))
+    val cents = floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+    val dp = floor(col("l_discount") * lit(100.0) + lit(0.5))
+    val tp = floor(col("l_tax") * lit(100.0) + lit(0.5))
     t(spark, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
-          (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 6).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 6).as("avg_price"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        sum(qty.cast("decimal(38,0)")).as("qty_s"),
+        sum(cents.cast("decimal(38,0)")).as("cents_s"),
+        sum((cents * (lit(100L) - dp)).cast("decimal(38,0)")).as("cp_s"),
+        sum((cents * (lit(100L) - dp) * (lit(100L) + tp))
+          .cast("decimal(38,0)")).as("cpp_s"),
+        sum(dp.cast("decimal(38,0)")).as("dp_s"),
         count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("qty_s").cast("double").as("sum_qty"),
+        (col("cents_s").cast("double") / lit(100.0)).as("sum_base_price"),
+        (expr("CAST((cp_s + 50) div 100 AS DOUBLE)") / lit(100.0))
+          .as("sum_disc_price"),
+        (expr("CAST((cpp_s + 5000) div 10000 AS DOUBLE)") / lit(100.0))
+          .as("sum_charge"),
+        (expr("CAST((2 * qty_s * 1000000 + count_order) div " +
+          "(2 * count_order) AS DOUBLE)") / lit(1000000.0)).as("avg_qty"),
+        (expr("CAST((2 * cents_s * 10000 + count_order) div " +
+          "(2 * count_order) AS DOUBLE)") / lit(1000000.0)).as("avg_price"),
+        (expr("CAST((2 * dp_s * 10000 + count_order) div " +
+          "(2 * count_order) AS DOUBLE)") / lit(1000000.0)).as("avg_disc"),
+        col("count_order"))
+  }
 
   /** TPC-H Q3-style shipping priority: deterministic top-10 unshipped
     * orders by revenue. */
@@ -63,8 +90,14 @@ object Relational {
       .groupBy(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"))
+      // exact cent-percent revenue (the q1Pricing posture; BIGINT is
+      // ample — an order has a bounded handful of lines)
+      .agg(sum(floor(col("l_extendedprice") * lit(100.0) + lit(0.5)) *
+          (lit(100L) - floor(col("l_discount") * lit(100.0) + lit(0.5))))
+        .as("rev_cp"))
+      .withColumn("revenue",
+        expr("CAST((rev_cp + 50) div 100 AS DOUBLE)") / lit(100.0))
+      .drop("rev_cp")
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -80,12 +113,22 @@ object Relational {
     * the whole dimension for rows that are about to be discarded. */
   def partRevenueTopK(spark: SparkSession, dir: String,
       k: Int = 20): DataFrame = {
+    // EXACT integer revenue, not round(sum(double)): cents(price) ×
+    // (100 − pct(discount)) summed as BIGINT cent-percent units —
+    // order-independent, so the displayed cents AND the top-k order
+    // reproduce bit-exactly at any scale. The round(sum(double))
+    // formulation passed both gate scales and landed one cent off at
+    // the 2×-inflated third-scale run (r20) — the BM25 half-boundary
+    // lesson drawn on the fact table: more addends, more chances the
+    // true sum sits within an ulp of a half-cent. Prices and discounts
+    // are exact centiles, so floor(x·100 + 0.5) is lossless.
+    val revCp = floor(col("l_extendedprice") * lit(100.0) + lit(0.5)) *
+      (lit(100L) - floor(col("l_discount") * lit(100.0) + lit(0.5)))
     val top = t(spark, dir, "lineitem")
       .groupBy(col("l_partkey"))
-      .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"),
-        count(lit(1)).as("n_lines"))
+      .agg(sum(revCp).as("rev_cp"), count(lit(1)).as("n_lines"))
+      .withColumn("revenue",
+        expr("(rev_cp + 50) div 100").cast("double") / lit(100.0))
       .orderBy(col("revenue").desc, col("l_partkey"))
       .limit(k)
     t(spark, dir, "part")
@@ -114,8 +157,15 @@ object Relational {
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"))
+      // exact cent-percent revenue in DECIMAL(38,0) (the q1Pricing
+      // posture: nation-level groups grow with the corpus, so both the
+      // FP-summation draw and the BIGINT wrap are real at 100 TB)
+      .agg(sum((floor(col("l_extendedprice") * lit(100.0) + lit(0.5)) *
+          (lit(100L) - floor(col("l_discount") * lit(100.0) + lit(0.5))))
+        .cast("decimal(38,0)")).as("rev_cp"))
+      .select(col("n_name"),
+        (expr("CAST((rev_cp + 50) div 100 AS DOUBLE)") / lit(100.0))
+          .as("revenue"))
   }
 
   /** Semi/anti join: BUILDING customers who placed at least one order
@@ -192,8 +242,15 @@ object Relational {
       .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), col("c_custkey"), col("c_name"))
-      .agg(round(sum(col("o_totalprice")), 2).as("total_spend"),
+      // exact cents (the q1Pricing posture): a lifetime customer spend
+      // accumulates unboundedly many orders — BIGINT cents are safe to
+      // ~9·10¹⁶ dollars per customer, but the FP-summation draw is not
+      .agg(sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5)))
+          .as("spend_c"),
         count(lit(1)).as("n_orders"))
+      .withColumn("total_spend",
+        col("spend_c").cast("double") / lit(100.0))
+      .drop("spend_c")
     val w = Window.partitionBy("n_name")
       .orderBy(col("total_spend").desc, col("c_custkey"))
     spend

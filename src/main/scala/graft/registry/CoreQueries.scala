@@ -1169,37 +1169,65 @@ object CoreQueries {
        AND c.ts_us > p.ts_us - $HOUR_US AND c.ts_us <= p.ts_us
       GROUP BY 1, 2, 3""",
 
+    // exact integer units end to end (the r20 third-scale lesson):
+    // lossless floor(x·scale + 0.5) per row, order-independent integer
+    // sums (HUGEINT here, DECIMAL(38,0) in the engine), one integral
+    // half-up + one double division per display — round(sum(double))
+    // and round(avg(double)) are order-dependent and drew a one-cent
+    // divergence on this family at the 2×-inflated run
     "q1_pricing" -> """
+      WITH u AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+               CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                 AS cents,
+               CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS dp,
+               CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT) AS tp
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
       SELECT l_returnflag, l_linestatus,
-             round(sum(l_quantity), 2) AS sum_qty,
-             round(sum(l_extendedprice), 2) AS sum_base_price,
-             round(sum(l_extendedprice * (1 - l_discount)), 2)
-               AS sum_disc_price,
-             round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-               AS sum_charge,
-             round(avg(l_quantity), 6) AS avg_qty,
-             round(avg(l_extendedprice), 6) AS avg_price,
-             round(avg(l_discount), 6) AS avg_disc,
+             CAST(sum(qty) AS DOUBLE) AS sum_qty,
+             CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_base_price,
+             CAST((sum(cents * (100 - dp)) + 50) // 100 AS DOUBLE)
+               / 100.0 AS sum_disc_price,
+             CAST((sum(cents * (100 - dp) * (100 + tp)) + 5000) // 10000
+               AS DOUBLE) / 100.0 AS sum_charge,
+             CAST((2 * sum(qty) * 1000000 + count(*)) //
+               (2 * count(*)) AS DOUBLE) / 1000000.0 AS avg_qty,
+             CAST((2 * sum(cents) * 10000 + count(*)) //
+               (2 * count(*)) AS DOUBLE) / 1000000.0 AS avg_price,
+             CAST((2 * sum(dp) * 10000 + count(*)) //
+               (2 * count(*)) AS DOUBLE) / 1000000.0 AS avg_disc,
              count(*) AS count_order
-      FROM lineitem
-      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-      GROUP BY l_returnflag, l_linestatus""",
+      FROM u GROUP BY l_returnflag, l_linestatus""",
 
+    // exact BIGINT cent-percent sum + one integer half-up to cents —
+    // never round(sum(double)), which drew a one-cent divergence at
+    // the 2× third-scale run (order-dependent FP summation)
     "part_revenue_topk" -> """
       WITH rev AS (
         SELECT l_partkey,
-               round(CAST(sum(l_extendedprice * (1 - l_discount))
-                 AS DOUBLE), 2) AS revenue,
+               CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                   AS BIGINT) *
+                 (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))
+                 AS BIGINT) AS rev_cp,
                CAST(count(*) AS BIGINT) AS n_lines
-        FROM lineitem GROUP BY 1
-        ORDER BY revenue DESC, l_partkey LIMIT 20)
+        FROM lineitem GROUP BY 1),
+      r2 AS (
+        SELECT l_partkey,
+               CAST((rev_cp + 50) // 100 AS DOUBLE) / 100.0 AS revenue,
+               n_lines
+        FROM rev ORDER BY revenue DESC, l_partkey LIMIT 20)
       SELECT p.p_partkey AS partkey, p.p_name, r.revenue, r.n_lines
-      FROM rev r JOIN part p ON p.p_partkey = r.l_partkey""",
+      FROM r2 r JOIN part p ON p.p_partkey = r.l_partkey""",
 
     "q3_topk" -> """
       SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
              o_orderpriority,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             CAST((sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                 AS BIGINT) *
+               (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))
+               + 50) // 100 AS DOUBLE) / 100.0 AS revenue
       FROM customer
       JOIN orders ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -1211,7 +1239,10 @@ object CoreQueries {
 
     "q5_region" -> """
       SELECT n_name,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             CAST((sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                 AS BIGINT) *
+               (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))
+               + 50) // 100 AS DOUBLE) / 100.0 AS revenue
       FROM region
       JOIN nation ON n_regionkey = r_regionkey
       JOIN customer ON c_nationkey = n_nationkey
@@ -1263,7 +1294,8 @@ object CoreQueries {
     "top_customers_per_nation" -> """
       WITH spend AS (
         SELECT n_name, c_custkey, c_name,
-               round(sum(o_totalprice), 2) AS total_spend,
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                 AS BIGINT)) AS DOUBLE) / 100.0 AS total_spend,
                count(*) AS n_orders
         FROM orders
         JOIN customer ON o_custkey = c_custkey

@@ -1279,6 +1279,50 @@ object Streaming {
       }
   }
 
+  case class FunnelGap(segment: String, step: Long, space: String,
+      gap_us: Long)
+
+  /** Live CONVERSION-LATENCY emitter — the gap view of [[funnelStream]]
+    * (one fold, same achievement semantics, so live latency and live
+    * conversion can never disagree about who converted): the moment a
+    * segment achieves step k ≥ 2, emit (segment, step, space,
+    * t_k − t_{k−1}) — the product-path latency feed an alerting layer
+    * thresholds directly, visible DURING the journey instead of at the
+    * nightly rollup. State is the same one (step, t) row per segment as
+    * the funnel (bounded by segment population); step-1 achievements
+    * emit nothing (no previous step to gap against). Under ordered
+    * arrival the emitted gap multiset per step equals the batch
+    * [[graft.operators.Windows.conversionLatency]] distribution exactly
+    * (spec replays ts-ordered chunks through the shared
+    * orderedReplayDir harness and proves exact rollup equality). */
+  def funnelLatencyStream(spark: SparkSession, entryStream: DataFrame,
+      steps: Seq[String]): Dataset[FunnelGap] = {
+    import spark.implicits._
+    require(steps.size >= 2, s"funnel needs >= 2 steps, got ${steps.size}")
+    entryStream
+      .select(col("space"), col("segment"), col("ts_us"), col("event_id"))
+      .as[TransEvent]
+      .groupByKey(_.segment)
+      .flatMapGroupsWithState[FunnelState, FunnelGap](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (segment, events, state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelGap]
+          events.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            if (st.step < steps.length && e.space == steps(st.step) &&
+                (st.step == 0 || e.ts_us > st.t)) {
+              if (st.step >= 1) {
+                out += FunnelGap(segment, (st.step + 1).toLong, e.space,
+                  e.ts_us - st.t)
+              }
+              st = FunnelState(st.step + 1, e.ts_us)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class TransEvent(space: String, segment: String, ts_us: Long,
       event_id: Long)
   case class TransState(last_space: String, last_ts_us: Long,

@@ -849,6 +849,34 @@ class StreamingSpec extends SparkSpec {
     assert(perSegStep == 0L)
   }
 
+  test("streaming funnel gaps roll up to the batch conversion latency") {
+    import graft.operators.Windows
+    val named = EventLog.named(spark, SF)
+    val steps = Seq("view", "click", "purchase")
+    val dir = orderedReplayDir(named, "graft_funnel_lat_stream")
+    val stream = spark.readStream.schema(named.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    runToCompletion(
+      Streaming.funnelLatencyStream(spark, stream, steps).toDF(),
+      "funnel_lat_stream", "append")
+    val got = spark.table("funnel_lat_stream")
+      .groupBy("step", "space")
+      .agg(count(lit(1)).as("n_converted"), sum("gap_us").as("sum_gap_us"),
+        max("gap_us").as("max_gap_us"))
+      .withColumn("mean_gap_us",
+        expr("(2 * sum_gap_us + n_converted) div (2 * n_converted)"))
+      .select("step", "space", "n_converted", "sum_gap_us", "max_gap_us",
+        "mean_gap_us")
+      .collect().map(_.toSeq).toSet
+    val want = Windows.conversionLatency(named, steps)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want, s"stream $got vs batch $want")
+    // step-1 achievements emit nothing; gaps are strictly positive
+    val bad = spark.table("funnel_lat_stream")
+      .filter(col("step") < 2L || col("gap_us") <= 0L).count()
+    assert(bad == 0L)
+  }
+
   test("streaming inter-arrival gaps roll up to the batch cadence stats") {
     import graft.operators.Windows
     val named = EventLog.named(spark, SF)
