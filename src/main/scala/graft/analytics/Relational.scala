@@ -90,10 +90,13 @@ object Relational {
       .groupBy(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_orderpriority"))
-      // exact cent-percent revenue (the q1Pricing posture; BIGINT is
-      // ample — an order has a bounded handful of lines)
-      .agg(sum(floor(col("l_extendedprice") * lit(100.0) + lit(0.5)) *
+      // exact cent-percent revenue (the q1Pricing posture). The
+      // explicit DECIMAL(38,0) cast is the point, not decoration:
+      // exactness must not hinge on floor()'s inferred result type,
+      // and the DuckDB oracle sums HUGEINT on its side.
+      .agg(sum((floor(col("l_extendedprice") * lit(100.0) + lit(0.5)) *
           (lit(100L) - floor(col("l_discount") * lit(100.0) + lit(0.5))))
+          .cast("decimal(38,0)"))
         .as("rev_cp"))
       .withColumn("revenue",
         expr("CAST((rev_cp + 50) div 100 AS DOUBLE)") / lit(100.0))
@@ -122,10 +125,14 @@ object Relational {
     // lesson drawn on the fact table: more addends, more chances the
     // true sum sits within an ulp of a half-cent. Prices and discounts
     // are exact centiles, so floor(x·100 + 0.5) is lossless.
-    val revCp = floor(col("l_extendedprice") * lit(100.0) + lit(0.5)) *
-      (lit(100L) - floor(col("l_discount") * lit(100.0) + lit(0.5)))
+    val revCp = (floor(col("l_extendedprice") * lit(100.0) + lit(0.5)) *
+      (lit(100L) - floor(col("l_discount") * lit(100.0) + lit(0.5))))
+      .cast("decimal(38,0)")
     val top = t(spark, dir, "lineitem")
       .groupBy(col("l_partkey"))
+      // DECIMAL(38,0) sum (q1Pricing posture): per-part lifetime
+      // cent-percent revenue grows with the corpus; exactness — the
+      // whole reason this is integer units — must hold past 2^63 too.
       .agg(sum(revCp).as("rev_cp"), count(lit(1)).as("n_lines"))
       .withColumn("revenue",
         expr("(rev_cp + 50) div 100").cast("double") / lit(100.0))
@@ -243,9 +250,10 @@ object Relational {
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), col("c_custkey"), col("c_name"))
       // exact cents (the q1Pricing posture): a lifetime customer spend
-      // accumulates unboundedly many orders — BIGINT cents are safe to
-      // ~9·10¹⁶ dollars per customer, but the FP-summation draw is not
-      .agg(sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5)))
+      // accumulates unboundedly many orders — summed in DECIMAL(38,0)
+      // so exactness never hinges on the inferred integer width
+      .agg(sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+            .cast("decimal(38,0)"))
           .as("spend_c"),
         count(lit(1)).as("n_orders"))
       .withColumn("total_spend",

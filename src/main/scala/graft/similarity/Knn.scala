@@ -1700,23 +1700,28 @@ object Knn {
     * on the same scale as every other ANN path here. The divisibility
     * fence raises in-plan (momentGuard posture — a truncating slice
     * would silently drop trailing dimensions, a wrong-answer
-    * generator); callers pass an eagerly-materialized base so the
-    * normalize lambda cannot have the nrm alias inlined per element
-    * (the r12 hidden-O(dim²) lesson). */
+    * generator). Slice-then-normalize, NOT normalize-then-slice: a
+    * whole-vector `u = transform(v, x -> x/nrm)` sibling alias gets
+    * inlined by CollapseProject into each of the m slice calls — the
+    * r12 hidden-O(m·dim) recompute class (r15 advice). Slicing `v`
+    * first and dividing inside each slice touches every element exactly
+    * once regardless of what the optimizer inlines, with the identical
+    * IEEE division per element (each element belongs to exactly one
+    * slice), so scores are bit-unchanged. `nrm` is a real column of the
+    * caller's materialized base, never a recomputed alias chain. */
   private def pqSubvectors(e: DataFrame, m: Int): DataFrame =
     e.filter(finiteNorm(col("nrm")))
-      .withColumn("u", expr("transform(v, x -> x / nrm)"))
       .withColumn("dimguard",
-        coalesce(assert_true(size(col("u")) % lit(m) === lit(0),
-          concat(lit("pq: dimensionality "), size(col("u")).cast("string"),
+        coalesce(assert_true(size(col("v")) % lit(m) === lit(0),
+          concat(lit("pq: dimensionality "), size(col("v")).cast("string"),
             lit(s" not divisible by m=$m subspaces — a truncating slice " +
               "would silently drop trailing dimensions"))).cast("int"),
           lit(0)))
       .select(col("vec_id"),
         posexplode(expr(
           s"transform(sequence(0, ${m - 1}), s -> " +
-            s"slice(u, (s + dimguard) * (size(u) div $m) + 1, " +
-            s"size(u) div $m))")).as(Seq("sub_id", "sv")))
+            s"transform(slice(v, (s + dimguard) * (size(v) div $m) + 1, " +
+            s"size(v) div $m), x -> x / nrm))")).as(Seq("sub_id", "sv")))
       .withColumn("sv2", DotProduct(col("sv"), col("sv")))
 
   private def pqSubDist: Column =
@@ -1734,7 +1739,17 @@ object Knn {
     * exactly min(ksub, n) rows at all times, the uniform-layout
     * invariant the flattened ADC LUT addressing depends on.
     * Returns (sub_id, c_id, code_idx, cv, cn2) with code_idx a DENSE
-    * 0-based index per subspace (row_number over ≤ m·ksub rows). */
+    * 0-based index per subspace (row_number over ≤ m·ksub rows).
+    *
+    * Determinism scope (r15 advice): the centroid update is a
+    * distributed avg(double), which is order-dependent across
+    * PARTITIONINGS — so codebooks (and thus codes, where an assignment
+    * is near-tied) are pinned deterministic for a fixed session/
+    * partitioning (what PqSpec rebuilds under), NOT bit-identical
+    * across arbitrary environments. That is the honest contract for a
+    * rows-only approximate family; cross-environment reproducibility
+    * of SERVED results comes from persisting the trained artifact
+    * ([[writeIvfPqIndex]]) and probing it, never from retraining. */
   def pqCodebook(base: DataFrame, m: Int = PqSubspaces,
       ksub: Int = PqCodesPerSub, iters: Int = 2): DataFrame = {
     val subvecs = pqSubvectors(base, m).localCheckpoint(true)
@@ -1774,15 +1789,19 @@ object Knn {
   /** Encode every vector as its m-code array (dense code_idx per
     * subspace, subspace order): one broadcast codebook join + one
     * min_by assignment per (vec_id, sub_id) + one collect per vector.
-    * Codes are DETERMINISTIC: distance ties break on c_id (the
-    * assignNearest posture), so two builds of the same corpus produce
-    * identical code arrays (spec-pinned). */
+    * Codes are DETERMINISTIC given the codebook: distance ties break on
+    * c_id (the assignNearest posture), so rebuilds within one session/
+    * partitioning produce identical code arrays (spec-pinned; see
+    * [[pqCodebook]] for why the trainer itself is same-partitioning
+    * deterministic only). */
   def pqEncode(base: DataFrame, codebook: DataFrame,
       m: Int = PqSubspaces): DataFrame =
     pqSubvectors(base, m)
       .join(broadcast(codebook), Seq("sub_id"))
       .withColumn("d", pqSubDist)
       .groupBy(col("vec_id"), col("sub_id"))
+      // given ONE codebook, encoding is fully deterministic (ties on
+      // c_id); see pqCodebook's determinism-scope note for the trainer
       .agg(min_by(col("code_idx"), struct(col("d"), col("c_id"))).as("code_idx"))
       .groupBy(col("vec_id"))
       .agg(array_sort(collect_list(struct(col("sub_id"), col("code_idx"))))
@@ -1796,20 +1815,41 @@ object Knn {
     * The bucketed layout (bucketBy c_id) keeps the probe equijoin free
     * of index-side Exchange exactly like the other persisted-index
     * families; [[graft.sources.Staged]] gives the tmp→aside→promote
-    * rebuild with crash self-healing. Returns (coarse centroids,
-    * codebook) — both tiny, both broadcast at probe time. */
+    * rebuild with crash self-healing.
+    *
+    * ALL THREE artifacts persist (r15 advice): the code lists at
+    * `tableName`, the coarse centroids at `tableName_coarse`, the
+    * codebook at `tableName_codebook` — the streaming probe
+    * ([[graft.streaming.Streaming.runKnnPqProbe]]) resolves the two
+    * side tables BY NAME via Staged.liveTable, so they must be
+    * crash-safe catalog artifacts, not just returned frames. Side
+    * tables commit first, the main code table last (the Staged
+    * multi-table discipline: the main-table promote is the commit
+    * point probes key on). Returns (coarse, codebook) read back from
+    * the promoted tables — tiny, broadcast at probe time. */
   def writeIvfPqIndex(e: DataFrame, tableName: String, path: String,
       nlist: Int = 10, m: Int = PqSubspaces, ksub: Int = PqCodesPerSub,
       buckets: Int = 8): (DataFrame, DataFrame) = {
+    val spark = e.sparkSession
     val base = e.filter(finiteNorm(col("nrm"))).localCheckpoint(true)
     val coarse = kmeansCentroids(base, nlist)
     val codebook = pqCodebook(base, m, ksub).localCheckpoint(true)
+    graft.sources.Staged.commit(spark, s"${tableName}_coarse",
+        s"${path}_coarse") { (tbl, p) =>
+      coarse.write.option("path", p)
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(tbl)
+    }
+    graft.sources.Staged.commit(spark, s"${tableName}_codebook",
+        s"${path}_codebook") { (tbl, p) =>
+      codebook.write.option("path", p)
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(tbl)
+    }
     val assigned = assignNearest(
       base.crossJoin(broadcast(withCnrm2(coarse))).withColumn("d", sqDist),
       Seq.empty)
       .select(col("vec_id"), col("c_id"))
     val rows = assigned.join(pqEncode(base, codebook, m), Seq("vec_id"))
-    graft.sources.Staged.commit(e.sparkSession, tableName, path) {
+    graft.sources.Staged.commit(spark, tableName, path) {
       (tbl, p) =>
         rows
           .repartition(col("c_id"))
@@ -1820,7 +1860,8 @@ object Knn {
           .mode(org.apache.spark.sql.SaveMode.Overwrite)
           .saveAsTable(tbl)
     }
-    (coarse, codebook)
+    (graft.sources.Staged.liveTable(spark, s"${tableName}_coarse"),
+      graft.sources.Staged.liveTable(spark, s"${tableName}_codebook"))
   }
 
   /** Per-query flattened ADC lookup table: (query_id, lut) with

@@ -1273,11 +1273,9 @@ class StreamingSpec extends SparkSpec {
       .toString + "/v"
     val (coarse, codebook) = Knn.writeIvfPqIndex(e, "pq_probe_idx",
       idxPath, nlist = 4, buckets = 2)
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(coarse.collect().toSeq.asJava, coarse.schema)
-      .createOrReplaceTempView("pq_probe_coarse")
-    spark.createDataFrame(codebook.collect().toSeq.asJava, codebook.schema)
-      .createOrReplaceTempView("pq_probe_codebook")
+    // the production writer persists coarse + codebook as crash-safe
+    // catalog tables (r15 advice) — the probe resolves those NAMES,
+    // no hand-materialized views
     val raw = spark.read.parquet(s"$SF/embeddings.parquet")
       .filter(col("vec_id") < 40)
     val dir = Files.createTempDirectory("graft_pq_probe_s").toString
@@ -1286,7 +1284,8 @@ class StreamingSpec extends SparkSpec {
       .option("maxFilesPerTrigger", 1).parquet(dir)
     val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
     val q = Streaming.runKnnPqProbe(spark, stream, "pq_probe_idx",
-        "pq_probe_coarse", "pq_probe_codebook", k = 5, nprobe = 2) { b =>
+        "pq_probe_idx_coarse", "pq_probe_idx_codebook", k = 5,
+        nprobe = 2) { b =>
       val rows = b.collect().map(_.toSeq)
       buf.synchronized { buf ++= rows }
     }
