@@ -217,7 +217,7 @@ object Relational {
         col("segment").cast("long") === col("c_custkey"))
       .groupBy(col("space"), col("c_mktsegment"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        graft.sources.EventLog.sumValueExact.as("sum_value"))
   }
 
   /** TPC-H Q13-style customer distribution: LEFT OUTER join customers to

@@ -25,7 +25,7 @@ object EventSourcing {
       .groupBy(col("space"), col("segment"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("balance"),
+        graft.sources.EventLog.sumValueExact.as("balance"),
         max(col("sequence")).as("last_sequence"),
         max_by(col("ts_us"), col("sequence")).as("last_ts_us"),
         max_by(col("payload"), col("sequence")).as("last_payload"))
@@ -37,7 +37,7 @@ object EventSourcing {
       .groupBy(col("space"), col("segment"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("balance"),
+        graft.sources.EventLog.sumValueExact.as("balance"),
         max(col("sequence")).as("last_sequence"),
         max_by(col("ts_us"), col("sequence")).as("last_ts_us"),
         max_by(col("payload"), col("sequence")).as("last_payload"))
@@ -50,9 +50,13 @@ object EventSourcing {
     * replays joined: at 100 TB this halves the log read and removes
     * the join entirely, and the change filter is an integer predicate
     * (event-count growth), so row membership can't hinge on FP. */
-  def stateDiff(entries: DataFrame, space: String, t1Us: Long,
+  /** Shared cents-level diff (one definition for [[stateDiff]] and
+    * [[topMovers]]): exact DECIMAL(38,0) cent balances at both points,
+    * so the downstream change magnitude is integer arithmetic too. */
+  private def stateDiffCents(entries: DataFrame, space: String, t1Us: Long,
       t2Us: Long): DataFrame = {
     require(t1Us <= t2Us, s"stateDiff needs t1 <= t2: $t1Us > $t2Us")
+    import graft.sources.EventLog.valueCents
     entries
       .filter(col("space") === space && col("ts_us") <= t2Us)
       .groupBy(col("space"), col("segment"))
@@ -60,35 +64,53 @@ object EventSourcing {
         sum(when(col("ts_us") <= t1Us, 1L).otherwise(0L))
           .as("n_events_before"),
         count(lit(1)).as("n_events_after"),
-        round(sum(when(col("ts_us") <= t1Us, col("value")).otherwise(0.0)),
-          2).as("balance_before"),
-        round(sum(col("value")), 2).as("balance_after"))
+        sum(when(col("ts_us") <= t1Us, valueCents)
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("cents_before"),
+        sum(valueCents).as("cents_after"))
       .filter(col("n_events_after") > col("n_events_before"))
       .withColumn("n_new_events",
         col("n_events_after") - col("n_events_before"))
   }
 
+  def stateDiff(entries: DataFrame, space: String, t1Us: Long,
+      t2Us: Long): DataFrame = {
+    import graft.sources.EventLog.centsAsValue
+    stateDiffCents(entries, space, t1Us, t2Us)
+      .select(col("space"), col("segment"), col("n_events_before"),
+        col("n_events_after"),
+        centsAsValue(col("cents_before")).as("balance_before"),
+        centsAsValue(col("cents_after")).as("balance_after"),
+        col("n_new_events"))
+  }
+
   /** Top-k segments by absolute balance change in (t1, t2] — the
     * "biggest movers" ranking over [[stateDiff]]. The order key is the
-    * ROUNDED change with a segment tie-break (a total order over
-    * engine-identical doubles, so the cut is deterministic), and the
-    * plan is a TakeOrdered per partition — never a global sort. */
+    * EXACT integer cent change with a segment tie-break (a total order
+    * — the cut can never flip on an FP ulp), and the plan is a
+    * TakeOrdered per partition — never a global sort. */
   def topMovers(entries: DataFrame, space: String, t1Us: Long,
       t2Us: Long, k: Int): DataFrame = {
     require(k >= 1, s"bad k=$k")
-    stateDiff(entries, space, t1Us, t2Us)
-      .withColumn("abs_change",
-        round(abs(col("balance_after") - col("balance_before")), 2))
-      .orderBy(col("abs_change").desc, col("segment"))
+    import graft.sources.EventLog.centsAsValue
+    stateDiffCents(entries, space, t1Us, t2Us)
+      .withColumn("abs_change_c",
+        abs(col("cents_after") - col("cents_before")))
+      .orderBy(col("abs_change_c").desc, col("segment"))
       .limit(k)
-      .select("segment", "balance_before", "balance_after", "abs_change")
+      .select(col("segment"),
+        centsAsValue(col("cents_before")).as("balance_before"),
+        centsAsValue(col("cents_after")).as("balance_after"),
+        centsAsValue(col("abs_change_c")).as("abs_change"))
   }
 
   /** Snapshot materialization (`pkg/eskit/store.go:33-46`: load
     * snapshot, then `LoadEvents(minSequence = snapshot.sequence + 1)`):
-    * per-aggregate state as of a global sequence point. Carries the RAW
-    * running sum (unrounded) so incremental replay continues the fold
-    * exactly; round only at presentation. */
+    * per-aggregate state as of a global sequence point. Carries the
+    * running balance as EXACT integer cents so incremental replay
+    * continues the fold with integer adds — snapshot+suffix is then
+    * bit-identical to full replay BY CONSTRUCTION (integer addition
+    * associates; the old raw-double carry was only
+    * equal-after-rounding); display only at presentation. */
   def snapshot(entries: DataFrame, space: String,
       atSequence: Long): DataFrame =
     entries
@@ -96,7 +118,7 @@ object EventSourcing {
       .groupBy(col("segment"))
       .agg(
         count(lit(1)).as("s_n"),
-        sum(col("value")).as("s_sum"),
+        sum(graft.sources.EventLog.valueCents).as("s_cents"),
         max(col("sequence")).as("s_seq"),
         max_by(col("ts_us"), col("sequence")).as("s_ts"),
         max_by(col("payload"), col("sequence")).as("s_payload"))
@@ -116,18 +138,20 @@ object EventSourcing {
       .groupBy(col("segment"))
       .agg(
         count(lit(1)).as("i_n"),
-        sum(col("value")).as("i_sum"),
+        sum(graft.sources.EventLog.valueCents).as("i_cents"),
         max(col("sequence")).as("i_seq"),
         max_by(col("ts_us"), col("sequence")).as("i_ts"),
         max_by(col("payload"), col("sequence")).as("i_payload"))
+    val zero = lit(0L).cast("decimal(38,0)")
     snap.join(incr, Seq("segment"), "full_outer")
       .select(
         lit(space).as("space"),
         col("segment"),
         (coalesce(col("s_n"), lit(0L)) + coalesce(col("i_n"), lit(0L)))
           .as("n_events"),
-        round(coalesce(col("s_sum"), lit(0.0)) +
-          coalesce(col("i_sum"), lit(0.0)), 2).as("balance"),
+        graft.sources.EventLog.centsAsValue(
+          coalesce(col("s_cents"), zero) + coalesce(col("i_cents"), zero))
+          .as("balance"),
         greatest(col("i_seq"), col("s_seq")).as("last_sequence"),
         coalesce(col("i_ts"), col("s_ts")).as("last_ts_us"),
         coalesce(col("i_payload"), col("s_payload")).as("last_payload"))
@@ -191,7 +215,7 @@ object EventSourcing {
         date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd"))
       .rollup(col("space"), col("day"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        graft.sources.EventLog.sumValueExact.as("sum_value"))
 
   /** Cross-aggregate read-model projection: per-space daily rollup. */
   def projectionDaily(named: DataFrame): DataFrame =
@@ -200,6 +224,6 @@ object EventSourcing {
         date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd").as("day"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("total_value"),
+        graft.sources.EventLog.sumValueExact.as("total_value"),
         countDistinct(col("segment")).as("n_active_segments"))
 }

@@ -179,6 +179,43 @@ object StreamOps {
         min(col("ts_us")).as("min_ts_us"),
         max(col("ts_us")).as("max_ts_us"))
 
+  /** Pre-flight EVENT-LOG HEALTH audit — corpus_health's "drops are
+    * never silent" doctrine applied to the log (r21, closing the loop
+    * around the exact-integer money fence): ONE row counting exactly
+    * the pathologies the ingest contract excludes — null timestamps,
+    * null segments, null/empty spaces, null payload-JSON, malformed
+    * payload JSON, and money values the lossless centile conversion
+    * would reject (null, NaN, ±Inf, sub-cent precision, magnitude past
+    * the exact-cents BIGINT range |v| > 9·10¹⁶ — the SAME threshold on
+    * both sides so the boundary can't disagree). The gate an operator
+    * thresholds BEFORE a money query hits [[graft.sources.EventLog
+    * .valueCents]]'s raise. Runs on the RAW columns (column-pruned
+    * scan, no sequence derivation); every count is an exact integer
+    * under the hash gate. One map-side-combinable agg. */
+  def logHealth(raw: DataFrame): DataFrame = {
+    val c = floor(col("value") * lit(100.0) + lit(0.5))
+    val badValue = isnan(col("value")) ||
+      abs(col("value")) > lit(9.0e16) ||
+      !(c.cast("double") / lit(100.0) === col("value"))
+    raw.agg(
+      count(lit(1)).as("n_events"),
+      countDistinct(col("event_id")).as("n_distinct_ids"),
+      sum(when(col("ts").isNull, 1L).otherwise(0L)).as("n_null_ts"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L))
+        .as("n_null_segment"),
+      sum(when(col("event_type").isNull, 1L).otherwise(0L))
+        .as("n_null_space"),
+      sum(when(col("event_type") === "", 1L).otherwise(0L))
+        .as("n_empty_space"),
+      sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null_value"),
+      sum(when(col("value").isNotNull && badValue, 1L).otherwise(0L))
+        .as("n_bad_value"),
+      sum(when(col("props").isNull, 1L).otherwise(0L)).as("n_null_props"),
+      sum(when(col("props").isNotNull &&
+          get_json_object(col("props"), "$").isNull, 1L).otherwise(0L))
+        .as("n_bad_props"))
+  }
+
   /** Hot-SEGMENT skew audit — the partition-health dashboard of a
     * store operator (one segment absorbing a space's traffic is the
     * scale hazard every keyed system watches for: it caps consumer
@@ -344,7 +381,7 @@ object StreamOps {
         count(lit(1)).as("n_entries"),
         min(col("sequence")).as("min_sequence"),
         max(col("sequence")).as("max_sequence"),
-        round(sum(col("value")), 2).as("sum_value"))
+        graft.sources.EventLog.sumValueExact.as("sum_value"))
       .withColumn("complete",
         col("max_sequence") - col("min_sequence") + 1 === col("n_entries"))
 

@@ -22,7 +22,7 @@ object Windows {
       .withColumn("window_start_us",
         expr(s"ts_us div $widthUs") * widthUs)
       .groupBy(col("space"), col("window_start_us"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), graft.sources.EventLog.sumValueExact.as("sum_value"))
 
   /** OHLC bars per (space, tumbling window) — the
     * open/high/low/close/volume rollup every monitoring and trading
@@ -33,8 +33,8 @@ object Windows {
     * doctrine, never a window over the log (the oracle runs the
     * row_number formulation — two-formulation cross-check); high/low
     * are plain min/max over raw doubles. All four are single raw row
-    * values (engine-identical, hash-safe — never a float sum); only
-    * the volume sum is rounded. One map-side-combinable hash agg:
+    * values (engine-identical, hash-safe — never a float sum); the
+    * volume sum is exact integer cents. One map-side-combinable hash agg:
     * per-group state is O(1), so a hot window cannot spill. */
   def ohlc(named: DataFrame, widthUs: Long): DataFrame = {
     require(widthUs >= 1L, s"bad window width $widthUs")
@@ -49,7 +49,7 @@ object Windows {
           .as("close"),
         max(col("value")).as("high"),
         min(col("value")).as("low"),
-        round(sum(col("value")), 2).as("sum_value"))
+        graft.sources.EventLog.sumValueExact.as("sum_value"))
   }
 
   /** Hopping window (width = k * slide) via slide-index explode. */
@@ -59,7 +59,7 @@ object Windows {
       .withColumn("window_start_us",
         (expr(s"ts_us div $slideUs") - col("k")) * slideUs)
       .groupBy(col("space"), col("window_start_us"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), graft.sources.EventLog.sumValueExact.as("sum_value"))
 
   /** Gap-based sessionization per (space, segment): a new session starts
     * when the gap to the previous entry exceeds `gapUs`. */
@@ -77,7 +77,7 @@ object Windows {
         min(col("ts_us")).as("start_us"),
         max(col("ts_us")).as("end_us"),
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        graft.sources.EventLog.sumValueExact.as("sum_value"))
   }
 
   /** Per-space SESSION rollup over [[sessionize]] — the dashboard
@@ -704,14 +704,19 @@ object Windows {
   }
 
   /** Running cumulative sum per segment of one space, in sequence order.
-    * Left-to-right accumulation order is identical in any engine, so the
-    * running double is bit-stable. */
+    * Exact integer cents under the prefix window (the EventLog exact-
+    * money recipe): the ordered float prefix accumulates the same way
+    * in any engine, but its round() at a half-cent boundary does NOT
+    * (the r13 BM25 shortest-string-vs-binary trap) — the integer prefix
+    * has no round at all. */
   def running(entries: DataFrame, space: String): DataFrame = {
     val w = Window.partitionBy("space", "segment").orderBy("sequence")
       .rowsBetween(Window.unboundedPreceding, 0)
     entries
       .filter(col("space") === space)
       .select(col("space"), col("segment"), col("sequence"), col("value"))
-      .withColumn("running_value", round(sum(col("value")).over(w), 2))
+      .withColumn("running_value",
+        graft.sources.EventLog.centsAsValue(
+          sum(graft.sources.EventLog.valueCents).over(w)))
   }
 }

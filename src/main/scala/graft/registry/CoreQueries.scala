@@ -55,6 +55,12 @@ object CoreQueries {
       StreamOps.segmentStatus(EventLog.named(s, d))),
     "sk_store_status" -> ((s, d) =>
       StreamOps.storeStatus(EventLog.named(s, d))),
+    // pre-flight log-health audit (the corpus_health doctrine on the
+    // event log): exact-integer counts of every pathology the ingest
+    // contract excludes, incl. money values the lossless centile
+    // conversion would reject — threshold BEFORE valueCents raises
+    "sk_log_health" -> ((s, d) =>
+      StreamOps.logHealth(EventLog.raw(s, d))),
     "sk_produce_validate" -> ((s, d) =>
       StreamOps.produceValidate(EventLog.entries(s, d))),
     "sk_consume_dedup" -> ((s, d) =>
@@ -339,7 +345,7 @@ object CoreQueries {
         FROM flagged)
       SELECT space, segment, session_id,
              min(ts_us) AS start_us, max(ts_us) AS end_us,
-             count(*) AS n_events, round(sum(value), 2) AS sum_value
+             count(*) AS n_events, CAST(sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS DOUBLE) / 100.0 AS sum_value
       FROM sessions GROUP BY 1, 2, 3"""
 
   /** The event_funnel derivation, named because funnel_rates embeds it
@@ -471,6 +477,37 @@ object CoreQueries {
              max(epoch_us(ts)) AS max_ts_us
       FROM events GROUP BY 1""",
 
+    // exact-integer pathology accounting; the bad-value predicate is a
+    // lazily-evaluated CASE ladder so the BIGINT cast never sees a
+    // non-finite or out-of-range double, and the 9e16 magnitude
+    // threshold is the SAME constant the engine uses (boundary
+    // agreement by construction)
+    "sk_log_health" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_ids,
+             CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_null_ts,
+             CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_null_segment,
+             CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_null_space,
+             CAST(sum(CASE WHEN event_type = '' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_empty_space,
+             CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_null_value,
+             CAST(sum(CASE
+               WHEN value IS NULL THEN 0
+               WHEN NOT isfinite(value) OR abs(value) > 9.0e16 THEN 1
+               WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) / 100.0
+                    <> value THEN 1
+               ELSE 0 END) AS BIGINT) AS n_bad_value,
+             CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_null_props,
+             CAST(sum(CASE WHEN props IS NOT NULL
+               AND NOT json_valid(props) THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_bad_props
+      FROM events""",
+
     "sk_produce_validate" -> s"""$E
       SELECT space, segment, count(*) AS n_entries,
              min(sequence) AS min_sequence,
@@ -493,7 +530,7 @@ object CoreQueries {
              count(*) AS n_entries,
              min(sequence) AS min_sequence,
              max(sequence) AS max_sequence,
-             round(sum(value), 2) AS sum_value,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS DOUBLE) / 100.0 AS sum_value,
              (max(sequence) - min(sequence) + 1 = count(*)) AS complete
       FROM entries GROUP BY 1, 2, 3""",
 
@@ -507,7 +544,7 @@ object CoreQueries {
              count(*) AS n_entries,
              min(sequence) AS first_sequence,
              max(sequence) AS last_sequence,
-             round(sum(value), 2) AS sum_value,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS DOUBLE) / 100.0 AS sum_value,
              (max(sequence) - min(sequence) + 1 = count(*)) AS contiguous,
              (count(*) = 10) AS sealed
       FROM trx GROUP BY 1, 2, 3""",
@@ -677,7 +714,7 @@ object CoreQueries {
 
     "es_replay_state" -> s"""$E
       SELECT space, segment, count(*) AS n_events,
-             round(sum(value), 2) AS balance,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS DOUBLE) / 100.0 AS balance,
              max(sequence) AS last_sequence,
              max_by(ts_us, sequence) AS last_ts_us,
              max_by(payload, sequence) AS last_payload
@@ -685,7 +722,7 @@ object CoreQueries {
 
     "es_replay_from" -> s"""$E
       SELECT space, segment, count(*) AS n_events,
-             round(sum(value), 2) AS balance,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS DOUBLE) / 100.0 AS balance,
              max(sequence) AS last_sequence,
              max_by(ts_us, sequence) AS last_ts_us,
              max_by(payload, sequence) AS last_payload
@@ -694,7 +731,7 @@ object CoreQueries {
 
     "es_replay_from_snapshot" -> s"""$E
       SELECT space, segment, count(*) AS n_events,
-             round(sum(value), 2) AS balance,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS DOUBLE) / 100.0 AS balance,
              max(sequence) AS last_sequence,
              max_by(ts_us, sequence) AS last_ts_us,
              max_by(payload, sequence) AS last_payload
@@ -711,7 +748,7 @@ object CoreQueries {
 
     "es_as_of_time" -> s"""$E
       SELECT space, segment, count(*) AS n_events,
-             round(sum(value), 2) AS balance,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS DOUBLE) / 100.0 AS balance,
              max(sequence) AS last_sequence,
              max_by(ts_us, sequence) AS last_ts_us,
              max_by(payload, sequence) AS last_payload
@@ -719,15 +756,17 @@ object CoreQueries {
       GROUP BY 1, 2""",
 
     // integer change predicate (event-count growth) so row membership
-    // can't hinge on FP; balances rounded at 2 like every ES fold
+    // can't hinge on FP; balances are exact integer cents (the r20
+    // TPC-H recipe, applied family-wide in r21) displayed once
     "es_state_diff" -> s"""$E
       SELECT space, segment,
              CAST(sum(CASE WHEN ts_us <= $T_2024_01_15 THEN 1 ELSE 0 END)
                AS BIGINT) AS n_events_before,
              count(*) AS n_events_after,
-             round(sum(CASE WHEN ts_us <= $T_2024_01_15 THEN value
-                       ELSE 0 END), 2) AS balance_before,
-             round(sum(value), 2) AS balance_after,
+             CAST(sum(CASE WHEN ts_us <= $T_2024_01_15
+                       THEN CAST(floor(value * 100 + 0.5) AS HUGEINT)
+                       ELSE 0 END) AS DOUBLE) / 100.0 AS balance_before,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS DOUBLE) / 100.0 AS balance_after,
              CAST(count(*) -
                   sum(CASE WHEN ts_us <= $T_2024_01_15 THEN 1 ELSE 0 END)
                AS BIGINT) AS n_new_events
@@ -736,12 +775,15 @@ object CoreQueries {
       HAVING count(*) >
              sum(CASE WHEN ts_us <= $T_2024_01_15 THEN 1 ELSE 0 END)""",
 
+    // exact integer cents end-to-end: the change magnitude (both the
+    // order key and the display) is |Δcents| — no float round anywhere
     "es_top_movers" -> s"""$E,
       d AS (
         SELECT segment,
-               round(sum(CASE WHEN ts_us <= $T_2024_01_15 THEN value
-                         ELSE 0 END), 2) AS balance_before,
-               round(sum(value), 2) AS balance_after,
+               sum(CASE WHEN ts_us <= $T_2024_01_15
+                        THEN CAST(floor(value * 100 + 0.5) AS HUGEINT)
+                        ELSE 0 END) AS cents_before,
+               sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS cents_after,
                count(*) AS n_after,
                sum(CASE WHEN ts_us <= $T_2024_01_15 THEN 1 ELSE 0 END)
                  AS n_before
@@ -749,9 +791,13 @@ object CoreQueries {
         GROUP BY 1
         HAVING count(*) >
                sum(CASE WHEN ts_us <= $T_2024_01_15 THEN 1 ELSE 0 END))
-      SELECT segment, balance_before, balance_after,
-             round(abs(balance_after - balance_before), 2) AS abs_change
-      FROM d ORDER BY abs_change DESC, segment LIMIT 10""",
+      SELECT segment,
+             CAST(cents_before AS DOUBLE) / 100.0 AS balance_before,
+             CAST(cents_after AS DOUBLE) / 100.0 AS balance_after,
+             CAST(abs(cents_after - cents_before) AS DOUBLE) / 100.0
+               AS abs_change
+      FROM d ORDER BY abs(cents_after - cents_before) DESC, segment
+      LIMIT 10""",
 
     "es_payload_decode" -> s"""$E
       SELECT space, segment, count(*) AS n_events,
@@ -764,20 +810,20 @@ object CoreQueries {
 
     "events_rollup" -> """
       SELECT event_type AS space, strftime(ts, '%Y-%m-%d') AS day,
-             count(*) AS n_events, round(sum(value), 2) AS sum_value
+             count(*) AS n_events, CAST(sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS DOUBLE) / 100.0 AS sum_value
       FROM events GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))""",
 
     "es_projection_daily" -> """
       SELECT event_type AS space, strftime(ts, '%Y-%m-%d') AS day,
              count(*) AS n_events,
-             round(sum(value), 2) AS total_value,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS DOUBLE) / 100.0 AS total_value,
              count(DISTINCT user_id) AS n_active_segments
       FROM events GROUP BY 1, 2""",
 
     "win_tumbling" -> s"""
       SELECT event_type AS space,
              (epoch_us(ts) // $HOUR_US) * $HOUR_US AS window_start_us,
-             count(*) AS n, round(sum(value), 2) AS sum_value
+             count(*) AS n, CAST(sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS DOUBLE) / 100.0 AS sum_value
       FROM events GROUP BY 1, 2""",
 
     // the row_number formulation of open/close (the engine runs the
@@ -800,7 +846,7 @@ object CoreQueries {
              max(CASE WHEN rna = 1 THEN value END) AS open,
              max(CASE WHEN rnd = 1 THEN value END) AS close,
              max(value) AS high, min(value) AS low,
-             round(sum(value), 2) AS sum_value
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS DOUBLE) / 100.0 AS sum_value
       FROM r GROUP BY 1, 2""",
 
     "win_hopping" -> s"""
@@ -808,7 +854,7 @@ object CoreQueries {
       SELECT event_type AS space,
              ((epoch_us(ts) // $SIX_H_US) - k) * $SIX_H_US
                AS window_start_us,
-             count(*) AS n, round(sum(value), 2) AS sum_value
+             count(*) AS n, CAST(sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS DOUBLE) / 100.0 AS sum_value
       FROM events CROSS JOIN h GROUP BY 1, 2""",
 
     "win_session" -> SessionSql,
@@ -827,10 +873,10 @@ object CoreQueries {
 
     "win_running" -> s"""$E
       SELECT space, segment, sequence, value,
-             round(sum(value) OVER (PARTITION BY space, segment
-               ORDER BY sequence
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-               AS running_value
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS HUGEINT))
+                 OVER (PARTITION BY space, segment ORDER BY sequence
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) / 100.0 AS running_value
       FROM entries WHERE space = 'click'""",
 
     "sk_codec_roundtrip" -> s"""$E
@@ -1265,7 +1311,7 @@ object CoreQueries {
 
     "enrich_events" -> """
       SELECT event_type AS space, c_mktsegment,
-             count(*) AS n_events, round(sum(value), 2) AS sum_value
+             count(*) AS n_events, CAST(sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS DOUBLE) / 100.0 AS sum_value
       FROM events JOIN customer ON user_id = c_custkey
       GROUP BY 1, 2""",
 

@@ -98,6 +98,48 @@ object EventLog {
   private def segmentAsLong(sg: String): Option[Long] =
     try Some(sg.toLong) catch { case _: NumberFormatException => None }
 
+  // ── Exact integer money units for `value` (r15 verdict #2) ──────────
+  //
+  // `value` is money: an exact centile (the generator writes cents/100
+  // doubles). round(sum(double)) is order-DEPENDENT at the rounding
+  // boundary — IEEE addition commutes but does not associate, so
+  // partitioning changes the rounded cent; the TPC-H family drew
+  // exactly that one-cent divergence at the 2×-inflated scale (r20,
+  // commit 7601133) and the es/window/stream money sums carried the
+  // same documented hazard. The recipe, applied family-wide here:
+  // lossless per-row cents, order-independent DECIMAL(38,0) sums (a
+  // space-wide balance can span ~10¹² rows × ~10⁵ cents at the 100 TB
+  // design point — within BIGINT, but exactness must not hinge on it),
+  // ONE double division per display. No float round() anywhere — the
+  // display `cents/100.0` is the identical IEEE division in any engine.
+
+  /** Lossless per-row cents, FENCED (momentGuard posture): the
+    * conversion is exact only for centile doubles, so a value whose
+    * cents don't reconstruct it bit-exactly (sub-cent precision, NaN,
+    * ±Inf — NaN/±Inf floor to garbage longs silently) raises a named
+    * in-plan error instead of shipping a silently lossy sum. The fence
+    * folds into the returned value so pruning can never drop it. */
+  def valueCents: Column = {
+    val c = floor(col("value") * lit(100.0) + lit(0.5))
+    val fence = assert_true(c.cast("double") / lit(100.0) === col("value"),
+      concat(lit("event value "), col("value").cast("string"),
+        lit(" is not an exact centile — the exact-integer money " +
+          "conversion would be lossy")))
+    (c + coalesce(fence.cast("long"), lit(0L))).cast("decimal(38,0)")
+  }
+
+  /** Display form of a cents aggregate: one exact-integer→double cast +
+    * one IEEE division — engine-identical, order-independent. */
+  def centsAsValue(cents: Column): Column = cents.cast("double") / lit(100.0)
+
+  /** `round(sum(value), 2)` replacement: exact cents summed in
+    * DECIMAL(38,0), displayed once. */
+  def sumValueExact: Column = centsAsValue(sum(valueCents))
+
+  /** DuckDB duals (oracle SQL embeds these verbatim — one definition). */
+  val CentsSql: String = "CAST(floor(value * 100 + 0.5) AS HUGEINT)"
+  val SumValueSql: String = s"CAST(sum($CentsSql) AS DOUBLE) / 100.0"
+
   /** DuckDB oracle dual of [[entries]]; prepend to oracle SQL. */
   val CTE: String =
     """WITH entries AS (

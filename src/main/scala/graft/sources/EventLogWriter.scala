@@ -94,7 +94,7 @@ object EventLogWriter {
         count(lit(1)).as("n_entries"),
         min(col("sequence")).as("first_sequence"),
         max(col("sequence")).as("last_sequence"),
-        round(sum(col("value")), 2).as("sum_value"))
+        graft.sources.EventLog.sumValueExact.as("sum_value"))
       .withColumn("contiguous",
         col("last_sequence") - col("first_sequence") + 1 === col("n_entries"))
       .withColumn("sealed", col("n_entries") === batchSize)

@@ -170,7 +170,7 @@ object Streaming {
       .withWatermark("event_time", watermark)
       .groupBy(col("space"),
         org.apache.spark.sql.functions.window(col("event_time"), window))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), graft.sources.EventLog.sumValueExact.as("sum_value"))
       .select(col("space"), unix_micros(col("window.start")).as("window_start_us"),
         col("n"), col("sum_value"))
 
@@ -185,7 +185,7 @@ object Streaming {
       .groupBy(col("space"), col("segment"),
         session_window(col("event_time"), gap))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        graft.sources.EventLog.sumValueExact.as("sum_value"))
       .select(col("space"), col("segment"),
         unix_micros(col("session_window.start")).as("start_us"),
         col("n_events"), col("sum_value"))
@@ -1229,7 +1229,7 @@ object Streaming {
 
   case class EntryEvent(space: String, segment: String, ts_us: Long,
       event_id: Long, value: Double)
-  case class AggState(n_events: Long, balance: Double, last_ts_us: Long)
+  case class AggState(n_events: Long, cents: Long, last_ts_us: Long)
   case class AggSnapshot(space: String, segment: String, n_events: Long,
       balance: Double, last_ts_us: Long)
 
@@ -1424,23 +1424,28 @@ object Streaming {
       .flatMapGroupsWithState[AggState, AggSnapshot](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         case ((space, segment), events, state: GroupState[AggState]) =>
-          val prev = state.getOption.getOrElse(AggState(0L, 0.0, Long.MinValue))
+          val prev = state.getOption.getOrElse(AggState(0L, 0L, Long.MinValue))
           var n = prev.n_events
-          var bal = prev.balance
+          var cents = prev.cents
           var last = prev.last_ts_us
           events.foreach { e =>
             n += 1
-            bal += e.value
+            // exact integer cents (the EventLog.valueCents recipe in
+            // closure form, with the same lossless-conversion fence):
+            // the carried state is an integer fold, so the emitted
+            // balance is bit-identical to the batch dual's exact sum
+            // regardless of micro-batch boundaries
+            val c = math.floor(e.value * 100.0 + 0.5).toLong
+            require(c.toDouble / 100.0 == e.value,
+              s"event value ${e.value} is not an exact centile — the " +
+                "exact-integer money conversion would be lossy")
+            cents += c
             if (e.ts_us > last) last = e.ts_us
           }
-          val next = AggState(n, bal, last)
+          val next = AggState(n, cents, last)
           state.update(next)
-          // HALF_UP at scale 2 — identical to Spark's round() used by the
-          // batch dual (math.rint is half-to-even and differs on exact
-          // half-cents)
-          val rounded = BigDecimal(bal)
-            .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
-          Iterator.single(AggSnapshot(space, segment, n, rounded, last))
+          Iterator.single(
+            AggSnapshot(space, segment, n, cents.toDouble / 100.0, last))
       }
   }
 

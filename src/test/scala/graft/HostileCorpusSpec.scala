@@ -105,6 +105,19 @@ class HostileCorpusSpec extends SparkSpec {
   private def causes(t: Throwable): List[Throwable] =
     if (t == null) Nil else t :: causes(t.getCause)
 
+  /** A NAMED abstention: either a driver-side `require`
+    * (IllegalArgumentException) or an in-plan `assert_true` fence
+    * (SparkRuntimeException USER_RAISED_EXCEPTION — the momentGuard /
+    * valueCents mechanism). Both carry a message naming the planted
+    * pathology; anything else (NPE, ANSI, NoSuchElement) is a crash. */
+  private def isNamedAbstain(e: Throwable): Boolean =
+    causes(e).exists {
+      case _: IllegalArgumentException => true
+      case s: org.apache.spark.SparkThrowable =>
+        s.getCondition == "USER_RAISED_EXCEPTION"
+      case _ => false
+    }
+
   test("every registry query survives a corpus with hostile payload rows") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     var ok = 0
@@ -118,7 +131,7 @@ class HostileCorpusSpec extends SparkSpec {
         ok += 1
       } catch {
         case e: Throwable =>
-          if (causes(e).exists(_.isInstanceOf[IllegalArgumentException]))
+          if (isNamedAbstain(e))
             abstained += 1
           else
             failures += s"$name: ${causes(e).map(c =>
@@ -140,6 +153,28 @@ class HostileCorpusSpec extends SparkSpec {
     assert(ok >= SparkEntry.queries.size * 9 / 10,
       s"only $ok/${SparkEntry.queries.size} ran on the hostile corpus " +
         s"($abstained abstained via require)")
+  }
+
+  test("money fence: a non-centile event value raises the NAMED " +
+      "centile error, never a silent NaN balance") {
+    // the hostile log plants NaN/+Inf/-1e308 values in 'click' — any
+    // money sum over that space must abstain by name (the r21
+    // exact-integer-units conversion: a corrupt ledger halts, it never
+    // under-reports or propagates NaN)
+    val e = intercept[Exception] {
+      graft.operators.Windows.tumbling(
+        graft.sources.EventLog.named(spark, hostileDir), 3600000000L)
+        .queryExecution.toRdd.count()
+    }
+    assert(isNamedAbstain(e), s"not a named abstain: $e")
+    assert(causes(e).flatMap(c => Option(c.getMessage))
+      .exists(_.contains("not an exact centile")))
+    // a space UNTOUCHED by the planted values still answers: the fence
+    // rides the value expression, so filters prune before it fires
+    val okRows = graft.operators.EventSourcing.replayState(
+      graft.sources.EventLog.entries(spark, hostileDir, Some("purchase")),
+      "purchase").collect()
+    assert(okRows.nonEmpty)
   }
 
   test("health audits account EXACTLY for the planted hostile mass") {
@@ -174,5 +209,27 @@ class HostileCorpusSpec extends SparkSpec {
     assert(d(be, he, "n_nonfinite") == 2L)
     assert(he.getAs[Long]("dims_min") == 0L) // the empty vector
     assert(he.getAs[Long]("dims_max") == be.getAs[Long]("dims_max"))
+    // sk_log_health (r21): the event-log pre-flight must account the
+    // six planted log rows precisely — incl. the THREE money values
+    // the exact-centile conversion rejects (NaN, +Inf, -1e308; the
+    // planted 0.0/1.0/2.0 are valid centiles and count nowhere)
+    val bl = row(graft.operators.StreamOps.logHealth(
+      graft.sources.EventLog.raw(spark, SF)))
+    val hl = row(graft.operators.StreamOps.logHealth(
+      graft.sources.EventLog.raw(spark, hostileDir)))
+    assert(d(bl, hl, "n_events") == 6L && d(bl, hl, "n_distinct_ids") == 6L)
+    assert(d(bl, hl, "n_null_ts") == 1L)
+    assert(d(bl, hl, "n_null_segment") == 1L)
+    assert(d(bl, hl, "n_null_space") == 1L)
+    assert(d(bl, hl, "n_empty_space") == 1L)
+    assert(d(bl, hl, "n_null_value") == 0L)
+    assert(d(bl, hl, "n_bad_value") == 3L)
+    assert(d(bl, hl, "n_null_props") == 1L)
+    assert(d(bl, hl, "n_bad_props") == 2L) // "{" and "not json"
+    // the clean gate corpus itself is pathology-free: the fence can
+    // never fire on driver data
+    Seq("n_null_ts", "n_null_segment", "n_null_space", "n_empty_space",
+      "n_null_value", "n_bad_value", "n_null_props", "n_bad_props")
+      .foreach(c => assert(bl.getAs[Long](c) == 0L, c))
   }
 }

@@ -773,7 +773,7 @@ class StreamingSpec extends SparkSpec {
       .join(cust, col("segment").cast("long") === col("c_custkey"))
       .groupBy(col("space"), col("c_mktsegment"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        graft.sources.EventLog.sumValueExact.as("sum_value"))
     runToCompletion(joined, "enriched", "complete")
     val got = spark.table("enriched").collect().map(_.toSeq).toSet
     val want = graft.analytics.Relational.enrichEvents(
