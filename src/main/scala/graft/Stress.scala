@@ -33,7 +33,11 @@ object Stress {
     "chunk_dedup", "chunk_dedup_incremental",
     "contamination_substring",
     "contamination_semantic_ivf", "contamination_semantic_ivf_audit",
-    "knn_pq", "pq_code_balance",
+    // pq_recall_audit's brute baseline is 5 FIXED probes × corpus —
+    // linear in n, not the quadratic class the header excludes; its
+    // recall number at 50× is the (m, ksub, nprobe) headroom reading
+    // the r15 verdict asked for
+    "knn_pq", "pq_recall_audit", "pq_code_balance",
     "mm_dedup_near", "mm_dedup_near_audit")
 
   /** Audit rows are grid/occupancy-bounded by construction; the bound is

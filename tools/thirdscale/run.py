@@ -86,7 +86,13 @@ def compare_chunk(chunk_id_and_names):
     os.makedirs(tmp, exist_ok=True)
     con = duckdb.connect()
     con.sql(f"SET temp_directory='{tmp}'")
-    con.sql("SET memory_limit='24GB'")
+    # MEASURED (r21): do NOT set memory_limit, and bound threads — the
+    # doc_similar_topk pair oracle at 2x runs 277s with ZERO spill at
+    # threads=16/default memory, but spills > 79 GB (fatal on this box)
+    # under 32 threads or an explicit memory_limit. Workers also split
+    # the thread budget so concurrent heavy oracles don't stack RAM.
+    con.sql(f"SET threads="
+            f"{16 if chunk_id == 'retry' else max(4, 32 // WORKERS)}")
     for t in glob.glob(f"{SF_DIR}/*.parquet"):
         name = os.path.basename(t).replace(".parquet", "")
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{t}'")
@@ -122,6 +128,15 @@ results = {}
 with ProcessPoolExecutor(max_workers=WORKERS) as ex:
     for out in ex.map(compare_chunk, chunks):
         results.update(out)
+
+# spill-failed oracles get one SERIAL retry with the whole box (the
+# heavy pair-join formulations are disk-bound only under contention)
+retry = [n for n, v in results.items()
+         if v.startswith("fail") and ("No space left" in v
+                                      or "IO Error" in v)]
+if retry:
+    print(f"== serial retry for {retry}", flush=True)
+    results.update(compare_chunk(("retry", retry)))
 
 rows_only = {}
 import pandas as pd
