@@ -549,6 +549,62 @@ object PipelineQueries {
         FROM sym)
       WHERE rnk <= 5"""
 
+  /** Shared CTE chain for the hybrid-RRF family: the doc_similar pair
+    * formulation (lexical member, directed to the md5 query slice) and
+    * the embedding-cosine member (finiteNorm fences mirrored from
+    * dedup_embedding), each ranked on (grid score DESC, cand_id), then
+    * full-outer fused with exact-integer reciprocal masses — the same
+    * arithmetic as [[graft.similarity.Hybrid.fuse]]. */
+  private val HybridFusedCtes = s"""
+      WITH p AS (${docSimilarSqlFrom("documents", "0.9")}),
+      lexd AS (
+        SELECT doc1 AS doc_id, doc2 AS cand_id, score FROM p
+        WHERE substr(md5(concat_ws(':', CAST(doc1 AS VARCHAR), 'hyb')),
+          1, 1) < '4'
+        UNION ALL
+        SELECT doc2 AS doc_id, doc1 AS cand_id, score FROM p
+        WHERE substr(md5(concat_ws(':', CAST(doc2 AS VARCHAR), 'hyb')),
+          1, 1) < '4'),
+      lexr AS (
+        SELECT doc_id, cand_id,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, cand_id) AS BIGINT) AS lex_rank
+        FROM lexd),
+      semd AS (
+        SELECT q.vec_id AS doc_id, c.vec_id AS cand_id,
+               round(list_cosine_similarity(q.embedding::DOUBLE[],
+                 c.embedding::DOUBLE[]), 4) AS score
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE substr(md5(concat_ws(':', CAST(q.vec_id AS VARCHAR),
+            'hyb')), 1, 1) < '4'
+          AND list_dot_product(q.embedding::DOUBLE[],
+                q.embedding::DOUBLE[]) > 0
+          AND list_dot_product(q.embedding::DOUBLE[],
+                q.embedding::DOUBLE[]) < 'infinity'::DOUBLE
+          AND list_dot_product(c.embedding::DOUBLE[],
+                c.embedding::DOUBLE[]) > 0
+          AND list_dot_product(c.embedding::DOUBLE[],
+                c.embedding::DOUBLE[]) < 'infinity'::DOUBLE
+          AND round(list_cosine_similarity(q.embedding::DOUBLE[],
+                c.embedding::DOUBLE[]), 4) >= 0.3),
+      semr AS (
+        SELECT doc_id, cand_id,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, cand_id) AS BIGINT) AS sem_rank
+        FROM semd),
+      fused AS (
+        SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+               coalesce(l.cand_id, s.cand_id) AS cand_id,
+               coalesce(l.lex_rank, CAST(0 AS BIGINT)) AS lex_rank,
+               coalesce(s.sem_rank, CAST(0 AS BIGINT)) AS sem_rank,
+               CAST(CASE WHEN coalesce(l.lex_rank, 0) > 0
+                      THEN 1000000000 // (60 + l.lex_rank) ELSE 0 END
+                  + CASE WHEN coalesce(s.sem_rank, 0) > 0
+                      THEN 1000000000 // (60 + s.sem_rank) ELSE 0 END
+                 AS BIGINT) AS rrf_micro
+        FROM lexr l FULL OUTER JOIN semr s
+          ON l.doc_id = s.doc_id AND l.cand_id = s.cand_id)"""
+
   private def bm25SqlFrom(rel: String) = s"""
       WITH t AS (
         SELECT doc_id,
@@ -1427,6 +1483,27 @@ object PipelineQueries {
       TextOps.docSimilarPersisted(s, docs(s, d), tbl, s"${tbl}_vocab",
         substring(md5(concat_ws(":", col("doc_id").cast("string"),
           lit("mlt"))), 1, 1) < "4")
+    }),
+    // HYBRID retrieval (RRF, r21): the doc_similar lexical member and
+    // the embedding-cosine semantic member fused in exact integer
+    // micro-units (1e9 div (60+rank), BIGINT sums) — rank windows run
+    // over τ-bounded member lists, never the corpus; a single-member
+    // candidate carries rank 0 on the other side (full-outer fusion);
+    // oracle composes the two member formulations verbatim
+    "hybrid_search_rrf" -> ((s, d) => graft.similarity.Hybrid
+      .hybridSearch(docs(s, d), Knn.emb(s, d))),
+    // provenance accounting for the fused set: one exact-integer row —
+    // per-modality candidate mass, agreement mass, served rows
+    "hybrid_search_audit" -> ((s, d) => graft.similarity.Hybrid
+      .hybridAudit(docs(s, d), Knn.emb(s, d))),
+    // the 100 TB shape: prefix-filtered lexical member (row-identical,
+    // spec-proven) + persisted bucketed IVF semantic member (nprobe-
+    // bounded list scan); rows-only — seeded k-means; HybridSpec pins
+    // nprobe = nlist ≡ hybrid_search_rrf row-for-row
+    "hybrid_search_ivf" -> ((s, d) => {
+      val (tbl, path) = runScopedTable(s, d, "graft_hyb_ivf")
+      graft.similarity.Hybrid.hybridSearchIvf(s, docs(s, d),
+        Knn.emb(s, d), tbl, path)
     }),
     // BM25 against the PERSISTED bucketed postings index (build once,
     // probe per query — the search-serving shape, completing the
@@ -2611,6 +2688,40 @@ object PipelineQueries {
     // prefix filter is a sound Cauchy–Schwarz prune, so the same SQL
     // checks both derivations)
     "doc_similar" -> DocSimilarOracleSql,
+
+    // RRF fusion over the two member formulations composed verbatim;
+    // integer reciprocal masses (1e9 // (60+rank)) so the fused order
+    // and the k-boundary are exact in both engines
+    "hybrid_search_rrf" -> s"""
+      $HybridFusedCtes
+      SELECT doc_id, cand_id, lex_rank, sem_rank, rrf_micro, rnk FROM (
+        SELECT doc_id, cand_id, lex_rank, sem_rank, rrf_micro,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY rrf_micro DESC, cand_id) AS BIGINT) AS rnk
+        FROM fused)
+      WHERE rnk <= 10""",
+    // count(CASE..) not sum(CASE..): zero (not NULL) on an empty corpus
+    "hybrid_search_audit" -> s"""
+      $HybridFusedCtes,
+      agg AS (
+        SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_queries,
+               CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(count(CASE WHEN lex_rank > 0 AND sem_rank > 0
+                 THEN 1 END) AS BIGINT) AS n_both,
+               CAST(count(CASE WHEN lex_rank > 0 AND sem_rank = 0
+                 THEN 1 END) AS BIGINT) AS n_lex_only,
+               CAST(count(CASE WHEN lex_rank = 0 AND sem_rank > 0
+                 THEN 1 END) AS BIGINT) AS n_sem_only
+        FROM fused),
+      srv AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_served FROM (
+          SELECT row_number() OVER (PARTITION BY doc_id
+            ORDER BY rrf_micro DESC, cand_id) AS rnk
+          FROM fused)
+        WHERE rnk <= 10)
+      SELECT n_queries, n_candidates, n_both, n_lex_only, n_sem_only,
+             n_served
+      FROM agg CROSS JOIN srv""",
     "doc_similar_prefix" -> DocSimilarOracleSql,
     // the pair formulation restricted to slice endpoints, served
     // DIRECTED to each in-slice endpoint (both-in-slice pairs → two

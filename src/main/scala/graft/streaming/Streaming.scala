@@ -600,6 +600,44 @@ object Streaming {
     docStream.writeStream.foreachBatch(perBatch).start()
   }
 
+  /** LIVE hybrid retrieval — RRF serving during ingest (the
+    * runDocSimilarProbe posture): every arriving query document (text +
+    * embedding in one row) probes the persisted doc-vector index for
+    * its lexical member ([[graft.text.TextOps.docSimilarPersisted]]
+    * verbatim — the score equals the batch pair formulation by the
+    * doc_similar_persisted equivalence) and the frozen embedding table
+    * for its semantic member ([[graft.similarity.Hybrid.semMemberFor]]
+    * — one definition with batch), then fuses with
+    * [[graft.similarity.Hybrid.fuse]]/[[graft.similarity.Hybrid.topK]]
+    * VERBATIM. A query's fused list is a pure function of its own row
+    * against the two frozen artifacts (queries never interact), so
+    * per-micro-batch semantics are EXACT and a replay of the batch
+    * query slice emits exactly the batch `hybrid_search_rrf` rows
+    * (HybridSpec proves set equality). No state store, no driver
+    * residency — the ceiling-free serving shape. */
+  def runHybridSearchProbe(spark: SparkSession, docStream: DataFrame,
+      vecTable: String, vocabTable: String, corpusEmb: DataFrame,
+      k: Int = 10, tauLex: Double = 0.9, tauSem: Double = 0.3)(
+      sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val b = batch.toDF()
+        val lex = graft.text.TextOps.docSimilarPersisted(
+            spark, b, vecTable, vocabTable, lit(true), tauLex)
+          .select(col("doc_id"), col("similar_id").as("cand_id"),
+            col("score"))
+        val q = graft.similarity.Knn.embOf(b.select(
+          col("doc_id").as("vec_id"), lit(0).cast("int").as("label"),
+          col("embedding")))
+        val sem = graft.similarity.Hybrid.semMemberFor(q, corpusEmb,
+          tauSem)
+        sink(graft.similarity.Hybrid.topK(
+          graft.similarity.Hybrid.fuse(lex, sem), k))
+      }
+    docStream.writeStream.foreachBatch(perBatch).start()
+  }
+
   /** LIVE hard-triplet mining — contrastive curation running DURING
     * embedding ingest (the runDocSimilarProbe posture): every arriving
     * labeled vector is an anchor; each micro-batch replays the batch

@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.similarity.{Hybrid, Knn}
+import graft.streaming.Streaming
+import graft.text.TextOps
+
+/** Hybrid RRF retrieval: exact integer fusion arithmetic, full-outer
+  * member semantics, deterministic tie-breaks, and the stream-static
+  * probe's exact convergence to the registered batch row. */
+class HybridSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("RRF fusion is exact integer micro-units with full-outer member semantics") {
+    val lex = Seq((1L, 10L, 0.95), (1L, 11L, 0.93), (1L, 12L, 0.91))
+      .toDF("doc_id", "cand_id", "score")
+    val sem = Seq((1L, 11L, 0.80), (1L, 13L, 0.70))
+      .toDF("doc_id", "cand_id", "score")
+    val got = Hybrid.topK(Hybrid.fuse(lex, sem), 10)
+      .orderBy("rnk")
+      .select("cand_id", "lex_rank", "sem_rank", "rrf_micro", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // 1e9 div 61 = 16393442, div 62 = 16129032, div 63 = 15873015
+    assert(got.toSeq == Seq(
+      (11L, 2L, 1L, 16129032L + 16393442L, 1L), // in BOTH members → tops
+      (10L, 1L, 0L, 16393442L, 2L),             // lex only, rank 1
+      (13L, 0L, 2L, 16129032L, 3L),             // sem only, rank 2
+      (12L, 3L, 0L, 15873015L, 4L)), got.toSeq.toString)
+  }
+
+  test("equal fused mass breaks ties on cand_id; k bounds the cut") {
+    // cand 20 tops lex, cand 7 tops sem → identical reciprocal mass
+    val lex = Seq((1L, 20L, 0.9), (1L, 21L, 0.8)).toDF(
+      "doc_id", "cand_id", "score")
+    val sem = Seq((1L, 7L, 0.9), (1L, 22L, 0.8)).toDF(
+      "doc_id", "cand_id", "score")
+    val got = Hybrid.topK(Hybrid.fuse(lex, sem), 3)
+      .orderBy("rnk").select("cand_id").as[Long].collect()
+    assert(got.toSeq == Seq(7L, 20L, 21L), got.toSeq.toString)
+  }
+
+  test("member rank ties break on cand_id (grid score equal)") {
+    val lex = Seq((1L, 30L, 0.9), (1L, 29L, 0.9)).toDF(
+      "doc_id", "cand_id", "score")
+    val sem = spark.emptyDataFrame
+      .select(lit(0L).as("doc_id"), lit(0L).as("cand_id"),
+        lit(0.0).as("score")).filter(lit(false))
+    val got = Hybrid.topK(Hybrid.fuse(lex, sem), 10)
+      .orderBy("rnk").select("cand_id", "lex_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((29L, 1L), (30L, 2L)), got.toSeq.toString)
+  }
+
+  test("hybrid_search_rrf over the corpus: dense ranks, recomputable fusion") {
+    val out = Hybrid.hybridSearch(TextOps.docs(spark, SF),
+      Knn.emb(spark, SF)).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (lr, sr, rrf) = (r.getAs[Long]("lex_rank"),
+        r.getAs[Long]("sem_rank"), r.getAs[Long]("rrf_micro"))
+      val want = (if (lr > 0) 1000000000L / (60L + lr) else 0L) +
+        (if (sr > 0) 1000000000L / (60L + sr) else 0L)
+      assert(rrf == want && rrf > 0L, s"row $r")
+      assert(lr > 0 || sr > 0, s"memberless candidate: $r")
+    }
+    // per-query rank lists are dense 1..n with n <= k
+    val byQ = out.groupBy(_.getAs[Long]("doc_id"))
+    byQ.foreach { case (q, rows) =>
+      val rnks = rows.map(_.getAs[Long]("rnk")).sorted.toSeq
+      assert(rnks == (1L to rnks.size).toSeq && rnks.size <= 10,
+        s"query $q ranks $rnks")
+    }
+    // both modalities must contribute somewhere on the real corpus
+    assert(out.exists(_.getAs[Long]("lex_rank") > 0))
+    assert(out.exists(_.getAs[Long]("sem_rank") > 0))
+  }
+
+  test("lexical pair-source swap (docSimilarPrefix) leaves the fused output row-identical") {
+    val d = TextOps.docs(spark, SF)
+    val e = Knn.emb(spark, SF)
+    val blocked = Hybrid.hybridSearch(d, e).collect().map(_.toSeq).toSet
+    val prefix = Hybrid.hybridSearch(d, e,
+      lexPairs = Some(TextOps.docSimilarPrefix(d, 0.9)))
+      .collect().map(_.toSeq).toSet
+    assert(blocked.nonEmpty && blocked == prefix,
+      s"blocked ${blocked.size} vs prefix ${prefix.size}")
+  }
+
+  test("hybrid_search_ivf at nprobe = nlist equals hybrid_search_rrf row-for-row") {
+    val d = TextOps.docs(spark, SF)
+    val e = Knn.emb(spark, SF)
+    spark.sql("DROP TABLE IF EXISTS hyb_ivf_spec")
+    val path = Files.createTempDirectory("graft_hyb_ivf").toString + "/v"
+    // probe every list and rank past every τ-reachable candidate: the
+    // IVF member then reaches exactly the brute member's list
+    val got = Hybrid.hybridSearchIvf(spark, d, e, "hyb_ivf_spec", path,
+        kSem = 500, nlist = 4, nprobe = 4)
+      .collect().map(_.toSeq).toSet
+    val want = Hybrid.hybridSearch(d, e).collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want,
+      s"ivf ${got.size} vs brute ${want.size}")
+  }
+
+  test("stream-static hybrid probe (foreachBatch) converges to batch hybrid_search_rrf") {
+    val docs = TextOps.docs(spark, SF)
+    val embRaw = spark.read.parquet(s"$SF/embeddings.parquet")
+    spark.sql("DROP TABLE IF EXISTS hyb_vec")
+    spark.sql("DROP TABLE IF EXISTS hyb_vec_vocab")
+    val idx = Files.createTempDirectory("graft_hyb_idx").toString + "/v"
+    TextOps.writeDocVectorIndex(docs, "hyb_vec", idx)
+    // arrivals: the batch query slice, text + embedding in one row
+    val queries = docs.filter(Hybrid.slicePred(col("doc_id")))
+      .join(embRaw.select(col("vec_id").as("doc_id"), col("embedding")),
+        "doc_id")
+    val dir = Files.createTempDirectory("graft_hyb_stream").toString
+    queries.repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = Streaming.runHybridSearchProbe(spark, stream,
+        "hyb_vec", "hyb_vec_vocab", Knn.emb(spark, SF)) { b =>
+      val rows = b.collect().map(_.toSeq)
+      buf.synchronized { buf ++= rows }
+    }
+    q.processAllAvailable(); q.stop()
+    val got = buf.toSet
+    val want = Hybrid.hybridSearch(docs, Knn.emb(spark, SF))
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want,
+      s"probe ${got.size} vs batch ${want.size}")
+  }
+}
