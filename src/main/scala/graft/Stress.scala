@@ -46,7 +46,7 @@ object Stress {
     "minhash_band_audit", "char_ngram_gram_audit", "lsh_bucket_audit",
     "semantic_cluster_audit",
     "ivf_balance_audit", "contamination_semantic_ivf_audit",
-    "pq_code_balance",
+    "pq_code_balance", "pq_recall_audit",
     "mm_dedup_near_audit")
 
   private def release(spark: SparkSession): Unit = {
@@ -60,6 +60,14 @@ object Stress {
     val sfDir =
       if (args.nonEmpty) args(0)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional second arg: comma-separated query subset (the Verify
+    // filter posture) — re-read one family's tier without a full run
+    val selected = if (args.length > 1) {
+      val want = args(1).split(",").map(_.trim).filter(_.nonEmpty).toSet
+      val unknown = want -- Queries.toSet
+      require(unknown.isEmpty, s"unknown stress queries: $unknown")
+      Queries.filter(want)
+    } else Queries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -74,7 +82,7 @@ object Stress {
     val secs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val audits = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    Queries.foreach { name =>
+    selected.foreach { name =>
       val t0 = System.nanoTime()
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)

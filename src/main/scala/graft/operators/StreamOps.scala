@@ -216,6 +216,89 @@ object StreamOps {
         .as("n_bad_props"))
   }
 
+  /** Per-event DLQ verdict — the row-level face of [[logHealth]]'s
+    * counters (a health dashboard says HOW MANY rows the ingest
+    * contract rejects; the dead-letter queue needs WHICH rows and
+    * WHY): a first-match precedence ladder (null_ts > null_segment >
+    * null_space > empty_space > null_value > bad_value > null_props >
+    * bad_props) over the IDENTICAL predicates logHealth counts — the
+    * bad-money predicate is the same isnan/9e16-magnitude/sub-cent
+    * chain the exact-centile conversion enforces — so each quarantined
+    * row carries exactly ONE reason and the ladder order is part of
+    * the contract (a row failing several checks reports the earliest).
+    * Column-pruned scan, one projection + filter, no shuffle at all;
+    * stateless per row, so the STREAMING dual is this same expression
+    * over a stream (exact by construction, StreamOpsSpec). The oracle
+    * repeats the ladder with the branch split sk_log_health uses (the
+    * non-finite test BEFORE the BIGINT cast, so DuckDB's cast never
+    * sees NaN/Inf). */
+  def quarantine(raw: DataFrame): DataFrame = {
+    val c = floor(col("value") * lit(100.0) + lit(0.5))
+    val badValue = isnan(col("value")) ||
+      abs(col("value")) > lit(9.0e16) ||
+      !(c.cast("double") / lit(100.0) === col("value"))
+    raw.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .withColumn("reason",
+        when(col("ts").isNull, "null_ts")
+          .when(col("user_id").isNull, "null_segment")
+          .when(col("event_type").isNull, "null_space")
+          .when(col("event_type") === "", "empty_space")
+          .when(col("value").isNull, "null_value")
+          .when(badValue, "bad_value")
+          .when(col("props").isNull, "null_props")
+          .when(get_json_object(col("props"), "$").isNull, "bad_props"))
+      .filter(col("reason").isNotNull)
+      .select(col("event_id"), col("reason"))
+  }
+
+  /** CANARY rows for [[quarantine]] — the planted pathologies a
+    * production gate ships THROUGH its own classifier so a silent
+    * classifier regression is a visible row-set change, not a quiet
+    * empty DLQ (the zero-silent-drops doctrine applied to the gate
+    * itself): one row per ladder reason, one precedence probe (null ts
+    * AND bad value must report null_ts), one clean negative control
+    * that must NOT surface. Pure constants (ids in the 9·10⁹ range the
+    * generator never emits), so the oracle reproduces them as VALUES;
+    * the ts literal dispatches on the log's physical type (the
+    * EventLog.tsUs posture — nanos-as-long and micros eras both). */
+  def quarantineCanaries(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = raw.sparkSession
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value",
+      "props")
+    val schema = StructType(cols.map(n => raw.schema(n)))
+    val t: Any = raw.schema("ts").dataType match {
+      case LongType => 1704067200000000000L // nanos-as-long era
+      case _: TimestampNTZType => java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+      case _ => java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    }
+    val rows = Seq(
+      Row(9000000001L, null, 1L, "canary", 1.0, "{}"),
+      Row(9000000002L, t, null, "canary", 1.0, "{}"),
+      Row(9000000003L, t, 1L, null, 1.0, "{}"),
+      Row(9000000004L, t, 1L, "", 1.0, "{}"),
+      Row(9000000005L, t, 1L, "canary", null, "{}"),
+      Row(9000000006L, t, 1L, "canary", 0.001, "{}"),
+      Row(9000000007L, t, 1L, "canary", 1.0e17, "{}"),
+      Row(9000000008L, t, 1L, "canary", Double.NaN, "{}"),
+      Row(9000000009L, t, 1L, "canary", 1.0, null),
+      Row(9000000010L, t, 1L, "canary", 1.0, "{bad"),
+      Row(9000000011L, null, 1L, "canary", 0.001, "{bad"),
+      Row(9000000012L, t, 1L, "canary", 2.5, """{"k":1}"""))
+    raw.select(cols.map(col): _*).limit(0).unionByName(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema))
+  }
+
+  /** The registered shape: the real log PLUS the canary block through
+    * one classifier pass. */
+  def quarantineWithCanaries(raw: DataFrame): DataFrame =
+    quarantine(raw.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .unionByName(quarantineCanaries(raw)))
+
   /** Hot-SEGMENT skew audit — the partition-health dashboard of a
     * store operator (one segment absorbing a space's traffic is the
     * scale hazard every keyed system watches for: it caps consumer

@@ -61,6 +61,12 @@ object CoreQueries {
     // conversion would reject — threshold BEFORE valueCents raises
     "sk_log_health" -> ((s, d) =>
       StreamOps.logHealth(EventLog.raw(s, d))),
+    // per-event DLQ verdict (the row-level face of sk_log_health) over
+    // the log PLUS a planted canary block — the gate ships known-bad
+    // rows through its own classifier so a classifier regression is a
+    // visible row-set change, never a quietly empty DLQ
+    "sk_quarantine" -> ((s, d) =>
+      StreamOps.quarantineWithCanaries(EventLog.raw(s, d))),
     "sk_produce_validate" -> ((s, d) =>
       StreamOps.produceValidate(EventLog.entries(s, d))),
     "sk_consume_dedup" -> ((s, d) =>
@@ -507,6 +513,57 @@ object CoreQueries {
                AND NOT json_valid(props) THEN 1 ELSE 0 END)
                AS BIGINT) AS n_bad_props
       FROM events""",
+
+    // the quarantine ladder repeated with sk_log_health's branch split
+    // (non-finite BEFORE the BIGINT cast); canaries as VALUES — pure
+    // constants, ids outside the generator's range
+    "sk_quarantine" -> """
+      WITH log AS (
+        SELECT event_id, ts, user_id, event_type, value, props
+        FROM events
+        UNION ALL
+        SELECT * FROM (VALUES
+          (CAST(9000000001 AS BIGINT), NULL::TIMESTAMP,
+           CAST(1 AS BIGINT), 'canary', 1.0::DOUBLE, '{}'),
+          (CAST(9000000002 AS BIGINT), TIMESTAMP '2024-01-01 00:00:00',
+           NULL, 'canary', 1.0::DOUBLE, '{}'),
+          (CAST(9000000003 AS BIGINT), TIMESTAMP '2024-01-01 00:00:00',
+           CAST(1 AS BIGINT), NULL, 1.0::DOUBLE, '{}'),
+          (CAST(9000000004 AS BIGINT), TIMESTAMP '2024-01-01 00:00:00',
+           CAST(1 AS BIGINT), '', 1.0::DOUBLE, '{}'),
+          (CAST(9000000005 AS BIGINT), TIMESTAMP '2024-01-01 00:00:00',
+           CAST(1 AS BIGINT), 'canary', NULL, '{}'),
+          (CAST(9000000006 AS BIGINT), TIMESTAMP '2024-01-01 00:00:00',
+           CAST(1 AS BIGINT), 'canary', 0.001::DOUBLE, '{}'),
+          (CAST(9000000007 AS BIGINT), TIMESTAMP '2024-01-01 00:00:00',
+           CAST(1 AS BIGINT), 'canary', 1.0e17::DOUBLE, '{}'),
+          (CAST(9000000008 AS BIGINT), TIMESTAMP '2024-01-01 00:00:00',
+           CAST(1 AS BIGINT), 'canary', 'nan'::DOUBLE, '{}'),
+          (CAST(9000000009 AS BIGINT), TIMESTAMP '2024-01-01 00:00:00',
+           CAST(1 AS BIGINT), 'canary', 1.0::DOUBLE, NULL),
+          (CAST(9000000010 AS BIGINT), TIMESTAMP '2024-01-01 00:00:00',
+           CAST(1 AS BIGINT), 'canary', 1.0::DOUBLE, '{bad'),
+          (CAST(9000000011 AS BIGINT), NULL::TIMESTAMP,
+           CAST(1 AS BIGINT), 'canary', 0.001::DOUBLE, '{bad'),
+          (CAST(9000000012 AS BIGINT), TIMESTAMP '2024-01-01 00:00:00',
+           CAST(1 AS BIGINT), 'canary', 2.5::DOUBLE, '{"k":1}'))
+          AS c(event_id, ts, user_id, event_type, value, props))
+      SELECT event_id, reason FROM (
+        SELECT event_id,
+               CASE WHEN ts IS NULL THEN 'null_ts'
+                    WHEN user_id IS NULL THEN 'null_segment'
+                    WHEN event_type IS NULL THEN 'null_space'
+                    WHEN event_type = '' THEN 'empty_space'
+                    WHEN value IS NULL THEN 'null_value'
+                    WHEN NOT isfinite(value) OR abs(value) > 9.0e16
+                      THEN 'bad_value'
+                    WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) / 100.0
+                         <> value THEN 'bad_value'
+                    WHEN props IS NULL THEN 'null_props'
+                    WHEN NOT json_valid(props) THEN 'bad_props'
+               END AS reason
+        FROM log)
+      WHERE reason IS NOT NULL""",
 
     "sk_produce_validate" -> s"""$E
       SELECT space, segment, count(*) AS n_entries,

@@ -643,6 +643,49 @@ object PipelineQueries {
 
   private val Bm25OracleSql = bm25SqlFrom("documents")
 
+  /** PRF expansion CTE chain shared VERBATIM by prf_terms and
+    * search_prf (the word_assoc dictionary posture: the downstream
+    * search embeds the dictionary SQL, so a formulation drift breaks
+    * one place): seed BM25 top-10 docs → per-term tf-idf micro mass
+    * over those docs (the doc_keywords integer chain), seed terms
+    * excluded, df ≥ 2. */
+  private val PrfSeedIn = "('vector', 'stream', 'window', 'hash')"
+  private val PrfCtes = s"""
+      WITH b0 AS ($Bm25OracleSql),
+      r0 AS (
+        SELECT doc_id FROM (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS r
+          FROM b0)
+        WHERE r <= 10),
+      gtf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id,
+                unnest(list_filter(string_split(lower(text), ' '),
+                  x -> x <> '')) AS term
+              FROM documents)
+        GROUP BY 1, 2),
+      gdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM gtf GROUP BY 1),
+      gn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+             FROM (SELECT DISTINCT doc_id FROM gtf)),
+      mass AS (
+        SELECT term,
+               CAST(sum(tf * CAST(round(ln(n_docs / df) *
+                   1000000.0::DOUBLE, 0) AS BIGINT)) AS BIGINT)
+                 AS mass_micro
+        FROM gtf
+        JOIN gdf USING (term)
+        JOIN r0 USING (doc_id)
+        CROSS JOIN gn
+        WHERE df >= 2 AND term NOT IN $PrfSeedIn
+        GROUP BY term),
+      etop AS (
+        SELECT term, mass_micro,
+               CAST(row_number() OVER (ORDER BY mass_micro DESC, term)
+                 AS BIGINT) AS trank
+        FROM mass)"""
+
   /** The chunk-corpus relation (one row per (doc, chunk) with the
     * composite id doc_id·2²⁰ + chunk_idx and the chunk's own text) —
     * the chunkCorpus derivation as an embeddable relation, so
@@ -849,6 +892,10 @@ object PipelineQueries {
     // dedup-adjusted token budget per (lang, source): raw vs surviving
     // tokens under the global digest-keeper election
     "token_yield" -> ((s, d) => TextOps.tokenYield(docs(s, d))),
+    // nested data-ablation subsample receipts (D/16 ⊂ … ⊂ D): md5
+    // hex-prefix rungs — growing the budget only ADDS docs, never
+    // resamples; one scan, 5-row broadcast theta join, exact integers
+    "scaling_ladder" -> ((s, d) => TextOps.scalingLadder(docs(s, d))),
     // temperature-balanced (alpha = 1/2) mixture plan over the
     // dedup-adjusted yields, budget = total kept tokens; sqrt is the
     // one IEEE-identical nonlinearity, snapped to the milli grid so
@@ -1484,6 +1531,13 @@ object PipelineQueries {
         substring(md5(concat_ws(":", col("doc_id").cast("string"),
           lit("mlt"))), 1, 1) < "4")
     }),
+    // pseudo-relevance-feedback query expansion (RM3-style, r21): mine
+    // the seed query's top-k0 docs for their top tf-idf-mass terms
+    // (seed excluded, df floor), re-run BM25 with the union; every cut
+    // is integer-or-grid, both global top-k cuts are bounded MinKByKey
+    // aggregates (never a corpus sort)
+    "prf_terms" -> ((s, d) => graft.text.Prf.prfTerms(docs(s, d))),
+    "search_prf" -> ((s, d) => graft.text.Prf.searchPrf(docs(s, d))),
     // HYBRID retrieval (RRF, r21): the doc_similar lexical member and
     // the embedding-cosine semantic member fused in exact integer
     // micro-units (1e9 div (60+rank), BIGINT sums) — rank windows run
@@ -2688,6 +2742,59 @@ object PipelineQueries {
     // prefix filter is a sound Cauchy–Schwarz prune, so the same SQL
     // checks both derivations)
     "doc_similar" -> DocSimilarOracleSql,
+
+    // the shared PRF dictionary chain, served at trank <= 5
+    "prf_terms" -> s"""
+      $PrfCtes
+      SELECT term, mass_micro, trank FROM etop WHERE trank <= 5""",
+    // the dictionary chain embedded verbatim, then the bm25 chain over
+    // the unioned term set (the qterms equijoin mirrors the engine's
+    // broadcast term-table join), cut at rnk <= 20 on (grid score
+    // DESC, doc_id) — order-equivalent to the engine's MinKByKey key
+    "search_prf" -> s"""
+      $PrfCtes,
+      qterms AS (
+        SELECT term FROM etop WHERE trank <= 5
+        UNION ALL
+        SELECT unnest(['vector', 'stream', 'window', 'hash']) AS term),
+      t2 AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                 AS toks
+        FROM documents),
+      dl2 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks
+              FROM t2),
+      sc2 AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl2),
+      tfq AS (
+        SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl2)
+        JOIN qterms USING (term)
+        GROUP BY 1, 2, 3),
+      dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM tfq GROUP BY 1),
+      contrib2 AS (
+        SELECT doc_id,
+               CAST(round(
+                 (round(ln((n_docs - df + 0.5::DOUBLE) /
+                     (df + 0.5::DOUBLE) + 1.0::DOUBLE) *
+                     1000000.0::DOUBLE, 0) / 1000000.0::DOUBLE) *
+                   ((tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
+                     (tf + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE) +
+                       0.75::DOUBLE * (dl / (sum_dl / n_docs)))))
+                 * 1000000.0::DOUBLE, 0) AS BIGINT) AS micro
+        FROM tfq JOIN dfq USING (term) CROSS JOIN sc2),
+      f AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+               CAST((CAST(sum(micro) AS BIGINT) + 50) // 100 AS DOUBLE) /
+                 10000.0::DOUBLE AS score
+        FROM contrib2 GROUP BY doc_id)
+      SELECT doc_id, n_terms_matched, score, rnk FROM (
+        SELECT doc_id, n_terms_matched, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                 AS BIGINT) AS rnk
+        FROM f)
+      WHERE rnk <= 20""",
 
     // RRF fusion over the two member formulations composed verbatim;
     // integer reciprocal masses (1e9 // (60+rank)) so the fused order
@@ -4307,6 +4414,26 @@ object PipelineQueries {
     // yield_frac is the floor-half-up double contract (no float round),
     // membership guarded by the INTEGER tokens_raw > 0 predicate
     "token_yield" -> TokenYieldSql,
+
+    // the md5 rung thresholds reproduced verbatim; 'g' sorts above
+    // every hex digit — the full-corpus control rung
+    "scaling_ladder" -> """
+      WITH r AS (SELECT * FROM (VALUES
+          (CAST(16 AS BIGINT), '1'), (CAST(8 AS BIGINT), '2'),
+          (CAST(4 AS BIGINT), '4'), (CAST(2 AS BIGINT), '8'),
+          (CAST(1 AS BIGINT), 'g')) t(denom, thr)),
+      d AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split(text, ' '),
+                 x -> x <> '')) AS BIGINT) AS n_toks,
+               substr(md5(concat_ws(':', CAST(doc_id AS VARCHAR),
+                 'ladder')), 1, 1) AS k
+        FROM documents)
+      SELECT denom, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      FROM d JOIN r ON d.k < r.thr
+      GROUP BY denom""",
 
     // mixture plan over the yields: TokenYieldSql embedded VERBATIM as
     // a derived table (the reportBlock discipline — the plan can never

@@ -1,0 +1,106 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.MinKByKey
+
+/** Pseudo-relevance-feedback query expansion (RM3-style, Rocchio/
+  * Lavrenko lineage) — the retrieval-side trick a data pipeline uses to
+  * widen a seed query without a model: run the seed BM25 query, mine
+  * the top-k₀ result docs for their highest tf-idf-mass terms that are
+  * NOT already in the query, and re-run BM25 with the union. Completes
+  * the search-service story next to text_search_bm25 (seed), chunk
+  * search, hybrid RRF, and the persisted postings index.
+  *
+  * House numeric contract, end to end: the seed scores are the bm25
+  * micro-unit chain (hash-gate-exact), the top-k₀ cut orders on the
+  * 1e-4-grid score with a doc_id tie-break, expansion mass is the
+  * doc_keywords integer chain (tf · grid-snapped idf_micro, BIGINT
+  * sums — [[TextOps.tfidfMicroTable]], one definition), the top-m term
+  * cut orders on (mass desc, term asc), and the final ranking is again
+  * the bm25 chain over the unioned term TABLE
+  * ([[TextOps.bm25SearchTerms]]). Every cut is an integer-or-grid
+  * predicate, so both rows and ranks reproduce bit-exactly in DuckDB.
+  *
+  * Scale shape: both global top-k cuts run the bounded [[MinKByKey]]
+  * aggregate (map-side combine ships ≤ k rows per input partition —
+  * never a corpus sort; the sample_exact_k doctrine); the expansion
+  * window runs over the top-k₀ docs' OWN vocabulary (≤ k₀ · max doc
+  * length rows — the bounded-chunk-table precedent); the df floor
+  * keeps near-singleton terms from hijacking the expansion with huge
+  * idf. */
+object Prf {
+
+  /** The corpus's standing probe query (shared with text_search_bm25 /
+    * chunk_search). */
+  val SeedQuery: Seq[String] = Seq("vector", "stream", "window", "hash")
+
+  private val KeyPad = 999999999999999999L
+
+  /** Engine-side cut key: descending 1e-4-grid score as an ascending
+    * fixed-width digit string for [[MinKByKey]]. score·10⁴ recovers the
+    * integer grid value exactly (grid values ≪ 2⁵², so the relative
+    * double error is far below the final half-up's 0.5 slack). Engine-
+    * only construct — the oracle cuts with row_number over
+    * (score DESC, doc_id), an order-equivalent key. */
+  private def scoreKey: Column =
+    format_string("%019d",
+      lit(KeyPad) - round(col("score") * lit(10000.0), 0).cast("long"))
+
+  /** Global exact top-k over a scored doc table: ONE group, bounded
+    * buffer, no sort anywhere (PlanSpec asserts the shape). Returns
+    * (doc_id, rnk) with rnk = 1-based position in (score desc, doc_id)
+    * order. */
+  private[graft] def topDocs(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy()
+      .agg(MinKByKey(struct(scoreKey.as("key"), col("doc_id").as("id")),
+        k).as("picks"))
+      .select(posexplode(col("picks")))
+      .select(col("col.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rnk"))
+
+  /** The mined expansion dictionary: top-m terms by summed tf-idf micro
+    * mass over the seed query's top-k₀ docs, seed terms excluded, df ≥
+    * `minDf` (a df-1 term in a feedback doc has the corpus-max idf and
+    * would hijack the expansion with a pure singleton — the docSimilar
+    * minDf rationale). Registered as its own row (the word_assoc
+    * dictionary posture); [[searchPrf]]'s oracle embeds the identical
+    * CTE chain verbatim. */
+  def prfTerms(d: DataFrame, q0: Seq[String] = SeedQuery, k0: Int = 10,
+      m: Int = 5, minDf: Long = 2L): DataFrame = {
+    require(q0.nonEmpty && k0 >= 1 && m >= 1 && minDf >= 1L,
+      s"bad params q0=$q0 k0=$k0 m=$m minDf=$minDf")
+    val r0 = topDocs(TextOps.bm25Search(d, q0), k0).select("doc_id")
+    TextOps.tfidfMicroTable(d)
+      .join(broadcast(r0), "doc_id")
+      .filter(col("df") >= minDf && !col("term").isin(q0: _*))
+      .groupBy(col("term"))
+      .agg(sum(col("micro")).as("mass_micro"))
+      // the feedback vocabulary is bounded by k0 · max doc length — a
+      // window over this tiny derived table, never the corpus
+      .withColumn("trank", row_number().over(
+        Window.orderBy(col("mass_micro").desc, col("term"))).cast("long"))
+      .filter(col("trank") <= m)
+      .select(col("term"), col("mass_micro"), col("trank"))
+  }
+
+  /** The expanded search: BM25 over seed ∪ expansion terms (disjoint by
+    * construction — [[prfTerms]] excludes the seed), served as the
+    * global top-n cut with full score provenance. */
+  def searchPrf(d: DataFrame, q0: Seq[String] = SeedQuery, k0: Int = 10,
+      m: Int = 5, n: Int = 20, minDf: Long = 2L): DataFrame = {
+    require(n >= 1, s"bad n=$n")
+    val spark = d.sparkSession
+    val seed = spark.createDataset(q0)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("term")
+    val qterms = seed.unionByName(prfTerms(d, q0, k0, m, minDf)
+      .select("term"))
+    // two consumers (the cut and the provenance join): one pass
+    val scored = TextOps.bm25SearchTerms(d, qterms).localCheckpoint(true)
+    topDocs(scored, n)
+      .join(scored, "doc_id")
+      .select(col("doc_id"), col("n_terms_matched"), col("score"),
+        col("rnk"))
+  }
+}

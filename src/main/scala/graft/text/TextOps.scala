@@ -23,7 +23,7 @@ object TextOps {
     * ops stay inside whole-stage codegen. */
   private val toksExpr = "filter(split(text, ' '), x -> x != '')"
 
-  private def withToks(d: DataFrame): DataFrame =
+  private[text] def withToks(d: DataFrame): DataFrame =
     d.withColumn("toks", expr(toksExpr))
 
   /** Lowercased tokenization as ONE definition for batch and streaming
@@ -867,6 +867,34 @@ object TextOps {
     * (digest groups are copy-counts, strata are few). The yield guard is
     * an INTEGER predicate (tokens_raw > 0), so row membership can't flip
     * on an engine FP difference. */
+  /** Data-ablation LADDER receipts — the nested subsample chain a
+    * scaling-law experiment trains on (D/16 ⊂ D/8 ⊂ D/4 ⊂ D/2 ⊂ D):
+    * rung membership is an md5 hex-prefix threshold on doc_id, so the
+    * rungs are NESTED BY CONSTRUCTION (the same key under increasing
+    * thresholds — growing the budget only ADDS documents, it never
+    * resamples, which is what makes per-rung loss curves comparable),
+    * deterministic, engine-independent, and stable under
+    * repartitioning (the doc_sample/split_assign md5 posture). One
+    * corpus scan theta-joined to the 5-row rung table (broadcast
+    * nested-loop over a constant side), one hash agg to 5 rows; every
+    * output is an exact integer under the hash gate. The denom-1 rung
+    * doubles as the full-corpus control row. */
+  def scalingLadder(d: DataFrame, salt: String = "ladder"): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    // 'g' sorts above every hex digit — the full-corpus rung
+    val rungs = Seq((16L, "1"), (8L, "2"), (4L, "4"), (2L, "8"),
+      (1L, "g")).toDF("denom", "thr")
+    d.withColumn("k", substring(md5(concat_ws(":",
+        col("doc_id").cast("string"), lit(salt))), 1, 1))
+      .withColumn("n_toks", size(expr(toksExpr)).cast("long"))
+      .join(broadcast(rungs), col("k") < col("thr"))
+      .groupBy(col("denom"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+  }
+
   def tokenYield(d: DataFrame): DataFrame = {
     val toks = withToks(d).select(col("doc_id"), col("lang"), col("source"),
       size(col("toks")).cast("long").as("n_tok"))
@@ -2027,6 +2055,21 @@ object TextOps {
   def bm25Search(d: DataFrame, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "empty query")
+    val termsDf = d.sparkSession
+      .createDataset(terms)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("term")
+    bm25SearchTerms(d, termsDf, k1, b)
+  }
+
+  /** [[bm25Search]] with the query terms as a TABLE — one definition
+    * (bm25Search delegates here): the literal isin filter becomes a
+    * broadcast equijoin on the distinct term set, an identical
+    * membership predicate over the post-explode term column (nothing
+    * was scan-pushable — terms are explode outputs). The table form is
+    * what query EXPANSION needs: [[Prf.searchPrf]] feeds the union of
+    * the seed terms and the mined expansion terms. */
+  def bm25SearchTerms(d: DataFrame, termsDf: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val withDl = withToks(d.withColumn("text", lower(col("text"))))
       .select(col("doc_id"), col("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
@@ -2035,7 +2078,7 @@ object TextOps {
       count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val tf = withDl
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .filter(col("term").isin(terms: _*))
+      .join(broadcast(termsDf.select(col("term")).distinct()), "term")
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -2165,8 +2208,13 @@ object TextOps {
     * anywhere, so a 4-decimal half-boundary can't flip row membership
     * between engines. Shuffles: the tf agg and the per-doc window hash
     * partition — never a global sort. */
-  def docKeywords(d: DataFrame, k: Int = 3): DataFrame = {
-    require(k >= 1, s"bad k=$k")
+  /** The doc_keywords tf-idf chain as a shared table: (doc_id, term,
+    * tf, df, micro) with micro = tf · idf_micro (idf = ln(n_docs/df)
+    * snapped to the 1e-6 grid) — exact integers end to end. One
+    * definition for [[docKeywords]] and [[Prf]]'s expansion-term mass
+    * (the reportBlock discipline: a chain drift can only break one
+    * place). */
+  private[text] def tfidfMicroTable(d: DataFrame): DataFrame = {
     val tf = withToks(d.withColumn("text", lower(col("text"))))
       .select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("term"))
@@ -2182,6 +2230,13 @@ object TextOps {
         round(log(col("n_docs") / col("df")) * lit(1000000.0), 0)
           .cast("long"))
       .withColumn("micro", col("tf") * col("idf_micro"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("micro"))
+  }
+
+  def docKeywords(d: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, s"bad k=$k")
+    tfidfMicroTable(d)
       .withColumn("tfidf",
         expr("(micro + 50) div 100").cast("double") / lit(10000.0))
       .withColumn("rnk", row_number().over(

@@ -600,4 +600,41 @@ class StreamOpsSpec extends SparkSpec {
     assert(lr.getAs[Long]("bytes_reclaimed") == 0L)
     assert(lr.getAs[Long]("reclaim_milli") == 0L)
   }
+
+  test("quarantine: every canary maps to its reason, precedence holds, clean row passes") {
+    val raw = EventLog.raw(spark, SF)
+    val got = StreamOps.quarantine(StreamOps.quarantineCanaries(raw))
+      .collect().map(r => (r.getAs[Long]("event_id"),
+        r.getAs[String]("reason"))).toMap
+    assert(got == Map(
+      9000000001L -> "null_ts", 9000000002L -> "null_segment",
+      9000000003L -> "null_space", 9000000004L -> "empty_space",
+      9000000005L -> "null_value", 9000000006L -> "bad_value",
+      9000000007L -> "bad_value", 9000000008L -> "bad_value",
+      9000000009L -> "null_props", 9000000010L -> "bad_props",
+      // precedence: null ts AND bad value AND bad props → earliest
+      9000000011L -> "null_ts"), got.toString)
+    // the clean negative control never surfaces
+    assert(!got.contains(9000000012L))
+    // the real gate-scale log is clean — the registered row's non-canary
+    // contribution is empty, exactly what sk_log_health counts
+    assert(StreamOps.quarantine(raw).count() == 0L)
+  }
+
+  test("quarantine streaming dual is the same expression over a stream (exact)") {
+    import java.nio.file.Files
+    val raw = EventLog.raw(spark, SF)
+    val mixed = StreamOps.quarantineCanaries(raw) // 12 rows, all paths
+    val dir = Files.createTempDirectory("graft_quarantine_s").toString
+    mixed.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(mixed.schema).parquet(dir)
+    val q = StreamOps.quarantine(stream).writeStream
+      .format("memory").queryName("quarantine_stream")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("quarantine_stream")
+      .collect().map(_.toSeq).toSet
+    val want = StreamOps.quarantine(mixed).collect().map(_.toSeq).toSet
+    assert(want.size == 11 && got == want)
+  }
 }

@@ -1942,4 +1942,27 @@ class TextSpec extends SparkSpec {
       col("c_digit") + col("c_space") + col("c_other") =!= col("n_chars"))
     assert(bad.count() == 0L)
   }
+
+  test("scaling ladder: rungs nest, masses are monotone, the full rung is the corpus") {
+    val docs = TextOps.docs(spark, SF)
+    val rows = TextOps.scalingLadder(docs).collect()
+      .map(r => r.getAs[Long]("denom") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))))
+      .toMap
+    assert(rows.keySet == Set(1L, 2L, 4L, 8L, 16L))
+    assert(rows(1L)._1 == docs.count(), "denom-1 rung must be the corpus")
+    // growing the budget only ADDS documents and token mass
+    Seq(16L, 8L, 4L, 2L, 1L).sliding(2).foreach { w =>
+      assert(rows(w(0))._1 <= rows(w(1))._1 &&
+        rows(w(0))._2 <= rows(w(1))._2, s"rung ${w(0)} vs ${w(1)}")
+    }
+    // true id-level subset nesting (not just monotone counts)
+    def rung(thr: String) = docs.filter(
+        substring(md5(concat_ws(":", col("doc_id").cast("string"),
+          lit("ladder"))), 1, 1) < thr)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val (s16, s8) = (rung("1"), rung("2"))
+    assert(s16.nonEmpty && s16.subsetOf(s8))
+    assert(s8.size.toLong == rows(8L)._1)
+  }
 }
