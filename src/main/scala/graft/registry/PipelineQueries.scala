@@ -686,6 +686,47 @@ object PipelineQueries {
                  AS BIGINT) AS trank
         FROM mass)"""
 
+  /** The expanded-query bm25 chain (qterms = seed ∪ mined terms, then
+    * the bm25 IEEE expression over the term-table join) — shared
+    * VERBATIM by search_prf and expansion_eval. */
+  private val PrfExpandedCtes = s"""
+      qterms AS (
+        SELECT term FROM etop WHERE trank <= 5
+        UNION ALL
+        SELECT unnest(['vector', 'stream', 'window', 'hash']) AS term),
+      t2 AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                 AS toks
+        FROM documents),
+      dl2 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks
+              FROM t2),
+      sc2 AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl2),
+      tfq AS (
+        SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl2)
+        JOIN qterms USING (term)
+        GROUP BY 1, 2, 3),
+      dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM tfq GROUP BY 1),
+      contrib2 AS (
+        SELECT doc_id,
+               CAST(round(
+                 (round(ln((n_docs - df + 0.5::DOUBLE) /
+                     (df + 0.5::DOUBLE) + 1.0::DOUBLE) *
+                     1000000.0::DOUBLE, 0) / 1000000.0::DOUBLE) *
+                   ((tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
+                     (tf + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE) +
+                       0.75::DOUBLE * (dl / (sum_dl / n_docs)))))
+                 * 1000000.0::DOUBLE, 0) AS BIGINT) AS micro
+        FROM tfq JOIN dfq USING (term) CROSS JOIN sc2),
+      f AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+               CAST((CAST(sum(micro) AS BIGINT) + 50) // 100 AS DOUBLE) /
+                 10000.0::DOUBLE AS score
+        FROM contrib2 GROUP BY doc_id)"""
+
   /** The chunk-corpus relation (one row per (doc, chunk) with the
     * composite id doc_id·2²⁰ + chunk_idx and the chunk's own text) —
     * the chunkCorpus derivation as an embeddable relation, so
@@ -1538,6 +1579,10 @@ object PipelineQueries {
     // aggregates (never a corpus sort)
     "prf_terms" -> ((s, d) => graft.text.Prf.prfTerms(docs(s, d))),
     "search_prf" -> ((s, d) => graft.text.Prf.searchPrf(docs(s, d))),
+    // what the expansion changed vs the seed ranking: one exact-integer
+    // overlap row (common/new/dropped at the cut + the seed's matched
+    // population) — the off-topic-drift sanity number
+    "expansion_eval" -> ((s, d) => graft.text.Prf.expansionEval(docs(s, d))),
     // HYBRID retrieval (RRF, r21): the doc_similar lexical member and
     // the embedding-cosine semantic member fused in exact integer
     // micro-units (1e9 div (60+rank), BIGINT sums) — rank windows run
@@ -1570,6 +1615,21 @@ object PipelineQueries {
       s.sql(s"DROP TABLE IF EXISTS ${tbl}_stats")
       TextOps.writeTextIndex(docs(s, d), tbl, path)
       TextOps.searchIndex(s, tbl, Seq("vector", "stream", "window", "hash"))
+    }),
+    // standing-query routing score: arriving docs ranked against a
+    // frozen-stats query (df/n_docs/sum_dl from the persisted index,
+    // the doc's own tf/dl from its row, the ONE bm25ScoreTail) — for
+    // corpus members this equals text_search_bm25 exactly, so it
+    // shares that oracle (the text_search_indexed transparent-hop
+    // posture); the serving value is scoring docs NOT in the index
+    // (spec-pinned: a novel doc's score is stable as others arrive)
+    "standing_query_route" -> ((s, d) => {
+      val (tbl, path) = runScopedTable(s, d, "graft_route_index")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"DROP TABLE IF EXISTS ${tbl}_stats")
+      TextOps.writeTextIndex(docs(s, d), tbl, path)
+      TextOps.standingQueryScore(s, tbl, docs(s, d),
+        Seq("vector", "stream", "window", "hash"))
     }),
     // ── H. multimodal ─────────────────────────────────────────────────
     "mm_ingest" -> ((s, d) => Multimodal.byteStats(
@@ -2701,6 +2761,9 @@ object PipelineQueries {
     // the persisted-index probe is result-identical to the ad-hoc BM25
     // (df/tf/dl round-trip the index exactly) — same oracle
     "text_search_indexed" -> Bm25OracleSql,
+    // frozen-stats routing over corpus members is result-identical to
+    // the ad-hoc BM25 (stats froze from the same corpus) — same oracle
+    "standing_query_route" -> Bm25OracleSql,
 
     // tf-idf = tf * ln(n_docs/df); n_docs counts docs with >= 1 token
     // (the tf table's distinct doc set) exactly as the Spark side.
@@ -2753,48 +2816,38 @@ object PipelineQueries {
     // DESC, doc_id) — order-equivalent to the engine's MinKByKey key
     "search_prf" -> s"""
       $PrfCtes,
-      qterms AS (
-        SELECT term FROM etop WHERE trank <= 5
-        UNION ALL
-        SELECT unnest(['vector', 'stream', 'window', 'hash']) AS term),
-      t2 AS (
-        SELECT doc_id,
-               list_filter(string_split(lower(text), ' '), x -> x <> '')
-                 AS toks
-        FROM documents),
-      dl2 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks
-              FROM t2),
-      sc2 AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                     CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl2),
-      tfq AS (
-        SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
-        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl2)
-        JOIN qterms USING (term)
-        GROUP BY 1, 2, 3),
-      dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-              FROM tfq GROUP BY 1),
-      contrib2 AS (
-        SELECT doc_id,
-               CAST(round(
-                 (round(ln((n_docs - df + 0.5::DOUBLE) /
-                     (df + 0.5::DOUBLE) + 1.0::DOUBLE) *
-                     1000000.0::DOUBLE, 0) / 1000000.0::DOUBLE) *
-                   ((tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
-                     (tf + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE) +
-                       0.75::DOUBLE * (dl / (sum_dl / n_docs)))))
-                 * 1000000.0::DOUBLE, 0) AS BIGINT) AS micro
-        FROM tfq JOIN dfq USING (term) CROSS JOIN sc2),
-      f AS (
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
-               CAST((CAST(sum(micro) AS BIGINT) + 50) // 100 AS DOUBLE) /
-                 10000.0::DOUBLE AS score
-        FROM contrib2 GROUP BY doc_id)
+      $PrfExpandedCtes
       SELECT doc_id, n_terms_matched, score, rnk FROM (
         SELECT doc_id, n_terms_matched, score,
                CAST(row_number() OVER (ORDER BY score DESC, doc_id)
                  AS BIGINT) AS rnk
         FROM f)
       WHERE rnk <= 20""",
+    // both rankings' top-20 cuts compared set-wise; n_seed_matched is
+    // the seed query's whole matched population (the denominator a
+    // drift dashboard plots the cut against)
+    "expansion_eval" -> s"""
+      $PrfCtes,
+      $PrfExpandedCtes,
+      sv AS (SELECT doc_id FROM (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS r
+          FROM b0) WHERE r <= 20),
+      ev AS (SELECT doc_id FROM (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS r
+          FROM f) WHERE r <= 20),
+      jj AS (
+        SELECT sv.doc_id AS s, ev.doc_id AS e
+        FROM sv FULL OUTER JOIN ev ON sv.doc_id = ev.doc_id)
+      SELECT CAST(count(CASE WHEN s IS NOT NULL AND e IS NOT NULL
+               THEN 1 END) AS BIGINT) AS n_common,
+             CAST(count(CASE WHEN s IS NULL THEN 1 END) AS BIGINT)
+               AS n_new,
+             CAST(count(CASE WHEN e IS NULL THEN 1 END) AS BIGINT)
+               AS n_dropped,
+             (SELECT CAST(count(*) AS BIGINT) FROM b0) AS n_seed_matched
+      FROM jj""",
 
     // RRF fusion over the two member formulations composed verbatim;
     // integer reciprocal masses (1e9 // (60+rank)) so the fused order

@@ -600,6 +600,27 @@ object Streaming {
     docStream.writeStream.foreachBatch(perBatch).start()
   }
 
+  /** LIVE standing-query routing (the runDocSimilarProbe posture):
+    * every arriving document is scored against the standing query with
+    * collection statistics FROZEN from the persisted postings index —
+    * [[graft.text.TextOps.standingQueryScore]] VERBATIM per
+    * micro-batch (df from a bucketed term-pruned index scan, n_docs/
+    * sum_dl from the stats table, the doc's own tf/dl from its own
+    * row). A doc's score is a pure function of its row against the
+    * frozen artifacts, so per-batch semantics are EXACT and routing
+    * thresholds are stable across the index generation — the alerting
+    * shape ("page me when a crawl batch matches this query") a
+    * serving layer runs during ingest. No state store, no driver
+    * residency. */
+  def runStandingQueryProbe(spark: SparkSession, docStream: DataFrame,
+      indexTable: String, terms: Seq[String])(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => sink(graft.text.TextOps.standingQueryScore(
+        spark, indexTable, batch.toDF(), terms))
+    docStream.writeStream.foreachBatch(perBatch).start()
+  }
+
   /** LIVE hybrid retrieval — RRF serving during ingest (the
     * runDocSimilarProbe posture): every arriving query document (text +
     * embedding in one row) probes the persisted doc-vector index for

@@ -85,6 +85,31 @@ object Prf {
       .select(col("term"), col("mass_micro"), col("trank"))
   }
 
+  /** What the expansion CHANGED — the diagnostic a retrieval owner
+    * reads before trusting PRF (expansion can drift a query off-topic;
+    * the overlap against the seed ranking is the standard sanity
+    * number): ONE exact-integer row comparing the seed top-n and the
+    * expanded top-n — common/new/dropped docs at the cut plus both
+    * matched-doc populations. Both rankings are the same bounded
+    * MinKByKey cut; set arithmetic via one full-outer join on doc_id.
+    * count(CASE..)-style count(when) so an empty corpus yields zeros. */
+  def expansionEval(d: DataFrame, q0: Seq[String] = SeedQuery,
+      k0: Int = 10, m: Int = 5, n: Int = 20,
+      minDf: Long = 2L): DataFrame = {
+    val seedScored = TextOps.bm25Search(d, q0).localCheckpoint(true)
+    val seedTop = topDocs(seedScored, n)
+      .select(col("doc_id"), lit(1).as("in_seed"))
+    val expTop = searchPrf(d, q0, k0, m, n, minDf)
+      .select(col("doc_id"), lit(1).as("in_exp"))
+    val j = seedTop.join(expTop, Seq("doc_id"), "full_outer")
+    j.agg(
+        count(when(col("in_seed").isNotNull && col("in_exp").isNotNull,
+          lit(1))).as("n_common"),
+        count(when(col("in_seed").isNull, lit(1))).as("n_new"),
+        count(when(col("in_exp").isNull, lit(1))).as("n_dropped"))
+      .crossJoin(seedScored.agg(count(lit(1)).as("n_seed_matched")))
+  }
+
   /** The expanded search: BM25 over seed ∪ expansion terms (disjoint by
     * construction — [[prfTerms]] excludes the seed), served as the
     * global top-n cut with full score provenance. */

@@ -2082,15 +2082,30 @@ object TextOps {
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // idf uses the +1 variant (never negative); avgdl stays as the
-    // sub-expression sum_dl/n_docs — both engines divide the same exact
-    // BIGINTs, so the double agrees bit-for-bit. ln() is the ONE
-    // transcendental in the score and engines' libm may differ by an
-    // ulp (measured at sf0.1: a flipped micro-unit), so the idf is
-    // snapped to the 1e-6 grid on both sides BEFORE composing — the
-    // rest is correctly-rounded IEEE arithmetic over identical inputs
-    tf.join(broadcast(df), "term")
-      .crossJoin(broadcast(scalars))
+    bm25ScoreTail(tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(scalars)), k1, b)
+  }
+
+  /** The ONE bm25 scoring tail — input rows carry (doc_id, dl, term,
+    * tf, df, n_docs, sum_dl); shared verbatim by [[bm25SearchTerms]]
+    * (collection stats computed in-query), [[searchIndex]] (stats and
+    * postings from the persisted index), and [[standingQueryScore]]
+    * (arriving docs against frozen stats), so the score definition
+    * cannot drift between the ad-hoc, persisted, and streaming faces.
+    * FP contract: idf uses the +1 variant (never negative); avgdl
+    * stays as the sub-expression sum_dl/n_docs — both engines divide
+    * the same exact BIGINTs, so the double agrees bit-for-bit. ln() is
+    * the ONE transcendental and engine libms may differ by an ulp
+    * (measured at sf0.1: a flipped micro-unit), so the idf is snapped
+    * to the 1e-6 grid on both sides BEFORE composing; per-term
+    * contributions are rounded to integer micro-units BEFORE the
+    * per-doc sum (summation order can never flip the score); the
+    * 4-decimal display is INTEGER half-up + one exact division (micro
+    * sums end in ...50 by construction, where Spark's decimal-string
+    * round diverges from DuckDB's binary round). */
+  private[text] def bm25ScoreTail(joined: DataFrame, k1: Double,
+      b: Double): DataFrame =
+    joined
       .withColumn("idf",
         round(log((col("n_docs") - col("df") + lit(0.5)) /
             (col("df") + lit(0.5)) + lit(1.0)) * lit(1000000.0), 0) /
@@ -2105,13 +2120,9 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms_matched"),
         sum(col("micro")).as("micro_sum"))
-      // 4-decimal display via INTEGER half-up + one exact division:
-      // micro sums end in ...50 by construction, and Spark's decimal-
-      // string round disagrees with DuckDB's binary round exactly there
       .select(col("doc_id"), col("n_terms_matched"),
         (expr("(micro_sum + 50) div 100").cast("double") /
           lit(10000.0)).as("score"))
-  }
 
   /** Persist the corpus postings index for [[searchIndex]] as an external
     * table BUCKETED BY term — the search-serving dual of
@@ -2170,29 +2181,43 @@ object TextOps {
       .filter(col("term").isin(terms: _*))
     val scalars = graft.sources.Staged.liveTable(spark, s"${tableName}_stats")
     val df = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    postings.join(broadcast(df), "term")
-      .crossJoin(broadcast(scalars))
-      // idf snapped to the 1e-6 grid — same ulp rationale as bm25Search
-      .withColumn("idf",
-        round(log((col("n_docs") - col("df") + lit(0.5)) /
-            (col("df") + lit(0.5)) + lit(1.0)) * lit(1000000.0), 0) /
-          lit(1000000.0))
-      .withColumn("contrib",
-        col("idf") *
-          ((col("tf") * (lit(k1) + lit(1.0))) /
-            (col("tf") + lit(k1) * ((lit(1.0) - lit(b)) +
-              lit(b) * (col("dl") / (col("sum_dl") / col("n_docs")))))))
-      .withColumn("micro",
-        round(col("contrib") * lit(1000000.0), 0).cast("long"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_terms_matched"),
-        sum(col("micro")).as("micro_sum"))
-      // 4-decimal display via INTEGER half-up + one exact division:
-      // micro sums end in ...50 by construction, and Spark's decimal-
-      // string round disagrees with DuckDB's binary round exactly there
-      .select(col("doc_id"), col("n_terms_matched"),
-        (expr("(micro_sum + 50) div 100").cast("double") /
-          lit(10000.0)).as("score"))
+    // the ONE scoring tail — identical chain to the ad-hoc search
+    bm25ScoreTail(postings.join(broadcast(df), "term")
+      .crossJoin(broadcast(scalars)), k1, b)
+  }
+
+  /** STANDING-QUERY routing score — the scoring face a live router
+    * needs: rank ARRIVING documents (not yet in any index) against a
+    * standing query, with the collection statistics FROZEN from the
+    * persisted postings index ([[writeTextIndex]]): df from the
+    * query-term postings (a bucketed, term-pruned index scan), n_docs/
+    * sum_dl from the stats side table, the doc's own tf/dl from its
+    * own row. Scores are therefore stable while the index generation
+    * stands (an arriving doc's score doesn't drift as OTHER docs
+    * arrive — the property a routing threshold needs), and for corpus
+    * member docs they equal [[bm25Search]] exactly (same stats, same
+    * tail — text_search_bm25's oracle checks the registered row).
+    * Stateless per doc → the streaming dual
+    * ([[graft.streaming.Streaming.runStandingQueryProbe]]) runs this
+    * verbatim per micro-batch, exactly. */
+  def standingQueryScore(spark: SparkSession, indexTable: String,
+      d: DataFrame, terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    val dfT = graft.sources.Staged.liveTable(spark, indexTable)
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scalars = graft.sources.Staged
+      .liveTable(spark, s"${indexTable}_stats")
+    val tf = withToks(d.withColumn("text", lower(col("text"))))
+      .select(col("doc_id"), col("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    bm25ScoreTail(tf.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(scalars)), k1, b)
   }
 
   /** Per-document keyword extraction: top-k tokens by tf-idf (idf =

@@ -51,6 +51,65 @@ class PrfSpec extends SparkSpec {
     assert(!plan.contains("Window") && !plan.contains("Sort "), plan)
   }
 
+  test("expansionEval set arithmetic is consistent with the two cuts it compares") {
+    val d = TextOps.docs(spark, SF)
+    val r = Prf.expansionEval(d).collect().head
+    val (common, nw, dropped) = (r.getAs[Long]("n_common"),
+      r.getAs[Long]("n_new"), r.getAs[Long]("n_dropped"))
+    val seedTop = Prf.topDocs(TextOps.bm25Search(d, Prf.SeedQuery), 20)
+      .count()
+    val expTop = Prf.searchPrf(d).count()
+    assert(common + dropped == seedTop, s"$common+$dropped != $seedTop")
+    assert(common + nw == expTop, s"$common+$nw != $expTop")
+    assert(r.getAs[Long]("n_seed_matched") >= seedTop)
+  }
+
+  test("standing-query score of a novel doc is frozen-stats stable and the stream probe is exact") {
+    import java.nio.file.Files
+    val docs = TextOps.docs(spark, SF)
+    spark.sql("DROP TABLE IF EXISTS route_idx")
+    spark.sql("DROP TABLE IF EXISTS route_idx_stats")
+    val idx = Files.createTempDirectory("graft_route_idx").toString + "/v"
+    TextOps.writeTextIndex(docs, "route_idx", idx)
+    val q = Prf.SeedQuery
+    // a doc NOT in the index: its score must not depend on which other
+    // novel docs share its batch (frozen collection statistics)
+    val novelA = corpus((900001L, "vector stream vector hash extra"))
+    val novelB = corpus((900001L, "vector stream vector hash extra"),
+      (900002L, "window window stream filler body"),
+      (900003L, "no query words at all"))
+    val alone = TextOps.standingQueryScore(spark, "route_idx", novelA, q)
+      .collect().map(_.toSeq).toSet
+    val inBatch = TextOps.standingQueryScore(spark, "route_idx", novelB, q)
+      .filter(col("doc_id") === 900001L).collect().map(_.toSeq).toSet
+    assert(alone.size == 1 && alone == inBatch, s"$alone vs $inBatch")
+    // corpus members score exactly as the ad-hoc bm25 (shared oracle's
+    // engine-side witness)
+    val viaRoute = TextOps.standingQueryScore(spark, "route_idx", docs, q)
+      .collect().map(_.toSeq).toSet
+    val adhoc = TextOps.bm25Search(docs, q).collect().map(_.toSeq).toSet
+    assert(adhoc.nonEmpty && viaRoute == adhoc)
+    // the stream probe runs the same scorer per micro-batch, exactly
+    val arrivals = docs.select("doc_id", "text").limit(40)
+      .unionByName(
+        corpus((900007L, "vector hash novel arrival"))
+          .select("doc_id", "text"))
+    val dir = Files.createTempDirectory("graft_route_stream").toString
+    arrivals.repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(arrivals.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val sq = graft.streaming.Streaming.runStandingQueryProbe(spark,
+        stream, "route_idx", q) { b =>
+      val rows = b.collect().map(_.toSeq)
+      buf.synchronized { buf ++= rows }
+    }
+    sq.processAllAvailable(); sq.stop()
+    val want = TextOps.standingQueryScore(spark, "route_idx",
+      spark.read.parquet(dir), q).collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && buf.toSet == want)
+  }
+
   test("searchPrf equals BM25 over seed union mined terms with the window cut") {
     val d = TextOps.docs(spark, SF)
     val got = Prf.searchPrf(d).collect().map(_.toSeq).toSet
