@@ -2055,30 +2055,40 @@ object TextOps {
   def bm25Search(d: DataFrame, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "empty query")
-    val termsDf = d.sparkSession
-      .createDataset(terms)(org.apache.spark.sql.Encoders.STRING)
-      .toDF("term")
-    bm25SearchTerms(d, termsDf, k1, b)
+    // literal queries keep the inline isin predicate: an identical
+    // membership test to the term-table join, WITHOUT a broadcast
+    // stage per query (MEASURED r21 anchors: the join form read
+    // text_search_bm25 warm 0.59 → 1.32 s — a 2.25× on a query whose
+    // era factor was 1.35×; reverted to the predicate, the scoring
+    // chain stays ONE definition via bm25SearchCore)
+    bm25SearchCore(d, _.filter(col("term").isin(terms: _*)), k1, b)
   }
 
-  /** [[bm25Search]] with the query terms as a TABLE — one definition
-    * (bm25Search delegates here): the literal isin filter becomes a
-    * broadcast equijoin on the distinct term set, an identical
-    * membership predicate over the post-explode term column (nothing
-    * was scan-pushable — terms are explode outputs). The table form is
-    * what query EXPANSION needs: [[Prf.searchPrf]] feeds the union of
-    * the seed terms and the mined expansion terms. */
+  /** [[bm25Search]] with the query terms as a TABLE — the shape query
+    * EXPANSION needs ([[Prf.searchPrf]] feeds seed ∪ mined terms): the
+    * membership test becomes a broadcast equijoin on the distinct term
+    * set; everything else is [[bm25SearchCore]] verbatim. */
   def bm25SearchTerms(d: DataFrame, termsDf: DataFrame,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25SearchCore(d,
+      _.join(broadcast(termsDf.select(col("term")).distinct()), "term"),
+      k1, b)
+
+  /** The ONE ad-hoc bm25 chain — `prune` restricts the exploded term
+    * stream to the query (an inline predicate for literal queries, a
+    * broadcast term-table equijoin for expanded ones); identical
+    * membership semantics, so both faces share tf/df derivation and
+    * [[bm25ScoreTail]]. */
+  private def bm25SearchCore(d: DataFrame,
+      prune: DataFrame => DataFrame, k1: Double, b: Double): DataFrame = {
     val withDl = withToks(d.withColumn("text", lower(col("text"))))
       .select(col("doc_id"), col("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
     // corpus scalars: one partial-combined agg → 1 broadcast row
     val scalars = withDl.agg(
       count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val tf = withDl
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .join(broadcast(termsDf.select(col("term")).distinct()), "term")
+    val tf = prune(withDl
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term")))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
