@@ -548,4 +548,40 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), p)
     }
   }
+
+  test("hybrid fusion: no cartesian; every window is KEYED by doc_id (bounded member lists)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = graft.similarity.Hybrid.hybridSearch(
+      graft.text.TextOps.docs(spark, SF),
+      graft.similarity.Knn.emb(spark, SF))
+    // windows partition the τ-bounded candidate lists per query —
+    // an UNPARTITIONED window here would be a corpus-wide sort
+    val wins = df.queryExecution.optimizedPlan
+      .collect { case w: LWindow => w }
+    assert(wins.nonEmpty &&
+      wins.forall(_.partitionSpec.nonEmpty), wins.toString)
+    assert(!plan(df).contains("CartesianProduct"), plan(df))
+  }
+
+  test("standing_query_route probes the bucketed postings index; hybrid_search_ivf keeps the IVF fences") {
+    val docs = graft.text.TextOps.docs(spark, SF)
+    spark.sql("DROP TABLE IF EXISTS route_plan_idx")
+    spark.sql("DROP TABLE IF EXISTS route_plan_idx_stats")
+    val idx = Files.createTempDirectory("graft_route_plan").toString + "/v"
+    graft.text.TextOps.writeTextIndex(docs, "route_plan_idx", idx)
+    val p = plan(graft.text.TextOps.standingQueryScore(spark,
+      "route_plan_idx", docs, Seq("vector", "stream")))
+    // the df rollup reads the term-bucketed postings (no index-side
+    // reshuffle) and nothing degenerates to a cross product — the
+    // scalar stats crossJoin is a 1-row broadcast by construction
+    assert(p.contains("Bucketed: true"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    spark.sql("DROP TABLE IF EXISTS hyb_ivf_plan")
+    val idx2 = Files.createTempDirectory("graft_hyb_ivf_plan")
+      .toString + "/v"
+    val ph = plan(graft.similarity.Hybrid.hybridSearchIvf(spark, docs,
+      graft.similarity.Knn.emb(spark, SF), "hyb_ivf_plan", idx2))
+    assert(ph.contains("Bucketed: true"), ph)
+    assert(!ph.contains("CartesianProduct"), ph)
+  }
 }
