@@ -77,6 +77,32 @@ class HybridSpec extends SparkSpec {
     assert(out.exists(_.getAs[Long]("sem_rank") > 0))
   }
 
+  test("RRF fusion respects Pareto dominance over member ranks") {
+    // deterministic member lists wide enough to exercise absent-member
+    // candidates and assorted rank combinations; at ranks <= 60 the
+    // integer reciprocal 1e9 div (60+r) is strictly monotone, so a
+    // candidate at least as good in both members and strictly better
+    // in one must fuse strictly higher
+    val lex = (1 to 40).map(i => (1L, 100L + i, 1.0 - i * 0.01))
+      .toDF("doc_id", "cand_id", "score")
+    val sem = (1 to 25).map(i => (1L, 100L + ((i * 7) % 50), 1.0 - i * 0.02))
+      .toDF("doc_id", "cand_id", "score")
+    val rows = Hybrid.fuse(lex, sem)
+      .select("cand_id", "lex_rank", "sem_rank", "rrf_micro")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // rank 0 = absent = strictly worse than any real rank
+    def better(a: Long, b: Long) = a > 0 && (b == 0 || a < b)
+    def atLeast(a: Long, b: Long) = (a > 0 && (b == 0 || a <= b)) ||
+      (a == 0 && b == 0)
+    for ((ca, la, sa, ra) <- rows; (cb, lb, sb, rb) <- rows if ca != cb) {
+      if (atLeast(la, lb) && atLeast(sa, sb) &&
+          (better(la, lb) || better(sa, sb)))
+        assert(ra > rb, s"dominance violated: $ca($la,$sa,$ra) " +
+          s"vs $cb($lb,$sb,$rb)")
+    }
+  }
+
   test("lexical pair-source swap (docSimilarPrefix) leaves the fused output row-identical") {
     val d = TextOps.docs(spark, SF)
     val e = Knn.emb(spark, SF)
