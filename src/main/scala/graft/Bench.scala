@@ -26,7 +26,7 @@ object Bench {
       "knn_recall_audit_quantized", "knn_label_prop_ivf",
       "doc_similar_persisted", "chunk_similar_persisted",
       "triplet_mine_ivf", "knn_pq", "pq_recall_audit", "pq_code_balance",
-      "hybrid_search_ivf", "standing_query_route",
+      "hybrid_search_ivf", "standing_query_route", "search_prf_persisted",
       "vocab_coverage_persisted", "oov_tag", "ivf_balance_audit",
       "lm_score_persisted", "boilerplate_tag_persisted")
 

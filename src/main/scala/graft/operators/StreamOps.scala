@@ -231,7 +231,11 @@ object StreamOps {
     * over a stream (exact by construction, StreamOpsSpec). The oracle
     * repeats the ladder with the branch split sk_log_health uses (the
     * non-finite test BEFORE the BIGINT cast, so DuckDB's cast never
-    * sees NaN/Inf). */
+    * sees NaN/Inf). The bad_props mirror (`NOT json_valid` vs Spark's
+    * `get_json_object(props,'$') IS NULL`) agrees on every probed
+    * input INCLUDING a bare JSON 'null' — Spark returns the string
+    * 'null' there, not SQL NULL (measured r17, contra the r16 ADVICE
+    * hypothesis) — and canary 9000000013 pins that agreement. */
   def quarantine(raw: DataFrame): DataFrame = {
     val c = floor(col("value") * lit(100.0) + lit(0.5))
     val badValue = isnan(col("value")) ||
@@ -261,14 +265,21 @@ object StreamOps {
     * that must NOT surface. Pure constants (ids in the 9·10⁹ range the
     * generator never emits), so the oracle reproduces them as VALUES;
     * the ts literal dispatches on the log's physical type (the
-    * EventLog.tsUs posture — nanos-as-long and micros eras both). */
+    * EventLog.tsUs posture — nanos-as-long and micros eras both). The
+    * canary schema takes NULLABLE copies of the source fields: the
+    * planted null ts/user_id/value/props rows must stay schema-legal
+    * even if a future source schema tightens a field to non-nullable
+    * (undefined behavior under codegen otherwise — r16 ADVICE). */
   def quarantineCanaries(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = raw.sparkSession
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value",
       "props")
-    val schema = StructType(cols.map(n => raw.schema(n)))
+    val schema = StructType(cols.map { n =>
+      val f = raw.schema(n)
+      StructField(f.name, f.dataType, nullable = true)
+    })
     val t: Any = raw.schema("ts").dataType match {
       case LongType => 1704067200000000000L // nanos-as-long era
       case _: TimestampNTZType => java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
@@ -286,7 +297,16 @@ object StreamOps {
       Row(9000000009L, t, 1L, "canary", 1.0, null),
       Row(9000000010L, t, 1L, "canary", 1.0, "{bad"),
       Row(9000000011L, null, 1L, "canary", 0.001, "{bad"),
-      Row(9000000012L, t, 1L, "canary", 2.5, """{"k":1}"""))
+      Row(9000000012L, t, 1L, "canary", 2.5, """{"k":1}"""),
+      // a BARE JSON NULL payload — the input where engine and oracle
+      // JSON validity predicates could plausibly diverge (r16 ADVICE
+      // hypothesized Spark quarantines it; MEASURED r17: Spark's
+      // get_json_object('null','$') returns the STRING 'null', not SQL
+      // NULL, and DuckDB json_valid('null') is true — both engines
+      // PASS the row). A second negative control pinning that
+      // agreement: if either engine's JSON semantics drift, this row
+      // surfaces on one side only and the hash gate catches it.
+      Row(9000000013L, t, 1L, "canary", 1.0, "null"))
     raw.select(cols.map(col): _*).limit(0).unionByName(
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), schema))

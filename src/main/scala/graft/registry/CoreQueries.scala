@@ -546,7 +546,9 @@ object CoreQueries {
           (CAST(9000000011 AS BIGINT), NULL::TIMESTAMP,
            CAST(1 AS BIGINT), 'canary', 0.001::DOUBLE, '{bad'),
           (CAST(9000000012 AS BIGINT), TIMESTAMP '2024-01-01 00:00:00',
-           CAST(1 AS BIGINT), 'canary', 2.5::DOUBLE, '{"k":1}'))
+           CAST(1 AS BIGINT), 'canary', 2.5::DOUBLE, '{"k":1}'),
+          (CAST(9000000013 AS BIGINT), TIMESTAMP '2024-01-01 00:00:00',
+           CAST(1 AS BIGINT), 'canary', 1.0::DOUBLE, 'null'))
           AS c(event_id, ts, user_id, event_type, value, props))
       SELECT event_id, reason FROM (
         SELECT event_id,
@@ -560,6 +562,13 @@ object CoreQueries {
                     WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) / 100.0
                          <> value THEN 'bad_value'
                     WHEN props IS NULL THEN 'null_props'
+                    -- NOT json_valid mirrors Spark's
+                    -- get_json_object(props,'$') IS NULL including the
+                    -- bare-JSON-'null' edge: MEASURED (r17) — Spark
+                    -- returns the 4-char STRING 'null' there, not SQL
+                    -- NULL, so both engines pass the row; canary
+                    -- 9000000013 pins the agreement (the r16 ADVICE
+                    -- hypothesized a divergence that tests false)
                     WHEN NOT json_valid(props) THEN 'bad_props'
                END AS reason
         FROM log)

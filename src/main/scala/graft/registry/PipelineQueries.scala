@@ -555,22 +555,10 @@ object PipelineQueries {
     * dedup_embedding), each ranked on (grid score DESC, cand_id), then
     * full-outer fused with exact-integer reciprocal masses — the same
     * arithmetic as [[graft.similarity.Hybrid.fuse]]. */
-  private val HybridFusedCtes = s"""
-      WITH p AS (${docSimilarSqlFrom("documents", "0.9")}),
-      lexd AS (
-        SELECT doc1 AS doc_id, doc2 AS cand_id, score FROM p
-        WHERE substr(md5(concat_ws(':', CAST(doc1 AS VARCHAR), 'hyb')),
-          1, 1) < '4'
-        UNION ALL
-        SELECT doc2 AS doc_id, doc1 AS cand_id, score FROM p
-        WHERE substr(md5(concat_ws(':', CAST(doc2 AS VARCHAR), 'hyb')),
-          1, 1) < '4'),
-      lexr AS (
-        SELECT doc_id, cand_id,
-               CAST(row_number() OVER (PARTITION BY doc_id
-                 ORDER BY score DESC, cand_id) AS BIGINT) AS lex_rank
-        FROM lexd),
-      semd AS (
+  /** The brute semantic member alone (embedding cosine over the md5
+    * query slice, finiteNorm fences mirrored from dedup_embedding) —
+    * shared by [[HybridFusedCtes]] and the hybrid_cap_audit oracle. */
+  private val HybridSemCte = s"""semd AS (
         SELECT q.vec_id AS doc_id, c.vec_id AS cand_id,
                round(list_cosine_similarity(q.embedding::DOUBLE[],
                  c.embedding::DOUBLE[]), 4) AS score
@@ -586,7 +574,24 @@ object PipelineQueries {
           AND list_dot_product(c.embedding::DOUBLE[],
                 c.embedding::DOUBLE[]) < 'infinity'::DOUBLE
           AND round(list_cosine_similarity(q.embedding::DOUBLE[],
-                c.embedding::DOUBLE[]), 4) >= 0.3),
+                c.embedding::DOUBLE[]), 4) >= 0.3)"""
+
+  private val HybridFusedCtes = s"""
+      WITH p AS (${docSimilarSqlFrom("documents", "0.9")}),
+      lexd AS (
+        SELECT doc1 AS doc_id, doc2 AS cand_id, score FROM p
+        WHERE substr(md5(concat_ws(':', CAST(doc1 AS VARCHAR), 'hyb')),
+          1, 1) < '4'
+        UNION ALL
+        SELECT doc2 AS doc_id, doc1 AS cand_id, score FROM p
+        WHERE substr(md5(concat_ws(':', CAST(doc2 AS VARCHAR), 'hyb')),
+          1, 1) < '4'),
+      lexr AS (
+        SELECT doc_id, cand_id,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, cand_id) AS BIGINT) AS lex_rank
+        FROM lexd),
+      $HybridSemCte,
       semr AS (
         SELECT doc_id, cand_id,
                CAST(row_number() OVER (PARTITION BY doc_id
@@ -726,6 +731,21 @@ object PipelineQueries {
                CAST((CAST(sum(micro) AS BIGINT) + 50) // 100 AS DOUBLE) /
                  10000.0::DOUBLE AS score
         FROM contrib2 GROUP BY doc_id)"""
+
+  /** The expanded-search serving cut over the PRF CTE chain — ONE
+    * definition shared by `search_prf` (ad-hoc tokenize) and
+    * `search_prf_persisted` (bucketed index probes): the two engine
+    * faces are row-identical by the index round-trip argument, so one
+    * SQL checks both. */
+  private val SearchPrfOracleSql = s"""
+      $PrfCtes,
+      $PrfExpandedCtes
+      SELECT doc_id, n_terms_matched, score, rnk FROM (
+        SELECT doc_id, n_terms_matched, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                 AS BIGINT) AS rnk
+        FROM f)
+      WHERE rnk <= 20"""
 
   /** The chunk-corpus relation (one row per (doc, chunk) with the
     * composite id doc_id·2²⁰ + chunk_idx and the chunk's own text) —
@@ -1579,6 +1599,18 @@ object PipelineQueries {
     // aggregates (never a corpus sort)
     "prf_terms" -> ((s, d) => graft.text.Prf.prfTerms(docs(s, d))),
     "search_prf" -> ((s, d) => graft.text.Prf.searchPrf(docs(s, d))),
+    // the expanded search served ENTIRELY from the persisted postings
+    // index (r16 verdict #3): seed ranking, expansion mining, and the
+    // expanded BM25 are all bucketed index probes — the corpus is
+    // tokenized ZERO times at query time (vs three ad-hoc tokenize
+    // passes); shares search_prf's oracle (transparent index hop)
+    "search_prf_persisted" -> ((s, d) => {
+      val (tbl, path) = runScopedTable(s, d, "graft_prf_index")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"DROP TABLE IF EXISTS ${tbl}_stats")
+      TextOps.writeTextIndex(docs(s, d), tbl, path)
+      graft.text.Prf.searchPrfIndexed(s, tbl)
+    }),
     // what the expansion changed vs the seed ranking: one exact-integer
     // overlap row (common/new/dropped at the cut + the seed's matched
     // population) — the off-topic-drift sanity number
@@ -1595,6 +1627,11 @@ object PipelineQueries {
     // per-modality candidate mass, agreement mass, served rows
     "hybrid_search_audit" -> ((s, d) => graft.similarity.Hybrid
       .hybridAudit(docs(s, d), Knn.emb(s, d))),
+    // drop accounting for hybrid_search_ivf's kSem member-depth cap
+    // (r16 ADVICE — no silent caps): queries whose full τ-passing
+    // semantic list reaches kSem, against the exact brute member
+    "hybrid_cap_audit" -> ((s, d) => graft.similarity.Hybrid
+      .capAudit(Knn.emb(s, d))),
     // the 100 TB shape: prefix-filtered lexical member (row-identical,
     // spec-proven) + persisted bucketed IVF semantic member (nprobe-
     // bounded list scan); rows-only — seeded k-means; HybridSpec pins
@@ -2814,15 +2851,13 @@ object PipelineQueries {
     // the unioned term set (the qterms equijoin mirrors the engine's
     // broadcast term-table join), cut at rnk <= 20 on (grid score
     // DESC, doc_id) — order-equivalent to the engine's MinKByKey key
-    "search_prf" -> s"""
-      $PrfCtes,
-      $PrfExpandedCtes
-      SELECT doc_id, n_terms_matched, score, rnk FROM (
-        SELECT doc_id, n_terms_matched, score,
-               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
-                 AS BIGINT) AS rnk
-        FROM f)
-      WHERE rnk <= 20""",
+    "search_prf" -> SearchPrfOracleSql,
+    // served ENTIRELY from the persisted postings index; every
+    // tf/df/dl/stat round-trips the index exactly and the scoring tail
+    // is the ONE bm25ScoreTail, so the persisted hop is transparent
+    // and the row shares search_prf's oracle verbatim (the
+    // vocab_coverage_persisted posture; PrfSpec pins row-identity)
+    "search_prf_persisted" -> SearchPrfOracleSql,
     // both rankings' top-20 cuts compared set-wise; n_seed_matched is
     // the seed query's whole matched population (the denominator a
     // drift dashboard plots the cut against)
@@ -2882,6 +2917,20 @@ object PipelineQueries {
       SELECT n_queries, n_candidates, n_both, n_lex_only, n_sem_only,
              n_served
       FROM agg CROSS JOIN srv""",
+    // the kSem cap accounting against the exact brute member (one
+    // definition: the shared semd CTE); count(CASE..)/coalesce so an
+    // empty corpus yields exact zeros
+    "hybrid_cap_audit" -> s"""
+      WITH $HybridSemCte,
+      percand AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cand
+        FROM semd GROUP BY 1)
+      SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             CAST(count(CASE WHEN n_cand >= 50 THEN 1 END) AS BIGINT)
+               AS n_at_cap,
+             coalesce(max(n_cand), CAST(0 AS BIGINT)) AS max_cands,
+             CAST(50 AS BIGINT) AS k_sem
+      FROM percand""",
     "doc_similar_prefix" -> DocSimilarOracleSql,
     // the pair formulation restricted to slice endpoints, served
     // DIRECTED to each in-slice endpoint (both-in-slice pairs → two

@@ -170,7 +170,11 @@ object Hybrid {
     * compressed ranks) — rows-only by design (seeded k-means is not
     * ANSI-expressible); HybridSpec proves the planted equivalence: at
     * nprobe = nlist the probe reaches everything and the fused output
-    * equals [[hybridSearch]] row-for-row. */
+    * equals [[hybridSearch]] row-for-row. kSem bounds the semantic
+    * member's per-query depth — a bounded-coverage cap, so it carries
+    * drop accounting: [[capAudit]] (registered `hybrid_cap_audit`)
+    * counts the queries whose full τ-passing list reaches kSem against
+    * the exact brute member. */
   def hybridSearchIvf(spark: org.apache.spark.sql.SparkSession,
       d: DataFrame, e: DataFrame, indexTable: String, path: String,
       k: Int = 10, tauLex: Double = 0.9, tauSem: Double = 0.3,
@@ -188,6 +192,32 @@ object Hybrid {
       .select(col("query_id").as("doc_id"),
         col("neighbor_id").as("cand_id"), col("score"))
     topK(fuse(lex, sem), k)
+  }
+
+  /** Drop accounting for the kSem member-depth cap — [[hybridSearchIvf]]
+    * truncates each query's semantic candidate list at kSem before
+    * fusing, which silently COMPRESSES RRF ranks for any query whose
+    * full τ-passing list runs deeper (the 'no silent caps' doctrine:
+    * bounded coverage must be audited — r16 ADVICE). One exact-integer
+    * row measured against the GROUND-TRUTH brute member (stronger than
+    * counting inside the capped probe, which can only see what survived
+    * its own pruning): queries probing, queries whose τ-passing
+    * candidate count reaches kSem (the cap engages for exactly these),
+    * the deepest list, and the declared kSem. `e` is the
+    * [[Knn.embOf]]-normalized embedding table, as everywhere in this
+    * family. count(when(..)) + coalesce(max, 0): exact zeros on an
+    * empty corpus in both engines. */
+  def capAudit(e: DataFrame, tauSem: Double = 0.3, kSem: Int = 50,
+      salt: String = "hyb"): DataFrame = {
+    require(kSem >= 1, s"bad kSem=$kSem")
+    val sem = semMemberFor(e.filter(slicePred(col("vec_id"), salt)), e,
+      tauSem)
+    sem.groupBy(col("doc_id")).agg(count(lit(1)).as("n_cand"))
+      .agg(
+        count(lit(1)).as("n_queries"),
+        count(when(col("n_cand") >= kSem, lit(1))).as("n_at_cap"),
+        coalesce(max(col("n_cand")), lit(0L)).as("max_cands"))
+      .withColumn("k_sem", lit(kSem.toLong))
   }
 
   /** Provenance accounting for the fused set — ONE exact-integer row

@@ -128,4 +128,79 @@ object Prf {
       .select(col("doc_id"), col("n_terms_matched"), col("score"),
         col("rnk"))
   }
+
+  /** [[prfTerms]] against the PERSISTED postings index
+    * ([[TextOps.writeTextIndex]]) — the expansion dictionary with ZERO
+    * corpus tokenize passes (r16 verdict Missing #3: an expanded query
+    * at 100 TB must not re-tokenize the corpus): the seed ranking is
+    * [[TextOps.searchIndex]] (frozen postings + stats), the feedback
+    * docs' term masses come from THEIR OWN postings rows (tf rides in
+    * the index), df per term rolls up from the bucketed postings scan
+    * (no Exchange — the table is bucketed by term, the agg key), and
+    * the idf denominator is the frozen `n_docs_tok` stat (the
+    * tokenized-doc count — tfidfMicroTable's n_docs definition, which
+    * differs from the raw doc count exactly on empty-text docs).
+    * Every quantity round-trips the index exactly (tf/df/dl are
+    * integers, the stats are frozen BIGINTs), so the mined dictionary
+    * is ROW-IDENTICAL to the ad-hoc face — PrfSpec pins it, and
+    * `search_prf_persisted` shares `search_prf`'s oracle verbatim (the
+    * vocab_coverage_persisted transparent-hop posture). */
+  def prfTermsIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexTable: String, q0: Seq[String] = SeedQuery, k0: Int = 10,
+      m: Int = 5, minDf: Long = 2L): DataFrame = {
+    require(q0.nonEmpty && k0 >= 1 && m >= 1 && minDf >= 1L,
+      s"bad params q0=$q0 k0=$k0 m=$m minDf=$minDf")
+    val postings = graft.sources.Staged.liveTable(spark, indexTable)
+    val r0 = topDocs(TextOps.searchIndex(spark, indexTable, q0), k0)
+      .select("doc_id")
+    // the feedback block is bounded by k0 · max doc length rows —
+    // broadcast it so the vocab-sized df rollup streams over the
+    // bucketed postings scan with no shuffle on the index side
+    val fb = postings.join(broadcast(r0), "doc_id")
+      .filter(!col("term").isin(q0: _*))
+      .select(col("doc_id"), col("term"), col("tf"))
+    val dfT = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nTok = graft.sources.Staged
+      .liveTable(spark, s"${indexTable}_stats")
+      .select(col("n_docs_tok"))
+    dfT.join(broadcast(fb), "term")
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(nTok))
+      .withColumn("micro", col("tf") *
+        round(log(col("n_docs_tok") / col("df")) * lit(1000000.0), 0)
+          .cast("long"))
+      .groupBy(col("term"))
+      .agg(sum(col("micro")).as("mass_micro"))
+      // the feedback vocabulary is bounded — window over the tiny
+      // derived table, never the corpus (the prfTerms shape)
+      .withColumn("trank", row_number().over(
+        Window.orderBy(col("mass_micro").desc, col("term"))).cast("long"))
+      .filter(col("trank") <= m)
+      .select(col("term"), col("mass_micro"), col("trank"))
+  }
+
+  /** [[searchPrf]] served ENTIRELY from the persisted postings index —
+    * seed ranking, expansion mining, and the expanded search are all
+    * bucketed index probes ([[TextOps.searchIndex]] /
+    * [[prfTermsIndexed]] / [[TextOps.searchIndexTerms]]); the corpus is
+    * tokenized ZERO times at query time. Result-identical to the
+    * ad-hoc face (every tf/df/dl/stat round-trips the index exactly and
+    * the scoring tail is the ONE [[TextOps.bm25ScoreTail]]), so the
+    * registered row shares `search_prf`'s oracle verbatim. */
+  def searchPrfIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexTable: String, q0: Seq[String] = SeedQuery, k0: Int = 10,
+      m: Int = 5, n: Int = 20, minDf: Long = 2L): DataFrame = {
+    require(n >= 1, s"bad n=$n")
+    val seed = spark.createDataset(q0)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("term")
+    val qterms = seed.unionByName(
+      prfTermsIndexed(spark, indexTable, q0, k0, m, minDf).select("term"))
+    // two consumers (the cut and the provenance join): one pass
+    val scored = TextOps.searchIndexTerms(spark, indexTable, qterms)
+      .localCheckpoint(true)
+    topDocs(scored, n)
+      .join(scored, "doc_id")
+      .select(col("doc_id"), col("n_terms_matched"), col("score"),
+        col("rnk"))
+  }
 }

@@ -2156,7 +2156,14 @@ object TextOps {
     // last — the main promote is the commit point probes key on
     graft.sources.Staged.commit(spark, s"${tableName}_stats",
         s"${path}_stats") { (tbl, p) =>
-      withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      // n_docs_tok (docs with ≥1 token) rides along for the PRF face:
+      // the expansion-mass idf divides by the TOKENIZED doc count (the
+      // tfidfMicroTable definition — distinct doc_id over tf rows),
+      // which differs from n_docs exactly on empty/null-text docs; the
+      // frozen stat is what makes searchPrfIndexed row-identical to
+      // the ad-hoc face on such corpora (PrfSpec pins it)
+      withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"),
+          count(when(col("dl") > 0, lit(1))).as("n_docs_tok"))
         .write
         .option("path", p)
         .mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -2192,6 +2199,25 @@ object TextOps {
     val scalars = graft.sources.Staged.liveTable(spark, s"${tableName}_stats")
     val df = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // the ONE scoring tail — identical chain to the ad-hoc search
+    bm25ScoreTail(postings.join(broadcast(df), "term")
+      .crossJoin(broadcast(scalars)), k1, b)
+  }
+
+  /** [[searchIndex]] with the query terms as a TABLE — the persisted
+    * face of [[bm25SearchTerms]], the shape query EXPANSION needs
+    * ([[graft.text.Prf.searchPrfIndexed]] feeds seed ∪ mined terms):
+    * the membership test is a broadcast equijoin on the distinct term
+    * set against the bucketed postings, df rolls up from the pruned
+    * postings (a term's pruned postings ARE all its postings, so df is
+    * the full corpus df — the [[searchIndex]] argument), and the ONE
+    * [[bm25ScoreTail]] scores. Zero corpus tokenize passes: the corpus
+    * was tokenized once, at index build. */
+  def searchIndexTerms(spark: SparkSession, tableName: String,
+      termsDf: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val postings = graft.sources.Staged.liveTable(spark, tableName)
+      .join(broadcast(termsDf.select(col("term")).distinct()), "term")
+    val scalars = graft.sources.Staged.liveTable(spark, s"${tableName}_stats")
+    val df = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     bm25ScoreTail(postings.join(broadcast(df), "term")
       .crossJoin(broadcast(scalars)), k1, b)
   }

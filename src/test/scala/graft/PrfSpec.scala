@@ -128,4 +128,48 @@ class PrfSpec extends SparkSpec {
     assert(got.exists(_(1).asInstanceOf[Long] > 4L) ||
       Prf.prfTerms(d).count() == 0L)
   }
+
+  test("searchPrfIndexed is row-identical to the ad-hoc face (transparent index hop)") {
+    import java.nio.file.Files
+    val d = TextOps.docs(spark, SF)
+    spark.sql("DROP TABLE IF EXISTS prf_idx_spec")
+    spark.sql("DROP TABLE IF EXISTS prf_idx_spec_stats")
+    val path = Files.createTempDirectory("graft_prf_idx").toString
+    TextOps.writeTextIndex(d, "prf_idx_spec", s"$path/t")
+    val gotTerms = Prf.prfTermsIndexed(spark, "prf_idx_spec")
+      .collect().map(_.toSeq).toSet
+    val wantTerms = Prf.prfTerms(d).collect().map(_.toSeq).toSet
+    assert(wantTerms.nonEmpty && gotTerms == wantTerms,
+      s"indexed dict $gotTerms vs ad-hoc $wantTerms")
+    val got = Prf.searchPrfIndexed(spark, "prf_idx_spec")
+      .collect().map(_.toSeq).toSet
+    val want = Prf.searchPrf(d).collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want,
+      s"indexed ${got.size} vs ad-hoc ${want.size}")
+  }
+
+  test("indexed face handles empty/whitespace docs identically (n_docs vs n_docs_tok)") {
+    import java.nio.file.Files
+    // empty and whitespace-only docs widen the BM25 n_docs but NOT the
+    // expansion-mass idf denominator (tokenized docs only) — the one
+    // place the frozen n_docs_tok stat earns its keep
+    val d = corpus(
+      (1L, "vector quantized index store"),
+      (2L, "vector quantized search body"),
+      (3L, "vector quantized store words"),
+      (4L, "filler words only here body"),
+      (5L, "more filler body text words"),
+      (6L, ""),
+      (7L, "   "))
+    spark.sql("DROP TABLE IF EXISTS prf_idx_empty_spec")
+    spark.sql("DROP TABLE IF EXISTS prf_idx_empty_spec_stats")
+    val path = Files.createTempDirectory("graft_prf_idx_e").toString
+    TextOps.writeTextIndex(d, "prf_idx_empty_spec", s"$path/t")
+    val q0 = Seq("vector")
+    val got = Prf.searchPrfIndexed(spark, "prf_idx_empty_spec",
+      q0, k0 = 3, m = 3, n = 10).collect().map(_.toSeq).toSet
+    val want = Prf.searchPrf(d, q0, k0 = 3, m = 3, n = 10)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want, s"$got vs $want")
+  }
 }

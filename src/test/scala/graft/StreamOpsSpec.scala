@@ -614,6 +614,10 @@ class StreamOpsSpec extends SparkSpec {
       9000000009L -> "null_props", 9000000010L -> "bad_props",
       // precedence: null ts AND bad value AND bad props → earliest
       9000000011L -> "null_ts"), got.toString)
+    // a bare JSON 'null' payload passes in BOTH engines (Spark's
+    // get_json_object returns the string 'null', not SQL NULL —
+    // measured r17; the second negative control next to 12)
+    assert(!got.contains(9000000013L))
     // the clean negative control never surfaces
     assert(!got.contains(9000000012L))
     // the real gate-scale log is clean — the registered row's non-canary
@@ -624,7 +628,7 @@ class StreamOpsSpec extends SparkSpec {
   test("quarantine streaming dual is the same expression over a stream (exact)") {
     import java.nio.file.Files
     val raw = EventLog.raw(spark, SF)
-    val mixed = StreamOps.quarantineCanaries(raw) // 12 rows, all paths
+    val mixed = StreamOps.quarantineCanaries(raw) // 13 rows, all paths
     val dir = Files.createTempDirectory("graft_quarantine_s").toString
     mixed.write.mode("overwrite").parquet(dir)
     val stream = spark.readStream.schema(mixed.schema).parquet(dir)
