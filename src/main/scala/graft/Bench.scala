@@ -25,8 +25,10 @@ object Bench {
       "contamination_report_ivf", "domain_classifier_persisted",
       "knn_recall_audit_quantized", "knn_label_prop_ivf",
       "doc_similar_persisted", "chunk_similar_persisted",
+      "chunk_hybrid_rrf",
       "triplet_mine_ivf", "knn_pq", "pq_recall_audit", "pq_code_balance",
       "hybrid_search_ivf", "standing_query_route", "search_prf_persisted",
+      "prf_terms_persisted",
       "vocab_coverage_persisted", "oov_tag", "ivf_balance_audit",
       "lm_score_persisted", "boilerplate_tag_persisted")
 

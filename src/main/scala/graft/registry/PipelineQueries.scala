@@ -1512,6 +1512,22 @@ object PipelineQueries {
           expr("similar_id % 1048576").as("similar_idx"),
           col("score"))
     }),
+    // PASSAGE-granular HYBRID retrieval (r16 verdict #2): the chunk
+    // BM25 member and a chunk-cosine member (the query string
+    // vectorized per lang against the FROZEN chunk vocabulary — the
+    // standing-query posture on the vector index) fused with the
+    // identical integer RRF arithmetic; BOTH member rankings are
+    // bounded MinKByKey global cuts (never a corpus sort); the oracle
+    // composes the whole serving path in one SQL
+    "chunk_hybrid_rrf" -> ((s, d) => {
+      val (tbl, path) = runScopedTable(s, d, "graft_chunk_hyb_vec")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"DROP TABLE IF EXISTS ${tbl}_vocab")
+      TextOps.writeDocVectorIndex(
+        graft.text.Chunks.chunkDocs(docs(s, d)), tbl, path)
+      graft.text.Chunks.chunkHybridRrf(s, docs(s, d), tbl,
+        s"${tbl}_vocab")
+    }),
     // chunk-granular dedup (the C4 repeated-lines recipe on the window
     // grid): one keeper per distinct window content corpus-wide — the
     // lexicographic-min (doc_id, chunk_idx) rule, so intra-doc repeats
@@ -1610,6 +1626,17 @@ object PipelineQueries {
       s.sql(s"DROP TABLE IF EXISTS ${tbl}_stats")
       TextOps.writeTextIndex(docs(s, d), tbl, path)
       graft.text.Prf.searchPrfIndexed(s, tbl)
+    }),
+    // the mined expansion DICTIONARY served from the persisted index —
+    // the artifact a pipeline stores next to the postings (the
+    // word_assoc/vocab-as-model posture); shares prf_terms' oracle
+    // (every tf/df/stat round-trips the index exactly)
+    "prf_terms_persisted" -> ((s, d) => {
+      val (tbl, path) = runScopedTable(s, d, "graft_prfd_index")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"DROP TABLE IF EXISTS ${tbl}_stats")
+      TextOps.writeTextIndex(docs(s, d), tbl, path)
+      graft.text.Prf.prfTermsIndexed(s, tbl)
     }),
     // what the expansion changed vs the seed ranking: one exact-integer
     // overlap row (common/new/dropped at the cut + the seed's matched
@@ -2795,6 +2822,92 @@ object PipelineQueries {
         WHERE substr(md5(concat_ws(':',
           CAST(doc2 // 1048576 AS VARCHAR), 'cmlt')), 1, 1) < '2')""",
 
+    // the whole passage-granular hybrid serving path in one SQL: the
+    // bm25 chain over the chunk relation (lex member, top-50 cut), the
+    // df-banded chunk vocabulary + per-lang QUERY vector (the seed
+    // terms' idf_milli weights, tf = 1 — exactly what vectorizing the
+    // query string against the frozen vocab produces), cosine on the
+    // 1e-4 grid, and the identical integer RRF fusion; both member
+    // cuts are row_number windows — order-equivalent to the engine's
+    // bounded MinKByKey key (PrfSpec pins that equivalence)
+    "chunk_hybrid_rrf" -> s"""
+      WITH lexb AS (${bm25SqlFrom(ChunkCorpusRel)}),
+      lexr AS (
+        SELECT cand_id, lex_rank FROM (
+          SELECT doc_id AS cand_id,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                   AS BIGINT) AS lex_rank
+          FROM lexb)
+        WHERE lex_rank <= 50),
+      ct AS (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split(lower(text), ' '),
+                 x -> x <> '')) AS term
+        FROM $ChunkCorpusRel),
+      ctf AS (SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS tf
+              FROM ct GROUP BY 1, 2, 3),
+      cn AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+             FROM (SELECT DISTINCT doc_id, lang FROM ctf) GROUP BY 1),
+      cdft AS (SELECT lang, term, df, n_docs FROM
+                 (SELECT lang, term, CAST(count(*) AS BIGINT) AS df
+                  FROM ctf GROUP BY 1, 2) JOIN cn USING (lang)
+               WHERE df >= 2 AND df * 10 <= n_docs * 9),
+      cw AS (
+        SELECT doc_id, ctf.lang, ctf.term,
+               tf * CAST(round(ln(n_docs / df) * 1000.0::DOUBLE, 0)
+                 AS BIGINT) AS w
+        FROM ctf JOIN cdft
+          ON ctf.lang = cdft.lang AND ctf.term = cdft.term),
+      cnorms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+                 FROM cw GROUP BY 1),
+      qw AS (
+        SELECT lang, term,
+               CAST(round(ln(n_docs / df) * 1000.0::DOUBLE, 0)
+                 AS BIGINT) AS w
+        FROM cdft
+        WHERE term IN ('vector', 'stream', 'window', 'hash')),
+      qn AS (SELECT lang, CAST(sum(w * w) AS BIGINT) AS qn2
+             FROM qw GROUP BY 1),
+      sdots AS (
+        SELECT cw.doc_id AS cand_id, cw.lang,
+               CAST(sum(cw.w * qw.w) AS BIGINT) AS dot
+        FROM cw JOIN qw ON cw.lang = qw.lang AND cw.term = qw.term
+        GROUP BY 1, 2),
+      semsc AS (
+        SELECT cand_id,
+               floor(CAST(dot AS DOUBLE) * 10000.0 /
+                 (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))
+                 + 0.5) / 10000.0 AS score
+        FROM sdots
+        JOIN qn USING (lang)
+        JOIN cnorms ON sdots.cand_id = cnorms.doc_id
+        WHERE qn2 > 0 AND n2 > 0),
+      semr AS (
+        SELECT cand_id, sem_rank FROM (
+          SELECT cand_id,
+                 CAST(row_number() OVER (ORDER BY score DESC, cand_id)
+                   AS BIGINT) AS sem_rank
+          FROM semsc WHERE score >= 0.05)
+        WHERE sem_rank <= 50),
+      cfused AS (
+        SELECT coalesce(l.cand_id, s.cand_id) AS cand_id,
+               coalesce(l.lex_rank, CAST(0 AS BIGINT)) AS lex_rank,
+               coalesce(s.sem_rank, CAST(0 AS BIGINT)) AS sem_rank,
+               CAST(CASE WHEN coalesce(l.lex_rank, 0) > 0
+                      THEN 1000000000 // (60 + l.lex_rank) ELSE 0 END
+                  + CASE WHEN coalesce(s.sem_rank, 0) > 0
+                      THEN 1000000000 // (60 + s.sem_rank) ELSE 0 END
+                 AS BIGINT) AS rrf_micro
+        FROM lexr l FULL OUTER JOIN semr s ON l.cand_id = s.cand_id)
+      SELECT cand_id // 1048576 AS doc_id,
+             cand_id % 1048576 AS chunk_idx,
+             lex_rank, sem_rank, rrf_micro, rnk FROM (
+        SELECT cand_id, lex_rank, sem_rank, rrf_micro,
+               CAST(row_number() OVER (ORDER BY rrf_micro DESC, cand_id)
+                 AS BIGINT) AS rnk
+        FROM cfused)
+      WHERE rnk <= 10""",
+
     // the persisted-index probe is result-identical to the ad-hoc BM25
     // (df/tf/dl round-trip the index exactly) — same oracle
     "text_search_indexed" -> Bm25OracleSql,
@@ -2845,6 +2958,11 @@ object PipelineQueries {
 
     // the shared PRF dictionary chain, served at trank <= 5
     "prf_terms" -> s"""
+      $PrfCtes
+      SELECT term, mass_micro, trank FROM etop WHERE trank <= 5""",
+    // the dictionary mined from the persisted index round-trips every
+    // tf/df/stat exactly — same oracle (transparent hop)
+    "prf_terms_persisted" -> s"""
       $PrfCtes
       SELECT term, mass_micro, trank FROM etop WHERE trank <= 5""",
     // the dictionary chain embedded verbatim, then the bm25 chain over

@@ -112,9 +112,18 @@ object Hybrid {
     * PRE-CUT fused table (doc_id, cand_id, lex_rank, sem_rank,
     * rrf_micro); [[topK]] applies the serving cut. */
   def fuse(lex: DataFrame, sem: DataFrame): DataFrame =
-    rankMember(lex, "lex_rank")
-      .join(rankMember(sem, "sem_rank"), Seq("doc_id", "cand_id"),
-        "full_outer")
+    fuseRanked(rankMember(lex, "lex_rank"), rankMember(sem, "sem_rank"))
+
+  /** The fusion arithmetic alone, over PRE-RANKED member lists
+    * (doc_id, cand_id, lex_rank) / (doc_id, cand_id, sem_rank) — the
+    * face a GLOBALLY-cut member feeds: chunk_hybrid_rrf ranks its
+    * members with the bounded [[graft.text.Prf.topDocs]] aggregate
+    * (MinKByKey over (score desc, id) — rank-identical to
+    * [[rankMember]]'s window on the same list, no corpus sort), then
+    * fuses here. One definition of the reciprocal-mass arithmetic for
+    * every face. */
+  def fuseRanked(lexR: DataFrame, semR: DataFrame): DataFrame =
+    lexR.join(semR, Seq("doc_id", "cand_id"), "full_outer")
       .na.fill(0L, Seq("lex_rank", "sem_rank"))
       .withColumn("rrf_micro", expr(
         "CASE WHEN lex_rank > 0 THEN 1000000000L div (60L + lex_rank) " +

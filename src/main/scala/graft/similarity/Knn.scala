@@ -1323,8 +1323,26 @@ object Knn {
     * paths: k = ~n/targetClusterSize seeded-k-means clusters. Returns the
     * eagerly-materialized (vec_id, v, nrm, c_id) table — it feeds both
     * pair sides, the occupancy agg, and the final join. */
+  /** Above this corpus size, [[assignSemanticClusters]] trains its
+    * centroids on a bounded deterministic SAMPLE instead of the full
+    * corpus (r16 verdict #5 — the standard large-scale k-means shape):
+    * full-corpus Lloyd prices every round at n·k kernel ops, the
+    * dominant term of the 50×-stress semantic-family wall, while
+    * cluster-BLOCKING quality only needs enough sample mass per
+    * centroid — [[SampleMembersPerCentroid]] members each — because
+    * the occupancy cap + hyperplane sub-split + audit row already own
+    * balance pathology. Below the switch the exact full-corpus rounds
+    * run unchanged, so every locally-benchable scale (sf0.1 bench,
+    * 1×/20× stress) keeps its committed behavior bit-for-bit — the
+    * atScaleVerify posture, honoring the r11 dead-end lesson (never
+    * let an at-scale shape leak into the measured small-scale path
+    * without a fresh-session A/B). */
+  private[graft] val SampleTrainSwitch = 65536L
+  private[graft] val SampleMembersPerCentroid = 16L
+
   private[similarity] def assignSemanticClusters(e: DataFrame,
-      targetClusterSize: Long, n: Long): DataFrame = {
+      targetClusterSize: Long, n: Long,
+      trainSwitch: Long = SampleTrainSwitch): DataFrame = {
     val base = e.localCheckpoint(true)
     val nn = if (n >= 0L) n else base.count()
     // clamp BEFORE the Long→Int narrowing: at the 100 TB design point
@@ -1332,7 +1350,22 @@ object Knn {
     // would wrap negative (limit(k) with k < 0 throws)
     val k = math.min(Int.MaxValue.toLong,
       math.max(2L, nn / math.max(targetClusterSize, 1L))).toInt
-    val centroids = kmeansCentroids(base, k)
+    // sample-trained centroids past the switch: a deterministic
+    // xxhash64-ordered bottom-s draw (the kmeansCentroids seeding
+    // discipline — salted so the training sample is independent of the
+    // seeding order), s = max(switch, membersPerCentroid · k) clamped
+    // to the corpus; the Lloyd rounds then cost s·k instead of n·k
+    // while the one full-corpus assignment pass below stays exact
+    val trainSet =
+      if (nn <= trainSwitch) base
+      else {
+        val s = math.min(nn, math.min(Int.MaxValue.toLong,
+          math.max(trainSwitch, SampleMembersPerCentroid * k))).toInt
+        base.withColumn("sh", xxhash64(col("vec_id"), lit("ktrain")))
+          .orderBy(col("sh")).limit(s).drop("sh")
+          .localCheckpoint(true)
+      }
+    val centroids = kmeansCentroids(trainSet, k)
     assignNearest(
       base.crossJoin(broadcast(withCnrm2(centroids))).withColumn("d", sqDist),
       Seq("v", "nrm"))
@@ -1387,6 +1420,9 @@ object Knn {
     * accounted by [[semanticClusterAudit]]. The within-cluster join is a
     * (c_id, sub) equijoin, never a cartesian (PlanSpec-fenced), and the
     * component step reuses the CC-by-join pattern of Dedup.dedupClusters.
+    * Past [[SampleTrainSwitch]] vectors, centroid TRAINING runs over a
+    * bounded deterministic sample (full-corpus assignment stays exact) —
+    * the r16-verdict #5 large-scale shape; see the switch's doc.
     *
     * Output: one row per vector — (vec_id, c_id, keeper); keeper ==
     * vec_id marks the survivor of its semantic group (vectors with no
@@ -1394,8 +1430,10 @@ object Knn {
     * keep themselves). */
   def semanticDedup(e: DataFrame, tau: Double,
       targetClusterSize: Long = 64L, n: Long = -1L,
-      maxOccupancy: Long = 1024L, subPlanes: Int = 6): DataFrame = {
-    val assigned = assignSemanticClusters(e, targetClusterSize, n)
+      maxOccupancy: Long = 1024L, subPlanes: Int = 6,
+      trainSwitch: Long = SampleTrainSwitch): DataFrame = {
+    val assigned = assignSemanticClusters(e, targetClusterSize, n,
+      trainSwitch)
     val members = cappedClusterMembers(assigned, maxOccupancy, subPlanes)
     val pairs = members.as("a").join(members.as("b"),
         col("a.c_id") === col("b.c_id") && col("a.sub") === col("b.sub") &&
@@ -1421,8 +1459,9 @@ object Knn {
     * (KnnSpec asserts it stays ≤ maxOccupancy on a skewed corpus). */
   def semanticClusterAudit(e: DataFrame, targetClusterSize: Long = 64L,
       n: Long = -1L, maxOccupancy: Long = 1024L,
-      subPlanes: Int = 6): DataFrame = {
-    val assigned = assignSemanticClusters(e, targetClusterSize, n)
+      subPlanes: Int = 6, trainSwitch: Long = SampleTrainSwitch): DataFrame = {
+    val assigned = assignSemanticClusters(e, targetClusterSize, n,
+      trainSwitch)
     val groups = cappedClusterMembers(assigned, maxOccupancy, subPlanes)
       .groupBy(col("c_id"), col("sub"))
       .agg(count(lit(1)).as("occ"))
@@ -1446,13 +1485,28 @@ object Knn {
     * Exchange on the index side: the bucketed layout already hash-
     * partitions by `c_id`, and an equality/IN probe filter on `c_id`
     * prunes entire buckets at planning time. Returns the centroid table
-    * (tiny — persist alongside, or recompute probes from it). */
+    * (tiny — persist alongside, or recompute probes from it). With
+    * `persistCentroids`, the centroid table ALSO commits to
+    * `${tableName}_centroids` (the writeIvfPqIndex coarse/codebook
+    * posture) so a separate serving process — the live hybrid probe —
+    * reads both artifacts from tables alone, no in-memory handle;
+    * centroids commit BEFORE the main table, whose promote stays the
+    * commit point probes key on. */
   def writeIvfIndex(e: DataFrame, tableName: String, path: String,
-      nlist: Int = 10, buckets: Int = 8): DataFrame = {
+      nlist: Int = 10, buckets: Int = 8,
+      persistCentroids: Boolean = false): DataFrame = {
     // degenerate vectors never enter the index: they are unsearchable
     // under cosine (the finiteNorm rationale)
     val base = e.filter(finiteNorm(col("nrm"))).localCheckpoint(true)
     val centroids = kmeansCentroids(base, nlist)
+    if (persistCentroids)
+      graft.sources.Staged.commit(e.sparkSession,
+          s"${tableName}_centroids", s"${path}_centroids") { (tbl, p) =>
+        centroids.write
+          .option("path", p)
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .saveAsTable(tbl)
+      }
     val assigned = assignNearest(
       base.crossJoin(broadcast(withCnrm2(centroids))).withColumn("d", sqDist),
       Seq("v", "nrm"))

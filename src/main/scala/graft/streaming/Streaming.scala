@@ -659,6 +659,58 @@ object Streaming {
     docStream.writeStream.foreachBatch(perBatch).start()
   }
 
+  /** [[runHybridSearchProbe]] with an INDEX-BACKED semantic member —
+    * the 100 TB serving shape (r16 verdict #1: the brute probe's
+    * semantic member scans the whole frozen embedding table per
+    * micro-batch, the only streaming dual whose per-batch cost grew
+    * with corpus size): the arriving batch's vectors probe the
+    * PERSISTED bucketed IVF index via [[graft.similarity.Knn
+    * .searchIvfIndex]] — the exact member `hybrid_search_ivf` fuses in
+    * batch — ranking the frozen centroid table
+    * (`${ivfTable}_centroids`, committed by
+    * [[graft.similarity.Knn.writeIvfIndex]] with persistCentroids and
+    * healed on read by Staged.liveTable) and meeting only the nprobe
+    * nearest lists in a c_id equijoin with zero index-side Exchange.
+    * The lexical member and the fusion are UNCHANGED
+    * ([[graft.text.TextOps.docSimilarPersisted]] /
+    * [[graft.similarity.Hybrid.fuse]] verbatim — the member-source-swap
+    * argument). Per-batch semantics stay EXACT (a query's fused list is
+    * a pure function of its row against frozen artifacts); the IVF
+    * member is the nprobe-reached subset of the brute member, and at
+    * nprobe = nlist with kSem past every τ-reachable candidate the
+    * live rows equal batch `hybrid_search_rrf` row-for-row
+    * (StreamingSpec pins it — the HybridSpec nprobe=nlist argument
+    * lifted to the stream). kSem's bounded member depth carries the
+    * same accounting row as batch (`hybrid_cap_audit`). */
+  def runHybridSearchProbeIvf(spark: SparkSession, docStream: DataFrame,
+      vecTable: String, vocabTable: String, ivfTable: String,
+      k: Int = 10, tauLex: Double = 0.9, tauSem: Double = 0.3,
+      kSem: Int = 50, nprobe: Int = 2)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(kSem >= k, s"semantic member depth kSem=$kSem below k=$k")
+    val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val b = batch.toDF()
+        val lex = graft.text.TextOps.docSimilarPersisted(
+            spark, b, vecTable, vocabTable, lit(true), tauLex)
+          .select(col("doc_id"), col("similar_id").as("cand_id"),
+            col("score"))
+        val q = graft.similarity.Knn.embOf(b.select(
+          col("doc_id").as("vec_id"), lit(0).cast("int").as("label"),
+          col("embedding")))
+        val sem = graft.similarity.Knn.searchIvfIndex(spark, ivfTable,
+            graft.sources.Staged.liveTable(spark,
+              s"${ivfTable}_centroids"),
+            q, kSem, nprobe)
+          .filter(col("score") >= tauSem)
+          .select(col("query_id").as("doc_id"),
+            col("neighbor_id").as("cand_id"), col("score"))
+        sink(graft.similarity.Hybrid.topK(
+          graft.similarity.Hybrid.fuse(lex, sem), k))
+      }
+    docStream.writeStream.foreachBatch(perBatch).start()
+  }
+
   /** LIVE hard-triplet mining — contrastive curation running DURING
     * embedding ingest (the runDocSimilarProbe posture): every arriving
     * labeled vector is an anchor; each micro-batch replays the batch

@@ -160,6 +160,73 @@ object Chunks {
         expr(s"doc_id % ${MaxChunksPerDoc}L").as("chunk_idx"),
         col("n_terms_matched"), col("score"))
 
+  /** PASSAGE-granular HYBRID retrieval (r16 verdict #2) — the actual
+    * RAG serving query: ONE standing query (the seed term set) served
+    * as the RRF fusion of the two chunk retrieval modalities this
+    * engine already checks separately — the [[chunkSearch]] BM25
+    * member (keyword relevance, per-chunk length normalization) and a
+    * chunk-COSINE member where the query string itself is vectorized
+    * per language against the FROZEN chunk vocabulary
+    * ([[graft.text.TextOps.docSimilarPersisted]] over a one-row-per-
+    * lang pseudo-document relation — the standing-query posture
+    * applied to the vector index: zero corpus tokenization at query
+    * time) and scored against the persisted chunk vectors. Fusion is
+    * [[graft.similarity.Hybrid.fuseRanked]] — the identical integer
+    * reciprocal-mass arithmetic as doc-level hybrid_search_rrf.
+    *
+    * Scale shape: BOTH member rankings are GLOBAL top-k cuts through
+    * the bounded [[graft.text.Prf.topDocs]] MinKByKey aggregate (a
+    * corpus-wide match list is NOT bounded — ranking it with a window
+    * would be a single-reducer sort of every matching chunk; the
+    * bounded cut ships ≤ kMember rows per partition), so the fusion
+    * join and the serving window run over ≤ kLex + kSem rows. Both
+    * caps are declared member depths (the RRF-standard top-k fusion,
+    * not silent truncation — ranks past the cut contribute ≤
+    * 1e9/(60+k) mass and cannot reach the served page for any serving
+    * k ≪ kMember).
+    *
+    * Everything is grid/integer arithmetic (bm25 micro-units, 1e-4
+    * cosine grid, integer masses), so the full composition sits under
+    * the DuckDB hash gate: the oracle instantiates the bm25 SQL over
+    * the chunk relation, derives the query vector from the df-banded
+    * chunk vocabulary CTEs, and repeats the fusion — one SQL, the
+    * whole serving path cross-checked. */
+  def chunkHybridRrf(spark: org.apache.spark.sql.SparkSession,
+      d: DataFrame, vecTable: String, vocabTable: String,
+      terms: Seq[String] = graft.text.Prf.SeedQuery, width: Int = 32,
+      tauSem: Double = 0.05, kLex: Int = 50, kSem: Int = 50,
+      k: Int = 10): DataFrame = {
+    require(kLex >= k && kSem >= k,
+      s"member depth below serving k: kLex=$kLex kSem=$kSem k=$k")
+    require(terms.nonEmpty && terms.distinct == terms,
+      s"query terms must be distinct and non-empty: $terms")
+    val lexScored = graft.text.TextOps.bm25Search(
+      chunkCorpus(d, width).select(col("chunk_id").as("doc_id"),
+        col("text")), terms)
+    val lexR = Prf.topDocs(lexScored, kLex)
+      .select(col("doc_id").as("cand_id"), col("rnk").as("lex_rank"))
+      .withColumn("doc_id", lit(0L))
+    // the query string as a pseudo-document PER LANGUAGE (the chunk
+    // vector space is lang-scoped): one row per lang, vectorized
+    // against the frozen vocab by the persisted probe verbatim; the
+    // -1 pseudo-id can never collide with a composite chunk id
+    val queryRel = d.select(col("lang")).distinct()
+      .select(lit(-1L).as("doc_id"), col("lang"),
+        lit(terms.mkString(" ")).as("text"))
+    val semScored = graft.text.TextOps.docSimilarPersisted(
+        spark, queryRel, vecTable, vocabTable, lit(true), tauSem)
+      .select(col("similar_id").as("doc_id"), col("score"))
+    val semR = Prf.topDocs(semScored, kSem)
+      .select(col("doc_id").as("cand_id"), col("rnk").as("sem_rank"))
+      .withColumn("doc_id", lit(0L))
+    graft.similarity.Hybrid.topK(
+        graft.similarity.Hybrid.fuseRanked(lexR, semR), k)
+      .select(
+        expr(s"cand_id div ${MaxChunksPerDoc}L").as("doc_id"),
+        expr(s"cand_id % ${MaxChunksPerDoc}L").as("chunk_idx"),
+        col("lex_rank"), col("sem_rank"), col("rrf_micro"), col("rnk"))
+  }
+
   /** Incremental chunk dedup — the rolling-crawl shape (the
     * dedup_incremental posture at passage granularity): a NEW shard's
     * chunks probe the PERSISTED corpus index in one digest equijoin

@@ -196,6 +196,41 @@ class ChunkSpec extends SparkSpec {
       s"planted passage not retrieved: ${got.mkString(", ")}")
   }
 
+  test("chunk_hybrid_rrf: fusion recomputable from member ranks, both " +
+      "modalities contribute, ids decode onto the grid") {
+    val docs = TextOps.docs(spark, SF)
+    val tbl = "graft_chunk_hyb_spec"
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), tbl).toString
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_vocab")
+    TextOps.writeDocVectorIndex(Chunks.chunkDocs(docs), tbl, path)
+    val out = Chunks.chunkHybridRrf(spark, docs, tbl, s"${tbl}_vocab")
+      .collect()
+    assert(out.nonEmpty)
+    val grid = Chunks.chunkAssign(docs)
+      .select(col("doc_id"), col("chunk_idx")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.foreach { r =>
+      val (lx, sm, mass) = (r.getAs[Long]("lex_rank"),
+        r.getAs[Long]("sem_rank"), r.getAs[Long]("rrf_micro"))
+      // the fused mass is a pure integer function of the two ranks
+      val want = (if (lx > 0) 1000000000L / (60L + lx) else 0L) +
+        (if (sm > 0) 1000000000L / (60L + sm) else 0L)
+      assert(mass == want, s"mass $mass != $want for ranks ($lx, $sm)")
+      assert(lx > 0 || sm > 0, "candidate retrieved by neither member")
+      assert(lx <= 50 && sm <= 50, "rank past the declared member depth")
+      // the -1 pseudo-query id can never surface; ids decode to real
+      // grid positions
+      assert(grid((r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"))))
+    }
+    // the fusion is genuinely hybrid on this corpus: a candidate seen
+    // by BOTH members tops candidates seen by one (the RRF argument) —
+    // and both modalities surface somewhere in the served page
+    assert(out.exists(_.getAs[Long]("lex_rank") > 0), "no lexical rows")
+    assert(out.exists(_.getAs[Long]("sem_rank") > 0), "no semantic rows")
+  }
+
   test("chunkDedup: clean corpus keeps everything; empty docs drop out") {
     val d = df(1L -> "a b c", 2L -> "d e f", 3L -> "", 4L -> "   ")
     val out = Chunks.chunkDedup(d, width = 2).collect()

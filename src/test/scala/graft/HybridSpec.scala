@@ -157,4 +157,45 @@ class HybridSpec extends SparkSpec {
     assert(want.nonEmpty && got == want,
       s"probe ${got.size} vs batch ${want.size}")
   }
+
+  test("index-backed stream hybrid probe at nprobe = nlist equals batch hybrid_search_rrf") {
+    // the r16-verdict #1 shape: the semantic member probes the
+    // PERSISTED bucketed IVF index (centroids from their own committed
+    // table) instead of brute-scanning the frozen embedding table —
+    // the per-batch cost is now nprobe lists, not the corpus. At
+    // nprobe = nlist with kSem past every τ-reachable candidate the
+    // probe reaches the brute member exactly, so the live fused rows
+    // must equal the registered batch row row-for-row (the
+    // hybridSearchIvf equivalence lifted to the stream).
+    val docs = TextOps.docs(spark, SF)
+    val e = Knn.emb(spark, SF)
+    val embRaw = spark.read.parquet(s"$SF/embeddings.parquet")
+    Seq("hyb_vec2", "hyb_vec2_vocab", "hyb_ivf_live",
+      "hyb_ivf_live_centroids").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val idx = Files.createTempDirectory("graft_hyb_idx2").toString + "/v"
+    TextOps.writeDocVectorIndex(docs, "hyb_vec2", idx)
+    val ivfPath = Files.createTempDirectory("graft_hyb_ivf2").toString + "/i"
+    Knn.writeIvfIndex(e, "hyb_ivf_live", ivfPath, nlist = 4,
+      persistCentroids = true)
+    val queries = docs.filter(Hybrid.slicePred(col("doc_id")))
+      .join(embRaw.select(col("vec_id").as("doc_id"), col("embedding")),
+        "doc_id")
+    val dir = Files.createTempDirectory("graft_hyb_stream2").toString
+    queries.repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = Streaming.runHybridSearchProbeIvf(spark, stream,
+        "hyb_vec2", "hyb_vec2_vocab", "hyb_ivf_live",
+        kSem = 500, nprobe = 4) { b =>
+      val rows = b.collect().map(_.toSeq)
+      buf.synchronized { buf ++= rows }
+    }
+    q.processAllAvailable(); q.stop()
+    val got = buf.toSet
+    val want = Hybrid.hybridSearch(docs, e).collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want,
+      s"ivf probe ${got.size} vs batch ${want.size}")
+  }
 }

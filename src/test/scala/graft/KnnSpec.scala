@@ -590,6 +590,48 @@ class KnnSpec extends SparkSpec {
     assert(r.count() == 640L)
   }
 
+  test("sample-trained centroids past the switch: coverage total, planted dups collapse, deterministic") {
+    import spark.implicits._
+    import graft.functions.DotProduct
+    // 304 vectors with trainSwitch = 100 → the Lloyd rounds train on a
+    // bounded xxhash64-drawn sample while the full-corpus assignment
+    // pass stays exact; the planted exact-duplicate pairs sit far from
+    // the spread mass so they must collapse under ANY centroid draw
+    // (identical vectors always share a cluster: identical distances,
+    // deterministic min_by tie-break)
+    val spread = (1L to 300L).map { i =>
+      val a = ((i * 37) % 101).toDouble / 50.0 - 1.0
+      val b = ((i * 59) % 103).toDouble / 51.0 - 1.0
+      val c = ((i * 83) % 107).toDouble / 53.0 - 1.0
+      (i, Array(a, b, c, a * b - c))
+    }
+    val dups = Seq(
+      (901L, Array(50.0, 0.0, 0.0, 0.0)),
+      (902L, Array(50.0, 0.0, 0.0, 0.0)),
+      (903L, Array(0.0, -50.0, 0.0, 0.0)),
+      (904L, Array(0.0, -50.0, 0.0, 0.0)))
+    val corpus = (spread ++ dups).toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(DotProduct(col("v"), col("v"))))
+    def run() = Knn.semanticDedup(corpus, tau = 0.95,
+        targetClusterSize = 64L, trainSwitch = 100L)
+      .collect()
+      .map(x => x.getAs[Long]("vec_id") -> x.getAs[Long]("keeper")).toMap
+    val r = run()
+    assert(r.size == 304) // every vector exactly once
+    assert(r(901L) == r(902L), s"dup pair split: ${r(901L)} ${r(902L)}")
+    assert(r(903L) == r(904L), s"dup pair split: ${r(903L)} ${r(904L)}")
+    // keepers are component minima and fixpoints under the sampled path
+    assert(r.forall { case (v, kp) => kp <= v && r(kp) == kp })
+    // the sampled draw is deterministic: a re-run is row-identical
+    assert(run() == r)
+    // below the switch the audit sees the identical corpus shape (the
+    // full-corpus path is untouched — n_vectors/coverage agree)
+    val a1 = Knn.semanticClusterAudit(corpus, targetClusterSize = 64L,
+      trainSwitch = 100L).head()
+    assert(a1.getAs[Long]("n_vectors") == 304L)
+    assert(a1.getAs[Long]("n_kept") + a1.getAs[Long]("n_dropped") == 304L)
+  }
+
   test("semantic cluster cap: an un-skewed corpus keeps every membership") {
     val audit = Knn.semanticClusterAudit(e).head()
     val n = e.count()

@@ -584,4 +584,47 @@ class PlanSpec extends SparkSpec {
     assert(ph.contains("Bucketed: true"), ph)
     assert(!ph.contains("CartesianProduct"), ph)
   }
+
+  test("chunk_hybrid_rrf: bounded member cuts, the only window is the fused serving cut; persisted PRF probes stay bucketed") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val docs = graft.text.TextOps.docs(spark, SF)
+    spark.sql("DROP TABLE IF EXISTS chunk_hyb_plan")
+    spark.sql("DROP TABLE IF EXISTS chunk_hyb_plan_vocab")
+    val idx = Files.createTempDirectory("graft_chunk_hyb_plan")
+      .toString + "/v"
+    graft.text.TextOps.writeDocVectorIndex(
+      graft.text.Chunks.chunkDocs(docs), "chunk_hyb_plan", idx)
+    val df = graft.text.Chunks.chunkHybridRrf(spark, docs,
+      "chunk_hyb_plan", "chunk_hyb_plan_vocab")
+    val p = plan(df)
+    // both member rankings ride the bounded MinKByKey aggregate — a
+    // ranking window over a corpus-wide match list would be a
+    // single-reducer sort of every matching chunk
+    assert(p.contains("min_k_by_key"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the ONLY window is the serving cut, ordering the ≤ kLex + kSem
+    // fused rows on the integer mass
+    val wins = df.queryExecution.optimizedPlan
+      .collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(
+      _.orderSpec.map(_.toString).mkString(",").contains("rrf_micro")),
+      wins.toString)
+
+    // search_prf_persisted's mining face: bucketed postings probes
+    // (zero corpus tokenize), bounded seed cut, no cartesian
+    spark.sql("DROP TABLE IF EXISTS prf_plan_idx")
+    spark.sql("DROP TABLE IF EXISTS prf_plan_idx_stats")
+    val idx2 = Files.createTempDirectory("graft_prf_plan").toString + "/v"
+    graft.text.TextOps.writeTextIndex(docs, "prf_plan_idx", idx2)
+    val pt = plan(graft.text.Prf.prfTermsIndexed(spark, "prf_plan_idx"))
+    assert(pt.contains("Bucketed: true"), pt)
+    assert(pt.contains("min_k_by_key"), pt)
+    assert(!pt.contains("CartesianProduct"), pt)
+    val pe = plan(graft.text.TextOps.searchIndexTerms(spark,
+      "prf_plan_idx", docs.sparkSession.createDataset(
+        Seq("vector", "stream"))(org.apache.spark.sql.Encoders.STRING)
+        .toDF("term")))
+    assert(pe.contains("Bucketed: true"), pe)
+    assert(!pe.contains("CartesianProduct"), pe)
+  }
 }
