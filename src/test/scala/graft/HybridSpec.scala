@@ -158,6 +158,23 @@ class HybridSpec extends SparkSpec {
       s"probe ${got.size} vs batch ${want.size}")
   }
 
+  test("capAudit boundary properties: kSem=1 caps every served query; past max_cands caps none") {
+    val e = Knn.emb(spark, SF)
+    // depth 1: every query holding >= 1 τ-passing candidate is at cap
+    val a1 = Hybrid.capAudit(e, kSem = 1).collect().head
+    val nq = a1.getAs[Long]("n_queries")
+    val m = a1.getAs[Long]("max_cands")
+    assert(nq > 0 && m >= 1, a1.toString)
+    assert(a1.getAs[Long]("n_at_cap") == nq, a1.toString)
+    // depth past the deepest list: the cap can never engage
+    val a2 = Hybrid.capAudit(e, kSem = (m + 1).toInt).collect().head
+    assert(a2.getAs[Long]("n_at_cap") == 0L, a2.toString)
+    assert(a2.getAs[Long]("n_queries") == nq && a2.getAs[Long]("max_cands") == m)
+    // depth exactly at the deepest list: at least its owner is at cap
+    val a3 = Hybrid.capAudit(e, kSem = m.toInt).collect().head
+    assert(a3.getAs[Long]("n_at_cap") >= 1L, a3.toString)
+  }
+
   test("index-backed stream hybrid probe at nprobe = nlist equals batch hybrid_search_rrf") {
     // the r16-verdict #1 shape: the semantic member probes the
     // PERSISTED bucketed IVF index (centroids from their own committed
