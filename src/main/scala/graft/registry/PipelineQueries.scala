@@ -1523,10 +1523,11 @@ object PipelineQueries {
       val (tbl, path) = runScopedTable(s, d, "graft_chunk_hyb_vec")
       s.sql(s"DROP TABLE IF EXISTS $tbl")
       s.sql(s"DROP TABLE IF EXISTS ${tbl}_vocab")
-      TextOps.writeDocVectorIndex(
-        graft.text.Chunks.chunkDocs(docs(s, d)), tbl, path)
-      graft.text.Chunks.chunkHybridRrf(s, docs(s, d), tbl,
-        s"${tbl}_vocab")
+      // ONE chunk relation feeds the index build AND both members —
+      // the grid cannot diverge between them (the composite-id fence)
+      val cd = graft.text.Chunks.chunkDocs(docs(s, d))
+      TextOps.writeDocVectorIndex(cd, tbl, path)
+      graft.text.Chunks.chunkHybridRrf(s, cd, tbl, s"${tbl}_vocab")
     }),
     // chunk-granular dedup (the C4 repeated-lines recipe on the window
     // grid): one keeper per distinct window content corpus-wide — the
@@ -1656,7 +1657,7 @@ object PipelineQueries {
       .hybridAudit(docs(s, d), Knn.emb(s, d))),
     // drop accounting for hybrid_search_ivf's kSem member-depth cap
     // (r16 ADVICE — no silent caps): queries whose full τ-passing
-    // semantic list reaches kSem, against the exact brute member
+    // semantic list EXCEEDS kSem, against the exact brute member
     "hybrid_cap_audit" -> ((s, d) => graft.similarity.Hybrid
       .capAudit(Knn.emb(s, d))),
     // the 100 TB shape: prefix-filtered lexical member (row-identical,
@@ -3044,8 +3045,10 @@ object PipelineQueries {
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cand
         FROM semd GROUP BY 1)
       SELECT CAST(count(*) AS BIGINT) AS n_queries,
-             CAST(count(CASE WHEN n_cand >= 50 THEN 1 END) AS BIGINT)
-               AS n_at_cap,
+             -- strictly > kSem: a top-kSem cut drops candidates only
+             -- past the depth; an exactly-kSem list loses nothing
+             CAST(count(CASE WHEN n_cand > 50 THEN 1 END) AS BIGINT)
+               AS n_over_cap,
              coalesce(max(n_cand), CAST(0 AS BIGINT)) AS max_cands,
              CAST(50 AS BIGINT) AS k_sem
       FROM percand""",

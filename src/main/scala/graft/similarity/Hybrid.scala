@@ -182,7 +182,7 @@ object Hybrid {
     * equals [[hybridSearch]] row-for-row. kSem bounds the semantic
     * member's per-query depth — a bounded-coverage cap, so it carries
     * drop accounting: [[capAudit]] (registered `hybrid_cap_audit`)
-    * counts the queries whose full τ-passing list reaches kSem against
+    * counts the queries whose full τ-passing list exceeds kSem against
     * the exact brute member. */
   def hybridSearchIvf(spark: org.apache.spark.sql.SparkSession,
       d: DataFrame, e: DataFrame, indexTable: String, path: String,
@@ -211,11 +211,12 @@ object Hybrid {
     * row measured against the GROUND-TRUTH brute member (stronger than
     * counting inside the capped probe, which can only see what survived
     * its own pruning): queries probing, queries whose τ-passing
-    * candidate count reaches kSem (the cap engages for exactly these),
-    * the deepest list, and the declared kSem. `e` is the
-    * [[Knn.embOf]]-normalized embedding table, as everywhere in this
-    * family. count(when(..)) + coalesce(max, 0): exact zeros on an
-    * empty corpus in both engines. */
+    * candidate count EXCEEDS kSem — a top-kSem cut drops candidates
+    * and compresses ranks for exactly these; a query with exactly kSem
+    * candidates loses nothing — the deepest list, and the declared
+    * kSem. `e` is the [[Knn.embOf]]-normalized embedding table, as
+    * everywhere in this family. count(when(..)) + coalesce(max, 0):
+    * exact zeros on an empty corpus in both engines. */
   def capAudit(e: DataFrame, tauSem: Double = 0.3, kSem: Int = 50,
       salt: String = "hyb"): DataFrame = {
     require(kSem >= 1, s"bad kSem=$kSem")
@@ -224,7 +225,7 @@ object Hybrid {
     sem.groupBy(col("doc_id")).agg(count(lit(1)).as("n_cand"))
       .agg(
         count(lit(1)).as("n_queries"),
-        count(when(col("n_cand") >= kSem, lit(1))).as("n_at_cap"),
+        count(when(col("n_cand") > kSem, lit(1))).as("n_over_cap"),
         coalesce(max(col("n_cand")), lit(0L)).as("max_cands"))
       .withColumn("k_sem", lit(kSem.toLong))
   }

@@ -1592,6 +1592,50 @@ object Knn {
     ranked(scored, k)
   }
 
+  /** Cross-table generation fence for the two-artifact IVF layout
+    * ([[writeIvfIndex]] with persistCentroids): centroids and index
+    * promote as two INDEPENDENT staged renames, so a probe landing
+    * between the promotes — or after a crash that Staged.recover heals
+    * per-table — can rank NEW centroids against an OLD index. The
+    * c_id space is xxhash64 of the seed vec_ids, so mismatched
+    * generations equijoin to NOTHING and the semantic member comes
+    * back silently EMPTY (the exact silent-degradation class this
+    * repo fences everywhere; an empty probe result is
+    * indistinguishable from "no neighbors" without this check). The
+    * fence: every inverted-list id in the index must exist in the
+    * centroid table — one left-anti existence count over the bucketed
+    * index scan, memoized per (index table, centroid-set digest) per
+    * JVM (the LshBuckets.corpusSize posture): a generation change
+    * flips the digest and re-pays one scan; steady-state probes pay a
+    * centroid-table collect (nlist rows) and nothing else. Any
+    * mid-swap state necessarily differs in c_id set from every
+    * verified state, so the memo cannot mask a mismatch. */
+  private val centroidAlignmentMemo =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[graft] def requireCentroidAlignment(spark: SparkSession,
+      tableName: String, centroids: DataFrame): Unit = {
+    val cids = centroids.select(col("c_id")).collect().map(_.getLong(0))
+    require(cids.length <= 1000000,
+      s"centroid table $tableName: ${cids.length} rows — not a " +
+        "broadcastable centroid artifact")
+    val key = tableName + ":" + cids.length + ":" +
+      java.util.Arrays.hashCode(cids.sorted)
+    if (!centroidAlignmentMemo.contains(key)) {
+      val orphans = graft.sources.Staged.liveTable(spark, tableName)
+        .select(col("c_id")).distinct()
+        .join(centroids.select(col("c_id")), Seq("c_id"), "left_anti")
+        .count()
+      require(orphans == 0L,
+        s"IVF generation mismatch: $orphans inverted-list ids in " +
+          s"$tableName have no row in its centroid table — the two " +
+          "staged artifacts are from different builds (probe landed " +
+          "mid-swap or a crashed rebuild healed one table only); " +
+          "retry after the index promote completes, or rebuild")
+      centroidAlignmentMemo.add(key)
+    }
+  }
+
   /** Search a persisted IVF index ([[writeIvfIndex]]): queries rank the
     * centroid table for their `nprobe` nearest lists, then meet the
     * bucketed index in a `c_id` equijoin — the index side arrives

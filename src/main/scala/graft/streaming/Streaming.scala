@@ -698,10 +698,16 @@ object Streaming {
         val q = graft.similarity.Knn.embOf(b.select(
           col("doc_id").as("vec_id"), lit(0).cast("int").as("label"),
           col("embedding")))
+        val centroids = graft.sources.Staged.liveTable(spark,
+          s"${ivfTable}_centroids")
+        // the two staged artifacts promote independently — verify the
+        // index's c_id space IS the one this centroid generation
+        // describes (memoized; a mid-swap probe would otherwise emit
+        // a silently EMPTY semantic member)
+        graft.similarity.Knn.requireCentroidAlignment(spark, ivfTable,
+          centroids)
         val sem = graft.similarity.Knn.searchIvfIndex(spark, ivfTable,
-            graft.sources.Staged.liveTable(spark,
-              s"${ivfTable}_centroids"),
-            q, kSem, nprobe)
+            centroids, q, kSem, nprobe)
           .filter(col("score") >= tauSem)
           .select(col("query_id").as("doc_id"),
             col("neighbor_id").as("cand_id"), col("score"))

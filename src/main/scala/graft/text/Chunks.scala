@@ -192,17 +192,22 @@ object Chunks {
     * chunk vocabulary CTEs, and repeats the fusion — one SQL, the
     * whole serving path cross-checked. */
   def chunkHybridRrf(spark: org.apache.spark.sql.SparkSession,
-      d: DataFrame, vecTable: String, vocabTable: String,
-      terms: Seq[String] = graft.text.Prf.SeedQuery, width: Int = 32,
+      cd: DataFrame, vecTable: String, vocabTable: String,
+      terms: Seq[String] = graft.text.Prf.SeedQuery,
       tauSem: Double = 0.05, kLex: Int = 50, kSem: Int = 50,
       k: Int = 10): DataFrame = {
     require(kLex >= k && kSem >= k,
       s"member depth below serving k: kLex=$kLex kSem=$kSem k=$k")
     require(terms.nonEmpty && terms.distinct == terms,
       s"query terms must be distinct and non-empty: $terms")
+    // `cd` is the [[chunkDocs]] relation — the SAME one the vector
+    // index was built from: both members derive from one grid by
+    // construction, so a width mismatch between the BM25 member's
+    // composite ids and the index's frozen ids (two different id
+    // spaces silently full-outer-joined — the composite-id aliasing
+    // class) is UNCONSTRUCTIBLE through this signature
     val lexScored = graft.text.TextOps.bm25Search(
-      chunkCorpus(d, width).select(col("chunk_id").as("doc_id"),
-        col("text")), terms)
+      cd.select(col("doc_id"), col("text")), terms)
     val lexR = Prf.topDocs(lexScored, kLex)
       .select(col("doc_id").as("cand_id"), col("rnk").as("lex_rank"))
       .withColumn("doc_id", lit(0L))
@@ -210,7 +215,7 @@ object Chunks {
     // vector space is lang-scoped): one row per lang, vectorized
     // against the frozen vocab by the persisted probe verbatim; the
     // -1 pseudo-id can never collide with a composite chunk id
-    val queryRel = d.select(col("lang")).distinct()
+    val queryRel = cd.select(col("lang")).distinct()
       .select(lit(-1L).as("doc_id"), col("lang"),
         lit(terms.mkString(" ")).as("text"))
     val semScored = graft.text.TextOps.docSimilarPersisted(

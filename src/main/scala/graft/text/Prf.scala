@@ -159,6 +159,15 @@ object Prf {
     val fb = postings.join(broadcast(r0), "doc_id")
       .filter(!col("term").isin(q0: _*))
       .select(col("doc_id"), col("term"), col("tf"))
+    // df from the WHOLE postings table, deliberately: the table is
+    // bucketed+sorted by term, so this agg is in-bucket map-side work
+    // with ZERO Exchange and a vocab-sized output — while pruning to
+    // the feedback term set first would need either a broadcast
+    // equijoin (which does NOT push into the scan: same bytes read,
+    // plus a second fb derivation) or a driver-collected literal isin
+    // (real scan pruning, but a collect on the query path); the scan
+    // is the persisted family's standard per-probe cost and the
+    // "zero corpus TOKENIZE passes" claim is unaffected either way
     val dfT = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nTok = graft.sources.Staged
       .liveTable(spark, s"${indexTable}_stats")

@@ -204,8 +204,9 @@ class ChunkSpec extends SparkSpec {
       System.getProperty("java.io.tmpdir"), tbl).toString
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     spark.sql(s"DROP TABLE IF EXISTS ${tbl}_vocab")
-    TextOps.writeDocVectorIndex(Chunks.chunkDocs(docs), tbl, path)
-    val out = Chunks.chunkHybridRrf(spark, docs, tbl, s"${tbl}_vocab")
+    val cd = Chunks.chunkDocs(docs)
+    TextOps.writeDocVectorIndex(cd, tbl, path)
+    val out = Chunks.chunkHybridRrf(spark, cd, tbl, s"${tbl}_vocab")
       .collect()
     assert(out.nonEmpty)
     val grid = Chunks.chunkAssign(docs)

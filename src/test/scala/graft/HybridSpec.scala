@@ -158,21 +158,48 @@ class HybridSpec extends SparkSpec {
       s"probe ${got.size} vs batch ${want.size}")
   }
 
-  test("capAudit boundary properties: kSem=1 caps every served query; past max_cands caps none") {
+  test("capAudit boundary: over-cap strictly past kSem — an exactly-kSem list loses nothing") {
     val e = Knn.emb(spark, SF)
-    // depth 1: every query holding >= 1 τ-passing candidate is at cap
     val a1 = Hybrid.capAudit(e, kSem = 1).collect().head
     val nq = a1.getAs[Long]("n_queries")
     val m = a1.getAs[Long]("max_cands")
-    assert(nq > 0 && m >= 1, a1.toString)
-    assert(a1.getAs[Long]("n_at_cap") == nq, a1.toString)
-    // depth past the deepest list: the cap can never engage
-    val a2 = Hybrid.capAudit(e, kSem = (m + 1).toInt).collect().head
-    assert(a2.getAs[Long]("n_at_cap") == 0L, a2.toString)
-    assert(a2.getAs[Long]("n_queries") == nq && a2.getAs[Long]("max_cands") == m)
-    // depth exactly at the deepest list: at least its owner is at cap
-    val a3 = Hybrid.capAudit(e, kSem = m.toInt).collect().head
-    assert(a3.getAs[Long]("n_at_cap") >= 1L, a3.toString)
+    assert(nq > 0 && m >= 2, a1.toString)
+    // depth 1: exactly the queries holding >= 2 candidates are over
+    // cap — never more than all queries, and at least the deepest
+    assert(a1.getAs[Long]("n_over_cap") >= 1L &&
+      a1.getAs[Long]("n_over_cap") <= nq, a1.toString)
+    // depth AT the deepest list: a top-m cut drops nothing anywhere —
+    // the boundary the audit must not overstate (>= would count the
+    // deepest list's owner as capped while all its candidates survive)
+    val a2 = Hybrid.capAudit(e, kSem = m.toInt).collect().head
+    assert(a2.getAs[Long]("n_over_cap") == 0L, a2.toString)
+    assert(a2.getAs[Long]("n_queries") == nq &&
+      a2.getAs[Long]("max_cands") == m)
+    // one below the deepest: its owner genuinely loses its tail
+    val a3 = Hybrid.capAudit(e, kSem = (m - 1).toInt).collect().head
+    assert(a3.getAs[Long]("n_over_cap") >= 1L, a3.toString)
+  }
+
+  test("centroid/index generation fence: mismatched artifacts raise the named error, aligned pass") {
+    import spark.implicits._
+    val e = Knn.emb(spark, SF)
+    spark.sql("DROP TABLE IF EXISTS fence_ivf")
+    spark.sql("DROP TABLE IF EXISTS fence_ivf_centroids")
+    val path = Files.createTempDirectory("graft_fence_ivf").toString + "/v"
+    Knn.writeIvfIndex(e, "fence_ivf", path, nlist = 4,
+      persistCentroids = true)
+    // the committed pair verifies (and memoizes)
+    Knn.requireCentroidAlignment(spark, "fence_ivf",
+      graft.sources.Staged.liveTable(spark, "fence_ivf_centroids"))
+    // a centroid set from a DIFFERENT build (disjoint c_id space —
+    // exactly what a probe sees mid-swap) must raise the NAMED error,
+    // never serve a silently empty semantic member
+    val alien = Seq((999999901L, Array(1.0, 0.0)),
+      (999999902L, Array(0.0, 1.0))).toDF("c_id", "cv")
+    val err = intercept[IllegalArgumentException] {
+      Knn.requireCentroidAlignment(spark, "fence_ivf", alien)
+    }
+    assert(err.getMessage.contains("generation mismatch"), err.getMessage)
   }
 
   test("index-backed stream hybrid probe at nprobe = nlist equals batch hybrid_search_rrf") {

@@ -624,12 +624,18 @@ class KnnSpec extends SparkSpec {
     assert(r.forall { case (v, kp) => kp <= v && r(kp) == kp })
     // the sampled draw is deterministic: a re-run is row-identical
     assert(run() == r)
-    // below the switch the audit sees the identical corpus shape (the
-    // full-corpus path is untouched — n_vectors/coverage agree)
+    // the audit keeps total coverage under the SAMPLED path...
     val a1 = Knn.semanticClusterAudit(corpus, targetClusterSize = 64L,
       trainSwitch = 100L).head()
     assert(a1.getAs[Long]("n_vectors") == 304L)
     assert(a1.getAs[Long]("n_kept") + a1.getAs[Long]("n_dropped") == 304L)
+    // ...and BELOW the default switch (304 ≪ 65536 → the full-corpus
+    // Lloyd branch) the corpus shape is identical — the sub-switch
+    // path regression guard the sampled branch must never disturb
+    val a0 = Knn.semanticClusterAudit(corpus,
+      targetClusterSize = 64L).head()
+    assert(a0.getAs[Long]("n_vectors") == 304L)
+    assert(a0.getAs[Long]("n_kept") + a0.getAs[Long]("n_dropped") == 304L)
   }
 
   test("semantic cluster cap: an un-skewed corpus keeps every membership") {

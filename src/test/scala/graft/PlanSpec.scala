@@ -592,9 +592,9 @@ class PlanSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS chunk_hyb_plan_vocab")
     val idx = Files.createTempDirectory("graft_chunk_hyb_plan")
       .toString + "/v"
-    graft.text.TextOps.writeDocVectorIndex(
-      graft.text.Chunks.chunkDocs(docs), "chunk_hyb_plan", idx)
-    val df = graft.text.Chunks.chunkHybridRrf(spark, docs,
+    val cd = graft.text.Chunks.chunkDocs(docs)
+    graft.text.TextOps.writeDocVectorIndex(cd, "chunk_hyb_plan", idx)
+    val df = graft.text.Chunks.chunkHybridRrf(spark, cd,
       "chunk_hyb_plan", "chunk_hyb_plan_vocab")
     val p = plan(df)
     // both member rankings ride the bounded MinKByKey aggregate — a
