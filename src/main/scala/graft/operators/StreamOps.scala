@@ -676,4 +676,122 @@ object StreamOps {
       .select(col("grp"), col("space"), col("cursor_ts_us"),
         col("n_behind"), (col("tmax") - col("cursor_ts_us"))
           .as("time_lag_us"))
+
+  /** WORKER-PRESENCE inventory + heartbeat-staleness audit — the
+    * analytics dual of the reference's node-local presence map
+    * (`pkg/api/worker_presence.go:43` WorkerInfo/WorkerInventory;
+    * clamp ladder :136-151, TTL :161-167: renew interval =
+    * 30 s default when the declared heartbeat interval is ≤ 0, else
+    * clamped to [1, 300]; TTL = max(3·renew, 30 s)) run over a
+    * presence LOG instead of in-memory state — the sk_stale_segments
+    * posture: a store operator replays renewals and prices which
+    * workers the server would evict as of the log's horizon. Workers
+    * are the (space, segment) producers; renewals are their entries;
+    * each worker's DECLARED heartbeat interval is a pure integer
+    * function of its key ((segment % 9)·60 − 60 ∈ {−60, 0, …, 420} —
+    * exercises the observer default, the in-range band, and the 300 s
+    * clamp), so the oracle derives the identical ladder; a real
+    * deployment feeds its presence log. Output: one row per worker
+    * with the clamped interval, TTL, last renewal, age at the space
+    * horizon, and the eviction verdict — all exact integers. Scale:
+    * one (space, segment) hash agg (map-side combinable) + a
+    * space-sized bounds broadcast. */
+  def workerPresence(named: DataFrame): DataFrame = {
+    val horizon = named.groupBy(col("space"))
+      .agg(max(col("ts_us")).as("as_of_us"))
+    named.select(col("space"), col("segment"), col("ts_us"))
+      .groupBy(col("space"), col("segment"))
+      .agg(count(lit(1)).as("n_renewals"),
+        max(col("ts_us")).as("last_seen_us"))
+      .join(broadcast(horizon), Seq("space"))
+      .withColumn("hb_raw_s",
+        (col("segment").cast("long") % lit(9L)) * lit(60L) - lit(60L))
+      // the reference clamp ladder verbatim: ≤ 0 → observer → the 30 s
+      // default renew period; else clamp to [1, 300]
+      .withColumn("renew_s", expr(
+        "CASE WHEN hb_raw_s <= 0 THEN 30 " +
+          "ELSE least(greatest(hb_raw_s, 1), 300) END"))
+      .withColumn("ttl_s", greatest(col("renew_s") * lit(3L), lit(30L)))
+      .withColumn("age_us", col("as_of_us") - col("last_seen_us"))
+      .withColumn("is_stale",
+        (col("age_us") > col("ttl_s") * lit(1000000L)).cast("int"))
+      .select(col("space"), col("segment").as("worker"),
+        col("n_renewals"), col("hb_raw_s"), col("renew_s"), col("ttl_s"),
+        col("last_seen_us"), col("age_us"), col("is_stale"))
+  }
+
+  /** LEASE fencing/overlap audit — the split-brain detector over an
+    * acquisition log, the analytics dual of the reference's in-memory
+    * single-writer lease store (`internal/lease/lease.go:90` Acquire
+    * with TTL: one holder per key per instant is the WHOLE contract):
+    * two holders whose granted intervals overlap on one key mean both
+    * believed they held it — the exact state the lease exists to
+    * prevent, visible only in a log audit. Grants are synthesized as
+    * pure integer functions of the entry key (the consumerCursors
+    * posture): key = (space, segment), holder cycles h0/h1/h2 by the
+    * entry's sequence, interval = [ts, ts + ttl) with ttl self-scaled
+    * to the KEY's own mean renewal gap (((kmax−kmin)·(1 + seq % 4))
+    * div (2·kn) ∈ [½, 2] mean gaps — a natural mix of clean handoffs
+    * and overlaps at any corpus scale; multiply before divide); a real
+    * deployment feeds its grant log.
+    *
+    * The detector is EXACT, not adjacent-pair: (1) per (key, holder),
+    * overlapping own grants merge into EPISODES (renew/re-acquire
+    * chains — the reference lets a holder re-acquire freely, so
+    * same-holder overlap is legal), via the running-max island scan;
+    * episodes of one holder are strictly disjoint BY CONSTRUCTION.
+    * (2) per key in episode-start order, an episode whose start
+    * precedes the running max end of PRIOR episodes overlaps one of
+    * them — which must belong to a DIFFERENT holder (same-holder
+    * episodes are disjoint), i.e. split-brain. Any cross-holder
+    * overlap is caught: the earlier episode's end enters the running
+    * max before the later episode is scanned. Output: one row per key
+    * with grant/holder/episode populations and the split-brain episode
+    * count — all exact integers. Scale: windows partition by key (and
+    * key×holder), never the log; parallelism = #keys. */
+  def leaseAudit(entries: DataFrame): DataFrame = {
+    val kb = entries.groupBy(col("space"), col("segment"))
+      .agg(min(col("ts_us")).as("kmin"), max(col("ts_us")).as("kmax"),
+        count(lit(1)).as("kn"))
+    val grants = entries
+      .select(col("space"), col("segment"), col("ts_us"), col("sequence"))
+      .join(kb, Seq("space", "segment"))
+      .withColumn("holder",
+        concat(lit("h"), (col("sequence") % lit(3L)).cast("string")))
+      .withColumn("ttl_us",
+        expr("((kmax - kmin) * (1 + sequence % 4)) div (2 * kn)"))
+      .withColumn("end_us", col("ts_us") + col("ttl_us"))
+    val hw = Window.partitionBy("space", "segment", "holder")
+      .orderBy("ts_us", "sequence")
+    val islands = grants
+      .withColumn("pmax", max(col("end_us")).over(
+        hw.rowsBetween(Window.unboundedPreceding, -1)))
+      // [s, e) intervals: a grant starts a NEW episode when every prior
+      // own grant ended at or before its start
+      .withColumn("new_ep",
+        when(col("pmax").isNull || col("pmax") <= col("ts_us"), 1L)
+          .otherwise(0L))
+      .withColumn("ep", sum(col("new_ep")).over(
+        hw.rowsBetween(Window.unboundedPreceding, 0)))
+    val episodes = islands
+      .groupBy(col("space"), col("segment"), col("holder"), col("ep"))
+      .agg(min(col("ts_us")).as("start_us"), max(col("end_us")).as("end_us"))
+    val kw = Window.partitionBy("space", "segment")
+      .orderBy(col("start_us"), col("holder"), col("ep"))
+    val flagged = episodes
+      .withColumn("prev_max_end", max(col("end_us")).over(
+        kw.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("split_brain",
+        when(col("prev_max_end").isNotNull &&
+          col("prev_max_end") > col("start_us"), 1L).otherwise(0L))
+    flagged.groupBy(col("space"), col("segment"))
+      .agg(countDistinct(col("holder")).as("n_holders"),
+        count(lit(1)).as("n_episodes"),
+        sum(col("split_brain")).as("n_split_brain"))
+      .join(kb.select(col("space"), col("segment"), col("kn").as("n_grants")),
+        Seq("space", "segment"))
+      .select(col("space"), col("segment").as("lease_key"),
+        col("n_grants"), col("n_holders"), col("n_episodes"),
+        col("n_split_brain"))
+  }
 }

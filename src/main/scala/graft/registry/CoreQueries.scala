@@ -122,6 +122,19 @@ object CoreQueries {
     // ordinal — deterministic), half-up integer reclaim share
     "sk_compact_plan" -> ((s, d) =>
       StreamOps.compactPlan(EventLog.entries(s, d))),
+    // worker-presence inventory + staleness audit (r17 verdict #2):
+    // the reference's clamp/TTL ladder (worker_presence.go:136-167)
+    // replayed over a presence log — declared intervals are pure
+    // integer functions of the worker key, so the oracle derives the
+    // identical ladder; eviction verdicts at the space horizon
+    "sk_worker_presence" -> ((s, d) =>
+      StreamOps.workerPresence(EventLog.named(s, d))),
+    // lease fencing/overlap audit (r17 verdict #2): split-brain
+    // detector over a synthesized grant log — per-holder episodes
+    // merged by a running-max island scan, then cross-holder overlap
+    // by the per-key sweep (exact, not adjacent-pair); all integers
+    "sk_lease_audit" -> ((s, d) =>
+      StreamOps.leaseAudit(EventLog.entries(s, d))),
     // ── B. event sourcing ─────────────────────────────────────────────
     "es_replay_state" -> ((s, d) =>
       EventSourcing.replayState(
@@ -732,6 +745,89 @@ object CoreQueries {
                (2 * CAST(count(*) AS BIGINT)) AS stale_milli
       FROM seg s JOIN b ON s.space = b.space
       GROUP BY 1""",
+
+    // the reference clamp/TTL ladder verbatim (≤0 → 30 s observer
+    // default; clamp [1,300]; TTL = max(3·renew, 30)); declared
+    // intervals are (segment % 9)·60 − 60 — pure integer key functions
+    "sk_worker_presence" -> s"""$E,
+      pres AS (
+        SELECT space, segment, CAST(count(*) AS BIGINT) AS n_renewals,
+               max(ts_us) AS last_seen_us
+        FROM entries GROUP BY 1, 2),
+      hz AS (SELECT space, max(ts_us) AS as_of_us
+             FROM entries GROUP BY 1),
+      lad AS (
+        SELECT p.space, p.segment, p.n_renewals, p.last_seen_us,
+               h.as_of_us,
+               (CAST(p.segment AS BIGINT) % 9) * 60 - 60 AS hb_raw_s
+        FROM pres p JOIN hz h ON p.space = h.space),
+      r AS (
+        SELECT *, CAST(CASE WHEN hb_raw_s <= 0 THEN 30
+                       ELSE least(greatest(hb_raw_s, 1), 300) END
+                  AS BIGINT) AS renew_s
+        FROM lad),
+      t AS (
+        SELECT *, CAST(CASE WHEN renew_s * 3 < 30 THEN 30
+                       ELSE renew_s * 3 END AS BIGINT) AS ttl_s,
+               as_of_us - last_seen_us AS age_us
+        FROM r)
+      SELECT space, segment AS worker, n_renewals, hb_raw_s, renew_s,
+             ttl_s, last_seen_us, age_us,
+             CAST(CASE WHEN age_us > ttl_s * 1000000 THEN 1 ELSE 0 END
+               AS INT) AS is_stale
+      FROM t""",
+
+    // identical island-merge + sweep windows (full tie-breaks on both
+    // sides, so the running-max frames are engine-identical); ttl
+    // self-scaled to the key's own mean gap — multiply before divide
+    "sk_lease_audit" -> s"""$E,
+      kb AS (
+        SELECT space, segment, min(ts_us) AS kmin, max(ts_us) AS kmax,
+               CAST(count(*) AS BIGINT) AS kn
+        FROM entries GROUP BY 1, 2),
+      g AS (
+        SELECT e.space, e.segment, e.ts_us, e.sequence,
+               'h' || CAST(e.sequence % 3 AS VARCHAR) AS holder,
+               e.ts_us + ((k.kmax - k.kmin) * (1 + e.sequence % 4))
+                 // (2 * k.kn) AS end_us
+        FROM entries e
+        JOIN kb k ON e.space = k.space AND e.segment = k.segment),
+      i AS (
+        SELECT *, max(end_us) OVER (PARTITION BY space, segment, holder
+                   ORDER BY ts_us, sequence
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS pmax
+        FROM g),
+      j AS (
+        SELECT *, CASE WHEN pmax IS NULL OR pmax <= ts_us
+                  THEN 1 ELSE 0 END AS new_ep
+        FROM i),
+      k2 AS (
+        SELECT *, CAST(sum(new_ep) OVER (
+                   PARTITION BY space, segment, holder
+                   ORDER BY ts_us, sequence
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS ep
+        FROM j),
+      eps AS (
+        SELECT space, segment, holder, ep, min(ts_us) AS start_us,
+               max(end_us) AS end_us
+        FROM k2 GROUP BY 1, 2, 3, 4),
+      fl AS (
+        SELECT *, max(end_us) OVER (PARTITION BY space, segment
+                   ORDER BY start_us, holder, ep
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_max_end
+        FROM eps)
+      SELECT f.space, f.segment AS lease_key, k.kn AS n_grants,
+             CAST(count(DISTINCT f.holder) AS BIGINT) AS n_holders,
+             CAST(count(*) AS BIGINT) AS n_episodes,
+             CAST(sum(CASE WHEN prev_max_end IS NOT NULL
+               AND prev_max_end > start_us THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_split_brain
+      FROM fl f
+      JOIN kb k ON f.space = k.space AND f.segment = k.segment
+      GROUP BY 1, 2, 3""",
 
     "sk_retention_audit" -> s"""
       WITH ev AS (

@@ -767,6 +767,94 @@ object PipelineQueries {
           FROM documents)
         WHERE n_words > 0))"""
 
+  /** The whole passage-granular hybrid serving path in one SQL: the
+    * bm25 chain over the chunk relation (lex member, top-50 cut), the
+    * df-banded chunk vocabulary + per-lang QUERY vector (the seed
+    * terms' idf_milli weights, tf = 1 — exactly what vectorizing the
+    * query string against the frozen vocab produces), cosine on the
+    * 1e-4 grid, and the identical integer RRF fusion; both member
+    * cuts are row_number windows — order-equivalent to the engine's
+    * bounded MinKByKey key (PrfSpec pins that equivalence). Shared by
+    * `chunk_hybrid_rrf` (ad-hoc members) and `chunk_hybrid_serve`
+    * (both members persisted-index probes — every hop transparent). */
+  private val ChunkHybridOracleSql = s"""
+      WITH lexb AS (${bm25SqlFrom(ChunkCorpusRel)}),
+      lexr AS (
+        SELECT cand_id, lex_rank FROM (
+          SELECT doc_id AS cand_id,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                   AS BIGINT) AS lex_rank
+          FROM lexb)
+        WHERE lex_rank <= 50),
+      ct AS (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split(lower(text), ' '),
+                 x -> x <> '')) AS term
+        FROM $ChunkCorpusRel),
+      ctf AS (SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS tf
+              FROM ct GROUP BY 1, 2, 3),
+      cn AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+             FROM (SELECT DISTINCT doc_id, lang FROM ctf) GROUP BY 1),
+      cdft AS (SELECT lang, term, df, n_docs FROM
+                 (SELECT lang, term, CAST(count(*) AS BIGINT) AS df
+                  FROM ctf GROUP BY 1, 2) JOIN cn USING (lang)
+               WHERE df >= 2 AND df * 10 <= n_docs * 9),
+      cw AS (
+        SELECT doc_id, ctf.lang, ctf.term,
+               tf * CAST(round(ln(n_docs / df) * 1000.0::DOUBLE, 0)
+                 AS BIGINT) AS w
+        FROM ctf JOIN cdft
+          ON ctf.lang = cdft.lang AND ctf.term = cdft.term),
+      cnorms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+                 FROM cw GROUP BY 1),
+      qw AS (
+        SELECT lang, term,
+               CAST(round(ln(n_docs / df) * 1000.0::DOUBLE, 0)
+                 AS BIGINT) AS w
+        FROM cdft
+        WHERE term IN ('vector', 'stream', 'window', 'hash')),
+      qn AS (SELECT lang, CAST(sum(w * w) AS BIGINT) AS qn2
+             FROM qw GROUP BY 1),
+      sdots AS (
+        SELECT cw.doc_id AS cand_id, cw.lang,
+               CAST(sum(cw.w * qw.w) AS BIGINT) AS dot
+        FROM cw JOIN qw ON cw.lang = qw.lang AND cw.term = qw.term
+        GROUP BY 1, 2),
+      semsc AS (
+        SELECT cand_id,
+               floor(CAST(dot AS DOUBLE) * 10000.0 /
+                 (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))
+                 + 0.5) / 10000.0 AS score
+        FROM sdots
+        JOIN qn USING (lang)
+        JOIN cnorms ON sdots.cand_id = cnorms.doc_id
+        WHERE qn2 > 0 AND n2 > 0),
+      semr AS (
+        SELECT cand_id, sem_rank FROM (
+          SELECT cand_id,
+                 CAST(row_number() OVER (ORDER BY score DESC, cand_id)
+                   AS BIGINT) AS sem_rank
+          FROM semsc WHERE score >= 0.05)
+        WHERE sem_rank <= 50),
+      cfused AS (
+        SELECT coalesce(l.cand_id, s.cand_id) AS cand_id,
+               coalesce(l.lex_rank, CAST(0 AS BIGINT)) AS lex_rank,
+               coalesce(s.sem_rank, CAST(0 AS BIGINT)) AS sem_rank,
+               CAST(CASE WHEN coalesce(l.lex_rank, 0) > 0
+                      THEN 1000000000 // (60 + l.lex_rank) ELSE 0 END
+                  + CASE WHEN coalesce(s.sem_rank, 0) > 0
+                      THEN 1000000000 // (60 + s.sem_rank) ELSE 0 END
+                 AS BIGINT) AS rrf_micro
+        FROM lexr l FULL OUTER JOIN semr s ON l.cand_id = s.cand_id)
+      SELECT cand_id // 1048576 AS doc_id,
+             cand_id % 1048576 AS chunk_idx,
+             lex_rank, sem_rank, rrf_micro, rnk FROM (
+        SELECT cand_id, lex_rank, sem_rank, rrf_micro,
+               CAST(row_number() OVER (ORDER BY rrf_micro DESC, cand_id)
+                 AS BIGINT) AS rnk
+        FROM cfused)
+      WHERE rnk <= 10"""
+
   val queries: Map[String, Q] = Map(
     // ── E. dedup ──────────────────────────────────────────────────────
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
@@ -1529,6 +1617,26 @@ object PipelineQueries {
       TextOps.writeDocVectorIndex(cd, tbl, path)
       graft.text.Chunks.chunkHybridRrf(s, cd, tbl, s"${tbl}_vocab")
     }),
+    // the serving path ENTIRELY from persisted artifacts (r17 verdict
+    // #4's batch half): lexical member = persisted chunk-postings
+    // probe, semantic member = frozen chunk-vocab query vectorization
+    // — ZERO corpus passes at query time, so per-query cost is
+    // corpus-size-independent (what the live dual replays verbatim);
+    // every hop transparent, shares chunk_hybrid_rrf's oracle
+    "chunk_hybrid_serve" -> ((s, d) => {
+      val (tbl, path) = runScopedTable(s, d, "graft_chunk_hyb_srv")
+      Seq(tbl, s"${tbl}_vocab", s"${tbl}_post", s"${tbl}_post_stats")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
+      // ONE chunk relation feeds BOTH index builds (checkpointed —
+      // never re-chunk the corpus per consumer)
+      val cd = graft.text.Chunks.chunkDocs(docs(s, d))
+        .localCheckpoint(true)
+      TextOps.writeDocVectorIndex(cd, tbl, path)
+      TextOps.writeTextIndex(cd.select(col("doc_id"), col("text")),
+        s"${tbl}_post", s"${path}_post")
+      graft.text.Chunks.chunkHybridServe(s, s"${tbl}_post", tbl,
+        s"${tbl}_vocab")
+    }),
     // chunk-granular dedup (the C4 repeated-lines recipe on the window
     // grid): one keeper per distinct window content corpus-wide — the
     // lexicographic-min (doc_id, chunk_idx) rule, so intra-doc repeats
@@ -1669,6 +1777,17 @@ object PipelineQueries {
       graft.similarity.Hybrid.hybridSearchIvf(s, docs(s, d),
         Knn.emb(s, d), tbl, path)
     }),
+    // the PQ-backed serving-matrix completion (r17 verdict #5): the
+    // semantic member probes the persisted IVF-PQ index (O(m) ADC
+    // table-lookup scoring over code lists dim/m× smaller than int8)
+    // with the lexical member and fusion untouched; rows-only — PQ is
+    // lossy by design; HybridSpec pins the planted-prototype fused ≡
+    // brute at nprobe = nlist, pq_recall_audit prices the loss
+    "hybrid_search_pq" -> ((s, d) => {
+      val (tbl, path) = runScopedTable(s, d, "graft_hyb_pq")
+      graft.similarity.Hybrid.hybridSearchPq(s, docs(s, d),
+        Knn.emb(s, d), tbl, path)
+    }),
     // BM25 against the PERSISTED bucketed postings index (build once,
     // probe per query — the search-serving shape, completing the
     // persisted-index trilogy with knn_ivf_persisted and
@@ -1680,6 +1799,47 @@ object PipelineQueries {
       s.sql(s"DROP TABLE IF EXISTS ${tbl}_stats")
       TextOps.writeTextIndex(docs(s, d), tbl, path)
       TextOps.searchIndex(s, tbl, Seq("vector", "stream", "window", "hash"))
+    }),
+    // DELTA-MERGE index maintenance (r17 verdict #1 — a daily crawl
+    // delta must never pay a full-corpus rebuild): base postings built
+    // on a ~3/4 md5 split, the remaining ~1/4 appended as a DELTA
+    // (tokenized ALONE), probe reads base ∪ delta with closed-form
+    // merged stats (all additive integers; idf derived at probe time
+    // from merged df) — result-IDENTICAL to the full-rebuild probe, so
+    // it shares text_search_bm25's oracle verbatim (the transparent-hop
+    // posture); DeltaIndexSpec pins probe ≡ full rebuild ≡ post-merge,
+    // generation staleness, and the doc-disjointness fences
+    "text_search_delta" -> ((s, d) => {
+      val (tbl, path) = runScopedTable(s, d, "graft_delta_index")
+      Seq(tbl, s"${tbl}_stats", s"${tbl}_delta", s"${tbl}_delta_stats")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
+      val dd = docs(s, d)
+      val isDelta = substring(md5(concat_ws(":",
+        col("doc_id").cast("string"), lit("dsd"))), 1, 1) >= "c"
+      TextOps.writeTextIndex(dd.filter(!isDelta), tbl, path)
+      TextOps.appendTextIndexDelta(dd.filter(isDelta), tbl, path)
+      TextOps.searchIndexDelta(s, tbl,
+        Seq("vector", "stream", "window", "hash"))
+    }),
+    // the doc-vector family's delta: delta docs vectorized against the
+    // FROZEN base vocabulary (the model artifact — one definition with
+    // the query-side vectorizer), probe scores the slice against
+    // base ∪ delta vectors; the oracle derives the SAME frozen-vocab
+    // semantic in SQL — vocabulary/df-band/idf from the base split
+    // only, vectors for ALL docs against it (the two-relation
+    // parameterized-CTE posture)
+    "doc_similar_delta" -> ((s, d) => {
+      val (tbl, path) = runScopedTable(s, d, "graft_doc_vec_dlt")
+      Seq(tbl, s"${tbl}_vocab", s"${tbl}_delta")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
+      val dd = docs(s, d)
+      val isDelta = substring(md5(concat_ws(":",
+        col("doc_id").cast("string"), lit("dsd"))), 1, 1) >= "c"
+      TextOps.writeDocVectorIndex(dd.filter(!isDelta), tbl, path)
+      TextOps.appendDocVectorIndexDelta(dd.filter(isDelta), tbl, path)
+      TextOps.docSimilarPersistedDelta(s, dd, tbl, s"${tbl}_vocab",
+        substring(md5(concat_ws(":", col("doc_id").cast("string"),
+          lit("dlt"))), 1, 1) < "4")
     }),
     // standing-query routing score: arriving docs ranked against a
     // frozen-stats query (df/n_docs/sum_dl from the persisted index,
@@ -2831,87 +2991,77 @@ object PipelineQueries {
     // 1e-4 grid, and the identical integer RRF fusion; both member
     // cuts are row_number windows — order-equivalent to the engine's
     // bounded MinKByKey key (PrfSpec pins that equivalence)
-    "chunk_hybrid_rrf" -> s"""
-      WITH lexb AS (${bm25SqlFrom(ChunkCorpusRel)}),
-      lexr AS (
-        SELECT cand_id, lex_rank FROM (
-          SELECT doc_id AS cand_id,
-                 CAST(row_number() OVER (ORDER BY score DESC, doc_id)
-                   AS BIGINT) AS lex_rank
-          FROM lexb)
-        WHERE lex_rank <= 50),
-      ct AS (
-        SELECT doc_id, lang,
-               unnest(list_filter(string_split(lower(text), ' '),
-                 x -> x <> '')) AS term
-        FROM $ChunkCorpusRel),
-      ctf AS (SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS tf
-              FROM ct GROUP BY 1, 2, 3),
-      cn AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
-             FROM (SELECT DISTINCT doc_id, lang FROM ctf) GROUP BY 1),
-      cdft AS (SELECT lang, term, df, n_docs FROM
-                 (SELECT lang, term, CAST(count(*) AS BIGINT) AS df
-                  FROM ctf GROUP BY 1, 2) JOIN cn USING (lang)
-               WHERE df >= 2 AND df * 10 <= n_docs * 9),
-      cw AS (
-        SELECT doc_id, ctf.lang, ctf.term,
-               tf * CAST(round(ln(n_docs / df) * 1000.0::DOUBLE, 0)
-                 AS BIGINT) AS w
-        FROM ctf JOIN cdft
-          ON ctf.lang = cdft.lang AND ctf.term = cdft.term),
-      cnorms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
-                 FROM cw GROUP BY 1),
-      qw AS (
-        SELECT lang, term,
-               CAST(round(ln(n_docs / df) * 1000.0::DOUBLE, 0)
-                 AS BIGINT) AS w
-        FROM cdft
-        WHERE term IN ('vector', 'stream', 'window', 'hash')),
-      qn AS (SELECT lang, CAST(sum(w * w) AS BIGINT) AS qn2
-             FROM qw GROUP BY 1),
-      sdots AS (
-        SELECT cw.doc_id AS cand_id, cw.lang,
-               CAST(sum(cw.w * qw.w) AS BIGINT) AS dot
-        FROM cw JOIN qw ON cw.lang = qw.lang AND cw.term = qw.term
-        GROUP BY 1, 2),
-      semsc AS (
-        SELECT cand_id,
-               floor(CAST(dot AS DOUBLE) * 10000.0 /
-                 (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))
-                 + 0.5) / 10000.0 AS score
-        FROM sdots
-        JOIN qn USING (lang)
-        JOIN cnorms ON sdots.cand_id = cnorms.doc_id
-        WHERE qn2 > 0 AND n2 > 0),
-      semr AS (
-        SELECT cand_id, sem_rank FROM (
-          SELECT cand_id,
-                 CAST(row_number() OVER (ORDER BY score DESC, cand_id)
-                   AS BIGINT) AS sem_rank
-          FROM semsc WHERE score >= 0.05)
-        WHERE sem_rank <= 50),
-      cfused AS (
-        SELECT coalesce(l.cand_id, s.cand_id) AS cand_id,
-               coalesce(l.lex_rank, CAST(0 AS BIGINT)) AS lex_rank,
-               coalesce(s.sem_rank, CAST(0 AS BIGINT)) AS sem_rank,
-               CAST(CASE WHEN coalesce(l.lex_rank, 0) > 0
-                      THEN 1000000000 // (60 + l.lex_rank) ELSE 0 END
-                  + CASE WHEN coalesce(s.sem_rank, 0) > 0
-                      THEN 1000000000 // (60 + s.sem_rank) ELSE 0 END
-                 AS BIGINT) AS rrf_micro
-        FROM lexr l FULL OUTER JOIN semr s ON l.cand_id = s.cand_id)
-      SELECT cand_id // 1048576 AS doc_id,
-             cand_id % 1048576 AS chunk_idx,
-             lex_rank, sem_rank, rrf_micro, rnk FROM (
-        SELECT cand_id, lex_rank, sem_rank, rrf_micro,
-               CAST(row_number() OVER (ORDER BY rrf_micro DESC, cand_id)
-                 AS BIGINT) AS rnk
-        FROM cfused)
-      WHERE rnk <= 10""",
+    "chunk_hybrid_rrf" -> ChunkHybridOracleSql,
+    // both members served from persisted indexes — searchIndex is
+    // result-identical to the ad-hoc bm25 (text_search_indexed), the
+    // query vectorization is the identical frozen-vocab chain, and the
+    // vocab-table lang set equals the corpus lang set that matters
+    // (a lang with no in-band vocab vectorizes to nothing either way):
+    // every hop transparent, same oracle
+    "chunk_hybrid_serve" -> ChunkHybridOracleSql,
 
     // the persisted-index probe is result-identical to the ad-hoc BM25
     // (df/tf/dl round-trip the index exactly) — same oracle
     "text_search_indexed" -> Bm25OracleSql,
+    // the DELTA probe is result-identical to the ad-hoc BM25 over the
+    // full corpus: tf/dl/df/n_docs/sum_dl are additive integers over
+    // the disjoint base/delta doc sets and idf is derived at probe
+    // time from the merged df — same oracle (the transparent-hop
+    // posture, now spanning two index generations)
+    "text_search_delta" -> Bm25OracleSql,
+    // the frozen-vocab delta semantic, derived independently in SQL:
+    // the vocabulary (df-band + milli-idf) comes from the BASE split
+    // ONLY (md5 'dsd' < 'c' — what writeDocVectorIndex froze), every
+    // doc (base AND delta) is vectorized against it, and the pair join
+    // is served DIRECTED to the 'dlt' query slice — the oracle sees
+    // the delta append exactly as the engine's frozen-vocab contract
+    // defines it
+    "doc_similar_delta" -> s"""
+      WITH t AS (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split(lower(text), ' '),
+                 x -> x <> '')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS tf
+             FROM t GROUP BY 1, 2, 3),
+      btf AS (SELECT * FROM tf
+              WHERE substr(md5(concat_ws(':', CAST(doc_id AS VARCHAR),
+                'dsd')), 1, 1) < 'c'),
+      n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM (SELECT DISTINCT doc_id, lang FROM btf) GROUP BY 1),
+      dft AS (SELECT lang, term,
+                     CAST(round(ln(n_docs / df) * 1000.0::DOUBLE, 0)
+                       AS BIGINT) AS idf_milli
+              FROM (SELECT lang, term, CAST(count(*) AS BIGINT) AS df
+                    FROM btf GROUP BY 1, 2) JOIN n USING (lang)
+              WHERE df >= 2 AND df * 10 <= n_docs * 9),
+      w AS (
+        SELECT doc_id, tf.lang, tf.term, tf * idf_milli AS w
+        FROM tf JOIN dft
+          ON tf.lang = dft.lang AND tf.term = dft.term),
+      norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+                FROM w GROUP BY 1),
+      dots AS (
+        SELECT a.lang AS lang, a.doc_id AS doc_id,
+               b.doc_id AS similar_id,
+               CAST(sum(a.w * b.w) AS BIGINT) AS dot
+        FROM w a JOIN w b
+          ON a.lang = b.lang AND a.term = b.term
+            AND a.doc_id <> b.doc_id
+        WHERE substr(md5(concat_ws(':', CAST(a.doc_id AS VARCHAR),
+          'dlt')), 1, 1) < '4'
+        GROUP BY 1, 2, 3)
+      SELECT lang, doc_id, similar_id, score FROM (
+        SELECT dots.lang AS lang, dots.doc_id AS doc_id,
+               dots.similar_id AS similar_id,
+               floor(CAST(dot AS DOUBLE) * 10000.0 /
+                 (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+                 + 0.5) / 10000.0 AS score
+        FROM dots
+        JOIN norms na ON dots.doc_id = na.doc_id
+        JOIN norms nb ON dots.similar_id = nb.doc_id
+        WHERE na.n2 > 0 AND nb.n2 > 0)
+      WHERE score >= 0.9""",
     // frozen-stats routing over corpus members is result-identical to
     // the ad-hoc BM25 (stats froze from the same corpus) — same oracle
     "standing_query_route" -> Bm25OracleSql,
@@ -3038,12 +3188,23 @@ object PipelineQueries {
       FROM agg CROSS JOIN srv""",
     // the kSem cap accounting against the exact brute member (one
     // definition: the shared semd CTE); count(CASE..)/coalesce so an
-    // empty corpus yields exact zeros
+    // empty corpus yields exact zeros. The denominator is every
+    // PROBING query (sliced finite-norm set, left-joined) — a query
+    // with an empty τ-passing list counts with n_cand = 0 (r17 ADVICE)
     "hybrid_cap_audit" -> s"""
       WITH $HybridSemCte,
+      qset AS (
+        SELECT vec_id AS doc_id FROM embeddings
+        WHERE substr(md5(concat_ws(':', CAST(vec_id AS VARCHAR),
+            'hyb')), 1, 1) < '4'
+          AND list_dot_product(embedding::DOUBLE[],
+                embedding::DOUBLE[]) > 0
+          AND list_dot_product(embedding::DOUBLE[],
+                embedding::DOUBLE[]) < 'infinity'::DOUBLE),
       percand AS (
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cand
-        FROM semd GROUP BY 1)
+        SELECT q.doc_id, CAST(count(s.cand_id) AS BIGINT) AS n_cand
+        FROM qset q LEFT JOIN semd s ON q.doc_id = s.doc_id
+        GROUP BY 1)
       SELECT CAST(count(*) AS BIGINT) AS n_queries,
              -- strictly > kSem: a top-kSem cut drops candidates only
              -- past the depth; an exactly-kSem list loses nothing

@@ -203,6 +203,39 @@ object Hybrid {
     topK(fuse(lex, sem), k)
   }
 
+  /** The PQ-backed face of [[hybridSearchIvf]] — completes the serving
+    * matrix (brute / IVF-float / IVF-PQ × lexical, r17 verdict #5): the
+    * semantic member probes the persisted IVF-PQ index
+    * ([[Knn.searchIvfPq]] — O(m) ADC table-lookup scoring over code
+    * lists dim/m× smaller than the int8 index, the cache-residency
+    * shape for corpora whose float vectors don't fit the cluster), the
+    * lexical member and the fusion are UNCHANGED (the
+    * member-as-parameter argument, third instantiation). PQ scores are
+    * LOSSY by design — this face trades exactness for index size, so
+    * the row is rows-only; HybridSpec pins the planted-prototype
+    * equivalence (exact ADC scores ⇒ fused ≡ the brute row at
+    * nprobe = nlist) and `pq_recall_audit` prices the loss on real
+    * data. kSem carries the same cap-accounting row as the IVF face. */
+  def hybridSearchPq(spark: org.apache.spark.sql.SparkSession,
+      d: DataFrame, e: DataFrame, indexTable: String, path: String,
+      k: Int = 10, tauLex: Double = 0.9, tauSem: Double = 0.3,
+      kSem: Int = 50, nlist: Int = 10, nprobe: Int = 2,
+      salt: String = "hyb"): DataFrame = {
+    require(kSem >= k, s"semantic member depth kSem=$kSem below k=$k")
+    val lex = directedMember(
+      graft.text.TextOps.docSimilarPrefix(d, tauLex),
+      "doc1", "doc2", "score", salt)
+    Seq(indexTable, s"${indexTable}_coarse", s"${indexTable}_codebook")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    val (coarse, codebook) = Knn.writeIvfPqIndex(e, indexTable, path, nlist)
+    val sem = Knn.searchIvfPq(spark, indexTable, coarse, codebook,
+        e.filter(slicePred(col("vec_id"), salt)), kSem, nprobe)
+      .filter(col("score") >= tauSem)
+      .select(col("query_id").as("doc_id"),
+        col("neighbor_id").as("cand_id"), col("score"))
+    topK(fuse(lex, sem), k)
+  }
+
   /** Drop accounting for the kSem member-depth cap — [[hybridSearchIvf]]
     * truncates each query's semantic candidate list at kSem before
     * fusing, which silently COMPRESSES RRF ranks for any query whose
@@ -220,9 +253,20 @@ object Hybrid {
   def capAudit(e: DataFrame, tauSem: Double = 0.3, kSem: Int = 50,
       salt: String = "hyb"): DataFrame = {
     require(kSem >= 1, s"bad kSem=$kSem")
+    // n_queries counts every PROBING query — the sliced finite-norm
+    // set, left-joined so a query whose τ-passing list is EMPTY still
+    // lands in the denominator with n_cand = 0 (r17 ADVICE: the old
+    // groupBy-only shape silently dropped empty-list queries and
+    // under-reported the probing denominator)
+    val probing = e.filter(slicePred(col("vec_id"), salt))
+      .filter(Knn.finiteNorm(col("nrm")))
+      .select(col("vec_id").as("doc_id"))
     val sem = semMemberFor(e.filter(slicePred(col("vec_id"), salt)), e,
       tauSem)
-    sem.groupBy(col("doc_id")).agg(count(lit(1)).as("n_cand"))
+    probing
+      .join(sem.groupBy(col("doc_id")).agg(count(lit(1)).as("nc")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("nc"), lit(0L)).as("n_cand"))
       .agg(
         count(lit(1)).as("n_queries"),
         count(when(col("n_cand") > kSem, lit(1))).as("n_over_cap"),

@@ -1282,9 +1282,12 @@ object Knn {
     // assign/recompute round and is then re-planned by each downstream
     // consumer (vector assignment, query probes) — checkpointing keeps
     // cold planning/codegen time flat instead of growing with iters
+    // (h, vec_id) tie-break for the same reason as the sampled training
+    // draw: seed selection must stay deterministic even across a 64-bit
+    // collision at the limit boundary (r17 ADVICE)
     var centroids = e
       .withColumn("h", xxhash64(col("vec_id")))
-      .orderBy("h").limit(k)
+      .orderBy(col("h"), col("vec_id")).limit(k)
       .select(col("h").as("c_id"), col("v").as("cv"))
     (1 to iters).foreach { _ =>
       val scored = e.crossJoin(broadcast(withCnrm2(centroids)))
@@ -1361,8 +1364,12 @@ object Knn {
       else {
         val s = math.min(nn, math.min(Int.MaxValue.toLong,
           math.max(trainSwitch, SampleMembersPerCentroid * k))).toInt
+        // (sh, vec_id) tie-break: a 64-bit hash collision straddling the
+        // limit boundary is expected at billion-vector scale (birthday
+        // bound) and an untied orderBy would make the "deterministic"
+        // sample run-dependent there (r17 ADVICE)
         base.withColumn("sh", xxhash64(col("vec_id"), lit("ktrain")))
-          .orderBy(col("sh")).limit(s).drop("sh")
+          .orderBy(col("sh"), col("vec_id")).limit(s).drop("sh")
           .localCheckpoint(true)
       }
     val centroids = kmeansCentroids(trainSet, k)
@@ -1614,15 +1621,32 @@ object Knn {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private[graft] def requireCentroidAlignment(spark: SparkSession,
-      tableName: String, centroids: DataFrame): Unit = {
+      tableName: String, centroids: DataFrame): DataFrame = {
+    // resolve the live index ONCE and return the resolved frame: the
+    // caller probes the SAME resolution the fence verified, closing the
+    // r17-ADVICE TOCTOU where a promote landing between the check and a
+    // by-name re-resolution served a NEW index against already-collected
+    // OLD centroids unverified for that micro-batch
+    val index = graft.sources.Staged.liveTable(spark, tableName)
     val cids = centroids.select(col("c_id")).collect().map(_.getLong(0))
     require(cids.length <= 1000000,
       s"centroid table $tableName: ${cids.length} rows — not a " +
         "broadcastable centroid artifact")
-    val key = tableName + ":" + cids.length + ":" +
-      java.util.Arrays.hashCode(cids.sorted)
+    // collision-FREE memo digest (r17 ADVICE): a 32-bit Arrays.hashCode
+    // collision between two same-count centroid generations would skip
+    // the fence — the exact silent-empty-member state it exists to
+    // catch. md5 over the ':'-joined sorted ids is the repo's standard
+    // outright-injective key (the derived-key doctrine). The key also
+    // carries the INDEX generation (its storage location — Staged flips
+    // it every promote): an index-side promote with an unchanged
+    // centroid table must re-pay the scan, not ride the old memo.
+    val key = tableName + "@" +
+      graft.sources.Staged.generation(spark, tableName) + ":" +
+      cids.length + ":" +
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        cids.sorted.mkString(":"))
     if (!centroidAlignmentMemo.contains(key)) {
-      val orphans = graft.sources.Staged.liveTable(spark, tableName)
+      val orphans = index
         .select(col("c_id")).distinct()
         .join(centroids.select(col("c_id")), Seq("c_id"), "left_anti")
         .count()
@@ -1634,6 +1658,7 @@ object Knn {
           "retry after the index promote completes, or rebuild")
       centroidAlignmentMemo.add(key)
     }
+    index
   }
 
   /** Search a persisted IVF index ([[writeIvfIndex]]): queries rank the
@@ -1642,6 +1667,17 @@ object Knn {
     * pre-partitioned (zero Exchange, PlanSpec-asserted), so at 100 TB
     * the scan touches only the probed lists' buckets. */
   def searchIvfIndex(spark: SparkSession, tableName: String,
+      centroids: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int = 2): DataFrame =
+    searchIvfIndexOn(graft.sources.Staged.liveTable(spark, tableName),
+      centroids, queries, k, nprobe)
+
+  /** [[searchIvfIndex]] over an ALREADY-RESOLVED index frame — the face
+    * the alignment-fenced probes use so the fence and the probe read
+    * the SAME generation (the frame [[requireCentroidAlignment]]
+    * returned), never a by-name re-resolution a concurrent promote
+    * could swap underneath (r17 ADVICE TOCTOU). */
+  def searchIvfIndexOn(index: DataFrame,
       centroids: DataFrame, queries: DataFrame, k: Int,
       nprobe: Int = 2): DataFrame = {
     val probeW = Window.partitionBy("query_id").orderBy(col("d"), col("c_id"))
@@ -1652,7 +1688,7 @@ object Knn {
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("v"), col("nrm"), col("c_id"))
-    val scored = probes.as("q").join(graft.sources.Staged.liveTable(spark, tableName).as("c"),
+    val scored = probes.as("q").join(index.as("c"),
         col("q.c_id") === col("c.c_id") &&
           col("query_id") =!= col("c.vec_id"))
       .withColumn("score", cosine)

@@ -86,6 +86,26 @@ object Staged {
     spark.table(table)
   }
 
+  /** Generation identity of a staged artifact: the live table's storage
+    * location PLUS its catalog create time. The location alone is NOT
+    * unique — the `__a`/`__b` alternation cycles back after two
+    * promotes, so a marker captured at generation A would spuriously
+    * re-match the A-slot of a LATER rebuild (measured: DeltaIndexSpec's
+    * rebuild-stales-the-delta row caught exactly this resurrection).
+    * createTime is stamped when the stage table is created (a rename
+    * preserves it), and sequential commits of one table can never share
+    * a millisecond (each does a directory delete + a full write), so
+    * (location, createTime) is unique per promote. Memo/validity keys
+    * that must not survive a promote use this — a table name alone is
+    * generation-blind. */
+  def generation(spark: SparkSession, table: String): String =
+    if (!spark.catalog.tableExists(table)) "<absent>"
+    else {
+      val meta = spark.sessionState.catalog
+        .getTableMetadata(TableIdentifier(table))
+      s"${meta.location}@${meta.createTime}"
+    }
+
   /** Run `write` (the caller's unchanged saveAsTable build) against the
     * STAGE identifiers, then promote the result to `table`. `write`
     * receives (stageTable, stagePath) and must write an EXTERNAL table

@@ -703,10 +703,14 @@ object Streaming {
         // the two staged artifacts promote independently — verify the
         // index's c_id space IS the one this centroid generation
         // describes (memoized; a mid-swap probe would otherwise emit
-        // a silently EMPTY semantic member)
-        graft.similarity.Knn.requireCentroidAlignment(spark, ivfTable,
-          centroids)
-        val sem = graft.similarity.Knn.searchIvfIndex(spark, ivfTable,
+        // a silently EMPTY semantic member). The fence RETURNS the
+        // index resolution it verified and the probe reads exactly
+        // that frame — a promote landing between the check and the
+        // probe can no longer swap an unverified index in (r17 ADVICE
+        // TOCTOU).
+        val index = graft.similarity.Knn.requireCentroidAlignment(spark,
+          ivfTable, centroids)
+        val sem = graft.similarity.Knn.searchIvfIndexOn(index,
             centroids, q, kSem, nprobe)
           .filter(col("score") >= tauSem)
           .select(col("query_id").as("doc_id"),
@@ -715,6 +719,52 @@ object Streaming {
           graft.similarity.Hybrid.fuse(lex, sem), k))
       }
     docStream.writeStream.foreachBatch(perBatch).start()
+  }
+
+  /** LIVE passage-granular hybrid retrieval — the streaming dual of
+    * `chunk_hybrid_serve` (r17 verdict #4, composing the
+    * runStandingQueryProbe and runHybridSearchProbeIvf machinery at
+    * chunk granularity): arriving QUERY STRINGS are fused against the
+    * frozen chunk artifacts — passage BM25 from the persisted
+    * chunk-postings index, passage cosine from the frozen chunk
+    * vocabulary + vector index — with
+    * [[graft.text.Chunks.chunkHybridServe]] replayed VERBATIM per
+    * query (both members are index probes: ZERO corpus passes, so
+    * per-batch cost is independent of corpus size — the
+    * runHybridSearchProbeIvf property, here for the passage tier). A
+    * query's fused list is a pure function of its own text against the
+    * frozen artifacts (queries never interact), so per-micro-batch
+    * semantics are EXACT and each live row set equals the batch row
+    * set for the same query string (StreamingSpec pins it).
+    *
+    * Queries arrive at interactive cadence, not data cadence: the
+    * micro-batch's (query_id, text) rows are boundedCollect-ed under a
+    * named require and served one fused list per query. Queries whose
+    * text holds no tokens emit nothing (the batch face requires
+    * non-empty terms; an all-whitespace query has no retrieval
+    * semantics). Duplicate terms within a query are collapsed —
+    * the batch face's distinct-terms contract. */
+  def runChunkHybridProbe(spark: SparkSession, queryStream: DataFrame,
+      postingsTable: String, vecTable: String, vocabTable: String,
+      tauSem: Double = 0.05, kLex: Int = 50, kSem: Int = 50, k: Int = 10,
+      maxQueriesPerBatch: Long = 64L)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val qs = boundedCollect(
+          batch.toDF().select(col("query_id"), col("text")),
+          "chunk-hybrid query micro-batch", maxQueriesPerBatch,
+          "shrink the trigger interval or shard the query stream")
+        qs.foreach { row =>
+          val terms = Option(row.getString(1)).getOrElse("")
+            .toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty).distinct
+          if (terms.nonEmpty)
+            sink(graft.text.Chunks.chunkHybridServe(spark, postingsTable,
+                vecTable, vocabTable, terms, tauSem, kLex, kSem, k)
+              .withColumn("query_id", lit(row.get(0))))
+        }
+      }
+    queryStream.writeStream.foreachBatch(perBatch).start()
   }
 
   /** LIVE hard-triplet mining — contrastive curation running DURING

@@ -232,6 +232,55 @@ object Chunks {
         col("lex_rank"), col("sem_rank"), col("rrf_micro"), col("rnk"))
   }
 
+  /** [[chunkHybridRrf]] served ENTIRELY from persisted artifacts — the
+    * face a live router probes (r17 verdict #4): the lexical member is
+    * BM25 against the persisted chunk-granular postings index
+    * ([[graft.text.TextOps.searchIndex]] — result-identical to the
+    * ad-hoc `bm25Search` over the same relation, the
+    * text_search_indexed transparent-hop), the semantic member
+    * vectorizes the query string per lang against the frozen chunk
+    * vocabulary exactly as the batch face does, and the language set
+    * comes from the FROZEN vocab table instead of the corpus (a lang
+    * absent from the vocab has no in-band terms, vectorizes to
+    * nothing, and contributes no pairs either way — result-identical).
+    * ZERO corpus passes at query time: both members are index probes,
+    * so per-query cost is independent of corpus size — the property
+    * the streaming dual ([[graft.streaming.Streaming
+    * .runChunkHybridProbe]]) needs. Shares chunk_hybrid_rrf's oracle
+    * (every hop transparent; ChunkSpec pins row-identity to the
+    * ad-hoc face). */
+  def chunkHybridServe(spark: org.apache.spark.sql.SparkSession,
+      postingsTable: String, vecTable: String, vocabTable: String,
+      terms: Seq[String] = graft.text.Prf.SeedQuery,
+      tauSem: Double = 0.05, kLex: Int = 50, kSem: Int = 50,
+      k: Int = 10): DataFrame = {
+    require(kLex >= k && kSem >= k,
+      s"member depth below serving k: kLex=$kLex kSem=$kSem k=$k")
+    require(terms.nonEmpty && terms.distinct == terms,
+      s"query terms must be distinct and non-empty: $terms")
+    val lexScored = graft.text.TextOps.searchIndex(spark, postingsTable,
+      terms)
+    val lexR = Prf.topDocs(lexScored, kLex)
+      .select(col("doc_id").as("cand_id"), col("rnk").as("lex_rank"))
+      .withColumn("doc_id", lit(0L))
+    val queryRel = graft.sources.Staged.liveTable(spark, vocabTable)
+      .select(col("lang")).distinct()
+      .select(lit(-1L).as("doc_id"), col("lang"),
+        lit(terms.mkString(" ")).as("text"))
+    val semScored = graft.text.TextOps.docSimilarPersisted(
+        spark, queryRel, vecTable, vocabTable, lit(true), tauSem)
+      .select(col("similar_id").as("doc_id"), col("score"))
+    val semR = Prf.topDocs(semScored, kSem)
+      .select(col("doc_id").as("cand_id"), col("rnk").as("sem_rank"))
+      .withColumn("doc_id", lit(0L))
+    graft.similarity.Hybrid.topK(
+        graft.similarity.Hybrid.fuseRanked(lexR, semR), k)
+      .select(
+        expr(s"cand_id div ${MaxChunksPerDoc}L").as("doc_id"),
+        expr(s"cand_id % ${MaxChunksPerDoc}L").as("chunk_idx"),
+        col("lex_rank"), col("sem_rank"), col("rrf_micro"), col("rnk"))
+  }
+
   /** Incremental chunk dedup — the rolling-crawl shape (the
     * dedup_incremental posture at passage granularity): a NEW shard's
     * chunks probe the PERSISTED corpus index in one digest equijoin

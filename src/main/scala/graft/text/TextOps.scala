@@ -2144,43 +2144,64 @@ object TextOps {
     * `<table>_stats` side table (n_docs, sum_dl) for the BM25 length
     * normalizer. Bucketing by term means a query's postings land in a
     * known bucket subset and the per-term df rollup needs no Exchange. */
+  /** One tokenize pass → (doc_id, toks, dl) — the ONE posting-family
+    * doc derivation, shared by [[writeTextIndex]] (full build) and
+    * [[appendTextIndexDelta]] (delta build) so base and delta rows can
+    * never drift in derivation. Callers checkpoint (feeds the stats
+    * row AND the postings write). */
+  private def docLengths(d: DataFrame): DataFrame =
+    withToks(d.withColumn("text", lower(col("text"))))
+      .select(col("doc_id"), col("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+
+  /** (term, doc_id, dl, tf) posting rows from a [[docLengths]] frame. */
+  private def postingRowsOf(withDl: DataFrame): DataFrame =
+    withDl
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** The one-row collection-stats frame from a [[docLengths]] frame.
+    * n_docs_tok (docs with ≥1 token) rides along for the PRF face:
+    * the expansion-mass idf divides by the TOKENIZED doc count (the
+    * tfidfMicroTable definition — distinct doc_id over tf rows),
+    * which differs from n_docs exactly on empty/null-text docs; the
+    * frozen stat is what makes searchPrfIndexed row-identical to
+    * the ad-hoc face on such corpora (PrfSpec pins it). All three
+    * counters are ADDITIVE integers over disjoint doc sets — the
+    * property the delta family's closed-form stats merge rides. */
+  private def indexStatsOf(withDl: DataFrame): DataFrame =
+    withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"),
+      count(when(col("dl") > 0, lit(1))).as("n_docs_tok"))
+
+  private def writePostings(postings: DataFrame, tbl: String, p: String,
+      buckets: Int): Unit =
+    postings
+      .repartition(col("term"))
+      .write
+      .option("path", p)
+      .bucketBy(buckets, "term")
+      .sortBy("term")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(tbl)
+
   def writeTextIndex(d: DataFrame, tableName: String, path: String,
       buckets: Int = 8): Unit = {
     val spark = d.sparkSession
-    val withDl = withToks(d.withColumn("text", lower(col("text"))))
-      .select(col("doc_id"), col("toks"))
-      .withColumn("dl", size(col("toks")).cast("long"))
-      // feeds the stats row AND the postings write — one tokenize pass
-      .localCheckpoint(true)
+    // feeds the stats row AND the postings write — one tokenize pass
+    val withDl = docLengths(d).localCheckpoint(true)
     // staged rebuilds (Staged.commit), side table first, MAIN table
     // last — the main promote is the commit point probes key on
     graft.sources.Staged.commit(spark, s"${tableName}_stats",
         s"${path}_stats") { (tbl, p) =>
-      // n_docs_tok (docs with ≥1 token) rides along for the PRF face:
-      // the expansion-mass idf divides by the TOKENIZED doc count (the
-      // tfidfMicroTable definition — distinct doc_id over tf rows),
-      // which differs from n_docs exactly on empty/null-text docs; the
-      // frozen stat is what makes searchPrfIndexed row-identical to
-      // the ad-hoc face on such corpora (PrfSpec pins it)
-      withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"),
-          count(when(col("dl") > 0, lit(1))).as("n_docs_tok"))
+      indexStatsOf(withDl)
         .write
         .option("path", p)
         .mode(org.apache.spark.sql.SaveMode.Overwrite)
         .saveAsTable(tbl)
     }
     graft.sources.Staged.commit(spark, tableName, path) { (tbl, p) =>
-      withDl
-        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-        .groupBy(col("term"), col("doc_id"), col("dl"))
-        .agg(count(lit(1)).as("tf"))
-        .repartition(col("term"))
-        .write
-        .option("path", p)
-        .bucketBy(buckets, "term")
-        .sortBy("term")
-        .mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .saveAsTable(tbl)
+      writePostings(postingRowsOf(withDl), tbl, p, buckets)
     }
   }
 
@@ -2220,6 +2241,226 @@ object TextOps {
     val df = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     bm25ScoreTail(postings.join(broadcast(df), "term")
       .crossJoin(broadcast(scalars)), k1, b)
+  }
+
+  // ───── delta-merge maintenance for the postings index (r17 verdict #1:
+  // at 100 TB a daily crawl delta must never pay a full-corpus rebuild —
+  // every write*Index was a full rebuild behind Staged; probes were
+  // incremental but builds were not) ──────────────────────────────────
+
+  /** Append a crawl delta to a persisted postings index: tokenize ONLY
+    * the delta docs into `<table>_delta` (+ `<table>_delta_stats`),
+    * leaving the base untouched. [[searchIndexDelta]] probes
+    * base ∪ delta with closed-form merged statistics — tf, dl, df,
+    * n_docs, sum_dl, n_docs_tok are all ADDITIVE integers over disjoint
+    * doc sets, and BM25 derives idf at PROBE time from the merged df —
+    * so the probe result is EXACTLY the full-rebuild result
+    * (text_search_bm25's oracle shared verbatim; DeltaIndexSpec pins
+    * probe-over-(base ∪ delta) ≡ probe-over-full-rebuild row-for-row).
+    * A repeat append extends the same delta generation (old delta ∪ new
+    * batch, a delta-sized rewrite — never a corpus-sized one).
+    *
+    * Generation fencing: the delta records the BASE generation it
+    * extends (`base_gen` = the main table's Staged location, which
+    * every promote flips). A full rebuild or a [[mergeTextIndex]]
+    * promote makes the delta STALE — probes ignore it and the next
+    * append replaces it — so a delta can never double-serve rows that
+    * a rebuild already absorbed.
+    *
+    * Disjointness fence (the momentGuard posture — the "only NEW docs"
+    * contract is enforced in-plan, not documented): the batch's doc_ids
+    * must not exist in the base index or the live delta. The base check
+    * is one doc_id-column scan of the bucketed index with the new ids
+    * broadcast — crawl-delta cadence, never query cadence. Bound: the
+    * fence sees TOKENIZED docs; a re-crawled zero-token doc has no
+    * posting row and can only perturb n_docs by its duplicate count.
+    *
+    * Crash windows: both delta tables ride [[graft.sources.Staged]]
+    * (stage → promote, recover-on-read). The one cross-table window
+    * (delta stats promoted, delta postings not yet) leaves a probe
+    * reading old-delta postings with new-delta stats — a slightly
+    * larger N in the idf for the window's duration; no row is ever
+    * duplicated or lost, and the next read after the main promote is
+    * exact — the documented write*Index two-table posture. */
+  def appendTextIndexDelta(dNew: DataFrame, tableName: String,
+      path: String, buckets: Int = 8): Unit = {
+    val spark = dNew.sparkSession
+    graft.sources.Staged.recover(spark, tableName)
+    require(spark.catalog.tableExists(tableName),
+      s"appendTextIndexDelta: no base index $tableName — build it with " +
+        "writeTextIndex first")
+    // one tokenize pass over the DELTA only — the whole point
+    val withDl = docLengths(dNew).localCheckpoint(true)
+    val newIds = withDl.select(col("doc_id")).distinct()
+    val clashBase = graft.sources.Staged.liveTable(spark, tableName)
+      .join(broadcast(newIds), Seq("doc_id"), "left_semi").count()
+    require(clashBase == 0L,
+      s"appendTextIndexDelta($tableName): $clashBase postings of " +
+        "already-indexed doc_ids in the delta batch — a delta holds " +
+        "only NEW docs (re-crawls go through purge + rebuild or the " +
+        "merge cadence)")
+    val old = textIndexDelta(spark, tableName)
+    old.foreach { case (op, _) =>
+      val clashDelta = op.join(broadcast(newIds), Seq("doc_id"),
+        "left_semi").count()
+      require(clashDelta == 0L,
+        s"appendTextIndexDelta($tableName): $clashDelta postings of " +
+          "doc_ids already in the live delta — batches must be disjoint")
+    }
+    val baseGen = graft.sources.Staged.generation(spark, tableName)
+    // materialize base-union content BEFORE the commits drop the old
+    // delta tables the plans read (delta-sized, never corpus-sized)
+    val newPost = postingRowsOf(withDl)
+    val postings = old
+      .map(_._1.select(col("term"), col("doc_id"), col("dl"), col("tf"))
+        .unionByName(newPost))
+      .getOrElse(newPost)
+      .localCheckpoint(true)
+    val newStats = indexStatsOf(withDl)
+    val stats = old
+      .map { case (_, os) =>
+        os.select(col("n_docs"), col("sum_dl"), col("n_docs_tok"))
+          .unionByName(newStats)
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("sum_dl")).as("sum_dl"),
+            sum(col("n_docs_tok")).as("n_docs_tok"))
+      }
+      .getOrElse(newStats)
+      .withColumn("base_gen", lit(baseGen))
+      .localCheckpoint(true)
+    graft.sources.Staged.commit(spark, s"${tableName}_delta_stats",
+        s"${path}_delta_stats") { (tbl, p) =>
+      stats.write.option("path", p)
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(tbl)
+    }
+    graft.sources.Staged.commit(spark, s"${tableName}_delta",
+        s"${path}_delta") { (tbl, p) =>
+      writePostings(postings, tbl, p, buckets)
+    }
+  }
+
+  /** The live delta pair (postings, stats) of a postings index, or None
+    * when no delta is serviceable: absent tables, a STALE delta (its
+    * `base_gen` no longer matches the main table's generation — a
+    * rebuild or merge promoted since), or an ABSORBED delta (the merged
+    * stats already carry this delta generation's mass — the half-merged
+    * crash window, where adding delta stats again would double-count).
+    * Runs Staged.recover on both tables first (the liveTable posture:
+    * crashed promotes heal on first read). */
+  private[text] def textIndexDelta(spark: SparkSession,
+      tableName: String): Option[(DataFrame, DataFrame)] = {
+    val dt = s"${tableName}_delta"
+    val dst = s"${dt}_stats"
+    graft.sources.Staged.recover(spark, dt)
+    graft.sources.Staged.recover(spark, dst)
+    if (!spark.catalog.tableExists(dt) ||
+        !spark.catalog.tableExists(dst)) None
+    else {
+      val dstats = spark.table(dst)
+      val bg = dstats.select(col("base_gen")).limit(1).collect()
+      if (bg.isEmpty || bg.head.getString(0) !=
+          graft.sources.Staged.generation(spark, tableName)) None
+      else {
+        val live = graft.sources.Staged.liveTable(spark,
+          s"${tableName}_stats")
+        val absorbed = live.columns.contains("merged_delta") &&
+          live.select(col("merged_delta")).limit(1).collect()
+            .headOption.exists(_.getString(0) ==
+              graft.sources.Staged.generation(spark, dt))
+        if (absorbed) None else Some((spark.table(dt), dstats))
+      }
+    }
+  }
+
+  /** BM25 probe over base ∪ delta — result-identical to [[bm25Search]]
+    * over the union corpus and to [[searchIndex]] over a full rebuild
+    * (closed-form merged stats, df derived at probe time from the
+    * unioned pruned postings), so it shares text_search_bm25's oracle:
+    * the delta hop is transparent to the result. With no serviceable
+    * delta this IS [[searchIndex]]. Both posting sides are bucketed
+    * scans with the term predicate pushed down; the stats merge is a
+    * two-row sum. */
+  def searchIndexDelta(spark: SparkSession, tableName: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    val base = graft.sources.Staged.liveTable(spark, tableName)
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"))
+    val baseStats = graft.sources.Staged
+      .liveTable(spark, s"${tableName}_stats")
+      .select(col("n_docs"), col("sum_dl"))
+    val (postings, scalars) = textIndexDelta(spark, tableName) match {
+      case Some((dp, dstats)) =>
+        (base.unionByName(
+           dp.select(col("term"), col("doc_id"), col("dl"), col("tf"))),
+         baseStats.unionByName(
+             dstats.select(col("n_docs"), col("sum_dl")))
+           .agg(sum(col("n_docs")).as("n_docs"),
+             sum(col("sum_dl")).as("sum_dl")))
+      case None => (base, baseStats)
+    }
+    val pruned = postings.filter(col("term").isin(terms: _*))
+    val df = pruned.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    bm25ScoreTail(pruned.join(broadcast(df), "term")
+      .crossJoin(broadcast(scalars)), k1, b)
+  }
+
+  /** Compact the live delta into the base index — pure index-ROW unions
+    * (the corpus is tokenized ZERO times; tokenize cost is only ever
+    * paid once per doc, at its append). Stats merge side-first, MAIN
+    * postings promote last (the multi-table Staged posture — the main
+    * promote is the commit point: it flips the base generation, which
+    * instantly STALES the delta for every probe; the delta drops are
+    * cleanup, not correctness). Idempotent across every crash window:
+    * the merged stats carry `merged_delta` (the absorbed delta's
+    * generation), so a crash-rerun skips the already-committed stats
+    * instead of double-adding, and probes in the stats-promoted/
+    * postings-not-yet window ignore the delta's stats too (see
+    * [[textIndexDelta]]) — they read base postings with delta-inclusive
+    * N for that window, never duplicated rows. */
+  def mergeTextIndex(spark: SparkSession, tableName: String,
+      path: String, buckets: Int = 8): Unit = {
+    textIndexDelta(spark, tableName) match {
+      case None =>
+        // nothing serviceable; sweep a stale/absorbed delta if present
+        spark.sql(s"DROP TABLE IF EXISTS `${tableName}_delta_stats`")
+        spark.sql(s"DROP TABLE IF EXISTS `${tableName}_delta`")
+      case Some((dp, dstats)) =>
+        val deltaGen = graft.sources.Staged
+          .generation(spark, s"${tableName}_delta")
+        val statsTbl = s"${tableName}_stats"
+        val liveStats = graft.sources.Staged.liveTable(spark, statsTbl)
+        val already = liveStats.columns.contains("merged_delta") &&
+          liveStats.select(col("merged_delta")).limit(1).collect()
+            .headOption.exists(_.getString(0) == deltaGen)
+        if (!already) {
+          val merged = liveStats
+            .select(col("n_docs"), col("sum_dl"), col("n_docs_tok"))
+            .unionByName(dstats
+              .select(col("n_docs"), col("sum_dl"), col("n_docs_tok")))
+            .agg(sum(col("n_docs")).as("n_docs"),
+              sum(col("sum_dl")).as("sum_dl"),
+              sum(col("n_docs_tok")).as("n_docs_tok"))
+            .withColumn("merged_delta", lit(deltaGen))
+            // materialize before the commit drops the live stats it reads
+            .localCheckpoint(true)
+          graft.sources.Staged.commit(spark, statsTbl,
+              s"${path}_stats") { (tbl, p) =>
+            merged.write.option("path", p)
+              .mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .saveAsTable(tbl)
+          }
+        }
+        val mergedPostings = graft.sources.Staged
+          .liveTable(spark, tableName)
+          .select(col("term"), col("doc_id"), col("dl"), col("tf"))
+          .unionByName(
+            dp.select(col("term"), col("doc_id"), col("dl"), col("tf")))
+        graft.sources.Staged.commit(spark, tableName, path) { (tbl, p) =>
+          writePostings(mergedPostings, tbl, p, buckets)
+        }
+        spark.sql(s"DROP TABLE IF EXISTS `${tableName}_delta_stats`")
+        spark.sql(s"DROP TABLE IF EXISTS `${tableName}_delta`")
+    }
   }
 
   /** STANDING-QUERY routing score — the scoring face a live router
@@ -2584,27 +2825,20 @@ object TextOps {
     * dedup_clusters_lsh pair-source-swap argument). */
   def docSimilarPersisted(spark: SparkSession, d: DataFrame,
       vecTable: String, vocabTable: String, queryPred: Column,
+      tau: Double = 0.9): DataFrame =
+    docSimilarPersistedOn(spark,
+      graft.sources.Staged.liveTable(spark, vecTable), d, vocabTable,
+      queryPred, tau)
+
+  /** [[docSimilarPersisted]] over an explicit corpus-vector frame — the
+    * face the DELTA probe feeds base ∪ delta vectors into (the
+    * searchIvfIndexOn posture: resolve once, probe that resolution). */
+  def docSimilarPersistedOn(spark: SparkSession, corpusVecs: DataFrame,
+      d: DataFrame, vocabTable: String, queryPred: Column,
       tau: Double = 0.9): DataFrame = {
     require(tau > 0.0, s"bad tau=$tau")
-    val vocab = graft.sources.Staged.liveTable(spark, vocabTable)
-      .select(col("lang"), col("term"), col("idf_milli"))
-    val tf = withToks(
-        d.filter(queryPred).withColumn("text", lower(col("text"))))
-      .select(col("doc_id"), col("lang"), explode(col("toks")).as("term"))
-      .groupBy(col("doc_id"), col("lang"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val q = tf.join(broadcast(vocab), Seq("lang", "term"))
-      .withColumn("w", col("tf") * col("idf_milli"))
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(sort_array(collect_list(struct(
-          xxhash64(col("lang"), col("term")).as("k"),
-          col("w").as("w")))).as("kw"),
-        sum(col("w") * col("w")).as("n2"))
-      .filter(col("n2") > lit(0L))
-      .select(col("doc_id"), col("lang"), col("n2"),
-        expr("transform(kw, s -> s.k)").as("ks"),
-        expr("transform(kw, s -> s.w)").as("ws"))
-    val corpus = graft.sources.Staged.liveTable(spark, vecTable)
+    val q = vectorizeAgainstVocab(spark, d.filter(queryPred), vocabTable)
+    val corpus = corpusVecs
       .select(col("doc_id").as("similar_id"), col("lang"),
         col("n2").as("cn2"), col("ks").as("cks"), col("ws").as("cws"))
     q.join(corpus, Seq("lang"))
@@ -2615,6 +2849,153 @@ object TextOps {
         col("dc").getItem(0), col("n2"), col("cn2")))
       .filter(col("score") >= tau)
       .select(col("lang"), col("doc_id"), col("similar_id"), col("score"))
+  }
+
+  /** Vectorize documents against a FROZEN persisted vocabulary — the
+    * ONE arriving-doc vectorizer shared by [[docSimilarPersistedOn]]
+    * (query side), the streaming more-like-this dual, and the
+    * doc-vector DELTA append ([[appendDocVectorIndexDelta]]): tf agg +
+    * broadcast vocab join + the IDENTICAL xxhash64/sort_array/weight
+    * expressions the index build ran, so an equal document yields a
+    * bit-identical vector wherever it is vectorized (one definition —
+    * a drift could only break one place). */
+  private[graft] def vectorizeAgainstVocab(spark: SparkSession,
+      d: DataFrame, vocabTable: String): DataFrame = {
+    val vocab = graft.sources.Staged.liveTable(spark, vocabTable)
+      .select(col("lang"), col("term"), col("idf_milli"))
+    val tf = withToks(d.withColumn("text", lower(col("text"))))
+      .select(col("doc_id"), col("lang"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("lang"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(vocab), Seq("lang", "term"))
+      .withColumn("w", col("tf") * col("idf_milli"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sort_array(collect_list(struct(
+          xxhash64(col("lang"), col("term")).as("k"),
+          col("w").as("w")))).as("kw"),
+        sum(col("w") * col("w")).as("n2"))
+      .filter(col("n2") > lit(0L))
+      .select(col("doc_id"), col("lang"), col("n2"),
+        expr("transform(kw, s -> s.k)").as("ks"),
+        expr("transform(kw, s -> s.w)").as("ws"))
+  }
+
+  /** Append a crawl delta to the persisted doc-vector index — the
+    * [[appendTextIndexDelta]] posture for the vector family: the delta
+    * docs are vectorized against the FROZEN base vocabulary (the model
+    * artifact — [[vectorizeAgainstVocab]], bit-identical to what a full
+    * build stores for an equal doc whose terms are in-vocab) and land
+    * in `<table>_delta`. Because this family has NO collection-stats
+    * side table, the `base_gen` validity marker rides IN the delta
+    * table (a constant column — a delta is small by contract), so
+    * validity and content promote ATOMICALLY in ONE Staged commit:
+    * this family has no cross-table crash window at all.
+    *
+    * Semantics contract (spec-pinned): probe-over-(base ∪ delta) ≡
+    * probe over a FULL REBUILD in which the vocabulary/df-band was
+    * derived from the BASE corpus only — the frozen-vocab serving
+    * semantic the streaming dual already has. A delta doc's
+    * out-of-band novel terms join nothing until the next vocabulary
+    * refresh (a full [[writeDocVectorIndex]] rebuild — that is the
+    * vocab-refresh cadence; [[mergeDocVectorIndex]] compacts rows
+    * WITHOUT refreshing the vocab, zero tokenize passes). */
+  def appendDocVectorIndexDelta(dNew: DataFrame, tableName: String,
+      path: String): Unit = {
+    val spark = dNew.sparkSession
+    graft.sources.Staged.recover(spark, tableName)
+    require(spark.catalog.tableExists(tableName),
+      s"appendDocVectorIndexDelta: no base index $tableName — build it " +
+        "with writeDocVectorIndex first")
+    val vecs = vectorizeAgainstVocab(spark, dNew, s"${tableName}_vocab")
+      .localCheckpoint(true)
+    // disjointness fences (the momentGuard posture): one row per doc in
+    // the vector table, so the base check is one column scan
+    val newIds = vecs.select(col("doc_id")).distinct()
+    val clashBase = graft.sources.Staged.liveTable(spark, tableName)
+      .join(broadcast(newIds), Seq("doc_id"), "left_semi").count()
+    require(clashBase == 0L,
+      s"appendDocVectorIndexDelta($tableName): $clashBase vectors of " +
+        "already-indexed doc_ids in the delta batch — a delta holds " +
+        "only NEW docs")
+    val old = docVectorDelta(spark, tableName)
+    old.foreach { op =>
+      val clashDelta = op.join(broadcast(newIds), Seq("doc_id"),
+        "left_semi").count()
+      require(clashDelta == 0L,
+        s"appendDocVectorIndexDelta($tableName): $clashDelta vectors " +
+          "of doc_ids already in the live delta — batches must be " +
+          "disjoint")
+    }
+    val baseGen = graft.sources.Staged.generation(spark, tableName)
+    val allRows = old
+      .map(_.unionByName(vecs
+        .select(col("doc_id"), col("lang"), col("n2"), col("ks"),
+          col("ws"))))
+      .getOrElse(vecs)
+      // materialize before the commit drops the old delta the plan reads
+      .localCheckpoint(true)
+    graft.sources.Staged.commit(spark, s"${tableName}_delta",
+        s"${path}_delta") { (tbl, p) =>
+      allRows.withColumn("base_gen", lit(baseGen))
+        .write.option("path", p)
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(tbl)
+    }
+  }
+
+  /** The live doc-vector delta (doc_id, lang, n2, ks, ws), or None when
+    * absent or STALE (its in-table `base_gen` no longer matches the
+    * main table's generation — a rebuild or merge promoted since). */
+  private[text] def docVectorDelta(spark: SparkSession,
+      tableName: String): Option[DataFrame] = {
+    val dt = s"${tableName}_delta"
+    graft.sources.Staged.recover(spark, dt)
+    if (!spark.catalog.tableExists(dt)) None
+    else {
+      val d = spark.table(dt)
+      val bg = d.select(col("base_gen")).limit(1).collect()
+      if (bg.nonEmpty && bg.head.getString(0) ==
+          graft.sources.Staged.generation(spark, tableName))
+        Some(d.select(col("doc_id"), col("lang"), col("n2"), col("ks"),
+          col("ws")))
+      else None
+    }
+  }
+
+  /** More-like-this over base ∪ delta — [[docSimilarPersisted]] with
+    * the corpus extended by the live delta vectors. With no serviceable
+    * delta this IS the persisted probe. */
+  def docSimilarPersistedDelta(spark: SparkSession, d: DataFrame,
+      vecTable: String, vocabTable: String, queryPred: Column,
+      tau: Double = 0.9): DataFrame = {
+    val base = graft.sources.Staged.liveTable(spark, vecTable)
+      .select(col("doc_id"), col("lang"), col("n2"), col("ks"), col("ws"))
+    val corpus = docVectorDelta(spark, vecTable)
+      .map(base.unionByName(_)).getOrElse(base)
+    docSimilarPersistedOn(spark, corpus, d, vocabTable, queryPred, tau)
+  }
+
+  /** Compact the live delta vectors into the base table — one index-ROW
+    * union, ZERO tokenize passes, ONE Staged commit (fully idempotent:
+    * the promote flips the base generation, which stales the delta; a
+    * crash-rerun finds no serviceable delta and just sweeps). The
+    * frozen vocabulary is NOT refreshed here — vocab refresh is the
+    * full-rebuild cadence ([[writeDocVectorIndex]]), by design. */
+  def mergeDocVectorIndex(spark: SparkSession, tableName: String,
+      path: String): Unit = {
+    docVectorDelta(spark, tableName) match {
+      case None =>
+        spark.sql(s"DROP TABLE IF EXISTS `${tableName}_delta`")
+      case Some(dp) =>
+        val merged = graft.sources.Staged.liveTable(spark, tableName)
+          .select(col("doc_id"), col("lang"), col("n2"), col("ks"),
+            col("ws"))
+          .unionByName(dp)
+        graft.sources.Staged.commit(spark, tableName, path) { (tbl, p) =>
+          merged.write.option("path", p)
+            .mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(tbl)
+        }
+        spark.sql(s"DROP TABLE IF EXISTS `${tableName}_delta`")
+    }
   }
 
   /** The 100 TB path for [[docSimilar]], with a PROVABLY IDENTICAL

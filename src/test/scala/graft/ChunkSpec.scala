@@ -232,6 +232,68 @@ class ChunkSpec extends SparkSpec {
     assert(out.exists(_.getAs[Long]("sem_rank") > 0), "no semantic rows")
   }
 
+  test("chunk_hybrid_serve equals the ad-hoc chunk_hybrid_rrf row-for-row (every hop transparent)") {
+    val docs = TextOps.docs(spark, SF)
+    val tbl = "graft_chunk_srv_spec"
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), tbl).toString
+    Seq(tbl, s"${tbl}_vocab", s"${tbl}_post", s"${tbl}_post_stats")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    val cd = Chunks.chunkDocs(docs).localCheckpoint(true)
+    TextOps.writeDocVectorIndex(cd, tbl, path)
+    TextOps.writeTextIndex(cd.select(col("doc_id"), col("text")),
+      s"${tbl}_post", s"${path}_post")
+    val served = Chunks.chunkHybridServe(spark, s"${tbl}_post", tbl,
+      s"${tbl}_vocab").collect().map(_.toSeq).toSet
+    val adhoc = Chunks.chunkHybridRrf(spark, cd, tbl, s"${tbl}_vocab")
+      .collect().map(_.toSeq).toSet
+    assert(adhoc.nonEmpty && served == adhoc,
+      s"served ${served.size} vs ad-hoc ${adhoc.size}")
+  }
+
+  test("live chunk-hybrid probe: each arriving query's rows equal the batch row set; blank queries emit nothing") {
+    val docs = TextOps.docs(spark, SF)
+    val tbl = "graft_chunk_live_spec"
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), tbl).toString
+    Seq(tbl, s"${tbl}_vocab", s"${tbl}_post", s"${tbl}_post_stats")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    val cd = Chunks.chunkDocs(docs).localCheckpoint(true)
+    TextOps.writeDocVectorIndex(cd, tbl, path)
+    TextOps.writeTextIndex(cd.select(col("doc_id"), col("text")),
+      s"${tbl}_post", s"${path}_post")
+    // two real queries + a blank one, split across micro-batches
+    val queries = Seq(
+      (1L, "vector stream window hash"),
+      (2L, "merge join filter"),
+      (3L, "   ")).toDF("query_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_chunk_live").toString
+    queries.repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = graft.streaming.Streaming.runChunkHybridProbe(spark, stream,
+        s"${tbl}_post", tbl, s"${tbl}_vocab") { b =>
+      val rows = b.collect().map(_.toSeq)
+      buf.synchronized { buf ++= rows }
+    }
+    q.processAllAvailable(); q.stop()
+    val byQuery = buf.toSeq.groupBy(_.last.asInstanceOf[Long])
+      .map { case (qid, rows) => qid -> rows.map(_.dropRight(1)).toSet }
+    val want1 = Chunks.chunkHybridServe(spark, s"${tbl}_post", tbl,
+        s"${tbl}_vocab", Seq("vector", "stream", "window", "hash"))
+      .collect().map(_.toSeq).toSet
+    val want2 = Chunks.chunkHybridServe(spark, s"${tbl}_post", tbl,
+        s"${tbl}_vocab", Seq("merge", "join", "filter"))
+      .collect().map(_.toSeq).toSet
+    assert(want1.nonEmpty && byQuery.get(1L).contains(want1),
+      s"query 1: ${byQuery.get(1L).map(_.size)} vs ${want1.size}")
+    assert(want2.nonEmpty && byQuery.get(2L).contains(want2),
+      s"query 2: ${byQuery.get(2L).map(_.size)} vs ${want2.size}")
+    assert(!byQuery.contains(3L), "blank query emitted rows")
+  }
+
   test("chunkDedup: clean corpus keeps everything; empty docs drop out") {
     val d = df(1L -> "a b c", 2L -> "d e f", 3L -> "", 4L -> "   ")
     val out = Chunks.chunkDedup(d, width = 2).collect()

@@ -1,0 +1,185 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Delta-merge index maintenance (r17 verdict #1): a crawl delta
+  * appends its own generation instead of paying a full-corpus rebuild.
+  *
+  * Pins, per family (postings / doc-vector):
+  *  - probe over base ∪ delta ≡ probe over a FULL rebuild (the
+  *    transparent-hop contract the shared oracle rides) — for postings
+  *    exactly (all stats additive, idf derived at probe time); for
+  *    vectors under the frozen-vocab contract (vocab from base);
+  *  - repeat appends extend the delta and stay exact;
+  *  - mergeTextIndex / mergeDocVectorIndex compact index ROWS (zero
+  *    tokenize passes), drop the delta, keep the probe row-identical,
+  *    and re-running the merge is a no-op (idempotent);
+  *  - the doc-disjointness fences fire by name on a re-crawled doc;
+  *  - a full rebuild STALES a live delta (generation marker) — probes
+  *    ignore it and the next append replaces it.
+  */
+class DeltaIndexSpec extends SparkSpec {
+
+  private val Terms = Seq("vector", "stream", "window", "hash")
+
+  private lazy val docs =
+    graft.text.TextOps.docs(spark, SF).localCheckpoint(true)
+
+  // the registry rows' split: ~3/4 base, ~1/4 delta, md5-deterministic
+  private def isDelta =
+    substring(md5(concat_ws(":", col("doc_id").cast("string"),
+      lit("dsd"))), 1, 1) >= "c"
+  private lazy val base = docs.filter(!isDelta).localCheckpoint(true)
+  private lazy val delta = docs.filter(isDelta).localCheckpoint(true)
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(s"graft_delta_$tag").toString + "/idx"
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  private def dropAll(tbl: String): Unit =
+    Seq(tbl, s"${tbl}_stats", s"${tbl}_vocab", s"${tbl}_delta",
+      s"${tbl}_delta_stats", s"${tbl}__stage", s"${tbl}_delta__stage")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+
+  test("postings delta: probe over base ∪ delta ≡ full rebuild ≡ ad-hoc bm25; merge keeps it; merge is idempotent") {
+    val tbl = "dlt_text_a"
+    val path = freshDir("ta")
+    dropAll(tbl)
+    assert(base.count() > 0 && delta.count() > 0, "degenerate split")
+    TextOps.writeTextIndex(base, tbl, path)
+    TextOps.appendTextIndexDelta(delta, tbl, path)
+    val want = rows(TextOps.bm25Search(docs, Terms))
+    assert(want.nonEmpty)
+    assert(rows(TextOps.searchIndexDelta(spark, tbl, Terms)) == want,
+      "base ∪ delta probe differs from the ad-hoc full-corpus bm25")
+    // the full-rebuild reference: one index over everything
+    val fullTbl = "dlt_text_full"
+    dropAll(fullTbl)
+    TextOps.writeTextIndex(docs, fullTbl, freshDir("tf"))
+    assert(rows(TextOps.searchIndex(spark, fullTbl, Terms)) == want)
+    // merge: index-row compaction — probe unchanged through BOTH faces,
+    // delta gone
+    TextOps.mergeTextIndex(spark, tbl, path)
+    assert(!spark.catalog.tableExists(s"${tbl}_delta"))
+    assert(!spark.catalog.tableExists(s"${tbl}_delta_stats"))
+    assert(rows(TextOps.searchIndex(spark, tbl, Terms)) == want)
+    assert(rows(TextOps.searchIndexDelta(spark, tbl, Terms)) == want)
+    // idempotent: a second merge is a no-op
+    TextOps.mergeTextIndex(spark, tbl, path)
+    assert(rows(TextOps.searchIndex(spark, tbl, Terms)) == want)
+  }
+
+  test("postings delta: repeat appends extend the delta generation and stay exact") {
+    val tbl = "dlt_text_b"
+    val path = freshDir("tb")
+    dropAll(tbl)
+    // split the delta itself in two batches
+    val d1 = delta.filter(col("doc_id") % 2 === 0).localCheckpoint(true)
+    val d2 = delta.filter(col("doc_id") % 2 =!= 0).localCheckpoint(true)
+    assert(d1.count() > 0 && d2.count() > 0, "degenerate delta split")
+    TextOps.writeTextIndex(base, tbl, path)
+    TextOps.appendTextIndexDelta(d1, tbl, path)
+    TextOps.appendTextIndexDelta(d2, tbl, path)
+    assert(rows(TextOps.searchIndexDelta(spark, tbl, Terms)) ==
+      rows(TextOps.bm25Search(docs, Terms)))
+  }
+
+  test("postings delta: disjointness fences fire by name on re-crawled docs") {
+    val tbl = "dlt_text_c"
+    val path = freshDir("tc")
+    dropAll(tbl)
+    TextOps.writeTextIndex(base, tbl, path)
+    // a batch containing a base doc
+    val e1 = intercept[IllegalArgumentException] {
+      TextOps.appendTextIndexDelta(base.limit(1), tbl, path)
+    }
+    assert(e1.getMessage.contains("already-indexed"), e1.getMessage)
+    // a batch containing a live-delta doc
+    TextOps.appendTextIndexDelta(delta, tbl, path)
+    val e2 = intercept[IllegalArgumentException] {
+      TextOps.appendTextIndexDelta(delta.limit(1), tbl, path)
+    }
+    assert(e2.getMessage.contains("already in the live delta"),
+      e2.getMessage)
+  }
+
+  test("postings delta: a full rebuild stales the delta; the next append replaces it") {
+    val tbl = "dlt_text_d"
+    val path = freshDir("td")
+    dropAll(tbl)
+    TextOps.writeTextIndex(base, tbl, path)
+    TextOps.appendTextIndexDelta(delta, tbl, path)
+    // a full rebuild over the WHOLE corpus flips the base generation:
+    // the delta's base_gen no longer matches — serving it would
+    // double-count the delta docs the rebuild absorbed
+    TextOps.writeTextIndex(docs, tbl, path)
+    val want = rows(TextOps.bm25Search(docs, Terms))
+    assert(rows(TextOps.searchIndexDelta(spark, tbl, Terms)) == want,
+      "stale delta leaked into the probe after a full rebuild")
+    // the stale delta does not block a fresh append cycle: rebuild on
+    // base, then append replaces the stale generation outright
+    TextOps.writeTextIndex(base, tbl, path)
+    TextOps.appendTextIndexDelta(delta, tbl, path)
+    assert(rows(TextOps.searchIndexDelta(spark, tbl, Terms)) == want)
+  }
+
+  test("doc-vector delta: probe over base ∪ delta ≡ frozen-vocab vectorization of the full corpus; merge compacts and is idempotent") {
+    val tbl = "dlt_vec_a"
+    val path = freshDir("va")
+    dropAll(tbl)
+    TextOps.writeDocVectorIndex(base, tbl, path)
+    TextOps.appendDocVectorIndexDelta(delta, tbl, path)
+    val pred = substring(md5(concat_ws(":", col("doc_id").cast("string"),
+      lit("dlt"))), 1, 1) < "4"
+    val got = rows(TextOps.docSimilarPersistedDelta(spark, docs, tbl,
+      s"${tbl}_vocab", pred, tau = 0.5))
+    // the frozen-vocab reference: every corpus doc re-vectorized
+    // against the SAME frozen vocabulary (pins both the contract and
+    // the stored-vector ≡ re-vectorized-doc bit-identity)
+    val reference = rows(TextOps.docSimilarPersistedOn(spark,
+      TextOps.vectorizeAgainstVocab(spark, docs, s"${tbl}_vocab"),
+      docs, s"${tbl}_vocab", pred, tau = 0.5))
+    assert(got.nonEmpty, "degenerate: no pairs at tau=0.5")
+    assert(got == reference,
+      "base ∪ delta probe differs from frozen-vocab full vectorization")
+    // a delta doc must actually be reachable as a neighbor (the delta
+    // rows are being SERVED, not just carried)
+    val deltaIds = delta.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.exists(r => deltaIds.contains(r(2).asInstanceOf[Long])),
+      "no served neighbor came from the delta")
+    TextOps.mergeDocVectorIndex(spark, tbl, path)
+    assert(!spark.catalog.tableExists(s"${tbl}_delta"))
+    assert(rows(TextOps.docSimilarPersistedDelta(spark, docs, tbl,
+      s"${tbl}_vocab", pred, tau = 0.5)) == got)
+    TextOps.mergeDocVectorIndex(spark, tbl, path) // idempotent no-op
+    assert(rows(TextOps.docSimilarPersisted(spark, docs, tbl,
+      s"${tbl}_vocab", pred, tau = 0.5)) == got)
+  }
+
+  test("doc-vector delta: disjointness fence fires; a full rebuild stales the delta") {
+    val tbl = "dlt_vec_b"
+    val path = freshDir("vb")
+    dropAll(tbl)
+    TextOps.writeDocVectorIndex(base, tbl, path)
+    val e = intercept[IllegalArgumentException] {
+      TextOps.appendDocVectorIndexDelta(base.limit(5), tbl, path)
+    }
+    assert(e.getMessage.contains("already-indexed"), e.getMessage)
+    TextOps.appendDocVectorIndexDelta(delta, tbl, path)
+    val pred = substring(md5(concat_ws(":", col("doc_id").cast("string"),
+      lit("dlt"))), 1, 1) < "4"
+    // full rebuild over everything → delta stale → probe must not
+    // double-serve the delta docs the rebuild absorbed
+    TextOps.writeDocVectorIndex(docs, tbl, path)
+    val want = rows(TextOps.docSimilarPersisted(spark, docs, tbl,
+      s"${tbl}_vocab", pred, tau = 0.5))
+    assert(rows(TextOps.docSimilarPersistedDelta(spark, docs, tbl,
+      s"${tbl}_vocab", pred, tau = 0.5)) == want,
+      "stale delta leaked into the probe after a full rebuild")
+  }
+}

@@ -129,6 +129,26 @@ class HybridSpec extends SparkSpec {
       s"ivf ${got.size} vs brute ${want.size}")
   }
 
+  test("hybrid_search_pq on planted prototypes at nprobe = nlist equals the brute row (exact ADC scores)") {
+    // the PqSpec planting: 3 mutually orthogonal prototypes, every PQ
+    // centroid converges to an exact prototype subvector — ADC scores
+    // are exactly 1.0 (same proto) / 0.0 (cross, < τ), so the PQ
+    // member equals the brute member and the fused rows must match
+    def proto(p: Int): Seq[Double] =
+      (0 until 24).map(i => if (i % 3 == p) 1.0 else 0.0)
+    val planted = Knn.embOf(
+      (0L until 60L).map(i => (i, (i % 3).toString, proto((i % 3).toInt)))
+        .toDF("vec_id", "label", "embedding")).cache()
+    val d = TextOps.docs(spark, SF)
+    val path = Files.createTempDirectory("graft_hyb_pq").toString + "/v"
+    val got = Hybrid.hybridSearchPq(spark, d, planted, "hyb_pq_spec",
+        path, kSem = 500, nlist = 4, nprobe = 4)
+      .collect().map(_.toSeq).toSet
+    val want = Hybrid.hybridSearch(d, planted).collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want,
+      s"pq ${got.size} vs brute ${want.size}")
+  }
+
   test("stream-static hybrid probe (foreachBatch) converges to batch hybrid_search_rrf") {
     val docs = TextOps.docs(spark, SF)
     val embRaw = spark.read.parquet(s"$SF/embeddings.parquet")
