@@ -32,7 +32,7 @@ object Bench {
       "triplet_mine_ivf", "knn_pq", "pq_recall_audit", "pq_code_balance",
       "hybrid_search_ivf", "hybrid_search_pq", "chunk_hybrid_serve",
       "standing_query_route", "search_prf_persisted",
-      "prf_terms_persisted",
+      "prf_terms_persisted", "search_prf_delta", "prf_terms_delta",
       "vocab_coverage_persisted", "oov_tag", "ivf_balance_audit",
       "lm_score_persisted", "boilerplate_tag_persisted")
 

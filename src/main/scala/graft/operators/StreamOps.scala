@@ -359,6 +359,45 @@ object StreamOps {
       .withColumn("worker", (col("rnk") - 1L) % lit(workers.toLong))
   }
 
+  /** CAPACITY-WEIGHTED rebalance planner (r23, the r17 verdict's
+    * worker-presence thread): [[rebalancePlan]] stripes by load only —
+    * real worker fleets are heterogeneous (the reference's WorkerInfo
+    * metadata carries exactly this kind of capacity signal,
+    * `pkg/api/worker_presence.go:43`), so the weighted planner expands
+    * each worker into `capacity` SLOTS (demo capacity = 1 + worker % 3
+    * — a pure integer function of the worker id, so the oracle derives
+    * the identical slot table; a real deployment feeds its inventory)
+    * and stripes load-ranked segments round-robin over the slot
+    * sequence ordered (slot_idx, worker): a worker with k slots
+    * appears in k rounds and receives proportionally more segments,
+    * while consecutive heavy segments still land on different workers
+    * — the 12j LPT-ish property kept under weights. Deterministic pure
+    * integers end to end. Scale: one corpus agg to segment-sized rows;
+    * the segment window partitions by space; the slot window runs over
+    * ≤ 3·workers rows. */
+  def rebalanceCapacityPlan(named: DataFrame, workers: Int = 4): DataFrame = {
+    require(workers >= 1, s"workers must be >= 1, got $workers")
+    val spark = named.sparkSession
+    val totalSlots = (0 until workers).map(w => 1L + w % 3).sum
+    val slots = spark.range(0, workers).toDF("worker")
+      .withColumn("capacity", lit(1L) + col("worker") % lit(3L))
+      .select(col("worker"), col("capacity"),
+        explode(expr("sequence(0L, capacity - 1)")).as("slot_idx"))
+      .withColumn("slot_rank", row_number().over(
+        Window.orderBy(col("slot_idx"), col("worker"))).cast("long"))
+      .select(col("worker"), col("capacity"), col("slot_rank"))
+    val w = Window.partitionBy("space")
+      .orderBy(col("n_entries").desc, col("segment"))
+    named.groupBy(col("space"), col("segment"))
+      .agg(count(lit(1)).as("n_entries"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("slot_rank",
+        (col("rnk") - 1L) % lit(totalSlots) + 1L)
+      .join(broadcast(slots), Seq("slot_rank"))
+      .select(col("space"), col("segment"), col("n_entries"), col("rnk"),
+        col("worker"), col("capacity"))
+  }
+
   /** Realized-imbalance accounting for [[rebalancePlan]] (the
     * lsh_bucket_audit discipline): per space, the worker population,
     * heaviest/lightest worker loads, and max-over-ideal as the

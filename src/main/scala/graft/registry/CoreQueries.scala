@@ -108,6 +108,13 @@ object CoreQueries {
     // integer half-up milli; oracle embeds the plan verbatim
     "sk_rebalance_audit" -> ((s, d) =>
       StreamOps.rebalanceAudit(EventLog.named(s, d))),
+    // capacity-WEIGHTED rebalance (r23): heterogeneous workers expand
+    // into capacity slots (pure integer function of the worker id),
+    // load-ranked segments stripe round-robin over the (slot_idx,
+    // worker)-ordered slot sequence — proportional assignment with the
+    // consecutive-heavy-segments-spread property kept
+    "sk_rebalance_capacity" -> ((s, d) =>
+      StreamOps.rebalanceCapacityPlan(EventLog.named(s, d))),
     // stale-segment audit: last entry predates the newest quarter of
     // the space's own range — integer cutoff, integer milli share
     "sk_stale_segments" -> ((s, d) =>
@@ -725,6 +732,31 @@ object CoreQueries {
                * 1000 + CAST(sum(wload) AS BIGINT)) //
                (2 * CAST(sum(wload) AS BIGINT)) AS imb_milli
       FROM wl GROUP BY 1""",
+
+    // identical slot expansion + rank/stripe arithmetic; both windows
+    // run over bounded tables (segments per space; 3·workers slots)
+    "sk_rebalance_capacity" -> s"""$E,
+      segc AS (
+        SELECT space, segment, CAST(count(*) AS BIGINT) AS n_entries
+        FROM entries GROUP BY 1, 2),
+      ranked AS (
+        SELECT space, segment, n_entries,
+               CAST(row_number() OVER (PARTITION BY space
+                 ORDER BY n_entries DESC, segment) AS BIGINT) AS rnk
+        FROM segc),
+      slots AS (
+        SELECT CAST(worker AS BIGINT) AS worker,
+               CAST(capacity AS BIGINT) AS capacity,
+               CAST(row_number() OVER (ORDER BY slot_idx, worker)
+                 AS BIGINT) AS slot_rank
+        FROM (
+          SELECT worker, 1 + worker % 3 AS capacity,
+                 unnest(generate_series(0, worker % 3)) AS slot_idx
+          FROM (SELECT unnest(generate_series(0, 3)) AS worker)))
+      SELECT r.space, r.segment, r.n_entries, r.rnk, s.worker,
+             s.capacity
+      FROM ranked r
+      JOIN slots s ON ((r.rnk - 1) % 7) + 1 = s.slot_rank""",
 
     // identical integer cutoff and milli share over the same rollup
     "sk_stale_segments" -> s"""$E,

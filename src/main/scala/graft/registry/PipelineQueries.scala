@@ -1747,6 +1747,35 @@ object PipelineQueries {
       TextOps.writeTextIndex(docs(s, d), tbl, path)
       graft.text.Prf.prfTermsIndexed(s, tbl)
     }),
+    // the WHOLE PRF serving chain over base ∪ delta (r23 — the delta
+    // family composed with retrieval serving): seed ranking, expansion
+    // mining, and the expanded search all probe the merged resolution
+    // (indexWithDelta — one definition); transparent at every stage
+    // (additive integer stats, the one scoring tail), so both rows
+    // share the ad-hoc faces' oracles verbatim; PrfSpec pins the three
+    // faces (ad-hoc, persisted full, base + delta) row-identical
+    "search_prf_delta" -> ((s, d) => {
+      val (tbl, path) = runScopedTable(s, d, "graft_prf_delta")
+      Seq(tbl, s"${tbl}_stats", s"${tbl}_delta", s"${tbl}_delta_stats")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
+      val dd = docs(s, d)
+      val isDelta = substring(md5(concat_ws(":",
+        col("doc_id").cast("string"), lit("dsd"))), 1, 1) >= "c"
+      TextOps.writeTextIndex(dd.filter(!isDelta), tbl, path)
+      TextOps.appendTextIndexDelta(dd.filter(isDelta), tbl, path)
+      graft.text.Prf.searchPrfDelta(s, tbl)
+    }),
+    "prf_terms_delta" -> ((s, d) => {
+      val (tbl, path) = runScopedTable(s, d, "graft_prft_delta")
+      Seq(tbl, s"${tbl}_stats", s"${tbl}_delta", s"${tbl}_delta_stats")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
+      val dd = docs(s, d)
+      val isDelta = substring(md5(concat_ws(":",
+        col("doc_id").cast("string"), lit("dsd"))), 1, 1) >= "c"
+      TextOps.writeTextIndex(dd.filter(!isDelta), tbl, path)
+      TextOps.appendTextIndexDelta(dd.filter(isDelta), tbl, path)
+      graft.text.Prf.prfTermsDelta(s, tbl)
+    }),
     // what the expansion changed vs the seed ranking: one exact-integer
     // overlap row (common/new/dropped at the cut + the seed's matched
     // population) — the off-topic-drift sanity number
@@ -1820,6 +1849,21 @@ object PipelineQueries {
       TextOps.appendTextIndexDelta(dd.filter(isDelta), tbl, path)
       TextOps.searchIndexDelta(s, tbl,
         Seq("vector", "stream", "window", "hash"))
+    }),
+    // generation accounting for the delta family — the ops row a store
+    // operator schedules mergeTextIndex on: base/delta doc + length
+    // masses and the delta's integer half-up milli share; reads only
+    // the two one-row stats tables
+    "text_index_delta_audit" -> ((s, d) => {
+      val (tbl, path) = runScopedTable(s, d, "graft_dltaud_index")
+      Seq(tbl, s"${tbl}_stats", s"${tbl}_delta", s"${tbl}_delta_stats")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
+      val dd = docs(s, d)
+      val isDelta = substring(md5(concat_ws(":",
+        col("doc_id").cast("string"), lit("dsd"))), 1, 1) >= "c"
+      TextOps.writeTextIndex(dd.filter(!isDelta), tbl, path)
+      TextOps.appendTextIndexDelta(dd.filter(isDelta), tbl, path)
+      TextOps.textIndexDeltaAudit(s, tbl)
     }),
     // the doc-vector family's delta: delta docs vectorized against the
     // FROZEN base vocabulary (the model artifact — one definition with
@@ -3009,6 +3053,31 @@ object PipelineQueries {
     // time from the merged df — same oracle (the transparent-hop
     // posture, now spanning two index generations)
     "text_search_delta" -> Bm25OracleSql,
+    // the stats tables' masses re-derived from the corpus + the md5
+    // split — the whole tokenize/stats round trip under the hash gate
+    "text_index_delta_audit" -> s"""
+      WITH dl AS (
+        SELECT CAST(len(list_filter(string_split(lower(text), ' '),
+                 x -> x <> '')) AS BIGINT) AS dl,
+               substr(md5(concat_ws(':', CAST(doc_id AS VARCHAR),
+                 'dsd')), 1, 1) < 'c' AS is_base
+        FROM documents),
+      agg AS (
+        SELECT CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_docs_base,
+               CAST(sum(CASE WHEN is_base THEN dl ELSE 0 END) AS BIGINT)
+                 AS sum_dl_base,
+               CAST(sum(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_docs_delta,
+               CAST(sum(CASE WHEN is_base THEN 0 ELSE dl END) AS BIGINT)
+                 AS sum_dl_delta
+        FROM dl)
+      SELECT n_docs_base, sum_dl_base, n_docs_delta, sum_dl_delta,
+             CAST(CASE WHEN n_docs_base + n_docs_delta > 0 THEN
+               (2 * n_docs_delta * 1000 + (n_docs_base + n_docs_delta))
+                 // (2 * (n_docs_base + n_docs_delta))
+             ELSE 0 END AS BIGINT) AS delta_share_milli
+      FROM agg""",
     // the frozen-vocab delta semantic, derived independently in SQL:
     // the vocabulary (df-band + milli-idf) comes from the BASE split
     // ONLY (md5 'dsd' < 'c' — what writeDocVectorIndex froze), every
@@ -3127,6 +3196,14 @@ object PipelineQueries {
     // and the row shares search_prf's oracle verbatim (the
     // vocab_coverage_persisted posture; PrfSpec pins row-identity)
     "search_prf_persisted" -> SearchPrfOracleSql,
+    // the delta hop is transparent at every PRF stage (additive
+    // integer stats, df derived at probe time from the merged
+    // postings, the one scoring tail) — both delta rows share the
+    // ad-hoc faces' oracles verbatim
+    "search_prf_delta" -> SearchPrfOracleSql,
+    "prf_terms_delta" -> s"""
+      $PrfCtes
+      SELECT term, mass_micro, trank FROM etop WHERE trank <= 5""",
     // both rankings' top-20 cuts compared set-wise; n_seed_matched is
     // the seed query's whole matched population (the denominator a
     // drift dashboard plots the cut against)

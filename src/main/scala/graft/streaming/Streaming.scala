@@ -721,6 +721,37 @@ object Streaming {
     docStream.writeStream.foreachBatch(perBatch).start()
   }
 
+  /** LIVE index ingest — the write-side streaming dual of the delta
+    * family (r23, closing the loop the r17 verdict #1 opened): each
+    * arriving micro-batch of documents APPENDS to the serving postings
+    * index as a delta generation
+    * ([[graft.text.TextOps.appendTextIndexDelta]] verbatim — the batch
+    * append IS the micro-batch append: a doc's postings are a pure
+    * function of its own row, so per-batch semantics are exact), and
+    * queries running concurrently through
+    * [[graft.text.TextOps.searchIndexDelta]] see base ∪ everything
+    * ingested so far — result-identical to a full rebuild over the
+    * corpus-to-date (the spec replays a split corpus batch-by-batch
+    * and pins the converged search ≡ the ad-hoc BM25 over everything).
+    * Tokenize cost per batch ∝ the batch; the delta REWRITE cost grows
+    * with the accumulated delta until [[graft.text.TextOps
+    * .mergeTextIndex]] compacts it — the merge cadence bounds it, and
+    * `textIndexDeltaAudit` is the number an operator schedules the
+    * merge on. The doc-disjointness fences hold per batch (a
+    * re-crawled doc raises, never double-serves). */
+  def runTextIndexDeltaIngest(spark: SparkSession, docStream: DataFrame,
+      tableName: String, path: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val b = batch.toDF().localCheckpoint(true)
+        // an empty trigger must not rewrite the delta generation
+        if (b.limit(1).count() > 0L)
+          graft.text.TextOps.appendTextIndexDelta(b, tableName, path)
+      }
+    docStream.writeStream.foreachBatch(perBatch).start()
+  }
+
   /** LIVE passage-granular hybrid retrieval — the streaming dual of
     * `chunk_hybrid_serve` (r17 verdict #4, composing the
     * runStandingQueryProbe and runHybridSearchProbeIvf machinery at

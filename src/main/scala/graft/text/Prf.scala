@@ -147,12 +147,39 @@ object Prf {
     * vocab_coverage_persisted transparent-hop posture). */
   def prfTermsIndexed(spark: org.apache.spark.sql.SparkSession,
       indexTable: String, q0: Seq[String] = SeedQuery, k0: Int = 10,
+      m: Int = 5, minDf: Long = 2L): DataFrame =
+    prfTermsOver(
+      graft.sources.Staged.liveTable(spark, indexTable),
+      graft.sources.Staged.liveTable(spark, s"${indexTable}_stats")
+        .select(col("n_docs_tok")),
+      topDocs(TextOps.searchIndex(spark, indexTable, q0), k0)
+        .select("doc_id"),
+      q0, m, minDf)
+
+  /** [[prfTermsIndexed]] over base ∪ delta ([[TextOps.indexWithDelta]]
+    * — the ONE delta resolution): the mined dictionary over a corpus
+    * that took a crawl delta, with zero rebuild and zero tokenize.
+    * Result-identical to the ad-hoc [[prfTerms]] over the union corpus
+    * (df and n_docs_tok merge as additive integers, the feedback block
+    * derives from the delta-aware seed ranking), so it shares
+    * prf_terms' oracle verbatim. */
+  def prfTermsDelta(spark: org.apache.spark.sql.SparkSession,
+      indexTable: String, q0: Seq[String] = SeedQuery, k0: Int = 10,
       m: Int = 5, minDf: Long = 2L): DataFrame = {
-    require(q0.nonEmpty && k0 >= 1 && m >= 1 && minDf >= 1L,
-      s"bad params q0=$q0 k0=$k0 m=$m minDf=$minDf")
-    val postings = graft.sources.Staged.liveTable(spark, indexTable)
-    val r0 = topDocs(TextOps.searchIndex(spark, indexTable, q0), k0)
-      .select("doc_id")
+    val (postings, stats) = TextOps.indexWithDelta(spark, indexTable)
+    prfTermsOver(postings, stats.select(col("n_docs_tok")),
+      topDocs(TextOps.searchIndexDelta(spark, indexTable, q0), k0)
+        .select("doc_id"),
+      q0, m, minDf)
+  }
+
+  /** The ONE expansion-mining chain over explicit (postings,
+    * n_docs_tok, seed-ranked docs) frames — shared by the persisted
+    * and delta faces so the dictionary definition cannot drift. */
+  private def prfTermsOver(postings: DataFrame, nTok: DataFrame,
+      r0: DataFrame, q0: Seq[String], m: Int, minDf: Long): DataFrame = {
+    require(q0.nonEmpty && m >= 1 && minDf >= 1L,
+      s"bad params q0=$q0 m=$m minDf=$minDf")
     // the feedback block is bounded by k0 · max doc length rows —
     // broadcast it so the vocab-sized df rollup streams over the
     // bucketed postings scan with no shuffle on the index side
@@ -169,9 +196,6 @@ object Prf {
     // is the persisted family's standard per-probe cost and the
     // "zero corpus TOKENIZE passes" claim is unaffected either way
     val dfT = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nTok = graft.sources.Staged
-      .liveTable(spark, s"${indexTable}_stats")
-      .select(col("n_docs_tok"))
     dfT.join(broadcast(fb), "term")
       .filter(col("df") >= minDf)
       .crossJoin(broadcast(nTok))
@@ -206,6 +230,31 @@ object Prf {
       prfTermsIndexed(spark, indexTable, q0, k0, m, minDf).select("term"))
     // two consumers (the cut and the provenance join): one pass
     val scored = TextOps.searchIndexTerms(spark, indexTable, qterms)
+      .localCheckpoint(true)
+    topDocs(scored, n)
+      .join(scored, "doc_id")
+      .select(col("doc_id"), col("n_terms_matched"), col("score"),
+        col("rnk"))
+  }
+
+  /** [[searchPrfIndexed]] over base ∪ delta — the WHOLE PRF serving
+    * chain (seed ranking, expansion mining, expanded search) survives
+    * a crawl delta with zero rebuild and zero tokenize: every stage
+    * probes [[TextOps.indexWithDelta]]'s merged resolution. The delta
+    * hop is transparent at every stage (additive integer stats, the
+    * ONE scoring tail), so the result equals the ad-hoc [[searchPrf]]
+    * over the union corpus — the registered row shares `search_prf`'s
+    * oracle verbatim; PrfSpec pins the three faces (ad-hoc, persisted
+    * full-rebuild, base + delta) row-identical. */
+  def searchPrfDelta(spark: org.apache.spark.sql.SparkSession,
+      indexTable: String, q0: Seq[String] = SeedQuery, k0: Int = 10,
+      m: Int = 5, n: Int = 20, minDf: Long = 2L): DataFrame = {
+    require(n >= 1, s"bad n=$n")
+    val seed = spark.createDataset(q0)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("term")
+    val qterms = seed.unionByName(
+      prfTermsDelta(spark, indexTable, q0, k0, m, minDf).select("term"))
+    val scored = TextOps.searchIndexDeltaTerms(spark, indexTable, qterms)
       .localCheckpoint(true)
     topDocs(scored, n)
       .join(scored, "doc_id")

@@ -2215,13 +2215,11 @@ object TextOps {
   def searchIndex(spark: SparkSession, tableName: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "empty query")
-    val postings = graft.sources.Staged.liveTable(spark, tableName)
-      .filter(col("term").isin(terms: _*))
-    val scalars = graft.sources.Staged.liveTable(spark, s"${tableName}_stats")
-    val df = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // the ONE scoring tail — identical chain to the ad-hoc search
-    bm25ScoreTail(postings.join(broadcast(df), "term")
-      .crossJoin(broadcast(scalars)), k1, b)
+    // the ONE scoring core — identical chain to the ad-hoc search
+    searchPostingsCore(
+      graft.sources.Staged.liveTable(spark, tableName),
+      graft.sources.Staged.liveTable(spark, s"${tableName}_stats"),
+      _.filter(col("term").isin(terms: _*)), k1, b)
   }
 
   /** [[searchIndex]] with the query terms as a TABLE — the persisted
@@ -2234,14 +2232,12 @@ object TextOps {
     * [[bm25ScoreTail]] scores. Zero corpus tokenize passes: the corpus
     * was tokenized once, at index build. */
   def searchIndexTerms(spark: SparkSession, tableName: String,
-      termsDf: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val postings = graft.sources.Staged.liveTable(spark, tableName)
-      .join(broadcast(termsDf.select(col("term")).distinct()), "term")
-    val scalars = graft.sources.Staged.liveTable(spark, s"${tableName}_stats")
-    val df = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    bm25ScoreTail(postings.join(broadcast(df), "term")
-      .crossJoin(broadcast(scalars)), k1, b)
-  }
+      termsDf: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    searchPostingsCore(
+      graft.sources.Staged.liveTable(spark, tableName),
+      graft.sources.Staged.liveTable(spark, s"${tableName}_stats"),
+      _.join(broadcast(termsDf.select(col("term")).distinct()), "term"),
+      k1, b)
 
   // ───── delta-merge maintenance for the postings index (r17 verdict #1:
   // at 100 TB a daily crawl delta must never pay a full-corpus rebuild —
@@ -2289,6 +2285,14 @@ object TextOps {
     require(spark.catalog.tableExists(tableName),
       s"appendTextIndexDelta: no base index $tableName — build it with " +
         "writeTextIndex first")
+    // heal a half-merged crash state FIRST (stats absorbed the live
+    // delta, postings not yet — the Staged.recover philosophy applied
+    // to the two-table merge): completing the pending merge here means
+    // the absorbed delta's postings can never be replaced away, and
+    // this append then starts a clean generation
+    if (rawTextDelta(spark, tableName).isDefined &&
+        deltaAbsorbed(spark, tableName))
+      mergeTextIndex(spark, tableName, path, buckets)
     // one tokenize pass over the DELTA only — the whole point
     val withDl = docLengths(dNew).localCheckpoint(true)
     val newIds = withDl.select(col("doc_id")).distinct()
@@ -2339,15 +2343,14 @@ object TextOps {
     }
   }
 
-  /** The live delta pair (postings, stats) of a postings index, or None
-    * when no delta is serviceable: absent tables, a STALE delta (its
-    * `base_gen` no longer matches the main table's generation — a
-    * rebuild or merge promoted since), or an ABSORBED delta (the merged
-    * stats already carry this delta generation's mass — the half-merged
-    * crash window, where adding delta stats again would double-count).
-    * Runs Staged.recover on both tables first (the liveTable posture:
-    * crashed promotes heal on first read). */
-  private[text] def textIndexDelta(spark: SparkSession,
+  /** The delta pair (postings, stats) whose `base_gen` matches the
+    * CURRENT main generation — existence + generation check only, no
+    * absorbed filtering: [[mergeTextIndex]] and the heal path need the
+    * raw pair (an absorbed delta's POSTINGS are not yet in the base —
+    * dropping or replacing them on the absorbed signal alone would
+    * lose them). Runs Staged.recover on both tables first (the
+    * liveTable posture: crashed promotes heal on first read). */
+  private def rawTextDelta(spark: SparkSession,
       tableName: String): Option[(DataFrame, DataFrame)] = {
     val dt = s"${tableName}_delta"
     val dst = s"${dt}_stats"
@@ -2360,16 +2363,77 @@ object TextOps {
       val bg = dstats.select(col("base_gen")).limit(1).collect()
       if (bg.isEmpty || bg.head.getString(0) !=
           graft.sources.Staged.generation(spark, tableName)) None
-      else {
-        val live = graft.sources.Staged.liveTable(spark,
-          s"${tableName}_stats")
-        val absorbed = live.columns.contains("merged_delta") &&
-          live.select(col("merged_delta")).limit(1).collect()
-            .headOption.exists(_.getString(0) ==
-              graft.sources.Staged.generation(spark, dt))
-        if (absorbed) None else Some((spark.table(dt), dstats))
-      }
+      else Some((spark.table(dt), dstats))
     }
+  }
+
+  /** True when the main stats table already carries the live delta
+    * generation's mass — the half-merged crash window between the
+    * stats promote and the postings promote: probes must not add the
+    * delta's stats again, and writers must COMPLETE the merge before
+    * touching the delta. */
+  private def deltaAbsorbed(spark: SparkSession,
+      tableName: String): Boolean = {
+    val live = graft.sources.Staged.liveTable(spark,
+      s"${tableName}_stats")
+    live.columns.contains("merged_delta") &&
+      live.select(col("merged_delta")).limit(1).collect()
+        .headOption.exists(_.getString(0) ==
+          graft.sources.Staged.generation(spark, s"${tableName}_delta"))
+  }
+
+  /** The live delta pair for PROBE faces, or None when no delta is
+    * serviceable: absent tables, a STALE delta (its `base_gen` no
+    * longer matches the main table's generation — a rebuild or merge
+    * promoted since), or an ABSORBED delta (the merged stats already
+    * carry this delta generation's mass — the half-merged crash
+    * window, where adding delta stats again would double-count; a
+    * probe in that window reads base postings with delta-inclusive N,
+    * never duplicated rows, and the next [[mergeTextIndex]] or append
+    * COMPLETES the merge). */
+  private[text] def textIndexDelta(spark: SparkSession,
+      tableName: String): Option[(DataFrame, DataFrame)] =
+    rawTextDelta(spark, tableName)
+      .filterNot(_ => deltaAbsorbed(spark, tableName))
+
+  /** Base ∪ live-delta postings + closed-form merged stats (n_docs,
+    * sum_dl, n_docs_tok — all additive integers over disjoint doc
+    * sets) — the ONE delta resolution shared by every delta probe face
+    * ([[searchIndexDelta]], [[searchIndexDeltaTerms]], the PRF delta
+    * chain), so no face can drift in how it merges generations. With
+    * no serviceable delta this is the plain (postings, stats) pair. */
+  private[graft] def indexWithDelta(spark: SparkSession,
+      tableName: String): (DataFrame, DataFrame) = {
+    val base = graft.sources.Staged.liveTable(spark, tableName)
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"))
+    val baseStats = graft.sources.Staged
+      .liveTable(spark, s"${tableName}_stats")
+      .select(col("n_docs"), col("sum_dl"), col("n_docs_tok"))
+    textIndexDelta(spark, tableName) match {
+      case Some((dp, dstats)) =>
+        (base.unionByName(
+           dp.select(col("term"), col("doc_id"), col("dl"), col("tf"))),
+         baseStats.unionByName(
+             dstats.select(col("n_docs"), col("sum_dl"),
+               col("n_docs_tok")))
+           .agg(sum(col("n_docs")).as("n_docs"),
+             sum(col("sum_dl")).as("sum_dl"),
+             sum(col("n_docs_tok")).as("n_docs_tok")))
+      case None => (base, baseStats)
+    }
+  }
+
+  /** The ONE persisted-probe scoring core over explicit (postings,
+    * stats) frames: prune → df rollup from the pruned postings → the
+    * shared [[bm25ScoreTail]]. [[searchIndex]]/[[searchIndexTerms]]
+    * feed it the live base; the delta faces feed it
+    * [[indexWithDelta]]. */
+  private def searchPostingsCore(postings: DataFrame, scalars: DataFrame,
+      prune: DataFrame => DataFrame, k1: Double, b: Double): DataFrame = {
+    val pruned = prune(postings)
+    val df = pruned.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    bm25ScoreTail(pruned.join(broadcast(df), "term")
+      .crossJoin(broadcast(scalars)), k1, b)
   }
 
   /** BM25 probe over base ∪ delta — result-identical to [[bm25Search]]
@@ -2383,25 +2447,49 @@ object TextOps {
   def searchIndexDelta(spark: SparkSession, tableName: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "empty query")
-    val base = graft.sources.Staged.liveTable(spark, tableName)
-      .select(col("term"), col("doc_id"), col("dl"), col("tf"))
-    val baseStats = graft.sources.Staged
+    val (postings, scalars) = indexWithDelta(spark, tableName)
+    searchPostingsCore(postings, scalars,
+      _.filter(col("term").isin(terms: _*)), k1, b)
+  }
+
+  /** [[searchIndexTerms]] over base ∪ delta — the term-TABLE face the
+    * expanded-query (PRF) chain needs, with the same transparent-hop
+    * result contract as [[searchIndexDelta]]. */
+  def searchIndexDeltaTerms(spark: SparkSession, tableName: String,
+      termsDf: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (postings, scalars) = indexWithDelta(spark, tableName)
+    searchPostingsCore(postings, scalars,
+      _.join(broadcast(termsDf.select(col("term")).distinct()), "term"),
+      k1, b)
+  }
+
+  /** Generation accounting for a postings index + its live delta — the
+    * ops row a store operator watches to schedule [[mergeTextIndex]]
+    * (the drop-accounting posture applied to index maintenance): base
+    * and delta doc/length masses and the delta's integer half-up milli
+    * share of the serving corpus. A stale/absorbed delta reports
+    * zeros — the post-merge/post-rebuild steady state. Reads only the
+    * two one-row stats tables. */
+  def textIndexDeltaAudit(spark: SparkSession,
+      tableName: String): DataFrame = {
+    val base = graft.sources.Staged
       .liveTable(spark, s"${tableName}_stats")
-      .select(col("n_docs"), col("sum_dl"))
-    val (postings, scalars) = textIndexDelta(spark, tableName) match {
-      case Some((dp, dstats)) =>
-        (base.unionByName(
-           dp.select(col("term"), col("doc_id"), col("dl"), col("tf"))),
-         baseStats.unionByName(
-             dstats.select(col("n_docs"), col("sum_dl")))
-           .agg(sum(col("n_docs")).as("n_docs"),
-             sum(col("sum_dl")).as("sum_dl")))
-      case None => (base, baseStats)
+      .select(col("n_docs").as("n_docs_base"),
+        col("sum_dl").as("sum_dl_base"))
+    val withDelta = textIndexDelta(spark, tableName) match {
+      case Some((_, dstats)) =>
+        base.crossJoin(dstats.select(col("n_docs").as("n_docs_delta"),
+          col("sum_dl").as("sum_dl_delta")))
+      case None =>
+        base.withColumn("n_docs_delta", lit(0L))
+          .withColumn("sum_dl_delta", lit(0L))
     }
-    val pruned = postings.filter(col("term").isin(terms: _*))
-    val df = pruned.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    bm25ScoreTail(pruned.join(broadcast(df), "term")
-      .crossJoin(broadcast(scalars)), k1, b)
+    withDelta.select(col("n_docs_base"), col("sum_dl_base"),
+      col("n_docs_delta"), col("sum_dl_delta"),
+      expr("""CASE WHEN n_docs_base + n_docs_delta > 0 THEN
+                (2 * n_docs_delta * 1000 + (n_docs_base + n_docs_delta))
+                  div (2 * (n_docs_base + n_docs_delta))
+              ELSE 0 END""").as("delta_share_milli"))
   }
 
   /** Compact the live delta into the base index — pure index-ROW unions
@@ -2419,20 +2507,22 @@ object TextOps {
     * N for that window, never duplicated rows. */
   def mergeTextIndex(spark: SparkSession, tableName: String,
       path: String, buckets: Int = 8): Unit = {
-    textIndexDelta(spark, tableName) match {
+    // the RAW delta, not the probe face: an ABSORBED delta (stats
+    // promoted, postings not — the crash-rerun state) must still get
+    // its postings merged; the probe face hides it and a cleanup-only
+    // path here would LOSE those postings
+    rawTextDelta(spark, tableName) match {
       case None =>
-        // nothing serviceable; sweep a stale/absorbed delta if present
+        // nothing current-generation; sweep a stale delta if present
         spark.sql(s"DROP TABLE IF EXISTS `${tableName}_delta_stats`")
         spark.sql(s"DROP TABLE IF EXISTS `${tableName}_delta`")
       case Some((dp, dstats)) =>
-        val deltaGen = graft.sources.Staged
-          .generation(spark, s"${tableName}_delta")
         val statsTbl = s"${tableName}_stats"
-        val liveStats = graft.sources.Staged.liveTable(spark, statsTbl)
-        val already = liveStats.columns.contains("merged_delta") &&
-          liveStats.select(col("merged_delta")).limit(1).collect()
-            .headOption.exists(_.getString(0) == deltaGen)
+        val already = deltaAbsorbed(spark, tableName)
         if (!already) {
+          val deltaGen = graft.sources.Staged
+            .generation(spark, s"${tableName}_delta")
+          val liveStats = graft.sources.Staged.liveTable(spark, statsTbl)
           val merged = liveStats
             .select(col("n_docs"), col("sum_dl"), col("n_docs_tok"))
             .unionByName(dstats

@@ -128,6 +128,93 @@ class DeltaIndexSpec extends SparkSpec {
     assert(rows(TextOps.searchIndexDelta(spark, tbl, Terms)) == want)
   }
 
+  test("live delta ingest: micro-batched arrivals converge the search to the ad-hoc full-corpus bm25; the audit tracks the masses") {
+    val tbl = "dlt_text_live"
+    val path = freshDir("tl")
+    dropAll(tbl)
+    TextOps.writeTextIndex(base, tbl, path)
+    // replay the delta split as multiple micro-batches (file source,
+    // one file per trigger — the orderedReplayDir posture)
+    val dir = Files.createTempDirectory("graft_dlt_ingest").toString
+    delta.repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = graft.streaming.Streaming.runTextIndexDeltaIngest(spark,
+      stream, tbl, path)
+    q.processAllAvailable(); q.stop()
+    assert(rows(TextOps.searchIndexDelta(spark, tbl, Terms)) ==
+      rows(TextOps.bm25Search(docs, Terms)),
+      "converged live-ingested search differs from ad-hoc full corpus")
+    // the audit sees exactly the ingested masses
+    val a = TextOps.textIndexDeltaAudit(spark, tbl).collect().head
+    assert(a.getAs[Long]("n_docs_base") == base.count() &&
+      a.getAs[Long]("n_docs_delta") == delta.count(), a.toString)
+    // post-merge steady state: delta masses report zero
+    TextOps.mergeTextIndex(spark, tbl, path)
+    val a2 = TextOps.textIndexDeltaAudit(spark, tbl).collect().head
+    assert(a2.getAs[Long]("n_docs_delta") == 0L &&
+      a2.getAs[Long]("delta_share_milli") == 0L &&
+      a2.getAs[Long]("n_docs_base") == base.count() + delta.count(),
+      a2.toString)
+  }
+
+  test("half-merged crash window (stats absorbed, postings not): probes never double-count, merge completes, append heals") {
+    import graft.sources.Staged
+    val tbl = "dlt_text_cw"
+    val path = freshDir("tcw")
+    dropAll(tbl)
+    val d1 = delta.filter(col("doc_id") % 2 === 0).localCheckpoint(true)
+    val d2 = delta.filter(col("doc_id") % 2 =!= 0).localCheckpoint(true)
+    TextOps.writeTextIndex(base, tbl, path)
+    TextOps.appendTextIndexDelta(d1, tbl, path)
+    // simulate mergeTextIndex crashing BETWEEN its two commits:
+    // replicate the first half verbatim — merged stats stamped with
+    // the live delta's generation — and stop there
+    def simulateHalfMerge(): Unit = {
+      val merged = Staged.liveTable(spark, s"${tbl}_stats")
+        .select(col("n_docs"), col("sum_dl"), col("n_docs_tok"))
+        .unionByName(spark.table(s"${tbl}_delta_stats")
+          .select(col("n_docs"), col("sum_dl"), col("n_docs_tok")))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("sum_dl")).as("sum_dl"),
+          sum(col("n_docs_tok")).as("n_docs_tok"))
+        .withColumn("merged_delta",
+          lit(Staged.generation(spark, s"${tbl}_delta")))
+        .localCheckpoint(true)
+      Staged.commit(spark, s"${tbl}_stats", s"${path}_stats") { (t, p) =>
+        merged.write.option("path", p)
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(t)
+      }
+    }
+    simulateHalfMerge()
+    // window probe: the delta is ABSORBED — postings must come from
+    // the base only (no row duplication is possible in any window);
+    // scores use the delta-inclusive N, so compare DOC SETS
+    val windowDocs = TextOps.searchIndexDelta(spark, tbl, Terms)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val baseDocs = TextOps.bm25Search(base, Terms)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(windowDocs == baseDocs,
+      "half-merged window served delta postings (double-count risk)")
+    // a merge RERUN completes the half-merge: postings land exactly
+    // once, stats are not re-added
+    TextOps.mergeTextIndex(spark, tbl, path)
+    val wantHalf = rows(TextOps.bm25Search(
+      base.unionByName(d1), Terms))
+    assert(rows(TextOps.searchIndex(spark, tbl, Terms)) == wantHalf,
+      "merge rerun lost or double-merged the absorbed delta")
+    assert(!spark.catalog.tableExists(s"${tbl}_delta"))
+    // same window again, healed by the NEXT APPEND instead: the
+    // absorbed d2 postings survive and the new batch lands cleanly
+    TextOps.appendTextIndexDelta(d2, tbl, path)
+    simulateHalfMerge()
+    TextOps.appendTextIndexDelta(
+      base.limit(0), tbl, path) // empty batch still heals first
+    val wantAll = rows(TextOps.bm25Search(docs, Terms))
+    assert(rows(TextOps.searchIndexDelta(spark, tbl, Terms)) == wantAll,
+      "append-path heal lost the absorbed delta postings")
+  }
+
   test("doc-vector delta: probe over base ∪ delta ≡ frozen-vocab vectorization of the full corpus; merge compacts and is idempotent") {
     val tbl = "dlt_vec_a"
     val path = freshDir("va")

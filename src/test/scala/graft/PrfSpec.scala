@@ -148,6 +148,32 @@ class PrfSpec extends SparkSpec {
       s"indexed ${got.size} vs ad-hoc ${want.size}")
   }
 
+  test("PRF delta face: ad-hoc, persisted-full, and base+delta are row-identical at every stage") {
+    import java.nio.file.Files
+    val d = TextOps.docs(spark, SF)
+    Seq("prf_dlt_spec", "prf_dlt_spec_stats", "prf_dlt_spec_delta",
+      "prf_dlt_spec_delta_stats")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    val path = Files.createTempDirectory("graft_prf_dlt").toString
+    val isDelta = substring(md5(concat_ws(":",
+      col("doc_id").cast("string"), lit("dsd"))), 1, 1) >= "c"
+    TextOps.writeTextIndex(d.filter(!isDelta), "prf_dlt_spec", s"$path/t")
+    TextOps.appendTextIndexDelta(d.filter(isDelta), "prf_dlt_spec",
+      s"$path/t")
+    // the dictionary stage
+    val gotTerms = Prf.prfTermsDelta(spark, "prf_dlt_spec")
+      .collect().map(_.toSeq).toSet
+    val wantTerms = Prf.prfTerms(d).collect().map(_.toSeq).toSet
+    assert(wantTerms.nonEmpty && gotTerms == wantTerms,
+      s"delta dict $gotTerms vs ad-hoc $wantTerms")
+    // the whole expanded-search chain
+    val got = Prf.searchPrfDelta(spark, "prf_dlt_spec")
+      .collect().map(_.toSeq).toSet
+    val want = Prf.searchPrf(d).collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want,
+      s"delta ${got.size} vs ad-hoc ${want.size}")
+  }
+
   test("indexed face handles empty/whitespace docs identically (n_docs vs n_docs_tok)") {
     import java.nio.file.Files
     // empty and whitespace-only docs widen the BM25 n_docs but NOT the

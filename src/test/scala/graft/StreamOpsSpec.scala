@@ -371,6 +371,39 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("rebalanceCapacityPlan: exactly-once, proportional slot counts, capacity ladder") {
+    val named = EventLog.named(spark, SF)
+    // workers = 4 → capacities 1,2,3,1 → 7 slots
+    val plan = StreamOps.rebalanceCapacityPlan(named, workers = 4)
+      .collect()
+    val caps = Map(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 1L)
+    plan.foreach(r => assert(
+      r.getAs[Long]("capacity") == caps(r.getAs[Long]("worker")), r))
+    plan.groupBy(_.getAs[String]("space")).foreach { case (sp, rows) =>
+      // every segment assigned exactly once; ranks are 1..n
+      assert(rows.map(_.getAs[String]("segment")).distinct.length ==
+        rows.length, sp)
+      assert(rows.map(_.getAs[Long]("rnk")).sorted.toSeq ==
+        (1L to rows.length.toLong), sp)
+      // proportionality is EXACT under slot striping: slot s of the
+      // 7-slot cycle receives a per-slot count within [floor(n/7),
+      // ceil(n/7)], so worker w's count lies in cap_w·[floor, ceil]
+      val n = rows.length.toLong
+      val byWorker = rows.groupBy(_.getAs[Long]("worker"))
+        .map { case (w, g) => w -> g.length.toLong }
+      byWorker.foreach { case (w, c) =>
+        assert(c >= caps(w) * (n / 7L) && c <= caps(w) * ((n + 6L) / 7L),
+          s"$sp worker $w got $c of $n")
+      }
+      // the 7 heaviest segments fill one full slot cycle: the
+      // capacity-3 worker receives exactly 3 of them
+      if (n >= 7L) {
+        val top = rows.filter(_.getAs[Long]("rnk") <= 7L)
+        assert(top.count(_.getAs[Long]("worker") == 2L) == 3, sp)
+      }
+    }
+  }
+
   test("interarrivalStats: within-segment gaps only, integer half-up mean") {
     import spark.implicits._
     import graft.operators.Windows
