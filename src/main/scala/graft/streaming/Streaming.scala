@@ -787,8 +787,16 @@ object Streaming {
           "chunk-hybrid query micro-batch", maxQueriesPerBatch,
           "shrink the trigger interval or shard the query stream")
         qs.foreach { row =>
-          val terms = Option(row.getString(1)).getOrElse("")
-            .toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty).distinct
+          // term derivation MUST match the engine's one-definition
+          // tokenizer (lower() + literal-space split — toksExpr): Spark's
+          // lower IS UTF8String.toLowerCase, and a locale-default Java
+          // toLowerCase or a \s+ split would drift for tab-separated or
+          // locale-sensitive query text (r18 ADVICE — the domainScore
+          // stream's driver-side tokenizer precedent)
+          val terms = org.apache.spark.unsafe.types.UTF8String
+            .fromString(Option(row.getString(1)).getOrElse(""))
+            .toLowerCase.toString.split(" ", -1)
+            .toSeq.filter(_.nonEmpty).distinct
           if (terms.nonEmpty)
             sink(graft.text.Chunks.chunkHybridServe(spark, postingsTable,
                 vecTable, vocabTable, terms, tauSem, kLex, kSem, k)

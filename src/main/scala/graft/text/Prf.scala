@@ -147,7 +147,8 @@ object Prf {
     * vocab_coverage_persisted transparent-hop posture). */
   def prfTermsIndexed(spark: org.apache.spark.sql.SparkSession,
       indexTable: String, q0: Seq[String] = SeedQuery, k0: Int = 10,
-      m: Int = 5, minDf: Long = 2L): DataFrame =
+      m: Int = 5, minDf: Long = 2L): DataFrame = {
+    require(k0 >= 1, s"bad k0=$k0")
     prfTermsOver(
       graft.sources.Staged.liveTable(spark, indexTable),
       graft.sources.Staged.liveTable(spark, s"${indexTable}_stats")
@@ -155,6 +156,7 @@ object Prf {
       topDocs(TextOps.searchIndex(spark, indexTable, q0), k0)
         .select("doc_id"),
       q0, m, minDf)
+  }
 
   /** [[prfTermsIndexed]] over base ∪ delta ([[TextOps.indexWithDelta]]
     * — the ONE delta resolution): the mined dictionary over a corpus
@@ -166,6 +168,7 @@ object Prf {
   def prfTermsDelta(spark: org.apache.spark.sql.SparkSession,
       indexTable: String, q0: Seq[String] = SeedQuery, k0: Int = 10,
       m: Int = 5, minDf: Long = 2L): DataFrame = {
+    require(k0 >= 1, s"bad k0=$k0")
     val (postings, stats) = TextOps.indexWithDelta(spark, indexTable)
     prfTermsOver(postings, stats.select(col("n_docs_tok")),
       topDocs(TextOps.searchIndexDelta(spark, indexTable, q0), k0)

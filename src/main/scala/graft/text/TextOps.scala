@@ -2245,8 +2245,8 @@ object TextOps {
   // incremental but builds were not) ──────────────────────────────────
 
   /** Append a crawl delta to a persisted postings index: tokenize ONLY
-    * the delta docs into `<table>_delta` (+ `<table>_delta_stats`),
-    * leaving the base untouched. [[searchIndexDelta]] probes
+    * the delta docs into `<table>_delta` (its one-row stats riding
+    * in-table as constant columns), leaving the base untouched. [[searchIndexDelta]] probes
     * base ∪ delta with closed-form merged statistics — tf, dl, df,
     * n_docs, sum_dl, n_docs_tok are all ADDITIVE integers over disjoint
     * doc sets, and BM25 derives idf at PROBE time from the merged df —
@@ -2271,13 +2271,24 @@ object TextOps {
     * fence sees TOKENIZED docs; a re-crawled zero-token doc has no
     * posting row and can only perturb n_docs by its duplicate count.
     *
-    * Crash windows: both delta tables ride [[graft.sources.Staged]]
-    * (stage → promote, recover-on-read). The one cross-table window
-    * (delta stats promoted, delta postings not yet) leaves a probe
-    * reading old-delta postings with new-delta stats — a slightly
-    * larger N in the idf for the window's duration; no row is ever
-    * duplicated or lost, and the next read after the main promote is
-    * exact — the documented write*Index two-table posture. */
+    * Crash windows: the delta batch — postings AND its one-row stats —
+    * promotes in ONE Staged commit: the stats ride IN the delta table
+    * as constant columns (n_docs, sum_dl, n_docs_tok, base_gen on
+    * every row — parquet RLE stores a constant column in a few bytes;
+    * the doc-vector family's in-table base_gen posture, r18 ADVICE:
+    * the earlier two-table layout had a stats-promoted/postings-not
+    * window whose inflated stats mass PERSISTED and was then baked in
+    * by the merge). A batch whose docs are all token-less still needs
+    * its stats carried: every delta generation writes one SENTINEL row
+    * (doc_id NULL, tf 0) that probes filter out, so the constants
+    * always have a carrier. The remaining windows are Staged's own,
+    * each self-healing: a crash during the stage write leaves the old
+    * delta live (a RETRY of the same batch lands it exactly once —
+    * the fences check the old generation); a crash between drop-live
+    * and rename is completed by the recover-on-read at every probe/
+    * append entry, after which the batch IS landed and a retry raises
+    * the disjointness fence by name (the already-landed signal).
+    * DeltaIndexSpec simulates both windows. */
   def appendTextIndexDelta(dNew: DataFrame, tableName: String,
       path: String, buckets: Int = 8): Unit = {
     val spark = dNew.sparkSession
@@ -2312,8 +2323,8 @@ object TextOps {
           "doc_ids already in the live delta — batches must be disjoint")
     }
     val baseGen = graft.sources.Staged.generation(spark, tableName)
-    // materialize base-union content BEFORE the commits drop the old
-    // delta tables the plans read (delta-sized, never corpus-sized)
+    // materialize base-union content BEFORE the commit drops the old
+    // delta table the plan reads (delta-sized, never corpus-sized)
     val newPost = postingRowsOf(withDl)
     val postings = old
       .map(_._1.select(col("term"), col("doc_id"), col("dl"), col("tf"))
@@ -2321,7 +2332,10 @@ object TextOps {
       .getOrElse(newPost)
       .localCheckpoint(true)
     val newStats = indexStatsOf(withDl)
-    val stats = old
+    // the merged one-row stats, collected (a 1-row control decision) so
+    // they fold into the postings as CONSTANT columns — postings and
+    // stats then promote atomically in the single commit below
+    val srow = old
       .map { case (_, os) =>
         os.select(col("n_docs"), col("sum_dl"), col("n_docs_tok"))
           .unionByName(newStats)
@@ -2330,17 +2344,27 @@ object TextOps {
             sum(col("n_docs_tok")).as("n_docs_tok"))
       }
       .getOrElse(newStats)
+      .select(coalesce(col("n_docs"), lit(0L)),
+        coalesce(col("sum_dl"), lit(0L)),
+        coalesce(col("n_docs_tok"), lit(0L)))
+      .collect().head
+    // the sentinel carrier row (doc_id NULL): the constants survive even
+    // an all-token-less delta generation; probes filter it out
+    val sentinel = spark.range(1).select(
+      lit(null).cast("string").as("term"),
+      lit(null).cast("long").as("doc_id"),
+      lit(0L).as("dl"), lit(0L).as("tf"))
+    val rows = postings.unionByName(sentinel)
+      .withColumn("n_docs", lit(srow.getLong(0)))
+      .withColumn("sum_dl", lit(srow.getLong(1)))
+      .withColumn("n_docs_tok", lit(srow.getLong(2)))
       .withColumn("base_gen", lit(baseGen))
-      .localCheckpoint(true)
-    graft.sources.Staged.commit(spark, s"${tableName}_delta_stats",
-        s"${path}_delta_stats") { (tbl, p) =>
-      stats.write.option("path", p)
-        .mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(tbl)
-    }
     graft.sources.Staged.commit(spark, s"${tableName}_delta",
         s"${path}_delta") { (tbl, p) =>
-      writePostings(postings, tbl, p, buckets)
+      writePostings(rows, tbl, p, buckets)
     }
+    // sweep a legacy two-table generation's side table if one remains
+    spark.sql(s"DROP TABLE IF EXISTS `${tableName}_delta_stats`")
   }
 
   /** The delta pair (postings, stats) whose `base_gen` matches the
@@ -2348,22 +2372,26 @@ object TextOps {
     * absorbed filtering: [[mergeTextIndex]] and the heal path need the
     * raw pair (an absorbed delta's POSTINGS are not yet in the base —
     * dropping or replacing them on the absorbed signal alone would
-    * lose them). Runs Staged.recover on both tables first (the
-    * liveTable posture: crashed promotes heal on first read). */
+    * lose them). Both faces read the ONE delta table
+    * ([[appendTextIndexDelta]]'s in-table constant-stats layout):
+    * postings = the non-sentinel rows, stats = the constants off any
+    * one row. Runs Staged.recover first (the liveTable posture:
+    * crashed promotes heal on first read). */
   private def rawTextDelta(spark: SparkSession,
       tableName: String): Option[(DataFrame, DataFrame)] = {
     val dt = s"${tableName}_delta"
-    val dst = s"${dt}_stats"
     graft.sources.Staged.recover(spark, dt)
-    graft.sources.Staged.recover(spark, dst)
-    if (!spark.catalog.tableExists(dt) ||
-        !spark.catalog.tableExists(dst)) None
+    if (!spark.catalog.tableExists(dt)) None
     else {
-      val dstats = spark.table(dst)
-      val bg = dstats.select(col("base_gen")).limit(1).collect()
+      val t = spark.table(dt)
+      val bg = t.select(col("base_gen")).limit(1).collect()
       if (bg.isEmpty || bg.head.getString(0) !=
           graft.sources.Staged.generation(spark, tableName)) None
-      else Some((spark.table(dt), dstats))
+      else Some((
+        t.filter(col("doc_id").isNotNull)
+          .select(col("term"), col("doc_id"), col("dl"), col("tf")),
+        t.select(col("n_docs"), col("sum_dl"), col("n_docs_tok"),
+          col("base_gen")).limit(1)))
     }
   }
 

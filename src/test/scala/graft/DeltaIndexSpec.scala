@@ -173,8 +173,9 @@ class DeltaIndexSpec extends SparkSpec {
     def simulateHalfMerge(): Unit = {
       val merged = Staged.liveTable(spark, s"${tbl}_stats")
         .select(col("n_docs"), col("sum_dl"), col("n_docs_tok"))
-        .unionByName(spark.table(s"${tbl}_delta_stats")
-          .select(col("n_docs"), col("sum_dl"), col("n_docs_tok")))
+        .unionByName(spark.table(s"${tbl}_delta")
+          .select(col("n_docs"), col("sum_dl"), col("n_docs_tok"))
+          .limit(1))
         .agg(sum(col("n_docs")).as("n_docs"),
           sum(col("sum_dl")).as("sum_dl"),
           sum(col("n_docs_tok")).as("n_docs_tok"))
@@ -213,6 +214,71 @@ class DeltaIndexSpec extends SparkSpec {
     val wantAll = rows(TextOps.bm25Search(docs, Terms))
     assert(rows(TextOps.searchIndexDelta(spark, tbl, Terms)) == wantAll,
       "append-path heal lost the absorbed delta postings")
+  }
+
+  test("append crash windows (r18 ADVICE): the delta promotes atomically — stage leftovers are overwritten by a retry, a crashed promote heals on first read, and a retry after the heal raises the already-landed fence") {
+    import graft.sources.Staged
+    val tbl = "dlt_text_aw"
+    val path = freshDir("taw")
+    dropAll(tbl)
+    val d1 = delta.filter(col("doc_id") % 2 === 0).localCheckpoint(true)
+    val d2 = delta.filter(col("doc_id") % 2 =!= 0).localCheckpoint(true)
+    TextOps.writeTextIndex(base, tbl, path)
+    TextOps.appendTextIndexDelta(d1, tbl, path)
+    // window A — crash DURING the stage write of append(d2): the live
+    // delta (d1) is untouched and an orphaned stage table sits next to
+    // it; simulate with a garbage stage entry
+    spark.range(1)
+      .selectExpr("'junk' AS term", "CAST(-1 AS BIGINT) AS doc_id",
+        "CAST(0 AS BIGINT) AS dl", "CAST(0 AS BIGINT) AS tf",
+        "CAST(0 AS BIGINT) AS n_docs", "CAST(0 AS BIGINT) AS sum_dl",
+        "CAST(0 AS BIGINT) AS n_docs_tok", "'bogus' AS base_gen")
+      .write.option("path", s"${path}_delta__junk")
+      .saveAsTable(s"${tbl}_delta__stage")
+    // probes still serve base ∪ d1 (the live delta is authoritative)
+    assert(rows(TextOps.searchIndexDelta(spark, tbl, Terms)) ==
+      rows(TextOps.bm25Search(base.unionByName(d1), Terms)),
+      "orphaned stage leaked into the probe")
+    // the RETRY lands d2 exactly once (fences check the OLD live delta)
+    TextOps.appendTextIndexDelta(d2, tbl, path)
+    val wantAll = rows(TextOps.bm25Search(docs, Terms))
+    assert(rows(TextOps.searchIndexDelta(spark, tbl, Terms)) == wantAll,
+      "retry after a stage-write crash lost or doubled the batch")
+    // window B — crash BETWEEN drop-live and rename (the promote
+    // window): simulate by demoting the live delta back to its stage
+    // name; the recover-on-read at the next probe entry completes the
+    // promote and the batch is fully landed
+    spark.sql(s"ALTER TABLE `${tbl}_delta` RENAME TO `${tbl}_delta__stage`")
+    assert(rows(TextOps.searchIndexDelta(spark, tbl, Terms)) == wantAll,
+      "crashed promote did not self-heal on first read")
+    assert(spark.catalog.tableExists(s"${tbl}_delta"))
+    // a retry of the ALREADY-LANDED batch raises the disjointness fence
+    // by name — the at-least-once retrier's already-landed signal
+    val e = intercept[IllegalArgumentException] {
+      TextOps.appendTextIndexDelta(d2.limit(1), tbl, path)
+    }
+    assert(e.getMessage.contains("already in the live delta"),
+      e.getMessage)
+  }
+
+  test("token-less delta batch: the sentinel row carries the stats constants (no postings exist to carry them)") {
+    val tbl = "dlt_text_tl"
+    val path = freshDir("ttl")
+    dropAll(tbl)
+    TextOps.writeTextIndex(base, tbl, path)
+    // a batch of docs with no tokens at all: stats must still count
+    // them (n_docs) while zero posting rows land
+    val tokenless = delta.limit(3)
+      .withColumn("text", lit("   "))
+      .localCheckpoint(true)
+    TextOps.appendTextIndexDelta(tokenless, tbl, path)
+    val a = TextOps.textIndexDeltaAudit(spark, tbl).collect().head
+    assert(a.getAs[Long]("n_docs_delta") == 3L &&
+      a.getAs[Long]("sum_dl_delta") == 0L, a.toString)
+    // the probe is exact: token-less docs widen n_docs, nothing else
+    assert(rows(TextOps.searchIndexDelta(spark, tbl, Terms)) ==
+      rows(TextOps.bm25Search(base.unionByName(tokenless), Terms)),
+      "token-less delta batch perturbed the probe")
   }
 
   test("doc-vector delta: probe over base ∪ delta ≡ frozen-vocab vectorization of the full corpus; merge compacts and is idempotent") {
