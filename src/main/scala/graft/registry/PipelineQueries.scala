@@ -1234,6 +1234,29 @@ object PipelineQueries {
       Knn.searchIvfIndex(s, tbl, centroids,
         e.filter(col("vec_id") < 5), k = 10)
     }),
+    // ANN delta-append (r18 verdict #1 — the last full-rebuild wall):
+    // base IVF index built on a ~3/4 md5 vector split, the remaining
+    // ~1/4 appended as a DELTA assigned to the FROZEN centroids (the
+    // appendDocVectorIndexDelta frozen-model posture on Knn.writeIvfIndex
+    // — a daily crawl never pays the weekly re-cluster), probe scores
+    // base and delta as separate c_id equijoins (the base scan keeps
+    // its bucketed zero-Exchange plan) into one bounded rank; rows-only
+    // (seeded k-means), DeltaIndexSpec pins nprobe = nlist ≡ brute over
+    // the union corpus, merge transparency, staleness, and the
+    // disjointness/alignment fences
+    "knn_ivf_delta" -> ((s, d) => {
+      val e = Knn.emb(s, d)
+      val (tbl, path) = runScopedTable(s, d, "graft_ivf_delta")
+      Seq(tbl, s"${tbl}_delta")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
+      val isDeltaV = substring(md5(concat_ws(":",
+        col("vec_id").cast("string"), lit("ivfd"))), 1, 1) >= "c"
+      val centroids = Knn.writeIvfIndex(e.filter(!isDeltaV), tbl, path,
+        nlist = 10, buckets = 8)
+      Knn.appendIvfIndexDelta(e.filter(isDeltaV), tbl, path, centroids)
+      Knn.searchIvfIndexDelta(s, tbl, centroids,
+        e.filter(col("vec_id") < 5), k = 10)
+    }),
     // list-balance audit over the persisted quantized index (the
     // rebalance_audit discipline on inverted lists): max-over-ideal
     // milli — the probe-tail-latency / rebuild-after-drift signal; one

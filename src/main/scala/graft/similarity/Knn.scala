@@ -1579,9 +1579,19 @@ object Knn {
     * cosine is 0/0 = NaN, which would sort above every real score). */
   def searchIvfIndexQuantized(spark: SparkSession, tableName: String,
       centroids: DataFrame, queries: DataFrame, k: Int,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2): DataFrame =
+    ranked(ivfScoredQuantized(
+      ivfProbesQuantized(centroids, queries, nprobe),
+      graft.sources.Staged.liveTable(spark, tableName)), k)
+
+  /** The quantized probe lists (query_id, qv, qnrm, c_id): centroid
+    * ranking in FLOAT space (the build's own discipline), codes carried
+    * for scoring — shared by [[searchIvfIndexQuantized]] and its delta
+    * face. */
+  private def ivfProbesQuantized(centroids: DataFrame, queries: DataFrame,
+      nprobe: Int): DataFrame = {
     val probeW = Window.partitionBy("query_id").orderBy(col("d"), col("c_id"))
-    val probes = quantize(queries).filter(col("qnrm") > lit(0.0))
+    quantize(queries).filter(col("qnrm") > lit(0.0))
       .select(col("vec_id").as("query_id"), col("v"), col("nrm"),
         col("qv"), col("qnrm"))
       .crossJoin(broadcast(withCnrm2(centroids)))
@@ -1589,14 +1599,36 @@ object Knn {
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qv"), col("qnrm"), col("c_id"))
-    val scored = probes.as("q")
-      .join(graft.sources.Staged.liveTable(spark, tableName).filter(col("qnrm") > lit(0.0)).as("c"),
+  }
+
+  /** Score quantized probe lists against one code-list frame (zero-norm
+    * codes fenced on the index side), UNRANKED. */
+  private def ivfScoredQuantized(probes: DataFrame,
+      index: DataFrame): DataFrame =
+    probes.as("q")
+      .join(index.filter(col("qnrm") > lit(0.0)).as("c"),
         col("q.c_id") === col("c.c_id") &&
           col("query_id") =!= col("c.vec_id"))
       .withColumn("score", quantizedScore)
       .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
         col("score"))
-    ranked(scored, k)
+
+  /** [[searchIvfIndexQuantized]] over base ∪ live delta — the
+    * [[searchIvfIndexDelta]] shape for the quantized family (probes
+    * once, each side its own equijoin, union of SCORED rows into the
+    * one bounded rank). */
+  def searchIvfIndexQuantizedDelta(spark: SparkSession, tableName: String,
+      centroids: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val index = requireCentroidAlignment(spark, tableName, centroids)
+    val probes = ivfProbesQuantized(centroids, queries, nprobe)
+      .localCheckpoint(true)
+    val scored = ivfScoredQuantized(probes, index)
+    ivfDelta(spark, tableName, Seq("qv", "qnrm")) match {
+      case Some(dp) =>
+        ranked(scored.unionByName(ivfScoredQuantized(probes, dp)), k)
+      case None => ranked(scored, k)
+    }
   }
 
   /** Cross-table generation fence for the two-artifact IVF layout
@@ -1679,22 +1711,215 @@ object Knn {
     * could swap underneath (r17 ADVICE TOCTOU). */
   def searchIvfIndexOn(index: DataFrame,
       centroids: DataFrame, queries: DataFrame, k: Int,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2): DataFrame =
+    ranked(ivfScored(ivfProbes(centroids, queries, nprobe), index), k)
+
+  /** The per-query probe lists (query_id, v, nrm, c_id): rank the
+    * broadcast centroid table, keep the `nprobe` nearest — the ONE
+    * probe derivation shared by [[searchIvfIndexOn]] and the delta
+    * face (which scores the same probes against two frames). */
+  private def ivfProbes(centroids: DataFrame, queries: DataFrame,
+      nprobe: Int): DataFrame = {
     val probeW = Window.partitionBy("query_id").orderBy(col("d"), col("c_id"))
-    val probes = queries.filter(finiteNorm(col("nrm")))
+    queries.filter(finiteNorm(col("nrm")))
       .select(col("vec_id").as("query_id"), col("v"), col("nrm"))
       .crossJoin(broadcast(withCnrm2(centroids)))
       .withColumn("d", sqDist)
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("v"), col("nrm"), col("c_id"))
-    val scored = probes.as("q").join(index.as("c"),
+  }
+
+  /** Score probe lists against one inverted-list frame — the c_id
+    * equijoin + float cosine, UNRANKED (the delta face unions two
+    * scored frames into the one bounded rank). */
+  private def ivfScored(probes: DataFrame, index: DataFrame): DataFrame =
+    probes.as("q").join(index.as("c"),
         col("q.c_id") === col("c.c_id") &&
           col("query_id") =!= col("c.vec_id"))
       .withColumn("score", cosine)
       .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
         col("score"))
-    ranked(scored, k)
+
+  // ───── ANN delta-append (r18 verdict #1: the serving indexes were the
+  // last full-rebuild wall — a daily crawl against a weekly re-cluster
+  // must not pay the weekly cost. The appendDocVectorIndexDelta frozen-
+  // model posture applied to the IVF layouts: the delta is assigned to
+  // the FROZEN centroids; re-clustering is the full-rebuild cadence.) ──
+
+  /** The live IVF delta rows for `tableName` (same stored schema as the
+    * family's base rows, `carry` = the family's payload columns), or
+    * None when absent or STALE — the in-table `base_gen` marker no
+    * longer matches the main table's generation because a rebuild or
+    * [[mergeIvfIndex]] promoted since (the docVectorDelta posture: one
+    * table, one atomic commit, no cross-table crash window at all). */
+  private[similarity] def ivfDelta(spark: SparkSession, tableName: String,
+      carry: Seq[String]): Option[DataFrame] = {
+    val dt = s"${tableName}_delta"
+    graft.sources.Staged.recover(spark, dt)
+    if (!spark.catalog.tableExists(dt)) None
+    else {
+      val d = spark.table(dt)
+      val bg = d.select(col("base_gen")).limit(1).collect()
+      if (bg.nonEmpty && bg.head.getString(0) ==
+          graft.sources.Staged.generation(spark, tableName))
+        Some(d.select(col("vec_id") +: carry.map(col) :+ col("c_id"): _*))
+      else None
+    }
+  }
+
+  /** The shared delta-append tail for both IVF families: disjointness
+    * fences (vec_ids must be NEW — the appendTextIndexDelta contract),
+    * old-delta union (a repeat append extends the generation,
+    * delta-sized rewrites only), and ONE Staged commit of the bucketed
+    * delta rows with the in-table `base_gen` marker. `assigned` rows
+    * are ALREADY assigned to the frozen centroids by the caller. */
+  private def appendIvfDeltaRows(spark: SparkSession, index: DataFrame,
+      assigned: DataFrame, tableName: String, path: String,
+      carry: Seq[String], buckets: Int): Unit = {
+    val newIds = assigned.select(col("vec_id")).distinct()
+    val clashBase = index.join(broadcast(newIds), Seq("vec_id"),
+      "left_semi").count()
+    require(clashBase == 0L,
+      s"appendIvfIndexDelta($tableName): $clashBase already-indexed " +
+        "vec_ids in the delta batch — a delta holds only NEW vectors " +
+        "(re-embeds go through rebuild or the merge cadence)")
+    val old = ivfDelta(spark, tableName, carry)
+    old.foreach { op =>
+      val clashDelta = op.join(broadcast(newIds), Seq("vec_id"),
+        "left_semi").count()
+      require(clashDelta == 0L,
+        s"appendIvfIndexDelta($tableName): $clashDelta vec_ids already " +
+          "in the live delta — batches must be disjoint")
+    }
+    val baseGen = graft.sources.Staged.generation(spark, tableName)
+    // materialize before the commit drops the old delta the plan reads
+    val rows = old.map(_.unionByName(assigned)).getOrElse(assigned)
+      .localCheckpoint(true)
+      .withColumn("base_gen", lit(baseGen))
+    graft.sources.Staged.commit(spark, s"${tableName}_delta",
+        s"${path}_delta") { (tbl, p) =>
+      rows
+        .repartition(col("c_id"))
+        .write
+        .option("path", p)
+        .bucketBy(buckets, "c_id")
+        .sortBy("c_id")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .saveAsTable(tbl)
+    }
+  }
+
+  /** Append a crawl delta to a persisted FLOAT IVF index
+    * ([[writeIvfIndex]]): arriving vectors are assigned to the FROZEN
+    * centroid model (never re-trained here — a re-cluster is the
+    * full-rebuild cadence, exactly the frozen-vocab contract of the
+    * doc-vector family) and land bucketed by `c_id` in
+    * `<table>_delta`, marked with the base generation in-table so the
+    * whole batch promotes in ONE atomic Staged commit.
+    *
+    * Contract (DeltaIndexSpec pins it): probe over base ∪ delta ≡ a
+    * full [[writeIvfIndex]]-shaped rebuild that ASSIGNS with the same
+    * frozen centroids — exactly, not approximately: assignment is a
+    * pure per-vector function of (v, centroids), so base rows keep
+    * their lists and delta rows get the lists the rebuild would give
+    * them. The alignment fence ([[requireCentroidAlignment]]) rejects
+    * a centroid frame from another generation BEFORE any assignment —
+    * mismatched c_ids would land delta lists that every probe
+    * equijoins to nothing (the silent-empty class). */
+  def appendIvfIndexDelta(eNew: DataFrame, tableName: String,
+      path: String, centroids: DataFrame, buckets: Int = 8): Unit = {
+    val spark = eNew.sparkSession
+    graft.sources.Staged.recover(spark, tableName)
+    require(spark.catalog.tableExists(tableName),
+      s"appendIvfIndexDelta: no base index $tableName — build it with " +
+        "writeIvfIndex first")
+    val index = requireCentroidAlignment(spark, tableName, centroids)
+    val base = eNew.filter(finiteNorm(col("nrm"))).localCheckpoint(true)
+    val assigned = assignNearest(
+      base.crossJoin(broadcast(withCnrm2(centroids))).withColumn("d", sqDist),
+      Seq("v", "nrm"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"))
+    appendIvfDeltaRows(spark, index, assigned, tableName, path,
+      Seq("v", "nrm"), buckets)
+  }
+
+  /** [[appendIvfIndexDelta]] for the QUANTIZED family
+    * ([[writeIvfIndexQuantized]]): same frozen-centroid assignment (in
+    * float space — the build's own discipline), stored rows carry the
+    * int8 codes. Degenerate vectors quantize to zero codes and are
+    * excluded by the probes' qnrm > 0 fence, mirroring the build. */
+  def appendIvfIndexQuantizedDelta(eNew: DataFrame, tableName: String,
+      path: String, centroids: DataFrame, buckets: Int = 8): Unit = {
+    val spark = eNew.sparkSession
+    graft.sources.Staged.recover(spark, tableName)
+    require(spark.catalog.tableExists(tableName),
+      s"appendIvfIndexQuantizedDelta: no base index $tableName — build " +
+        "it with writeIvfIndexQuantized first")
+    val index = requireCentroidAlignment(spark, tableName, centroids)
+    val base = quantize(eNew).localCheckpoint(true)
+    val assigned = assignNearest(
+      base.crossJoin(broadcast(withCnrm2(centroids))).withColumn("d", sqDist),
+      Seq("qv", "qnrm"))
+      .select(col("vec_id"), col("qv"), col("qnrm"), col("c_id"))
+    appendIvfDeltaRows(spark, index, assigned, tableName, path,
+      Seq("qv", "qnrm"), buckets)
+  }
+
+  /** Search a float IVF index over base ∪ live delta — the daily-crawl
+    * serving shape. The probe lists are computed ONCE (checkpointed —
+    * two scoring consumers) and each side is scored as its OWN c_id
+    * equijoin before the one bounded rank: unioning the two index
+    * frames first would erase the base scan's bucketed
+    * outputPartitioning and re-shuffle the whole index, while the
+    * union of SCORED rows is probe-sized. With no serviceable delta
+    * this is exactly [[searchIvfIndex]]. Resolves the live index once
+    * through the alignment fence and probes THAT frame (the
+    * searchIvfIndexOn TOCTOU posture). */
+  def searchIvfIndexDelta(spark: SparkSession, tableName: String,
+      centroids: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val index = requireCentroidAlignment(spark, tableName, centroids)
+    val probes = ivfProbes(centroids, queries, nprobe).localCheckpoint(true)
+    val scored = ivfScored(probes, index)
+    ivfDelta(spark, tableName, Seq("v", "nrm")) match {
+      case Some(dp) => ranked(scored.unionByName(ivfScored(probes, dp)), k)
+      case None => ranked(scored, k)
+    }
+  }
+
+  /** Compact the live delta into the base index — one bucketed
+    * index-ROW union write, ZERO assignment recompute (assignment cost
+    * is paid once per vector, at its append — the mergeTextIndex
+    * claim), ONE Staged commit. Fully idempotent: the promote flips
+    * the base generation, which STALES the delta for every probe
+    * instantly; the delta drop is cleanup, not correctness, and a
+    * crash-rerun finds no serviceable delta and just sweeps. Works
+    * unchanged for both families (`carry` = the family's payload
+    * columns). The frozen centroid model is NOT retrained here —
+    * re-clustering is the full-rebuild cadence, by design. */
+  def mergeIvfIndex(spark: SparkSession, tableName: String, path: String,
+      carry: Seq[String] = Seq("v", "nrm"), buckets: Int = 8): Unit = {
+    ivfDelta(spark, tableName, carry) match {
+      case None =>
+        spark.sql(s"DROP TABLE IF EXISTS `${tableName}_delta`")
+      case Some(dp) =>
+        val cols = (Seq("vec_id") ++ carry ++ Seq("c_id")).map(col)
+        val merged = graft.sources.Staged.liveTable(spark, tableName)
+          .select(cols: _*)
+          .unionByName(dp)
+        graft.sources.Staged.commit(spark, tableName, path) { (tbl, p) =>
+          merged
+            .repartition(col("c_id"))
+            .write
+            .option("path", p)
+            .bucketBy(buckets, "c_id")
+            .sortBy("c_id")
+            .mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .saveAsTable(tbl)
+        }
+        spark.sql(s"DROP TABLE IF EXISTS `${tableName}_delta`")
+    }
   }
 
   /** IVF LIST-BALANCE audit over a PERSISTED index table (the

@@ -314,6 +314,133 @@ class DeltaIndexSpec extends SparkSpec {
       s"${tbl}_vocab", pred, tau = 0.5)) == got)
   }
 
+  // ───── ANN delta (r18 verdict #1): frozen-centroid IVF append ─────
+
+  private lazy val emb =
+    graft.similarity.Knn.emb(spark, SF).localCheckpoint(true)
+  private def isDeltaVec =
+    substring(md5(concat_ws(":", col("vec_id").cast("string"),
+      lit("ivfd"))), 1, 1) >= "c"
+  private lazy val embBase = emb.filter(!isDeltaVec).localCheckpoint(true)
+  private lazy val embDelta = emb.filter(isDeltaVec).localCheckpoint(true)
+
+  test("IVF delta (float): base ∪ delta at nprobe = nlist ≡ brute over the full corpus; delta vectors serve; merge is row-transparent and idempotent") {
+    import graft.similarity.Knn
+    val tbl = "dlt_ivf_a"
+    val path = freshDir("ia")
+    dropAll(tbl)
+    assert(embBase.count() > 0 && embDelta.count() > 0,
+      "degenerate vector split")
+    val centroids = Knn.writeIvfIndex(embBase, tbl, path, nlist = 8)
+    Knn.appendIvfIndexDelta(embDelta, tbl, path, centroids)
+    val q = col("vec_id") < 5
+    // nprobe = nlist scores EVERY (query, candidate) pair regardless of
+    // list assignment — the delta probe must equal float brute exactly
+    // (the rebuild-with-frozen-model contract's strongest observable)
+    val got = rows(Knn.searchIvfIndexDelta(spark, tbl, centroids,
+      emb.filter(q), k = 10, nprobe = 8))
+    val want = rows(Knn.brute(emb, q, k = 10))
+    assert(want.nonEmpty && got == want,
+      "base ∪ delta probe at nprobe = nlist differs from brute")
+    // delta rows are SERVED, not just carried
+    val deltaIds = embDelta.select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got.exists(r => deltaIds.contains(r(1).asInstanceOf[Long])),
+      "no served neighbor came from the delta")
+    // the PRUNED probe is transparent across the merge: pre-merge
+    // delta search ≡ post-merge base search (delta assignment equals
+    // what the merged index stores — zero assignment recompute)
+    val pre = rows(Knn.searchIvfIndexDelta(spark, tbl, centroids,
+      emb.filter(q), k = 10, nprobe = 2))
+    Knn.mergeIvfIndex(spark, tbl, path)
+    assert(!spark.catalog.tableExists(s"${tbl}_delta"))
+    assert(rows(Knn.searchIvfIndex(spark, tbl, centroids,
+      emb.filter(q), k = 10, nprobe = 2)) == pre,
+      "merge changed the pruned probe result")
+    assert(rows(Knn.searchIvfIndexDelta(spark, tbl, centroids,
+      emb.filter(q), k = 10, nprobe = 2)) == pre,
+      "delta face with no delta differs from the base face")
+    Knn.mergeIvfIndex(spark, tbl, path) // idempotent no-op
+    assert(rows(Knn.searchIvfIndex(spark, tbl, centroids,
+      emb.filter(q), k = 10, nprobe = 2)) == pre)
+  }
+
+  test("IVF delta probe plan: both sides are c_id equijoins — no cartesian, no nested loop (the searchIvfIndexOn shape twice)") {
+    import graft.similarity.Knn
+    val tbl = "dlt_ivf_p"
+    val path = freshDir("ip")
+    dropAll(tbl)
+    val centroids = Knn.writeIvfIndex(embBase, tbl, path, nlist = 8)
+    Knn.appendIvfIndexDelta(embDelta, tbl, path, centroids)
+    val plan = Knn.searchIvfIndexDelta(spark, tbl, centroids,
+        emb.filter(col("vec_id") < 5), k = 10, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("IVF delta: disjointness and centroid-alignment fences fire by name; a full rebuild stales the delta") {
+    import graft.similarity.Knn
+    val tbl = "dlt_ivf_b"
+    val path = freshDir("ib")
+    dropAll(tbl)
+    val centroids = Knn.writeIvfIndex(embBase, tbl, path, nlist = 8)
+    val e1 = intercept[IllegalArgumentException] {
+      Knn.appendIvfIndexDelta(embBase.limit(1), tbl, path, centroids)
+    }
+    assert(e1.getMessage.contains("already-indexed"), e1.getMessage)
+    Knn.appendIvfIndexDelta(embDelta, tbl, path, centroids)
+    val e2 = intercept[IllegalArgumentException] {
+      Knn.appendIvfIndexDelta(embDelta.limit(1), tbl, path, centroids)
+    }
+    assert(e2.getMessage.contains("already in the live delta"),
+      e2.getMessage)
+    // a centroid frame from ANOTHER generation (shifted ids — the
+    // index's lists don't exist in it) must be rejected BEFORE any
+    // assignment happens
+    val bogus = centroids.withColumn("c_id", col("c_id") + lit(1L))
+    val e3 = intercept[IllegalArgumentException] {
+      Knn.appendIvfIndexDelta(embDelta, tbl, path, bogus)
+    }
+    assert(e3.getMessage.contains("generation mismatch"), e3.getMessage)
+    // a full rebuild (fresh model over everything) stales the delta:
+    // the probe must not double-serve the absorbed delta vectors
+    val c2 = Knn.writeIvfIndex(emb, tbl, path, nlist = 8)
+    val q = col("vec_id") < 5
+    assert(rows(Knn.searchIvfIndexDelta(spark, tbl, c2,
+        emb.filter(q), k = 10, nprobe = 2)) ==
+      rows(Knn.searchIvfIndex(spark, tbl, c2,
+        emb.filter(q), k = 10, nprobe = 2)),
+      "stale delta leaked into the probe after a full rebuild")
+  }
+
+  test("IVF delta (quantized): repeat appends extend the generation; base ∪ delta at nprobe = nlist ≡ quantized brute; merge carries the code rows") {
+    import graft.similarity.Knn
+    val tbl = "dlt_ivf_q"
+    val path = freshDir("iq")
+    dropAll(tbl)
+    val d1 = embDelta.filter(col("vec_id") % 2 === 0).localCheckpoint(true)
+    val d2 = embDelta.filter(col("vec_id") % 2 =!= 0).localCheckpoint(true)
+    assert(d1.count() > 0 && d2.count() > 0, "degenerate delta split")
+    val centroids = Knn.writeIvfIndexQuantized(embBase, tbl, path, nlist = 8)
+    Knn.appendIvfIndexQuantizedDelta(d1, tbl, path, centroids)
+    Knn.appendIvfIndexQuantizedDelta(d2, tbl, path, centroids)
+    val q = col("vec_id") < 5
+    val got = rows(Knn.searchIvfIndexQuantizedDelta(spark, tbl, centroids,
+      emb.filter(q), k = 10, nprobe = 8))
+    val want = rows(Knn.bruteQuantized(emb, q, k = 10))
+    assert(want.nonEmpty && got == want,
+      "quantized base ∪ delta at nprobe = nlist differs from " +
+        "quantized brute")
+    val pre = rows(Knn.searchIvfIndexQuantizedDelta(spark, tbl, centroids,
+      emb.filter(q), k = 10, nprobe = 2))
+    Knn.mergeIvfIndex(spark, tbl, path, carry = Seq("qv", "qnrm"))
+    assert(!spark.catalog.tableExists(s"${tbl}_delta"))
+    assert(rows(Knn.searchIvfIndexQuantized(spark, tbl, centroids,
+      emb.filter(q), k = 10, nprobe = 2)) == pre,
+      "quantized merge changed the pruned probe result")
+  }
+
   test("doc-vector delta: disjointness fence fires; a full rebuild stales the delta") {
     val tbl = "dlt_vec_b"
     val path = freshDir("vb")
