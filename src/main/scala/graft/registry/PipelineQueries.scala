@@ -777,7 +777,7 @@ object PipelineQueries {
     * bounded MinKByKey key (PrfSpec pins that equivalence). Shared by
     * `chunk_hybrid_rrf` (ad-hoc members) and `chunk_hybrid_serve`
     * (both members persisted-index probes — every hop transparent). */
-  private val ChunkHybridOracleSql = s"""
+  private def chunkHybridOracleSqlFrom(vocabWhere: String) = s"""
       WITH lexb AS (${bm25SqlFrom(ChunkCorpusRel)}),
       lexr AS (
         SELECT cand_id, lex_rank FROM (
@@ -793,11 +793,17 @@ object PipelineQueries {
         FROM $ChunkCorpusRel),
       ctf AS (SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS tf
               FROM ct GROUP BY 1, 2, 3),
+      -- the vocabulary SOURCE slice: the full relation for the ad-hoc/
+      -- persisted faces, the BASE doc split for the delta face (the
+      -- frozen-vocab serving semantic — doc_similar_delta's
+      -- two-relation posture at chunk granularity; the predicate is on
+      -- the UNDERLYING doc id)
+      vtf AS (SELECT * FROM ctf WHERE $vocabWhere),
       cn AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
-             FROM (SELECT DISTINCT doc_id, lang FROM ctf) GROUP BY 1),
+             FROM (SELECT DISTINCT doc_id, lang FROM vtf) GROUP BY 1),
       cdft AS (SELECT lang, term, df, n_docs FROM
                  (SELECT lang, term, CAST(count(*) AS BIGINT) AS df
-                  FROM ctf GROUP BY 1, 2) JOIN cn USING (lang)
+                  FROM vtf GROUP BY 1, 2) JOIN cn USING (lang)
                WHERE df >= 2 AND df * 10 <= n_docs * 9),
       cw AS (
         SELECT doc_id, ctf.lang, ctf.term,
@@ -854,6 +860,14 @@ object PipelineQueries {
                  AS BIGINT) AS rnk
         FROM cfused)
       WHERE rnk <= 10"""
+
+  private val ChunkHybridOracleSql = chunkHybridOracleSqlFrom("TRUE")
+
+  /** The base-split predicate (on the UNDERLYING doc id) that freezes
+    * the chunk vocabulary for the delta serving face. */
+  private val ChunkVocabBaseWhere =
+    "substr(md5(concat_ws(':', CAST(doc_id // 1048576 AS VARCHAR), " +
+      "'dsd')), 1, 1) < 'c'"
 
   val queries: Map[String, Q] = Map(
     // ── E. dedup ──────────────────────────────────────────────────────
@@ -1660,6 +1674,62 @@ object PipelineQueries {
       graft.text.Chunks.chunkHybridServe(s, s"${tbl}_post", tbl,
         s"${tbl}_vocab")
     }),
+    // chunk-granular DELTA retrieval (r24, r18 verdict #2 — the chunk
+    // tokenize is the most expensive build in the tree; a crawl batch
+    // must extend the chunk indexes without re-paying it): base chunk
+    // postings built on the ~3/4 doc split, the delta docs' chunks
+    // appended ALONE (chunk ids disjoint because the doc split is),
+    // probed base ∪ delta — result-identical to chunk_search over the
+    // union corpus, sharing its oracle verbatim (text_search_delta's
+    // transparency at chunk granularity)
+    "chunk_search_delta" -> ((s, d) => {
+      val (tbl, path) = runScopedTable(s, d, "graft_chunk_sdlt")
+      Seq(tbl, s"${tbl}_stats", s"${tbl}_delta")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
+      val dd = docs(s, d)
+      val isDelta = substring(md5(concat_ws(":",
+        col("doc_id").cast("string"), lit("dsd"))), 1, 1) >= "c"
+      TextOps.writeTextIndex(
+        graft.text.Chunks.chunkDocs(dd.filter(!isDelta))
+          .select(col("doc_id"), col("text")), tbl, path)
+      TextOps.appendTextIndexDelta(
+        graft.text.Chunks.chunkDocs(dd.filter(isDelta))
+          .select(col("doc_id"), col("text")), tbl, path)
+      graft.text.Chunks.chunkSearchDelta(s, tbl,
+        Seq("vector", "stream", "window", "hash"))
+    }),
+    // the passage-hybrid serving pair over base ∪ delta on BOTH
+    // members (r24): delta chunks appended to the chunk postings AND
+    // (frozen-base-vocab) to the chunk vector index, lexical member =
+    // searchIndexDelta (exact), semantic member =
+    // docSimilarPersistedDelta (frozen-vocab contract), fusion
+    // untouched; oracle = the chunk-hybrid SQL with its vocabulary
+    // CTEs instantiated over the base split only (the doc_similar_delta
+    // two-relation parameterized-CTE posture)
+    "chunk_hybrid_serve_delta" -> ((s, d) => {
+      val (tbl, path) = runScopedTable(s, d, "graft_chunk_hyb_dlt")
+      Seq(tbl, s"${tbl}_vocab", s"${tbl}_delta", s"${tbl}_post",
+        s"${tbl}_post_stats", s"${tbl}_post_delta")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
+      val dd = docs(s, d)
+      val isDelta = substring(md5(concat_ws(":",
+        col("doc_id").cast("string"), lit("dsd"))), 1, 1) >= "c"
+      // ONE chunk relation per split feeds both index writers (the
+      // chunk_hybrid_serve checkpoint discipline)
+      val cdBase = graft.text.Chunks.chunkDocs(dd.filter(!isDelta))
+        .localCheckpoint(true)
+      val cdDelta = graft.text.Chunks.chunkDocs(dd.filter(isDelta))
+        .localCheckpoint(true)
+      TextOps.writeDocVectorIndex(cdBase, tbl, path)
+      TextOps.appendDocVectorIndexDelta(cdDelta, tbl, path)
+      TextOps.writeTextIndex(cdBase.select(col("doc_id"), col("text")),
+        s"${tbl}_post", s"${path}_post")
+      TextOps.appendTextIndexDelta(
+        cdDelta.select(col("doc_id"), col("text")),
+        s"${tbl}_post", s"${path}_post")
+      graft.text.Chunks.chunkHybridServeDelta(s, s"${tbl}_post", tbl,
+        s"${tbl}_vocab")
+    }),
     // chunk-granular dedup (the C4 repeated-lines recipe on the window
     // grid): one keeper per distinct window content corpus-wide — the
     // lexicographic-min (doc_id, chunk_idx) rule, so intra-doc repeats
@@ -1907,6 +1977,25 @@ object PipelineQueries {
       TextOps.docSimilarPersistedDelta(s, dd, tbl, s"${tbl}_vocab",
         substring(md5(concat_ws(":", col("doc_id").cast("string"),
           lit("dlt"))), 1, 1) < "4")
+    }),
+    // generation + OOV accounting for the doc-vector delta (r24, r18
+    // verdict #3 — text_index_delta_audit's vector sibling, closing
+    // the silent-stale-delta nit): stored-vector masses + the integer
+    // half-up merge-due share, the delta batch's vectorized-vs-input
+    // doc gap, and the token mass the FROZEN base vocabulary silently
+    // drops from delta docs (the vocab-refresh trigger, now measured);
+    // all exact integers — the oracle re-derives the frozen vocabulary
+    // from the base split and the delta tf table from the delta split
+    "doc_vector_delta_audit" -> ((s, d) => {
+      val (tbl, path) = runScopedTable(s, d, "graft_dvec_aud")
+      Seq(tbl, s"${tbl}_vocab", s"${tbl}_delta")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
+      val dd = docs(s, d)
+      val isDelta = substring(md5(concat_ws(":",
+        col("doc_id").cast("string"), lit("dsd"))), 1, 1) >= "c"
+      TextOps.writeDocVectorIndex(dd.filter(!isDelta), tbl, path)
+      TextOps.appendDocVectorIndexDelta(dd.filter(isDelta), tbl, path)
+      TextOps.docVectorDeltaAudit(s, tbl, dd.filter(isDelta))
     }),
     // standing-query routing score: arriving docs ranked against a
     // frozen-stats query (df/n_docs/sum_dl from the persisted index,
@@ -3066,6 +3155,22 @@ object PipelineQueries {
     // (a lang with no in-band vocab vectorizes to nothing either way):
     // every hop transparent, same oracle
     "chunk_hybrid_serve" -> ChunkHybridOracleSql,
+    // the delta probe is result-identical to chunk_search over the
+    // union chunk corpus (additive stats, idf at probe time — the
+    // text_search_delta argument; chunk ids disjoint because the doc
+    // split is) — chunk_search's oracle verbatim
+    "chunk_search_delta" -> s"""
+      WITH b AS (${bm25SqlFrom(ChunkCorpusRel)})
+      SELECT doc_id // 1048576 AS doc_id,
+             doc_id % 1048576 AS chunk_idx,
+             n_terms_matched, score
+      FROM b""",
+    // the delta serving pair: lexical member exact over the union
+    // (searchIndexDelta transparency), semantic member under the
+    // FROZEN base vocabulary — the same hybrid SQL with its vocabulary
+    // CTEs instantiated over the base doc split only
+    "chunk_hybrid_serve_delta" ->
+      chunkHybridOracleSqlFrom(ChunkVocabBaseWhere),
 
     // the persisted-index probe is result-identical to the ad-hoc BM25
     // (df/tf/dl round-trip the index exactly) — same oracle
@@ -3154,6 +3259,65 @@ object PipelineQueries {
         JOIN norms nb ON dots.similar_id = nb.doc_id
         WHERE na.n2 > 0 AND nb.n2 > 0)
       WHERE score >= 0.9""",
+    // the whole audit row re-derived relationally: frozen vocabulary
+    // (df band + per-lang stats) from the base split, delta tf from
+    // the delta split, vector masses as distinct in-band doc counts
+    // (a doc has a stored vector iff it holds ≥ 1 in-band term — in
+    // the band idf_milli ≥ 105 > 0, so n2 > 0 exactly then), OOV mass
+    // as the left-join residue; every number an exact integer, milli
+    // shares integer half-up
+    "doc_vector_delta_audit" -> s"""
+      WITH t AS (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split(lower(text), ' '),
+                 x -> x <> '')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS tf
+             FROM t GROUP BY 1, 2, 3),
+      btf AS (SELECT * FROM tf
+              WHERE substr(md5(concat_ws(':', CAST(doc_id AS VARCHAR),
+                'dsd')), 1, 1) < 'c'),
+      dtf AS (SELECT * FROM tf
+              WHERE substr(md5(concat_ws(':', CAST(doc_id AS VARCHAR),
+                'dsd')), 1, 1) >= 'c'),
+      n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM (SELECT DISTINCT doc_id, lang FROM btf) GROUP BY 1),
+      dft AS (SELECT lang, term FROM
+                (SELECT lang, term, CAST(count(*) AS BIGINT) AS df
+                 FROM btf GROUP BY 1, 2) JOIN n USING (lang)
+              WHERE df >= 2 AND df * 10 <= n_docs * 9),
+      bvec AS (SELECT CAST(count(DISTINCT b.doc_id) AS BIGINT)
+                 AS n_vecs_base
+               FROM btf b JOIN dft
+                 ON b.lang = dft.lang AND b.term = dft.term),
+      dvec AS (SELECT CAST(count(DISTINCT d.doc_id) AS BIGINT)
+                 AS n_vecs_delta
+               FROM dtf d JOIN dft
+                 ON d.lang = dft.lang AND d.term = dft.term),
+      dd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_delta
+             FROM documents
+             WHERE substr(md5(concat_ws(':', CAST(doc_id AS VARCHAR),
+               'dsd')), 1, 1) >= 'c'),
+      acc AS (
+        SELECT CAST(coalesce(sum(d.tf), 0) AS BIGINT) AS toks_delta,
+               CAST(coalesce(sum(CASE WHEN dft.term IS NOT NULL
+                 THEN d.tf ELSE 0 END), 0) AS BIGINT) AS toks_inband,
+               CAST(count(DISTINCT CASE WHEN dft.term IS NOT NULL
+                 THEN d.doc_id END) AS BIGINT) AS n_docs_vectorized
+        FROM dtf d LEFT JOIN dft
+          ON d.lang = dft.lang AND d.term = dft.term)
+      SELECT n_vecs_base, n_vecs_delta,
+             CAST(CASE WHEN n_vecs_base + n_vecs_delta > 0 THEN
+               (2 * n_vecs_delta * 1000 + (n_vecs_base + n_vecs_delta))
+                 // (2 * (n_vecs_base + n_vecs_delta))
+             ELSE 0 END AS BIGINT) AS delta_share_milli,
+             n_docs_delta, n_docs_vectorized, toks_delta,
+             toks_delta - toks_inband AS toks_oov,
+             CAST(CASE WHEN toks_delta > 0 THEN
+               (2 * (toks_delta - toks_inband) * 1000 + toks_delta)
+                 // (2 * toks_delta)
+             ELSE 0 END AS BIGINT) AS oov_milli
+      FROM bvec CROSS JOIN dvec CROSS JOIN dd CROSS JOIN acc""",
     // frozen-stats routing over corpus members is result-identical to
     // the ad-hoc BM25 (stats froze from the same corpus) — same oracle
     "standing_query_route" -> Bm25OracleSql,

@@ -253,13 +253,56 @@ object Chunks {
       postingsTable: String, vecTable: String, vocabTable: String,
       terms: Seq[String] = graft.text.Prf.SeedQuery,
       tauSem: Double = 0.05, kLex: Int = 50, kSem: Int = 50,
-      k: Int = 10): DataFrame = {
+      k: Int = 10): DataFrame =
+    chunkHybridServeCore(spark,
+      graft.text.TextOps.searchIndex(spark, postingsTable, terms),
+      (queryRel, tau) => graft.text.TextOps.docSimilarPersisted(
+        spark, queryRel, vecTable, vocabTable, lit(true), tau),
+      vocabTable, terms, tauSem, kLex, kSem, k)
+
+  /** [[chunkHybridServe]] over base ∪ delta ON BOTH MEMBERS (r24, r18
+    * verdict #2 — the chunk-granular tokenize is the most expensive
+    * build in the tree, 8.5 s of chunk_hybrid_serve's 9.9 s cold at
+    * sf0.1; a crawl batch must extend BOTH chunk indexes without
+    * re-paying it): the lexical member probes the chunk postings
+    * base ∪ delta ([[graft.text.TextOps.searchIndexDelta]] — exact,
+    * additive stats), the semantic member scores the frozen-base-vocab
+    * query vector against base ∪ delta chunk vectors
+    * ([[graft.text.TextOps.docSimilarPersistedDelta]] — the frozen-
+    * vocab serving semantic), fusion untouched. The lexical hop is
+    * transparent (≡ ad-hoc BM25 over the union chunk corpus); the
+    * semantic member serves delta chunks vectorized against the BASE
+    * vocabulary — so the oracle is the chunk-hybrid SQL with its
+    * vocabulary CTEs instantiated over the base split only (the
+    * doc_similar_delta two-relation parameterized-CTE posture). */
+  def chunkHybridServeDelta(spark: org.apache.spark.sql.SparkSession,
+      postingsTable: String, vecTable: String, vocabTable: String,
+      terms: Seq[String] = graft.text.Prf.SeedQuery,
+      tauSem: Double = 0.05, kLex: Int = 50, kSem: Int = 50,
+      k: Int = 10): DataFrame =
+    chunkHybridServeCore(spark,
+      graft.text.TextOps.searchIndexDelta(spark, postingsTable, terms),
+      (queryRel, tau) => graft.text.TextOps.docSimilarPersistedDelta(
+        spark, queryRel, vecTable, vocabTable, lit(true), tau),
+      vocabTable, terms, tauSem, kLex, kSem, k)
+
+  /** The ONE persisted-hybrid serving tail (member cuts → RRF fusion →
+    * composite-id decode) shared by [[chunkHybridServe]] and
+    * [[chunkHybridServeDelta]] — the faces differ only in which index
+    * resolution each member probes, so the fusion arithmetic cannot
+    * drift between them. `semMember` receives the per-lang pseudo-doc
+    * query relation (langs from the FROZEN vocab — a lang absent from
+    * the vocab has no in-band terms and contributes no pairs either
+    * way) and the τ threshold. */
+  private def chunkHybridServeCore(
+      spark: org.apache.spark.sql.SparkSession, lexScored: DataFrame,
+      semMember: (DataFrame, Double) => DataFrame, vocabTable: String,
+      terms: Seq[String], tauSem: Double, kLex: Int, kSem: Int,
+      k: Int): DataFrame = {
     require(kLex >= k && kSem >= k,
       s"member depth below serving k: kLex=$kLex kSem=$kSem k=$k")
     require(terms.nonEmpty && terms.distinct == terms,
       s"query terms must be distinct and non-empty: $terms")
-    val lexScored = graft.text.TextOps.searchIndex(spark, postingsTable,
-      terms)
     val lexR = Prf.topDocs(lexScored, kLex)
       .select(col("doc_id").as("cand_id"), col("rnk").as("lex_rank"))
       .withColumn("doc_id", lit(0L))
@@ -267,8 +310,7 @@ object Chunks {
       .select(col("lang")).distinct()
       .select(lit(-1L).as("doc_id"), col("lang"),
         lit(terms.mkString(" ")).as("text"))
-    val semScored = graft.text.TextOps.docSimilarPersisted(
-        spark, queryRel, vecTable, vocabTable, lit(true), tauSem)
+    val semScored = semMember(queryRel, tauSem)
       .select(col("similar_id").as("doc_id"), col("score"))
     val semR = Prf.topDocs(semScored, kSem)
       .select(col("doc_id").as("cand_id"), col("rnk").as("sem_rank"))
@@ -280,6 +322,22 @@ object Chunks {
         expr(s"cand_id % ${MaxChunksPerDoc}L").as("chunk_idx"),
         col("lex_rank"), col("sem_rank"), col("rrf_micro"), col("rnk"))
   }
+
+  /** PASSAGE-granular BM25 over base ∪ delta chunk postings — the
+    * [[chunkSearch]] result served from a delta-maintained index (r24):
+    * [[graft.text.TextOps.searchIndexDelta]] over the chunk-granular
+    * postings, composite ids decoded back to (doc_id, chunk_idx).
+    * Result-identical to [[chunkSearch]] over the union corpus (the
+    * text_search_delta transparency at chunk granularity — chunk ids
+    * are disjoint because the underlying doc split is), so it shares
+    * chunk_search's oracle verbatim. */
+  def chunkSearchDelta(spark: org.apache.spark.sql.SparkSession,
+      tableName: String, terms: Seq[String]): DataFrame =
+    graft.text.TextOps.searchIndexDelta(spark, tableName, terms)
+      .select(
+        expr(s"doc_id div ${MaxChunksPerDoc}L").as("doc_id"),
+        expr(s"doc_id % ${MaxChunksPerDoc}L").as("chunk_idx"),
+        col("n_terms_matched"), col("score"))
 
   /** Incremental chunk dedup — the rolling-crawl shape (the
     * dedup_incremental posture at passage granularity): a NEW shard's

@@ -3079,6 +3079,68 @@ object TextOps {
     }
   }
 
+  /** Generation + OOV accounting for the doc-vector delta family (r24,
+    * r18 verdict #3 — the text_index_delta_audit sibling; closes the
+    * "silently serves base-only" nit: a stale/absent delta now SHOWS as
+    * zero delta mass in an ops row instead of only changing results):
+    * one row —
+    *  - n_vecs_base / n_vecs_delta / delta_share_milli: stored-vector
+    *    masses and the integer half-up merge-due signal
+    *    ([[mergeDocVectorIndex]] scheduling, the textIndexDeltaAudit
+    *    posture);
+    *  - n_docs_delta / n_docs_vectorized: the delta BATCH's doc count
+    *    vs docs that actually produced a vector — the gap is docs with
+    *    ZERO in-band terms under the frozen vocabulary (they are
+    *    unfindable in this index until the vocab-refresh rebuild);
+    *  - toks_delta / toks_oov / oov_milli: the delta docs' token mass
+    *    the frozen base vocabulary silently DROPS (out-of-band terms
+    *    join nothing — the documented vocab-refresh trigger, which
+    *    until this row had no measurement driving it).
+    * All exact integers (count/sum/half-up milli), so the whole row
+    * sits under the hash gate: the oracle re-derives the frozen
+    * vocabulary from the base split (the doc_similar_delta CTEs) and
+    * the delta tf table from the delta split. `deltaDocs` is the SAME
+    * delta relation the appends consumed; one tokenize pass over the
+    * delta only (the vocab join is broadcast — the vocab is the
+    * bounded model artifact). */
+  def docVectorDeltaAudit(spark: SparkSession, tableName: String,
+      deltaDocs: DataFrame): DataFrame = {
+    val nBase = graft.sources.Staged.liveTable(spark, tableName)
+      .agg(count(lit(1)).as("n_vecs_base"))
+    val nDelta = docVectorDelta(spark, tableName)
+      .map(_.agg(count(lit(1)).as("n_vecs_delta")))
+      .getOrElse(spark.range(1).select(lit(0L).as("n_vecs_delta")))
+    val vocab = graft.sources.Staged
+      .liveTable(spark, s"${tableName}_vocab")
+      .select(col("lang"), col("term"), lit(1).as("inb"))
+    val tf = withToks(deltaDocs.withColumn("text", lower(col("text"))))
+      .select(col("doc_id"), col("lang"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("lang"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val toks = tf.join(broadcast(vocab), Seq("lang", "term"), "left_outer")
+      .agg(
+        coalesce(sum(col("tf")), lit(0L)).as("toks_delta"),
+        coalesce(sum(when(col("inb").isNotNull, col("tf"))
+          .otherwise(0L)), lit(0L)).as("toks_inband"),
+        countDistinct(when(col("inb").isNotNull, col("doc_id")))
+          .as("n_docs_vectorized"))
+    val nDocs = deltaDocs.agg(count(lit(1)).as("n_docs_delta"))
+    nBase.crossJoin(broadcast(nDelta)).crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(toks))
+      .select(col("n_vecs_base"), col("n_vecs_delta"),
+        expr("""CASE WHEN n_vecs_base + n_vecs_delta > 0 THEN
+                  (2 * n_vecs_delta * 1000 + (n_vecs_base + n_vecs_delta))
+                    div (2 * (n_vecs_base + n_vecs_delta))
+                ELSE 0 END""").as("delta_share_milli"),
+        col("n_docs_delta"), col("n_docs_vectorized"),
+        col("toks_delta"),
+        (col("toks_delta") - col("toks_inband")).as("toks_oov"),
+        expr("""CASE WHEN toks_delta > 0 THEN
+                  (2 * (toks_delta - toks_inband) * 1000 + toks_delta)
+                    div (2 * toks_delta)
+                ELSE 0 END""").as("oov_milli"))
+  }
+
   /** More-like-this over base ∪ delta — [[docSimilarPersisted]] with
     * the corpus extended by the live delta vectors. With no serviceable
     * delta this IS the persisted probe. */

@@ -314,6 +314,80 @@ class DeltaIndexSpec extends SparkSpec {
       s"${tbl}_vocab", pred, tau = 0.5)) == got)
   }
 
+  test("chunk delta faces: base ∪ delta chunk search ≡ ad-hoc; serve-delta ≡ serve with no delta; the vector audit reports masses + OOV and zeros when stale") {
+    import graft.text.Chunks
+    val tbl = "dlt_chunk_a"
+    val path = freshDir("ca")
+    Seq(tbl, s"${tbl}_stats", s"${tbl}_delta", s"${tbl}_vocab",
+      s"${tbl}_post", s"${tbl}_post_stats", s"${tbl}_post_delta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    val cdBase = Chunks.chunkDocs(base).localCheckpoint(true)
+    val cdDelta = Chunks.chunkDocs(delta).localCheckpoint(true)
+    // (a) chunk postings delta: probe ≡ ad-hoc chunk search over the
+    // union corpus (the text_search_delta transparency at chunk
+    // granularity)
+    TextOps.writeTextIndex(cdBase.select(col("doc_id"), col("text")),
+      tbl, path)
+    TextOps.appendTextIndexDelta(
+      cdDelta.select(col("doc_id"), col("text")), tbl, path)
+    assert(rows(Chunks.chunkSearchDelta(spark, tbl, Terms)) ==
+      rows(Chunks.chunkSearch(docs, Terms)),
+      "chunk base ∪ delta probe differs from ad-hoc chunk search")
+    // (b) the serve pair with NO delta appended ≡ the plain serve face
+    val vt = "dlt_chunk_v"
+    val vpath = freshDir("cv")
+    Seq(vt, s"${vt}_vocab", s"${vt}_delta", s"${vt}_post",
+      s"${vt}_post_stats", s"${vt}_post_delta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    val cdAll = Chunks.chunkDocs(docs).localCheckpoint(true)
+    TextOps.writeDocVectorIndex(cdAll, vt, vpath)
+    TextOps.writeTextIndex(cdAll.select(col("doc_id"), col("text")),
+      s"${vt}_post", s"${vpath}_post")
+    assert(rows(Chunks.chunkHybridServeDelta(spark, s"${vt}_post", vt,
+        s"${vt}_vocab")) ==
+      rows(Chunks.chunkHybridServe(spark, s"${vt}_post", vt,
+        s"${vt}_vocab")),
+      "serve-delta face with no delta differs from the serve face")
+  }
+
+  test("doc-vector delta audit: masses and planted OOV measured; stale delta reports zero delta mass") {
+    val tbl = "dlt_vec_aud"
+    val path = freshDir("vau")
+    dropAll(tbl)
+    TextOps.writeDocVectorIndex(base, tbl, path)
+    // plant a delta doc whose text is entirely OUT-OF-VOCAB: its whole
+    // token mass must land in toks_oov and it must not vectorize
+    val planted = delta.limit(1)
+      .withColumn("text", lit("zzqx1 zzqx2 zzqx3"))
+      .localCheckpoint(true)
+    val deltaP = delta.join(planted.select("doc_id"), Seq("doc_id"),
+        "left_anti")
+      .unionByName(planted).localCheckpoint(true)
+    TextOps.appendDocVectorIndexDelta(deltaP, tbl, path)
+    val a = TextOps.docVectorDeltaAudit(spark, tbl, deltaP)
+      .collect().head
+    // vector masses match the stored tables exactly
+    assert(a.getAs[Long]("n_vecs_base") == spark.table(tbl).count(),
+      a.toString)
+    assert(a.getAs[Long]("n_vecs_delta") ==
+      spark.table(s"${tbl}_delta").count(), a.toString)
+    assert(a.getAs[Long]("n_docs_delta") == deltaP.count(), a.toString)
+    // the planted doc: counted in the batch, not vectorized, its 3
+    // tokens in the OOV mass
+    assert(a.getAs[Long]("n_docs_vectorized") <
+      a.getAs[Long]("n_docs_delta"), a.toString)
+    assert(a.getAs[Long]("toks_oov") >= 3L &&
+      a.getAs[Long]("oov_milli") > 0L, a.toString)
+    assert(a.getAs[Long]("delta_share_milli") > 0L, a.toString)
+    // a full rebuild stales the delta: the audit must SHOW it (the
+    // r18-verdict "silently serves base-only" nit, now measured)
+    TextOps.writeDocVectorIndex(docs, tbl, path)
+    val a2 = TextOps.docVectorDeltaAudit(spark, tbl, deltaP)
+      .collect().head
+    assert(a2.getAs[Long]("n_vecs_delta") == 0L &&
+      a2.getAs[Long]("delta_share_milli") == 0L, a2.toString)
+  }
+
   // ───── ANN delta (r18 verdict #1): frozen-centroid IVF append ─────
 
   private lazy val emb =
