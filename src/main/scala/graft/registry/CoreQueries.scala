@@ -809,9 +809,19 @@ object CoreQueries {
                AS INT) AS is_stale
       FROM t""",
 
-    // identical island-merge + sweep windows (full tie-breaks on both
-    // sides, so the running-max frames are engine-identical); ttl
-    // self-scaled to the key's own mean gap — multiply before divide
+    // TWO-FORMULATION oracle (r24, r18 verdict #4 — the doc_similar/
+    // es_replay_from_snapshot posture): the GRANT synthesis (ttl
+    // self-scaled to the key's own mean gap, multiply before divide) is
+    // the shared parameter, but the DETECTOR is derived with
+    // EXISTS/NOT-EXISTS interval logic instead of mirroring the
+    // engine's running-max island/sweep windows — an episode STARTS at
+    // a grant no earlier same-holder grant still covers; each grant
+    // anchors to the LATEST start at or before it; an episode is
+    // split-brain iff it OVERLAPS some episode ordered before it by
+    // (start, holder, ep) on the same key (same-holder episodes are
+    // disjoint by construction, so any hit is a different holder —
+    // both believed they held the key at once). The hash match then
+    // cross-derives the engine's island-merge + running-max sweep.
     "sk_lease_audit" -> s"""$E,
       kb AS (
         SELECT space, segment, min(ts_us) AS kmin, max(ts_us) AS kmax,
@@ -824,39 +834,45 @@ object CoreQueries {
                  // (2 * k.kn) AS end_us
         FROM entries e
         JOIN kb k ON e.space = k.space AND e.segment = k.segment),
-      i AS (
-        SELECT *, max(end_us) OVER (PARTITION BY space, segment, holder
-                   ORDER BY ts_us, sequence
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                 AS pmax
+      st AS (
+        SELECT * FROM g
+        WHERE NOT EXISTS (
+          SELECT 1 FROM g f
+          WHERE f.space = g.space AND f.segment = g.segment
+            AND f.holder = g.holder
+            AND (f.ts_us < g.ts_us OR
+                 (f.ts_us = g.ts_us AND f.sequence < g.sequence))
+            AND f.end_us > g.ts_us)),
+      m AS (
+        SELECT g.space, g.segment, g.holder, g.ts_us, g.end_us,
+               (SELECT max(printf('%020d:%020d', st.ts_us, st.sequence))
+                FROM st
+                WHERE st.space = g.space AND st.segment = g.segment
+                  AND st.holder = g.holder
+                  AND (st.ts_us < g.ts_us OR
+                       (st.ts_us = g.ts_us AND st.sequence <= g.sequence)))
+                 AS ep
         FROM g),
-      j AS (
-        SELECT *, CASE WHEN pmax IS NULL OR pmax <= ts_us
-                  THEN 1 ELSE 0 END AS new_ep
-        FROM i),
-      k2 AS (
-        SELECT *, CAST(sum(new_ep) OVER (
-                   PARTITION BY space, segment, holder
-                   ORDER BY ts_us, sequence
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS BIGINT) AS ep
-        FROM j),
       eps AS (
         SELECT space, segment, holder, ep, min(ts_us) AS start_us,
                max(end_us) AS end_us
-        FROM k2 GROUP BY 1, 2, 3, 4),
+        FROM m GROUP BY 1, 2, 3, 4),
       fl AS (
-        SELECT *, max(end_us) OVER (PARTITION BY space, segment
-                   ORDER BY start_us, holder, ep
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                 AS prev_max_end
-        FROM eps)
+        SELECT e.*,
+               CASE WHEN EXISTS (
+                 SELECT 1 FROM eps f
+                 WHERE f.space = e.space AND f.segment = e.segment
+                   AND (f.start_us < e.start_us OR
+                        (f.start_us = e.start_us AND
+                         (f.holder < e.holder OR
+                          (f.holder = e.holder AND f.ep < e.ep))))
+                   AND f.end_us > e.start_us)
+               THEN 1 ELSE 0 END AS split_brain
+        FROM eps e)
       SELECT f.space, f.segment AS lease_key, k.kn AS n_grants,
              CAST(count(DISTINCT f.holder) AS BIGINT) AS n_holders,
              CAST(count(*) AS BIGINT) AS n_episodes,
-             CAST(sum(CASE WHEN prev_max_end IS NOT NULL
-               AND prev_max_end > start_us THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_split_brain
+             CAST(sum(f.split_brain) AS BIGINT) AS n_split_brain
       FROM fl f
       JOIN kb k ON f.space = k.space AND f.segment = k.segment
       GROUP BY 1, 2, 3""",

@@ -690,6 +690,67 @@ class StreamingSpec extends SparkSpec {
     assert(!got.exists(r => r(1) == "7" && r(2) == 5L))
   }
 
+  test("consumer restart (r18 verdict #8): a killed offset-consumer resumed from its checkpoint replays no duplicate and leaves no gap") {
+    // the reference CHANGELOG hardened exactly this client path
+    // ("ConsumeSpace now increments timestamp… to avoid duplicate
+    // entries"): the live cursor must survive a consumer crash. Here
+    // the crash is real at the QUERY level — the first StreamingQuery
+    // is stopped after draining the early log, the log keeps growing
+    // while the consumer is down, and a BRAND-NEW query (fresh
+    // instance, same checkpoint + durable file sink) picks up. The
+    // file-source checkpoint is the offset cursor; exactly-once =
+    // multiset equality against the batch dual over the final log.
+    val dir = Files.createTempDirectory("graft_restart_log").toString
+    val cp = Files.createTempDirectory("graft_restart_cp").toString
+    val out = Files.createTempDirectory("graft_restart_out").toString + "/sink"
+    val entries = EventLog.entries(spark, SF).localCheckpoint(true)
+    // per-segment split: early sequences produced before the crash,
+    // the rest while the consumer is down
+    val early = entries.filter(col("sequence") <= 6L)
+    val late = entries.filter(col("sequence") > 6L)
+    assert(early.filter(col("space") === "view").count() > 0 &&
+      late.filter(col("space") === "view").count() > 0,
+      "degenerate split: both halves must hold view-space rows")
+    graft.sources.EventLogWriter.write(early, dir)
+    val anchor = entries
+      .filter(col("space") === "view" && col("segment") === "7" &&
+        col("sequence") === 5L)
+      .select("ts_us").head.getLong(0)
+    def consumer() = Streaming.consumeSpaceFromOffsetStream(
+      Streaming.readProducedStream(spark, dir, maxFilesPerTrigger = 1),
+      "view", anchor, "7", 5L)
+    def start() = consumer().writeStream.outputMode("append")
+      .option("checkpointLocation", cp)
+      .format("parquet").option("path", out).start()
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // the crash: the consumer dies with the log mid-produce
+    val afterRun1 = spark.read.parquet(out).count()
+    // the log keeps growing while no consumer is alive
+    graft.sources.EventLogWriter.write(late, dir,
+      org.apache.spark.sql.SaveMode.Append)
+    val q2 = start() // fresh query instance, same checkpoint + sink
+    q2.processAllAvailable()
+    q2.stop()
+    val gotRows = spark.read.parquet(out)
+      .select("space", "segment", "sequence", "ts_us", "value", "payload")
+      .collect().map(_.toSeq).toSeq
+    val wantRows = StreamOps.consumeSpaceFromOffset(entries, "view",
+        anchorSegment = "7", anchorSequence = 5L)
+      .collect().map(_.toSeq).toSeq
+    // MULTISET equality: a replayed duplicate or a gap both break it
+    // (set equality would mask duplicates)
+    def multiset(rs: Seq[Seq[Any]]) = rs.groupBy(identity).view
+      .mapValues(_.size).toMap
+    assert(wantRows.nonEmpty && multiset(gotRows) == multiset(wantRows),
+      s"restart broke exactly-once: got ${gotRows.size} rows, " +
+        s"want ${wantRows.size}")
+    // the resumed query consumed only the NEW files: rows grew across
+    // the restart and the pre-crash prefix was not re-emitted
+    assert(afterRun1 > 0 && afterRun1 < gotRows.size,
+      s"restart did not resume mid-stream: $afterRun1 vs ${gotRows.size}")
+  }
+
   test("multi-space consume stream equals batch consumeMulti (incl. missing-anchor fallback)") {
     val dir = Files.createTempDirectory("graft_multi_stream").toString
     val entries = EventLog.entries(spark, SF)
