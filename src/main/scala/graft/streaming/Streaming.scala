@@ -752,6 +752,54 @@ object Streaming {
     docStream.writeStream.foreachBatch(perBatch).start()
   }
 
+  /** [[runTextIndexDeltaIngest]] for the DOC-VECTOR index (r24): each
+    * arriving micro-batch is vectorized against the FROZEN base
+    * vocabulary and appended as the delta generation
+    * ([[graft.text.TextOps.appendDocVectorIndexDelta]] verbatim — a
+    * doc's vector is a pure function of its own row and the frozen
+    * vocab, so per-batch semantics are exact); concurrent
+    * more-like-this probes ([[graft.text.TextOps
+    * .docSimilarPersistedDelta]]) see base ∪ everything ingested so
+    * far under the frozen-vocab serving semantic.
+    * `docVectorDeltaAudit` is the merge-scheduling + OOV number an
+    * operator watches while this runs. */
+  def runDocVectorDeltaIngest(spark: SparkSession, docStream: DataFrame,
+      tableName: String, path: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val b = batch.toDF().localCheckpoint(true)
+        if (b.limit(1).count() > 0L)
+          graft.text.TextOps.appendDocVectorIndexDelta(b, tableName, path)
+      }
+    docStream.writeStream.foreachBatch(perBatch).start()
+  }
+
+  /** [[runTextIndexDeltaIngest]] for the float IVF index (r24, the
+    * ANN-delta write side): each arriving micro-batch of vectors is
+    * assigned to the FROZEN centroids of the live index
+    * ([[graft.similarity.Knn.appendIvfIndexDelta]] verbatim — the
+    * alignment fence runs per batch, so a centroid/index generation
+    * mismatch raises instead of landing orphan lists) and appended as
+    * the delta generation; concurrent probes
+    * ([[graft.similarity.Knn.searchIvfIndexDelta]]) see base ∪
+    * everything ingested so far. The raw (vec_id, label, embedding)
+    * stream normalizes through [[graft.similarity.Knn.embOf]] — one
+    * definition with the batch reader. */
+  def runIvfIndexDeltaIngest(spark: SparkSession, vecStream: DataFrame,
+      tableName: String, path: String, centroidsTable: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val perBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val b = graft.similarity.Knn.embOf(batch.toDF())
+          .localCheckpoint(true)
+        if (b.limit(1).count() > 0L)
+          graft.similarity.Knn.appendIvfIndexDelta(b, tableName, path,
+            graft.sources.Staged.liveTable(spark, centroidsTable))
+      }
+    vecStream.writeStream.foreachBatch(perBatch).start()
+  }
+
   /** LIVE passage-granular hybrid retrieval — the streaming dual of
     * `chunk_hybrid_serve` (r17 verdict #4, composing the
     * runStandingQueryProbe and runHybridSearchProbeIvf machinery at

@@ -515,6 +515,65 @@ class DeltaIndexSpec extends SparkSpec {
       "quantized merge changed the pruned probe result")
   }
 
+  test("live doc-vector delta ingest: micro-batched arrivals converge the probe to the frozen-vocab full vectorization") {
+    val tbl = "dlt_vec_live"
+    val path = freshDir("vl")
+    dropAll(tbl)
+    TextOps.writeDocVectorIndex(base, tbl, path)
+    val dir = Files.createTempDirectory("graft_dvec_ingest").toString
+    delta.repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = graft.streaming.Streaming.runDocVectorDeltaIngest(spark,
+      stream, tbl, path)
+    q.processAllAvailable(); q.stop()
+    val pred = substring(md5(concat_ws(":", col("doc_id").cast("string"),
+      lit("dlt"))), 1, 1) < "4"
+    val got = rows(TextOps.docSimilarPersistedDelta(spark, docs, tbl,
+      s"${tbl}_vocab", pred, tau = 0.5))
+    val reference = rows(TextOps.docSimilarPersistedOn(spark,
+      TextOps.vectorizeAgainstVocab(spark, docs, s"${tbl}_vocab"),
+      docs, s"${tbl}_vocab", pred, tau = 0.5))
+    assert(got.nonEmpty && got == reference,
+      "live-ingested vector delta differs from frozen-vocab full " +
+        "vectorization")
+    // the audit sees the converged masses
+    val a = TextOps.docVectorDeltaAudit(spark, tbl, delta).collect().head
+    assert(a.getAs[Long]("n_vecs_delta") > 0L &&
+      a.getAs[Long]("delta_share_milli") > 0L, a.toString)
+  }
+
+  test("live IVF delta ingest: micro-batched vector arrivals converge the probe to brute at nprobe = nlist") {
+    import graft.similarity.Knn
+    val tbl = "dlt_ivf_live"
+    val path = freshDir("il")
+    dropAll(tbl)
+    spark.sql(s"DROP TABLE IF EXISTS `${tbl}_centroids`")
+    Knn.writeIvfIndex(embBase, tbl, path, nlist = 8,
+      persistCentroids = true)
+    // replay the RAW delta rows (vec_id, label, embedding) — the
+    // ingest dual normalizes through the one embOf definition
+    val rawDelta = spark.read
+      .parquet(s"$SF/embeddings.parquet")
+      .filter(substring(md5(concat_ws(":", col("vec_id").cast("string"),
+        lit("ivfd"))), 1, 1) >= "c")
+      .localCheckpoint(true)
+    val dir = Files.createTempDirectory("graft_ivf_ingest").toString
+    rawDelta.repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(rawDelta.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = graft.streaming.Streaming.runIvfIndexDeltaIngest(spark,
+      stream, tbl, path, s"${tbl}_centroids")
+    q.processAllAvailable(); q.stop()
+    val centroids = graft.sources.Staged.liveTable(spark,
+      s"${tbl}_centroids")
+    val qp = col("vec_id") < 5
+    assert(rows(Knn.searchIvfIndexDelta(spark, tbl, centroids,
+        emb.filter(qp), k = 10, nprobe = 8)) ==
+      rows(Knn.brute(emb, qp, k = 10)),
+      "live-ingested IVF delta differs from brute at nprobe = nlist")
+  }
+
   test("doc-vector delta: disjointness fence fires; a full rebuild stales the delta") {
     val tbl = "dlt_vec_b"
     val path = freshDir("vb")
