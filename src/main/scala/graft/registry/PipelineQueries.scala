@@ -1315,6 +1315,25 @@ object PipelineQueries {
       Knn.searchIvfPq(s, tbl, coarse, codebook,
         e.filter(col("vec_id") < 5), k = 10)
     }),
+    // the ANN delta at the memory-scale end of the ladder (r24 — the
+    // r18 verdict #1 completed across all three IVF layouts): delta
+    // vectors assigned to the FROZEN coarse centroids and ENCODED with
+    // the FROZEN codebook (both resolved by name from the live side
+    // tables; retraining is the full-rebuild cadence), probe scores
+    // base and delta code lists as separate c_id equijoins into one
+    // bounded rank; rows-only (seeded k-means + PQ), DeltaIndexSpec
+    // pins planted-twin serving, merge transparency, staleness, fences
+    "knn_pq_delta" -> ((s, d) => {
+      val e = Knn.emb(s, d)
+      val (tbl, path) = runScopedTable(s, d, "graft_pq_delta")
+      Seq(tbl, s"${tbl}_coarse", s"${tbl}_codebook", s"${tbl}_delta")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
+      val isDeltaV = substring(md5(concat_ws(":",
+        col("vec_id").cast("string"), lit("ivfd"))), 1, 1) >= "c"
+      Knn.writeIvfPqIndex(e.filter(!isDeltaV), tbl, path, nlist = 10)
+      Knn.appendIvfPqIndexDelta(e.filter(isDeltaV), tbl, path)
+      Knn.searchIvfPqDelta(s, tbl, e.filter(col("vec_id") < 5), k = 10)
+    }),
     // recall@k of the PQ probe vs float brute on the same probes — the
     // (m, ksub, nprobe) tuning row; unlike the int8 audit this number
     // confounds pruning with quantization error BY DESIGN (PQ is lossy):

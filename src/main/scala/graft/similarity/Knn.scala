@@ -2262,19 +2262,31 @@ object Knn {
     * break ties on neighbor_id. */
   def searchIvfPq(spark: SparkSession, tableName: String,
       coarse: DataFrame, codebook: DataFrame, queries: DataFrame, k: Int,
-      nprobe: Int = 2, m: Int = PqSubspaces): DataFrame = {
+      nprobe: Int = 2, m: Int = PqSubspaces): DataFrame =
+    ranked(pqScored(pqProbes(coarse, codebook, queries, nprobe, m),
+      graft.sources.Staged.liveTable(spark, tableName)), k)
+
+  /** The PQ probe lists (query_id, c_id, lut): coarse ranking in float
+    * space + the per-query flattened ADC LUT — shared by [[searchIvfPq]]
+    * and its delta face. */
+  private def pqProbes(coarse: DataFrame, codebook: DataFrame,
+      queries: DataFrame, nprobe: Int, m: Int): DataFrame = {
     val q = queries.filter(finiteNorm(col("nrm"))).localCheckpoint(true)
     val probeW = Window.partitionBy("query_id").orderBy(col("d"), col("c_id"))
-    val probes = q
-      .select(col("vec_id").as("query_id"), col("v"), col("nrm"))
+    q.select(col("vec_id").as("query_id"), col("v"), col("nrm"))
       .crossJoin(broadcast(withCnrm2(coarse)))
       .withColumn("d", sqDist)
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("c_id"))
       .join(pqLut(q, codebook, m), Seq("query_id"))
-    val scored = probes.as("q")
-      .join(graft.sources.Staged.liveTable(spark, tableName).as("c"),
+  }
+
+  /** Score PQ probe lists against one code-list frame with the O(m)
+    * ADC kernel, UNRANKED. */
+  private def pqScored(probes: DataFrame, index: DataFrame): DataFrame =
+    probes.as("q")
+      .join(index.as("c"),
         col("q.c_id") === col("c.c_id") &&
           col("query_id") =!= col("c.vec_id"))
       .withColumn("score",
@@ -2282,7 +2294,68 @@ object Knn {
           * lit(10000.0) + lit(0.5)).cast("double") / lit(10000.0))
       .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
         col("score"))
-    ranked(scored, k)
+
+  /** Append a crawl delta to the persisted IVF-PQ index — the ANN
+    * delta completed at the memory-scale end of the ladder (r24; the
+    * [[appendIvfIndexDelta]] posture with TWO frozen model artifacts):
+    * delta vectors are assigned to the FROZEN coarse centroids and
+    * ENCODED with the FROZEN codebook (both resolved BY NAME from the
+    * live side tables — the runKnnPqProbe serving posture; retraining
+    * either is the full-rebuild cadence), landing bucketed by `c_id`
+    * with the in-table `base_gen` marker in ONE atomic Staged commit.
+    * The coarse-alignment fence runs before any assignment; the
+    * codebook has no join-observable mismatch signal (code_idx is
+    * dense per subspace by construction), so its freshness rides the
+    * Staged multi-table discipline — side tables promote before the
+    * main table at build, and this append resolves all three at one
+    * entry (the documented single-rename exposure, as everywhere).
+    * Encoding is a pure per-vector function of (v, codebook), so the
+    * delta rows are EXACTLY what a rebuild-with-frozen-model would
+    * store — DeltaIndexSpec pins probe transparency across the merge,
+    * a planted delta duplicate of a base vector surfacing at ~1.0, and
+    * the staleness/disjointness fences. */
+  def appendIvfPqIndexDelta(eNew: DataFrame, tableName: String,
+      path: String, m: Int = PqSubspaces, buckets: Int = 8): Unit = {
+    val spark = eNew.sparkSession
+    graft.sources.Staged.recover(spark, tableName)
+    require(spark.catalog.tableExists(tableName),
+      s"appendIvfPqIndexDelta: no base index $tableName — build it " +
+        "with writeIvfPqIndex first")
+    val coarse = graft.sources.Staged.liveTable(spark,
+      s"${tableName}_coarse")
+    val codebook = graft.sources.Staged.liveTable(spark,
+      s"${tableName}_codebook")
+    val index = requireCentroidAlignment(spark, tableName, coarse)
+    val base = eNew.filter(finiteNorm(col("nrm"))).localCheckpoint(true)
+    val assigned = assignNearest(
+      base.crossJoin(broadcast(withCnrm2(coarse))).withColumn("d", sqDist),
+      Seq.empty)
+      .select(col("vec_id"), col("c_id"))
+    val rows = assigned.join(pqEncode(base, codebook, m), Seq("vec_id"))
+      .select(col("vec_id"), col("codes"), col("c_id"))
+    appendIvfDeltaRows(spark, index, rows, tableName, path,
+      Seq("codes"), buckets)
+  }
+
+  /** [[searchIvfPq]] over base ∪ live delta — the [[searchIvfIndexDelta]]
+    * shape for the PQ family: probe lists + LUTs computed once, each
+    * side scored as its own c_id equijoin, scored rows unioned into the
+    * one bounded rank. Frozen artifacts resolved by name. */
+  def searchIvfPqDelta(spark: SparkSession, tableName: String,
+      queries: DataFrame, k: Int, nprobe: Int = 2,
+      m: Int = PqSubspaces): DataFrame = {
+    val coarse = graft.sources.Staged.liveTable(spark,
+      s"${tableName}_coarse")
+    val codebook = graft.sources.Staged.liveTable(spark,
+      s"${tableName}_codebook")
+    val index = requireCentroidAlignment(spark, tableName, coarse)
+    val probes = pqProbes(coarse, codebook, queries, nprobe, m)
+      .localCheckpoint(true)
+    val scored = pqScored(probes, index)
+    ivfDelta(spark, tableName, Seq("codes")) match {
+      case Some(dp) => ranked(scored.unionByName(pqScored(probes, dp)), k)
+      case None => ranked(scored, k)
+    }
   }
 
   /** [[ivfRecallAudit]] for the PQ path: persisted IVF-PQ probe vs the

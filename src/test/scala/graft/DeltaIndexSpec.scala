@@ -574,6 +574,67 @@ class DeltaIndexSpec extends SparkSpec {
       "live-ingested IVF delta differs from brute at nprobe = nlist")
   }
 
+  test("IVF-PQ delta: frozen coarse+codebook append serves a planted delta duplicate; merge is row-transparent; a rebuild stales the delta; fences fire") {
+    import graft.similarity.Knn
+    val tbl = "dlt_pq_a"
+    val path = freshDir("pa")
+    Seq(tbl, s"${tbl}_coarse", s"${tbl}_codebook", s"${tbl}_delta",
+      s"${tbl}__stage", s"${tbl}_delta__stage")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    // plant a delta vector that duplicates a base vector byte-for-byte:
+    // encoding is a pure function of (v, codebook), so the twin gets
+    // the base row's exact codes and must serve among its neighbors
+    val baseRow = embBase.orderBy(col("vec_id")).limit(1)
+      .localCheckpoint(true)
+    val baseId = baseRow.select("vec_id").head.getLong(0)
+    val twin = baseRow.withColumn("vec_id", lit(999999L))
+    val deltaP = embDelta.unionByName(twin).localCheckpoint(true)
+    Knn.writeIvfPqIndex(embBase, tbl, path, nlist = 8)
+    Knn.appendIvfPqIndexDelta(deltaP, tbl, path)
+    val served = Knn.searchIvfPqDelta(spark, tbl,
+        emb.filter(col("vec_id") === baseId), k = 5, nprobe = 8)
+      .collect()
+    assert(served.exists(_.getAs[Long]("neighbor_id") == 999999L),
+      s"planted delta twin not served: ${served.mkString(";")}")
+    // disjointness fences by name
+    val e1 = intercept[IllegalArgumentException] {
+      Knn.appendIvfPqIndexDelta(embBase.limit(1), tbl, path)
+    }
+    assert(e1.getMessage.contains("already-indexed"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Knn.appendIvfPqIndexDelta(twin, tbl, path)
+    }
+    assert(e2.getMessage.contains("already in the live delta"),
+      e2.getMessage)
+    // pruned-probe transparency across the merge (zero re-encode)
+    val q = col("vec_id") < 5
+    val pre = rows(Knn.searchIvfPqDelta(spark, tbl, emb.filter(q),
+      k = 10, nprobe = 2))
+    assert(pre.nonEmpty)
+    Knn.mergeIvfIndex(spark, tbl, path, carry = Seq("codes"))
+    assert(!spark.catalog.tableExists(s"${tbl}_delta"))
+    val coarse = graft.sources.Staged.liveTable(spark, s"${tbl}_coarse")
+    val codebook = graft.sources.Staged.liveTable(spark,
+      s"${tbl}_codebook")
+    assert(rows(Knn.searchIvfPq(spark, tbl, coarse, codebook,
+      emb.filter(q), k = 10, nprobe = 2)) == pre,
+      "PQ merge changed the pruned probe result")
+    assert(rows(Knn.searchIvfPqDelta(spark, tbl, emb.filter(q),
+      k = 10, nprobe = 2)) == pre,
+      "PQ delta face with no delta differs from the base face")
+    // a full rebuild (fresh coarse + codebook) stales a live delta
+    val twin2 = baseRow.withColumn("vec_id", lit(999998L))
+    Knn.appendIvfPqIndexDelta(twin2, tbl, path)
+    Knn.writeIvfPqIndex(emb, tbl, path, nlist = 8)
+    val c2 = graft.sources.Staged.liveTable(spark, s"${tbl}_coarse")
+    val b2 = graft.sources.Staged.liveTable(spark, s"${tbl}_codebook")
+    assert(rows(Knn.searchIvfPqDelta(spark, tbl, emb.filter(q),
+        k = 10, nprobe = 2)) ==
+      rows(Knn.searchIvfPq(spark, tbl, c2, b2, emb.filter(q),
+        k = 10, nprobe = 2)),
+      "stale PQ delta leaked into the probe after a full rebuild")
+  }
+
   test("doc-vector delta: disjointness fence fires; a full rebuild stales the delta") {
     val tbl = "dlt_vec_b"
     val path = freshDir("vb")
