@@ -30,7 +30,7 @@ object Bench {
       // generation commits); _probe = the base ∪ delta search
       "text_search_delta", "doc_similar_delta", "knn_ivf_delta",
       "chunk_search_delta", "chunk_hybrid_serve_delta",
-      "doc_vector_delta_audit", "knn_pq_delta",
+      "doc_vector_delta_audit", "knn_pq_delta", "ivf_delta_audit",
       "triplet_mine_ivf", "knn_pq", "pq_recall_audit", "pq_code_balance",
       "hybrid_search_ivf", "hybrid_search_pq", "chunk_hybrid_serve",
       "standing_query_route", "search_prf_persisted",

@@ -1315,6 +1315,24 @@ object PipelineQueries {
       Knn.searchIvfPq(s, tbl, coarse, codebook,
         e.filter(col("vec_id") < 5), k = 10)
     }),
+    // generation accounting for the ANN delta (r24 — the
+    // text_index_delta_audit sibling, so every delta family carries
+    // its merge-scheduling ops row): stored-vector masses + the
+    // integer half-up milli share; counts are pure functions of the
+    // corpus, the md5 split, and the finiteNorm fence — full SQL
+    // oracle (the established list_dot_product fence expression)
+    "ivf_delta_audit" -> ((s, d) => {
+      val e = Knn.emb(s, d)
+      val (tbl, path) = runScopedTable(s, d, "graft_ivf_dltaud")
+      Seq(tbl, s"${tbl}_delta")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
+      val isDeltaV = substring(md5(concat_ws(":",
+        col("vec_id").cast("string"), lit("ivfd"))), 1, 1) >= "c"
+      val centroids = Knn.writeIvfIndex(e.filter(!isDeltaV), tbl, path,
+        nlist = 10, buckets = 8)
+      Knn.appendIvfIndexDelta(e.filter(isDeltaV), tbl, path, centroids)
+      Knn.ivfDeltaAudit(s, tbl)
+    }),
     // the ANN delta at the memory-scale end of the ladder (r24 — the
     // r18 verdict #1 completed across all three IVF layouts): delta
     // vectors assigned to the FROZEN coarse centroids and ENCODED with
@@ -4660,6 +4678,32 @@ object PipelineQueries {
              CAST(max(CASE WHEN embedding IS NOT NULL
                THEN len(embedding) END) AS BIGINT) AS dims_max
       FROM embeddings""",
+
+    // the IVF delta's vector masses re-derived from the corpus: base/
+    // delta = the md5 split over finite-norm vectors (the HybridSemCte
+    // fence expression — d2 > 0 AND d2 < infinity excludes zero, NaN
+    // and Inf identically in both engines since both order NaN
+    // greatest), milli share integer half-up
+    "ivf_delta_audit" -> """
+      WITH fin AS (
+        SELECT vec_id FROM embeddings
+        WHERE embedding IS NOT NULL
+          AND list_dot_product(embedding::DOUBLE[],
+                embedding::DOUBLE[]) > 0
+          AND list_dot_product(embedding::DOUBLE[],
+                embedding::DOUBLE[]) < 'infinity'::DOUBLE),
+      b AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs_base FROM fin
+            WHERE substr(md5(concat_ws(':', CAST(vec_id AS VARCHAR),
+              'ivfd')), 1, 1) < 'c'),
+      d AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs_delta FROM fin
+            WHERE substr(md5(concat_ws(':', CAST(vec_id AS VARCHAR),
+              'ivfd')), 1, 1) >= 'c')
+      SELECT n_vecs_base, n_vecs_delta,
+             CAST(CASE WHEN n_vecs_base + n_vecs_delta > 0 THEN
+               (2 * n_vecs_delta * 1000 + (n_vecs_base + n_vecs_delta))
+                 // (2 * (n_vecs_base + n_vecs_delta))
+             ELSE 0 END AS BIGINT) AS delta_share_milli
+      FROM b CROSS JOIN d""",
 
     "emb_centroid_affinity" -> EmbAffinitySql,
     "emb_cluster_quality" -> EmbClusterQualitySql,

@@ -1810,6 +1810,32 @@ object Knn {
     }
   }
 
+  /** Generation accounting for an IVF delta (r24 — the
+    * textIndexDeltaAudit / docVectorDeltaAudit sibling for the ANN
+    * family, so every delta family carries its merge-scheduling ops
+    * row): stored-vector masses and the integer half-up milli share of
+    * the serving index the live delta holds. A stale/absent delta
+    * reports zero delta mass — the post-merge/post-rebuild steady
+    * state (a silently-ignored stale delta SHOWS here). Reads two
+    * count aggregates; `carry` names the family's payload columns
+    * (float `v`/`nrm`, int8 `qv`/`qnrm`, PQ `codes`). The counts are
+    * pure functions of the corpus + the split + the finiteNorm fence,
+    * so the row sits under the hash gate. */
+  def ivfDeltaAudit(spark: SparkSession, tableName: String,
+      carry: Seq[String] = Seq("v", "nrm")): DataFrame = {
+    val nBase = graft.sources.Staged.liveTable(spark, tableName)
+      .agg(count(lit(1)).as("n_vecs_base"))
+    val nDelta = ivfDelta(spark, tableName, carry)
+      .map(_.agg(count(lit(1)).as("n_vecs_delta")))
+      .getOrElse(spark.range(1).select(lit(0L).as("n_vecs_delta")))
+    nBase.crossJoin(broadcast(nDelta))
+      .select(col("n_vecs_base"), col("n_vecs_delta"),
+        expr("""CASE WHEN n_vecs_base + n_vecs_delta > 0 THEN
+                  (2 * n_vecs_delta * 1000 + (n_vecs_base + n_vecs_delta))
+                    div (2 * (n_vecs_base + n_vecs_delta))
+                ELSE 0 END""").as("delta_share_milli"))
+  }
+
   /** Append a crawl delta to a persisted FLOAT IVF index
     * ([[writeIvfIndex]]): arriving vectors are assigned to the FROZEN
     * centroid model (never re-trained here — a re-cluster is the

@@ -477,6 +477,10 @@ class DeltaIndexSpec extends SparkSpec {
       Knn.appendIvfIndexDelta(embDelta, tbl, path, bogus)
     }
     assert(e3.getMessage.contains("generation mismatch"), e3.getMessage)
+    // the audit sees the live masses before the rebuild
+    val a = Knn.ivfDeltaAudit(spark, tbl).collect().head
+    assert(a.getAs[Long]("n_vecs_delta") == embDelta.count() &&
+      a.getAs[Long]("delta_share_milli") > 0L, a.toString)
     // a full rebuild (fresh model over everything) stales the delta:
     // the probe must not double-serve the absorbed delta vectors
     val c2 = Knn.writeIvfIndex(emb, tbl, path, nlist = 8)
@@ -486,6 +490,10 @@ class DeltaIndexSpec extends SparkSpec {
       rows(Knn.searchIvfIndex(spark, tbl, c2,
         emb.filter(q), k = 10, nprobe = 2)),
       "stale delta leaked into the probe after a full rebuild")
+    // ...and the audit SHOWS the staleness as zero delta mass
+    val a2 = Knn.ivfDeltaAudit(spark, tbl).collect().head
+    assert(a2.getAs[Long]("n_vecs_delta") == 0L &&
+      a2.getAs[Long]("delta_share_milli") == 0L, a2.toString)
   }
 
   test("IVF delta (quantized): repeat appends extend the generation; base ∪ delta at nprobe = nlist ≡ quantized brute; merge carries the code rows") {
