@@ -230,6 +230,41 @@ object StressDelta {
     audit("ivf_audit_merged",
       graft.similarity.Knn.ivfBalanceAudit(spark, kTbl))
 
+    // ── IVF-PQ family (frozen coarse + frozen codebook) ──
+    val pTbl = "stress_dlt_pq"
+    Seq(pTbl, s"${pTbl}_coarse", s"${pTbl}_codebook", s"${pTbl}_delta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    step("pq_build_base") {
+      graft.similarity.Knn.writeIvfPqIndex(emb.filter(!isDeltaV), pTbl,
+        s"$wh/pq")
+    }
+    (0 until batches).foreach { i =>
+      step(s"pq_append_$i") {
+        graft.similarity.Knn.appendIvfPqIndexDelta(vecBatch(i), pTbl,
+          s"$wh/pq")
+      }
+      step(s"pq_probe_$i") {
+        digest(s"pq_probe_$i",
+          graft.similarity.Knn.searchIvfPqDelta(spark, pTbl,
+            emb.filter(col("vec_id") < 5), k = 10), "score")
+      }
+      audit(s"pq_audit_$i",
+        graft.similarity.Knn.ivfDeltaAudit(spark, pTbl,
+          carry = Seq("codes")))
+    }
+    step("pq_merge") {
+      graft.similarity.Knn.mergeIvfIndex(spark, pTbl, s"$wh/pq",
+        carry = Seq("codes"))
+    }
+    step("pq_probe_merged") {
+      digest("pq_probe_merged",
+        graft.similarity.Knn.searchIvfPqDelta(spark, pTbl,
+          emb.filter(col("vec_id") < 5), k = 10), "score")
+    }
+    audit("pq_audit_merged",
+      graft.similarity.Knn.ivfDeltaAudit(spark, pTbl,
+        carry = Seq("codes")))
+
     val line = "{" +
       s""""stress_delta":true,"sf":"$sfDir","cpus":$cpus,""" +
       s""""batches":$batches,""" +
