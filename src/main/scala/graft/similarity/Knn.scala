@@ -1760,6 +1760,11 @@ object Knn {
     if (!spark.catalog.tableExists(dt)) None
     else {
       val d = spark.table(dt)
+      // a delta table from another family/layout (missing the marker
+      // or this family's payload columns) is not serviceable — the
+      // next append overwrites it (the rawTextDelta legacy posture)
+      if (!d.columns.contains("base_gen") ||
+          !carry.forall(d.columns.contains)) return None
       val bg = d.select(col("base_gen")).limit(1).collect()
       if (bg.nonEmpty && bg.head.getString(0) ==
           graft.sources.Staged.generation(spark, tableName))

@@ -2384,6 +2384,12 @@ object TextOps {
     if (!spark.catalog.tableExists(dt)) None
     else {
       val t = spark.table(dt)
+      // a LEGACY two-table-layout delta (no in-table stats columns)
+      // resolves as not-serviceable instead of crashing the probe —
+      // the next append overwrites it with the current layout and the
+      // next merge sweeps it, so the upgrade is self-healing
+      if (!t.columns.contains("base_gen") ||
+          !t.columns.contains("n_docs")) return None
       val bg = t.select(col("base_gen")).limit(1).collect()
       if (bg.isEmpty || bg.head.getString(0) !=
           graft.sources.Staged.generation(spark, tableName)) None
