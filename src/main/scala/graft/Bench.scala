@@ -123,7 +123,16 @@ object Bench {
     val loadStart = loadAvg()
     val jvmsStart = otherJvms()
     val spark = buildSession(cpus)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional name filter (comma-separated, exact names) for LOCAL A/B
+    // iteration only — unset (the driver's invocation) runs everything,
+    // so the driver contract is unchanged
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = filter match {
+      case Some(f) => SparkEntry.queries.filter { case (n, _) => f(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (mk, ex, ok) = time(spark, sfDir, fn)
       release(spark)
       (name, mk, ex, ok)

@@ -2720,8 +2720,22 @@ object TextOps {
     * consumer count. */
   private def docWeights(d: DataFrame, minDf: Long,
       maxDfTenths: Int): DataFrame = {
-    val tf = withToks(d.withColumn("text", lower(col("text"))))
+    // Par.spreadBy (guide §2.5): the tokenize/explode map stage and the
+    // downstream consumers of the checkpointed tf table are CPU-dense
+    // while the corpus bytes are scan-split/AQE-tiny at bench scale —
+    // hash-spread the scan on doc_id (hash, never round-robin: RR pays
+    // a per-task sort of the raw text) so tokenize runs slots-wide, and
+    // pin the tf agg's own exchange on its keys so the checkpoint stays
+    // multi-partition (an explicit width AQE keeps — byte-based
+    // coalescing would serialize every consumer). No-op at scale;
+    // integer counts are order-free.
+    val sl = graft.operators.Par.slots(d)
+    val tf = withToks(graft.operators.Par
+        .spreadBy(d, sl, col("doc_id"))
+        .withColumn("text", lower(col("text"))))
       .select(col("doc_id"), col("lang"), explode(col("toks")).as("term"))
+      .transform(graft.operators.Par.spreadBy(_, sl,
+        col("doc_id"), col("lang"), col("term")))
       .groupBy(col("doc_id"), col("lang"), col("term"))
       .agg(count(lit(1)).as("tf"))
       // feeds the df rollup, the per-lang counts, and the weight join —
@@ -2803,8 +2817,14 @@ object TextOps {
     * domain is one language's IN-BAND vocabulary (the join already
     * blocks on lang), and [[requireInjectiveTermHash]] has verified
     * injectivity over exactly that domain before any key is built. */
-  private def docVectors(w: DataFrame): DataFrame =
-    w.groupBy(col("doc_id"), col("lang"))
+  private def docVectors(w: DataFrame, slots: Int = 0): DataFrame =
+    // spreadBy pins the vector agg's exchange at `slots` on its own
+    // keys: the pair join streams this checkpoint through the
+    // sparse-dot kernel, and a byte-coalesced 1-partition checkpoint
+    // serializes that scoring onto one core (no-op at scale/slots = 0)
+    graft.operators.Par
+      .spreadBy(w, slots, col("doc_id"), col("lang"))
+      .groupBy(col("doc_id"), col("lang"))
       .agg(sort_array(collect_list(struct(
           xxhash64(col("lang"), col("term")).as("k"),
           col("w").as("w")))).as("kw"),
@@ -2838,7 +2858,8 @@ object TextOps {
     // inverted-index formulation — which is exactly what the DuckDB
     // oracle runs, making the hash match a two-formulation
     // cross-derivation (the es_replay_from_snapshot pattern).
-    val vecs = docVectors(docWeights(d, minDf, maxDfTenths))
+    val vecs = docVectors(docWeights(d, minDf, maxDfTenths),
+      graft.operators.Par.slots(d))
     vecs.as("a").join(vecs.as("b"),
         col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -2962,7 +2983,11 @@ object TextOps {
       tau: Double = 0.9): DataFrame = {
     require(tau > 0.0, s"bad tau=$tau")
     val q = vectorizeAgainstVocab(spark, d.filter(queryPred), vocabTable)
-    val corpus = corpusVecs
+    // spread the persisted-vector scan: the lang join streams the
+    // corpus table through the kernel, and a one-file table is a
+    // one-task scan (no-op at scale — the table then has many splits)
+    val corpus = graft.operators.Par
+      .spread(corpusVecs, graft.operators.Par.slots(corpusVecs))
       .select(col("doc_id").as("similar_id"), col("lang"),
         col("n2").as("cn2"), col("ks").as("cks"), col("ws").as("cws"))
     q.join(corpus, Seq("lang"))
@@ -3219,18 +3244,27 @@ object TextOps {
       minDf >= 2L && maxDfTenths >= 1 && maxDfTenths <= 10,
       s"bad params tau=$tau minDf=$minDf maxDfTenths=$maxDfTenths")
     // feeds the vector agg AND the prefix-posting window
+    val sl = graft.operators.Par.slots(d)
     val w = docWeights(d, minDf, maxDfTenths).localCheckpoint(true)
-    val vecs = docVectors(w)
+    val vecs = docVectors(w, sl)
     // inclusive suffix Σw² in canonical order: running sum ordered DESC
     val win = Window.partitionBy(col("doc_id")).orderBy(col("term").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tauP = tau - 0.001
-    val prefix = w
+    val prefix = graft.operators.Par.spreadBy(w, sl, col("doc_id"))
       .withColumn("suf_sq", sum(col("w") * col("w")).over(win))
       .join(vecs.select(col("doc_id"), col("n2")), "doc_id")
       .filter(col("suf_sq").cast("double") >=
         lit(tauP * tauP) * col("n2").cast("double"))
       .select(col("doc_id"), col("lang"), col("term"))
+      // pin the candidate join's width on its own key: the posting
+      // self-join EXPLODES (26k postings → ~10M raw pairs at sf0.1)
+      // while its input bytes are AQE-coalesce-tiny — measured r20:
+      // 4.66 s in a single task. spreadBy(lang, term) makes the join
+      // reuse this partitioning, so pair generation + the map-side
+      // pair dedup run slots-wide (no-op at scale)
+      .transform(graft.operators.Par.spreadBy(_, sl,
+        col("lang"), col("term")))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.lang") === col("b.lang") &&
           col("a.term") === col("b.term") &&
