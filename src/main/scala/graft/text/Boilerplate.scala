@@ -53,7 +53,10 @@ object Boilerplate {
     * the tag, df dedups per doc in the dictionary). */
   private[graft] def grams(d: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    TextOps.lowerToks(d)
+    // spread the gram explode (both dictionary and tag pay it; single
+    // scan split at bench scale, Par no-ops at real scale)
+    TextOps.lowerToks(graft.operators.Par
+        .spreadBy(d, graft.operators.Par.slots(d), col("doc_id")))
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"), col("source"),
         explode(expr(gramExpr(k))).as("gram"))
