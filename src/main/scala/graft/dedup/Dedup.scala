@@ -54,11 +54,28 @@ object Dedup {
     s"transform(sequence(0, size(t) - $k), i -> concat_ws(' ', $parts))"
   }
 
+  /** Winnow-kernel anchor rows (the ONE WinnowedAnchors derivation —
+    * length filter pushed at the scan, kernel pass spread via Par:
+    * measured ~1.6-2 s single-task at sf0.1 on the one scan split;
+    * no-op at real scale). `idAs` names the output doc column. */
+  private def winnowRows(d: DataFrame, k: Int, w: Int,
+      idAs: String = "doc_id"): DataFrame =
+    graft.operators.Par
+      .spreadBy(d.filter(length(col("text")) >= k),
+        graft.operators.Par.slots(d), col("doc_id"))
+      .select(col("doc_id").as(idAs),
+        explode(WinnowedAnchors(col("text"), k, w)).as("h"))
+
   /** Distinct shingle-hash sets per doc: word `shingleK`-grams of the
     * lowercased text, hashed once (xxhash64). Shared by the signature
     * banding and the exact candidate verification. */
   private def shingleSets(d: DataFrame, shingleK: Int): DataFrame =
-    d.withColumn("t", expr(toksExpr))
+    // spread the shingle+hash kernel pass (measured 2.9 s single-task
+    // at sf0.1 — the corpus fits one scan split; Par no-ops at scale);
+    // every consumer checkpoint inherits the width
+    graft.operators.Par
+      .spreadBy(d, graft.operators.Par.slots(d), col("doc_id"))
+      .withColumn("t", expr(toksExpr))
       .filter(size(col("t")) >= shingleK)
       .select(col("doc_id"), array_distinct(
         expr(s"transform(${shingleExpr(shingleK)}, s -> xxhash64(s))"))
@@ -452,9 +469,7 @@ object Dedup {
   def substringAnchorAudit(d: DataFrame, k: Int = 40, w: Int = 25,
       maxDf: Int = 50): DataFrame = {
     require(k >= 1 && w >= 1 && maxDf >= 1, s"bad params k=$k w=$w maxDf=$maxDf")
-    val freq = d.filter(length(col("text")) >= k)
-      .select(col("doc_id"),
-        explode(WinnowedAnchors(col("text"), k, w)).as("h"))
+    val freq = winnowRows(d, k, w)
       .groupBy("h").agg(count(lit(1)).as("df"))
     freq.agg(
       sum(col("df")).as("n_anchor_postings"),
@@ -488,9 +503,7 @@ object Dedup {
   def anchorCostPlan(d: DataFrame, k: Int = 40, w: Int = 25,
       maxDf: Int = 50): DataFrame = {
     require(k >= 1 && w >= 1 && maxDf >= 1, s"bad params k=$k w=$w maxDf=$maxDf")
-    d.filter(length(col("text")) >= k)
-      .select(col("doc_id"),
-        explode(WinnowedAnchors(col("text"), k, w)).as("h"))
+    winnowRows(d, k, w)
       .groupBy("h").agg(count(lit(1)).as("df"))
       .groupBy("df").agg(count(lit(1)).as("n_anchors"))
       .select(col("df"), col("n_anchors"),
@@ -516,9 +529,7 @@ object Dedup {
     require(k >= 1 && w >= 1 && maxDf >= 1, s"bad params k=$k w=$w maxDf=$maxDf")
     // one kernel pass; the anchor table feeds the test index (cap +
     // postings) and the train probe side
-    val anchors = d.filter(length(col("text")) >= k)
-      .select(col("doc_id"),
-        explode(WinnowedAnchors(col("text"), k, w)).as("h"))
+    val anchors = winnowRows(d, k, w)
       .join(split.select("doc_id", "split"), "doc_id")
       .localCheckpoint(true)
     val test = anchors.filter(col("split") === "test")
@@ -729,10 +740,7 @@ object Dedup {
     // Eager checkpoint: the anchor table feeds the DF count AND both
     // sides of the pair join — without it the md5 kernel pass runs four
     // times (once per consumer scan)
-    val anchors = d.filter(length(col("text")) >= k)
-      .select(col("doc_id"),
-        explode(WinnowedAnchors(col("text"), k, w)).as("h"))
-      .localCheckpoint(true)
+    val anchors = winnowRows(d, k, w).localCheckpoint(true)
     // kernel output is distinct per doc, so df = document frequency;
     // df >= 2 additionally prunes singleton anchors (no pair can come
     // from them — pure volume optimization, result-identical)
@@ -978,10 +986,7 @@ object Dedup {
       k: Int = 40, w: Int = 25, maxDf: Int = 50, buckets: Int = 8): Unit = {
     require(k >= 1 && w >= 1 && maxDf >= 1, s"bad params k=$k w=$w maxDf=$maxDf")
     // one kernel pass; the anchor table feeds the df count + the kept set
-    val anchors = d.filter(length(col("text")) >= k)
-      .select(col("doc_id"),
-        explode(WinnowedAnchors(col("text"), k, w)).as("h"))
-      .localCheckpoint(true)
+    val anchors = winnowRows(d, k, w).localCheckpoint(true)
     val rare = anchors.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("h")
     // staged rebuild (Staged.commit): the live index serves while the
@@ -1013,9 +1018,7 @@ object Dedup {
   def anchorProbe(spark: SparkSession, tableName: String,
       docs: DataFrame, k: Int = 40, w: Int = 25): DataFrame = {
     require(k >= 1 && w >= 1, s"bad params k=$k w=$w")
-    docs.filter(length(col("text")) >= k)
-      .select(col("doc_id").as("train_doc"),
-        explode(WinnowedAnchors(col("text"), k, w)).as("h"))
+    winnowRows(docs, k, w, idAs = "train_doc")
       .join(graft.sources.Staged.liveTable(spark, tableName)
         .select(col("doc_id").as("test_doc"), col("h")), "h")
       .groupBy("train_doc", "test_doc")
@@ -1047,9 +1050,7 @@ object Dedup {
       newDocs: DataFrame, k: Int = 40, w: Int = 25,
       maxDf: Int = 50): DataFrame = {
     require(k >= 1 && w >= 1 && maxDf >= 1, s"bad params k=$k w=$w maxDf=$maxDf")
-    val shard = newDocs.filter(length(col("text")) >= k)
-      .select(col("doc_id").as("new_doc"),
-        explode(WinnowedAnchors(col("text"), k, w)).as("h"))
+    val shard = winnowRows(newDocs, k, w, idAs = "new_doc")
       .localCheckpoint(true) // feeds the df cap + the probe
     val rare = shard.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("h")
