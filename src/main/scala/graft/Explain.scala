@@ -18,13 +18,16 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
-    println(s"=== $name @ $sfDir ===")
-    fn(spark, sfDir).explain("formatted")
-    (1 to runs).foreach { i =>
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs ($n rows)")
+    // comma-separated names share one session (plan-capture batching)
+    name.split(",").map(_.trim).filter(_.nonEmpty).foreach { q =>
+      val fn = SparkEntry.queries(q)
+      println(s"=== $q @ $sfDir ===")
+      fn(spark, sfDir).explain("formatted")
+      (1 to runs).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs ($n rows)")
+      }
     }
     spark.stop()
   }

@@ -18,7 +18,7 @@ import scala.collection.mutable
   * only — not part of the driver contract. */
 object Profile {
   private final case class JobRec(id: Int, start: Long, var end: Long,
-    site: String, var stages: Int, var tasks: Int,
+    var site: String, var stages: Int, var tasks: Int,
     var runMs: Long, var cpuMs: Long, var shuffleRead: Long,
     var shuffleWrite: Long)
 
@@ -49,6 +49,8 @@ object Profile {
         jobs.synchronized {
           val si = e.stageInfo
           stageToJob.get(si.stageId).flatMap(jobs.get).foreach { j =>
+            if (j.site.isEmpty)
+              j.site = si.name.take(60)
             j.stages += 1
             j.tasks += si.numTasks
             j.runMs += si.taskMetrics.executorRunTime
