@@ -1,16 +1,32 @@
 #!/bin/bash
 # Interleaved A/B of the WORKING TREE vs HEAD on a bench filter set.
 # A = HEAD (stash), B = working tree. usage: ab_interleaved.sh <filter> [rounds]
+#
+# Stash discipline (ADVICE r20): capture the ref `git stash push` creates
+# and only pop when one WAS created — on a clean tree `git stash -q` saves
+# nothing and a blind pop would pull an unrelated pre-existing stash entry
+# into the tree; `-u` includes untracked files so the A side is pure HEAD;
+# a trap restores the working tree even if a compile/bench step dies.
 set -e
 F="$1"; N="${2:-2}"
 cd /root/repo
+STASHED=0
+restore() {
+  if [ "$STASHED" = 1 ]; then
+    git stash pop -q && STASHED=0
+  fi
+}
+trap restore EXIT
 for round in $(seq 1 "$N"); do
-  git stash -q
+  if git stash push -q -u -m "ab_interleaved_$round" 2>/dev/null \
+      && [ -n "$(git stash list | grep ab_interleaved_$round)" ]; then
+    STASHED=1
+  fi
   sbt compile -batch >/dev/null 2>&1
   SPARK_GRAFT_BENCH_FILTER="$F" SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
     SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_OUT="/tmp/abx_A_$round.json" \
     sbt -batch 'runMain graft.Bench' >/dev/null 2>&1 || true
-  git stash pop -q
+  restore
   sbt compile -batch >/dev/null 2>&1
   SPARK_GRAFT_BENCH_FILTER="$F" SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
     SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_OUT="/tmp/abx_B_$round.json" \
