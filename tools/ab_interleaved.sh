@@ -17,20 +17,34 @@ restore() {
   fi
 }
 trap restore EXIT
-for round in $(seq 1 "$N"); do
-  if git stash push -q -u -m "ab_interleaved_$round" 2>/dev/null \
-      && [ -n "$(git stash list | grep ab_interleaved_$round)" ]; then
+# run one side: runA <round> | runB <round>
+runA() {
+  if git stash push -q -u -m "ab_interleaved_$1" 2>/dev/null \
+      && [ -n "$(git stash list | grep ab_interleaved_$1)" ]; then
     STASHED=1
   fi
   sbt compile -batch >/dev/null 2>&1
   SPARK_GRAFT_BENCH_FILTER="$F" SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
-    SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_OUT="/tmp/abx_A_$round.json" \
+    SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_OUT="/tmp/abx_A_$1.json" \
     sbt -batch 'runMain graft.Bench' >/dev/null 2>&1 || true
   restore
+}
+runB() {
   sbt compile -batch >/dev/null 2>&1
   SPARK_GRAFT_BENCH_FILTER="$F" SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
-    SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_OUT="/tmp/abx_B_$round.json" \
+    SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_OUT="/tmp/abx_B_$1.json" \
     sbt -batch 'runMain graft.Bench' >/dev/null 2>&1 || true
+}
+for round in $(seq 1 "$N"); do
+  # ALTERNATE side order per round (r21): with a fixed A-then-B order,
+  # a box that warms/throttles through the session biases every round
+  # against B — measured twice before this fix (B read +10-20% cold on
+  # queries the candidate change did not even touch)
+  if [ $((round % 2)) = 1 ]; then
+    runA "$round"; runB "$round"
+  else
+    runB "$round"; runA "$round"
+  fi
   echo "round $round done"
 done
 python3 - "$N" <<'PYEOF'
