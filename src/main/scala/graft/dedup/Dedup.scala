@@ -582,9 +582,16 @@ object Dedup {
       .union(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("a").as("doc_id"))
-      .distinct()
-      .withColumn("cluster", col("doc_id"))
+    // Round-1 propagate FUSED (r21, guide §2.4 — remove shuffles
+    // outright): at entry every label is the identity, so
+    // neighborMin(a) = min over edges of b and the propagate join
+    // against identity labels is algebraically the aggregate itself —
+    // one exchange replaces the labels-init distinct plus the round-1
+    // edges⋈labels join (the symmetrized edge list covers every node
+    // as an `a`, so the label set is identical). Rounds after the
+    // first run the general join form below.
+    var labels: DataFrame = null
+    var firstRound = true
     def violations(lbl: DataFrame): Long = edges
       .join(lbl.withColumnRenamed("doc_id", "a")
         .withColumnRenamed("cluster", "ca"), "a")
@@ -602,15 +609,23 @@ object Dedup {
     var converged = false
     while (!converged && round < maxRounds) {
       (1 to 2).foreach { _ =>
-        val neighborMin = edges
-          .join(labels.withColumnRenamed("doc_id", "b")
-            .withColumnRenamed("cluster", "b_cluster"), "b")
-          .groupBy(col("a").as("doc_id"))
-          .agg(min(col("b_cluster")).as("nbr_cluster"))
-        val propagated = labels.join(neighborMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster")))
-              .as("cluster"))
+        val propagated = if (firstRound) {
+          firstRound = false
+          edges.groupBy(col("a").as("doc_id"))
+            .agg(min(col("b")).as("nbr_cluster"))
+            .select(col("doc_id"),
+              least(col("doc_id"), col("nbr_cluster")).as("cluster"))
+        } else {
+          val neighborMin = edges
+            .join(labels.withColumnRenamed("doc_id", "b")
+              .withColumnRenamed("cluster", "b_cluster"), "b")
+            .groupBy(col("a").as("doc_id"))
+            .agg(min(col("b_cluster")).as("nbr_cluster"))
+          labels.join(neighborMin, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster")))
+                .as("cluster"))
+        }
         // pointer jumping (path halving): adopt the label of the current
         // label, collapsing chains in O(log diameter) rounds. The round
         // result is checkpointed: the self-join references `propagated`

@@ -1661,7 +1661,7 @@ object PipelineQueries {
       val (tbl, path) = runScopedTable(s, d, "graft_chunk_vec")
       s.sql(s"DROP TABLE IF EXISTS $tbl")
       s.sql(s"DROP TABLE IF EXISTS ${tbl}_vocab")
-      val cd = graft.text.Chunks.chunkDocs(docs(s, d))
+      val cd = graft.text.Chunks.chunkDocsTok(docs(s, d))
       TextOps.writeDocVectorIndex(cd, tbl, path)
       TextOps.docSimilarPersisted(s, cd, tbl, s"${tbl}_vocab",
           substring(md5(concat_ws(":",
@@ -1687,7 +1687,7 @@ object PipelineQueries {
       s.sql(s"DROP TABLE IF EXISTS ${tbl}_vocab")
       // ONE chunk relation feeds the index build AND both members —
       // the grid cannot diverge between them (the composite-id fence)
-      val cd = graft.text.Chunks.chunkDocs(docs(s, d))
+      val cd = graft.text.Chunks.chunkDocsTok(docs(s, d))
       TextOps.writeDocVectorIndex(cd, tbl, path)
       graft.text.Chunks.chunkHybridRrf(s, cd, tbl, s"${tbl}_vocab")
     }),
@@ -1703,10 +1703,10 @@ object PipelineQueries {
         .foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
       // ONE chunk relation feeds BOTH index builds (checkpointed —
       // never re-chunk the corpus per consumer)
-      val cd = graft.text.Chunks.chunkDocs(docs(s, d))
+      val cd = graft.text.Chunks.chunkDocsTok(docs(s, d))
         .localCheckpoint(true)
       TextOps.writeDocVectorIndex(cd, tbl, path)
-      TextOps.writeTextIndex(cd.select(col("doc_id"), col("text")),
+      TextOps.writeTextIndex(cd.select(col("doc_id"), col("toks")),
         s"${tbl}_post", s"${path}_post")
       graft.text.Chunks.chunkHybridServe(s, s"${tbl}_post", tbl,
         s"${tbl}_vocab")
@@ -1727,11 +1727,11 @@ object PipelineQueries {
       val isDelta = substring(md5(concat_ws(":",
         col("doc_id").cast("string"), lit("dsd"))), 1, 1) >= "c"
       TextOps.writeTextIndex(
-        graft.text.Chunks.chunkDocs(dd.filter(!isDelta))
-          .select(col("doc_id"), col("text")), tbl, path)
+        graft.text.Chunks.chunkDocsTok(dd.filter(!isDelta))
+          .select(col("doc_id"), col("toks")), tbl, path)
       TextOps.appendTextIndexDelta(
-        graft.text.Chunks.chunkDocs(dd.filter(isDelta))
-          .select(col("doc_id"), col("text")), tbl, path)
+        graft.text.Chunks.chunkDocsTok(dd.filter(isDelta))
+          .select(col("doc_id"), col("toks")), tbl, path)
       graft.text.Chunks.chunkSearchDelta(s, tbl,
         Seq("vector", "stream", "window", "hash"))
     }),
@@ -1753,16 +1753,16 @@ object PipelineQueries {
         col("doc_id").cast("string"), lit("dsd"))), 1, 1) >= "c"
       // ONE chunk relation per split feeds both index writers (the
       // chunk_hybrid_serve checkpoint discipline)
-      val cdBase = graft.text.Chunks.chunkDocs(dd.filter(!isDelta))
+      val cdBase = graft.text.Chunks.chunkDocsTok(dd.filter(!isDelta))
         .localCheckpoint(true)
-      val cdDelta = graft.text.Chunks.chunkDocs(dd.filter(isDelta))
+      val cdDelta = graft.text.Chunks.chunkDocsTok(dd.filter(isDelta))
         .localCheckpoint(true)
       TextOps.writeDocVectorIndex(cdBase, tbl, path)
       TextOps.appendDocVectorIndexDelta(cdDelta, tbl, path)
-      TextOps.writeTextIndex(cdBase.select(col("doc_id"), col("text")),
+      TextOps.writeTextIndex(cdBase.select(col("doc_id"), col("toks")),
         s"${tbl}_post", s"${path}_post")
       TextOps.appendTextIndexDelta(
-        cdDelta.select(col("doc_id"), col("text")),
+        cdDelta.select(col("doc_id"), col("toks")),
         s"${tbl}_post", s"${path}_post")
       graft.text.Chunks.chunkHybridServeDelta(s, s"${tbl}_post", tbl,
         s"${tbl}_vocab")

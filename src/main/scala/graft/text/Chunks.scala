@@ -97,17 +97,22 @@ object Chunks {
     * instead of colliding ids). Chunk text re-splits to exactly its
     * own word window (words are ' '-split, so slice + ' '-join round
     * trips). Stateless per-row pass, fan-out ∝ corpus words / width. */
-  def chunkCorpus(d: DataFrame, width: Int = 32): DataFrame = {
+  /** The composite-id fence expression (shared by both chunk faces). */
+  private def idGuard = coalesce(
+    assert_true(col("chunk_idx") < lit(MaxChunksPerDoc),
+      concat(lit("composite chunk-id fence: chunk_idx "),
+        col("chunk_idx").cast("string"),
+        lit(s" reaches $MaxChunksPerDoc — the doc_id·2^20 + idx id " +
+          "would collide across docs; raise the width or widen the " +
+          "id instead of letting ids alias"))).cast("long"),
+    lit(0L))
+
+  /** Shared chunk-grid prefix: one ' '-split pass + the chunk-index
+    * explode — (doc_id, lang, words, chunk_idx). The ONE word-split of
+    * the chunk family; both faces ([[chunkCorpus]] text,
+    * [[chunkDocsTok]] tokens) slice the same `words`. */
+  private def chunkRows(d: DataFrame, width: Int): DataFrame = {
     require(width >= 1, s"bad width=$width")
-    val w = lit(width.toLong)
-    val guard = coalesce(
-      assert_true(col("chunk_idx") < lit(MaxChunksPerDoc),
-        concat(lit("composite chunk-id fence: chunk_idx "),
-          col("chunk_idx").cast("string"),
-          lit(s" reaches $MaxChunksPerDoc — the doc_id·2^20 + idx id " +
-            "would collide across docs; raise the width or widen the " +
-            "id instead of letting ids alias"))).cast("long"),
-      lit(0L))
     // lang rides along when the input carries it (the doc_similar
     // family blocks on it); a lang-less relation (chunk_search only
     // needs text) gets an empty-string block
@@ -120,8 +125,13 @@ object Chunks {
       .select(col("doc_id"), col("lang"), col("words"),
         explode(sequence(lit(0L), expr(s"(n_words - 1) div ${width}L")))
           .as("chunk_idx"))
+  }
+
+  def chunkCorpus(d: DataFrame, width: Int = 32): DataFrame = {
+    val w = lit(width.toLong)
+    chunkRows(d, width)
       .select(col("doc_id"), col("lang"), col("chunk_idx"),
-        (col("doc_id") * lit(MaxChunksPerDoc) + col("chunk_idx") + guard)
+        (col("doc_id") * lit(MaxChunksPerDoc) + col("chunk_idx") + idGuard)
           .as("chunk_id"),
         concat_ws(" ", slice(col("words"),
           (col("chunk_idx") * w + 1L).cast("int"), lit(width)))
@@ -138,6 +148,28 @@ object Chunks {
     chunkCorpus(d, width)
       .select(col("chunk_id").as("doc_id"), col("lang"), col("text"))
 
+  /** [[chunkDocs]] with the chunk TOKENS pre-sliced from the one
+    * word-split pass (r21, the r20 verdict's #5 — restructure, don't
+    * spread): a chunk's text is `concat_ws(' ', slice(words, …))` of
+    * non-empty space-free words, so `filter(split(lower(text), ' '),
+    * != '')` — what every downstream tokenizer computes — is exactly
+    * `transform(slice(words, …), lower)`: emit that as `toks` and the
+    * bm25/posting/vector builds ([[graft.text.TextOps.lowerToks]])
+    * skip the concat + re-split entirely. The chunk family previously
+    * paid the word-split THREE times per hybrid-serve build (chunk
+    * explode + postings tokenize + vector tokenize); with this face it
+    * pays it once. Token-identity to the text path is spec-pinned
+    * (ChunkSpec); consumers that need the chunk TEXT itself (the grid
+    * digests) keep [[chunkCorpus]]. */
+  def chunkDocsTok(d: DataFrame, width: Int = 32): DataFrame =
+    chunkRows(d, width)
+      .select(
+        (col("doc_id") * lit(MaxChunksPerDoc) + col("chunk_idx") + idGuard)
+          .as("doc_id"),
+        col("lang"),
+        expr(s"transform(slice(words, CAST(chunk_idx * $width + 1 AS INT), " +
+          s"$width), w -> lower(w))").as("toks"))
+
   /** PASSAGE-granular BM25 retrieval (r17) — the actual RAG/eval
     * retrieval unit (document-level search returns a 10k-word doc when
     * the query matched one paragraph; serving wants the chunk): the
@@ -152,9 +184,7 @@ object Chunks {
     * normalization — the retrieval argument for chunking. */
   def chunkSearch(d: DataFrame, terms: Seq[String],
       width: Int = 32): DataFrame =
-    graft.text.TextOps.bm25Search(
-        chunkCorpus(d, width).select(col("chunk_id").as("doc_id"),
-          col("text")), terms)
+    graft.text.TextOps.bm25Search(chunkDocsTok(d, width), terms)
       .select(
         expr(s"doc_id div ${MaxChunksPerDoc}L").as("doc_id"),
         expr(s"doc_id % ${MaxChunksPerDoc}L").as("chunk_idx"),
@@ -206,8 +236,7 @@ object Chunks {
     // composite ids and the index's frozen ids (two different id
     // spaces silently full-outer-joined — the composite-id aliasing
     // class) is UNCONSTRUCTIBLE through this signature
-    val lexScored = graft.text.TextOps.bm25Search(
-      cd.select(col("doc_id"), col("text")), terms)
+    val lexScored = graft.text.TextOps.bm25Search(cd, terms)
     val lexR = Prf.topDocs(lexScored, kLex)
       .select(col("doc_id").as("cand_id"), col("rnk").as("lex_rank"))
       .withColumn("doc_id", lit(0L))

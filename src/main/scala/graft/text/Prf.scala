@@ -68,10 +68,21 @@ object Prf {
     * dictionary posture); [[searchPrf]]'s oracle embeds the identical
     * CTE chain verbatim. */
   def prfTerms(d: DataFrame, q0: Seq[String] = SeedQuery, k0: Int = 10,
-      m: Int = 5, minDf: Long = 2L): DataFrame = {
+      m: Int = 5, minDf: Long = 2L): DataFrame =
+    prfTermsFrom(d, TextOps.bm25Search(d, q0), q0, k0, m, minDf)
+
+  /** [[prfTerms]] over an ALREADY-SCORED seed ranking — the shared face
+    * (r21, guide §1.2 step 1: don't compute things twice):
+    * [[expansionEval]] checkpoints the seed scoring for its own overlap
+    * row, and routing that same frame here removes a full corpus
+    * tokenize + BM25 pass from the expansion chain. `seedScored` must
+    * be exactly `TextOps.bm25Search(d, q0)` (or a materialization of
+    * it) — the public faces construct it themselves. */
+  private def prfTermsFrom(d: DataFrame, seedScored: DataFrame,
+      q0: Seq[String], k0: Int, m: Int, minDf: Long): DataFrame = {
     require(q0.nonEmpty && k0 >= 1 && m >= 1 && minDf >= 1L,
       s"bad params q0=$q0 k0=$k0 m=$m minDf=$minDf")
-    val r0 = topDocs(TextOps.bm25Search(d, q0), k0).select("doc_id")
+    val r0 = topDocs(seedScored, k0).select("doc_id")
     TextOps.tfidfMicroTable(d)
       .join(broadcast(r0), "doc_id")
       .filter(col("df") >= minDf && !col("term").isin(q0: _*))
@@ -99,7 +110,10 @@ object Prf {
     val seedScored = TextOps.bm25Search(d, q0).localCheckpoint(true)
     val seedTop = topDocs(seedScored, n)
       .select(col("doc_id"), lit(1).as("in_seed"))
-    val expTop = searchPrf(d, q0, k0, m, n, minDf)
+    // the expanded ranking derives its feedback set from the SAME
+    // checkpointed seed scoring as the overlap row (r21): one seed
+    // BM25 pass instead of two, rows identical by construction
+    val expTop = searchPrfFrom(d, seedScored, q0, k0, m, n, minDf)
       .select(col("doc_id"), lit(1).as("in_exp"))
     val j = seedTop.join(expTop, Seq("doc_id"), "full_outer")
     j.agg(
@@ -114,13 +128,19 @@ object Prf {
     * construction — [[prfTerms]] excludes the seed), served as the
     * global top-n cut with full score provenance. */
   def searchPrf(d: DataFrame, q0: Seq[String] = SeedQuery, k0: Int = 10,
-      m: Int = 5, n: Int = 20, minDf: Long = 2L): DataFrame = {
+      m: Int = 5, n: Int = 20, minDf: Long = 2L): DataFrame =
+    searchPrfFrom(d, TextOps.bm25Search(d, q0), q0, k0, m, n, minDf)
+
+  /** [[searchPrf]] over an already-scored seed ranking — see
+    * [[prfTermsFrom]]. */
+  private def searchPrfFrom(d: DataFrame, seedScored: DataFrame,
+      q0: Seq[String], k0: Int, m: Int, n: Int, minDf: Long): DataFrame = {
     require(n >= 1, s"bad n=$n")
     val spark = d.sparkSession
     val seed = spark.createDataset(q0)(org.apache.spark.sql.Encoders.STRING)
       .toDF("term")
-    val qterms = seed.unionByName(prfTerms(d, q0, k0, m, minDf)
-      .select("term"))
+    val qterms = seed.unionByName(
+      prfTermsFrom(d, seedScored, q0, k0, m, minDf).select("term"))
     // two consumers (the cut and the provenance join): one pass
     val scored = TextOps.bm25SearchTerms(d, qterms).localCheckpoint(true)
     topDocs(scored, n)

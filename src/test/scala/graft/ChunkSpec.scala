@@ -10,6 +10,26 @@ class ChunkSpec extends SparkSpec {
   private def df(rows: (Long, String)*) =
     rows.toDF("doc_id", "text")
 
+  test("chunkDocsTok: tokens identical to the chunkDocs text path") {
+    // the lowerToks pass-through contract (r21): chunkDocsTok's
+    // pre-sliced toks must equal what every tokenizer computes from
+    // the chunk TEXT — filter(split(lower(text), ' '), != '') — for
+    // the same composite id, on real corpus text incl. multi-space
+    // runs, unicode, and empty docs
+    val docs = TextOps.docs(spark, SF)
+    val viaText = Chunks.chunkDocs(docs)
+      .select(col("doc_id"), col("lang"),
+        expr("filter(split(lower(text), ' '), x -> x != '')").as("toks"))
+    val viaSlice = Chunks.chunkDocsTok(docs)
+    assert(viaText.count() == viaSlice.count())
+    val diff = viaText.as("a").join(viaSlice.as("b"), Seq("doc_id"))
+      .filter(col("a.lang") =!= col("b.lang") ||
+        col("a.toks") =!= col("b.toks"))
+      .count()
+    assert(diff == 0L,
+      "chunkDocsTok toks drifted from the text-path tokenization")
+  }
+
   test("chunkAssign: grid reconstructs the document exactly") {
     val docs = TextOps.docs(spark, SF)
     val chunks = Chunks.chunkAssign(docs, width = 32)
