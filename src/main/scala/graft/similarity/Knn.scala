@@ -2141,8 +2141,19 @@ object Knn {
     * of SERVED results comes from persisting the trained artifact
     * ([[writeIvfPqIndex]]) and probing it, never from retraining. */
   def pqCodebook(base: DataFrame, m: Int = PqSubspaces,
-      ksub: Int = PqCodesPerSub, iters: Int = 2): DataFrame = {
-    val subvecs = pqSubvectors(base, m).localCheckpoint(true)
+      ksub: Int = PqCodesPerSub, iters: Int = 2): DataFrame =
+    pqCodebookFrom(pqSubvectors(base, m).localCheckpoint(true),
+      base, m, ksub, iters)
+
+  /** [[pqCodebook]] over an already-materialized subvector frame — the
+    * shared face (r21, guide §1.2 step 1): [[writeIvfPqIndex]]
+    * checkpoints ONE subvector derivation and feeds it to both the
+    * codebook trainer and the encoder, instead of the encoder
+    * re-deriving the per-vector normalized slices the trainer already
+    * checkpointed. `subvecs` must be exactly
+    * `pqSubvectors(base, m)` (or a materialization of it). */
+  private def pqCodebookFrom(subvecs: DataFrame, base: DataFrame,
+      m: Int, ksub: Int, iters: Int = 2): DataFrame = {
     val seedIds = base.filter(finiteNorm(col("nrm")))
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h").limit(ksub).select(col("vec_id"), col("h"))
@@ -2186,7 +2197,13 @@ object Knn {
     * deterministic only). */
   def pqEncode(base: DataFrame, codebook: DataFrame,
       m: Int = PqSubspaces): DataFrame =
-    pqSubvectors(base, m)
+    pqEncodeFrom(pqSubvectors(base, m), codebook)
+
+  /** [[pqEncode]] over an already-derived subvector frame — see
+    * [[pqCodebookFrom]]. */
+  private def pqEncodeFrom(subvecs: DataFrame,
+      codebook: DataFrame): DataFrame =
+    subvecs
       .join(broadcast(codebook), Seq("sub_id"))
       .withColumn("d", pqSubDist)
       .groupBy(col("vec_id"), col("sub_id"))
@@ -2223,7 +2240,13 @@ object Knn {
     val spark = e.sparkSession
     val base = e.filter(finiteNorm(col("nrm"))).localCheckpoint(true)
     val coarse = kmeansCentroids(base, nlist)
-    val codebook = pqCodebook(base, m, ksub).localCheckpoint(true)
+    // ONE subvector derivation feeds the codebook trainer AND the
+    // encoder (r21 — pqEncode previously re-derived the normalized
+    // slices the trainer had already checkpointed: one full per-vector
+    // posexplode/normalize pass per build saved, values identical)
+    val subvecs = pqSubvectors(base, m).localCheckpoint(true)
+    val codebook = pqCodebookFrom(subvecs, base, m, ksub)
+      .localCheckpoint(true)
     graft.sources.Staged.commit(spark, s"${tableName}_coarse",
         s"${path}_coarse") { (tbl, p) =>
       coarse.write.option("path", p)
@@ -2238,7 +2261,7 @@ object Knn {
       base.crossJoin(broadcast(withCnrm2(coarse))).withColumn("d", sqDist),
       Seq.empty)
       .select(col("vec_id"), col("c_id"))
-    val rows = assigned.join(pqEncode(base, codebook, m), Seq("vec_id"))
+    val rows = assigned.join(pqEncodeFrom(subvecs, codebook), Seq("vec_id"))
     graft.sources.Staged.commit(spark, tableName, path) {
       (tbl, p) =>
         rows
